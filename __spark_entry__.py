@@ -1,38 +1,169 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the correctness gate.
+
+Column-name discipline: every computed/aggregate column is aliased
+identically in the Spark pipeline and the oracle SQL. Double-typed
+aggregates are rounded on both sides so cross-engine float summation
+order cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_rust_archive_spark.operators import relational  # noqa: E402
+
+
+def _rounded(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    out = df
+    for c, nd in cols.items():
+        out = out.withColumn(c, F.round(F.col(c), nd))
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": lambda s, d: _rounded(
+            relational.q1_pricing_summary(s, d),
+            {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+             "sum_charge": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4}),
+        "q3_shipping_priority": lambda s, d: _rounded(
+            relational.q3_shipping_priority(s, d), {"revenue": 2}
+            ).withColumn("o_orderdate",
+                         F.col("o_orderdate").cast("date").cast("string")),
+        "q5_local_supplier_volume": lambda s, d: _rounded(
+            relational.q5_local_supplier_volume(s, d), {"revenue": 2}),
+        "q6_forecast_revenue": lambda s, d: _rounded(
+            relational.q6_forecast_revenue(s, d), {"revenue": 2}),
+        "q12_shipmode": relational.q12_shipmode,
+        "distinct_union": relational.distinct_union,
+        "anti_semi_join": relational.anti_semi_join,
+        "case_projection": relational.case_projection,
+        "window_topn_per_group": relational.window_topn_per_group,
+        "events_windowed_agg": lambda s, d: _rounded(
+            relational.events_windowed_agg(s, d), {"sum_value": 2}
+            ).withColumn("window_start", F.col("window_start").cast("string")),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, round(revenue, 2) AS revenue,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+            FROM (
+              SELECT l.l_orderkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+                     o.o_orderdate
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+                AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+              GROUP BY l.l_orderkey, o.o_orderdate
+              ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+              LIMIT 10
+            )
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q12_shipmode": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "distinct_union": """
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+              UNION ALL
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "anti_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+        "case_projection": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY o_orderstatus
+        """,
+        "window_topn_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "events_windowed_agg": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

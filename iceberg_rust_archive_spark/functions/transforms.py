@@ -1,0 +1,228 @@
+"""Iceberg partition transforms — value level and Spark-column level.
+
+Semantics mirror the reference (iceberg-rust-spec/src/spec/values.rs:357-428
+for value level; iceberg-rust/src/arrow/transform.rs:44-104 for the
+vectorized write path):
+
+- ``bucket[N]``  = murmur3_x86_32(single-value binary serialization, seed 0)
+  mod N, using the *unsigned* 32-bit hash (values.rs:360-364 does
+  ``(hash % n) as i32`` on a u32 — no sign mask, unlike Iceberg-java).
+  The byte encoding is values.rs:102-127: int/date → 4-byte LE,
+  long/time/timestamp → 8-byte LE, string → UTF-8, uuid → 16B BE.
+  Spark's builtin ``hash()`` uses seed 42 and different byte layouts, so it
+  is NOT compatible; we implement murmur3 over the reference encoding in a
+  pandas UDF.
+- ``truncate[W]`` int  = ``v - v.rem_euclid(W)`` → Spark ``v - pmod(v, W)``;
+  string = W-char prefix (values.rs:365-376).
+- ``year``/``month``/``day``/``hour`` = offsets from epoch
+  (values.rs:836-924): year→years since 1970, day→days since epoch,
+  hour→hours since epoch, and month→``12*(year-1970) + month`` — note the
+  reference does NOT subtract 1 from month (datetime_to_months,
+  values.rs:857-861; arrow path transform.rs:122-124 agrees), so 2023-05 →
+  641. We match the reference, not the Iceberg-java spec (which yields 640);
+  internal write/prune consistency is what correctness depends on.
+
+Column versions use built-in functions (whole-stage codegen) everywhere
+except bucket, which needs the custom hash.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from iceberg_rust_archive_spark.spec.partition import (
+    _BUCKET_RE, _TRUNCATE_RE,
+)
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+# --- murmur3_x86_32, seed 0 (matches Iceberg spec appendix B) -------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    length = len(data)
+    h = seed & 0xFFFFFFFF
+    rounded = length & ~0x3
+    for i in range(0, rounded, 4):
+        k = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16) | (data[i + 3] << 24)
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = length & 0x3
+    if tail >= 3:
+        k ^= data[rounded + 2] << 16
+    if tail >= 2:
+        k ^= data[rounded + 1] << 8
+    if tail >= 1:
+        k ^= data[rounded]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _single_value_bytes(value, iceberg_type: str) -> bytes:
+    """Iceberg single-value binary serialization for hashing
+    (values.rs:102-127): int/long/date/time/timestamp → 8-byte LE long,
+    string → UTF-8, decimal → minimal big-endian two's complement,
+    uuid → 16 bytes, binary/fixed → raw."""
+    t = iceberg_type
+    if t == "int":
+        return struct.pack("<i", int(value))
+    if t == "long":
+        return struct.pack("<q", int(value))
+    if t == "date":
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        if isinstance(value, _dt.date):
+            value = (value - _EPOCH).days
+        return struct.pack("<i", int(value))
+    if t in ("time", "timestamp", "timestamptz"):
+        if isinstance(value, _dt.datetime):
+            value = int(value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        return struct.pack("<q", int(value))
+    if t == "string":
+        return str(value).encode("utf-8")
+    if t in ("binary",) or t.startswith("fixed"):
+        return bytes(value)
+    if t == "uuid":
+        import uuid as _u
+        return _u.UUID(str(value)).bytes
+    if t.startswith("decimal"):
+        unscaled = int(Decimal(str(value)).scaleb(
+            int(t.split(",")[1].rstrip(")").strip())))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    raise TypeError(f"type {t!r} cannot be bucketed")
+
+
+def bucket_value(value, n: int, iceberg_type: str):
+    if value is None:
+        return None
+    h = murmur3_32(_single_value_bytes(value, iceberg_type))
+    return h % n  # unsigned hash mod n (values.rs:362-364)
+
+
+def truncate_value(value, width: int, iceberg_type: str):
+    if value is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        return value - (value % width)  # Python % == rem_euclid for positive w
+    if iceberg_type == "string":
+        return value[:width]
+    if iceberg_type.startswith("decimal"):
+        unscaled_mod = value % width
+        return value - unscaled_mod
+    raise TypeError(f"truncate on {iceberg_type!r}")
+
+
+def _to_date(value) -> _dt.date:
+    if isinstance(value, _dt.datetime):
+        return value.date()
+    if isinstance(value, _dt.date):
+        return value
+    if isinstance(value, str):
+        return _dt.date.fromisoformat(value[:10])
+    # days-from-epoch int
+    return _EPOCH + _dt.timedelta(days=int(value))
+
+
+def transform_value(transform: str, value, iceberg_type: str):
+    """Apply a transform to a single (driver-side) value — used for
+    partition-predicate rewriting during pruning (A2) and for computing
+    partition tuples of literals."""
+    if value is None:
+        return None
+    if transform == "identity":
+        if isinstance(value, _dt.datetime):
+            return value.isoformat()
+        if isinstance(value, _dt.date):
+            return value.isoformat()
+        return value
+    if transform == "void":
+        return None
+    m = _BUCKET_RE.match(transform)
+    if m:
+        return bucket_value(value, int(m.group(1)), iceberg_type)
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        return truncate_value(value, int(m.group(1)), iceberg_type)
+    d = _to_date(value)
+    if transform == "year":
+        return d.year - 1970
+    if transform == "month":
+        # reference semantics: no -1 (values.rs:857-861)
+        return (d.year - 1970) * 12 + d.month
+    if transform == "day":
+        return (d - _EPOCH).days
+    if transform == "hour":
+        if isinstance(value, _dt.datetime):
+            ts = value.replace(tzinfo=_dt.timezone.utc).timestamp()
+        else:
+            ts = _dt.datetime.combine(d, _dt.time()).replace(
+                tzinfo=_dt.timezone.utc).timestamp()
+        return int(ts // 3600)
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+# --- Spark column versions -------------------------------------------------
+
+def _bucket_udf(n: int, iceberg_type: str):
+    @pandas_udf(T.IntegerType())
+    def _bucket(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            return bucket_value(v, n, iceberg_type)
+        return s.map(one).astype("Int32")
+    return _bucket
+
+
+def transform_column(transform: str, col: Column | str,
+                     iceberg_type: str = "long") -> Column:
+    """Spark Column expression for a transform. All except bucket stay in
+    whole-stage codegen (built-in functions only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if transform == "identity":
+        return c
+    if transform == "void":
+        return F.lit(None)
+    m = _BUCKET_RE.match(transform)
+    if m:
+        return _bucket_udf(int(m.group(1)), iceberg_type)(c)
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if iceberg_type == "string":
+            return F.substring(c, 1, w)
+        return (c - F.pmod(c, F.lit(w))).cast("long")
+    if transform == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if transform == "month":
+        # reference semantics: no -1 (transform.rs:122-124)
+        return ((F.year(c) - F.lit(1970)) * 12 + F.month(c)).cast("int")
+    if transform == "day":
+        return F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("int")
+    if transform == "hour":
+        return F.floor(F.unix_timestamp(c) / 3600).cast("int")
+    raise ValueError(f"unknown transform {transform!r}")

@@ -1,0 +1,180 @@
+"""Relational query catalog over the driver testdata tables.
+
+These are the §2.B operators the reference exercises through DataFusion
+(filters, CASE projections, equi-joins, hash aggregates, unions, anti/semi
+joins, sorts — SURVEY.md §2.B), re-expressed as Catalyst-friendly DataFrame
+pipelines. Every function takes ``(spark, sf_dir)`` and returns a DataFrame;
+each has a matching ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.
+
+Scale notes (100 TB design intent):
+- Aggregations are expressed as ``groupBy().agg`` → Catalyst plans partial
+  (map-side) aggregation automatically; no driver-side collection anywhere.
+- Dimension joins (region/nation/supplier/part/customer at TPC-H ratios)
+  are broadcast explicitly with ``F.broadcast`` — at SF100k the fact side
+  never shuffles for these joins.
+- Date-range filters sit directly on scan columns so they reach the parquet
+  reader as PushedFilters (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as long nanos (nanosAsLong); surface as TIMESTAMP_NTZ
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                   .cast("timestamp_ntz"))
+    return df
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan hash aggregate on lineitem
+    (README.md:150-230 aggregate scenario at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("sum_disc_price"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                       * (1 + F.col("l_tax"))).alias("sum_charge"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.avg("l_extendedprice").alias("avg_price"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orders⋈lineitem with customer broadcast + agg + top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("revenue"))
+              .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+              .limit(10)
+              .select("l_orderkey", "revenue", "o_orderdate"))
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table join: fact tables shuffle-join on keys, all dims broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .groupBy("n_name")
+              .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("revenue"))
+              .orderBy(F.desc("revenue"), "n_name"))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg; every predicate pushable to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+                    .alias("revenue")))
+
+
+def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship MV shape (delta_queries/mod.rs:1518-1540):
+    orders⋈lineitem, CASE-WHEN conditional sums, group by shipmode.
+    Our testdata lineitem lacks shipmode/commitdate, so the CASE predicates
+    run on orderpriority/returnflag with the same structure."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    low = F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("l_returnflag")
+              .agg(F.sum(high).alias("high_line_count"),
+                   F.sum(low).alias("low_line_count"))
+              .orderBy("l_returnflag"))
+
+
+def distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct (delta rewrites produce Union everywhere,
+    transform.rs:85-100)."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.unionByName(urgent).distinct().orderBy("o_custkey")
+
+
+def anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order (left_anti — the delete-merge
+    primitive, table.rs:631-641)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    no_urgent = cust.join(urgent, cust.c_custkey == urgent.o_custkey,
+                          "left_anti")
+    return (no_urgent.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+def case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN projection + filter (delta_queries/mod.rs:1130-1136 shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.when(F.col("o_orderpriority")
+                              .isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+                  .alias("high_line_count"))
+            .orderBy("o_orderstatus"))
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank: top order per customer by totalprice (dedup primitive)."""
+    from pyspark.sql.window import Window
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+            .orderBy("o_custkey"))
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the events table — the batch
+    equivalent of the streaming path (streaming/ has the readStream twin)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value")
+            .orderBy("window_start", "event_type"))

@@ -1,0 +1,76 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a large cluster (AQE on, skew-join handling, partition
+coalescing) while remaining testable on ``local[N]``. The reference's
+writer constants (zstd compression, ~512MB target files;
+iceberg-rust/src/arrow/write.rs:66 and table/mod.rs:75-85) map to the
+parquet/file confs below.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONFS = {
+    # Let AQE re-plan at runtime: coalesce post-shuffle partitions, convert
+    # sort-merge to broadcast when a side turns out small, split skewed
+    # partitions. Essential at 100 TB, harmless at sf0.01.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # On a real cluster this would be ~2-3x total cores; local tests override.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Reference writes zstd(1) parquet (iceberg-rust/src/table/mod.rs:75-85).
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Iceberg field-ids ride in parquet metadata (SURVEY §1.2).
+    "spark.sql.parquet.fieldId.write.enabled": "true",
+    "spark.sql.parquet.fieldId.read.enabled": "true",
+    # Arrow for pandas UDFs — the only sanctioned Python hot path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ~512 MB target data files on write (write.rs:66); at 100 TB this keeps
+    # file counts manageable. maxPartitionBytes keeps scan tasks memory-safe.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Timestamps in testdata are ntz-ish; keep session in UTC for determinism.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as long nanos and convert explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "iceberg-rust-archive-spark", master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes None with a cluster master already configured.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) -> dict:
+    """Load the driver testdata parquet tables and register temp views."""
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,174 @@
+"""Spec-layer round-trips (mirrors reference layer-1 tests, SURVEY §5.1)."""
+
+import datetime as dt
+
+from iceberg_rust_archive_spark.functions.transforms import (
+    bucket_value, murmur3_32, transform_value, truncate_value,
+)
+from iceberg_rust_archive_spark.spec import (
+    DataFile, ManifestEntry, ManifestListEntry, FieldSummary, NestedField,
+    PartitionField, PartitionSpec, Schema, Snapshot, SortField, SortOrder,
+    StructTypeSpec, ListTypeSpec, MapTypeSpec, TableMetadata,
+    ViewMetadata, MaterializedViewMetadata, RefreshState,
+)
+from iceberg_rust_archive_spark.spec.types import (
+    iceberg_to_spark_type, type_from_json, type_to_json,
+)
+from iceberg_rust_archive_spark.spec.view_metadata import SourceTableState
+from pyspark.sql import types as T
+
+
+ORDERS_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "id", "long", True),
+    NestedField(2, "customer_id", "long", True),
+    NestedField(3, "product_id", "long", True),
+    NestedField(4, "date", "date", True),
+    NestedField(5, "amount", "int", True),
+)))
+
+
+def test_type_json_roundtrip():
+    types = ["boolean", "int", "long", "float", "double", "decimal(10,2)",
+             "date", "time", "timestamp", "timestamptz", "string", "uuid",
+             "fixed[16]", "binary",
+             StructTypeSpec((NestedField(1, "a", "int", True),
+                             NestedField(2, "b", ListTypeSpec(3, "string")),)),
+             MapTypeSpec(4, "string", 5, "double")]
+    for t in types:
+        assert type_from_json(type_to_json(t)) == t
+
+
+def test_spark_type_mapping():
+    assert iceberg_to_spark_type("long") == T.LongType()
+    assert iceberg_to_spark_type("timestamp") == T.TimestampNTZType()
+    assert iceberg_to_spark_type("timestamptz") == T.TimestampType()
+    assert iceberg_to_spark_type("time") == T.LongType()
+    assert iceberg_to_spark_type("uuid") == T.StringType()
+    assert iceberg_to_spark_type("decimal(10,2)") == T.DecimalType(10, 2)
+    st = iceberg_to_spark_type(ORDERS_SCHEMA.struct)
+    assert [f.name for f in st.fields] == ["id", "customer_id", "product_id",
+                                           "date", "amount"]
+    assert st.fields[0].metadata["parquet.field.id"] == 1
+
+
+def test_schema_roundtrip_and_project():
+    s2 = Schema.from_json(ORDERS_SCHEMA.to_json())
+    assert s2 == ORDERS_SCHEMA
+    proj = ORDERS_SCHEMA.project([2, 4])
+    assert [f.name for f in proj.fields] == ["customer_id", "date"]
+    assert ORDERS_SCHEMA.highest_field_id() == 5
+
+
+def test_partition_spec_roundtrip_and_parse():
+    spec = PartitionSpec(0, (PartitionField(4, 1000, "date_day", "day"),))
+    assert PartitionSpec.from_json(spec.to_json()) == spec
+    ids = iter(range(1000, 1010))
+    f = PartitionSpec.parse_transform_expr("month(date)", lambda: next(ids),
+                                           ORDERS_SCHEMA)
+    assert f == PartitionField(4, 1000, "date_month", "month")
+    f2 = PartitionSpec.parse_transform_expr("bucket(16, id)", lambda: next(ids),
+                                            ORDERS_SCHEMA)
+    assert f2.transform == "bucket[16]" and f2.source_id == 1
+
+
+def test_sort_order_roundtrip():
+    o = SortOrder(1, (SortField(4, "identity", "desc", "nulls-last"),))
+    assert SortOrder.from_json(o.to_json()) == o
+
+
+def test_manifest_roundtrip():
+    df = DataFile(0, "/tmp/x.parquet", "parquet", {"date_day": 18262},
+                  100, 1234, lower_bounds={1: 1, 4: "2020-01-01"},
+                  upper_bounds={1: 6, 4: "2020-02-02"},
+                  null_value_counts={1: 0}, equality_ids=None)
+    entry = ManifestEntry(1, df, snapshot_id=7, sequence_number=1)
+    assert ManifestEntry.from_json(entry.to_json()) == entry
+    mle = ManifestListEntry("m.json", 10, 0, 0, 1, 1, 7,
+                            partitions=(FieldSummary(False, None, 18262, 18293),))
+    assert ManifestListEntry.from_json(mle.to_json()) == mle
+
+
+def test_table_metadata_roundtrip_and_snapshots():
+    md = TableMetadata.new("/tmp/warehouse/db/orders", ORDERS_SCHEMA,
+                           PartitionSpec(0, (PartitionField(4, 1000, "date_day", "day"),)))
+    snap = Snapshot(snapshot_id=1, sequence_number=1, timestamp_ms=1000,
+                    manifest_list="ml1.json", summary={"operation": "append"},
+                    schema_id=0)
+    md2 = md.with_snapshot(snap)
+    assert md2.current_snapshot().snapshot_id == 1
+    snap2 = Snapshot(2, 2, 2000, "ml2.json", {"operation": "append"}, 1, 0)
+    md3 = md2.with_snapshot(snap2)
+    assert md3.current_snapshot().parent_snapshot_id == 1
+    assert md3.last_sequence_number == 2
+    rt = TableMetadata.loads(md3.dumps())
+    assert rt.current_snapshot().snapshot_id == 2
+    assert rt.current_schema() == ORDERS_SCHEMA
+    assert rt.snapshot_as_of_ms(1500).snapshot_id == 1
+    # branch write does not disturb main
+    snapb = Snapshot(3, 3, 3000, "ml3.json", {}, 2, 0)
+    md4 = md3.with_snapshot(snapb, branch="dev")
+    assert md4.current_snapshot().snapshot_id == 2
+    assert md4.current_snapshot("dev").snapshot_id == 3
+
+
+def test_view_and_mv_metadata_roundtrip():
+    vm = ViewMetadata.new("/tmp/wh/db/v1", "SELECT 1 AS x", ORDERS_SCHEMA)
+    assert ViewMetadata.from_json(vm.to_json()).sql == "SELECT 1 AS x"
+    vm2 = vm.with_new_version("SELECT 2 AS x", ORDERS_SCHEMA)
+    assert vm2.sql == "SELECT 2 AS x" and vm2.current_version_id == 2
+
+    mv = MaterializedViewMetadata.new_mv("/tmp/wh/db/mv1", "SELECT 1 AS x",
+                                         ORDERS_SCHEMA, "db.mv1_storage")
+    rt = MaterializedViewMetadata.from_json(mv.to_json())
+    assert rt.storage_table == "db.mv1_storage"
+
+    rs = RefreshState(1, (SourceTableState("u1", "main", 42),))
+    rt2 = RefreshState.from_json_str(rs.to_json_str())
+    assert rt2.snapshot_for("u1") == 42
+    assert rt2.snapshot_for("u2") is None
+
+
+# --- transforms: reference test vectors (arrow/transform.rs:126-260) -------
+
+def test_date_transforms_reference_vectors():
+    for days, y, m in [(19478, 53, 641), (19523, 53, 642), (19723, 54, 649)]:
+        d = dt.date(1970, 1, 1) + dt.timedelta(days=days)
+        assert transform_value("year", d, "date") == y
+        assert transform_value("month", d, "date") == m
+        assert transform_value("day", d, "date") == days
+
+
+def test_timestamp_transforms_reference_vectors():
+    for micros, hours, days, months in [
+            (1682937000000000, 467482, 19478, 641),
+            (1686840330000000, 468566, 19523, 642),
+            (1704067200000000, 473352, 19723, 649)]:
+        ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+        assert transform_value("hour", ts, "timestamp") == hours
+        assert transform_value("day", ts, "timestamp") == days
+        assert transform_value("month", ts, "timestamp") == months
+
+
+def test_murmur3_known_vectors():
+    # public murmur3_x86_32 vectors (seed 0)
+    assert murmur3_32(b"") == 0
+    assert murmur3_32(b"hello") == 0x248BFA47
+    assert murmur3_32(b"hello, world") == 0x149BBB7F
+
+
+def test_bucket_matches_reference_semantics():
+    # unsigned-hash % n, int encoded as 4-byte LE (values.rs:112,362)
+    import struct
+    for v, n in [(34, 16), (1, 10), (123456, 7)]:
+        expected = murmur3_32(struct.pack("<i", v)) % n
+        assert bucket_value(v, n, "int") == expected
+    expected_long = murmur3_32(struct.pack("<q", 34)) % 16
+    assert bucket_value(34, 16, "long") == expected_long
+    assert bucket_value("iceberg", 16, "string") == \
+        murmur3_32(b"iceberg") % 16
+
+
+def test_truncate():
+    assert truncate_value(7, 5, "int") == 5
+    assert truncate_value(-7, 5, "int") == -10  # rem_euclid semantics
+    assert truncate_value("icebergs", 7, "string") == "iceberg"
