@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from iceberg_rust_archive_spark.operators import relational  # noqa: E402
+from iceberg_rust_archive_spark.operators import (  # noqa: E402
+    iceberg_queries, relational,
+)
 
 
 def _rounded(df: DataFrame, cols: dict[str, int]) -> DataFrame:
@@ -58,6 +60,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": lambda s, d: _rounded(
             relational.events_windowed_agg(s, d), {"sum_value": 2}
             ).withColumn("window_start", F.col("window_start").cast("string")),
+        # engine-roundtrip queries: data passes through the Iceberg
+        # write → commit → pruned scan paths before aggregation
+        "iceberg_roundtrip_agg": iceberg_queries.iceberg_roundtrip_agg,
+        "iceberg_equality_delete": iceberg_queries.iceberg_equality_delete,
+        "iceberg_time_travel": iceberg_queries.iceberg_time_travel,
+        "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
     }
 
 
@@ -165,5 +173,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "iceberg_roundtrip_agg": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY o_orderstatus
+        """,
+        "iceberg_equality_delete": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey % 10 <> 3
+            GROUP BY o_orderstatus
+        """,
+        "iceberg_time_travel": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderkey % 2 = 0
+            GROUP BY o_orderstatus
+        """,
+        "iceberg_incremental_read": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey % 2 = 1
+            GROUP BY o_orderstatus
         """,
     }

@@ -1,0 +1,123 @@
+"""Catalog ABC (iceberg-rust/src/catalog/mod.rs:59-412).
+
+A catalog maps ``namespace.table`` → current metadata-location pointer and
+performs the atomic compare-and-swap at commit time. Tabulars are tables,
+views, or materialized views (tabular.rs:36); we dispatch on the metadata
+document's shape ("table-uuid" vs "view-uuid" / "storage-table").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from abc import ABC, abstractmethod
+
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.view_metadata import (
+    MaterializedViewMetadata, ViewMetadata,
+)
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+class CommitFailedError(Exception):
+    """Optimistic-concurrency conflict: the pointer moved under us
+    (commit.rs:343-372 requirement failure)."""
+
+
+def parse_identifier(identifier: str) -> tuple[str, str]:
+    parts = identifier.split(".")
+    if len(parts) < 2:
+        raise ValueError(f"identifier must be namespace.name: {identifier!r}")
+    return ".".join(parts[:-1]), parts[-1]
+
+
+def metadata_from_json(doc: dict):
+    if "storage-table" in doc:
+        return MaterializedViewMetadata.from_json(doc)
+    if "view-uuid" in doc:
+        return ViewMetadata.from_json(doc)
+    return TableMetadata.from_json(doc)
+
+
+class Catalog(ABC):
+    """Namespace + tabular CRUD with CAS update (catalog/mod.rs:59-412)."""
+
+    # --- namespaces ------------------------------------------------------
+    @abstractmethod
+    def create_namespace(self, namespace: str) -> None: ...
+
+    @abstractmethod
+    def drop_namespace(self, namespace: str) -> None: ...
+
+    @abstractmethod
+    def list_namespaces(self) -> list[str]: ...
+
+    # --- tabulars --------------------------------------------------------
+    @abstractmethod
+    def list_tabulars(self, namespace: str) -> list[str]: ...
+
+    @abstractmethod
+    def metadata_location(self, identifier: str) -> str | None:
+        """Current pointer, or None if the tabular doesn't exist."""
+
+    @abstractmethod
+    def _set_pointer(self, identifier: str, new_location: str,
+                     expected_old: str | None) -> None:
+        """Atomically set pointer iff it currently equals ``expected_old``
+        (None = must not exist). Raise CommitFailedError otherwise."""
+
+    @abstractmethod
+    def drop_tabular(self, identifier: str) -> None: ...
+
+    # --- shared logic ----------------------------------------------------
+    def table_exists(self, identifier: str) -> bool:
+        return self.metadata_location(identifier) is not None
+
+    def load_tabular(self, identifier: str):
+        return self.load_tabular_with_location(identifier)[0]
+
+    def load_tabular_with_location(self, identifier: str):
+        """Read (metadata, pointer) as a consistent pair — the pointer is
+        what a subsequent commit must CAS against."""
+        loc = self.metadata_location(identifier)
+        if loc is None:
+            raise NoSuchTableError(identifier)
+        with open(loc, encoding="utf-8") as f:
+            return metadata_from_json(json.load(f)), loc
+
+    def create_tabular(self, identifier: str, metadata) -> None:
+        if self.table_exists(identifier):
+            raise TableAlreadyExistsError(identifier)
+        loc = self._write_metadata_file(metadata)
+        self._set_pointer(identifier, loc, expected_old=None)
+
+    def update_tabular(self, identifier: str, new_metadata,
+                       expected_location: str | None = None) -> str:
+        """Write new metadata doc + CAS the pointer. Returns new location."""
+        if expected_location is None:
+            expected_location = self.metadata_location(identifier)
+        loc = self._write_metadata_file(new_metadata)
+        self._set_pointer(identifier, loc, expected_old=expected_location)
+        return loc
+
+    @staticmethod
+    def _write_metadata_file(metadata) -> str:
+        if isinstance(metadata, TableMetadata):
+            loc = metadata.new_metadata_location()
+        else:
+            version = metadata.current_version_id
+            loc = (f"{metadata.location}/metadata/v{version}-"
+                   f"{metadata.view_uuid[:8]}.metadata.json")
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        tmp = loc + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(metadata.to_json(), f)
+        os.rename(tmp, loc)
+        return loc

@@ -1,0 +1,126 @@
+"""Engine-roundtrip queries for the correctness gate.
+
+Each builds a real Iceberg table (write → commit → scan) from driver
+testdata and returns a result that a plain-SQL oracle over the *source*
+parquet reproduces — proving the engine's write/read/delete/time-travel
+paths preserve data exactly (the reference's test style: golden values
+after table mutations, SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.catalog import FileCatalog
+from iceberg_rust_archive_spark.predicates import Pred
+from iceberg_rust_archive_spark.spec import (
+    NestedField, PartitionField, PartitionSpec, Schema, StructTypeSpec,
+)
+from iceberg_rust_archive_spark.table import Table
+
+ORDERS_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "o_orderkey", "long", True),
+    NestedField(2, "o_custkey", "long", True),
+    NestedField(3, "o_orderstatus", "string", True),
+    NestedField(4, "o_totalprice", "double", True),
+    NestedField(5, "o_orderdate", "timestamp", True),
+    NestedField(6, "o_orderpriority", "string", True),
+)))
+MONTH_SPEC = PartitionSpec(0, (PartitionField(5, 1000, "o_orderdate_month",
+                                              "month"),))
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _tmp_catalog():
+    d = tempfile.mkdtemp(prefix="iceberg-q-")
+    return FileCatalog(os.path.join(d, "wh")), d
+
+
+def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders into a month-partitioned Iceberg table, scan back with
+    a pruned date-range filter, aggregate (A1+A2+A3+A10-A14)."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders", ORDERS_SCHEMA, MONTH_SPEC)
+        t.append(spark, _orders(spark, sf_dir))
+        import datetime as dt
+        df = t.scan(spark, filter=[
+            Pred("o_orderdate", ">=", dt.datetime(1996, 1, 1)),
+            Pred("o_orderdate", "<", dt.datetime(1997, 1, 1))])
+        out = (df.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("o_orderstatus"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append all orders, equality-delete customers with
+    ``o_custkey % 10 == 3`` (A16+A5), aggregate the survivors."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_del", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        t.append(spark, src)
+        t.delete_where_equal(spark, src.filter(F.col("o_custkey") % 10 == 3),
+                             ["o_orderkey"])
+        out = (t.scan(spark).groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_orders"))
+               .orderBy("o_orderstatus"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two appends (even keys, then odd); read the first snapshot (A35)."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_tt", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        t.append(spark, src.filter(F.col("o_orderkey") % 2 == 0))
+        snap1 = t.metadata.current_snapshot().snapshot_id
+        t.append(spark, src.filter(F.col("o_orderkey") % 2 == 1))
+        out = (t.scan(spark, snapshot_id=snap1)
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("o_orderstatus"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-range delta read (A4): only rows appended after snap1."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_inc", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        t.append(spark, src.filter(F.col("o_orderkey") % 2 == 0))
+        snap1 = t.metadata.current_snapshot().snapshot_id
+        t.append(spark, src.filter(F.col("o_orderkey") % 2 == 1))
+        out = (t.scan(spark, from_snapshot_id=snap1)
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_orders"))
+               .orderBy("o_orderstatus"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

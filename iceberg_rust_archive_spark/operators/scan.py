@@ -1,0 +1,162 @@
+"""Iceberg table scan → Spark DataFrame (SURVEY §2 A1-A8, A35).
+
+Pipeline (mirrors datafusion_iceberg/src/table.rs:265-728):
+1. resolve snapshot (branch / snapshot-id / as-of-timestamp / seq range),
+2. read the manifest list; partition-level pruning on FieldSummary bounds,
+3. read surviving manifests; file-level pruning on column min/max + nulls,
+4. split data vs equality-delete files; partitions **without** deletes
+   become one bulk ``spark.read.parquet(*files)`` (the delete-free
+   FileScanConfig, table.rs:694-727), partitions with deletes build a
+   sequence-ordered anti-join chain (A5, join at table.rs:631-641),
+5. residual filter re-applied above the scan (inexact semantics, A7) and
+   projection pushed into Spark (A6 — Catalyst prunes parquet columns).
+
+All metadata steps are driver-side Python over small manifest rows; the
+returned DataFrame is lazy, so Catalyst still sees a plain parquet relation
+list and applies its own pushdown/row-group pruning on top.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.predicates import (
+    Pred, prune_datafiles, prune_manifests, to_spark_filter,
+)
+from iceberg_rust_archive_spark.sources.manifests import (
+    read_manifest, read_manifest_list,
+)
+from iceberg_rust_archive_spark.spec.manifest import (
+    CONTENT_DATA, CONTENT_EQUALITY_DELETES, STATUS_DELETED,
+)
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.types import spark_schema_for
+
+
+def _resolve_entries(md: TableMetadata, branch, snapshot_id, as_of_ms,
+                     from_snapshot_id):
+    """Snapshot-range resolution incl. incremental reads (A4:
+    table/mod.rs:200-234 — keep entries with start_seq < seq ≤ end_seq)."""
+    if snapshot_id is not None:
+        snap = md.snapshot_by_id(snapshot_id)
+    elif as_of_ms is not None:
+        snap = md.snapshot_as_of_ms(as_of_ms)
+    else:
+        snap = md.current_snapshot(branch)
+    if snap is None:
+        return None, [], 0, None
+    start_seq = -1
+    if from_snapshot_id is not None:
+        start = md.snapshot_by_id(from_snapshot_id)
+        if start is not None:
+            start_seq = start.sequence_number
+    mlist = read_manifest_list(snap.manifest_list)
+    if start_seq >= 0:
+        mlist = [m for m in mlist if m.sequence_number > start_seq]
+    return snap, mlist, start_seq, snap.schema_id
+
+
+def scan(spark: SparkSession, md: TableMetadata,
+         filter: list[Pred] | None = None,     # noqa: A002
+         columns: list[str] | None = None,
+         branch: str | None = None, snapshot_id: int | None = None,
+         as_of_ms: int | None = None,
+         from_snapshot_id: int | None = None) -> DataFrame:
+    preds = filter or []
+    snap, mlist, start_seq, schema_id = _resolve_entries(
+        md, branch, snapshot_id, as_of_ms, from_snapshot_id)
+    schema = md.schemas.get(schema_id, md.schemas[md.current_schema_id]) \
+        if schema_id is not None else md.schemas[md.current_schema_id]
+    spark_schema = spark_schema_for(schema.struct)
+    spec = md.default_spec()
+
+    if snap is None:
+        df = spark.createDataFrame([], spark_schema)
+        return df.select(*columns) if columns else df
+
+    # A2: partition-level pruning over manifest-list rows
+    mlist = prune_manifests(preds, spec, schema, mlist)
+
+    data_entries, delete_entries = [], []
+    for mle in mlist:
+        for e in read_manifest(mle.manifest_path):
+            if e.status == STATUS_DELETED:
+                continue
+            if start_seq >= 0 and (e.sequence_number or 0) <= start_seq:
+                continue
+            if e.data_file.content == CONTENT_DATA:
+                data_entries.append(e)
+            elif e.data_file.content == CONTENT_EQUALITY_DELETES:
+                delete_entries.append(e)
+
+    # A3: file-level pruning (data files only; deletes must all apply)
+    kept = set(id(f) for f in prune_datafiles(
+        preds, schema, [e.data_file for e in data_entries]))
+    data_entries = [e for e in data_entries if id(e.data_file) in kept]
+
+    if from_snapshot_id is not None:
+        delete_entries = []  # incremental append reads new data only (A22)
+
+    def pkey(e):
+        return json.dumps(e.data_file.partition, sort_keys=True, default=str)
+
+    deleted_partitions = {pkey(e) for e in delete_entries}
+    plain_files = [e.data_file.file_path for e in data_entries
+                   if pkey(e) not in deleted_partitions]
+
+    parts: list[DataFrame] = []
+    if plain_files:
+        parts.append(spark.read.schema(spark_schema).parquet(*plain_files))
+
+    # A5: per-partition sequence-ordered equality-delete merge-on-read
+    groups: dict[str, dict[int, dict[str, list]]] = defaultdict(
+        lambda: defaultdict(lambda: {"data": [], "delete": []}))
+    for e in data_entries:
+        if pkey(e) in deleted_partitions:
+            groups[pkey(e)][e.sequence_number or 0]["data"].append(e)
+    for e in delete_entries:
+        groups[pkey(e)][e.sequence_number or 0]["delete"].append(e)
+
+    for _key, by_seq in groups.items():
+        acc: DataFrame | None = None
+        for seq in sorted(by_seq):
+            batch = by_seq[seq]
+            # deletes at seq s apply to strictly-earlier data
+            # (table.rs:498-531)
+            if acc is not None:
+                for de in batch["delete"]:
+                    eq_ids = de.data_file.equality_ids or ()
+                    eq_fields = [schema.field_by_id(i) for i in eq_ids]
+                    eq_names = [f.name for f in eq_fields if f is not None]
+                    if not eq_names:
+                        continue
+                    del_schema = spark_schema_for(
+                        schema.project(list(eq_ids)).struct)
+                    del_df = spark.read.schema(del_schema).parquet(
+                        de.data_file.file_path)
+                    acc = acc.join(F.broadcast(del_df), on=eq_names,
+                                   how="left_anti")
+            dfiles = [e.data_file.file_path for e in batch["data"]]
+            if dfiles:
+                d = spark.read.schema(spark_schema).parquet(*dfiles)
+                acc = d if acc is None else acc.unionByName(d)
+        if acc is not None:
+            parts.append(acc)
+
+    if not parts:
+        df = spark.createDataFrame([], spark_schema)
+    else:
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+    residual = to_spark_filter(preds)
+    if residual is not None:
+        df = df.filter(residual)
+    if columns:
+        df = df.select(*columns)
+    return df

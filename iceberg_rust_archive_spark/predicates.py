@@ -1,0 +1,197 @@
+"""Predicate model for two-level metadata pruning (SURVEY §2 A2/A3).
+
+A scan filter is a conjunction of simple predicates
+``Pred(column, op, value)`` — exactly the shape the reference prunes with
+(datafusion pruning rewrites conjuncts independently;
+pruning_statistics.rs:47-234). Anything not expressible here stays a
+residual Spark filter (filters are *inexact*, table.rs:253-261, so
+re-evaluation above the scan is always applied).
+
+Literals are normalized like stats bounds (sources/stats.py): date → ISO
+string, datetime → epoch micros, so comparisons are plain Python ``<``/``>``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.functions.transforms import transform_value
+from iceberg_rust_archive_spark.spec.manifest import DataFile
+from iceberg_rust_archive_spark.spec.partition import PartitionSpec
+from iceberg_rust_archive_spark.spec.schema import Schema
+
+OPS = {"=", "!=", "<", "<=", ">", ">=", "in", "is_null", "not_null"}
+_MONOTONIC = {"identity", "year", "month", "day", "hour"}
+
+
+@dataclass(frozen=True)
+class Pred:
+    column: str
+    op: str
+    value: object = None
+
+    def __post_init__(self):
+        if self.op not in OPS:
+            raise ValueError(f"unsupported op {self.op!r}")
+
+
+def _norm_literal(v, iceberg_type: str):
+    if isinstance(v, _dt.datetime):
+        if iceberg_type == "date":
+            return v.date().isoformat()
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str) and iceberg_type in ("timestamp", "timestamptz"):
+        dt = _dt.datetime.fromisoformat(v)
+        return int((dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(v, str) and iceberg_type == "date":
+        return v[:10]
+    return v
+
+
+def _lit_for_transform(v, iceberg_type: str):
+    """Un-normalized python value for transform_value (needs real dates)."""
+    if isinstance(v, str) and iceberg_type in ("date", "timestamp",
+                                               "timestamptz"):
+        if iceberg_type == "date":
+            return _dt.date.fromisoformat(v[:10])
+        return _dt.datetime.fromisoformat(v)
+    return v
+
+
+def to_spark_filter(preds: list[Pred]) -> Column | None:
+    """Residual re-evaluation filter (A7 inexact semantics)."""
+    col = None
+    for p in preds:
+        c = F.col(p.column)
+        if p.op == "=":
+            e = c == F.lit(p.value)
+        elif p.op == "!=":
+            e = c != F.lit(p.value)
+        elif p.op == "<":
+            e = c < F.lit(p.value)
+        elif p.op == "<=":
+            e = c <= F.lit(p.value)
+        elif p.op == ">":
+            e = c > F.lit(p.value)
+        elif p.op == ">=":
+            e = c >= F.lit(p.value)
+        elif p.op == "in":
+            e = c.isin(list(p.value))
+        elif p.op == "is_null":
+            e = c.isNull()
+        else:
+            e = c.isNotNull()
+        col = e if col is None else (col & e)
+    return col
+
+
+def _range_overlaps(op: str, lit, lo, hi, contains_null=False) -> bool:
+    """Can any value in [lo, hi] satisfy ``value <op> lit``? Unknown bounds
+    → keep (pruning must be conservative)."""
+    try:
+        if op == "=":
+            return (lo is None or lo <= lit) and (hi is None or lit <= hi)
+        if op == "!=":
+            return True
+        if op == "<":
+            return lo is None or lo < lit
+        if op == "<=":
+            return lo is None or lo <= lit
+        if op == ">":
+            return hi is None or hi > lit
+        if op == ">=":
+            return hi is None or hi >= lit
+        if op == "in":
+            return any(_range_overlaps("=", v, lo, hi) for v in lit)
+        if op == "is_null":
+            return contains_null or (lo is None and hi is None)
+        if op == "not_null":
+            return True
+    except TypeError:
+        return True  # incomparable types → keep
+    return True
+
+
+def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
+                    manifest_entries):
+    """Partition-level pruning (A2): rewrite each conjunct into partition
+    space by applying the partition transform to the literal
+    (pruning_statistics.rs:285-350) and test against per-field
+    FieldSummary bounds (:47-142). Returns surviving entries."""
+    if not preds or not spec.fields:
+        return list(manifest_entries)
+    out = []
+    for mle in manifest_entries:
+        keep = True
+        for idx, pf in enumerate(spec.fields):
+            if idx >= len(mle.partitions):
+                continue
+            src = schema.field_by_id(pf.source_id)
+            if src is None:
+                continue
+            summary = mle.partitions[idx]
+            for p in preds:
+                if p.column != src.name or p.op in ("is_null", "not_null",
+                                                    "!="):
+                    continue
+                if pf.transform.startswith("bucket") and p.op not in ("=", "in"):
+                    continue  # bucket is not order-preserving
+                if (not pf.transform.startswith("bucket")
+                        and pf.transform not in _MONOTONIC
+                        and not pf.transform.startswith("truncate")):
+                    continue
+                lit = _lit_for_transform(p.value, src.field_type)
+                if p.op == "in":
+                    tlit = [transform_value(pf.transform, v, src.field_type)
+                            for v in lit]
+                else:
+                    tlit = transform_value(pf.transform, lit, src.field_type)
+                if not _range_overlaps(p.op, tlit, summary.lower_bound,
+                                       summary.upper_bound,
+                                       summary.contains_null):
+                    keep = False
+                    break
+            if not keep:
+                break
+        if keep:
+            out.append(mle)
+    return out
+
+
+def prune_datafiles(preds: list[Pred], schema: Schema,
+                    files: list[DataFile]) -> list[DataFile]:
+    """File-level pruning (A3) on per-column lower/upper bounds and null
+    counts (pruning_statistics.rs:144-234)."""
+    if not preds:
+        return files
+    out = []
+    for f in files:
+        keep = True
+        for p in preds:
+            fld = schema.field_by_name(p.column)
+            if fld is None or not isinstance(fld.field_type, str):
+                continue
+            lo = f.lower_bounds.get(fld.field_id)
+            hi = f.upper_bounds.get(fld.field_id)
+            nulls = f.null_value_counts.get(fld.field_id)
+            values = f.value_counts.get(fld.field_id)
+            if p.op == "not_null" and nulls is not None and values is not None \
+                    and nulls == values:
+                keep = False
+                break
+            lit = _norm_literal(p.value, fld.field_type) if p.op != "in" else \
+                [_norm_literal(v, fld.field_type) for v in p.value]
+            contains_null = bool(nulls)
+            if not _range_overlaps(p.op, lit, lo, hi, contains_null):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out

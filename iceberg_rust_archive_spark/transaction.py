@@ -1,0 +1,233 @@
+"""ACID transactions: append / equality-delete / replace commits
+(iceberg-rust/src/table/transaction/operation.rs:91-547, mod.rs:56-384).
+
+A transaction buffers operations, then ``commit()``:
+1. builds the new manifests + manifest list (manifest bin-packing below),
+2. writes a new Snapshot and a new metadata JSON document,
+3. CAS-swaps the catalog pointer (requirement = pointer unchanged —
+   ``AssertRefSnapshotId`` semantics, commit.rs:343-372).
+
+Manifest bin-packing mirrors the reference heuristics (operation.rs:648-666,
+append.rs:107-191): with ``limit = 4 + √(total_files)``, new files merge
+into the last same-content manifest while it stays under the limit,
+otherwise they split into ``2^⌈log₂(n/limit)⌉`` fresh manifests. (The
+reference picks the merge target by smallest-bounding-rectangle in
+partition space for partitioned tables, append.rs:107-150; we take the most
+recent manifest — same asymptotics, simpler geometry. Rectangle helpers
+live in util/geometry for the compaction path.)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from dataclasses import replace as _dc_replace
+
+from iceberg_rust_archive_spark.catalog.base import Catalog, CommitFailedError
+from iceberg_rust_archive_spark.sources.manifests import (
+    read_manifest, read_manifest_list, write_manifest, write_manifest_list,
+)
+from iceberg_rust_archive_spark.spec.manifest import (
+    CONTENT_DATA, CONTENT_EQUALITY_DELETES, DataFile, ManifestEntry,
+    STATUS_ADDED, STATUS_EXISTING,
+)
+from iceberg_rust_archive_spark.spec.schema import Schema
+from iceberg_rust_archive_spark.spec.snapshot import MAIN_BRANCH, Snapshot
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.view_metadata import REFRESH_STATE_KEY
+
+
+def new_snapshot_id() -> int:
+    return random.getrandbits(62) | 1
+
+
+class Transaction:
+    def __init__(self, catalog: Catalog, identifier: str,
+                 metadata: TableMetadata, branch: str | None = None,
+                 base_location: str | None = None):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.base = metadata
+        # the pointer this txn's base metadata was read from — the CAS
+        # requirement; falling back to "current" is only safe when the
+        # caller just loaded the metadata
+        self.base_location = base_location \
+            or catalog.metadata_location(identifier)
+        self.branch = branch or MAIN_BRANCH
+        self._appended: list[DataFile] = []
+        self._deletes: list[DataFile] = []
+        self._replacement: list[DataFile] | None = None
+        self._new_schema: Schema | None = None
+        self._properties: dict = {}
+        self._summary_extra: dict = {}
+
+    # --- operations (transaction/mod.rs:56-384) --------------------------
+    def append_files(self, files: list[DataFile]) -> "Transaction":
+        self._appended.extend(files)
+        return self
+
+    def append_delete_files(self, files: list[DataFile]) -> "Transaction":
+        self._deletes.extend(files)
+        return self
+
+    def replace_files(self, files: list[DataFile]) -> "Transaction":
+        """Full replace: drop every previous data/delete file
+        (operation.rs:384-547)."""
+        self._replacement = list(files)
+        return self
+
+    def update_schema(self, schema: Schema) -> "Transaction":
+        self._new_schema = schema
+        return self
+
+    def set_properties(self, props: dict) -> "Transaction":
+        self._properties.update(props)
+        return self
+
+    def set_refresh_state(self, refresh_state_json: str) -> "Transaction":
+        """MV refresh state rides in the snapshot summary
+        (materialized_view/transaction/mod.rs:66-133)."""
+        self._summary_extra[REFRESH_STATE_KEY] = refresh_state_json
+        return self
+
+    # --- commit ----------------------------------------------------------
+    def commit(self) -> TableMetadata:
+        md = self.base
+        metadata_dir = os.path.join(md.location, "metadata")
+        seq = md.last_sequence_number + 1
+        snap_id = new_snapshot_id()
+        # a first write to a new branch forks from main's current state
+        parent = md.current_snapshot(self.branch) \
+            or md.current_snapshot(MAIN_BRANCH)
+        spec = md.default_spec()
+        pf_names = [f.name for f in spec.fields]
+
+        if self._new_schema is not None:
+            schemas = dict(md.schemas)
+            schemas[self._new_schema.schema_id] = self._new_schema
+            md = _dc_replace(md, schemas=schemas,
+                             current_schema_id=self._new_schema.schema_id,
+                             last_column_id=max(
+                                 md.last_column_id,
+                                 self._new_schema.highest_field_id()))
+
+        old_entries = list(read_manifest_list(parent.manifest_list)) \
+            if parent else []
+        files_to_delete: list[str] = []
+
+        if self._replacement is not None:
+            # physical delete of replaced files happens post-commit
+            # (transaction/mod.rs:377-379 → table/mod.rs:359-411)
+            for mle in old_entries:
+                for e in read_manifest(mle.manifest_path):
+                    files_to_delete.append(e.data_file.file_path)
+            new_list = []
+            if self._replacement:
+                new_list.append(write_manifest(
+                    metadata_dir,
+                    [ManifestEntry(STATUS_ADDED, f, snap_id, seq, seq)
+                     for f in self._replacement],
+                    spec.spec_id, CONTENT_DATA, snap_id, seq, pf_names))
+            operation = "overwrite"
+            added = self._replacement
+        else:
+            new_list = list(old_entries)
+            for content, files in ((CONTENT_DATA, self._appended),
+                                   (CONTENT_EQUALITY_DELETES, self._deletes)):
+                if files:
+                    new_list = self._pack_manifests(
+                        metadata_dir, new_list, files, content, snap_id, seq,
+                        spec.spec_id, pf_names)
+            operation = "append" if not self._deletes else "delete" \
+                if not self._appended else "overwrite"
+            added = self._appended + self._deletes
+            if not added and not self._properties \
+                    and self._new_schema is None and not self._summary_extra:
+                return md  # no-op
+
+        summary = {"operation": operation,
+                   "added-data-files": str(len(added or [])),
+                   "added-records": str(sum(f.record_count
+                                            for f in (added or [])))}
+        summary.update(self._summary_extra)
+
+        manifest_list_path = write_manifest_list(metadata_dir, snap_id,
+                                                 new_list)
+        snapshot = Snapshot(
+            snapshot_id=snap_id, sequence_number=seq,
+            timestamp_ms=int(time.time() * 1000),
+            manifest_list=manifest_list_path, summary=summary,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            schema_id=md.current_schema_id)
+        new_md = md.with_snapshot(snapshot, self.branch)
+        if self._properties:
+            props = dict(new_md.properties)
+            props.update(self._properties)
+            new_md = _dc_replace(new_md, properties=props)
+        new_md = _dc_replace(new_md, metadata_log=new_md.metadata_log + (
+            {"timestamp-ms": snapshot.timestamp_ms,
+             "metadata-file": self.catalog.metadata_location(
+                 self.identifier) or ""},))
+
+        # atomic CAS (iceberg-sql-catalog/src/lib.rs:429-480 semantics)
+        self.catalog.update_tabular(self.identifier, new_md,
+                                    expected_location=self.base_location)
+
+        for path in files_to_delete:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        return new_md
+
+    def commit_with_retry(self, rebuild, attempts: int = 3) -> TableMetadata:
+        """Optimistic retry: on CAS failure, reload and re-apply via
+        ``rebuild(txn)`` against fresh metadata."""
+        last: CommitFailedError | None = None
+        txn: Transaction = self
+        for _ in range(attempts):
+            try:
+                return txn.commit()
+            except CommitFailedError as e:
+                last = e
+                fresh, loc = self.catalog.load_tabular_with_location(
+                    self.identifier)
+                txn = Transaction(self.catalog, self.identifier, fresh,
+                                  self.branch, base_location=loc)
+                rebuild(txn)
+        raise last  # type: ignore[misc]
+
+    # --- manifest bin-packing -------------------------------------------
+    @staticmethod
+    def _pack_manifests(metadata_dir, existing_list, new_files, content,
+                        snap_id, seq, spec_id, pf_names):
+        same = [m for m in existing_list if m.content == content]
+        other = [m for m in existing_list if m.content != content]
+        total = sum(m.added_files_count + m.existing_files_count
+                    for m in same) + len(new_files)
+        limit = 4 + int(math.isqrt(total))  # operation.rs:648-666
+
+        entries = [ManifestEntry(STATUS_ADDED, f, snap_id, seq, seq)
+                   for f in new_files]
+        target = same[-1] if same else None
+        if target is not None and (target.added_files_count
+                                   + target.existing_files_count
+                                   + len(entries)) <= limit:
+            carried = [ManifestEntry(STATUS_EXISTING, e.data_file,
+                                     e.snapshot_id, e.sequence_number,
+                                     e.file_sequence_number)
+                       for e in read_manifest(target.manifest_path)]
+            merged = write_manifest(metadata_dir, carried + entries, spec_id,
+                                    content, snap_id, seq, pf_names)
+            return other + same[:-1] + [merged]
+
+        n_splits = 1
+        if len(entries) > limit:
+            n_splits = 2 ** math.ceil(math.log2(len(entries) / limit))
+        chunk = math.ceil(len(entries) / n_splits)
+        news = [write_manifest(metadata_dir, entries[i:i + chunk], spec_id,
+                               content, snap_id, seq, pf_names)
+                for i in range(0, len(entries), chunk)]
+        return other + same + news

@@ -1,0 +1,172 @@
+"""End-to-end engine tests replicating the reference's golden scenarios
+(SURVEY §5.3-5.4, FIXTURES.md F1): create → insert → aggregate → assert
+exact sums; equality deletes; sequence numbers; pruning; time travel."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from iceberg_rust_archive_spark.catalog import FileCatalog, SqlCatalog
+from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+from iceberg_rust_archive_spark.predicates import Pred
+from iceberg_rust_archive_spark.sources.manifests import read_manifest_list
+from iceberg_rust_archive_spark.spec import (
+    NestedField, PartitionField, PartitionSpec, Schema, StructTypeSpec,
+)
+from iceberg_rust_archive_spark.table import Table
+
+ORDERS_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "id", "long", True),
+    NestedField(2, "customer_id", "long", True),
+    NestedField(3, "product_id", "long", True),
+    NestedField(4, "date", "date", True),
+    NestedField(5, "amount", "int", True),
+)))
+DAY_SPEC = PartitionSpec(0, (PartitionField(4, 1000, "date_day", "day"),))
+
+BATCH1 = [(1, 1, 1, dt.date(2020, 1, 1), 1), (2, 2, 1, dt.date(2020, 1, 1), 1),
+          (3, 3, 1, dt.date(2020, 1, 1), 3), (4, 1, 2, dt.date(2020, 2, 2), 1),
+          (5, 1, 1, dt.date(2020, 2, 2), 2), (6, 3, 3, dt.date(2020, 2, 2), 3)]
+BATCH2 = [(7, 1, 3, dt.date(2020, 1, 3), 1), (8, 2, 1, dt.date(2020, 1, 3), 2),
+          (9, 2, 2, dt.date(2020, 1, 3), 1)]
+COLS = ["id", "customer_id", "product_id", "date", "amount"]
+
+
+def _sums(table, spark, **kw):
+    rows = (table.scan(spark, **kw)
+            .groupBy("product_id").sum("amount").collect())
+    return {r[0]: r[1] for r in rows}
+
+
+def _mk_table(catalog, name, spec=None):
+    return Table.create(catalog, f"db.{name}", ORDERS_SCHEMA, spec or DAY_SPEC)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FileCatalog(str(tmp_path / "warehouse"))
+
+
+def test_readme_golden_values(spark, catalog):
+    """README.md:150-230: sums 7/1/3 after first insert, 9/2/4 after second."""
+    t = _mk_table(catalog, "orders_readme")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
+
+
+def test_equality_delete(spark, catalog):
+    """tests/equality_delete.rs:90-200: delete customer 1 rows via
+    equality-delete file → sums become 4/0/3 (product 2 vanishes)."""
+    t = _mk_table(catalog, "orders_eqdel")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    delete_rows = spark.createDataFrame(
+        [r for r in BATCH1 if r[1] == 1], COLS)
+    t.delete_where_equal(spark, delete_rows,
+                         ["id", "customer_id", "product_id", "date"])
+    sums = _sums(t, spark)
+    assert sums == {1: 4, 3: 3}
+    # rows added AFTER the delete must survive it (sequence ordering,
+    # table.rs:498-531) — including customer 1
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t, spark) == {1: 6, 2: 1, 3: 4}
+
+
+def test_sequence_numbers(spark, catalog):
+    """tests/insert_sequence_number.rs:226-233: two appends → manifest-list
+    sequence numbers [1, 2], min_sequence_number 1 (the reference observes
+    1/3 because its engine issues an intermediate txn; ours are dense)."""
+    t = _mk_table(catalog, "orders_seq")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    snap = t.metadata.current_snapshot()
+    entries = read_manifest_list(snap.manifest_list)
+    seqs = sorted(e.sequence_number for e in entries)
+    assert snap.sequence_number == 2
+    assert min(e.min_sequence_number for e in entries) == 1
+    assert seqs[-1] == 2
+
+
+def test_partition_pruning_and_file_counts(spark, catalog):
+    t = _mk_table(catalog, "orders_prune")
+    t.append(spark, spark.createDataFrame(BATCH1 + BATCH2, COLS))
+    # three distinct days → three partitions
+    snap = t.metadata.current_snapshot()
+    mlist = read_manifest_list(snap.manifest_list)
+    assert len(mlist) == 1
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+    files = read_manifest(mlist[0].manifest_path)
+    assert {f.data_file.partition["date_day"] for f in files} == {
+        (dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days,
+        (dt.date(2020, 1, 3) - dt.date(1970, 1, 1)).days,
+        (dt.date(2020, 2, 2) - dt.date(1970, 1, 1)).days}
+
+    preds = [Pred("date", "=", dt.date(2020, 1, 1))]
+    df = t.scan(spark, filter=preds)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    # the plan must only read the one matching file
+    pruned = [f for f in df.inputFiles()]
+    assert len(pruned) == 1
+
+
+def test_time_travel_and_incremental(spark, catalog):
+    t = _mk_table(catalog, "orders_tt")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    # snapshot pin (A35)
+    assert _sums(t, spark, snapshot_id=snap1) == {1: 7, 2: 1, 3: 3}
+    # incremental read: only the delta between snap1 and current (A4)
+    inc = t.scan(spark, from_snapshot_id=snap1)
+    assert sorted(r["id"] for r in inc.collect()) == [7, 8, 9]
+
+
+def test_overwrite_and_branches(spark, catalog):
+    t = _mk_table(catalog, "orders_ow")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    old_files = set(t.scan(spark).inputFiles())
+    t.overwrite(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t, spark) == {1: 2, 2: 1, 3: 1}
+    # replaced files physically removed (table/mod.rs:359-411)
+    assert all(not os.path.exists(p.replace("file:", "")) for p in old_files)
+    # branch writes fork from main and stay isolated from it
+    t.append(spark, spark.createDataFrame(BATCH1, COLS), branch="dev")
+    assert _sums(t, spark) == {1: 2, 2: 1, 3: 1}
+    assert _sums(t, spark, branch="dev") == {1: 9, 2: 2, 3: 4}
+
+
+def test_sql_catalog_cas(tmp_path, spark):
+    cat = SqlCatalog(str(tmp_path / "cat.db"))
+    t = _mk_table(cat, "orders_cas", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+    # stale-handle commit must CAS-fail, retry loop must succeed
+    stale = Table.load(cat, "db.orders_cas")
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    files = write_datafiles(spark, stale.metadata,
+                            spark.createDataFrame(BATCH2, COLS))
+    with pytest.raises(CommitFailedError):
+        stale.new_transaction().append_files(files).commit()
+    md = stale.new_transaction().append_files(files).commit_with_retry(
+        lambda txn: txn.append_files(files))
+    assert md.current_snapshot().sequence_number == 3
+    assert _sums(Table.load(cat, "db.orders_cas"), spark) == {1: 11, 2: 3, 3: 5}
+
+
+def test_schema_evolution(spark, catalog):
+    """AddSchema/SetCurrentSchema (commit.rs:94,416): add a column; old
+    files read with nulls."""
+    t = _mk_table(catalog, "orders_evo", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    new_schema = Schema(1, StructTypeSpec(ORDERS_SCHEMA.fields
+                                          + (NestedField(6, "note", "string"),)))
+    t.metadata = t.new_transaction().update_schema(new_schema).commit()
+    rows = [(10, 4, 4, dt.date(2020, 3, 3), 5, "hi")]
+    t.append(spark, spark.createDataFrame(rows, COLS + ["note"]))
+    got = t.scan(spark).orderBy("id").collect()
+    assert got[-1]["note"] == "hi"
+    assert got[0]["note"] is None
+    assert _sums(t, spark)[4] == 5
