@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_equality_delete": iceberg_queries.iceberg_equality_delete,
         "iceberg_time_travel": iceberg_queries.iceberg_time_travel,
         "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
+        "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
     }
 
 
@@ -199,6 +200,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n_orders
             FROM orders
             WHERE o_orderkey % 2 = 1
+            GROUP BY o_orderstatus
+        """,
+        "mv_incremental_refresh": """
+            SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   count(o_orderkey) AS n_orders, o_orderstatus
+            FROM orders
             GROUP BY o_orderstatus
         """,
     }

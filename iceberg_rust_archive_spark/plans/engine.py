@@ -1,0 +1,210 @@
+"""Engine: SQL front-end over the Iceberg catalog (SURVEY §2 A17-A20, A33).
+
+The reference intercepts DDL in a DataFusion query planner
+(datafusion_iceberg/src/planner.rs:81-415) and delegates everything else to
+the engine with Iceberg tables registered. Here: a light SQL router — DDL
+and INSERT are parsed with regexes (the reference's transform parsing is a
+regex too, planner.rs:81-116); SELECTs run on ``spark.sql`` with every
+referenced catalog table registered as a temp view (views replay their
+stored SQL, table.rs:170-190; MVs resolve to their storage table).
+
+Supported statements::
+
+    CREATE SCHEMA ns                         | DROP SCHEMA ns
+    CREATE TABLE ns.t (col TYPE, ...) [USING ICEBERG]
+        [PARTITIONED BY (month(col), bucket(16, col), col, ...)]
+    CREATE VIEW ns.v AS SELECT ...
+    CREATE MATERIALIZED VIEW ns.mv AS SELECT ...
+        (CREATE TEMPORARY VIEW is accepted as an MV alias — planner.rs:94-98)
+    DROP TABLE ns.t | DROP VIEW ns.v
+    INSERT INTO ns.t VALUES (...), (...) | INSERT INTO ns.t SELECT ...
+    SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
+    SELECT ...                                   (delegated to Spark SQL)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_rust_archive_spark.catalog.base import Catalog
+from iceberg_rust_archive_spark.plans import mv as mv_mod
+from iceberg_rust_archive_spark.plans.sqlparse import (
+    find_relations, rewrite_relations,
+)
+from iceberg_rust_archive_spark.spec.partition import PartitionSpec
+from iceberg_rust_archive_spark.spec.schema import Schema
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.types import NestedField, StructTypeSpec
+from iceberg_rust_archive_spark.spec.view_metadata import (
+    MaterializedViewMetadata, ViewMetadata,
+)
+from iceberg_rust_archive_spark.table import Table
+
+_TYPE_MAP = {
+    "bigint": "long", "long": "long", "int": "int", "integer": "int",
+    "smallint": "int", "tinyint": "int", "string": "string",
+    "varchar": "string", "text": "string", "char": "string",
+    "double": "double", "float": "float", "real": "float",
+    "boolean": "boolean", "bool": "boolean", "date": "date",
+    "timestamp": "timestamp", "timestamptz": "timestamptz",
+    "binary": "binary", "bytea": "binary",
+}
+
+
+def _sql_type_to_iceberg(t: str) -> str:
+    t = t.strip().lower()
+    m = re.match(r"(decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    base = re.sub(r"\(.*\)", "", t).strip()
+    if base in _TYPE_MAP:
+        return _TYPE_MAP[base]
+    raise ValueError(f"unsupported SQL type {t!r}")
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # --- programmatic API -------------------------------------------------
+    def create_table(self, identifier: str, schema: Schema,
+                     partition_by: list[str] | None = None,
+                     properties: dict | None = None) -> Table:
+        fields = []
+        if partition_by:
+            counter = iter(range(1000, 1000 + len(partition_by)))
+            for expr in partition_by:
+                fields.append(PartitionSpec.parse_transform_expr(
+                    expr, lambda: next(counter), schema))
+        spec = PartitionSpec(0, tuple(fields))
+        return Table.create(self.catalog, identifier, schema, spec,
+                            properties=properties)
+
+    def load_table(self, identifier: str) -> Table:
+        return Table.load(self.catalog, identifier)
+
+    def create_view(self, identifier: str, sql: str) -> None:
+        schema = mv_mod.schema_from_df(self._run_select(sql))
+        base = getattr(self.catalog, "root", "/tmp/iceberg-warehouse")
+        vm = ViewMetadata.new(
+            f"{base}/{identifier.replace('.', '/')}", sql, schema)
+        self.catalog.create_tabular(identifier, vm)
+
+    def create_materialized_view(self, identifier: str, sql: str) -> None:
+        schema = mv_mod.schema_from_df(self._run_select(sql))
+        base = getattr(self.catalog, "root", "/tmp/iceberg-warehouse")
+        mvm = MaterializedViewMetadata.new_mv(
+            f"{base}/{identifier.replace('.', '/')}", sql, schema,
+            storage_table=identifier + "_storage")
+        self.catalog.create_tabular(identifier, mvm)
+
+    def refresh_materialized_view(self, identifier: str) -> str:
+        return mv_mod.refresh_materialized_view(self.spark, self.catalog,
+                                                identifier)
+
+    # --- SQL router -------------------------------------------------------
+    def sql(self, text: str) -> DataFrame | None:
+        s = text.strip().rstrip(";")
+        low = s.lower()
+
+        m = re.match(r"create\s+schema\s+(?:if\s+not\s+exists\s+)?([\w.]+)",
+                     low)
+        if m:
+            self.catalog.create_namespace(m.group(1))
+            return None
+        m = re.match(r"drop\s+schema\s+([\w.]+)", low)
+        if m:
+            self.catalog.drop_namespace(m.group(1))
+            return None
+
+        m = re.match(
+            r"create\s+(?:external\s+)?table\s+([\w.]+)\s*\((.*?)\)\s*"
+            r"(?:using\s+iceberg|stored\s+as\s+iceberg)?\s*"
+            r"(?:partitioned\s+by\s*\((.*?)\))?\s*$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            return self._create_table_sql(m.group(1), m.group(2), m.group(3))
+
+        m = re.match(
+            r"create\s+(materialized|temporary)\s+view\s+([\w.]+)\s+as\s+(.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            # TEMPORARY VIEW → MV, matching the reference (planner.rs:94-98)
+            self.create_materialized_view(m.group(2), m.group(3))
+            return None
+        m = re.match(r"create\s+view\s+([\w.]+)\s+as\s+(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            self.create_view(m.group(1), m.group(2))
+            return None
+
+        m = re.match(r"drop\s+(?:table|view)\s+([\w.]+)", low)
+        if m:
+            self.catalog.drop_tabular(m.group(1))
+            return None
+
+        m = re.match(r"insert\s+into\s+([\w.]+)\s+(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            return self._insert_sql(m.group(1), m.group(2))
+
+        m = re.match(
+            r"select\s+refresh_materialized_view\s*\(\s*'([^']+)'\s*\)", low)
+        if m:
+            strategy = self.refresh_materialized_view(m.group(1))
+            return self.spark.createDataFrame([(strategy,)], ["strategy"])
+
+        return self._run_select(s)
+
+    # --- helpers ----------------------------------------------------------
+    def _create_table_sql(self, identifier, cols_sql, part_sql):
+        fields = []
+        for i, col in enumerate([c for c in re.split(r",(?![^()]*\))",
+                                                     cols_sql) if c.strip()]):
+            parts = col.strip().split(None, 1)
+            name, sqltype = parts[0], parts[1]
+            required = bool(re.search(r"not\s+null", sqltype, re.IGNORECASE))
+            sqltype = re.sub(r"not\s+null", "", sqltype, flags=re.IGNORECASE)
+            fields.append(NestedField(i + 1, name,
+                                      _sql_type_to_iceberg(sqltype), required))
+        schema = Schema(0, StructTypeSpec(tuple(fields)))
+        part_by = [p.strip() for p in (part_sql or "").split(",") if p.strip()]
+        self.create_table(identifier, schema, part_by or None)
+        return None
+
+    def _insert_sql(self, identifier: str, rest: str) -> None:
+        t = self.load_table(identifier)
+        from iceberg_rust_archive_spark.spec.types import spark_schema_for
+        target = spark_schema_for(t.metadata.current_schema().struct)
+        if re.match(r"values\s*\(", rest, re.IGNORECASE):
+            df = self.spark.sql(f"SELECT * FROM ({rest})")
+            df = df.toDF(*[f.name for f in target.fields])
+        else:
+            df = self._run_select(rest)
+        t.append(self.spark, df)
+
+    def _run_select(self, sql: str) -> DataFrame:
+        """Register every referenced catalog tabular, then spark.sql
+        (the A33 context-provider role)."""
+        mapping = {}
+        for name in find_relations(sql):
+            try:
+                md = self.catalog.load_tabular(name)
+            except Exception:  # noqa: BLE001 — not a catalog table
+                continue
+            vn = "ice_" + re.sub(r"\W", "_", name)
+            if isinstance(md, MaterializedViewMetadata):
+                # MV scan = storage-table scan (table.rs:183-189)
+                df = Table.load(self.catalog, md.storage_table).scan(self.spark)
+            elif isinstance(md, ViewMetadata):
+                df = self._run_select(md.sql)  # view replay (A20)
+            elif isinstance(md, TableMetadata):
+                df = Table(self.catalog, name, md).scan(self.spark)
+            else:
+                continue
+            df.createOrReplaceTempView(vn)
+            mapping[name.lower()] = vn
+        return self.spark.sql(rewrite_relations(sql, mapping))

@@ -1,0 +1,291 @@
+"""Incremental materialized-view refresh (SURVEY §2 A21-A25).
+
+Mirrors datafusion_iceberg/src/materialized_view/mod.rs:32-214 +
+delta_queries/transform.rs, re-expressed as DataFrame composition:
+
+Strategy classification (mod.rs:370-415): queries outside the supported
+shape (window fns, DISTINCT, outer joins, subqueries, non-incremental
+aggregates) ⇒ FULL overwrite; ORDER BY ⇒ overwrite (storage order is
+meaningless, the reference calls this IncrementalOverwrite); plain
+SELECT-FROM-JOIN-WHERE[-UNION] ⇒ incremental append; + GROUP BY over
+sum/count/min/max ⇒ incremental aggregate merge.
+
+PosDelta (transform.rs:27-213): with append-only sources, the delta of a
+multilinear plan (σ, π, ⋈, ∪ all distribute over appends) expands to
+    δQ = ⋃ᵢ Q(T₁ⁿᵉʷ …  Tᵢ₋₁ⁿᵉʷ, δTᵢ, Tᵢ₊₁ᵒˡᵈ … Tₙᵒˡᵈ)
+which is exactly the reference's join rule δA⋈Bᵒˡᵈ ∪ Aⁿᵉʷ⋈δB generalized
+to n sources; each pass binds the source views to new/delta/old snapshot
+scans (δTᵢ = snapshot-range scan, A4) and re-runs the stored SQL.
+
+Aggregates (transform.rs:107-197 + aggregate_functions.rs:5-99): the delta
+passes run the aggregate SQL, their union is re-merged per group
+(sum→sum-of-sums, count→sum-of-counts, min/max→least/greatest), then the
+storage table is merged: inner-join on keys applies the merge expressions,
+anti-join appends brand-new groups, and the NegDelta (transform.rs:214-360)
+retracts the stale group rows via an equality delete on the group keys.
+
+The reference shares the δ-subplan between the merge and retraction via
+ForkNode channels (fork_node.rs:34-160); ``delta_agg.cache()`` is the
+Spark-native equivalent (free CSE).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.catalog.base import (
+    Catalog, NoSuchTableError,
+)
+from iceberg_rust_archive_spark.plans.sqlparse import (
+    ParsedSelect, parse_select, rewrite_relations, strip_order_by,
+)
+from iceberg_rust_archive_spark.spec.partition import PartitionSpec
+from iceberg_rust_archive_spark.spec.schema import Schema
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.types import (
+    StructTypeSpec, spark_to_iceberg_type,
+)
+from iceberg_rust_archive_spark.spec.view_metadata import (
+    REFRESH_STATE_KEY, MaterializedViewMetadata, RefreshState,
+    SourceTableState,
+)
+from iceberg_rust_archive_spark.table import Table
+
+FULL = "FullOverwrite"
+INCR_APPEND = "IncrementalAppend"
+INCR_AGG = "IncrementalAggregate"
+
+_INCREMENTAL_AGGS = {"sum", "count", "min", "max"}  # aggregate_functions.rs
+
+
+def classify(parsed: ParsedSelect) -> str:
+    """mod.rs:370-415 equivalent on the parsed SQL."""
+    if (parsed.has_window or parsed.has_distinct or parsed.has_subquery
+            or parsed.has_outer_join):
+        return FULL
+    if parsed.is_aggregate:
+        aggs = parsed.agg_items()
+        if not aggs or any(i.agg_fn not in _INCREMENTAL_AGGS for i in aggs):
+            return FULL
+        if any(i.alias is None for i in aggs):
+            return FULL  # merge needs stable output names
+        return INCR_AGG
+    return INCR_APPEND
+
+
+def schema_from_df(df: DataFrame, schema_id: int = 0) -> Schema:
+    counter = iter(range(1, 10_000))
+    struct = spark_to_iceberg_type(df.schema, lambda: next(counter))
+    assert isinstance(struct, StructTypeSpec)
+    return Schema(schema_id, struct)
+
+
+class SourceState:
+    def __init__(self, name: str, table: Table, old_snapshot_id: int | None):
+        self.name = name
+        self.table = table
+        current = table.metadata.current_snapshot()
+        self.current_snapshot_id = current.snapshot_id if current else None
+        self.old_snapshot_id = old_snapshot_id
+        self.fresh = (old_snapshot_id is not None
+                      and old_snapshot_id == self.current_snapshot_id)
+        # old snapshot vanished / never refreshed → Invalid → full recompute
+        self.invalid = (old_snapshot_id is not None
+                        and table.metadata.snapshot_by_id(old_snapshot_id)
+                        is None)
+
+
+def _view_name(identifier: str, suffix: str) -> str:
+    return "mv_src_" + re.sub(r"\W", "_", identifier) + "_" + suffix
+
+
+def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
+                              identifier: str,
+                              branch: str | None = None) -> str:
+    """Refresh driver (A21). Returns the strategy actually executed."""
+    mv = catalog.load_tabular(identifier)
+    if not isinstance(mv, MaterializedViewMetadata):
+        raise TypeError(f"{identifier} is not a materialized view")
+    sql = mv.sql
+    parsed = parse_select(sql)
+    strategy = classify(parsed)
+
+    # --- load / bootstrap the storage table -----------------------------
+    try:
+        storage = Table.load(catalog, mv.storage_table)
+        first_refresh = storage.metadata.current_snapshot() is None
+    except NoSuchTableError:
+        storage = None
+        first_refresh = True
+
+    # --- source freshness (mod.rs:216-368) ------------------------------
+    old_state = None
+    if storage is not None:
+        snap = storage.metadata.current_snapshot()
+        if snap is not None and REFRESH_STATE_KEY in snap.summary:
+            old_state = RefreshState.from_json_str(
+                snap.summary[REFRESH_STATE_KEY])
+
+    sources: list[SourceState] = []
+    for name in parsed.relations:
+        t = Table.load(catalog, name)
+        old_snap = old_state.snapshot_for(t.metadata.table_uuid) \
+            if old_state else None
+        sources.append(SourceState(name, t, old_snap))
+
+    if not first_refresh and all(s.fresh for s in sources):
+        return "Fresh"  # no-op (mod.rs:73-75)
+    if (first_refresh or old_state is None
+            or any(s.invalid for s in sources)
+            or any(s.old_snapshot_id is None for s in sources)):
+        strategy = FULL
+
+    new_state = RefreshState(
+        refresh_version_id=mv.current_version_id,
+        source_table_states=tuple(
+            SourceTableState(s.table.metadata.table_uuid, "main",
+                             s.current_snapshot_id or -1) for s in sources))
+
+    run_sql = strip_order_by(sql)
+
+    def bind_and_run(bindings: dict[str, DataFrame]) -> DataFrame:
+        mapping = {}
+        for name, df in bindings.items():
+            vn = _view_name(name, "v")
+            df.createOrReplaceTempView(vn)
+            mapping[name.lower()] = vn
+        return spark.sql(rewrite_relations(run_sql, mapping))
+
+    def current_bindings() -> dict[str, DataFrame]:
+        return {s.name: s.table.scan(spark) for s in sources}
+
+    # --- FULL: recompute + replace (operation.rs:384-547) ----------------
+    if strategy == FULL:
+        result = bind_and_run(current_bindings())
+        storage = _ensure_storage(catalog, mv, result)
+        files = _write(spark, storage, result)
+        txn = storage.new_transaction(branch).replace_files(files) \
+            .set_refresh_state(new_state.to_json_str())
+        txn.commit_with_retry(lambda t: t.replace_files(files)
+                              .set_refresh_state(new_state.to_json_str()))
+        return FULL
+
+    # --- PosDelta passes -------------------------------------------------
+    passes: list[DataFrame] = []
+    for i, src in enumerate(sources):
+        if src.fresh:
+            continue
+        bindings: dict[str, DataFrame] = {}
+        for j, other in enumerate(sources):
+            if other.name == src.name:
+                bindings[other.name] = other.table.scan(
+                    spark, from_snapshot_id=other.old_snapshot_id)
+            elif j < i:
+                bindings[other.name] = other.table.scan(spark)  # new
+            else:
+                bindings[other.name] = other.table.scan(
+                    spark, snapshot_id=other.old_snapshot_id)   # old
+        passes.append(bind_and_run(bindings))
+    assert passes, f"no outdated sources but strategy={strategy}"
+    delta = passes[0]
+    for p in passes[1:]:
+        delta = delta.unionByName(p)
+
+    if strategy == INCR_APPEND:
+        files = _write(spark, storage, delta)
+        txn = storage.new_transaction(branch).append_files(files) \
+            .set_refresh_state(new_state.to_json_str())
+        txn.commit_with_retry(lambda t: t.append_files(files)
+                              .set_refresh_state(new_state.to_json_str()))
+        return INCR_APPEND
+
+    # --- incremental aggregate merge ------------------------------------
+    keys = [i.out_name for i in parsed.key_items()]
+    aggs = parsed.agg_items()
+    # re-merge the per-pass aggregate outputs into one delta per group
+    merge_across = []
+    for a in aggs:
+        c = F.col(a.alias)
+        if a.agg_fn in ("sum", "count"):
+            merge_across.append(F.sum(c).alias(a.alias))
+        elif a.agg_fn == "min":
+            merge_across.append(F.min(c).alias(a.alias))
+        else:
+            merge_across.append(F.max(c).alias(a.alias))
+    delta_agg = (delta.groupBy(*keys).agg(*merge_across) if keys
+                 else delta.agg(*merge_across))
+    delta_agg = delta_agg.cache()  # ForkNode equivalent (fork_node.rs)
+
+    stored = storage.scan(spark)
+    old = stored.select(
+        *[F.col(k).alias(f"__old_{k}") for k in keys],
+        *[F.col(a.alias).alias(f"__old_{a.alias}") for a in aggs])
+    cond = None
+    for k in keys:
+        e = F.col(k) == F.col(f"__old_{k}")
+        cond = e if cond is None else (cond & e)
+    joined = delta_agg.join(old, cond, "inner") if cond is not None \
+        else delta_agg.crossJoin(old)
+
+    merged_cols = [F.col(k).alias(k) for k in keys]
+    for a in aggs:
+        new_c, old_c = F.col(a.alias), F.col(f"__old_{a.alias}")
+        if a.agg_fn in ("sum", "count"):  # old + new (aggregate_functions.rs)
+            e = F.coalesce(old_c, F.lit(0)) + F.coalesce(new_c, F.lit(0))
+        elif a.agg_fn == "min":
+            e = F.least(old_c, new_c)
+        else:
+            e = F.greatest(old_c, new_c)
+        merged_cols.append(e.cast(dict(zip(delta_agg.columns,
+                                           [f.dataType for f in
+                                            delta_agg.schema.fields]))
+                                  [a.alias]).alias(a.alias))
+    merged = joined.select(*merged_cols)
+    # brand-new groups: anti-join (transform.rs:176-191)
+    new_groups = delta_agg.join(stored.select(*keys), on=keys,
+                                how="left_anti") if keys \
+        else delta_agg.limit(0)
+    upserts = merged.unionByName(new_groups.select(*delta_agg.columns))
+
+    files = _write(spark, storage, upserts)
+    # NegDelta: retract stale group rows via equality delete on keys
+    # (transform.rs:214-360 → equality-delete files, A16)
+    if keys:
+        schema = storage.metadata.current_schema()
+        eq_ids = tuple(schema.field_by_name(k).field_id for k in keys)
+        from iceberg_rust_archive_spark.sources.write import write_datafiles
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_EQUALITY_DELETES,
+        )
+        retract_keys = delta_agg.select(*keys)
+        del_files = write_datafiles(spark, storage.metadata, retract_keys,
+                                    content=CONTENT_EQUALITY_DELETES,
+                                    equality_ids=eq_ids)
+    else:
+        del_files = []
+    txn = storage.new_transaction(branch).append_files(files) \
+        .append_delete_files(del_files) \
+        .set_refresh_state(new_state.to_json_str())
+    txn.commit_with_retry(
+        lambda t: t.append_files(files).append_delete_files(del_files)
+        .set_refresh_state(new_state.to_json_str()))
+    delta_agg.unpersist()
+    return INCR_AGG
+
+
+def _ensure_storage(catalog: Catalog, mv: MaterializedViewMetadata,
+                    result: DataFrame) -> Table:
+    try:
+        return Table.load(catalog, mv.storage_table)
+    except NoSuchTableError:
+        schema = schema_from_df(result)
+        return Table.create(catalog, mv.storage_table, schema,
+                            PartitionSpec(0, ()))
+
+
+def _write(spark, storage: Table, df: DataFrame):
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    return write_datafiles(spark, storage.metadata, df)

@@ -1,0 +1,149 @@
+"""Minimal SQL analysis for the MV rewriter and the DDL shim.
+
+The reference extracts source relations with a sqlparser visitor
+(iceberg-rust/src/sql.rs:12-21) and classifies refresh strategy by logical
+plan shape (materialized_view/mod.rs:370-415). We operate on the SQL text
+of the limited grammar the reference's MV tests use (SELECT-FROM-JOIN-
+WHERE-GROUP BY); anything outside it is classified FULL (always-correct
+fallback, exactly the reference's behavior for unknown plan nodes).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_AGG_RE = re.compile(r"^(sum|count|min|max|avg)\s*\((.*)\)$",
+                     re.IGNORECASE | re.DOTALL)
+_RELATION_RE = re.compile(r"\b(?:from|join)\s+([A-Za-z_][\w.]*)",
+                          re.IGNORECASE)
+
+
+def find_relations(sql: str) -> list[str]:
+    """Source tables of a query (sql.rs:12-21). Subqueries contribute their
+    own FROM/JOIN matches; duplicates removed, order preserved."""
+    seen, out = set(), []
+    for m in _RELATION_RE.finditer(sql):
+        name = m.group(1)
+        if name.lower() not in seen:
+            seen.add(name.lower())
+            out.append(name)
+    return out
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, in_str = [], 0, [], None
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+@dataclass
+class SelectItem:
+    expr: str
+    alias: str | None = None
+    agg_fn: str | None = None    # sum|count|min|max|avg for top-level aggs
+    agg_inner: str | None = None
+
+    @property
+    def out_name(self) -> str:
+        if self.alias:
+            return self.alias
+        # a bare (possibly qualified) column ref surfaces as its last
+        # segment in the output schema ("o.st" → "st")
+        if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", self.expr):
+            return self.expr.rsplit(".", 1)[-1]
+        return self.expr
+
+
+@dataclass
+class ParsedSelect:
+    items: list[SelectItem] = field(default_factory=list)
+    relations: list[str] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    has_order_by: bool = False
+    has_window: bool = False
+    has_distinct: bool = False
+    has_subquery: bool = False
+    has_outer_join: bool = False
+
+    @property
+    def is_aggregate(self) -> bool:
+        return bool(self.group_by) or any(i.agg_fn for i in self.items)
+
+    def agg_items(self) -> list[SelectItem]:
+        return [i for i in self.items if i.agg_fn]
+
+    def key_items(self) -> list[SelectItem]:
+        return [i for i in self.items if not i.agg_fn]
+
+
+_ALIAS_RE = re.compile(r"^(.*?)\s+as\s+([A-Za-z_]\w*)$",
+                       re.IGNORECASE | re.DOTALL)
+
+
+def parse_select(sql: str) -> ParsedSelect:
+    text = sql.strip().rstrip(";")
+    p = ParsedSelect(relations=find_relations(text))
+    low = text.lower()
+    p.has_order_by = bool(re.search(r"\border\s+by\b", low))
+    p.has_window = bool(re.search(r"\bover\s*\(", low))
+    p.has_distinct = bool(re.search(r"\bselect\s+distinct\b", low))
+    p.has_outer_join = bool(re.search(r"\b(left|right|full)\s+(outer\s+)?join\b",
+                                      low))
+    body = re.search(r"select\s+(.*?)\s+from\s", text,
+                     re.IGNORECASE | re.DOTALL)
+    if body:
+        p.has_subquery = "select" in text[body.end():].lower()
+        for raw in split_top_level(body.group(1)):
+            alias = None
+            m = _ALIAS_RE.match(raw)
+            expr = raw
+            if m:
+                expr, alias = m.group(1).strip(), m.group(2)
+            item = SelectItem(expr=expr, alias=alias)
+            am = _AGG_RE.match(expr)
+            if am:
+                item.agg_fn = am.group(1).lower()
+                item.agg_inner = am.group(2).strip()
+            p.items.append(item)
+    g = re.search(r"\bgroup\s+by\s+(.*?)(\border\s+by\b|\blimit\b|$)", text,
+                  re.IGNORECASE | re.DOTALL)
+    if g:
+        p.group_by = split_top_level(g.group(1).strip())
+    return p
+
+
+def strip_order_by(sql: str) -> str:
+    return re.sub(r"\border\s+by\b.*$", "", sql.strip().rstrip(";"),
+                  flags=re.IGNORECASE | re.DOTALL).strip()
+
+
+def rewrite_relations(sql: str, mapping: dict[str, str]) -> str:
+    """Replace table identifiers after FROM/JOIN with view names."""
+    def sub(m):
+        kw, name = m.group(1), m.group(2)
+        return f"{kw} {mapping.get(name.lower(), name)}"
+    return re.sub(r"\b(from|join)\s+([A-Za-z_][\w.]*)", sub, sql,
+                  flags=re.IGNORECASE)

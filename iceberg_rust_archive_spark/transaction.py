@@ -134,12 +134,14 @@ class Transaction:
             added = self._replacement
         else:
             new_list = list(old_entries)
-            for content, files in ((CONTENT_DATA, self._appended),
-                                   (CONTENT_EQUALITY_DELETES, self._deletes)):
+            # manifest-list content codes: 0=data, 1=deletes
+            # (manifest_list.rs:47-52) — distinct from DataFile.content
+            for ml_content, files in ((0, self._appended),
+                                      (1, self._deletes)):
                 if files:
                     new_list = self._pack_manifests(
-                        metadata_dir, new_list, files, content, snap_id, seq,
-                        spec.spec_id, pf_names)
+                        metadata_dir, new_list, files, ml_content, snap_id,
+                        seq, spec.spec_id, pf_names)
             operation = "append" if not self._deletes else "delete" \
                 if not self._appended else "overwrite"
             added = self._appended + self._deletes

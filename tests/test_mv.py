@@ -1,0 +1,167 @@
+"""MV incremental-refresh golden scenarios (SURVEY §5.4, FIXTURES F5) and
+the SQL shim (planner.rs DDL surface)."""
+
+import pytest
+
+from iceberg_rust_archive_spark.catalog import FileCatalog
+from iceberg_rust_archive_spark.plans.engine import Engine
+from iceberg_rust_archive_spark.plans.sqlparse import (
+    find_relations, parse_select,
+)
+from iceberg_rust_archive_spark.plans.mv import FULL, INCR_AGG, INCR_APPEND, classify
+from iceberg_rust_archive_spark.sources.manifests import read_manifest_list
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.orders (id BIGINT NOT NULL, customer_id BIGINT, "
+            "product_id BIGINT, date DATE, quantity INT) "
+            "PARTITIONED BY (day(date))")
+    eng.sql("INSERT INTO db.orders VALUES "
+            "(1,1,1,DATE '2020-01-01',1),(2,2,1,DATE '2020-01-01',1),"
+            "(3,3,1,DATE '2020-01-01',3),(4,1,2,DATE '2020-02-02',1),"
+            "(5,1,1,DATE '2020-02-02',2),(6,3,3,DATE '2020-02-02',3)")
+    return eng
+
+
+def _sums(engine, table_or_query):
+    df = engine.sql(f"SELECT product_id, sum(quantity) AS q FROM "
+                    f"{table_or_query} GROUP BY product_id")
+    return {r[0]: r[1] for r in df.collect()}
+
+
+def test_classify():
+    assert classify(parse_select(
+        "SELECT a, b FROM t WHERE a < 3")) == INCR_APPEND
+    assert classify(parse_select(
+        "SELECT sum(a) AS s, b FROM t GROUP BY b")) == INCR_AGG
+    assert classify(parse_select(
+        "SELECT avg(a) AS s, b FROM t GROUP BY b")) == FULL
+    assert classify(parse_select(
+        "SELECT DISTINCT a FROM t")) == FULL
+    assert classify(parse_select(
+        "SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t")) == FULL
+    assert classify(parse_select(
+        "SELECT a FROM t LEFT JOIN u ON t.a = u.b")) == FULL
+    assert find_relations(
+        "SELECT * FROM a JOIN db.b ON x = y JOIN c ON p = q") == \
+        ["a", "db.b", "c"]
+
+
+def test_filter_projection_mv(engine):
+    """materialized_view/mod.rs:439-628: filter+projection MV,
+    {1:7, 2:1} then {1:9, 2:2} after incremental insert."""
+    engine.sql("CREATE MATERIALIZED VIEW db.mv AS "
+               "SELECT product_id, quantity FROM db.orders "
+               "WHERE product_id < 3")
+    assert engine.sql("SELECT refresh_materialized_view('db.mv')") \
+        .collect()[0][0] == FULL
+    assert _sums(engine, "db.mv") == {1: 7, 2: 1}
+
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,3,DATE '2020-01-03',1),(8,2,1,DATE '2020-01-03',2),"
+               "(9,2,2,DATE '2020-01-03',1)")
+    assert engine.refresh_materialized_view("db.mv") == INCR_APPEND
+    assert _sums(engine, "db.mv") == {1: 9, 2: 2}
+    # refresh again with fresh sources → no-op
+    assert engine.refresh_materialized_view("db.mv") == "Fresh"
+
+
+def test_aggregate_mv_incremental(engine):
+    """delta_queries/mod.rs:470-892 shape: aggregate MV merged
+    incrementally (sum → old+new; new groups via anti-join; old group rows
+    retracted by equality delete)."""
+    engine.sql("CREATE MATERIALIZED VIEW db.agg_mv AS "
+               "SELECT sum(quantity) AS total, product_id FROM db.orders "
+               "GROUP BY product_id")
+    engine.refresh_materialized_view("db.agg_mv")
+    got = {r["product_id"]: r["total"]
+           for r in engine.sql("SELECT * FROM db.agg_mv").collect()}
+    assert got == {1: 7, 2: 1, 3: 3}
+
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,3,DATE '2020-01-03',1),(8,2,1,DATE '2020-01-03',2),"
+               "(9,2,4,DATE '2020-01-03',5)")  # product 4 is a NEW group
+    assert engine.refresh_materialized_view("db.agg_mv") == INCR_AGG
+    got = {r["product_id"]: r["total"]
+           for r in engine.sql("SELECT * FROM db.agg_mv").collect()}
+    assert got == {1: 9, 2: 1, 3: 4, 4: 5}
+    # the incremental path must not have rescanned/rewritten everything:
+    # storage table now has data + equality-delete files
+    storage = engine.load_table("db.agg_mv_storage")
+    mlist = read_manifest_list(
+        storage.metadata.current_snapshot().manifest_list)
+    assert any(m.content == 1 for m in mlist), "expected delete manifest"
+
+
+def test_join_aggregate_mv(engine):
+    """delta_queries/mod.rs:470-892: aggregate over join, incremental after
+    inserts into ONE side, then into BOTH sides."""
+    engine.sql("CREATE TABLE db.lineitem (orderkey BIGINT, qty DOUBLE, "
+               "status STRING)")
+    engine.sql("INSERT INTO db.lineitem VALUES (1, 2.0, 'x'), (2, 3.0, 'x')")
+    engine.sql("CREATE TABLE db.heads (orderkey BIGINT, st STRING)")
+    engine.sql("INSERT INTO db.heads VALUES (1, 'O'), (2, 'F')")
+    engine.sql("CREATE MATERIALIZED VIEW db.jmv AS "
+               "SELECT sum(l.qty) AS total, o.st FROM db.lineitem l "
+               "JOIN db.heads o ON l.orderkey = o.orderkey GROUP BY o.st")
+    engine.refresh_materialized_view("db.jmv")
+    got = {r["st"]: r["total"]
+           for r in engine.sql("SELECT * FROM db.jmv").collect()}
+    assert got == {"O": 2.0, "F": 3.0}
+
+    # insert into lineitem only
+    engine.sql("INSERT INTO db.lineitem VALUES (1, 5.0, 'y')")
+    assert engine.refresh_materialized_view("db.jmv") == INCR_AGG
+    got = {r["st"]: r["total"]
+           for r in engine.sql("SELECT * FROM db.jmv").collect()}
+    assert got == {"O": 7.0, "F": 3.0}
+
+    # insert into BOTH sides: delta must count δL⋈O_new ∪ L_old⋈δO exactly
+    engine.sql("INSERT INTO db.heads VALUES (3, 'O')")
+    engine.sql("INSERT INTO db.lineitem VALUES (3, 10.0, 'z'), (2, 1.0, 'w')")
+    assert engine.refresh_materialized_view("db.jmv") == INCR_AGG
+    got = {r["st"]: r["total"]
+           for r in engine.sql("SELECT * FROM db.jmv").collect()}
+    assert got == {"O": 17.0, "F": 4.0}
+
+
+def test_case_aggregate_mv(engine):
+    """delta_queries/mod.rs:893-1198: CASE WHEN inside an incremental sum."""
+    engine.sql("CREATE TABLE db.ords (okey BIGINT, pri STRING, st STRING)")
+    engine.sql("INSERT INTO db.ords VALUES (1,'1-URGENT','O'),"
+               "(2,'5-LOW','O'),(3,'2-HIGH','F')")
+    engine.sql("CREATE MATERIALIZED VIEW db.cmv AS "
+               "SELECT sum(CASE WHEN pri IN ('1-URGENT','2-HIGH') THEN 1 "
+               "ELSE 0 END) AS high_count, st FROM db.ords GROUP BY st")
+    engine.refresh_materialized_view("db.cmv")
+    got = {r["st"]: r["high_count"]
+           for r in engine.sql("SELECT * FROM db.cmv").collect()}
+    assert got == {"O": 1, "F": 1}
+    engine.sql("INSERT INTO db.ords VALUES (4,'2-HIGH','O'),(5,'5-LOW','F')")
+    assert engine.refresh_materialized_view("db.cmv") == INCR_AGG
+    got = {r["st"]: r["high_count"]
+           for r in engine.sql("SELECT * FROM db.cmv").collect()}
+    assert got == {"O": 2, "F": 1}
+
+
+def test_plain_view_replay(engine):
+    engine.sql("CREATE VIEW db.v AS SELECT product_id, quantity "
+               "FROM db.orders WHERE quantity >= 2")
+    rows = engine.sql("SELECT sum(quantity) AS s FROM db.v").collect()
+    assert rows[0][0] == 8  # rows (3,3),(5,2),(6,3)
+
+
+def test_min_max_aggregate_mv(engine):
+    engine.sql("CREATE MATERIALIZED VIEW db.mm AS "
+               "SELECT min(quantity) AS mn, max(quantity) AS mx, product_id "
+               "FROM db.orders GROUP BY product_id")
+    engine.refresh_materialized_view("db.mm")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(10,9,1,DATE '2020-03-01',9),(11,9,3,DATE '2020-03-01',0)")
+    assert engine.refresh_materialized_view("db.mm") == INCR_AGG
+    got = {r["product_id"]: (r["mn"], r["mx"])
+           for r in engine.sql("SELECT * FROM db.mm").collect()}
+    assert got == {1: (1, 9), 2: (1, 1), 3: (0, 3)}
