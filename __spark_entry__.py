@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    iceberg_queries, relational,
+    dedup, iceberg_queries, relational,
 )
 
 
@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": iceberg_queries.iceberg_time_travel,
         "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
         "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
+        # training-data pipeline operators (documents/embeddings tables)
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
     }
 
 
@@ -209,4 +214,5 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderstatus
         """,
+        **dedup.ORACLE_SQL,
     }
