@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    dedup, iceberg_queries, relational,
+    dedup, iceberg_queries, relational, similarity,
 )
 
 
@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_pairs": similarity.ann_lsh_pairs,
     }
 
 
@@ -215,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderstatus
         """,
         **dedup.ORACLE_SQL,
+        **similarity.ORACLE_SQL,
     }
