@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    dedup, iceberg_queries, relational, similarity,
+    dedup, iceberg_queries, multimodal, relational, similarity, text,
 )
 
 
@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_pairs": similarity.ann_lsh_pairs,
+        "text_language_id": text.text_language_id,
+        "text_quality_score": text.text_quality_score,
+        "text_token_count": text.text_token_count,
+        "text_fingerprint": text.text_fingerprint,
+        "multimodal_features": multimodal.multimodal_features,
     }
 
 
@@ -218,4 +223,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,
+        **text.ORACLE_SQL,
+        **multimodal.ORACLE_SQL,
     }

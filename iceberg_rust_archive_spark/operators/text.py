@@ -1,0 +1,198 @@
+"""Text-analysis operators over the ``documents`` table — the
+building blocks of a training-data curation pipeline:
+
+- **language-ID**: marker-word n-gram heuristic — per-language stopword
+  hit counts, argmax with deterministic tie-break. One narrow projection
+  + one groupBy; the scoring is pure codegen (no UDF, no shuffle before
+  the final small aggregate).
+- **quality scoring**: length / punctuation-ratio / stopword-ratio
+  features combined into a [0,1] score, summarized per source.
+- **token counting**: whitespace tokens AND a BPE-ish regex token count
+  (letter runs | digit runs | single punctuation), summarized per lang.
+- **document fingerprinting**: Karp-Rabin rolling hash over the word
+  stream (mod 1e9+7), duplicate-fingerprint summary per source.
+
+Everything is built-in `pyspark.sql.functions` expressions (lambdas in
+``filter``/``transform``/``aggregate`` compile to Catalyst higher-order
+functions) so the hot path is JVM-side and columnar; the only shuffle in
+each query is the final small groupBy. At 100 TB each of these is a
+single scan with map-side partial aggregation — the ideal shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MARKERS = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "and", "of", "is", "in"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "les", "et", "des", "est"),
+    "zh": ("的", "是", "了"),
+}
+EN_STOP = ("the", "a", "an", "and", "of", "is", "in", "to", "it")
+FP_MOD = 1_000_000_007
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_WORDS = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+
+
+def _marker_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return f"size(filter({_WORDS}, w -> w IN ({words})))"
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of labeled vs predicted language."""
+    d = _docs(spark, sf_dir)
+    for lang in MARKERS:
+        d = d.withColumn(f"s_{lang}", F.expr(_marker_score(lang)))
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(MARKERS):  # deterministic tie-break: alphabetical
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return (d.withColumn("predicted", pred)
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "predicted"))
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality summary from per-doc heuristic scores."""
+    d = _docs(spark, sf_dir)
+    n_words = F.expr(f"size({_WORDS})")
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[.,!?;:]", ""))
+    stop_words = ", ".join(f"'{w}'" for w in EN_STOP)
+    n_stop = F.expr(f"size(filter({_WORDS}, w -> w IN ({stop_words})))")
+    nw = F.greatest(n_words, F.lit(1))
+    score = (0.4 * F.least(n_words / 100.0, F.lit(1.0))
+             + 0.3 * (1.0 - punct / F.greatest(F.length("text"), F.lit(1)))
+             + 0.3 * (n_stop / nw))
+    d = d.withColumn("score", F.round(score, 4))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("score"), 4).alias("avg_score"),
+                 F.sum(F.when(F.col("score") < 0.5, 1).otherwise(0))
+                 .alias("n_low_quality"))
+            .orderBy("source"))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per language."""
+    d = _docs(spark, sf_dir)
+    ws = F.expr(f"size({_WORDS})")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+    return (d.select("lang", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+            .groupBy("lang")
+            .agg(F.sum("ws_tokens").alias("sum_ws_tokens"),
+                 F.sum("bpe_tokens").alias("sum_bpe_tokens"),
+                 F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"))
+            .orderBy("lang"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling hash over words (mod 1e9+7); per-source
+    duplicate-fingerprint summary. Word hash = ascii(first)·2^16 +
+    ascii(last)·2^8 + length — cheap, engine-portable, collision-poor
+    enough at 64-bit accumulator width."""
+    d = _docs(spark, sf_dir)
+    wh = ("ascii(substring(w, 1, 1)) * 65536 + "
+          "ascii(substring(w, -1, 1)) * 256 + length(w)")
+    fp = F.expr(
+        f"aggregate(transform({_WORDS}, w -> bigint({wh})), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {FP_MOD})")
+    d = d.select("source", fp.alias("fp"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp").alias("n_unique_fp"),
+                 (F.count(F.lit(1)) - F.countDistinct("fp"))
+                 .alias("n_dupes"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins.
+# ---------------------------------------------------------------------------
+
+_DWORDS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+
+def _d_marker(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return f"len(list_filter({_DWORDS}, w -> w IN ({words})))"
+
+
+_D_PRED = ("CASE WHEN " +
+           "greatest(" + ", ".join(f"s_{lg}" for lg in MARKERS) + ") <= 0 "
+           "THEN 'und' " +
+           " ".join(
+               f"WHEN s_{lg} = greatest("
+               + ", ".join(f"s_{m}" for m in MARKERS)
+               + f") THEN '{lg}'" for lg in sorted(MARKERS))
+           + " END")
+
+_D_WH = ("ascii(w[1:1]) * 65536 + ascii(w[-1:]) * 256 + length(w)")
+
+ORACLE_SQL = {
+    "text_language_id": f"""
+        WITH scored AS (
+          SELECT lang,
+                 {", ".join(f"{_d_marker(lg)} AS s_{lg}" for lg in MARKERS)}
+          FROM documents
+        )
+        SELECT lang, {_D_PRED} AS predicted, count(*) AS n_docs
+        FROM scored GROUP BY 1, 2
+    """,
+    "text_quality_score": f"""
+        WITH q AS (
+          SELECT source, round(
+            0.4 * least(len({_DWORDS}) / 100.0, 1.0)
+            + 0.3 * (1.0 - (length(text) -
+                length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / greatest(length(text), 1))
+            + 0.3 * (len(list_filter({_DWORDS}, w -> w IN
+                ({", ".join(f"'{w}'" for w in EN_STOP)})))
+                / greatest(len({_DWORDS}), 1)), 4) AS score
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(score), 4) AS avg_score,
+               sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END)
+                 AS n_low_quality
+        FROM q GROUP BY source
+    """,
+    "text_token_count": f"""
+        WITH t AS (
+          SELECT lang, len({_DWORDS}) AS ws_tokens,
+                 len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
+          FROM documents
+        )
+        SELECT lang, sum(ws_tokens) AS sum_ws_tokens,
+               sum(bpe_tokens) AS sum_bpe_tokens,
+               round(avg(bpe_tokens), 4) AS avg_bpe_tokens
+        FROM t GROUP BY lang
+    """,
+    "text_fingerprint": f"""
+        WITH f AS (
+          SELECT source,
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform({_DWORDS}, w -> ({_D_WH})::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fp
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT fp) AS n_unique_fp,
+               count(*) - count(DISTINCT fp) AS n_dupes
+        FROM f GROUP BY source
+    """,
+}
