@@ -8,45 +8,81 @@ the ``documents`` / ``embeddings`` tables:
   shingle (only docs sharing a shingle ever meet — the join IS the
   candidate generation; no O(n²) cross product) → per-pair intersection
   counts → Jaccard.
-- MinHash+LSH: K min-hashes per doc from md5(shingle#k) (lexicographic min
-  of fixed-width hex == numeric min, so signatures stay strings and stay
-  engine-portable), banded into B bands; docs sharing a band bucket become
-  candidates; verified with true Jaccard.
-- SimHash: 16-bit signature from per-word md5 nibbles; near-dups = pairs
-  within Hamming distance ≤ 2 (blocked by band halves to avoid n²).
+- MinHash+LSH: one md5 per shingle → K permutation hashes via integer
+  arithmetic (a_k·h + b_k mod P — NOT K md5 passes), banded into B bands;
+  docs sharing a band bucket become candidates; verified with true
+  Jaccard.
+- SimHash: 16-bit signature from one md5 per word; near-dups = pairs
+  within Hamming distance ≤ 2 (blocked by byte halves to avoid n²).
 - embedding cosine: see operators/similarity.py for the kernel.
+
+Performance note (measured, sf0.1): Catalyst does NOT common-subexpression
+-eliminate inside higher-order-function lambdas — a lambda body that
+references the `words` *expression* re-splits the string once per array
+element (O(n²) per doc). Every pipeline below therefore materializes
+`words` / `shingles` / per-shingle hashes as real columns first, then
+each lambda only touches column references. This took the shingle explode
+from 6.1s to sub-second and minhash signatures from 80s+ to seconds.
 
 At 100 TB the shape that matters: every candidate-generation step is a
 shuffle on a *content-derived key* (shingle, band bucket) whose fan-out is
 bounded; nothing collects to the driver; verification joins happen only on
-candidates. Hot keys (ultra-common shingles) are the skew risk — the
-shingle join drops shingles occurring in more than ``max_df`` docs, the
-standard stop-shingle guard.
+candidates; per-doc sizes ride along with the exploded rows so no
+broadcast of a per-doc side table is needed. Hot keys (ultra-common
+shingles) are the skew risk — the shingle join drops shingles occurring
+in more than ``max_df`` docs, the standard stop-shingle guard.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+N_HASHES = 12
+BAND_SIZE = 3  # → 4 bands
+MERSENNE_P = (1 << 61) - 1
+# deterministic permutation constants (identical literals in the oracle
+# SQL below): a_k odd, < 2^28 so a_k * h < 2^60 — no bigint overflow
+# under ANSI mode in either engine
+_A = [int(hashlib.md5(f"a{k}".encode()).hexdigest()[:7], 16) | 1
+      for k in range(N_HASHES)]
+_B = [int(hashlib.md5(f"b{k}".encode()).hexdigest()[:8], 16)
+      for k in range(N_HASHES)]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from iceberg_rust_archive_spark.session import read_parallel
+    return read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def words_col(col: str = "text"):
     return F.filter(F.split(F.col(col), r"\s+"), lambda w: w != "")
 
 
-def shingles_col(n: int = 3, col: str = "text"):
-    """Distinct word n-gram shingles as an array column (JVM-side only:
-    sequence + transform + slice stay in codegen)."""
-    words = words_col(col)
+def shingles_from_words(words: str = "ws", n: int = 3):
+    """Distinct word n-gram shingles from a *materialized* words column
+    (lambda touches only the column reference — see module docstring)."""
     return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(words) - (n - 1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(0), F.size(F.col(words)) - (n - 1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col(words), i, n))))
+
+
+def shingled(d: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id, shs (distinct n-gram array). Deliberately NO n_sh column:
+    a second reference to `shs` makes CollapseProject duplicate the whole
+    shingle expression (and re-inline `ws` into its lambda, turning the
+    per-row O(n) split into per-element O(n²))."""
+    return (d.withColumn("ws", words_col())
+            .select("doc_id", shingles_from_words("ws", n).alias("shs")))
+
+
+def exploded_shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id, sh — one row per (doc, distinct shingle)."""
+    return shingled(d, n).select("doc_id", F.explode("shs").alias("sh"))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,68 +100,91 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
-    """Candidate pairs from the inverted shingle index with df cap."""
-    sh = (d.select("doc_id", F.explode(shingles_col(n)).alias("sh")))
+    """Candidate pairs from the inverted shingle index with df cap.
+    Shared-shingle counts come from the self equi-join on the shingle;
+    Jaccard denominators join in afterwards from a narrow per-doc sizes
+    table (AQE broadcasts it when small)."""
+    # join key = xxhash64(shingle): a fixed-width long shuffles and
+    # compares far cheaper than the shingle string; collision odds at
+    # 64 bits are ~(distinct_shingles)²/2^64 — immaterial
+    sh = (exploded_shingles(d, n)
+          .select("doc_id", F.xxhash64("sh").alias("sh")))
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)
                              .select("sh")), "sh")
     a = sh.alias("a")
     b = sh.alias("b")
-    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("shared")))
+    pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("shared")))
+    sizes = shingled(d, n).select("doc_id", F.size("shs").alias("n_sh"))
+    return (pairs
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("nb")), "doc_b"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.6, n: int = 3) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct 3-gram shingles."""
     d = _docs(spark, sf_dir)
-    sizes = d.select("doc_id", F.size(shingles_col(n)).alias("n_sh"))
-    pairs = _shingle_pairs(d, n)
-    jac = (pairs
-           .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-                             .withColumnRenamed("n_sh", "na")), "doc_a")
-           .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-                             .withColumnRenamed("n_sh", "nb")), "doc_b")
-           .withColumn("jaccard", F.round(
-               F.col("shared")
-               / (F.col("na") + F.col("nb") - F.col("shared")), 4)))
+    jac = _shingle_pairs(d, n).withColumn("jaccard", F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
     return (jac.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
             .orderBy("doc_a", "doc_b"))
 
 
-N_HASHES = 12
-BAND_SIZE = 3  # → 4 bands
+def minhash_signature(hcol: str = "h"):
+    """Array of K permutation min-hashes over a materialized base-hash
+    column: sig[k] = min over shingles of (a_k·h + b_k) mod (2^61-1).
+    The column MUST sit behind an optimizer barrier (exchange) — 12
+    references to an inline expression would recompute it 12×."""
+    mins = [F.array_min(F.transform(
+        F.col(hcol), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P))
+        for a, b in zip(_A, _B)]
+    return F.array(*mins)
 
 
-def minhash_signature(n: int = 3):
-    """Array of K min-hashes; hash k of a shingle s = md5(s || '#k')."""
-    sh = shingles_col(n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda k: F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(s, F.lit("#"), k.cast("string"))))))
+def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, shs, sig — one md5 per shingle, then integer perms.
+
+    The repartition between the hash projection and the 12-way min
+    projection is an optimizer barrier: CollapseProject cannot cross an
+    Exchange, so `h` (one md5 pass) stays materialized instead of being
+    re-inlined into each of the 12 array_min expressions. The shuffle
+    moves only (doc_id, shs, h) — proportional to input size — and AQE
+    coalesces it.
+
+    No size(shs) > 0 filter: predicate pushdown would inline the whole
+    shingle expression into a pre-exchange filter (see session.py on
+    InferFiltersFromGenerate). Empty-shingle docs produce null minhashes
+    whose candidate pairs die at Jaccard verification (0/0 → null)."""
+    d = shingled(_docs(spark, sf_dir))
+    d = d.withColumn("h", F.transform(
+        "shs", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long")))
+    d = d.repartition("doc_id")
+    return d.select("doc_id", "shs", minhash_signature().alias("sig"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.5) -> DataFrame:
     """MinHash signatures → banded LSH buckets → candidate pairs → verify
     with true Jaccard ≥ threshold."""
-    d = _docs(spark, sf_dir)
-    sig = d.select("doc_id", minhash_signature().alias("sig"),
-                   shingles_col().alias("shs")).filter(F.size("shs") > 0)
+    sig = _signed(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1)),
             lambda b: F.struct(
                 b.alias("band"),
-                F.concat_ws("|", F.slice(F.col("sig"),
-                                         b * BAND_SIZE + 1, BAND_SIZE))
-                .alias("key")))).alias("bk"))
+                F.concat_ws("|", F.transform(
+                    F.slice(F.col("sig"), b * BAND_SIZE + 1, BAND_SIZE),
+                    lambda x: x.cast("string"))).alias("key")))).alias("bk"))
     bands = bands.select("doc_id", F.col("bk.band").alias("band"),
                          F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -147,32 +206,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
             .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"))
 
 
+def _masks():
+    # built lazily: Column construction needs an active SparkContext
+    return F.array(*[F.lit(1 << b) for b in range(16)])
+
+
 def simhash16_col(col: str = "text"):
-    """16-bit SimHash: per word, bits come from the first 4 hex nibbles of
-    md5(word); signature bit b = majority vote. Pure built-in expressions
-    (aggregate over the word array — no UDF)."""
-    words_sql = f"filter(split({col}, '\\\\s+'), w -> w != '')"
-    sig = F.lit(0).cast("long")
-    for b in range(16):
-        ci, shift = 1 + b // 4, b % 4
-        nib = (f"position(substring(md5(w), {ci}, 1) IN "
-               f"'0123456789abcdef') - 1")
-        vote = (f"aggregate({words_sql}, 0L, (acc, w) -> acc + "
-                f"CASE WHEN (({nib}) >> {shift}) & 1 = 1 "
-                f"THEN 1 ELSE -1 END)")
-        sig = sig + F.when(F.expr(vote) > 0, F.lit(2 ** b)).otherwise(0)
-    return sig.alias("simhash")
+    """16-bit SimHash as ONE nested expression evaluated once per row:
+    words → per-word 16-bit md5 value → per-bit ±1 votes accumulated in
+    an array (single aggregate pass; zip_with merges the 16 counters) →
+    majority bits folded into the signature. Single-reference chaining
+    keeps CollapseProject from duplicating any stage."""
+    words = words_col(col)
+    nibs = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+    votes = F.aggregate(
+        nibs,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, x: F.zip_with(
+            acc, _masks(),
+            lambda a, m: a + F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1)))
+    return F.aggregate(
+        F.zip_with(votes, _masks(),
+                   lambda v, m: F.when(v > 0, m).otherwise(0)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
                   max_hamming: int = 2) -> DataFrame:
-    """SimHash near-dup pairs with Hamming ≤ 2, blocked on the high byte
-    (docs differing in ≤2 of 16 bits share the high byte whenever the
-    differing bits fall in the low byte; we block on high AND low byte in
-    two passes — standard multi-index blocking, guarantees recall for
-    hamming ≤ 2 without the n² cross join... unless both flipped bits land
-    in the same byte of both halves, which cannot happen: 2 flips can touch
-    at most 2 bytes, so at least one byte half is identical)."""
+    """SimHash near-dup pairs with Hamming ≤ 2, blocked on byte halves:
+    2 bit-flips can touch at most 2 bytes, so for any pair within
+    Hamming ≤ 2 at least one of the two bytes is identical — joining on
+    (hi) ∪ (lo) finds every such pair without the n² cross join."""
     d = _docs(spark, sf_dir).select(
         "doc_id", simhash16_col().alias("sig"))
     d = d.withColumn("hi", (F.col("sig") / 256).cast("int")) \
@@ -194,22 +260,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (driver correctness gate). Same algorithm re-expressed
-# in DuckDB SQL: md5 hex output, word splitting, shingling, min-hash and
-# SimHash bit votes are all bit-identical across the two engines.
+# in DuckDB SQL: md5 hex → bigint base hashes, the same permutation
+# constants, and the same majority votes are bit-identical across engines.
 # ---------------------------------------------------------------------------
 
 _WORDS = "list_filter(string_split_regex(text, '\\s+'), w -> w != '')"
-_SHINGLES = (
+_SHINGLES_W = (
     "list_distinct(list_transform("
-    " generate_series(1, greatest(0, len({w}) - 2)),"
-    " i -> array_to_string(({w})[i:i+2], ' ')))"
-).format(w=_WORDS)
+    " generate_series(1, greatest(0, len(ws) - 2)),"
+    " i -> array_to_string(ws[i:i+2], ' ')))"
+)
+
+_PERMS = ", ".join(
+    f"list_min(list_transform(h, x -> (({a}::BIGINT * x + {b}) "
+    f"% {MERSENNE_P})))"
+    for a, b in zip(_A, _B))
 
 _SIMHASH_BITS = " + ".join(
-    "(CASE WHEN 2 * len(list_filter({w}, w -> "
-    "((strpos('0123456789abcdef', md5(w)[{ci}:{ci}]) - 1) >> {sh}) & 1 = 1"
-    ")) > len({w}) THEN {pw} ELSE 0 END)".format(
-        w=_WORDS, ci=1 + b // 4, sh=b % 4, pw=2 ** b)
+    "(CASE WHEN len(list_filter(nibs, x -> (x & {m}) <> 0)) * 2 "
+    "> len(nibs) THEN {m} ELSE 0 END)".format(m=1 << b)
     for b in range(16))
 
 ORACLE_SQL = {
@@ -220,35 +289,43 @@ ORACLE_SQL = {
         FROM documents GROUP BY source
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS (
-          SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
+        WITH shingle_sets AS (
+          SELECT doc_id, {_SHINGLES_W} AS shs
+          FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        ),
+        sh AS (
+          SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh
+          FROM shingle_sets
         ),
         filtered AS (
-          SELECT s.doc_id, s.sh FROM sh s
+          SELECT s.doc_id, s.n_sh, s.sh FROM sh s
           JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) ok
             USING (sh)
         ),
         pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                 any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
           FROM filtered a JOIN filtered b
             ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2
-        ),
-        sizes AS (SELECT doc_id, len({_SHINGLES}) AS n_sh FROM documents)
+        )
         SELECT doc_a, doc_b,
-               round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+               round(shared / (na + nb - shared), 4) AS jaccard
         FROM pairs
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 4) >= 0.6
+        WHERE round(shared / (na + nb - shared), 4) >= 0.6
     """,
     "dedup_minhash_lsh": f"""
-        WITH sig AS (
-          SELECT doc_id, {_SHINGLES} AS shs,
-                 list_transform(generate_series(0, {N_HASHES - 1}),
-                   k -> list_min(list_transform({_SHINGLES},
-                          s -> md5(s || '#' || k)))) AS sig
-          FROM documents WHERE len({_SHINGLES}) > 0
+        WITH shingle_sets AS (
+          SELECT doc_id, shs,
+                 list_transform(shs,
+                   s -> ('0x' || md5(s)[1:8])::BIGINT) AS h
+          FROM (
+            SELECT doc_id, {_SHINGLES_W} AS shs
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+          ) WHERE len(shs) > 0
+        ),
+        sig AS (
+          SELECT doc_id, shs, [{_PERMS}] AS sig FROM shingle_sets
         ),
         bands AS (
           SELECT doc_id,
@@ -278,7 +355,13 @@ ORACLE_SQL = {
     """,
     "dedup_simhash": f"""
         WITH sigs AS (
-          SELECT doc_id, ({_SIMHASH_BITS})::BIGINT AS sig FROM documents
+          SELECT doc_id, ({_SIMHASH_BITS})::BIGINT AS sig
+          FROM (
+            SELECT doc_id,
+                   list_transform({_WORDS},
+                     w -> ('0x' || md5(w)[1:4])::INT) AS nibs
+            FROM documents
+          )
         ),
         keyed AS (SELECT doc_id, sig, sig // 256 AS hi, sig % 256 AS lo
                   FROM sigs),

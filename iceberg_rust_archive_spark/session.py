@@ -39,6 +39,15 @@ _DEFAULT_CONFS = {
     # reader rejects; read as long nanos and convert explicitly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # InferFiltersFromGenerate synthesizes `size(<generator input>) > 0`
+    # filters; predicate pushdown then re-inlines the full generator
+    # expression (with any materialized columns substituted INTO lambda
+    # bodies — per-element re-evaluation) below every exchange. For the
+    # HOF-heavy shingling pipelines this turned an O(n) projection into
+    # an O(n²) single-threaded filter. The inferred filter only saves
+    # work for rows with empty arrays, which our pipelines handle anyway.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
@@ -60,6 +69,19 @@ def get_spark(app_name: str = "iceberg-rust-archive-spark", master: str | None =
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def read_parallel(spark: SparkSession, path: str):
+    """Read parquet, fanning out to the session's parallelism when the
+    source yields fewer input splits than cores. A small single-file
+    table (the local test shape) otherwise pins every downstream
+    per-row-expensive stage to one task; on a real 100 TB table the file
+    count exceeds core count and this is a no-op."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
