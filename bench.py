@@ -29,8 +29,12 @@ def main():
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm up the JVM + parquet footer caches with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm up the JVM + parquet footer caches with a trivial action,
+    # and spin up the reusable Python workers (Arrow/pandas import cost)
+    # so Pandas-UDF queries measure compute, not interpreter startup
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm = warm.repartition(spark.sparkContext.defaultParallelism)
+    warm.mapInPandas(lambda it: it, schema=warm.schema).count()
 
     timings = {}
     for name, fn in qs.items():

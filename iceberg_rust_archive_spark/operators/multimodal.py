@@ -57,7 +57,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from ``documents``: text bytes become
     the opaque payload, metadata derived deterministically. Stands in
     for `spark.read.parquet` over a real (binary, metadata) table."""
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from iceberg_rust_archive_spark.session import read_parallel
+    d = read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
     return d.select(
         F.col("doc_id").alias("item_id"),
         "source",

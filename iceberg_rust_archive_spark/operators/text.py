@@ -39,7 +39,8 @@ BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from iceberg_rust_archive_spark.session import read_parallel
+    return read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 _WORDS = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
