@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    dedup, iceberg_queries, multimodal, relational, similarity, text,
+    dedup, iceberg_queries, multimodal, relational, relational2,
+    similarity, text,
 )
 
 
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text.text_token_count,
         "text_fingerprint": text.text_fingerprint,
         "multimodal_features": multimodal.multimodal_features,
+        **relational2.QUERIES,
     }
 
 
@@ -225,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
         **similarity.ORACLE_SQL,
         **text.ORACLE_SQL,
         **multimodal.ORACLE_SQL,
+        **relational2.ORACLE_SQL,
     }

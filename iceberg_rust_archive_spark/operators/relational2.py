@@ -1,0 +1,211 @@
+"""Extended relational surface: TPC-H-shaped queries adapted to the
+driver's reduced schemas, each exercising an operator category the
+reference's engine answers through its query-engine integration
+(datafusion_iceberg delegates these to DataFusion — SURVEY.md §2.B; we
+delegate to Spark SQL / Catalyst through registered views, which is the
+architectural mirror).
+
+Coverage added here (beyond relational.py's q1/q3/q5/q6/q12 etc.):
+- EXISTS / NOT EXISTS semi-antijoin subqueries          (q4-, q22-like)
+- self-aliased dimension join (nation × nation pairs)   (q7-like)
+- multi-way join + derived-column grouping (year())     (q9-like)
+- group-by over left-outer join, two-level aggregation  (q13)
+- conditional aggregation over a join (promo share)     (q14)
+- scalar subquery against an aggregated derived table   (q15)
+- NOT IN subquery + multi-distinct count                (q16-like)
+- correlated scalar subquery (per-part avg threshold)   (q17-like)
+- IN (GROUP BY ... HAVING) membership                   (q18)
+- disjunctive multi-predicate join filter               (q19-like)
+- ORDER BY + LIMIT top-k over aggregate                 (q10-like)
+
+The SQL is written in the ANSI subset where Spark SQL and DuckDB agree
+(timestamp literals, round/substring/year, subqueries), so ONE text is
+both the Spark implementation and the DuckDB oracle. Catalyst handles
+pushdown/broadcast/AQE; no hand-scheduling needed — matching how the
+reference hands these plans to DataFusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# one SQL text per query — executed verbatim by Spark AND DuckDB
+SQL: dict[str, str] = {
+    # q4-like: orders having at least one high-quantity line → EXISTS
+    "q4_order_priority_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 30
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # q7-like: shipping volume between supplier-nation / customer-nation
+    # pairs — nation joined twice under different aliases
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY n1.n_name, n2.n_name
+        ORDER BY supp_nation, cust_nation
+    """,
+    # q9-like: profit by nation and order year through part+supplier joins
+    "q9_profit_by_nation_year": """
+        SELECT n_name, year(o_orderdate) AS o_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY n_name, o_year
+    """,
+    # q10-like: top customers by revenue — agg + orderBy + limit
+    "q10_top_customers": """
+        SELECT c_custkey, c_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # q13: order-count distribution per customer — LEFT OUTER JOIN with
+    # filtered join condition, then aggregate of an aggregate
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    # q14: promo revenue share — conditional aggregation over a join
+    "q14_promo_revenue": """
+        SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,10))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    # q15: top supplier(s) — scalar subquery over an aggregated
+    # derived table appearing twice
+    "q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    # q16-like: distinct supplier counts with a NOT IN subquery
+    "q16_part_supplier_counts": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    # q17-like: correlated scalar subquery — lines under 20% of the
+    # part's own average quantity
+    "q17_small_quantity_revenue": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+          )
+    """,
+    # q18: large orders via IN (GROUP BY ... HAVING)
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    # q19-like: disjunction of conjunctive band predicates on the join
+    "q19_discounted_revenue": """
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    # q22-like: customers with above-average balance and no orders —
+    # scalar subquery + NOT EXISTS anti-join
+    "q22_global_sales_opportunity": """
+        SELECT substring(c_name, 17, 2) AS cntrycode, count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 200000
+          )
+        GROUP BY substring(c_name, 17, 2)
+        ORDER BY cntrycode
+    """,
+}
+
+
+def make_query(sql_text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from iceberg_rust_archive_spark.session import load_tables
+        load_tables(spark, sf_dir)
+        return spark.sql(sql_text)
+    return run
+
+
+QUERIES = {name: make_query(text) for name, text in SQL.items()}
+ORACLE_SQL = dict(SQL)
