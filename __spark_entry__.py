@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": iceberg_queries.iceberg_time_travel,
         "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
         "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
+        "csv_source_roundtrip": iceberg_queries.csv_source_roundtrip,
         # training-data pipeline operators (documents/embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -222,6 +223,13 @@ def oracle_sql() -> dict[str, str]:
                    count(o_orderkey) AS n_orders, o_orderstatus
             FROM orders
             GROUP BY o_orderstatus
+        """,
+        "csv_source_roundtrip": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+            GROUP BY o_orderpriority
         """,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,

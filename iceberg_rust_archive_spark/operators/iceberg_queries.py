@@ -156,3 +156,49 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV external source → Iceberg table → pruned scan → aggregate.
+
+    Mirrors the reference's CSV seeding path (`examples/insert_csv.rs`,
+    `delta_queries/mod.rs:1233-1249`: CREATE EXTERNAL TABLE ... STORED AS
+    CSV then INSERT INTO iceberg SELECT): driver testdata is exported to
+    headerless CSV, read back with an explicit schema (no inference scan
+    at 100 TB), appended into an Iceberg table, and aggregated off a
+    snapshot scan."""
+    cat, d = _tmp_catalog()
+    try:
+        csv_dir = os.path.join(d, "csv")
+        src = _orders(spark, sf_dir).withColumn(
+            "o_orderdate",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        src.write.option("header", "false").csv(csv_dir)
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+        csv_schema = StructType([
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", StringType()),
+            StructField("o_orderpriority", StringType()),
+        ])
+        loaded = (spark.read.schema(csv_schema)
+                  .option("header", "false").csv(csv_dir)
+                  .withColumn("o_orderdate",
+                              F.to_timestamp("o_orderdate",
+                                             "yyyy-MM-dd HH:mm:ss")))
+        t = Table.create(cat, "db.orders_csv", ORDERS_SCHEMA, MONTH_SPEC)
+        t.append(spark, loaded)
+        import datetime as dt
+        out = (t.scan(spark, filter=[
+                   Pred("o_orderdate", ">=", dt.datetime(1996, 6, 1))])
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("o_orderpriority"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,158 @@
+"""Structured Streaming operators.
+
+The reference engine has NO streaming runtime — its freshness model is
+pull-based snapshot diffing (SURVEY.md §2, "not implemented": streaming/
+watermarks; `materialized_view/mod.rs:216-368` compares snapshot ids on
+demand). This module supplies the streaming surface a training-data
+pipeline needs on top of the same data model, Spark-first:
+
+- ``events_stream_windowed``  — readStream → watermark → windowed agg.
+  Late data past the watermark is dropped; state is bounded, so the
+  query runs indefinitely at any scale.
+- ``sessionize_stream``       — custom stateful operator
+  (``applyInPandasWithState``): per-user sessionization with a gap
+  timeout, the canonical op Spark lacks as a built-in.
+- ``table_changes_stream``    — pull-based CDC over OUR Iceberg tables:
+  each poll yields the snapshot-range delta (same A4 sequence-number
+  semantics the reference uses for incremental MV refresh,
+  iceberg-rust/src/table/mod.rs:200-234) as a DataFrame. This is the
+  reference's freshness model expressed as a Python iterator; feed it
+  into foreachBatch-style downstream writes.
+
+Tests drive the streams with ``trigger(availableNow=True)`` over file
+sources, so results are deterministic and comparable to batch oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def events_stream_windowed(spark: SparkSession, source_dir: str,
+                           watermark: str = "10 minutes",
+                           window: str = "1 hour") -> DataFrame:
+    """File-source stream → event-time watermark → tumbling-window agg.
+
+    At scale: state per (window, event_type) only; the watermark bounds
+    state retention, and partial aggregation happens map-side before the
+    state-store shuffle."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .parquet(source_dir))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+_STATE_SCHEMA = ("start_us long, end_us long, n long, sum_value double")
+
+
+def sessionize_stream(spark: SparkSession, source_dir: str,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization with a gap timeout — the canonical custom
+    stateful operator, via ``applyInPandasWithState``.
+
+    Each micro-batch updates per-user open-session state; a session
+    closes when the gap between consecutive events exceeds
+    ``gap_minutes`` (emitted immediately) or when the state times out.
+    State is one small tuple per user — bounded regardless of events
+    volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdf_iter: Iterator["pd.DataFrame"],
+               state: GroupState) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("ts")
+        ts_us = rows["ts"].astype("int64")  # ns → handled below
+        if ts_us.iloc[0] > 10**16:          # pandas datetime64[ns]
+            ts_us = ts_us // 1000
+        vals = rows["value"].to_numpy()
+
+        if state.exists:
+            start_us, end_us, n, sv = state.get
+        else:
+            start_us, end_us, n, sv = None, None, 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us.to_numpy(), vals):
+            if start_us is None:
+                start_us, end_us, n, sv = int(t), int(t), 1, float(v)
+            elif t - end_us > gap_us:
+                closed.append((user_id, start_us, end_us, n, sv))
+                start_us, end_us, n, sv = int(t), int(t), 1, float(v)
+            else:
+                end_us, n, sv = int(t), n + 1, sv + float(v)
+        state.update((start_us, end_us, n, sv))
+
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["user_id", "start_us", "end_us",
+                                 "n_events", "sum_value"])
+            yield pd.DataFrame({
+                "user_id": out["user_id"],
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                "n_events": out["n_events"],
+                "sum_value": out["sum_value"].round(2),
+            })
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir))
+    return (stream.groupBy("user_id").applyInPandasWithState(
+        update, SESSION_SCHEMA, _STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout))
+
+
+def table_changes_stream(spark: SparkSession, table,
+                         from_snapshot_id: int | None = None):
+    """Pull-based change stream over an Iceberg table: a generator whose
+    ``send(None)`` yields ``(DataFrame of new rows, latest_snapshot_id)``
+    each time new snapshots exist, else ``(None, last_seen)``.
+
+    This is the reference's incremental-read machinery (A4: manifest
+    entries with ``start < seq ≤ end``) exposed as a poll loop — the
+    same mechanism its MV refresh uses to find "what changed since the
+    stored RefreshState" (datafusion_iceberg/src/materialized_view/
+    mod.rs:216-368)."""
+    last = from_snapshot_id
+    while True:
+        table.refresh()
+        current = table.metadata.current_snapshot()
+        if current is None or current.snapshot_id == last:
+            signal = yield (None, last)
+        else:
+            df = table.scan(spark, from_snapshot_id=last)
+            signal = yield (df, current.snapshot_id)
+            last = current.snapshot_id
+        if signal == "stop":
+            return
