@@ -165,3 +165,61 @@ def test_min_max_aggregate_mv(engine):
     got = {r["product_id"]: (r["mn"], r["mx"])
            for r in engine.sql("SELECT * FROM db.mm").collect()}
     assert got == {1: (1, 9), 2: (1, 1), 3: (0, 3)}
+
+
+def test_tpch_q12_shaped_mv(engine):
+    """delta_queries/mod.rs:1199-1517: the TPC-H q12-shaped MV — aggregate
+    with CASE over a join of month-partitioned lineitem/orders, seeded,
+    refreshed, then BOTH sources extended (the lineitem_2/orders_2 CSV
+    slices in the reference) and incrementally re-refreshed."""
+    engine.sql("CREATE TABLE db.l12 (l_orderkey BIGINT, l_shipmode STRING, "
+               "l_shipdate DATE, l_commitdate DATE, l_receiptdate DATE) "
+               "PARTITIONED BY (month(l_shipdate))")
+    engine.sql("CREATE TABLE db.o12 (o_orderkey BIGINT, "
+               "o_orderpriority STRING, o_orderdate DATE) "
+               "PARTITIONED BY (month(o_orderdate))")
+    engine.sql("INSERT INTO db.l12 VALUES "
+               "(1,'MAIL',DATE '1994-01-10',DATE '1994-01-15',DATE '1994-01-20'),"
+               "(2,'SHIP',DATE '1994-02-10',DATE '1994-02-20',DATE '1994-02-15'),"
+               "(3,'MAIL',DATE '1994-03-05',DATE '1994-03-01',DATE '1994-03-10'),"
+               "(4,'RAIL',DATE '1994-04-01',DATE '1994-04-10',DATE '1994-04-05')")
+    engine.sql("INSERT INTO db.o12 VALUES "
+               "(1,'1-URGENT',DATE '1994-01-01'),"
+               "(2,'5-LOW',DATE '1994-02-01'),"
+               "(3,'2-HIGH',DATE '1994-03-01'),"
+               "(4,'3-MEDIUM',DATE '1994-03-20')")
+
+    q12 = ("SELECT l.l_shipmode, "
+           "sum(CASE WHEN o.o_orderpriority = '1-URGENT' "
+           "OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) "
+           "AS high_line_count, "
+           "sum(CASE WHEN o.o_orderpriority <> '1-URGENT' "
+           "AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) "
+           "AS low_line_count "
+           "FROM db.l12 l JOIN db.o12 o ON l.l_orderkey = o.o_orderkey "
+           "GROUP BY l.l_shipmode")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.q12mv AS {q12}")
+    engine.refresh_materialized_view("db.q12mv")
+
+    def mv_rows():
+        return {r["l_shipmode"]: (r["high_line_count"], r["low_line_count"])
+                for r in engine.sql("SELECT * FROM db.q12mv").collect()}
+
+    assert mv_rows() == {"MAIL": (2, 0), "SHIP": (0, 1), "RAIL": (0, 1)}
+
+    # the reference's *_2 incremental slices: new rows in BOTH sources,
+    # including a new shipmode group and more rows for existing groups
+    engine.sql("INSERT INTO db.l12 VALUES "
+               "(5,'AIR',DATE '1994-05-02',DATE '1994-05-10',DATE '1994-05-06'),"
+               "(6,'MAIL',DATE '1994-06-01',DATE '1994-06-05',DATE '1994-06-03')")
+    engine.sql("INSERT INTO db.o12 VALUES "
+               "(5,'2-HIGH',DATE '1994-04-25'),"
+               "(6,'4-NOT SPECIFIED',DATE '1994-05-20')")
+    assert engine.refresh_materialized_view("db.q12mv") == INCR_AGG
+
+    assert mv_rows() == {"MAIL": (2, 1), "SHIP": (0, 1), "RAIL": (0, 1),
+                         "AIR": (1, 0)}
+    # MV must equal a from-scratch recompute of its defining query
+    direct = {r["l_shipmode"]: (r["high_line_count"], r["low_line_count"])
+              for r in engine.sql(q12).collect()}
+    assert mv_rows() == direct
