@@ -69,11 +69,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
         "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
         "csv_source_roundtrip": iceberg_queries.csv_source_roundtrip,
+        "iceberg_lineitem_partitioned":
+            iceberg_queries.iceberg_lineitem_partitioned,
         # training-data pipeline operators (documents/embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_pairs": similarity.ann_lsh_pairs,
         "text_language_id": text.text_language_id,
@@ -230,6 +233,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
             GROUP BY o_orderpriority
+        """,
+        "iceberg_lineitem_partitioned": """
+            SELECT l_returnflag, count(*) AS n_lines,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-09-01 00:00:00'
+            GROUP BY l_returnflag
         """,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,

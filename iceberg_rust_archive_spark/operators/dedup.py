@@ -258,6 +258,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
             .select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b"))
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.25) -> DataFrame:
+    """Fifth dedup family: near-duplicates by embedding cosine. The
+    kernel (sign-LSH bucketed candidate pairs + cosine verify) lives in
+    operators/similarity.py; this entry reports them joined to the
+    documents table as (doc_a, doc_b, cosine) dedup pairs."""
+    from iceberg_rust_archive_spark.operators.similarity import ann_lsh_pairs
+    pairs = ann_lsh_pairs(spark, sf_dir, threshold)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (pairs
+            .join(docs.withColumnRenamed("doc_id", "vec_a"), "vec_a")
+            .join(docs.withColumnRenamed("doc_id", "vec_b"), "vec_b")
+            .select(F.col("vec_a").alias("doc_a"),
+                    F.col("vec_b").alias("doc_b"), "cosine")
+            .orderBy("doc_a", "doc_b"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (driver correctness gate). Same algorithm re-expressed
 # in DuckDB SQL: md5 hex → bigint base hashes, the same permutation
@@ -379,3 +396,20 @@ ORACLE_SQL = {
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 2
     """,
 }
+
+
+def _embedding_oracle() -> str:
+    from iceberg_rust_archive_spark.operators.similarity import (
+        ORACLE_SQL as SIM_ORACLE,
+    )
+    return f"""
+        WITH pairs AS ({SIM_ORACLE["ann_lsh_pairs"]})
+        SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.cosine
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.vec_a
+        JOIN documents db ON db.doc_id = p.vec_b
+        ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE_SQL["dedup_embedding_cosine"] = _embedding_oracle()

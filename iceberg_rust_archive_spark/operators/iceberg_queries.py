@@ -202,3 +202,44 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+LINEITEM_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "l_orderkey", "long", True),
+    NestedField(2, "l_partkey", "long", True),
+    NestedField(3, "l_suppkey", "long", True),
+    NestedField(4, "l_linenumber", "int", True),
+    NestedField(5, "l_quantity", "double", True),
+    NestedField(6, "l_extendedprice", "double", True),
+    NestedField(7, "l_discount", "double", True),
+    NestedField(8, "l_tax", "double", True),
+    NestedField(9, "l_returnflag", "string", True),
+    NestedField(10, "l_linestatus", "string", True),
+    NestedField(11, "l_shipdate", "timestamp", True),
+)))
+L_MONTH_SPEC = PartitionSpec(0, (PartitionField(11, 1000,
+                                                "l_shipdate_month", "month"),))
+
+
+def iceberg_lineitem_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE B1+B3 at bench scale: bulk-append the full lineitem table
+    into a month(l_shipdate)-partitioned Iceberg table (repartition by
+    transform → parquet → footer-stats harvest → manifest commit), then a
+    date-range scan that must prune to 3 of ~84 month partitions before
+    Spark ever sees a file list."""
+    import datetime as dt
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.lineitem", LINEITEM_SCHEMA, L_MONTH_SPEC)
+        t.append(spark, spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")))
+        df = t.scan(spark, filter=[
+            Pred("l_shipdate", ">=", dt.datetime(1996, 6, 1)),
+            Pred("l_shipdate", "<", dt.datetime(1996, 9, 1))])
+        out = (df.groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+               .orderBy("l_returnflag"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
