@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_roundtrip": iceberg_queries.csv_source_roundtrip,
         "iceberg_lineitem_partitioned":
             iceberg_queries.iceberg_lineitem_partitioned,
+        "iceberg_bucket_pruned": iceberg_queries.iceberg_bucket_pruned,
         # training-data pipeline operators (documents/embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -241,6 +242,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-09-01 00:00:00'
             GROUP BY l_returnflag
+        """,
+        "iceberg_bucket_pruned": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_custkey IN (11, 42, 77)
+            GROUP BY o_custkey
+            ORDER BY o_custkey
         """,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,

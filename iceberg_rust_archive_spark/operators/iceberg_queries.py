@@ -243,3 +243,34 @@ def iceberg_lineitem_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+BUCKET_SPEC = PartitionSpec(0, (PartitionField(2, 1000,
+                                               "o_custkey_bucket",
+                                               "bucket[8]"),))
+
+
+def iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-partitioned write + point-lookup pruning: orders hashed
+    into bucket[8](o_custkey) partitions (murmur3 of the Iceberg
+    single-value serialization — values.rs:360-364 semantics, verified
+    against reference vectors in tests/test_spec.py), then an equality
+    predicate prunes the scan to the single matching bucket before
+    Spark reads any file."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_bkt", ORDERS_SCHEMA, BUCKET_SPEC)
+        t.append(spark, _orders(spark, sf_dir))
+        keys = (11, 42, 77)
+        out = None
+        for k in keys:
+            df = t.scan(spark, filter=[Pred("o_custkey", "=", k)])
+            part = (df.filter(F.col("o_custkey") == k)
+                    .groupBy("o_custkey")
+                    .agg(F.count(F.lit(1)).alias("n_orders"),
+                         F.round(F.sum("o_totalprice"), 2).alias("total")))
+            out = part if out is None else out.unionByName(part)
+        out = out.orderBy("o_custkey")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
