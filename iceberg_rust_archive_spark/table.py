@@ -99,3 +99,52 @@ class Table:
         txn = self.new_transaction(branch).replace_files(files)
         txn.commit_with_retry(lambda t: t.replace_files(files))
         return self.refresh()
+
+
+def table_statistics(table: Table, branch: str | None = None,
+                     snapshot_id: int | None = None) -> dict:
+    """Fold per-file manifest stats into table-level statistics (A9:
+    datafusion_iceberg/src/statistics.rs:20-146 — row count, bytes,
+    per-column null counts and min/max bounds for the optimizer).
+
+    Driver-side metadata work only — no Spark job. Spark itself re-reads
+    parquet footers for its scans, so these feed OUR planning decisions
+    (e.g. `broadcast()` hints for small tables, file-count heuristics),
+    mirroring how the reference feeds DataFusion's CBO."""
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import CONTENT_DATA
+
+    md = table.metadata
+    snap = (md.snapshot_by_id(snapshot_id) if snapshot_id is not None
+            else md.current_snapshot(branch))
+    stats = {"record_count": 0, "file_count": 0, "total_bytes": 0,
+             "delete_file_count": 0, "delete_record_count": 0,
+             "columns": {}}
+    if snap is None:
+        return stats
+    schema = md.current_schema(branch)
+    by_id = {f.field_id: f.name for f in schema.fields}
+    for mle in read_manifest_list(snap.manifest_list):
+        for entry in read_manifest(mle.manifest_path):
+            f = entry.data_file
+            if f.content == CONTENT_DATA:
+                stats["record_count"] += f.record_count
+                stats["file_count"] += 1
+                stats["total_bytes"] += f.file_size_in_bytes
+            else:
+                stats["delete_file_count"] += 1
+                stats["delete_record_count"] += f.record_count
+                continue
+            for fid, name in by_id.items():
+                c = stats["columns"].setdefault(
+                    name, {"null_count": 0, "lower": None, "upper": None})
+                c["null_count"] += (f.null_value_counts or {}).get(fid, 0)
+                lo = (f.lower_bounds or {}).get(fid)
+                hi = (f.upper_bounds or {}).get(fid)
+                if lo is not None and (c["lower"] is None or lo < c["lower"]):
+                    c["lower"] = lo
+                if hi is not None and (c["upper"] is None or hi > c["upper"]):
+                    c["upper"] = hi
+    return stats

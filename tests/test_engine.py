@@ -170,3 +170,36 @@ def test_schema_evolution(spark, catalog):
     assert got[-1]["note"] == "hi"
     assert got[0]["note"] is None
     assert _sums(t, spark)[4] == 5
+
+
+def test_table_statistics(spark, catalog):
+    """A9 statistics provider: folded table-level stats must agree with
+    the actual data after multiple appends and deletes."""
+    from iceberg_rust_archive_spark.table import Table, table_statistics
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "double", True))))
+    t = Table.create(catalog, "db.statst", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (3, 3.5)], "k long, v double"))
+    t.append(spark, spark.createDataFrame(
+        [(10, 0.5)], "k long, v double"))
+
+    st = table_statistics(t)
+    assert st["record_count"] == 4
+    assert st["file_count"] >= 2
+    assert st["total_bytes"] > 0
+    assert st["columns"]["k"]["lower"] == 1
+    assert st["columns"]["k"]["upper"] == 10
+    assert st["columns"]["v"]["lower"] == 0.5
+    assert st["columns"]["v"]["upper"] == 3.5
+
+    t.delete_where_equal(
+        spark, spark.createDataFrame([(2,)], "k long"),
+        equality_columns=["k"])
+    st = table_statistics(t)
+    assert st["delete_file_count"] >= 1
+    assert st["delete_record_count"] == 1
