@@ -107,8 +107,11 @@ def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
     # join key = xxhash64(shingle): a fixed-width long shuffles and
     # compares far cheaper than the shingle string; collision odds at
     # 64 bits are ~(distinct_shingles)²/2^64 — immaterial
+    # cache = the reference's ForkNode (A25, fork_node.rs:34-160): the
+    # inverted index feeds three consumers (df_counts + both join sides);
+    # persisting it executes the shingle pipeline once
     sh = (exploded_shingles(d, n)
-          .select("doc_id", F.xxhash64("sh").alias("sh")))
+          .select("doc_id", F.xxhash64("sh").alias("sh"))).cache()
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)
                              .select("sh")), "sh")
@@ -168,7 +171,9 @@ def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shs", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
         .cast("long")))
     d = d.repartition("doc_id")
-    return d.select("doc_id", "shs", minhash_signature().alias("sig"))
+    # ForkNode analog (A25): sig feeds the bands self-join AND both
+    # verification joins — one execution, three consumers
+    return d.select("doc_id", "shs", minhash_signature().alias("sig")).cache()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
@@ -242,7 +247,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     d = _docs(spark, sf_dir).select(
         "doc_id", simhash16_col().alias("sig"))
     d = d.withColumn("hi", (F.col("sig") / 256).cast("int")) \
-         .withColumn("lo", (F.col("sig") % 256).cast("int"))
+         .withColumn("lo", (F.col("sig") % 256).cast("int")).cache()
     pairs = None
     for block in ("hi", "lo"):
         a, b = d.alias("a"), d.alias("b")
