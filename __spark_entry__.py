@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
     dedup, iceberg_queries, multimodal, relational, relational2,
-    similarity, text,
+    similarity, temporal, text,
 )
 
 
@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text.text_token_count,
         "text_fingerprint": text.text_fingerprint,
         "multimodal_features": multimodal.multimodal_features,
+        "asof_events_orders": temporal.asof_events_orders,
         **relational2.QUERIES,
     }
 
@@ -256,4 +257,5 @@ def oracle_sql() -> dict[str, str]:
         **text.ORACLE_SQL,
         **multimodal.ORACLE_SQL,
         **relational2.ORACLE_SQL,
+        **temporal.ORACLE_SQL,
     }

@@ -128,3 +128,43 @@ def test_decode_image_is_stubbed():
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_asof_join_semantics(spark):
+    from iceberg_rust_archive_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4")],
+        "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 20, "r20"), (2, 7, "r7")],
+        "k long, t long, val string")
+    out = {r.name: r.val_matched for r in asof_join(
+        left, right, key="k", left_time="t", right_time="t",
+        tiebreak="val").collect()}
+    assert out == {
+        "e1": "r10",   # inclusive: right at t=10 matches left at t=10
+        "e2": "r20",   # most recent preceding
+        "e3": None,    # right t=7 is after left t=5
+        "e4": None,    # key 3 has no right rows
+    }
+
+
+def test_range_join_binned(spark):
+    import datetime as dt
+    from iceberg_rust_archive_spark.operators.temporal import (
+        range_join_binned,
+    )
+    ts = dt.datetime
+    left = spark.createDataFrame(
+        [(1, ts(2020, 1, 2, 12), "a"), (1, ts(2020, 1, 9, 1), "b"),
+         (2, ts(2020, 1, 2, 0), "c")],
+        "k long, t timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, ts(2020, 1, 1), ts(2020, 1, 5), "w1"),
+         (1, ts(2020, 1, 8), ts(2020, 1, 10), "w2"),
+         (2, ts(2020, 1, 3), ts(2020, 1, 4), "w3")],
+        "k long, s timestamp, e timestamp, win string")
+    rows = range_join_binned(left, right, key="k", left_time="t",
+                             start="s", end="e").collect()
+    got = {(r.name, r.win) for r in rows}
+    assert got == {("a", "w1"), ("b", "w2")}
