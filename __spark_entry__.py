@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_semi_join": relational.anti_semi_join,
         "case_projection": relational.case_projection,
         "window_topn_per_group": relational.window_topn_per_group,
+        "events_percentiles": relational.events_percentiles,
+        "events_approx_distinct": relational.events_approx_distinct,
         "events_windowed_agg": lambda s, d: _rounded(
             relational.events_windowed_agg(s, d), {"sum_value": 2}
             ).withColumn("window_start", F.col("window_start").cast("string")),
@@ -187,6 +189,16 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM orders
             ) WHERE rn = 1
+        """,
+        # events_approx_distinct: deliberately NO oracle — HLL++ sketch
+        # estimates are engine-specific; the driver's rows-only check
+        # applies (exact_users column anchors correctness in tests)
+        "events_percentiles": """
+            SELECT event_type, count(*) AS n_events,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90
+            FROM events
+            GROUP BY event_type
         """,
         "events_windowed_agg": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -178,3 +178,30 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "sum_value")
             .orderBy("window_start", "event_type"))
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of event values per
+    type — the `percentile` exact aggregate (Spark) vs `quantile_cont`
+    (DuckDB oracle), both linear interpolation over the sorted set. At
+    scale exact percentiles force a per-group sort; the sketch
+    alternative is events_approx_distinct's companion
+    `approx_percentile` (not oracle-matchable by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"))
+            .orderBy("event_type"))
+
+
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type plus exact
+    distinct count for reference. The sketch column has NO DuckDB oracle
+    (different sketch impls give different estimates — the driver
+    records the weaker rows-only check); the exact column anchors it."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .orderBy("event_type"))
