@@ -92,12 +92,18 @@ def harvest_one(path: str, field_ids: dict[str, int],
 def harvest_files(spark, paths_with_partitions: list[tuple[str, dict]],
                   field_ids: dict[str, int], content: int = CONTENT_DATA,
                   equality_ids: tuple[int, ...] | None = None,
-                  distributed_threshold: int = 64) -> list[DataFile]:
-    """Harvest many footers; distributes to executors above the threshold."""
+                  distributed_threshold: int = 512) -> list[DataFile]:
+    """Harvest many footers; distributes to executors above the threshold.
+    Below it, a driver-side thread pool is faster than a Spark job —
+    footer reads are I/O + C parsing and release the GIL; the job
+    overhead (~1-2s) dwarfs a few hundred small footer reads."""
     items = paths_with_partitions
     if len(items) <= distributed_threshold or spark is None:
-        return [harvest_one(p, field_ids, part, content, equality_ids)
-                for p, part in items]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(16, max(len(items), 1))) as ex:
+            return list(ex.map(
+                lambda it: harvest_one(it[0], field_ids, it[1], content,
+                                       equality_ids), items))
     sc = spark.sparkContext
     n_slices = min(len(items), 256)
 
