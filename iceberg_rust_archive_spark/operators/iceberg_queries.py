@@ -173,7 +173,8 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _orders(spark, sf_dir).withColumn(
             "o_orderdate",
             F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
-        src.write.option("header", "false").csv(csv_dir)
+        src.repartition(spark.sparkContext.defaultParallelism) \
+           .write.option("header", "false").csv(csv_dir)
         from pyspark.sql.types import (
             DoubleType, LongType, StringType, StructField, StructType,
         )
