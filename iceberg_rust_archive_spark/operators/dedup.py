@@ -64,11 +64,18 @@ def words_col(col: str = "text"):
 
 def shingles_from_words(words: str = "ws", n: int = 3):
     """Distinct word n-gram shingles from a *materialized* words column
-    (lambda touches only the column reference — see module docstring)."""
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.lit(0), F.size(F.col(words)) - (n - 1))),
-        lambda i: F.concat_ws(" ", F.slice(F.col(words), i, n))))
+    (lambda touches only the column reference — see module docstring).
+
+    Docs with fewer than n words get an EMPTY array: Spark's
+    sequence(1, 0) counts DOWN ([1, 0]) instead of being empty like
+    DuckDB's generate_series, so the short-doc case needs the explicit
+    branch (found by hypothesis in tests/test_properties.py)."""
+    return F.when(
+        F.size(F.col(words)) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(F.col(words)) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col(words), i, n))))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingled(d: DataFrame, n: int = 3) -> DataFrame:

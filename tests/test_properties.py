@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the semantics most prone to
+subtle bugs: as-of matching, the inverted-index Jaccard pipeline, and
+the MV incremental-refresh invariant (refresh == full recompute) under
+random insert sequences. Spark jobs are slow per example, so example
+counts are deliberately small — shrinking still isolates minimal
+failing cases."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SLOW = settings(max_examples=6, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+
+@SLOW
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                  min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=0, max_size=15),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from iceberg_rust_archive_spark.operators.temporal import asof_join
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k long, t long, lid long")
+    # unique (k, t, rid) so the matched row is deterministic
+    rrows = [(k, t, i) for i, (k, t) in enumerate(right)]
+    rdf = spark.createDataFrame(rrows, "k long, t long, rid long") \
+        if rrows else spark.createDataFrame([], "k long, t long, rid long")
+
+    got = {r.lid: r.rid_matched for r in asof_join(
+        ldf, rdf, key="k", left_time="t", right_time="t",
+        tiebreak="rid").collect()}
+
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rid) for (rk, rt, rid) in rrows
+                 if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None  # latest t, rid tiebreak
+        assert got[i] == want, (i, k, t, cands)
+
+
+@SLOW
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12),
+    min_size=2, max_size=10))
+def test_ngram_jaccard_matches_set_math(spark, docs):
+    from iceberg_rust_archive_spark.operators.dedup import (
+        _shingle_pairs, shingles_from_words,
+    )
+    texts = [" ".join(words) for words in docs]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = _shingle_pairs(d, n=2).collect()
+    got = {(r.doc_a, r.doc_b):
+           r.shared / (r.na + r.nb - r.shared) for r in rows}
+
+    def shingles(words):
+        return {" ".join(words[i:i + 2]) for i in range(len(words) - 1)}
+
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            inter = len(sa & sb)
+            if inter == 0:
+                assert (a, b) not in got
+            else:
+                want = inter / len(sa | sb)
+                assert got[(a, b)] == pytest.approx(want), (a, b, sa, sb)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9),
+                           st.integers(-50, 50)),
+                 min_size=1, max_size=8),
+        min_size=2, max_size=3),
+)
+def test_mv_incremental_equals_full_recompute(spark, tmp_path_factory,
+                                              batches):
+    """After any sequence of appends, an incrementally-refreshed
+    aggregate MV must equal a from-scratch recompute of its SQL."""
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(
+        str(tmp_path_factory.mktemp("mvprop") / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (g BIGINT, k BIGINT, v BIGINT)")
+    q = ("SELECT g, sum(v) AS sv, count(k) AS ck, min(v) AS mn, "
+         "max(v) AS mx FROM db.t GROUP BY g")
+    eng.sql(f"CREATE MATERIALIZED VIEW db.mvp AS {q}")
+
+    for batch in batches:
+        vals = ", ".join(f"({g}, {k}, {v})" for g, k, v in batch)
+        eng.sql(f"INSERT INTO db.t VALUES {vals}")
+        eng.refresh_materialized_view("db.mvp")
+        mv = {tuple(r) for r in
+              eng.sql("SELECT g, sv, ck, mn, mx FROM db.mvp").collect()}
+        direct = {tuple(r) for r in eng.sql(q).collect()}
+        assert mv == direct, (batches, mv, direct)
