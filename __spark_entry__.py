@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_projection": relational.case_projection,
         "window_topn_per_group": relational.window_topn_per_group,
         "events_percentiles": relational.events_percentiles,
+        "events_histogram": relational.events_histogram,
+        "events_pivot": relational.events_pivot,
         "events_approx_distinct": relational.events_approx_distinct,
         "events_windowed_agg": lambda s, d: _rounded(
             relational.events_windowed_agg(s, d), {"sum_value": 2}
@@ -199,6 +201,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 4) AS p90
             FROM events
             GROUP BY event_type
+        """,
+        "events_histogram": """
+            SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+                   count(*) AS n,
+                   round(min(value), 2) AS lo, round(max(value), 2) AS hi
+            FROM events GROUP BY 1
+        """,
+        "events_pivot": """
+            SELECT CAST(user_id % 10 AS BIGINT) AS decile,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY 1
         """,
         "events_windowed_agg": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -205,3 +205,33 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("user_id").alias("approx_users"),
                  F.countDistinct("user_id").alias("exact_users"))
             .orderBy("event_type"))
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin = floor(value/50)) —
+    the binning pattern behind quantile sketches and heatmaps; one
+    narrow scan + one small aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("bin", F.floor(F.col("value") / 50).cast("long"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 2).alias("lo"),
+                 F.round(F.max("value"), 2).alias("hi"))
+            .orderBy("bin"))
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-decile event counts, one column per event type.
+    Spark's groupBy().pivot() with an EXPLICIT value list — at scale an
+    unlisted pivot needs a distinct-values pre-pass; listing the values
+    keeps it one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("decile", (F.col("user_id") % 10).cast("long"))
+            .groupBy("decile")
+            .pivot("event_type", list(EVENT_TYPES))
+            .agg(F.count(F.lit(1)))
+            .na.fill(0)
+            .orderBy("decile"))
