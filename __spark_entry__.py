@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_lineitem_partitioned":
             iceberg_queries.iceberg_lineitem_partitioned,
         "iceberg_bucket_pruned": iceberg_queries.iceberg_bucket_pruned,
+        "iceberg_truncate_pruned": iceberg_queries.iceberg_truncate_pruned,
         # training-data pipeline operators (documents/embeddings tables)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -280,6 +281,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (11, 42, 77)
             GROUP BY o_custkey
             ORDER BY o_custkey
+        """,
+        "iceberg_truncate_pruned": """
+            SELECT CAST(o_custkey % 100 AS BIGINT) AS ckey_mod,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey >= 200 AND o_custkey < 400
+            GROUP BY 1
+            ORDER BY 1
         """,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,

@@ -275,3 +275,29 @@ def iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+TRUNCATE_SPEC = PartitionSpec(0, (PartitionField(2, 1000,
+                                                 "o_custkey_trunc",
+                                                 "truncate[100]"),))
+
+
+def iceberg_truncate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate[100]-partitioned write + range pruning: truncate is
+    order-preserving (values.rs:365-376 — i - i.rem_euclid(w)), so a
+    custkey range predicate prunes to the covering truncated partitions
+    before any file is read."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_tr", ORDERS_SCHEMA, TRUNCATE_SPEC)
+        t.append(spark, _orders(spark, sf_dir))
+        df = t.scan(spark, filter=[Pred("o_custkey", ">=", 200),
+                                   Pred("o_custkey", "<", 400)])
+        out = (df.filter((F.col("o_custkey") >= 200)
+                         & (F.col("o_custkey") < 400))
+               .groupBy((F.col("o_custkey") % 100).alias("ckey_mod"))
+               .agg(F.count(F.lit(1)).alias("n_orders"))
+               .orderBy("ckey_mod"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
