@@ -151,6 +151,20 @@ class Engine:
         if m:
             return self._insert_sql(m.group(1), m.group(2))
 
+        m = re.match(r"delete\s+from\s+([\w.]+)\s+where\s+(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            # DML DELETE → equality-delete file over ALL columns of the
+            # matched rows (merge-on-read removes them; A16+A5). The
+            # reference only exposes deletes via its API — this is the
+            # SQL-shim surface on the same writer.
+            ident, pred = m.group(1), m.group(2)
+            rows = self._run_select(f"SELECT * FROM {ident} WHERE {pred}")
+            t = self.load_table(ident)
+            cols = [f.name for f in t.metadata.current_schema().fields]
+            t.delete_where_equal(self.spark, rows, cols)
+            return None
+
         m = re.match(
             r"select\s+refresh_materialized_view\s*\(\s*'([^']+)'\s*\)", low)
         if m:

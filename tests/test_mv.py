@@ -223,3 +223,13 @@ def test_tpch_q12_shaped_mv(engine):
     direct = {r["l_shipmode"]: (r["high_line_count"], r["low_line_count"])
               for r in engine.sql(q12).collect()}
     assert mv_rows() == direct
+
+
+def test_sql_delete_from(engine):
+    """DELETE FROM via the SQL shim → equality-delete merge-on-read."""
+    assert _sums(engine, "db.orders") == {1: 7, 2: 1, 3: 3}
+    engine.sql("DELETE FROM db.orders WHERE customer_id = 1")
+    # rows (1,1,1,·,1), (4,1,2,·,1), (5,1,1,·,2) removed
+    assert _sums(engine, "db.orders") == {1: 4, 3: 3}
+    engine.sql("DELETE FROM db.orders WHERE product_id = 3 AND quantity > 2")
+    assert _sums(engine, "db.orders") == {1: 4}
