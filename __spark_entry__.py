@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
     dedup, iceberg_queries, multimodal, relational, relational2,
-    similarity, temporal, text,
+    sampling, similarity, temporal, text,
 )
 
 
@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text.text_fingerprint,
         "multimodal_features": multimodal.multimodal_features,
         "asof_events_orders": temporal.asof_events_orders,
+        "dataset_split_summary": sampling.dataset_split_summary,
         **relational2.QUERIES,
     }
 
@@ -296,4 +297,5 @@ def oracle_sql() -> dict[str, str]:
         **multimodal.ORACLE_SQL,
         **relational2.ORACLE_SQL,
         **temporal.ORACLE_SQL,
+        **sampling.ORACLE_SQL,
     }

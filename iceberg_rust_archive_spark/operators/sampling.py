@@ -1,0 +1,74 @@
+"""Deterministic sampling / dataset-split operators.
+
+Training pipelines need *reproducible* sampling: the same row must land
+in the same split on every engine, every run, at any scale — which rules
+out engine RNGs (`df.sample` seeds don't survive repartitioning, and no
+two engines agree). The portable primitive is content hashing: bucket =
+md5(stable_key) mod N. One narrow projection, no shuffle until the
+final small aggregate; adding data never reassigns existing rows.
+
+- ``with_split``: train/val/test assignment from md5(doc_id) buckets.
+- ``dataset_split_summary``: per (source, split) accounting query.
+- ``hash_sample``: keep a deterministic p% of rows (same mechanism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 100
+VAL_PCT = 10
+TEST_PCT = 10
+
+
+def _hash_bucket(key: Column, buckets: int = SPLIT_BUCKETS) -> Column:
+    """md5-derived bucket in [0, buckets): engine-portable, stable."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def with_split(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    b = _hash_bucket(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < TEST_PCT, "test")
+         .when(b < TEST_PCT + VAL_PCT, "val")
+         .otherwise("train"))
+
+
+def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Deterministic ~pct% sample by content hash."""
+    return df.filter(_hash_bucket(F.col(key)) < pct)
+
+
+def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_rust_archive_spark.session import read_parallel
+    d = read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
+    return (with_split(d)
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("source", "split"))
+
+
+ORACLE_SQL = {
+    "dataset_split_summary": f"""
+        WITH s AS (
+          SELECT source, n_chars,
+                 CASE WHEN b < {TEST_PCT} THEN 'test'
+                      WHEN b < {TEST_PCT + VAL_PCT} THEN 'val'
+                      ELSE 'train' END AS split
+          FROM (
+            SELECT source, n_chars,
+                   ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT
+                     % {SPLIT_BUCKETS} AS b
+            FROM documents
+          )
+        )
+        SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        FROM s GROUP BY source, split
+    """,
+}
