@@ -46,16 +46,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WORDS = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
 
 
-def _marker_score(lang: str) -> str:
+def _marker_score(lang: str, words_src: str = _WORDS) -> str:
     words = ", ".join(f"'{w}'" for w in MARKERS[lang])
-    return f"size(filter({_WORDS}, w -> w IN ({words})))"
+    return f"size(filter({words_src}, w -> w IN ({words})))"
 
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of labeled vs predicted language."""
-    d = _docs(spark, sf_dir)
+    """Confusion matrix of labeled vs predicted language.
+
+    The words array is materialized once behind a repartition barrier;
+    otherwise each of the 5 marker scores (and their re-references in
+    the argmax CASE) re-splits the text per row (see PLANS.md finding 2
+    on CollapseProject)."""
+    d = (_docs(spark, sf_dir)
+         .withColumn("ws_arr", F.expr(_WORDS))
+         .repartition("lang"))
     for lang in MARKERS:
-        d = d.withColumn(f"s_{lang}", F.expr(_marker_score(lang)))
+        d = d.withColumn(f"s_{lang}", F.expr(_marker_score(lang, "ws_arr")))
     best = F.greatest(*[F.col(f"s_{lang}") for lang in MARKERS])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in sorted(MARKERS):  # deterministic tie-break: alphabetical

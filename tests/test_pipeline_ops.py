@@ -168,3 +168,30 @@ def test_range_join_binned(spark):
                              start="s", end="e").collect()
     got = {(r.name, r.win) for r in rows}
     assert got == {("a", "w1"), ("b", "w2")}
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from iceberg_rust_archive_spark.operators.skew import salted_agg
+    # heavy skew: 90% of rows share key 0
+    rows = [(0 if i % 10 else i % 7, float(i % 100), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v double, i long")
+    measures = {"n": ("count", "i"), "sv": ("sum", "v"),
+                "mn": ("min", "v"), "mx": ("max", "v")}
+    got = {r.k: (r.n, r.sv, r.mn, r.mx)
+           for r in salted_agg(df, ["k"], measures, salts=8).collect()}
+    want = {r.k: (r.n, r.sv, r.mn, r.mx) for r in
+            df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1])
+        assert got[k][2:] == want[k][2:]
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from iceberg_rust_archive_spark.operators.skew import salted_agg
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"a": ("avg", "v")})
