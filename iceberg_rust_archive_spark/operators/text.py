@@ -58,9 +58,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise each of the 5 marker scores (and their re-references in
     the argmax CASE) re-splits the text per row (see PLANS.md finding 2
     on CollapseProject)."""
+    # round-robin repartition: an optimizer barrier that PRESERVES the
+    # session parallelism (hashing on `lang` would collapse to 5
+    # partitions)
     d = (_docs(spark, sf_dir)
          .withColumn("ws_arr", F.expr(_WORDS))
-         .repartition("lang"))
+         .repartition(spark.sparkContext.defaultParallelism))
     for lang in MARKERS:
         d = d.withColumn(f"s_{lang}", F.expr(_marker_score(lang, "ws_arr")))
     best = F.greatest(*[F.col(f"s_{lang}") for lang in MARKERS])
