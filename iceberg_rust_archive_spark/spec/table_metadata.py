@@ -142,6 +142,17 @@ class TableMetadata:
 
     @staticmethod
     def from_json(d: dict) -> "TableMetadata":
+        # V1 compatibility shim (reference: table_metadata.rs:428-814):
+        # V1 docs carry singular `schema` / `partition-spec` and may omit
+        # the id-keyed maps; upgrade them to the V2 shape in memory.
+        if "schemas" not in d and "schema" in d:
+            s = dict(d["schema"])
+            s.setdefault("schema-id", d.get("current-schema-id", 0))
+            d = {**d, "schemas": [s], "current-schema-id": s["schema-id"]}
+        if "partition-specs" not in d:
+            fields = d.get("partition-spec", [])
+            d = {**d, "partition-specs": [
+                {"spec-id": d.get("default-spec-id", 0), "fields": fields}]}
         schemas = {s["schema-id"]: Schema.from_json(s) for s in d["schemas"]}
         specs = {s["spec-id"]: PartitionSpec.from_json(s)
                  for s in d["partition-specs"]}

@@ -172,3 +172,34 @@ def test_truncate():
     assert truncate_value(7, 5, "int") == 5
     assert truncate_value(-7, 5, "int") == -10  # rem_euclid semantics
     assert truncate_value("icebergs", 7, "string") == "iceberg"
+
+
+def test_v1_table_metadata_compat():
+    """V1 docs (singular schema / partition-spec, no id-keyed maps) must
+    load through the V1→V2 shim (table_metadata.rs:428-814)."""
+    from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+    v1 = {
+        "format-version": 1,
+        "table-uuid": "11111111-2222-3333-4444-555555555555",
+        "location": "/tmp/t",
+        "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "d", "type": "date", "required": False},
+        ]},
+        "partition-spec": [
+            {"source-id": 2, "field-id": 1000, "name": "d_day",
+             "transform": "day"},
+        ],
+        "properties": {},
+    }
+    md = TableMetadata.from_json(v1)
+    assert md.format_version == 1
+    assert md.current_schema().field_by_name("k").field_id == 1
+    spec = md.default_spec()
+    assert spec.fields[0].transform == "day"
+    assert spec.fields[0].source_id == 2
+    # and it re-serializes as a V2-shaped doc that round-trips
+    md2 = TableMetadata.from_json(md.to_json())
+    assert md2.current_schema().field_by_name("d").field_type == "date"
