@@ -83,12 +83,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_clusters": dedup.dedup_clusters,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_pairs": similarity.ann_lsh_pairs,
         "text_language_id": text.text_language_id,
         "text_quality_score": text.text_quality_score,
         "text_token_count": text.text_token_count,
         "text_fingerprint": text.text_fingerprint,
+        "text_tfidf_top_terms": text.text_tfidf_top_terms,
         "multimodal_features": multimodal.multimodal_features,
         "asof_events_orders": temporal.asof_events_orders,
         "dataset_split_summary": sampling.dataset_split_summary,

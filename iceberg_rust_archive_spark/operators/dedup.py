@@ -425,3 +425,70 @@ def _embedding_oracle() -> str:
 
 
 ORACLE_SQL["dedup_embedding_cosine"] = _embedding_oracle()
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    driver loop runs DataFrame rounds until a fixpoint (the
+    large-star/small-star family; each round is one groupBy shuffle on
+    vertex id). Returns (id, component) with component = min vertex id
+    reachable. Convergence needs O(log n) rounds on typical dedup
+    graphs; the driver only ever collects a single change-count."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(edges.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v"))))
+    labels = (sym.select("u").distinct()
+              .select("u", F.col("u").alias("component")))
+    for _ in range(max_iters):
+        labels = labels.cache()
+        nbr_min = (sym.join(labels.withColumnRenamed("u", "v")
+                            .withColumnRenamed("component", "nc"), "v")
+                   .groupBy("u").agg(F.min("nc").alias("nbr")))
+        updated = (labels.join(nbr_min, "u", "left")
+                   .select("u", F.least("component",
+                                        F.coalesce("nbr", "component"))
+                           .alias("component")).cache())
+        changed = (updated.join(labels.withColumnRenamed("component", "old"),
+                                "u")
+                   .filter(F.col("component") != F.col("old")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   threshold: float = 0.6) -> DataFrame:
+    """Near-duplicate CLUSTERS: n-gram Jaccard pairs → connected
+    components → per-cluster accounting (keep-one policy = min doc_id).
+    The iterative step is the one operator here that is not a single
+    SQL expression — the oracle uses DuckDB's recursive CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold)
+    comp = connected_components(pairs)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("u").alias("keep_id"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy("component"))
+
+
+ORACLE_SQL["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_SQL["dedup_ngram_jaccard"]}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach (u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    )
+    SELECT component, count(*) AS n_docs, min(u) AS keep_id
+    FROM comp GROUP BY component HAVING count(*) >= 2
+"""

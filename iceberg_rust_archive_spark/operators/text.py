@@ -207,3 +207,50 @@ ORACLE_SQL = {
         FROM f GROUP BY source
     """,
 }
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str,
+                         k: int = 3) -> DataFrame:
+    """Feature extraction: top-k TF-IDF terms per source.
+
+    tf(source, w) = term occurrences within the source's concatenated
+    docs; idf(w) = ln(n_sources / sources containing w). One explode →
+    one (source, word) aggregate → a broadcast-sized idf table → window
+    top-k. At 100 TB the explode shuffles on (source, word) — a
+    content-derived key with natural partial aggregation; idf is tiny
+    (vocabulary-sized) and broadcast."""
+    from pyspark.sql.window import Window
+    d = _docs(spark, sf_dir)
+    words = (d.withColumn("ws_arr", F.expr(_WORDS))
+             .select("source", F.explode("ws_arr").alias("w")))
+    tf = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_sources = d.select("source").distinct().count()
+    df_counts = (tf.groupBy("w")
+                 .agg(F.countDistinct("source").alias("n_src")))
+    scored = (tf.join(F.broadcast(df_counts), "w")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_sources))
+                                      / F.col("n_src")), 6)))
+    win = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("w"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("source", "w", "tfidf", "rank")
+            .orderBy("source", "rank"))
+
+ORACLE_SQL["text_tfidf_top_terms"] = f"""
+    WITH words AS (
+      SELECT source, unnest({_DWORDS}) AS w FROM documents
+    ),
+    tf AS (SELECT source, w, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfc AS (SELECT w, count(DISTINCT source) AS n_src FROM tf GROUP BY w),
+    ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+    scored AS (
+      SELECT source, w, round(tf * ln(ns.n::DOUBLE / n_src), 6) AS tfidf
+      FROM tf JOIN dfc USING (w) CROSS JOIN ns
+    )
+    SELECT source, w, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY tfidf DESC, w) AS rank FROM scored
+    ) WHERE rank <= 3
+"""

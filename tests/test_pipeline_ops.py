@@ -195,3 +195,15 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.createDataFrame([(1, 2.0)], "k long, v double")
     with pytest.raises(ValueError):
         salted_agg(df, ["k"], {"a": ("avg", "v")})
+
+
+def test_connected_components(spark):
+    from iceberg_rust_archive_spark.operators.dedup import (
+        connected_components,
+    )
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long")
+    got = {r.u: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
