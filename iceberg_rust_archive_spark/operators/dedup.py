@@ -436,24 +436,28 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     vertex id). Returns (id, component) with component = min vertex id
     reachable. Convergence needs O(log n) rounds on typical dedup
     graphs; the driver only ever collects a single change-count."""
+    # cache the symmetric edge list: every iteration joins against it,
+    # and without the cache each round re-runs the full upstream
+    # candidate-generation pipeline
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
-                                     F.col(src).alias("v"))))
+                                     F.col(src).alias("v")))).cache()
     labels = (sym.select("u").distinct()
               .select("u", F.col("u").alias("component")))
     for _ in range(max_iters):
-        labels = labels.cache()
         nbr_min = (sym.join(labels.withColumnRenamed("u", "v")
                             .withColumnRenamed("component", "nc"), "v")
                    .groupBy("u").agg(F.min("nc").alias("nbr")))
+        # old label rides along so the convergence check needs no extra
+        # join — one count() action over the same cached frame
         updated = (labels.join(nbr_min, "u", "left")
-                   .select("u", F.least("component",
-                                        F.coalesce("nbr", "component"))
+                   .select("u", F.col("component").alias("_old"),
+                           F.least("component",
+                                   F.coalesce("nbr", "component"))
                            .alias("component")).cache())
-        changed = (updated.join(labels.withColumnRenamed("component", "old"),
-                                "u")
-                   .filter(F.col("component") != F.col("old")).count())
-        labels = updated
+        changed = updated.filter(
+            F.col("component") != F.col("_old")).count()
+        labels = updated.drop("_old")
         if changed == 0:
             break
     return labels
@@ -465,7 +469,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     components → per-cluster accounting (keep-one policy = min doc_id).
     The iterative step is the one operator here that is not a single
     SQL expression — the oracle uses DuckDB's recursive CTE."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold)
+    # cache: the symmetric union in connected_components reads the pair
+    # list twice, which would re-run the whole shingle pipeline
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).cache()
     comp = connected_components(pairs)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_docs"),
