@@ -203,3 +203,23 @@ def test_table_statistics(spark, catalog):
     st = table_statistics(t)
     assert st["delete_file_count"] >= 1
     assert st["delete_record_count"] == 1
+
+
+def test_time_travel_as_of_ms(spark, catalog):
+    """Timestamp-based time travel (A35: snapshot_as_of_ms) — a
+    timestamp between two commits resolves to the first snapshot."""
+    import time
+    from iceberg_rust_archive_spark.table import Table
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),)))
+    t = Table.create(catalog, "db.asof", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(1,), (2,)], "k long"))
+    between_ms = int(time.time() * 1000)
+    time.sleep(0.05)
+    t.append(spark, spark.createDataFrame([(3,)], "k long"))
+
+    assert t.scan(spark).count() == 3
+    assert t.scan(spark, as_of_ms=between_ms).count() == 2
