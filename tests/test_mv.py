@@ -233,3 +233,36 @@ def test_sql_delete_from(engine):
     assert _sums(engine, "db.orders") == {1: 4, 3: 3}
     engine.sql("DELETE FROM db.orders WHERE product_id = 3 AND quantity > 2")
     assert _sums(engine, "db.orders") == {1: 4}
+
+
+def test_join_view_mv_incremental_append(engine):
+    """delta_queries/mod.rs:32-469: a plain JOIN view (no aggregate) —
+    incremental refresh must APPEND exactly the delta join terms
+    (δA⋈B ∪ A'⋈δB), not recompute the world."""
+    engine.sql("CREATE TABLE db.jl (orderkey BIGINT, qty DOUBLE)")
+    engine.sql("CREATE TABLE db.jo (orderkey BIGINT, st STRING)")
+    engine.sql("INSERT INTO db.jl VALUES (1, 2.0), (2, 3.0)")
+    engine.sql("INSERT INTO db.jo VALUES (1, 'O'), (2, 'F'), (3, 'O')")
+    engine.sql("CREATE MATERIALIZED VIEW db.jv AS "
+               "SELECT l.orderkey AS okey, l.qty AS qty, o.st AS st "
+               "FROM db.jl l JOIN db.jo o ON l.orderkey = o.orderkey")
+    engine.refresh_materialized_view("db.jv")
+
+    def rows():
+        return sorted(tuple(r) for r in
+                      engine.sql("SELECT okey, qty, st FROM db.jv").collect())
+
+    assert rows() == [(1, 2.0, "O"), (2, 3.0, "F")]
+
+    # grow BOTH sides; new lineitem 3 joins the PRE-EXISTING order 3,
+    # and new order 4 joins the NEW lineitem 4 — both delta terms fire
+    engine.sql("INSERT INTO db.jl VALUES (3, 5.0), (4, 7.0)")
+    engine.sql("INSERT INTO db.jo VALUES (4, 'P')")
+    from iceberg_rust_archive_spark.plans.mv import INCR_APPEND
+    assert engine.refresh_materialized_view("db.jv") == INCR_APPEND
+    assert rows() == [(1, 2.0, "O"), (2, 3.0, "F"), (3, 5.0, "O"),
+                      (4, 7.0, "P")]
+    # idempotent: refreshing again with no changes is a no-op
+    assert engine.refresh_materialized_view("db.jv") == "Fresh"
+    assert rows() == [(1, 2.0, "O"), (2, 3.0, "F"), (3, 5.0, "O"),
+                      (4, 7.0, "P")]
