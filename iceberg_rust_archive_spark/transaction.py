@@ -92,6 +92,12 @@ class Transaction:
         self._summary_extra[REFRESH_STATE_KEY] = refresh_state_json
         return self
 
+    def set_summary(self, key: str, value: str) -> "Transaction":
+        """Attach an arbitrary snapshot-summary entry (same mechanism the
+        MV refresh state uses; e.g. streaming sink batch ids)."""
+        self._summary_extra[key] = value
+        return self
+
     # --- commit ----------------------------------------------------------
     def commit(self) -> TableMetadata:
         md = self.base

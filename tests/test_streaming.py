@@ -109,3 +109,50 @@ def test_table_changes_stream(spark, tmp_path):
     assert df.count() == 1  # only the delta
     assert {r.k for r in df.collect()} == {3}
     assert snap2 != snap1
+
+
+def test_stream_to_iceberg_table_exactly_once(spark, events_dir, tmp_path):
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.streaming.ops import EVENTS_SCHEMA
+    from iceberg_rust_archive_spark.streaming.sink import (
+        last_committed_batch_id, write_stream_to_table,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "event_id", "long", True),
+        NestedField(2, "ts", "timestamp", True),
+        NestedField(3, "user_id", "long", True),
+        NestedField(4, "event_type", "string", True),
+        NestedField(5, "value", "double", True),
+    )))
+    t = Table.create(cat, "db.events_sink", schema, PartitionSpec(0, ()))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    q = (write_stream_to_table(stream, t, str(tmp_path / "ckpt"),
+                               spark=spark)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    n_src = spark.read.parquet(events_dir).count()
+    assert t.scan(spark).count() == n_src
+    last = last_committed_batch_id(t)
+    assert last is not None
+
+    # simulate a micro-batch REPLAY after restart: same batch id must be
+    # a no-op, so no duplicate rows land
+    t.refresh()
+    assert last_committed_batch_id(t) == last
+    writer = write_stream_to_table(stream, t, str(tmp_path / "ckpt2"),
+                                   spark=spark)
+    before = t.scan(spark).count()
+    # re-run the whole stream with a FRESH checkpoint but the table's
+    # batch watermark already at `last` — batch 0 is skipped
+    q2 = writer.trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+    t.refresh()
+    assert t.scan(spark).count() == before
