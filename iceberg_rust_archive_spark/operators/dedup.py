@@ -247,16 +247,20 @@ def simhash16_col(col: str = "text"):
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
                   max_hamming: int = 2) -> DataFrame:
-    """SimHash near-dup pairs with Hamming ≤ 2, blocked on byte halves:
-    2 bit-flips can touch at most 2 bytes, so for any pair within
-    Hamming ≤ 2 at least one of the two bytes is identical — joining on
-    (hi) ∪ (lo) finds every such pair without the n² cross join."""
+    """SimHash near-dup pairs with Hamming ≤ 2, blocked on THREE bit
+    blocks (6/5/5): by pigeonhole, ≤2 flips leave at least one of three
+    blocks untouched, so joining on (b0) ∪ (b1) ∪ (b2) finds every such
+    pair without the n² cross join. (Two byte-halves are NOT enough —
+    one flip per byte defeats them; caught by
+    tests/test_pipeline_ops.py::test_simhash_blocking_finds_all_pairs.)"""
     d = _docs(spark, sf_dir).select(
         "doc_id", simhash16_col().alias("sig"))
-    d = d.withColumn("hi", (F.col("sig") / 256).cast("int")) \
-         .withColumn("lo", (F.col("sig") % 256).cast("int")).cache()
+    d = (d.withColumn("b0", (F.col("sig") % 64).cast("int"))
+         .withColumn("b1", ((F.col("sig") / 64).cast("long") % 32)
+                     .cast("int"))
+         .withColumn("b2", (F.col("sig") / 2048).cast("int")).cache())
     pairs = None
-    for block in ("hi", "lo"):
+    for block in ("b0", "b1", "b2"):
         a, b = d.alias("a"), d.alias("b")
         p = (a.join(b, (F.col(f"a.{block}") == F.col(f"b.{block}"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -392,17 +396,22 @@ ORACLE_SQL = {
             FROM documents
           )
         ),
-        keyed AS (SELECT doc_id, sig, sig // 256 AS hi, sig % 256 AS lo
+        keyed AS (SELECT doc_id, sig, sig % 64 AS b0,
+                         (sig // 64) % 32 AS b1, sig // 2048 AS b2
                   FROM sigs),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.sig AS sa, b.sig AS sb
           FROM keyed a JOIN keyed b
-            ON a.hi = b.hi AND a.doc_id < b.doc_id
+            ON a.b0 = b.b0 AND a.doc_id < b.doc_id
           UNION
           SELECT a.doc_id, b.doc_id, a.sig, b.sig
           FROM keyed a JOIN keyed b
-            ON a.lo = b.lo AND a.doc_id < b.doc_id
+            ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id, a.sig, b.sig
+          FROM keyed a JOIN keyed b
+            ON a.b2 = b.b2 AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 2

@@ -207,3 +207,24 @@ def test_connected_components(spark):
         "doc_a long, doc_b long")
     got = {r.u: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_simhash_blocking_finds_all_pairs(spark):
+    """The byte-half blocking (join on hi-byte ∪ lo-byte) must find
+    EVERY pair within Hamming ≤ 2 — compare against the O(n²) cross
+    join at sf0.001."""
+    from iceberg_rust_archive_spark.operators.dedup import (
+        _docs, dedup_simhash, simhash16_col,
+    )
+    sigs = _docs(spark, SF_DIR).select(
+        "doc_id", simhash16_col().alias("sig")).collect()
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sigs[i], sigs[j]
+            if bin(a.sig ^ b.sig).count("1") <= 2:
+                pair = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                want.add(pair)
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup_simhash(spark, SF_DIR).collect()}
+    assert got == want
