@@ -223,3 +223,45 @@ def test_time_travel_as_of_ms(spark, catalog):
 
     assert t.scan(spark).count() == 3
     assert t.scan(spark, as_of_ms=between_ms).count() == 2
+
+
+def test_compact_table(spark, catalog):
+    """Compaction: many small commits + deletes → one rewrite that
+    shrinks the file count, absorbs delete files, and preserves data."""
+    from iceberg_rust_archive_spark.maintenance import compact_table
+    t = _mk_table(catalog, "orders_cmp", spec=PartitionSpec(0, ()))
+    for r in BATCH1:  # one commit per row → many small files
+        t.append(spark, spark.createDataFrame([r], COLS))
+    t.delete_where_equal(
+        spark, spark.createDataFrame([r for r in BATCH1 if r[1] == 1], COLS),
+        ["id", "customer_id", "product_id", "date"])
+    before = _sums(t, spark)
+    assert before == {1: 4, 3: 3}
+    n_files_before = len(t.scan(spark).inputFiles())
+
+    t = compact_table(spark, t)
+    assert _sums(t, spark) == before
+    assert len(t.scan(spark).inputFiles()) < n_files_before
+    # delete files absorbed: current snapshot carries data files only
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    snap = t.metadata.current_snapshot()
+    entries = [e for m in read_manifest_list(snap.manifest_list)
+               for e in read_manifest(m.manifest_path)]
+    assert all(e.data_file.content == 0 for e in entries)
+
+
+def test_expire_snapshots(spark, catalog):
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+    import time as _time
+    t = _mk_table(catalog, "orders_exp", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    cutoff = int(_time.time() * 1000) + 10_000  # everything is "old"
+    assert len(t.metadata.snapshots) == 2
+    t = expire_snapshots(t, cutoff)
+    # current snapshot survives; history entry dropped
+    assert len(t.metadata.snapshots) == 1
+    assert t.metadata.current_snapshot() is not None
+    assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
