@@ -74,6 +74,28 @@ SQL: dict[str, str] = {
         GROUP BY n_name, year(o_orderdate)
         ORDER BY n_name, o_year
     """,
+    # q8-like: market share — conditional share of a nation's revenue
+    # within each order year (ratio of conditional to total sums)
+    "q8_market_share": """
+        SELECT o_year,
+               round(CAST(sum(CAST(CASE WHEN n_name = 'NATION_2'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END AS DECIMAL(28,10))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year, n_name,
+                 l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
     # q10-like: top customers by revenue — agg + orderBy + limit
     "q10_top_customers": """
         SELECT c_custkey, c_name,

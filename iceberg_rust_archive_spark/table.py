@@ -148,3 +148,24 @@ def table_statistics(table: Table, branch: str | None = None,
                 if hi is not None and (c["upper"] is None or hi > c["upper"]):
                     c["upper"] = hi
     return stats
+
+
+def create_tag(table: Table, name: str,
+               snapshot_id: int | None = None) -> Table:
+    """Pin a named TAG ref to a snapshot (SnapshotReference type 'tag',
+    snapshot.rs:258-297). Tags are immutable read pointers: scans resolve
+    them exactly like branches (`scan(branch=<tag>)`), but append paths
+    refuse to advance them."""
+    import dataclasses
+    from iceberg_rust_archive_spark.spec.snapshot import SnapshotReference
+    md = table.metadata
+    sid = snapshot_id if snapshot_id is not None \
+        else md.current_snapshot().snapshot_id
+    if md.snapshot_by_id(sid) is None:
+        raise ValueError(f"no snapshot {sid}")
+    new_refs = dict(md.refs)
+    new_refs[name] = SnapshotReference(sid, "tag")
+    new_md = dataclasses.replace(md, refs=new_refs)
+    table.catalog.update_tabular(table.identifier, new_md,
+                                 table.metadata_location)
+    return table.refresh()

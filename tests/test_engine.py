@@ -265,3 +265,16 @@ def test_expire_snapshots(spark, catalog):
     assert len(t.metadata.snapshots) == 1
     assert t.metadata.current_snapshot() is not None
     assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
+
+
+def test_tag_refs(spark, catalog):
+    """Tags pin snapshots by name (snapshot.rs:258-297): reads through a
+    tag stay frozen while main advances."""
+    from iceberg_rust_archive_spark.table import create_tag
+    t = _mk_table(catalog, "orders_tag", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = create_tag(t, "v1")
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
+    assert _sums(t, spark, branch="v1") == {1: 7, 2: 1, 3: 3}
+    assert t.metadata.refs["v1"].ref_type == "tag"
