@@ -92,10 +92,21 @@ class SourceState:
         self.old_snapshot_id = old_snapshot_id
         self.fresh = (old_snapshot_id is not None
                       and old_snapshot_id == self.current_snapshot_id)
-        # old snapshot vanished / never refreshed → Invalid → full recompute
+        # Invalid → full recompute when (a) the old snapshot vanished, or
+        # (b) any commit since it was NOT a pure append (delete/overwrite):
+        # the incremental rules assume append-only deltas (mod.rs:291-358;
+        # the reference's delta scan likewise only reads added data files)
+        old = (table.metadata.snapshot_by_id(old_snapshot_id)
+               if old_snapshot_id is not None else None)
+        non_append_since = False
+        if old is not None:
+            for s in table.metadata.snapshots.values():
+                if (s.sequence_number > old.sequence_number
+                        and s.summary.get("operation") != "append"):
+                    non_append_since = True
+                    break
         self.invalid = (old_snapshot_id is not None
-                        and table.metadata.snapshot_by_id(old_snapshot_id)
-                        is None)
+                        and (old is None or non_append_since))
 
 
 def _view_name(identifier: str, suffix: str) -> str:

@@ -266,3 +266,30 @@ def test_join_view_mv_incremental_append(engine):
     assert engine.refresh_materialized_view("db.jv") == "Fresh"
     assert rows() == [(1, 2.0, "O"), (2, 3.0, "F"), (3, 5.0, "O"),
                       (4, 7.0, "P")]
+
+
+def test_mv_full_refresh_after_source_delete(engine):
+    """A source-table DELETE between refreshes must force a FULL
+    recompute — the incremental delta rules assume append-only sources
+    (mod.rs:291-358 invalidation)."""
+    engine.sql("CREATE MATERIALIZED VIEW db.dmv AS "
+               "SELECT product_id, sum(quantity) AS q FROM db.orders "
+               "GROUP BY product_id")
+    engine.refresh_materialized_view("db.dmv")
+    got = {r[0]: r[1] for r in
+           engine.sql("SELECT product_id, q FROM db.dmv").collect()}
+    assert got == {1: 7, 2: 1, 3: 3}
+
+    engine.sql("DELETE FROM db.orders WHERE customer_id = 1")
+    assert engine.refresh_materialized_view("db.dmv") == FULL
+    got = {r[0]: r[1] for r in
+           engine.sql("SELECT product_id, q FROM db.dmv").collect()}
+    assert got == {1: 4, 3: 3}
+
+    # append-only changes afterwards go back to incremental
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7, 2, 1, DATE '2020-01-03', 2)")
+    assert engine.refresh_materialized_view("db.dmv") == INCR_AGG
+    got = {r[0]: r[1] for r in
+           engine.sql("SELECT product_id, q FROM db.dmv").collect()}
+    assert got == {1: 6, 3: 3}
