@@ -17,6 +17,14 @@ Coverage added here (beyond relational.py's q1/q3/q5/q6/q12 etc.):
 - IN (GROUP BY ... HAVING) membership                   (q18)
 - disjunctive multi-predicate join filter               (q19-like)
 - ORDER BY + LIMIT top-k over aggregate                 (q10-like)
+- correlated MIN subquery over derived cost relation    (q2-like)
+- threshold HAVING vs scalar subquery of same aggregate (q11-like)
+- nested IN subqueries over aggregated derived tables   (q20-like)
+- double-correlated EXISTS / NOT EXISTS on fact table   (q21-like)
+
+With these, all 22 TPC-H query shapes have an adapted counterpart
+(partsupp-dependent ones derive the part-supplier relation from
+lineitem; q21's receipt/commit dates map to the returnflag marker).
 
 The SQL is written in the ANSI subset where Spark SQL and DuckDB agree
 (timestamp literals, round/substring/year, subqueries), so ONE text is
@@ -217,6 +225,111 @@ SQL: dict[str, str] = {
           )
         GROUP BY substring(c_name, 17, 2)
         ORDER BY cntrycode
+    """,
+    # q2-like: minimum-cost supplier per part in a region — correlated
+    # scalar MIN subquery against a derived part-supplier cost relation
+    # (the testdata has no partsupp table, so per-(part,supplier) unit
+    # cost is derived from lineitem, mirroring q16's adaptation)
+    "q2_min_cost_supplier": """
+        WITH supply AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(l_extendedprice / l_quantity) AS ps_supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               CAST(round(CAST(ps_supplycost AS DECIMAL(28,10)), 2)
+                    AS DOUBLE) AS supplycost
+        FROM part
+        JOIN supply   ON p_partkey = ps_partkey
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size <= 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT min(s2.ps_supplycost)
+            FROM supply s2
+            JOIN supplier sp2 ON s2.ps_suppkey = sp2.s_suppkey
+            JOIN nation n2 ON sp2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE s2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_name, p_partkey
+    """,
+    # q11-like: important-stock identification — HAVING-style threshold
+    # against a scalar subquery over the same aggregate (DECIMAL sums so
+    # both engines compare exactly; the 0.001 literal is decimal in both)
+    "q11_important_stock": """
+        WITH supply_value AS (
+          SELECT l_partkey AS ps_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_1'
+          GROUP BY l_partkey
+        )
+        SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+        FROM supply_value
+        WHERE value > (SELECT sum(value) * 0.001 FROM supply_value)
+        ORDER BY ps_partkey
+    """,
+    # q20-like: suppliers shipping an outsized share of a part's demand
+    # — nested IN subqueries over aggregated derived tables (partsupp
+    # availability replaced by shipped-quantity share)
+    "q20_excess_share_suppliers": """
+        WITH part_demand AS (
+          SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(28,10))) AS total_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_partkey
+        ),
+        supp_part AS (
+          SELECT l_suppkey, l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(28,10))) AS supp_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT sp.l_suppkey FROM supp_part sp
+          JOIN part_demand pd ON sp.l_partkey = pd.l_partkey
+          WHERE sp.l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'red%')
+            AND sp.supp_qty > 0.8 * pd.total_qty
+        )
+        ORDER BY s_name
+    """,
+    # q21-like: suppliers who were the sole returned-flag supplier on a
+    # multi-supplier finished order — double-correlated EXISTS and
+    # NOT EXISTS on the fact table (l_receiptdate/l_commitdate are not
+    # in the reduced schema; l_returnflag = 'R' stands in as the
+    # "kept waiting" marker)
+    "q21_waiting_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
 }
 
