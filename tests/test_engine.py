@@ -172,6 +172,31 @@ def test_schema_evolution(spark, catalog):
     assert _sums(t, spark)[4] == 5
 
 
+def test_schema_evolution_rename_and_drop(spark, catalog):
+    """Renames resolve by field id, never name (types.rs:376-389,
+    SURVEY §1.2): files written under the old column name must surface
+    under the new name; a dropped column disappears from scans while
+    old files still carry it."""
+    t = _mk_table(catalog, "orders_ren", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    # rename amount -> total (field id 5 unchanged)
+    renamed = Schema(1, StructTypeSpec(
+        ORDERS_SCHEMA.fields[:4] + (NestedField(5, "total", "int", True),)))
+    t.new_transaction().update_schema(renamed).commit()
+    t.refresh()
+    got = t.scan(spark)
+    assert got.columns == ["id", "customer_id", "product_id", "date", "total"]
+    assert {r["id"]: r["total"] for r in got.collect()}[3] == 3
+    # drop the date column (field id 4); old files keep it on disk
+    dropped = Schema(2, StructTypeSpec(
+        ORDERS_SCHEMA.fields[:3] + (NestedField(5, "total", "int", True),)))
+    t.new_transaction().update_schema(dropped).commit()
+    t.refresh()
+    got = t.scan(spark)
+    assert got.columns == ["id", "customer_id", "product_id", "total"]
+    assert got.count() == len(BATCH1)
+
+
 def test_table_statistics(spark, catalog):
     """A9 statistics provider: folded table-level stats must agree with
     the actual data after multiple appends and deletes."""
