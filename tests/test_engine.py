@@ -292,6 +292,32 @@ def test_expire_snapshots(spark, catalog):
     assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
 
 
+def test_remove_orphan_files(spark, catalog):
+    """Orphans (written but never committed — lost CAS race) are swept;
+    referenced files and too-recent files survive."""
+    from iceberg_rust_archive_spark.maintenance import remove_orphan_files
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    import time as _time
+    t = _mk_table(catalog, "orders_orphan", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    # write files without committing them — orphans by construction
+    orphans = write_datafiles(spark, t.metadata,
+                              spark.createDataFrame(BATCH2, COLS))
+    orphan_paths = [f.file_path.replace("file:", "") for f in orphans]
+    assert all(os.path.exists(p) for p in orphan_paths)
+
+    # a cutoff in the past protects the fresh orphans
+    assert remove_orphan_files(t, older_than_ms=0) == []
+    # a future cutoff sweeps them
+    removed = remove_orphan_files(
+        t, older_than_ms=int(_time.time() * 1000) + 10_000)
+    # swept: the orphan parquet files (plus _SUCCESS/.crc markers, which
+    # no manifest ever references)
+    assert sorted(p for p in removed if p.endswith(".parquet")) == sorted(
+        os.path.abspath(p) for p in orphan_paths)
+    assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+
+
 def test_tag_refs(spark, catalog):
     """Tags pin snapshots by name (snapshot.rs:258-297): reads through a
     tag stay frozen while main advances."""
