@@ -436,6 +436,9 @@ def _embedding_oracle() -> str:
 ORACLE_SQL["dedup_embedding_cosine"] = _embedding_oracle()
 
 
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
                          max_iters: int = 20) -> DataFrame:
@@ -444,13 +447,44 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     large-star/small-star family; each round is one groupBy shuffle on
     vertex id). Returns (id, component) with component = min vertex id
     reachable. Convergence needs O(log n) rounds on typical dedup
-    graphs; the driver only ever collects a single change-count."""
+    graphs; the driver only ever collects a single change-count.
+
+    Fast path: after candidate generation + verification the edge list
+    is usually a tiny fraction of the corpus (only near-duplicate
+    pairs). Below DRIVER_CC_MAX_EDGES the edges are collected and
+    union-find runs on the driver in O(E·α) — one action instead of
+    O(log n) rounds of two shuffles each. Above the guard, the
+    distributed loop runs; both paths produce component = min reachable
+    id, so the output is identical."""
     # cache the symmetric edge list: every iteration joins against it,
     # and without the cache each round re-runs the full upstream
     # candidate-generation pipeline
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))).cache()
+    n_edges = sym.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:        # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        pairs = sym.collect()
+        for r in pairs:
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:                        # union by min root id
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        verts = {v for r in pairs for v in (r["u"], r["v"])}
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(v, find(v)) for v in sorted(verts)], ["u", "component"])
     labels = (sym.select("u").distinct()
               .select("u", F.col("u").alias("component")))
     for _ in range(max_iters):

@@ -207,6 +207,17 @@ def test_connected_components(spark):
         "doc_a long, doc_b long")
     got = {r.u: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # force the distributed label-propagation path (edge count above the
+    # driver union-find guard) — must agree with the fast path
+    from iceberg_rust_archive_spark.operators import dedup as _d
+    old = _d.DRIVER_CC_MAX_EDGES
+    _d.DRIVER_CC_MAX_EDGES = 0
+    try:
+        dist = {r.u: r.component
+                for r in connected_components(edges).collect()}
+    finally:
+        _d.DRIVER_CC_MAX_EDGES = old
+    assert dist == got
 
 
 def test_simhash_blocking_finds_all_pairs(spark):
