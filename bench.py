@@ -43,6 +43,10 @@ def main():
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        # isolate queries: cached frames from one query otherwise pile
+        # up and evict the NEXT query's own caches mid-run, so late
+        # queries measure recompute thrash instead of plan cost
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "total_query_time", "value": total,

@@ -462,8 +462,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))).cache()
-    n_edges = sym.count()
-    if n_edges <= DRIVER_CC_MAX_EDGES:
+    # ONE action decides the path and fetches the edges: limit(N+1)
+    # either returns every edge (small graph → driver union-find) or
+    # proves the graph is big (fall through to the distributed loop).
+    # A separate count()+collect() would run the upstream candidate
+    # pipeline twice whenever the cache is under memory pressure.
+    probe = sym.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= DRIVER_CC_MAX_EDGES:
         parent: dict = {}
 
         def find(x):
@@ -474,7 +479,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                 parent[x], x = root, parent[x]
             return root
 
-        pairs = sym.collect()
+        pairs = probe
         for r in pairs:
             ru, rv = find(r["u"]), find(r["v"])
             if ru != rv:                        # union by min root id

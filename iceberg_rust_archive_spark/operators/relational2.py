@@ -257,7 +257,9 @@ SQL: dict[str, str] = {
     """,
     # q11-like: important-stock identification — HAVING-style threshold
     # against a scalar subquery over the same aggregate (DECIMAL sums so
-    # both engines compare exactly; the 0.001 literal is decimal in both)
+    # both engines compare exactly; the multiplier literal is decimal in
+    # both). TPC-H uses sum(value)*fraction with the fraction tied to SF;
+    # an avg-relative threshold keeps the query selective at every SF
     "q11_important_stock": """
         WITH supply_value AS (
           SELECT l_partkey AS ps_partkey,
@@ -270,7 +272,7 @@ SQL: dict[str, str] = {
         )
         SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
         FROM supply_value
-        WHERE value > (SELECT sum(value) * 0.001 FROM supply_value)
+        WHERE value > (SELECT 1.5 * avg(value) FROM supply_value)
         ORDER BY ps_partkey
     """,
     # q20-like: suppliers shipping an outsized share of a part's demand

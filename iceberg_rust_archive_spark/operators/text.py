@@ -66,6 +66,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
          .repartition(spark.sparkContext.defaultParallelism))
     for lang in MARKERS:
         d = d.withColumn(f"s_{lang}", F.expr(_marker_score(lang, "ws_arr")))
+    # second barrier carrying ONLY (lang, 5 ints): the argmax below
+    # references every score 3× (greatest + compare + CASE), and without
+    # an exchange CollapseProject re-inlines the marker filter() into
+    # each reference — 15 array scans per row instead of 5
+    d = (d.select("lang", *[f"s_{lang}" for lang in MARKERS])
+         .repartition(spark.sparkContext.defaultParallelism))
     best = F.greatest(*[F.col(f"s_{lang}") for lang in MARKERS])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in sorted(MARKERS):  # deterministic tie-break: alphabetical
