@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write → commit → pruned scan paths before aggregation
         "iceberg_roundtrip_agg": iceberg_queries.iceberg_roundtrip_agg,
         "iceberg_equality_delete": iceberg_queries.iceberg_equality_delete,
+        "iceberg_schema_evolution": iceberg_queries.iceberg_schema_evolution,
         "iceberg_time_travel": iceberg_queries.iceberg_time_travel,
         "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
         "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
@@ -276,6 +277,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-09-01 00:00:00'
             GROUP BY l_returnflag
+        """,
+        "iceberg_schema_evolution": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         "iceberg_bucket_pruned": """
             SELECT o_custkey, count(*) AS n_orders,

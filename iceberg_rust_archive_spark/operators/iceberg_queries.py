@@ -65,6 +65,34 @@ def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append half the orders, rename o_totalprice → price by field id
+    (AddSchema/SetCurrentSchema, commit.rs:94,416), append the rest
+    under the new name, scan: files from BOTH schema versions must
+    resolve through field id 4 into one column (SURVEY §1.2)."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_evo", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        t.append(spark, src.filter(F.col("o_orderkey") % 2 == 0))
+        renamed = Schema(1, StructTypeSpec(tuple(
+            f if f.field_id != 4
+            else NestedField(4, "price", "double", True)
+            for f in ORDERS_SCHEMA.fields)))
+        t.new_transaction().update_schema(renamed).commit()
+        t.refresh()
+        t.append(spark, src.filter(F.col("o_orderkey") % 2 == 1)
+                 .withColumnRenamed("o_totalprice", "price"))
+        out = (t.scan(spark).groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("price"), 2).alias("total_price"))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append all orders, equality-delete customers with
     ``o_custkey % 10 == 3`` (A16+A5), aggregate the survivors."""
