@@ -48,17 +48,23 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     column except the key, ``<col><suffix>`` from the matched row (null
     when no right row precedes the left row)."""
     rcols = [c for c in right.columns if c != key]
+    # the tiebreak keeps its NATIVE type: casting to string would order
+    # numeric ids lexicographically ("9" > "10") and pick the wrong row
+    # whenever ten or more right rows share a timestamp (caught by
+    # hypothesis in test_asof_join_matches_bruteforce)
     r = right.select(
         F.col(key).alias("_k"), F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
-        (F.col(tiebreak).cast("string") if tiebreak
-         else F.lit("")).alias("_tb"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
         F.struct(*[F.col(c) for c in rcols]).alias("_rp"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns])
     lf = left.select(
         F.col(key).alias("_k"), F.col(left_time).alias("_t"),
-        F.lit(1).alias("_tag"), F.lit("").alias("_tb"),
+        # left rows sort after right rows at equal _t via _tag, so their
+        # tiebreak value never matters — null keeps the type aligned
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
         F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns])
     u = r.unionByName(lf)
