@@ -34,13 +34,144 @@ def _rounded(df: DataFrame, cols: dict[str, int]) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Combined entries. The driver's correctness harness records at most 50
+# rows, so closely-related operators share one labeled-union entry — BOTH
+# component pipelines still execute and oracle-check (the union is of the
+# two full result sets, tagged by a label column), nothing is dropped.
+# ---------------------------------------------------------------------------
+
+def _iceberg_transform_pruned(s: SparkSession, d: str) -> DataFrame:
+    """bucket[16] + truncate[100] partition pruning (A11/A2), one entry."""
+    b = iceberg_queries.iceberg_bucket_pruned(s, d).select(
+        F.lit("bucket").alias("transform"),
+        F.col("o_custkey").alias("key"), "n_orders",
+        F.col("total").cast("double").alias("total"))
+    t = iceberg_queries.iceberg_truncate_pruned(s, d).select(
+        F.lit("truncate").alias("transform"),
+        F.col("ckey_mod").alias("key"), "n_orders",
+        F.lit(None).cast("double").alias("total"))
+    return b.unionByName(t)
+
+
+def _iceberg_snapshot_reads(s: SparkSession, d: str) -> DataFrame:
+    """time travel (A35) + incremental seq-range read (A4), one entry."""
+    tt = iceberg_queries.iceberg_time_travel(s, d).select(
+        F.lit("as_of").alias("mode"), "o_orderstatus", "n_orders",
+        F.col("total").cast("double").alias("total"))
+    inc = iceberg_queries.iceberg_incremental_read(s, d).select(
+        F.lit("incremental").alias("mode"), "o_orderstatus", "n_orders",
+        F.lit(None).cast("double").alias("total"))
+    return tt.unionByName(inc)
+
+
+def _events_value_stats(s: SparkSession, d: str) -> DataFrame:
+    """exact percentiles + fixed-width histogram over events.value."""
+    p = relational.events_percentiles(s, d).select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("grp"),
+        F.col("n_events").alias("n"),
+        F.col("p50").alias("lo"), F.col("p90").alias("hi"))
+    h = relational.events_histogram(s, d).select(
+        F.concat(F.lit("bin:"), F.col("bin").cast("string")).alias("grp"),
+        "n", "lo", "hi")
+    return p.unionByName(h)
+
+
+def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
+    """quality scoring (per source) + token counting (per lang)."""
+    q = text.text_quality_score(s, d).select(
+        F.concat(F.lit("src:"), F.col("source")).alias("grp"),
+        F.col("n_docs").alias("c1"), F.col("n_low_quality").alias("c2"),
+        F.col("avg_score").alias("avg_stat"))
+    t = text.text_token_count(s, d).select(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("grp"),
+        F.col("sum_ws_tokens").alias("c1"),
+        F.col("sum_bpe_tokens").alias("c2"),
+        F.col("avg_bpe_tokens").alias("avg_stat"))
+    return q.unionByName(t)
+
+
+def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
+    """union+distinct and anti-join NOT IN, one entry."""
+    u = relational.distinct_union(s, d).select(
+        F.lit("distinct_custkey").alias("op"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n"))
+    a = relational.anti_semi_join(s, d).select(
+        F.lit("no_urgent_segment").alias("op"),
+        F.col("c_mktsegment").alias("key"),
+        F.col("n_customers").alias("n"))
+    return u.unionByName(a)
+
+
+def _dedup_shingle_pairs(s: SparkSession, d: str) -> DataFrame:
+    """n-gram Jaccard pairs + MinHash-LSH pairs, tagged by method."""
+    j = dedup.dedup_ngram_jaccard(s, d).select(
+        F.lit("jaccard3").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("sim"))
+    m = dedup.dedup_minhash_lsh(s, d).select(
+        F.lit("minhash").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("sim"))
+    return j.unionByName(m)
+
+
+def _embedding_near_pairs(s: SparkSession, d: str) -> DataFrame:
+    """sign-LSH near-neighbor pairs + the embedding-cosine dedup view."""
+    p = similarity.ann_lsh_pairs(s, d).select(
+        F.lit("lsh").alias("method"), F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"), "cosine")
+    e = dedup.dedup_embedding_cosine(s, d).select(
+        F.lit("embdedup").alias("method"), F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"), "cosine")
+    return p.unionByName(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """50 entries (the driver's correctness harness records at most 50
+    rows), ordered least-proven-first so a truncated run still covers
+    everything that lacked a green row last round."""
+    r2 = relational2.QUERIES
     return {
+        # --- no correctness row in round 1 (fell past the 50-row cap) ---
+        "q2_min_cost_supplier": r2["q2_min_cost_supplier"],
+        "q11_important_stock": r2["q11_important_stock"],
+        "q18_large_orders": r2["q18_large_orders"],
+        "q19_discounted_revenue": r2["q19_discounted_revenue"],
+        "q20_excess_share_suppliers": r2["q20_excess_share_suppliers"],
+        "q21_waiting_suppliers": r2["q21_waiting_suppliers"],
+        "q22_global_sales_opportunity": r2["q22_global_sales_opportunity"],
+        # --- err in round 1 (vanilla-session nanos crash, now fixed) ----
+        "events_value_stats": _events_value_stats,
+        "events_pivot": relational.events_pivot,
+        "events_approx_distinct": relational.events_approx_distinct,
+        "events_windowed_agg": lambda s, d: _rounded(
+            relational.events_windowed_agg(s, d), {"sum_value": 2}
+            ).withColumn("window_start", F.col("window_start").cast("string")),
+        "asof_events_orders": temporal.asof_events_orders,
+        "q4_order_priority_exists": r2["q4_order_priority_exists"],
+        "q7_nation_volume": r2["q7_nation_volume"],
+        "q8_market_share": r2["q8_market_share"],
+        "q9_profit_by_nation_year": r2["q9_profit_by_nation_year"],
+        "q10_top_customers": r2["q10_top_customers"],
+        "q13_customer_distribution": r2["q13_customer_distribution"],
+        "q14_promo_revenue": r2["q14_promo_revenue"],
+        "q15_top_supplier": r2["q15_top_supplier"],
+        "q16_part_supplier_counts": r2["q16_part_supplier_counts"],
+        "q17_small_quantity_revenue": r2["q17_small_quantity_revenue"],
+        # --- hash-mismatch in round 1 (type pinning fixed) --------------
+        "q12_shipmode": relational.q12_shipmode,
+        "case_projection": relational.case_projection,
+        "iceberg_schema_evolution": iceberg_queries.iceberg_schema_evolution,
+        "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
+        "text_quality_tokens": _text_quality_tokens,
+        "multimodal_features": multimodal.multimodal_features,
+        "dataset_split_summary": sampling.dataset_split_summary,
+        # --- green in round 1 -------------------------------------------
         "q1_pricing_summary": lambda s, d: _rounded(
             relational.q1_pricing_summary(s, d),
             {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
@@ -53,53 +184,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.q5_local_supplier_volume(s, d), {"revenue": 2}),
         "q6_forecast_revenue": lambda s, d: _rounded(
             relational.q6_forecast_revenue(s, d), {"revenue": 2}),
-        "q12_shipmode": relational.q12_shipmode,
-        "distinct_union": relational.distinct_union,
-        "anti_semi_join": relational.anti_semi_join,
-        "case_projection": relational.case_projection,
+        "set_membership_ops": _set_membership_ops,
         "window_topn_per_group": relational.window_topn_per_group,
-        "events_percentiles": relational.events_percentiles,
-        "events_histogram": relational.events_histogram,
-        "events_pivot": relational.events_pivot,
-        "events_approx_distinct": relational.events_approx_distinct,
-        "events_windowed_agg": lambda s, d: _rounded(
-            relational.events_windowed_agg(s, d), {"sum_value": 2}
-            ).withColumn("window_start", F.col("window_start").cast("string")),
         # engine-roundtrip queries: data passes through the Iceberg
         # write → commit → pruned scan paths before aggregation
         "iceberg_roundtrip_agg": iceberg_queries.iceberg_roundtrip_agg,
         "iceberg_equality_delete": iceberg_queries.iceberg_equality_delete,
-        "iceberg_schema_evolution": iceberg_queries.iceberg_schema_evolution,
-        "iceberg_time_travel": iceberg_queries.iceberg_time_travel,
-        "iceberg_incremental_read": iceberg_queries.iceberg_incremental_read,
-        "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
+        "iceberg_snapshot_reads": _iceberg_snapshot_reads,
         "csv_source_roundtrip": iceberg_queries.csv_source_roundtrip,
         "iceberg_lineitem_partitioned":
             iceberg_queries.iceberg_lineitem_partitioned,
-        "iceberg_bucket_pruned": iceberg_queries.iceberg_bucket_pruned,
-        "iceberg_truncate_pruned": iceberg_queries.iceberg_truncate_pruned,
+        "iceberg_transform_pruned": _iceberg_transform_pruned,
         # training-data pipeline operators (documents/embeddings tables)
         "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_shingle_pairs": _dedup_shingle_pairs,
         "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "embedding_near_pairs": _embedding_near_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ann_lsh_pairs": similarity.ann_lsh_pairs,
         "text_language_id": text.text_language_id,
-        "text_quality_score": text.text_quality_score,
-        "text_token_count": text.text_token_count,
         "text_fingerprint": text.text_fingerprint,
         "text_tfidf_top_terms": text.text_tfidf_top_terms,
-        "multimodal_features": multimodal.multimodal_features,
-        "asof_events_orders": temporal.asof_events_orders,
-        "dataset_split_summary": sampling.dataset_split_summary,
-        **relational2.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    o = _component_oracles()
+    # labeled-union twins of the combined queries() entries; each side is
+    # the component oracle verbatim, wrapped as a subquery
+    combined = {
+        "iceberg_transform_pruned": f"""
+            SELECT 'bucket' AS transform, o_custkey AS key, n_orders,
+                   CAST(total AS DOUBLE) AS total
+            FROM ({o.pop('iceberg_bucket_pruned')})
+            UNION ALL
+            SELECT 'truncate', ckey_mod, n_orders, CAST(NULL AS DOUBLE)
+            FROM ({o.pop('iceberg_truncate_pruned')})
+        """,
+        "iceberg_snapshot_reads": f"""
+            SELECT 'as_of' AS mode, o_orderstatus, n_orders,
+                   CAST(total AS DOUBLE) AS total
+            FROM ({o.pop('iceberg_time_travel')})
+            UNION ALL
+            SELECT 'incremental', o_orderstatus, n_orders,
+                   CAST(NULL AS DOUBLE)
+            FROM ({o.pop('iceberg_incremental_read')})
+        """,
+        "events_value_stats": f"""
+            SELECT 'type:' || event_type AS grp, n_events AS n,
+                   p50 AS lo, p90 AS hi
+            FROM ({o.pop('events_percentiles')})
+            UNION ALL
+            SELECT 'bin:' || CAST(bin AS VARCHAR), n, lo, hi
+            FROM ({o.pop('events_histogram')})
+        """,
+        "text_quality_tokens": f"""
+            SELECT 'src:' || source AS grp, n_docs AS c1,
+                   n_low_quality AS c2, avg_score AS avg_stat
+            FROM ({o.pop('text_quality_score')})
+            UNION ALL
+            SELECT 'lang:' || lang, sum_ws_tokens, sum_bpe_tokens,
+                   avg_bpe_tokens
+            FROM ({o.pop('text_token_count')})
+        """,
+        "set_membership_ops": f"""
+            SELECT 'distinct_custkey' AS op,
+                   CAST(o_custkey AS VARCHAR) AS key,
+                   CAST(1 AS BIGINT) AS n
+            FROM ({o.pop('distinct_union')})
+            UNION ALL
+            SELECT 'no_urgent_segment', c_mktsegment, n_customers
+            FROM ({o.pop('anti_semi_join')})
+        """,
+        "dedup_shingle_pairs": f"""
+            SELECT 'jaccard3' AS method, doc_a, doc_b, jaccard AS sim
+            FROM ({o.pop('dedup_ngram_jaccard')})
+            UNION ALL
+            SELECT 'minhash', doc_a, doc_b, jaccard
+            FROM ({o.pop('dedup_minhash_lsh')})
+        """,
+        "embedding_near_pairs": f"""
+            SELECT 'lsh' AS method, vec_a AS id_a, vec_b AS id_b, cosine
+            FROM ({o.pop('ann_lsh_pairs')})
+            UNION ALL
+            SELECT 'embdedup', doc_a, doc_b, cosine
+            FROM ({o.pop('dedup_embedding_cosine')})
+        """,
+    }
+    o.update(combined)
+    return o
+
+
+def _component_oracles() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -157,10 +333,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_shipmode": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -182,8 +358,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "case_projection": """
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY o_orderstatus
@@ -215,11 +391,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             SELECT CAST(user_id % 10 AS BIGINT) AS decile,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY 1
         """,
         "events_windowed_agg": """
@@ -257,8 +433,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderstatus
         """,
         "mv_incremental_refresh": """
-            SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
+            SELECT CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
                    count(o_orderkey) AS n_orders, o_orderstatus
             FROM orders
             GROUP BY o_orderstatus
@@ -283,7 +459,6 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY o_orderstatus
-            ORDER BY o_orderstatus
         """,
         "iceberg_bucket_pruned": """
             SELECT o_custkey, count(*) AS n_orders,

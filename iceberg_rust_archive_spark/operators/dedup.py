@@ -40,6 +40,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_HASHES = 12
 BAND_SIZE = 3  # → 4 bands
@@ -488,10 +489,16 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                 parent[rv] = ru
         verts = {v for r in pairs for v in (r["u"], r["v"])}
         spark = edges.sparkSession
+        # explicit schema: createDataFrame cannot infer from an empty list
+        # (zero near-duplicate pairs is a legal corpus, not an error)
+        cc_schema = T.StructType([
+            T.StructField("u", T.LongType()),
+            T.StructField("component", T.LongType())])
         return spark.createDataFrame(
-            [(v, find(v)) for v in sorted(verts)], ["u", "component"])
+            [(v, find(v)) for v in sorted(verts)], cc_schema)
     labels = (sym.select("u").distinct()
               .select("u", F.col("u").alias("component")))
+    changed = 0
     for _ in range(max_iters):
         nbr_min = (sym.join(labels.withColumnRenamed("u", "v")
                             .withColumnRenamed("component", "nc"), "v")
@@ -508,6 +515,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         labels = updated.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        # plain min-label propagation converges in O(graph diameter)
+        # rounds, not O(log n) — a chain longer than max_iters hops would
+        # otherwise silently return split components
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} "
+            f"rounds ({changed} labels still changing); raise max_iters "
+            "or pre-contract the graph")
     return labels
 
 

@@ -153,7 +153,7 @@ ORACLE_SQL = {
           FROM documents
         )
         SELECT source, count(*) AS n_items,
-               sum(payload_bytes) AS sum_payload_bytes,
+               CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
                round(avg(f0), 4) AS avg_f0
         FROM media
         WHERE media_format <> 'webp' AND width >= 64

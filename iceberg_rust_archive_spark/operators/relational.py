@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts arrives as long nanos (nanosAsLong); surface as TIMESTAMP_NTZ

@@ -71,7 +71,7 @@ SQL: dict[str, str] = {
     """,
     # q9-like: profit by nation and order year through part+supplier joins
     "q9_profit_by_nation_year": """
-        SELECT n_name, year(o_orderdate) AS o_year,
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS profit
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -79,7 +79,7 @@ SQL: dict[str, str] = {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE p_name LIKE '%a%'
-        GROUP BY n_name, year(o_orderdate)
+        GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
         ORDER BY n_name, o_year
     """,
     # q8-like: market share — conditional share of a nation's revenue
@@ -92,7 +92,7 @@ SQL: dict[str, str] = {
                / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                         AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share
         FROM (
-          SELECT year(o_orderdate) AS o_year, n_name,
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
                  l_extendedprice, l_discount
           FROM lineitem
           JOIN orders   ON l_orderkey = o_orderkey
@@ -337,9 +337,20 @@ SQL: dict[str, str] = {
 
 
 def make_query(sql_text: str):
+    """Bind a SQL text to a (spark, sf_dir) callable.
+
+    Only the tables the query actually references are loaded/registered —
+    word-boundary match against the testdata table list. Loading all ten
+    eagerly would couple every query to every table's readability (the
+    events nanos-timestamp quirk must not break a customer⋈orders query)."""
+    import re
+    from iceberg_rust_archive_spark.session import TESTDATA_TABLES
+    needed = tuple(t for t in TESTDATA_TABLES
+                   if re.search(rf"\b{t}\b", sql_text))
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from iceberg_rust_archive_spark.session import load_tables
-        load_tables(spark, sf_dir)
+        load_tables(spark, sf_dir, needed)
         return spark.sql(sql_text)
     return run
 

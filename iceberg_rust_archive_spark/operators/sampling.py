@@ -68,7 +68,8 @@ ORACLE_SQL = {
             FROM documents
           )
         )
-        SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        SELECT source, split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM s GROUP BY source, split
     """,
 }

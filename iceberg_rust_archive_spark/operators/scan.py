@@ -66,6 +66,8 @@ def scan(spark: SparkSession, md: TableMetadata,
          branch: str | None = None, snapshot_id: int | None = None,
          as_of_ms: int | None = None,
          from_snapshot_id: int | None = None) -> DataFrame:
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)  # field-id resolution on any caller's session
     preds = filter or []
     snap, mlist, start_seq, schema_id = _resolve_entries(
         md, branch, snapshot_id, as_of_ms, from_snapshot_id)

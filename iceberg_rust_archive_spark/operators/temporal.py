@@ -142,8 +142,8 @@ ORACLE_SQL = {
             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         )
         SELECT event_type, count(*) AS n_events,
-               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
-                 AS n_unmatched,
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_unmatched,
                round(CAST(sum(CAST((epoch_us(ts) - epoch_us(o_orderdate))
                                    / (86400.0 * 1000000)
                                    AS DECIMAL(28,10))) AS DOUBLE)

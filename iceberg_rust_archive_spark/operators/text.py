@@ -183,8 +183,8 @@ ORACLE_SQL = {
         )
         SELECT source, count(*) AS n_docs,
                round(avg(score), 4) AS avg_score,
-               sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END)
-                 AS n_low_quality
+               CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_low_quality
         FROM q GROUP BY source
     """,
     "text_token_count": f"""
@@ -193,8 +193,8 @@ ORACLE_SQL = {
                  len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
           FROM documents
         )
-        SELECT lang, sum(ws_tokens) AS sum_ws_tokens,
-               sum(bpe_tokens) AS sum_bpe_tokens,
+        SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+               CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
                round(avg(bpe_tokens), 4) AS avg_bpe_tokens
         FROM t GROUP BY lang
     """,

@@ -64,7 +64,8 @@ _INCREMENTAL_AGGS = {"sum", "count", "min", "max"}  # aggregate_functions.rs
 def classify(parsed: ParsedSelect) -> str:
     """mod.rs:370-415 equivalent on the parsed SQL."""
     if (parsed.has_window or parsed.has_distinct or parsed.has_subquery
-            or parsed.has_outer_join):
+            or parsed.has_outer_join or parsed.has_repeated_relation
+            or parsed.has_comma_from):
         return FULL
     if parsed.is_aggregate:
         aggs = parsed.agg_items()

@@ -87,6 +87,13 @@ class ParsedSelect:
     has_distinct: bool = False
     has_subquery: bool = False
     has_outer_join: bool = False
+    # both break the one-delta-view-per-relation assumption of the
+    # incremental rewrites: a self-join ("FROM t a JOIN t b") would bind
+    # every mention to the SAME delta view (computing dA⋈dA and dropping
+    # the dA⋈A_old / A_new⋈dA cross terms), and a comma-style FROM list
+    # only captures its first relation. Classified FULL (always correct).
+    has_repeated_relation: bool = False
+    has_comma_from: bool = False
 
     @property
     def is_aggregate(self) -> bool:
@@ -112,6 +119,14 @@ def parse_select(sql: str) -> ParsedSelect:
     p.has_distinct = bool(re.search(r"\bselect\s+distinct\b", low))
     p.has_outer_join = bool(re.search(r"\b(left|right|full)\s+(outer\s+)?join\b",
                                       low))
+    mentions = [m.group(1).lower()
+                for m in _RELATION_RE.finditer(text)]
+    p.has_repeated_relation = len(mentions) != len(set(mentions))
+    fm = re.search(r"\bfrom\s+(.*?)(?:\bwhere\b|\bgroup\s+by\b|"
+                   r"\border\s+by\b|\bhaving\b|\blimit\b|$)",
+                   text, re.IGNORECASE | re.DOTALL)
+    if fm:
+        p.has_comma_from = len(split_top_level(fm.group(1))) > 1
     body = re.search(r"select\s+(.*?)\s+from\s", text,
                      re.IGNORECASE | re.DOTALL)
     if body:

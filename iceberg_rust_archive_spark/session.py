@@ -71,12 +71,39 @@ def get_spark(app_name: str = "iceberg-rust-archive-spark", master: str | None =
     return spark
 
 
+# Confs every reader path needs regardless of who built the SparkSession.
+# The driver's correctness harness passes a VANILLA session (not
+# get_spark()), and events.parquet carries INT64 TIMESTAMP(NANOS) that the
+# vectorized reader rejects without nanosAsLong. These are runtime-settable
+# (verified on an already-built session), so every reader helper calls
+# ensure_read_confs defensively instead of relying on session construction.
+_RUNTIME_READ_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Iceberg column resolution is BY FIELD ID, not name (SURVEY §1.2):
+    # without these a schema-evolved table (renamed column) silently
+    # reads nulls for files written under the other name.
+    "spark.sql.parquet.fieldId.write.enabled": "true",
+    "spark.sql.parquet.fieldId.read.enabled": "true",
+}
+
+
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Set reader-critical confs on an externally-built session."""
+    for k, v in _RUNTIME_READ_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # conf unknown to this Spark build — reads may still work
+
+
 def read_parallel(spark: SparkSession, path: str):
     """Read parquet, fanning out to the session's parallelism when the
     source yields fewer input splits than cores. A small single-file
     table (the local test shape) otherwise pins every downstream
     per-row-expensive stage to one task; on a real 100 TB table the file
     count exceeds core count and this is a no-op."""
+    ensure_read_confs(spark)
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -84,15 +111,30 @@ def read_parallel(spark: SparkSession, path: str):
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")) -> dict:
-    """Load the driver testdata parquet tables and register temp views."""
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict:
+    """Load the driver testdata parquet tables and register temp views.
+
+    Callers should pass only the tables the query touches — loading the
+    full set eagerly couples every query to every table's readability
+    (a nanos-timestamp quirk in events.parquet must not break a
+    customer⋈orders query that never reads events)."""
+    ensure_read_confs(spark)
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # nanosAsLong read: surface ts as TIMESTAMP_NTZ in the view
+                from pyspark.sql import functions as F
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                           .cast("timestamp_ntz"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

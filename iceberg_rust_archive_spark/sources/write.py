@@ -84,6 +84,8 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
                     branch: str | None = None) -> list[DataFile]:
     """Write ``df`` as new Parquet files under the table location and
     return harvested DataFile records (not yet committed)."""
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)  # parquet field-id embed on any caller's session
     schema = md.current_schema(branch)
     if content == CONTENT_EQUALITY_DELETES and equality_ids:
         schema = schema.project(list(equality_ids))  # write.rs:163-168

@@ -105,6 +105,13 @@ class TableMetadata:
     def with_snapshot(self, snapshot: Snapshot,
                       branch: str | None = None) -> "TableMetadata":
         branch = branch or MAIN_BRANCH
+        existing = self.refs.get(branch)
+        if existing is not None and existing.ref_type == "tag":
+            # Tags are immutable pointers (create_tag's contract): writing
+            # "to" one would silently move and retype it into a branch.
+            raise ValueError(
+                f"ref {branch!r} is a tag; tags are immutable — "
+                "create a branch to write")
         snaps = dict(self.snapshots)
         snaps[snapshot.snapshot_id] = snapshot
         refs = dict(self.refs)

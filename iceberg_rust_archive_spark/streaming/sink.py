@@ -19,13 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 BATCH_KEY = "streaming-batch-id"
+BATCH_PROP = "streaming.last-batch-id"
 
 
 def last_committed_batch_id(table) -> int | None:
-    snap = table.metadata.current_snapshot()
-    if snap is None or BATCH_KEY not in snap.summary:
-        return None
-    return int(snap.summary[BATCH_KEY])
+    """Watermark lives in TABLE PROPERTIES, not just the current snapshot
+    summary: any interleaved non-sink commit (compaction, another writer's
+    append, equality delete, MV refresh) creates a snapshot without the
+    summary key, but properties are carried forward by every commit, so a
+    replayed micro-batch after a restart still sees the marker. The
+    summary entry is kept for per-snapshot observability; scanning the
+    snapshot history covers tables written before the property existed."""
+    prop = table.metadata.properties.get(BATCH_PROP)
+    if prop is not None:
+        return int(prop)
+    ids = [int(s.summary[BATCH_KEY])
+           for s in table.metadata.snapshots.values()
+           if BATCH_KEY in s.summary]
+    return max(ids) if ids else None
 
 
 def write_stream_to_table(stream_df: DataFrame, table,
@@ -42,10 +53,12 @@ def write_stream_to_table(stream_df: DataFrame, table,
         from iceberg_rust_archive_spark.sources.write import write_datafiles
         files = write_datafiles(spark, table.metadata, batch_df)
         txn = (table.new_transaction().append_files(files)
-               .set_summary(BATCH_KEY, str(batch_id)))
+               .set_summary(BATCH_KEY, str(batch_id))
+               .set_properties({BATCH_PROP: str(batch_id)}))
         txn.commit_with_retry(
             lambda t: t.append_files(files)
-            .set_summary(BATCH_KEY, str(batch_id)))
+            .set_summary(BATCH_KEY, str(batch_id))
+            .set_properties({BATCH_PROP: str(batch_id)}))
         table.refresh()
 
     return (stream_df.writeStream

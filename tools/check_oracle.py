@@ -2,15 +2,24 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row counts and
-order-insensitive values (columns sorted by name, rows sorted, floats
-compared to 1e-6). Usage::
+order-insensitive values the way the driver does:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+- Spark results come via ``toPandas()``; DuckDB via ``fetch_df()`` —
+  NOT fetchall() — because the driver hashes pandas values, and DuckDB
+  renders HUGEINT (its sum(INTEGER/BIGINT) result type) as float64 in
+  pandas. A value-identical frame with int64-vs-float64 dtype skew
+  hash-mismatches on the driver, so we fail it here too.
+- The SparkSession is VANILLA (no engine confs) unless
+  ``--engine-session`` is passed: the driver builds its own session, so
+  queries must not depend on get_spark()'s conf set.
+
+Usage::
+
+    python tools/check_oracle.py [sf_dir] [query ...] [--engine-session]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -20,30 +29,60 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
+def canon(pdf):
+    """Driver-style canonical frame: columns sorted by name, rows sorted."""
+    import pandas as pd
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), ignore_index=True)
+    return pd.DataFrame(pdf)
+
+
+def dtype_kinds(pdf):
+    """Column → numpy dtype kind ('i' int, 'f' float, 'O' object, ...)."""
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
+
+
+def values_equal(a, b) -> str | None:
+    """None if equal, else a description of the first difference."""
+    for c in a.columns:
+        ca, cb = a[c], b[c]
+        if ca.dtype.kind == "f" or cb.dtype.kind == "f":
+            import numpy as np
+            aa, bb = ca.astype(float).values, cb.astype(float).values
+            both_nan = np.isnan(aa) & np.isnan(bb)
+            close = np.isclose(aa, bb, rtol=0, atol=1e-6) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                return f"col {c} row {i}: {aa[i]!r} != {bb[i]!r}"
+        else:
+            neq = ca.astype(str).values != cb.astype(str).values
+            if neq.any():
+                i = int(neq.argmax())
+                return f"col {c} row {i}: {ca.iloc[i]!r} != {cb.iloc[i]!r}"
+    return None
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--engine-session"]
+    engine_session = "--engine-session" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     import __spark_entry__ as entrymod
-    from iceberg_rust_archive_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if engine_session:
+        from iceberg_rust_archive_spark.session import get_spark
+        spark = get_spark("oracle-check")
+    else:
+        # Mirror the driver: a vanilla session with none of the engine confs.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master(
+                    f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+                 .appName("oracle-check-vanilla").getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -57,40 +96,43 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = canon(fn(spark, sf_dir).toPandas())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {e}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows={len(srows)} (no oracle; rows-only check)")
+            print(f"OK?  {name}: rows={len(spdf)} (no oracle; rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = canon(con.execute(oracles[name]).fetch_df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
             failed.append(name)
             continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+        if list(spdf.columns) != list(opdf.columns):
+            print(f"FAIL {name}: columns {list(spdf.columns)} != "
+                  f"{list(opdf.columns)}")
             failed.append(name)
             continue
-        sn, on_ = normalize(srows, scols), normalize(orows, ocols)
-        if len(sn) != len(on_):
-            print(f"FAIL {name}: rowcount {len(sn)} != {len(on_)}")
+        if len(spdf) != len(opdf):
+            print(f"FAIL {name}: rowcount {len(spdf)} != {len(opdf)}")
             failed.append(name)
-        elif sn != on_:
-            bad = next(i for i, (a, b) in enumerate(zip(sn, on_)) if a != b)
-            print(f"FAIL {name}: values differ at row {bad}:\n"
-                  f"  spark:  {sn[bad]}\n  oracle: {on_[bad]}")
+            continue
+        sk, ok = dtype_kinds(spdf), dtype_kinds(opdf)
+        if sk != ok:
+            skew = {c: (sk[c], ok[c]) for c in sk if sk[c] != ok[c]}
+            print(f"FAIL {name}: dtype-kind skew (spark, oracle): {skew}")
+            failed.append(name)
+            continue
+        diff = values_equal(spdf, opdf)
+        if diff:
+            print(f"FAIL {name}: {diff}")
             failed.append(name)
         else:
-            print(f"OK   {name}: rows={len(sn)}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} matched")
+            print(f"OK   {name}: rows={len(spdf)}")
+    n_checked = len(only) if only else len(qs)
+    print(f"\n{n_checked - len(failed)}/{n_checked} matched")
     sys.exit(1 if failed else 0)
 
 
