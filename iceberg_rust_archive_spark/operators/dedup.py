@@ -219,24 +219,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
             .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b"))
 
 
+SIMHASH_BITS = 60          # 15 hex chars of md5 per word → fits a BIGINT
+SIMHASH_BLOCKS = 4         # pigeonhole: ≤ BLOCKS-1 flips share ≥1 block
+BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS        # 15 → 32k keys/block
+SIMHASH_MAX_HAMMING = SIMHASH_BLOCKS - 1
+
+
 def _masks():
     # built lazily: Column construction needs an active SparkContext
-    return F.array(*[F.lit(1 << b) for b in range(16)])
+    return F.array(*[F.lit(1 << b) for b in range(SIMHASH_BITS)])
 
 
-def simhash16_col(col: str = "text"):
-    """16-bit SimHash as ONE nested expression evaluated once per row:
-    words → per-word 16-bit md5 value → per-bit ±1 votes accumulated in
-    an array (single aggregate pass; zip_with merges the 16 counters) →
+def simhash_col(col: str = "text"):
+    """60-bit SimHash as ONE nested expression evaluated once per row:
+    words → per-word 60-bit md5 value → per-bit ±1 votes accumulated in
+    an array (single aggregate pass; zip_with merges the 60 counters) →
     majority bits folded into the signature. Single-reference chaining
-    keeps CollapseProject from duplicating any stage."""
+    keeps CollapseProject from duplicating any stage. 60 bits (vs the
+    earlier 16) keeps the signature space far above any real corpus
+    size — at 16 bits a billion-doc corpus collapses onto 65k values
+    and every block key goes quadratic."""
     words = words_col(col)
-    nibs = F.transform(
+    hs = F.transform(
         words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"))
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
     votes = F.aggregate(
-        nibs,
-        F.array_repeat(F.lit(0), 16),
+        hs,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, x: F.zip_with(
             acc, _masks(),
             lambda a, m: a + F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1)))
@@ -247,23 +256,26 @@ def simhash16_col(col: str = "text"):
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
-                  max_hamming: int = 2) -> DataFrame:
-    """SimHash near-dup pairs with Hamming ≤ 2, blocked on THREE bit
-    blocks (6/5/5): by pigeonhole, ≤2 flips leave at least one of three
-    blocks untouched, so joining on (b0) ∪ (b1) ∪ (b2) finds every such
-    pair without the n² cross join. (Two byte-halves are NOT enough —
-    one flip per byte defeats them; caught by
-    tests/test_pipeline_ops.py::test_simhash_blocking_finds_all_pairs.)"""
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash near-dup pairs with Hamming ≤ 3, blocked on FOUR 15-bit
+    blocks: by pigeonhole, ≤3 flips leave at least one of four blocks
+    untouched, so joining on (b0) ∪ (b1) ∪ (b2) ∪ (b3) finds every such
+    pair without the n² cross join. Block keys have 2^15 = 32k distinct
+    values each — per-key candidate work is O(Σ bucket²) over a key
+    space that no longer saturates at corpus scale. (Fewer blocks than
+    hamming+1 are NOT enough — one flip per block defeats them; caught
+    by tests/test_pipeline_ops.py::test_simhash_blocking_finds_all_pairs.)"""
     d = _docs(spark, sf_dir).select(
-        "doc_id", simhash16_col().alias("sig"))
-    d = (d.withColumn("b0", (F.col("sig") % 64).cast("int"))
-         .withColumn("b1", ((F.col("sig") / 64).cast("long") % 32)
-                     .cast("int"))
-         .withColumn("b2", (F.col("sig") / 2048).cast("int")).cache())
+        "doc_id", simhash_col().alias("sig"))
+    for i in range(SIMHASH_BLOCKS):
+        d = d.withColumn(
+            f"b{i}", F.shiftright("sig", i * BLOCK_BITS)
+                      .bitwiseAND(F.lit((1 << BLOCK_BITS) - 1)).cast("int"))
+    d = d.cache()
     pairs = None
-    for block in ("b0", "b1", "b2"):
+    for i in range(SIMHASH_BLOCKS):
         a, b = d.alias("a"), d.alias("b")
-        p = (a.join(b, (F.col(f"a.{block}") == F.col(f"b.{block}"))
+        p = (a.join(b, (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
@@ -310,10 +322,21 @@ _PERMS = ", ".join(
     f"% {MERSENNE_P})))"
     for a, b in zip(_A, _B))
 
-_SIMHASH_BITS = " + ".join(
-    "(CASE WHEN len(list_filter(nibs, x -> (x & {m}) <> 0)) * 2 "
-    "> len(nibs) THEN {m} ELSE 0 END)".format(m=1 << b)
-    for b in range(16))
+_SIMHASH_SIG = " + ".join(
+    "(CASE WHEN len(list_filter(hs, x -> (x & {m}) <> 0)) * 2 "
+    "> len(hs) THEN {m} ELSE 0 END)".format(m=1 << b)
+    for b in range(SIMHASH_BITS))
+
+_SIMHASH_KEYS = ", ".join(
+    f"(sig >> {i * BLOCK_BITS}) & {(1 << BLOCK_BITS) - 1} AS b{i}"
+    for i in range(SIMHASH_BLOCKS))
+
+_SIMHASH_CAND = "\n          UNION\n".join(
+    f"          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    f" a.sig AS sa, b.sig AS sb"
+    f" FROM keyed a JOIN keyed b"
+    f" ON a.b{i} = b.b{i} AND a.doc_id < b.doc_id"
+    for i in range(SIMHASH_BLOCKS))
 
 ORACLE_SQL = {
     "dedup_exact": """
@@ -389,33 +412,20 @@ ORACLE_SQL = {
     """,
     "dedup_simhash": f"""
         WITH sigs AS (
-          SELECT doc_id, ({_SIMHASH_BITS})::BIGINT AS sig
+          SELECT doc_id, ({_SIMHASH_SIG})::BIGINT AS sig
           FROM (
             SELECT doc_id,
                    list_transform({_WORDS},
-                     w -> ('0x' || md5(w)[1:4])::INT) AS nibs
+                     w -> ('0x' || md5(w)[1:15])::BIGINT) AS hs
             FROM documents
           )
         ),
-        keyed AS (SELECT doc_id, sig, sig % 64 AS b0,
-                         (sig // 64) % 32 AS b1, sig // 2048 AS b2
-                  FROM sigs),
+        keyed AS (SELECT doc_id, sig, {_SIMHASH_KEYS} FROM sigs),
         pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.sig AS sa, b.sig AS sb
-          FROM keyed a JOIN keyed b
-            ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-          UNION
-          SELECT a.doc_id, b.doc_id, a.sig, b.sig
-          FROM keyed a JOIN keyed b
-            ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-          UNION
-          SELECT a.doc_id, b.doc_id, a.sig, b.sig
-          FROM keyed a JOIN keyed b
-            ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+{_SIMHASH_CAND}
         )
         SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
-        FROM pairs WHERE bit_count(xor(sa, sb)) <= 2
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
     """,
 }
 

@@ -4,21 +4,26 @@ array<float> 64-dim, label).
 Two execution strategies, same contract (query vectors → scored
 neighbors):
 
-- **Brute-force cosine top-k** — the correctness baseline. The (small)
-  query set is broadcast; every data partition scores its rows against
-  every query locally (no shuffle of the big side) and a single top-k
-  window per query reduces the result. At 100 TB the cost is one full
-  scan per batch of queries: O(N·Q·d) FLOPs, zero candidate loss.
-- **Sign-LSH bucketed pairs** — the scale path. Each vector gets a
-  b-bit signature (sign of its first b components = axis-aligned
-  random-hyperplane LSH); candidate pairs are generated by an
-  equi-join on the bucket key, so only vectors sharing a signature
-  ever meet. The shuffle is on the bucket key (2^b buckets) and the
-  verification cosine runs only on candidates.
+- **Brute-force cosine top-k** — the correctness baseline. The query
+  set is BOUNDED BY CONSTRUCTION (an explicit constant-size id set, not
+  a data-proportional slice), broadcast to every partition; each Arrow
+  batch is scored against it locally (no shuffle of the big side) and a
+  single top-k window per query reduces the result. At 100 TB the cost
+  is one full scan per batch of queries: O(N·Q·d) FLOPs with Q fixed,
+  zero candidate loss.
+- **Banded sign-LSH pairs** — the scale path, shaped like the MinHash
+  banding in operators/dedup.py: T signature tables of B sign bits
+  each (table t keys on the signs of components [tB+1 .. tB+B]).
+  Candidates must agree on ALL B bits of at least one table, so bucket
+  cardinality per table is 2^B (65k at B=16) instead of the 256 a
+  single 8-bit signature gave — the self-join shuffles onto 3×65k keys
+  and per-bucket work is O(Σ bucket²), not O(N²/256). More corpus →
+  raise B (buckets scale exponentially in B); recall is tuned by T.
 
 All arithmetic is cast to double and kept in built-in higher-order
 functions (``zip_with`` + ``aggregate``) so the whole pipeline stays in
-the JVM — no Python UDF in the hot path.
+the JVM — no Python UDF in the hot path (the top-k kernel is an
+Arrow-batched numpy GEMM, the sanctioned exception).
 
 Reference parity note: the reference engine (JanKaul/iceberg-rust_archive)
 has no vector operators; these belong to the training-data-pipeline
@@ -34,8 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 TOPK = 10
-QUERY_MOD = 100          # query set = vec_id % QUERY_MOD == 0
-LSH_BITS = 8             # 2^8 = 256 buckets
+QUERY_MOD = 100          # query ids are multiples of QUERY_MOD ...
+MAX_QUERIES = 8          # ... capped to a CONSTANT count (id < MOD*MAX)
+LSH_TABLES = 3           # banded signature tables
+LSH_MIN_BITS = 8         # bits/table clamp: 2^8 buckets floor ...
+LSH_MAX_BITS = 21        # ... and T*bits ≤ 64 axis hyperplanes ceiling
+LSH_TARGET_BUCKET = 32   # bits = ceil(log2(N / target)) → buckets ∝ N
 LSH_COSINE_THRESHOLD = 0.25
 
 
@@ -60,8 +69,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
                     k: int = TOPK) -> DataFrame:
     """Exact cosine top-k per query vector.
 
-    Scale shape: the (small, by contract) query matrix is broadcast to
-    every partition; each Arrow batch is scored with ONE numpy GEMM
+    Scale shape: the query set is an explicit, constant-size id set
+    (``vec_id % QUERY_MOD == 0 AND vec_id < QUERY_MOD*MAX_QUERIES`` —
+    at most MAX_QUERIES rows at ANY corpus size; in production this is
+    a small query table supplied by the caller). Collecting it to the
+    driver is therefore O(1) in the corpus, unlike the previous
+    ``vec_id % 100 == 0`` slice whose size grew with N. The broadcast
+    query matrix is scored per Arrow batch with ONE numpy GEMM
     (B×d @ d×Q) instead of Q·B interpreted per-pair dot products, and
     only the per-partition top-k per query survives — the shuffle into
     the global top-k window carries ≤ partitions·Q·k rows regardless of
@@ -72,7 +86,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
 
     from iceberg_rust_archive_spark.session import read_parallel
     e = read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet"))
-    q_rows = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q_rows = (e.filter((F.col("vec_id") % QUERY_MOD == 0)
+                       & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES))
               .select("vec_id", "embedding").collect())
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
@@ -113,20 +128,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str,
             .orderBy("query_id", "rank"))
 
 
-def lsh_bucket_col(v: str = "v", bits: int = LSH_BITS):
-    """b-bit sign signature of the first b components (axis-aligned
-    hyperplane LSH): bucket = Σ 2^i · [v[i] > 0]."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)), F.lit(0),
-        lambda acc, i: acc + F.when(
-            F.element_at(F.col(v), (i + 1).cast("int")) > 0,
-            F.pow(F.lit(2), i).cast("int")).otherwise(0))
+def _bucket_expr(t: int) -> str:
+    """Spark SQL for table ``t``'s bucket key: ``bits`` sign bits packed
+    into an int, bit i reading component ((i·T + t) mod d) + 1 — the
+    tables' component sets interleave, staying disjoint while
+    T·bits ≤ d."""
+    return (f"aggregate(sequence(0, bits - 1), 0, (acc, i) -> acc + "
+            f"CASE WHEN element_at(v, ((i * {LSH_TABLES} + {t}) % size(v))"
+            f" + 1) > 0 "
+            f"THEN cast(pow(2, i) AS INT) ELSE 0 END)")
 
 
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
                   threshold: float = LSH_COSINE_THRESHOLD) -> DataFrame:
-    """Near-neighbor pairs via sign-LSH bucketing: equi-join on the
-    bucket key generates candidates; cosine verifies."""
+    """Near-neighbor pairs via BANDED sign-LSH with CORPUS-ADAPTIVE
+    signature width: T tables × bits sign bits, where
+    ``bits = clamp(ceil(log2(N / target_bucket)), 8, 21)`` is computed
+    from the corpus in-query. A pair is a candidate iff it matches all
+    bits in ≥1 table; cosine verifies candidates.
+
+    Scale shape: bucket count per table is 2^bits ∝ N/target, so
+    expected bucket occupancy stays ~constant as the corpus grows —
+    per-bucket pairwise work is O(Σ bucket²) ≈ O(N·target), linear in
+    N, instead of the O(N²/256) a FIXED 8-bit key gave. The T tables
+    recover recall lost to wider bands (mirrors the MinHash banding
+    geometry in dedup.py). The 21-bit ceiling is the axis-hyperplane
+    budget (T·bits ≤ d=64); past ~64M vectors swap the axis-aligned
+    signs for seeded random-hyperplane projections (same plan shape,
+    more multiply-adds per row)."""
     # The self-join goes through a temp view + SQL: self-joining a single
     # DataFrame plan that contains higher-order-function lambdas trips
     # Catalyst's lambda-variable rebinding during join dedup; SQL view
@@ -134,24 +163,40 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     from iceberg_rust_archive_spark.session import read_parallel
     read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet")) \
         .createOrReplaceTempView("embeddings_sim_src")
+    buckets = ", ".join(
+        f"{_bucket_expr(t)} AS b{t}" for t in range(LSH_TABLES))
+    cand = "\n          UNION\n".join(
+        f"          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        f" FROM n a JOIN n b"
+        f" ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(LSH_TABLES))
     return spark.sql(f"""
-        WITH n AS (
+        WITH params AS (
+          SELECT least({LSH_MAX_BITS}, greatest({LSH_MIN_BITS},
+                   cast(ceil(log2(count(*) / {LSH_TARGET_BUCKET}.0))
+                        AS INT))) AS bits
+          FROM embeddings_sim_src
+        ),
+        n AS (
           SELECT vec_id, v,
                  sqrt(aggregate(transform(v, x -> x * x),
                                 0D, (acc, x) -> acc + x)) AS nrm,
-                 aggregate(sequence(1, {LSH_BITS}), 0,
-                   (acc, i) -> acc + CASE WHEN element_at(v, i) > 0
-                       THEN cast(pow(2, i - 1) AS INT) ELSE 0 END) AS bucket
+                 {buckets}
           FROM (SELECT vec_id,
                        transform(embedding, x -> cast(x AS DOUBLE)) AS v
-                FROM embeddings_sim_src)
+                FROM embeddings_sim_src) CROSS JOIN params
+        ),
+        cand AS (
+{cand}
         )
         SELECT vec_a, vec_b, cosine FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          SELECT c.vec_a, c.vec_b,
                  round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
                                  0D, (acc, x) -> acc + x)
                        / (a.nrm * b.nrm), 4) AS cosine
-          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          FROM cand c
+          JOIN n a ON a.vec_id = c.vec_a
+          JOIN n b ON b.vec_id = c.vec_b
         ) WHERE cosine >= {threshold}
         ORDER BY vec_a, vec_b
     """)
@@ -168,6 +213,17 @@ _NORM = "sqrt(list_sum(list_transform(v, x -> x * x)))"
 _DOT_AB = ("list_sum(list_transform(generate_series(1, len(a.v)), "
            "i -> a.v[i] * b.v[i]))")
 
+_D_BUCKETS = ", ".join(
+    f"list_sum(list_transform(generate_series(0, bits - 1), "
+    f"i -> CASE WHEN v[((i * {LSH_TABLES} + {t}) % len(v)) + 1] > 0 "
+    f"THEN (2 ** i)::BIGINT ELSE 0 END)) AS b{t}"
+    for t in range(LSH_TABLES))
+
+_D_CAND = "\n          UNION\n".join(
+    f"          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
+    f" FROM n a JOIN n b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+    for t in range(LSH_TABLES))
+
 ORACLE_SQL = {
     "ann_cosine_topk": f"""
         WITH n AS (
@@ -178,7 +234,9 @@ ORACLE_SQL = {
           SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
                  round({_DOT_AB} / (a.nrm * b.nrm), 4) AS cosine
           FROM n a JOIN n b
-            ON b.vec_id % {QUERY_MOD} = 0 AND a.vec_id <> b.vec_id
+            ON b.vec_id % {QUERY_MOD} = 0
+           AND b.vec_id < {QUERY_MOD * MAX_QUERIES}
+           AND a.vec_id <> b.vec_id
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
@@ -187,17 +245,26 @@ ORACLE_SQL = {
         ) WHERE rank <= {TOPK}
     """,
     "ann_lsh_pairs": f"""
-        WITH n AS (
-          SELECT vec_id, v, {_NORM} AS nrm,
-                 list_sum(list_transform(generate_series(1, {LSH_BITS}),
-                   i -> CASE WHEN v[i] > 0 THEN (2 ** (i - 1))::BIGINT
-                             ELSE 0 END)) AS bucket
+        WITH params AS (
+          SELECT least({LSH_MAX_BITS}, greatest({LSH_MIN_BITS},
+                   cast(ceil(log2(count(*) / {LSH_TARGET_BUCKET}.0))
+                        AS INT))) AS bits
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, v, {_NORM} AS nrm, {_D_BUCKETS}
           FROM (SELECT vec_id, {_V} AS v FROM embeddings)
+          CROSS JOIN params
+        ),
+        cand AS (
+{_D_CAND}
         )
         SELECT vec_a, vec_b, cosine FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          SELECT c.vec_a, c.vec_b,
                  round({_DOT_AB} / (a.nrm * b.nrm), 4) AS cosine
-          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          FROM cand c
+          JOIN n a ON a.vec_id = c.vec_a
+          JOIN n b ON b.vec_id = c.vec_b
         ) WHERE cosine >= {LSH_COSINE_THRESHOLD}
     """,
 }

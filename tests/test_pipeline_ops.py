@@ -33,7 +33,7 @@ def test_minhash_candidates_superset_check(spark):
 
 def test_simhash_hamming_bound(spark):
     rows = dedup.dedup_simhash(spark, SF_DIR).collect()
-    assert all(r.hamming <= 2 for r in rows)
+    assert all(r.hamming <= dedup.SIMHASH_MAX_HAMMING for r in rows)
 
 
 def test_ann_topk_shape(spark):
@@ -221,19 +221,19 @@ def test_connected_components(spark):
 
 
 def test_simhash_blocking_finds_all_pairs(spark):
-    """The byte-half blocking (join on hi-byte ∪ lo-byte) must find
-    EVERY pair within Hamming ≤ 2 — compare against the O(n²) cross
+    """The 4-block pigeonhole blocking must find EVERY pair within
+    Hamming ≤ SIMHASH_MAX_HAMMING — compare against the O(n²) cross
     join at sf0.001."""
     from iceberg_rust_archive_spark.operators.dedup import (
-        _docs, dedup_simhash, simhash16_col,
+        SIMHASH_MAX_HAMMING, _docs, dedup_simhash, simhash_col,
     )
     sigs = _docs(spark, SF_DIR).select(
-        "doc_id", simhash16_col().alias("sig")).collect()
+        "doc_id", simhash_col().alias("sig")).collect()
     want = set()
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
             a, b = sigs[i], sigs[j]
-            if bin(a.sig ^ b.sig).count("1") <= 2:
+            if bin(a.sig ^ b.sig).count("1") <= SIMHASH_MAX_HAMMING:
                 pair = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
                 want.add(pair)
     got = {(r.doc_a, r.doc_b)
