@@ -1,14 +1,21 @@
 """Manifest + manifest-list persistence (iceberg-rust/src/table/manifest.rs:155-499).
 
-JSON-lines files under ``<location>/metadata/``:
-- ``manifest-<uuid>.jsonl`` — one ManifestEntry per line
-- ``snap-<snapshot_id>-<uuid>.manifestlist.jsonl`` — one ManifestListEntry/line
+Spec-format Avro files under ``<location>/metadata/`` (same encoding
+family the reference writes — manifest.rs:155-499, manifest_list.rs:36-97):
 
-Metadata is small relative to data (one row per *file*, not per record), so
-driver-side JSON is the right tradeoff at 100 TB too: a million-file table
-is ~1M manifest rows ≈ hundreds of MB across manifests, and the two-level
-structure means a pruned query only parses the manifests whose partition
-ranges survive manifest-list pruning.
+- ``manifest-<uuid>.avro`` — ``manifest_entry`` records; the table
+  schema JSON rides in the container metadata so column bounds
+  (single-value binary serialization) are decodable by field id.
+- ``snap-<snapshot_id>-<uuid>.avro`` — ``manifest_file`` records.
+
+JSON-lines files written by earlier versions of this engine remain
+readable (read functions dispatch on extension).
+
+Metadata is small relative to data (one row per *file*, not per record),
+so driver-side encoding is the right tradeoff at 100 TB too: a
+million-file table is ~1M manifest rows across manifests, and the
+two-level structure means a pruned query only parses the manifests whose
+partition ranges survive manifest-list pruning.
 """
 
 from __future__ import annotations
@@ -17,6 +24,8 @@ import json
 import os
 import uuid
 
+from iceberg_rust_archive_spark.sources import manifest_avro as mavro
+from iceberg_rust_archive_spark.sources.avro_io import read_ocf, write_ocf
 from iceberg_rust_archive_spark.spec.manifest import (
     FieldSummary, ManifestEntry, ManifestListEntry,
 )
@@ -25,14 +34,33 @@ from iceberg_rust_archive_spark.spec.manifest import (
 def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
                    spec_id: int, content: int, snapshot_id: int,
                    sequence_number: int,
-                   partition_field_names: list[str]) -> ManifestListEntry:
-    """Write entries to a new manifest file and build its manifest-list row
-    with per-partition-field FieldSummary bounds (manifest.rs:527+)."""
+                   partition_field_names: list[str],
+                   schema_json: str | None = None) -> ManifestListEntry:
+    """Write entries to a new Avro manifest file and build its
+    manifest-list row with per-partition-field FieldSummary bounds
+    (manifest.rs:527+)."""
     os.makedirs(metadata_dir, exist_ok=True)
-    path = os.path.join(metadata_dir, f"manifest-{uuid.uuid4().hex[:12]}.jsonl")
-    with open(path, "w", encoding="utf-8") as f:
-        for e in entries:
-            f.write(json.dumps(e.to_json()) + "\n")
+    path = os.path.join(metadata_dir, f"manifest-{uuid.uuid4().hex[:12]}.avro")
+
+    partitions = [e.data_file.partition for e in entries]
+    pfields = mavro.partition_avro_fields(partition_field_names, partitions)
+    schema = mavro.manifest_entry_schema(pfields)
+    ftypes = dict(mavro.field_types_from_schema_json(schema_json))
+    # bound fields the schema doesn't cover (schema-less callers, dropped
+    # columns): infer the encoding from the value and record it in the
+    # container metadata so decode stays symmetric
+    for e in entries:
+        for k, v in {**e.data_file.lower_bounds,
+                     **e.data_file.upper_bounds}.items():
+            ftypes.setdefault(int(k), mavro._py_avro_type([v]))
+    meta = {"format-version": "2",
+            "content": "data" if content == 0 else "deletes",
+            "partition-spec-id": str(spec_id),
+            "bound-types": json.dumps(ftypes)}
+    if schema_json:
+        meta["schema"] = schema_json
+    write_ocf(path, schema,
+              [mavro.entry_to_avro(e, ftypes) for e in entries], meta)
 
     summaries = []
     for name in partition_field_names:
@@ -60,24 +88,60 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
 
 
 def read_manifest(path: str) -> list[ManifestEntry]:
-    with open(path, encoding="utf-8") as f:
-        return [ManifestEntry.from_json(json.loads(line))
-                for line in f if line.strip()]
+    if path.endswith(".jsonl"):                      # pre-Avro files
+        with open(path, encoding="utf-8") as f:
+            return [ManifestEntry.from_json(json.loads(line))
+                    for line in f if line.strip()]
+    _schema, records = read_ocf(path)
+    meta = _ocf_metadata(path)
+    ftypes = mavro.field_types_from_schema_json(meta.get("schema"))
+    ftypes.update({int(k): v for k, v in
+                   json.loads(meta.get("bound-types", "{}")).items()})
+    return [mavro.entry_from_avro(r, ftypes) for r in records]
+
+
+def _ocf_metadata(path: str) -> dict:
+    """Container-file metadata map as str→str (schema JSON etc.)."""
+    import io
+
+    from iceberg_rust_archive_spark.sources.avro_io import MAGIC, read_datum
+    with open(path, "rb") as f:
+        buf = io.BytesIO(f.read())
+    assert buf.read(4) == MAGIC
+    raw = read_datum(buf, {"type": "map", "values": "bytes"})
+    return {k: v.decode("utf-8") for k, v in raw.items()}
+
+
+def _summary_types(entries: list[ManifestListEntry]) -> list[str]:
+    """Avro/iceberg type name per partition-summary slot, from values."""
+    width = max((len(e.partitions) for e in entries), default=0)
+    out = []
+    for i in range(width):
+        vals = [b for e in entries if i < len(e.partitions)
+                for b in (e.partitions[i].lower_bound,
+                          e.partitions[i].upper_bound)]
+        out.append(mavro._py_avro_type(vals))
+    return out
 
 
 def write_manifest_list(metadata_dir: str, snapshot_id: int,
                         entries: list[ManifestListEntry]) -> str:
     os.makedirs(metadata_dir, exist_ok=True)
     path = os.path.join(
-        metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
-        ".manifestlist.jsonl")
-    with open(path, "w", encoding="utf-8") as f:
-        for e in entries:
-            f.write(json.dumps(e.to_json()) + "\n")
+        metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    ptypes = _summary_types(entries)
+    write_ocf(path, mavro.MANIFEST_LIST_SCHEMA,
+              [mavro.mle_to_avro(e, ptypes) for e in entries],
+              {"format-version": "2", "snapshot-id": str(snapshot_id),
+               "partition-types": json.dumps(ptypes)})
     return path
 
 
 def read_manifest_list(path: str) -> list[ManifestListEntry]:
-    with open(path, encoding="utf-8") as f:
-        return [ManifestListEntry.from_json(json.loads(line))
-                for line in f if line.strip()]
+    if path.endswith(".jsonl"):                      # pre-Avro files
+        with open(path, encoding="utf-8") as f:
+            return [ManifestListEntry.from_json(json.loads(line))
+                    for line in f if line.strip()]
+    _schema, records = read_ocf(path)
+    ptypes = json.loads(_ocf_metadata(path).get("partition-types", "[]"))
+    return [mavro.mle_from_avro(r, ptypes) for r in records]

@@ -122,6 +122,11 @@ class Transaction:
         old_entries = list(read_manifest_list(parent.manifest_list)) \
             if parent else []
         files_to_delete: list[str] = []
+        # current schema JSON rides in each manifest's container metadata
+        # (bound decode by field id + external-reader context)
+        import json as _json
+        schema_json = _json.dumps(
+            md.schemas[md.current_schema_id].to_json())
 
         if self._replacement is not None:
             # physical delete of replaced files happens post-commit
@@ -135,7 +140,8 @@ class Transaction:
                     metadata_dir,
                     [ManifestEntry(STATUS_ADDED, f, snap_id, seq, seq)
                      for f in self._replacement],
-                    spec.spec_id, CONTENT_DATA, snap_id, seq, pf_names))
+                    spec.spec_id, CONTENT_DATA, snap_id, seq, pf_names,
+                    schema_json))
             operation = "overwrite"
             added = self._replacement
         else:
@@ -147,7 +153,7 @@ class Transaction:
                 if files:
                     new_list = self._pack_manifests(
                         metadata_dir, new_list, files, ml_content, snap_id,
-                        seq, spec.spec_id, pf_names)
+                        seq, spec.spec_id, pf_names, schema_json)
             operation = "append" if not self._deletes else "delete" \
                 if not self._appended else "overwrite"
             added = self._appended + self._deletes
@@ -210,7 +216,7 @@ class Transaction:
     # --- manifest bin-packing -------------------------------------------
     @staticmethod
     def _pack_manifests(metadata_dir, existing_list, new_files, content,
-                        snap_id, seq, spec_id, pf_names):
+                        snap_id, seq, spec_id, pf_names, schema_json=None):
         same = [m for m in existing_list if m.content == content]
         other = [m for m in existing_list if m.content != content]
         total = sum(m.added_files_count + m.existing_files_count
@@ -228,7 +234,8 @@ class Transaction:
                                      e.file_sequence_number)
                        for e in read_manifest(target.manifest_path)]
             merged = write_manifest(metadata_dir, carried + entries, spec_id,
-                                    content, snap_id, seq, pf_names)
+                                    content, snap_id, seq, pf_names,
+                                    schema_json)
             return other + same[:-1] + [merged]
 
         n_splits = 1
@@ -236,6 +243,6 @@ class Transaction:
             n_splits = 2 ** math.ceil(math.log2(len(entries) / limit))
         chunk = math.ceil(len(entries) / n_splits)
         news = [write_manifest(metadata_dir, entries[i:i + chunk], spec_id,
-                               content, snap_id, seq, pf_names)
+                               content, snap_id, seq, pf_names, schema_json)
                 for i in range(0, len(entries), chunk)]
         return other + same + news
