@@ -89,8 +89,9 @@ class Catalog(ABC):
         loc = self.metadata_location(identifier)
         if loc is None:
             raise NoSuchTableError(identifier)
-        with open(loc, encoding="utf-8") as f:
-            return metadata_from_json(json.load(f)), loc
+        from iceberg_rust_archive_spark.object_store import store_for
+        doc = json.loads(store_for(loc).read_bytes(loc).decode("utf-8"))
+        return metadata_from_json(doc), loc
 
     def create_tabular(self, identifier: str, metadata) -> None:
         if self.table_exists(identifier):
@@ -115,9 +116,7 @@ class Catalog(ABC):
             version = metadata.current_version_id
             loc = (f"{metadata.location}/metadata/v{version}-"
                    f"{metadata.view_uuid[:8]}.metadata.json")
-        os.makedirs(os.path.dirname(loc), exist_ok=True)
-        tmp = loc + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(metadata.to_json(), f)
-        os.rename(tmp, loc)
+        from iceberg_rust_archive_spark.object_store import store_for
+        store_for(loc).write_bytes(
+            loc, json.dumps(metadata.to_json()).encode("utf-8"))
         return loc

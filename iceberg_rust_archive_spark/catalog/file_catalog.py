@@ -1,74 +1,87 @@
-"""Filesystem catalog (catalogs/iceberg-file-catalog/src/lib.rs:49-580).
+"""Filesystem/object-store catalog (catalogs/iceberg-file-catalog/src/lib.rs:49-580).
 
 Layout: ``<root>/<namespace>/<name>/pointer.json`` holds the current
-metadata location. CAS = write temp + ``os.rename`` guarded by a
-same-directory lock file created with O_EXCL (atomic on POSIX)."""
+metadata location. CAS = read-check-write guarded by a same-directory
+lock object created with create-exclusive semantics (O_EXCL locally,
+conditional put on object stores).
+
+All I/O goes through ``object_store.store_for(root)``, so the same
+catalog serves ``/local/path``, ``memory://wh`` (tests), or
+``s3://bucket/wh`` roots — the reference's file catalog gets this from
+its object_store handle the same way (lib.rs:49-101). Namespaces are
+directory prefixes; a ``.namespace`` marker object makes empty
+namespaces listable on stores that have no directory notion."""
 
 from __future__ import annotations
 
 import contextlib
 import json
-import os
-import shutil
 
 from iceberg_rust_archive_spark.catalog.base import (
     Catalog, CommitFailedError, NoSuchTableError, parse_identifier,
 )
+from iceberg_rust_archive_spark.object_store import store_for
 
 
 class FileCatalog(Catalog):
     def __init__(self, root: str, name: str = "file"):
         self.root = root.rstrip("/")
         self.name = name
-        os.makedirs(self.root, exist_ok=True)
+        self.store = store_for(self.root)
 
     def _ns_dir(self, namespace: str) -> str:
-        return os.path.join(self.root, namespace)
+        return f"{self.root}/{namespace}"
 
     def _tab_dir(self, identifier: str) -> str:
         ns, name = parse_identifier(identifier)
-        return os.path.join(self._ns_dir(ns), name)
+        return f"{self._ns_dir(ns)}/{name}"
 
     def _pointer_path(self, identifier: str) -> str:
-        return os.path.join(self._tab_dir(identifier), "pointer.json")
+        return f"{self._tab_dir(identifier)}/pointer.json"
 
     # --- namespaces ------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:
-        os.makedirs(self._ns_dir(namespace), exist_ok=True)
+        marker = f"{self._ns_dir(namespace)}/.namespace"
+        if not self.store.exists(marker):
+            self.store.write_bytes(marker, b"")
 
     def drop_namespace(self, namespace: str) -> None:
-        d = self._ns_dir(namespace)
-        if os.path.isdir(d):
-            if any(os.scandir(d)):
-                raise ValueError(f"namespace {namespace!r} not empty")
-            os.rmdir(d)
+        under = [p for p in self.store.list(self._ns_dir(namespace))
+                 if not p.endswith("/.namespace")]
+        if under:
+            raise ValueError(f"namespace {namespace!r} not empty")
+        with contextlib.suppress(FileNotFoundError):
+            self.store.remove(f"{self._ns_dir(namespace)}/.namespace")
 
     def list_namespaces(self) -> list[str]:
-        return sorted(e.name for e in os.scandir(self.root) if e.is_dir())
+        out = set()
+        for p in self.store.list(self.root):
+            rel = p[len(self.root) + 1:]
+            if "/" in rel:
+                out.add(rel.split("/", 1)[0])
+        return sorted(out)
 
     # --- tabulars --------------------------------------------------------
     def list_tabulars(self, namespace: str) -> list[str]:
-        d = self._ns_dir(namespace)
-        if not os.path.isdir(d):
-            return []
-        return sorted(f"{namespace}.{e.name}" for e in os.scandir(d)
-                      if e.is_dir() and
-                      os.path.exists(os.path.join(e.path, "pointer.json")))
+        out = []
+        prefix = self._ns_dir(namespace)
+        for p in self.store.list(prefix):
+            rel = p[len(prefix) + 1:]
+            if rel.count("/") == 1 and rel.endswith("/pointer.json"):
+                out.append(f"{namespace}.{rel.split('/', 1)[0]}")
+        return sorted(out)
 
     def metadata_location(self, identifier: str) -> str | None:
         p = self._pointer_path(identifier)
-        if not os.path.exists(p):
+        if not self.store.exists(p):
             return None
-        with open(p, encoding="utf-8") as f:
-            return json.load(f)["metadata-location"]
+        return json.loads(self.store.read_bytes(p))["metadata-location"]
 
     def _set_pointer(self, identifier: str, new_location: str,
                      expected_old: str | None) -> None:
-        d = self._tab_dir(identifier)
-        os.makedirs(d, exist_ok=True)
-        lock = os.path.join(d, ".commit.lock")
+        lock = f"{self._tab_dir(identifier)}/.commit.lock"
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            self.store.create_exclusive(lock)
         except FileExistsError:
             raise CommitFailedError(
                 f"concurrent commit in flight for {identifier}") from None
@@ -78,18 +91,19 @@ class FileCatalog(Catalog):
                 raise CommitFailedError(
                     f"{identifier}: pointer is {current}, expected "
                     f"{expected_old}")
-            tmp = self._pointer_path(identifier) + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump({"metadata-location": new_location,
-                           "previous-metadata-location": current}, f)
-            os.rename(tmp, self._pointer_path(identifier))
+            self.store.write_bytes(
+                self._pointer_path(identifier),
+                json.dumps({"metadata-location": new_location,
+                            "previous-metadata-location": current})
+                .encode("utf-8"))
         finally:
-            os.close(fd)
-            with contextlib.suppress(OSError):
-                os.remove(lock)
+            with contextlib.suppress(OSError, FileNotFoundError):
+                self.store.remove(lock)
 
     def drop_tabular(self, identifier: str) -> None:
         d = self._tab_dir(identifier)
-        if not os.path.exists(os.path.join(d, "pointer.json")):
+        if not self.store.exists(f"{d}/pointer.json"):
             raise NoSuchTableError(identifier)
-        shutil.rmtree(d)
+        for p in self.store.list(d):
+            with contextlib.suppress(FileNotFoundError):
+                self.store.remove(p)

@@ -193,14 +193,14 @@ def write_ocf(path: str, schema: dict, records: list,
         write_long(buf, len(payload))
         buf.write(payload)
         buf.write(sync)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    from iceberg_rust_archive_spark.object_store import store_for
+    store_for(path).write_bytes(path, buf.getvalue())
 
 
 def read_ocf(path: str) -> tuple[dict, list]:
     """Read an Avro OCF → (writer schema, records). Null codec only."""
-    with open(path, "rb") as f:
-        buf = io.BytesIO(f.read())
+    from iceberg_rust_archive_spark.object_store import store_for
+    buf = io.BytesIO(store_for(path).read_bytes(path))
     assert buf.read(4) == MAGIC, f"not an avro OCF: {path}"
     meta = read_datum(buf, {"type": "map", "values": "bytes"})
     codec = meta.get("avro.codec", b"null")

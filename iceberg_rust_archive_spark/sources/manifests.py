@@ -24,6 +24,7 @@ import json
 import os
 import uuid
 
+from iceberg_rust_archive_spark.object_store import store_for
 from iceberg_rust_archive_spark.sources import manifest_avro as mavro
 from iceberg_rust_archive_spark.sources.avro_io import read_ocf, write_ocf
 from iceberg_rust_archive_spark.spec.manifest import (
@@ -39,7 +40,6 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
     """Write entries to a new Avro manifest file and build its
     manifest-list row with per-partition-field FieldSummary bounds
     (manifest.rs:527+)."""
-    os.makedirs(metadata_dir, exist_ok=True)
     path = os.path.join(metadata_dir, f"manifest-{uuid.uuid4().hex[:12]}.avro")
 
     partitions = [e.data_file.partition for e in entries]
@@ -77,7 +77,7 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
     min_seq = min((e.sequence_number for e in entries
                    if e.sequence_number is not None), default=sequence_number)
     return ManifestListEntry(
-        manifest_path=path, manifest_length=os.path.getsize(path),
+        manifest_path=path, manifest_length=store_for(path).size(path),
         partition_spec_id=spec_id, content=content,
         sequence_number=sequence_number, min_sequence_number=min_seq,
         added_snapshot_id=snapshot_id,
@@ -89,9 +89,9 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
 
 def read_manifest(path: str) -> list[ManifestEntry]:
     if path.endswith(".jsonl"):                      # pre-Avro files
-        with open(path, encoding="utf-8") as f:
-            return [ManifestEntry.from_json(json.loads(line))
-                    for line in f if line.strip()]
+        text = store_for(path).read_bytes(path).decode("utf-8")
+        return [ManifestEntry.from_json(json.loads(line))
+                for line in text.splitlines() if line.strip()]
     _schema, records = read_ocf(path)
     meta = _ocf_metadata(path)
     ftypes = mavro.field_types_from_schema_json(meta.get("schema"))
@@ -105,8 +105,7 @@ def _ocf_metadata(path: str) -> dict:
     import io
 
     from iceberg_rust_archive_spark.sources.avro_io import MAGIC, read_datum
-    with open(path, "rb") as f:
-        buf = io.BytesIO(f.read())
+    buf = io.BytesIO(store_for(path).read_bytes(path))
     assert buf.read(4) == MAGIC
     raw = read_datum(buf, {"type": "map", "values": "bytes"})
     return {k: v.decode("utf-8") for k, v in raw.items()}
@@ -126,7 +125,6 @@ def _summary_types(entries: list[ManifestListEntry]) -> list[str]:
 
 def write_manifest_list(metadata_dir: str, snapshot_id: int,
                         entries: list[ManifestListEntry]) -> str:
-    os.makedirs(metadata_dir, exist_ok=True)
     path = os.path.join(
         metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     ptypes = _summary_types(entries)
@@ -139,9 +137,9 @@ def write_manifest_list(metadata_dir: str, snapshot_id: int,
 
 def read_manifest_list(path: str) -> list[ManifestListEntry]:
     if path.endswith(".jsonl"):                      # pre-Avro files
-        with open(path, encoding="utf-8") as f:
-            return [ManifestListEntry.from_json(json.loads(line))
-                    for line in f if line.strip()]
+        text = store_for(path).read_bytes(path).decode("utf-8")
+        return [ManifestListEntry.from_json(json.loads(line))
+                for line in text.splitlines() if line.strip()]
     _schema, records = read_ocf(path)
     ptypes = json.loads(_ocf_metadata(path).get("partition-types", "[]"))
     return [mavro.mle_from_avro(r, ptypes) for r in records]
