@@ -66,7 +66,8 @@ def _iceberg_snapshot_reads(s: SparkSession, d: str) -> DataFrame:
 
 
 def _events_value_stats(s: SparkSession, d: str) -> DataFrame:
-    """exact percentiles + fixed-width histogram over events.value."""
+    """exact percentiles + fixed-width histogram + gap-sessionization
+    summary over events — three labeled branches, one entry."""
     p = relational.events_percentiles(s, d).select(
         F.concat(F.lit("type:"), F.col("event_type")).alias("grp"),
         F.col("n_events").alias("n"),
@@ -74,7 +75,46 @@ def _events_value_stats(s: SparkSession, d: str) -> DataFrame:
     h = relational.events_histogram(s, d).select(
         F.concat(F.lit("bin:"), F.col("bin").cast("string")).alias("grp"),
         "n", "lo", "hi")
-    return p.unionByName(h)
+    sess = relational.events_sessionization(s, d).select(
+        F.concat(F.lit("sess:"), F.col("n_events").cast("string"))
+         .alias("grp"),
+        F.col("n_sessions").alias("n"),
+        F.col("min_dur").alias("lo"), F.col("max_dur").alias("hi"))
+    return p.unionByName(h).unionByName(sess)
+
+
+def _events_windowed_agg(s: SparkSession, d: str) -> DataFrame:
+    """The SAME tumbling-window aggregate computed twice — once by the
+    batch planner, once by the Structured Streaming runtime (availableNow
+    over the identical parquet) — unioned under a mode label. A driver
+    hash match here certifies streaming==batch result parity, the
+    strongest in-container check of the streaming engine."""
+    from iceberg_rust_archive_spark.streaming.ops import (
+        run_stream_windowed_once,
+    )
+    def shape(df, mode):
+        return df.select(
+            F.lit(mode).alias("mode"),
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type", "n_events", "sum_value")
+    b = shape(_rounded(relational.events_windowed_agg(s, d),
+                       {"sum_value": 2}), "batch")
+    st = shape(_rounded(
+        run_stream_windowed_once(s, os.path.join(d, "events.parquet")),
+        {"sum_value": 2}), "stream")
+    return b.unionByName(st)
+
+
+def _ann_topk(s: SparkSession, d: str) -> DataFrame:
+    """exact brute-force cosine top-k + IVF approximate top-k, tagged by
+    method — the baseline and the scale path, both oracle-checked."""
+    ex = similarity.ann_cosine_topk(s, d).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id",
+        "cosine", "rank")
+    iv = similarity.ann_ivf_topk(s, d).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+        "cosine", "rank")
+    return ex.unionByName(iv)
 
 
 def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
@@ -149,9 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_stats": _events_value_stats,
         "events_pivot": relational.events_pivot,
         "events_approx_distinct": relational.events_approx_distinct,
-        "events_windowed_agg": lambda s, d: _rounded(
-            relational.events_windowed_agg(s, d), {"sum_value": 2}
-            ).withColumn("window_start", F.col("window_start").cast("string")),
+        "events_windowed_agg": _events_windowed_agg,
         "asof_events_orders": temporal.asof_events_orders,
         "q4_order_priority_exists": r2["q4_order_priority_exists"],
         "q7_nation_volume": r2["q7_nation_volume"],
@@ -201,7 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_pairs": _embedding_near_pairs,
         "dedup_clusters": dedup.dedup_clusters,
-        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_cosine_topk": _ann_topk,
         "text_language_id": text.text_language_id,
         "text_fingerprint": text.text_fingerprint,
         "text_tfidf_top_terms": text.text_tfidf_top_terms,
@@ -237,6 +275,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'bin:' || CAST(bin AS VARCHAR), n, lo, hi
             FROM ({o.pop('events_histogram')})
+            UNION ALL
+            SELECT 'sess:' || CAST(n_events AS VARCHAR), n_sessions,
+                   min_dur, max_dur
+            FROM ({o.pop('events_sessionization')})
+        """,
+        "events_windowed_agg": f"""
+            SELECT 'batch' AS mode, w.* FROM ({o['events_windowed_agg']}) w
+            UNION ALL
+            SELECT 'stream' AS mode, w.*
+            FROM ({o.pop('events_windowed_agg')}) w
+        """,
+        "ann_cosine_topk": f"""
+            SELECT 'exact' AS method, t.* FROM ({o.pop('ann_cosine_topk')}) t
+            UNION ALL
+            SELECT 'ivf' AS method, t.* FROM ({o.pop('ann_ivf_topk')}) t
         """,
         "text_quality_tokens": f"""
             SELECT 'src:' || source AS grp, n_docs AS c1,
@@ -404,6 +457,35 @@ def _component_oracles() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # gap sessionization in integer nanoseconds (engine-portable:
+        # no timezone or timestamp-precision arithmetic anywhere)
+        "events_sessionization": f"""
+            WITH o AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                     lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS prev
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, tns,
+                     sum(CASE WHEN prev IS NULL
+                              OR tns - prev > {relational.SESSION_GAP_NS}
+                         THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY tns, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ),
+            g AS (
+              SELECT user_id, sid, count(*) AS n_events,
+                     (max(tns) - min(tns)) / 1e9 AS dur_sec
+              FROM s GROUP BY 1, 2
+            )
+            SELECT n_events, count(*) AS n_sessions,
+                   round(min(dur_sec), 2) AS min_dur,
+                   round(max(dur_sec), 2) AS max_dur
+            FROM g GROUP BY n_events
         """,
         "iceberg_roundtrip_agg": """
             SELECT o_orderstatus, count(*) AS n_orders,

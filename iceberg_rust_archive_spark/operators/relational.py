@@ -22,6 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -220,6 +221,47 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("value"), 2).alias("lo"),
                  F.round(F.max("value"), 2).alias("hi"))
             .orderBy("bin"))
+
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a composition of window functions —
+    the batch twin of streaming/ops.sessionize_stream (which keeps the
+    same per-user session state incrementally via applyInPandasWithState).
+
+    All arithmetic stays in INTEGER NANOSECONDS straight off the parquet
+    (no timestamp conversion): gap tests and durations are then exact and
+    engine-portable — no session-timezone or precision skew against the
+    DuckDB oracle's epoch_ns().
+
+    Scale shape: one shuffle on user_id for the lag/cumsum windows (both
+    windows share the partitioning, Catalyst plans ONE exchange), then
+    two partial-agg reductions. Per-user state is a sort within the
+    partition — skewed power users are bounded by per-user event counts,
+    not corpus size."""
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("user_id", "event_id", "ts"))  # ts = long nanos
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_NS),
+        F.lit(1)).otherwise(F.lit(0))
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = (ev.withColumn("sid", sess_id)
+                .groupBy("user_id", "sid")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     ((F.max("ts") - F.min("ts")) / F.lit(1e9))
+                     .alias("dur_sec")))
+    return (sessions.groupBy("n_events")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.round(F.min("dur_sec"), 2).alias("min_dur"),
+                 F.round(F.max("dur_sec"), 2).alias("max_dur"))
+            .orderBy("n_events"))
 
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

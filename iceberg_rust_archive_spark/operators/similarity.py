@@ -202,6 +202,81 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     """)
 
 
+IVF_CENTROIDS = 32   # oracle-checked entry pins this; scale path: ~√N
+IVF_NPROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOPK,
+                 n_centroids: int | None = None,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into cells, probe only the query's ``nprobe`` nearest cells.
+
+    The coarse quantizer is deterministic — centroids are the vectors
+    with ``1 ≤ vec_id ≤ n_centroids`` — so the whole pipeline (assign →
+    probe → exact re-rank within probed cells) is reproducible in ANSI
+    SQL and the driver's DuckDB gate checks it value-for-value. A
+    trained k-means quantizer drops in by replacing the centroid
+    DataFrame; every plan shape below is unchanged.
+
+    Scale shape (vs the exact GEMM baseline's O(N·Q·d) full scan):
+    - Cell assignment is a BROADCAST cross join (K centroid rows) with
+      map-side ``max_by`` partial aggregation — the shuffle carries N
+      single rows, never the N×K pair fan-out, and the dot products are
+      JVM higher-order folds inside whole-stage codegen.
+    - Candidate generation is a broadcast semi-join of the corpus
+      against ≤ Q·nprobe probed cell ids: O(N·nprobe/K) candidate rows
+      reach the re-rank, so with K ∝ √N the re-rank cost is
+      O(Q·√N·nprobe·d) — sublinear fraction of the corpus scored.
+    - Scores round to 4dp with (cosine desc, id asc) tie-break BEFORE
+      window selection, same total order in both engines.
+    """
+    if n_centroids is None:
+        n_centroids = IVF_CENTROIDS
+    vecs = _vectors(spark, sf_dir)
+    cents = (vecs.filter((F.col("vec_id") >= 1)
+                         & (F.col("vec_id") <= n_centroids))
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                     F.col("nrm").alias("cnrm")))
+
+    cscore = F.round(_dot(F.col("v"), F.col("cv"))
+                     / (F.col("nrm") * F.col("cnrm")), 4)
+    # tie-break: highest score, then LOWEST centroid id (struct max).
+    tie = F.struct(F.col("cs").alias("s"), (-F.col("cid")).alias("nc"))
+    assigned = (vecs.crossJoin(F.broadcast(cents))
+                .withColumn("cs", cscore)
+                .groupBy("vec_id")
+                .agg(F.max_by("cid", tie).alias("cell"),
+                     F.any_value("v").alias("v"),
+                     F.any_value("nrm").alias("nrm")))
+
+    qw = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("cid"))
+    probes = (vecs.filter((F.col("vec_id") % QUERY_MOD == 0)
+                          & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES))
+              .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                      F.col("nrm").alias("qnrm"))
+              .crossJoin(F.broadcast(cents))
+              .withColumn("cs", F.round(_dot(F.col("qv"), F.col("cv"))
+                                        / (F.col("qnrm") * F.col("cnrm")),
+                                        4))
+              .withColumn("pr", F.row_number().over(qw))
+              .filter(F.col("pr") <= nprobe)
+              .select("qid", "qv", "qnrm", F.col("cid").alias("cell")))
+
+    pairs = (assigned.join(F.broadcast(probes), "cell")
+             .filter(F.col("vec_id") != F.col("qid"))
+             .select(F.col("qid").alias("query_id"),
+                     F.col("vec_id").alias("neighbor_id"),
+                     F.round(_dot(F.col("v"), F.col("qv"))
+                             / (F.col("nrm") * F.col("qnrm")), 4)
+                     .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins. Double-cast before any arithmetic; dot products are
 # sequential left-folds in both engines; cosine rounded to 4 decimals with
@@ -223,6 +298,13 @@ _D_CAND = "\n          UNION\n".join(
     f"          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
     f" FROM n a JOIN n b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
     for t in range(LSH_TABLES))
+
+
+def _d_dot(x: str, y: str) -> str:
+    """Sequential-fold dot product of two list columns (matches Spark's
+    aggregate-over-zip_with fold order)."""
+    return (f"list_sum(list_transform(generate_series(1, len({x})), "
+            f"i -> {x}[i] * {y}[i]))")
 
 ORACLE_SQL = {
     "ann_cosine_topk": f"""
@@ -266,5 +348,54 @@ ORACLE_SQL = {
           JOIN n a ON a.vec_id = c.vec_a
           JOIN n b ON b.vec_id = c.vec_b
         ) WHERE cosine >= {LSH_COSINE_THRESHOLD}
+    """,
+    "ann_ivf_topk": f"""
+        WITH n AS (
+          SELECT vec_id, v, {_NORM} AS nrm
+          FROM (SELECT vec_id, {_V} AS v FROM embeddings)
+        ),
+        c AS (
+          SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+          WHERE vec_id BETWEEN 1 AND {IVF_CENTROIDS}
+        ),
+        assign AS (
+          SELECT vec_id, v, nrm, cid, cs,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, cid) AS rn
+          FROM (SELECT n.vec_id, n.v, n.nrm, c.cid,
+                       round({_d_dot('n.v', 'c.cv')}
+                             / (n.nrm * c.cnrm), 4) AS cs
+                FROM n CROSS JOIN c)
+        ),
+        cells AS (
+          SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rn = 1
+        ),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+          WHERE vec_id % {QUERY_MOD} = 0
+            AND vec_id < {QUERY_MOD * MAX_QUERIES}
+        ),
+        probes AS (
+          SELECT qid, qv, qnrm, cid AS cell FROM (
+            SELECT q.qid, q.qv, q.qnrm, c.cid,
+                   round({_d_dot('q.qv', 'c.cv')}
+                         / (q.qnrm * c.cnrm), 4) AS cs,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY cs DESC, c.cid) AS pr
+            FROM q CROSS JOIN c
+          ) WHERE pr <= {IVF_NPROBE}
+        ),
+        pairs AS (
+          SELECT p.qid AS query_id, t.vec_id AS neighbor_id,
+                 round({_d_dot('t.v', 'p.qv')}
+                       / (t.nrm * p.qnrm), 4) AS cosine
+          FROM cells t JOIN probes p
+            ON t.cell = p.cell AND t.vec_id <> p.qid
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM pairs
+        ) WHERE rank <= {TOPK}
     """,
 }

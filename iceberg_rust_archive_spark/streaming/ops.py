@@ -25,7 +25,9 @@ sources, so results are deterministic and comparable to batch oracles.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
+from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +42,65 @@ EVENTS_SCHEMA = StructType([
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
 ])
+
+# Driver testdata carries ts as INT64 TIMESTAMP(NANOS); under
+# nanosAsLong the streaming parquet source surfaces it as a long.
+NANOS_EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+_SINK_SEQ = count()
+
+
+def run_stream_windowed_once(spark: SparkSession, events_path: str,
+                             window: str = "1 hour",
+                             timeout_sec: int = 600) -> DataFrame:
+    """Execute the windowed streaming aggregate over a STATIC parquet
+    path with ``trigger(availableNow=True)`` and return the final state
+    as a batch DataFrame — the bridge that lets the driver's batch
+    correctness gate grade the streaming runtime: the stream's answer
+    must equal the batch ``events_windowed_agg`` twin bit-for-bit.
+
+    Complete output mode (not append): with a finite availableNow run
+    the ending watermark sits below the last window's close, so append
+    mode would hold the final windows back in state forever; complete
+    emits every window. State cost is all-windows here, which is fine
+    for a bounded replay — an unbounded production stream uses
+    ``events_stream_windowed`` (append + watermark eviction) instead."""
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)
+    cleanup = None
+    if os.path.isfile(events_path):
+        # FileStreamSource requires a DIRECTORY source; stage a symlink.
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(events_path),
+                   os.path.join(d, os.path.basename(events_path)))
+        events_path, cleanup = d, (lambda: shutil.rmtree(d, True))
+    stream = (spark.readStream.schema(NANOS_EVENTS_SCHEMA)
+              .parquet(events_path))
+    agg = (stream
+           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))
+                             .cast("timestamp_ntz"))
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "sum_value"))
+    name = f"win_once_{os.getpid()}_{next(_SINK_SEQ)}"
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(timeout_sec)
+    finally:
+        if cleanup is not None:
+            cleanup()
+    return spark.table(name)
 
 
 def events_stream_windowed(spark: SparkSession, source_dir: str,

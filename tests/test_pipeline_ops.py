@@ -239,3 +239,38 @@ def test_simhash_blocking_finds_all_pairs(spark):
     got = {(r.doc_a, r.doc_b)
            for r in dedup_simhash(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_ivf_topk_bounded_by_exact(spark):
+    """IVF is approximate: for every query its best probed neighbor can
+    never beat the exact top-1, and any (query, neighbor) pair IVF
+    returns must carry the same cosine the exact scorer assigns."""
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in similarity.ann_cosine_topk(spark, SF_DIR).collect()}
+    best = {}
+    for (q, _), c in exact.items():
+        best[q] = max(best.get(q, -2.0), c)
+    ivf = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    assert ivf, "IVF returned nothing"
+    assert {r.query_id for r in ivf} <= set(best)
+    for r in ivf:
+        assert r.cosine <= best[r.query_id] + 1e-9
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_ivf_recall_at_k(spark):
+    """With 32 cells / 4 probes on the small corpus, IVF should recover
+    a healthy fraction of the exact top-10 — a recall floor guards
+    against a broken cell assignment (e.g. all vectors in one cell)."""
+    exact = similarity.ann_cosine_topk(spark, SF_DIR).collect()
+    ivf = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    etop = {}
+    for r in exact:
+        etop.setdefault(r.query_id, set()).add(r.neighbor_id)
+    itop = {}
+    for r in ivf:
+        itop.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(etop[q] & itop.get(q, set())) for q in etop)
+    total = sum(len(v) for v in etop.values())
+    assert hits / total >= 0.3, f"recall collapsed: {hits}/{total}"

@@ -156,3 +156,25 @@ def test_stream_to_iceberg_table_exactly_once(spark, events_dir, tmp_path):
     q2.awaitTermination(180)
     t.refresh()
     assert t.scan(spark).count() == before
+
+
+def test_stream_windowed_once_matches_batch(spark):
+    """The availableNow replay of the windowed agg must equal the batch
+    planner's answer on the same parquet — the parity the driver's
+    correctness gate checks at sf0.01, pinned here at sf0.001."""
+    from tests.conftest import SF_DIR
+
+    from iceberg_rust_archive_spark.operators.relational import (
+        events_windowed_agg,
+    )
+    from iceberg_rust_archive_spark.streaming.ops import (
+        run_stream_windowed_once,
+    )
+    batch = {(str(r.window_start), r.event_type):
+             (r.n_events, round(r.sum_value, 2))
+             for r in events_windowed_agg(spark, SF_DIR).collect()}
+    stream = {(str(r.window_start), r.event_type):
+              (r.n_events, round(r.sum_value, 2))
+              for r in run_stream_windowed_once(
+                  spark, SF_DIR + "/events.parquet").collect()}
+    assert batch == stream
