@@ -31,7 +31,8 @@ from iceberg_rust_archive_spark.sources.manifests import (
     read_manifest, read_manifest_list,
 )
 from iceberg_rust_archive_spark.spec.manifest import (
-    CONTENT_DATA, CONTENT_EQUALITY_DELETES, STATUS_DELETED,
+    CONTENT_DATA, CONTENT_EQUALITY_DELETES, CONTENT_POSITION_DELETES,
+    STATUS_DELETED,
 )
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
 from iceberg_rust_archive_spark.spec.types import spark_schema_for
@@ -83,7 +84,7 @@ def scan(spark: SparkSession, md: TableMetadata,
     # A2: partition-level pruning over manifest-list rows
     mlist = prune_manifests(preds, spec, schema, mlist)
 
-    data_entries, delete_entries = [], []
+    data_entries, delete_entries, pos_delete_entries = [], [], []
     for mle in mlist:
         for e in read_manifest(mle.manifest_path):
             if e.status == STATUS_DELETED:
@@ -94,6 +95,8 @@ def scan(spark: SparkSession, md: TableMetadata,
                 data_entries.append(e)
             elif e.data_file.content == CONTENT_EQUALITY_DELETES:
                 delete_entries.append(e)
+            elif e.data_file.content == CONTENT_POSITION_DELETES:
+                pos_delete_entries.append(e)
 
     # A3: file-level pruning (data files only; deletes must all apply)
     kept = set(id(f) for f in prune_datafiles(
@@ -102,6 +105,25 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     if from_snapshot_id is not None:
         delete_entries = []  # incremental append reads new data only (A22)
+        pos_delete_entries = []
+
+    # Position deletes (content=1) name exact (file_path, ordinal) pairs,
+    # so one global anti-join applies them: a path written after the
+    # delete can never match, which encodes the sequence rule for free.
+    # The reference PANICS on this content type (datafusion_iceberg/src/
+    # table.rs:422-425); Spark's _metadata.row_index virtual column makes
+    # merge-on-read natural, so we support it as a parity superset.
+    has_pos = bool(pos_delete_entries)
+
+    def read_data(paths: list[str]) -> DataFrame:
+        d = spark.read.schema(spark_schema).parquet(*paths)
+        if has_pos:
+            # normalize file:///p -> /p to match DataFile.file_path form
+            d = d.withColumn(
+                "__fp", F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:/+", "/")) \
+                 .withColumn("__pos", F.col("_metadata.row_index"))
+        return d
 
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
@@ -112,7 +134,7 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     parts: list[DataFrame] = []
     if plain_files:
-        parts.append(spark.read.schema(spark_schema).parquet(*plain_files))
+        parts.append(read_data(plain_files))
 
     # A5: per-partition sequence-ordered equality-delete merge-on-read
     groups: dict[str, dict[int, dict[str, list]]] = defaultdict(

@@ -162,3 +162,49 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
 
     field_ids = {f.name: f.field_id for f in schema.fields}
     return harvest_files(spark, items, field_ids, content, equality_ids)
+
+
+# Iceberg spec v2 reserved field ids for position-delete file columns.
+POS_DELETE_PATH_FID = 2147483546
+POS_DELETE_POS_FID = 2147483545
+
+
+def write_position_deletes(spark: SparkSession, md: TableMetadata,
+                           hits: DataFrame) -> list[DataFile]:
+    """Write a position-delete file (content=1): rows are (file_path,
+    pos) with the spec's reserved field ids, sorted by (file_path, pos)
+    as the spec requires so appliers can merge-scan them.
+
+    The reference engine refuses this content type outright
+    (datafusion_iceberg/src/table.rs:422-425 panics "Position deletes
+    not supported."); Spark's ``_metadata.row_index`` makes it cheap to
+    support, so this repo exceeds parity here.
+
+    Scale note: delete sets are a small fraction of the table, so one
+    sorted file per transaction is the common case; a bulk backfill
+    delete should instead range-repartition on file_path before the
+    write (same DataFile harvest below, several files out)."""
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)
+    out = hits.select(
+        F.col("file_path").cast("string").alias(
+            "file_path", metadata={"parquet.field.id": POS_DELETE_PATH_FID}),
+        F.col("pos").cast("long").alias(
+            "pos", metadata={"parquet.field.id": POS_DELETE_POS_FID}),
+    ).repartition(1).sortWithinPartitions("file_path", "pos")
+    tx_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(md.location, "data", tx_id)
+    (out.write.mode("errorifexists")
+     .option("compression", md.properties.get(
+         "write.parquet.compression-codec", "zstd"))
+     .parquet(out_dir))
+    items = [(os.path.join(r, fn), {})
+             for r, _d, fns in os.walk(out_dir)
+             for fn in fns if fn.endswith(".parquet")]
+    field_ids = {"file_path": POS_DELETE_PATH_FID,
+                 "pos": POS_DELETE_POS_FID}
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_POSITION_DELETES,
+    )
+    return harvest_files(spark, items, field_ids,
+                         CONTENT_POSITION_DELETES, None)
