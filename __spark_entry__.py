@@ -132,7 +132,10 @@ def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
 
 
 def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
-    """union+distinct and anti-join NOT IN, one entry."""
+    """union+distinct, anti-join NOT IN, and the CASE-sum projection
+    (absorbed here so the 50-entry cap frees a slot for
+    iceberg_position_delete; the op label keeps each branch's rows
+    separately hashed)."""
     u = relational.distinct_union(s, d).select(
         F.lit("distinct_custkey").alias("op"),
         F.col("o_custkey").cast("string").alias("key"),
@@ -141,7 +144,11 @@ def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
         F.lit("no_urgent_segment").alias("op"),
         F.col("c_mktsegment").alias("key"),
         F.col("n_customers").alias("n"))
-    return u.unionByName(a)
+    c = relational.case_projection(s, d).select(
+        F.lit("case_high_count").alias("op"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("high_line_count").alias("n"))
+    return u.unionByName(a).unionByName(c)
 
 
 def _dedup_shingle_pairs(s: SparkSession, d: str) -> DataFrame:
@@ -177,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     everything that lacked a green row last round."""
     r2 = relational2.QUERIES
     return {
+        # --- new in round 3 (no green row yet — run first) ---------------
+        "iceberg_position_delete": iceberg_queries.iceberg_position_delete,
         # --- no correctness row in round 1 (fell past the 50-row cap) ---
         "q2_min_cost_supplier": r2["q2_min_cost_supplier"],
         "q11_important_stock": r2["q11_important_stock"],
@@ -203,7 +212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": r2["q17_small_quantity_revenue"],
         # --- hash-mismatch in round 1 (type pinning fixed) --------------
         "q12_shipmode": relational.q12_shipmode,
-        "case_projection": relational.case_projection,
         "iceberg_schema_evolution": iceberg_queries.iceberg_schema_evolution,
         "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
         "text_quality_tokens": _text_quality_tokens,
@@ -308,6 +316,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'no_urgent_segment', c_mktsegment, n_customers
             FROM ({o.pop('anti_semi_join')})
+            UNION ALL
+            SELECT 'case_high_count', o_orderstatus, high_line_count
+            FROM ({o.pop('case_projection')})
         """,
         "dedup_shingle_pairs": f"""
             SELECT 'jaccard3' AS method, doc_a, doc_b, jaccard AS sim
@@ -499,6 +510,13 @@ def _component_oracles() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n_orders
             FROM orders
             WHERE o_custkey % 10 <> 3
+            GROUP BY o_orderstatus
+        """,
+        "iceberg_position_delete": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_totalprice <= 200000 AND o_custkey % 10 <> 3
             GROUP BY o_orderstatus
         """,
         "iceberg_time_travel": """

@@ -113,6 +113,31 @@ def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append all orders, position-delete high-price rows (content=1
+    merge-on-read: scan tags _metadata row ordinals, anti-joins the
+    sorted (file_path, pos) pairs), THEN equality-delete a custkey slice
+    so both delete content types coexist in one scan — the reference
+    panics on content=1 (datafusion_iceberg/src/table.rs:422-425); this
+    is a parity superset."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.orders_pdel", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        t.append(spark, src)
+        t.delete_where_pos(spark, F.col("o_totalprice") > 200000.0)
+        t.delete_where_equal(spark, src.filter(F.col("o_custkey") % 10 == 3),
+                             ["o_orderkey"])
+        out = (t.scan(spark).groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two appends (even keys, then odd); read the first snapshot (A35)."""
     cat, d = _tmp_catalog()

@@ -125,6 +125,30 @@ def scan(spark: SparkSession, md: TableMetadata,
                  .withColumn("__pos", F.col("_metadata.row_index"))
         return d
 
+    def apply_pos_deletes(d: DataFrame) -> DataFrame:
+        """Anti-join the (file_path, pos) delete pairs, drop helpers.
+
+        Broadcast only while the delete set is provably small (sum of
+        delete-file bytes ≤ 64 MB); a bulk-deleted 100 TB table falls
+        back to a shuffle anti-join, which scales with the delete set."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        pd_schema = StructType([StructField("file_path", StringType()),
+                                StructField("pos", LongType())])
+        pd_paths = [e.data_file.file_path for e in pos_delete_entries]
+        pairs = (spark.read.schema(pd_schema).parquet(*pd_paths)
+                 .select(F.regexp_replace("file_path", "^file:/+", "/")
+                         .alias("__fp"),
+                         F.col("pos").alias("__pos"))
+                 .dropDuplicates(["__fp", "__pos"]))
+        del_bytes = sum(e.data_file.file_size_in_bytes or 0
+                        for e in pos_delete_entries)
+        if del_bytes <= 64 * 1024 * 1024:
+            pairs = F.broadcast(pairs)
+        return (d.join(pairs, on=["__fp", "__pos"], how="left_anti")
+                .drop("__fp", "__pos"))
+
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
 
@@ -166,7 +190,7 @@ def scan(spark: SparkSession, md: TableMetadata,
                                    how="left_anti")
             dfiles = [e.data_file.file_path for e in batch["data"]]
             if dfiles:
-                d = spark.read.schema(spark_schema).parquet(*dfiles)
+                d = read_data(dfiles)
                 acc = d if acc is None else acc.unionByName(d)
         if acc is not None:
             parts.append(acc)
@@ -177,6 +201,8 @@ def scan(spark: SparkSession, md: TableMetadata,
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if has_pos:
+            df = apply_pos_deletes(df)
 
     residual = to_spark_filter(preds)
     if residual is not None:

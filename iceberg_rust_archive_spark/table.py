@@ -92,6 +92,53 @@ class Table:
         txn.commit_with_retry(lambda t: t.append_delete_files(files))
         return self.refresh()
 
+    def delete_where_pos(self, spark: SparkSession, predicate,
+                         branch: str | None = None) -> "Table":
+        """Position-delete write (content=1): scan the current data files
+        with Spark's ``_metadata`` virtual columns, project the matching
+        (file_path, pos) pairs, write a sorted delete file, commit.
+
+        The reference refuses content=1 outright (datafusion_iceberg/src/
+        table.rs:422-425); we support it as a parity superset because
+        ``_metadata.row_index`` makes the ordinals free at scan time.
+        Scale: the hit projection is two skinny columns — the shuffle to
+        the single sorted writer carries only (path, long) pairs, never
+        data rows."""
+        from pyspark.sql import functions as F
+        from iceberg_rust_archive_spark.session import ensure_read_confs
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest, read_manifest_list,
+        )
+        from iceberg_rust_archive_spark.sources.write import (
+            write_position_deletes,
+        )
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_DATA, STATUS_DELETED,
+        )
+        from iceberg_rust_archive_spark.spec.types import spark_schema_for
+        ensure_read_confs(spark)
+        md = self.metadata
+        snap = md.current_snapshot(branch)
+        if snap is None:
+            return self
+        paths = [e.data_file.file_path
+                 for mle in read_manifest_list(snap.manifest_list)
+                 for e in read_manifest(mle.manifest_path)
+                 if e.status != STATUS_DELETED
+                 and e.data_file.content == CONTENT_DATA]
+        if not paths:
+            return self
+        schema = spark_schema_for(md.current_schema(branch).struct)
+        hits = (spark.read.schema(schema).parquet(*paths)
+                .filter(predicate)
+                .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:/+", "/").alias("file_path"),
+                        F.col("_metadata.row_index").alias("pos")))
+        files = write_position_deletes(spark, md, hits)
+        txn = self.new_transaction(branch).append_delete_files(files)
+        txn.commit_with_retry(lambda t: t.append_delete_files(files))
+        return self.refresh()
+
     def overwrite(self, spark: SparkSession, df: DataFrame,
                   branch: str | None = None) -> "Table":
         """Full replace (Replace op, operation.rs:384-547)."""

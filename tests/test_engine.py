@@ -74,6 +74,38 @@ def test_equality_delete(spark, catalog):
     assert _sums(t, spark) == {1: 6, 2: 1, 3: 4}
 
 
+def test_position_delete(spark, catalog):
+    """content=1 merge-on-read (parity superset — the reference panics,
+    datafusion_iceberg/src/table.rs:422-425): position-delete the
+    customer-1 rows, sums drop; rows appended afterwards survive because
+    their file paths postdate the delete pairs; the helper __fp/__pos
+    columns never leak into the scan schema."""
+    t = _mk_table(catalog, "orders_posdel")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    from pyspark.sql import functions as F
+    t.delete_where_pos(spark, F.col("customer_id") == 1)
+    df = t.scan(spark)
+    assert set(df.columns) == set(COLS)
+    assert _sums(t, spark) == {1: 4, 3: 3}
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t, spark) == {1: 6, 2: 1, 3: 4}
+
+
+def test_position_plus_equality_delete(spark, catalog):
+    """Both delete content types in one table (the r2 crash case): scan
+    must anti-join both and keep a clean schema."""
+    t = _mk_table(catalog, "orders_mixdel")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    from pyspark.sql import functions as F
+    t.delete_where_pos(spark, F.col("id") == 6)           # amount 3, prod 3
+    t.delete_where_equal(spark, spark.createDataFrame(
+        [r for r in BATCH1 if r[1] == 2], COLS),
+        ["id", "customer_id", "product_id", "date"])      # id 2
+    df = t.scan(spark)
+    assert set(df.columns) == set(COLS)
+    assert sorted(r["id"] for r in df.collect()) == [1, 3, 4, 5]
+
+
 def test_sequence_numbers(spark, catalog):
     """tests/insert_sequence_number.rs:226-233: two appends → manifest-list
     sequence numbers [1, 2], min_sequence_number 1 (the reference observes
