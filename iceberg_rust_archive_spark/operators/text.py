@@ -46,37 +46,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WORDS = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
 
 
-def _marker_score(lang: str, words_src: str = _WORDS) -> str:
-    words = ", ".join(f"'{w}'" for w in MARKERS[lang])
-    return f"size(filter({words_src}, w -> w IN ({words})))"
-
-
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of labeled vs predicted language.
 
-    The words array is materialized once behind a repartition barrier;
-    otherwise each of the 5 marker scores (and their re-references in
-    the argmax CASE) re-splits the text per row (see PLANS.md finding 2
-    on CollapseProject)."""
-    # round-robin repartition: an optimizer barrier that PRESERVES the
-    # session parallelism (hashing on `lang` would collapse to 5
-    # partitions)
-    d = (_docs(spark, sf_dir)
-         .withColumn("ws_arr", F.expr(_WORDS))
-         .repartition(spark.sparkContext.defaultParallelism))
-    for lang in MARKERS:
-        d = d.withColumn(f"s_{lang}", F.expr(_marker_score(lang, "ws_arr")))
-    # second barrier carrying ONLY (lang, 5 ints): the argmax below
-    # references every score 3× (greatest + compare + CASE), and without
-    # an exchange CollapseProject re-inlines the marker filter() into
-    # each reference — 15 array scans per row instead of 5
-    d = (d.select("lang", *[f"s_{lang}" for lang in MARKERS])
-         .repartition(spark.sparkContext.defaultParallelism))
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in MARKERS])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in sorted(MARKERS):  # deterministic tie-break: alphabetical
-        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
-    return (d.withColumn("predicted", pred)
+    Single scan, zero extra shuffles: nested ``transform()`` lambdas act
+    as let-bindings — the outer binds the split words array once, the
+    inner binds the 5-score array once — so CollapseProject cannot
+    re-inline the split/filter into every argmax reference (the r2 plan
+    defeated that with two full-table repartition barriers; this one
+    keeps the same single-evaluation property inside one projection).
+    Argmax = array_position(array_max); languages listed alphabetically
+    so first-match implements the deterministic tie-break."""
+    langs = sorted(MARKERS)
+    scores = ", ".join(
+        "size(filter(ws, w -> w IN ({})))".format(
+            ", ".join(f"'{w}'" for w in MARKERS[lg]))
+        for lg in langs)
+    lang_arr = ", ".join(f"'{lg}'" for lg in langs)
+    pred = (
+        f"element_at(transform(array({_WORDS}), ws -> "
+        f"element_at(transform(array(array({scores})), a -> "
+        f"CASE WHEN array_max(a) <= 0 THEN 'und' "
+        f"ELSE element_at(array({lang_arr}), "
+        f"int(array_position(a, array_max(a)))) END), 1)), 1)")
+    return (_docs(spark, sf_dir)
+            .select("lang", F.expr(pred).alias("predicted"))
             .groupBy("lang", "predicted")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("lang", "predicted"))
