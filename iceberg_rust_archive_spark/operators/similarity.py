@@ -220,59 +220,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOPK,
     DataFrame; every plan shape below is unchanged.
 
     Scale shape (vs the exact GEMM baseline's O(N·Q·d) full scan):
-    - Cell assignment is a BROADCAST cross join (K centroid rows) with
-      map-side ``max_by`` partial aggregation — the shuffle carries N
-      single rows, never the N×K pair fan-out, and the dot products are
-      JVM higher-order folds inside whole-stage codegen.
-    - Candidate generation is a broadcast semi-join of the corpus
-      against ≤ Q·nprobe probed cell ids: O(N·nprobe/K) candidate rows
-      reach the re-rank, so with K ∝ √N the re-rank cost is
-      O(Q·√N·nprobe·d) — sublinear fraction of the corpus scored.
+    - Centroids (K rows) and queries (≤ MAX_QUERIES) are bounded by
+      construction → collected + broadcast; probe cells are picked
+      driver-side with Q×K flops.
+    - ONE ``mapInPandas`` pass over the corpus does assignment AND
+      re-rank: per Arrow batch, a B×K GEMM assigns cells, a B×Q GEMM
+      scores only the rows whose cell is probed, and a local top-k per
+      query survives — zero shuffles of vector data; the only shuffle
+      is the ≤ partitions·Q·k pair rows into the global top-k window.
+    - The corpus never fans out N×K (the r2 broadcast-crossJoin shape
+      paid interpreted per-pair folds); with K ∝ √N the scored
+      candidate fraction stays O(nprobe/√N) of the corpus.
     - Scores round to 4dp with (cosine desc, id asc) tie-break BEFORE
-      window selection, same total order in both engines.
+      selection, same total order in both engines.
     """
+    import numpy as np
+
+    from iceberg_rust_archive_spark.session import read_parallel
     if n_centroids is None:
         n_centroids = IVF_CENTROIDS
-    vecs = _vectors(spark, sf_dir)
-    cents = (vecs.filter((F.col("vec_id") >= 1)
-                         & (F.col("vec_id") <= n_centroids))
-             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-                     F.col("nrm").alias("cnrm")))
+    e = read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
-    cscore = F.round(_dot(F.col("v"), F.col("cv"))
-                     / (F.col("nrm") * F.col("cnrm")), 4)
-    # tie-break: highest score, then LOWEST centroid id (struct max).
-    tie = F.struct(F.col("cs").alias("s"), (-F.col("cid")).alias("nc"))
-    assigned = (vecs.crossJoin(F.broadcast(cents))
-                .withColumn("cs", cscore)
-                .groupBy("vec_id")
-                .agg(F.max_by("cid", tie).alias("cell"),
-                     F.any_value("v").alias("v"),
-                     F.any_value("nrm").alias("nrm")))
+    # Both small sides are bounded by construction: K centroid rows and
+    # ≤ MAX_QUERIES query rows. Collect + broadcast, like the exact
+    # branch's query matrix (the r2 plan scored the N×K assignment with
+    # interpreted higher-order folds — 18s at sf0.1; one numpy GEMM per
+    # Arrow batch is the proven fast path).
+    c_rows = sorted((e.filter((F.col("vec_id") >= 1)
+                              & (F.col("vec_id") <= n_centroids))
+                     .select("vec_id", "embedding").collect()),
+                    key=lambda r: r.vec_id)
+    cids = np.array([r.vec_id for r in c_rows], dtype=np.int64)
+    cm = np.array([r.embedding for r in c_rows], dtype=np.float64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    q_rows = sorted((e.filter((F.col("vec_id") % QUERY_MOD == 0)
+                              & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES))
+                     .select("vec_id", "embedding").collect()),
+                    key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
 
-    qw = Window.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("cid"))
-    probes = (vecs.filter((F.col("vec_id") % QUERY_MOD == 0)
-                          & (F.col("vec_id") < QUERY_MOD * MAX_QUERIES))
-              .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-                      F.col("nrm").alias("qnrm"))
-              .crossJoin(F.broadcast(cents))
-              .withColumn("cs", F.round(_dot(F.col("qv"), F.col("cv"))
-                                        / (F.col("qnrm") * F.col("cnrm")),
-                                        4))
-              .withColumn("pr", F.row_number().over(qw))
-              .filter(F.col("pr") <= nprobe)
-              .select("qid", "qv", "qnrm", F.col("cid").alias("cell")))
+    # Driver-side probe selection (Q×K flops): per query, the nprobe
+    # cells by (cs desc, cid asc) — same rounded total order as the
+    # oracle's window.
+    qcs = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), 4)
+    probe_cells = [cids[np.lexsort((cids, -qcs[j]))[:nprobe]]
+                   for j in range(len(qids))]
+    bc = spark.sparkContext.broadcast(
+        (cids, cm, cn, qids, qm, qn, probe_cells))
 
-    pairs = (assigned.join(F.broadcast(probes), "cell")
-             .filter(F.col("vec_id") != F.col("qid"))
-             .select(F.col("qid").alias("query_id"),
-                     F.col("vec_id").alias("neighbor_id"),
-                     F.round(_dot(F.col("v"), F.col("qv"))
-                             / (F.col("nrm") * F.col("qnrm")), 4)
-                     .alias("cosine")))
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def kernel(batches):
+        import pandas as pd
+        b_cids, b_cm, b_cn, b_qids, b_qm, b_qn, b_probes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            nrm = np.sqrt((vm * vm).sum(axis=1))
+            # cell assignment: round BEFORE argmax (oracle parity);
+            # argmax first-max == lowest cid because cm is cid-sorted
+            acs = np.round((vm @ b_cm.T) / (nrm[:, None] * b_cn[None, :]), 4)
+            cell = b_cids[np.argmax(acs, axis=1)]
+            qs = np.round((vm @ b_qm.T) / (nrm[:, None] * b_qn[None, :]), 4)
+            parts = []
+            for j, qid in enumerate(b_qids):
+                mask = np.isin(cell, b_probes[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids, cand_s = ids[mask], qs[mask, j]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                parts.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": cand_ids[order],
+                    "cosine": cand_s[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    local = e.mapInPandas(kernel, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy("query_id", "rank"))
 
