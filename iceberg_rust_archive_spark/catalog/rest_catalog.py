@@ -1,23 +1,31 @@
 """REST catalog client (SURVEY §2 A29; reference:
 catalogs/iceberg-rest-catalog/src/catalog.rs).
 
-Speaks an Iceberg-REST-shaped HTTP surface over the same pointer+CAS
-model as the SQL/File catalogs: the server stores
-``namespace.table → metadata-location`` and performs the conditional
-update at commit time (the HTTP twin of iceberg-sql-catalog's
-``UPDATE ... WHERE metadata_location = <prev>``, lib.rs:429-480).
+Speaks the Iceberg REST protocol for tables:
 
-Paths follow the Iceberg REST spec layout (/v1/namespaces,
-/v1/namespaces/{ns}/tables/{tbl}); the commit body is the one
-deliberate divergence — we transmit
-``{"metadata-location", "expected-metadata-location"}`` instead of the
-spec's updates/requirements list, because in this engine metadata
-documents live on shared storage (like the File catalog) and only the
-pointer is catalog state. A 409 response is the optimistic-concurrency
-conflict (CommitFailedError).
+- ``GET  /v1/namespaces/{ns}/tables/{tbl}`` → LoadTableResult
+  (``metadata-location`` + inline ``metadata``; falls back to reading
+  the document from shared storage for pointer-only servers),
+- ``POST /v1/namespaces/{ns}/tables`` → CreateTableRequest (name,
+  location, schema, partition-spec, write-order, properties) — the
+  *server* materializes the metadata, assigns the table uuid, and
+  returns it (catalog.rs:300-318),
+- ``POST /v1/namespaces/{ns}/tables/{tbl}`` → CommitTableRequest with
+  the spec's **requirements + updates** lists (catalog.rs:320-339,
+  iceberg-rust/src/catalog/commit.rs:94-260). The server validates every
+  requirement (``assert-table-uuid``, ``assert-ref-snapshot-id``, ...)
+  against its current metadata and answers 409 on conflict
+  (CommitFailedError → the transaction layer's optimistic retry).
+
+Views/MVs ride the spec's ``register`` shape (client-written metadata
+document + ``POST /v1/namespaces/{ns}/register``) with an
+``expected-metadata-location`` CAS extension, since the engine's view
+commits are single-pointer swaps; documented divergence — the reference
+posts CreateView bodies to /views instead.
 
 stdlib urllib only — no extra dependencies; tests run an in-process
-HTTP server (tests/test_rest_catalog.py).
+HTTP server (tests/test_rest_catalog.py) that enforces the requirement
+checks the way Polaris/Lakekeeper do.
 """
 
 from __future__ import annotations
@@ -27,8 +35,13 @@ import urllib.error
 import urllib.request
 
 from iceberg_rust_archive_spark.catalog.base import (
-    Catalog, CommitFailedError, NoSuchTableError, parse_identifier,
+    Catalog, CommitFailedError, NoSuchTableError, TableAlreadyExistsError,
+    metadata_from_json, parse_identifier,
 )
+from iceberg_rust_archive_spark.catalog.commit import (
+    build_table_requirements, build_table_updates,
+)
+from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
 
 
 class RestCatalog(Catalog):
@@ -40,7 +53,7 @@ class RestCatalog(Catalog):
 
     # --- http plumbing ---------------------------------------------------
     def _request(self, method: str, path: str, body: dict | None = None,
-                 ok_statuses: tuple[int, ...] = (200, 201, 204)):
+                 conflict_exc: type[Exception] = CommitFailedError):
         url = f"{self.base_url}/v1/{path}"
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(url, data=data, method=method)
@@ -50,17 +63,15 @@ class RestCatalog(Catalog):
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 payload = resp.read()
-                if resp.status not in ok_statuses:
-                    raise RuntimeError(
-                        f"{method} {url} -> {resp.status}: {payload[:200]}")
                 return json.loads(payload) if payload else None
         except urllib.error.HTTPError as e:
+            detail = e.read()[:300]
             if e.code == 404:
                 raise NoSuchTableError(path) from None
             if e.code == 409:
-                raise CommitFailedError(path) from None
+                raise conflict_exc(f"{path}: {detail!r}") from None
             raise RuntimeError(
-                f"{method} {url} -> {e.code}: {e.read()[:200]}") from None
+                f"{method} {url} -> {e.code}: {detail}") from None
 
     # --- namespaces ------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:
@@ -88,13 +99,88 @@ class RestCatalog(Catalog):
             return None
         return out.get("metadata-location")
 
+    def load_tabular_with_location(self, identifier: str):
+        """LoadTableResult: prefer the inline ``metadata`` document the
+        spec returns; fall back to the shared-storage read for
+        pointer-only servers."""
+        ns, name = parse_identifier(identifier)
+        out = self._request("GET", f"namespaces/{ns}/tables/{name}")
+        loc = out.get("metadata-location")
+        if loc is None:
+            raise NoSuchTableError(identifier)
+        if out.get("metadata") is not None:
+            return metadata_from_json(out["metadata"]), loc
+        from iceberg_rust_archive_spark.object_store import store_for
+        doc = json.loads(store_for(loc).read_bytes(loc).decode("utf-8"))
+        return metadata_from_json(doc), loc
+
+    # --- create ----------------------------------------------------------
+    def create_tabular(self, identifier: str, metadata) -> None:
+        ns, name = parse_identifier(identifier)
+        if isinstance(metadata, TableMetadata):
+            # spec CreateTableRequest — the server owns metadata
+            # materialization and uuid assignment (catalog.rs:300-318,
+            # CreateTable struct in catalog/create.rs:57-81). Callers
+            # must reload to observe the server-assigned identity
+            # (Table.create does).
+            schema = metadata.schemas[metadata.current_schema_id]
+            body = {
+                "name": name,
+                "location": metadata.location,
+                "schema": schema.to_json(),
+                "partition-spec": metadata.default_spec().to_json(),
+                "write-order": metadata.sort_orders[
+                    metadata.default_sort_order_id].to_json(),
+                "stage-create": False,
+                "properties": metadata.properties,
+            }
+            self._request("POST", f"namespaces/{ns}/tables", body,
+                          conflict_exc=TableAlreadyExistsError)
+            return
+        # views / MVs: client-written document + spec register shape
+        loc = self._write_metadata_file(metadata)
+        self._register(ns, name, loc, expected=None)
+
+    # --- commit ----------------------------------------------------------
+    def update_tabular(self, identifier: str, new_metadata,
+                       expected_location: str | None = None) -> str:
+        ns, name = parse_identifier(identifier)
+        if expected_location is None:
+            expected_location = self.metadata_location(identifier)
+        if isinstance(new_metadata, TableMetadata):
+            # Diff against the base the WRITER read (the document at the
+            # expected location), not a fresh GET — a concurrent commit
+            # must surface as a requirement failure, not fold into the
+            # delta.
+            from iceberg_rust_archive_spark.object_store import store_for
+            base = TableMetadata.from_json(json.loads(
+                store_for(expected_location)
+                .read_bytes(expected_location).decode("utf-8")))
+            body = {
+                "identifier": {"namespace": ns.split("."), "name": name},
+                "requirements": build_table_requirements(base, new_metadata),
+                "updates": build_table_updates(base, new_metadata),
+            }
+            out = self._request("POST", f"namespaces/{ns}/tables/{name}",
+                                body)
+            return out.get("metadata-location", "")
+        loc = self._write_metadata_file(new_metadata)
+        self._register(ns, name, loc, expected=expected_location)
+        return loc
+
+    def _register(self, ns: str, name: str, location: str,
+                  expected: str | None) -> None:
+        self._request("POST", f"namespaces/{ns}/register", {
+            "name": name,
+            "metadata-location": location,
+            # CAS extension beyond the spec's register (see module doc)
+            "expected-metadata-location": expected,
+        })
+
     def _set_pointer(self, identifier: str, new_location: str,
                      expected_old: str | None) -> None:
         ns, name = parse_identifier(identifier)
-        self._request("POST", f"namespaces/{ns}/tables/{name}", {
-            "metadata-location": new_location,
-            "expected-metadata-location": expected_old,
-        })
+        self._register(ns, name, new_location, expected_old)
 
     def drop_tabular(self, identifier: str) -> None:
         ns, name = parse_identifier(identifier)
