@@ -28,6 +28,9 @@ from iceberg_rust_archive_spark.spec.snapshot import (
 )
 from iceberg_rust_archive_spark.spec.sort import SortOrder
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.view_metadata import (
+    MaterializedViewMetadata, ViewMetadata, ViewVersion,
+)
 
 
 def build_table_requirements(base: TableMetadata,
@@ -44,6 +47,12 @@ def build_table_requirements(base: TableMetadata,
             reqs.append({"type": "assert-ref-snapshot-id", "ref": name,
                          "snapshot-id":
                              old.snapshot_id if old is not None else None})
+    # refs this commit REMOVES also need their last-seen assertion — a
+    # concurrent writer advancing the ref must 409, not be clobbered
+    for name in sorted(base.refs):
+        if name not in new.refs:
+            reqs.append({"type": "assert-ref-snapshot-id", "ref": name,
+                         "snapshot-id": base.refs[name].snapshot_id})
     return reqs
 
 
@@ -228,3 +237,151 @@ def apply_table_updates(md: TableMetadata,
         else:
             raise ValueError(f"unknown update action {a!r}")
     return md
+
+
+def table_metadata_from_create(body: dict) -> TableMetadata:
+    """Server-side CreateTableRequest materialization (the service's half
+    of catalog.rs:300-318): the *server* assigns the table uuid and
+    builds the initial metadata document from the request's schema /
+    partition-spec / write-order."""
+    schema = Schema.from_json(body["schema"])
+    spec = PartitionSpec.from_json(body["partition-spec"]) \
+        if body.get("partition-spec") else None
+    order = SortOrder.from_json(body["write-order"]) \
+        if body.get("write-order") else None
+    return TableMetadata.new(body["location"], schema, spec, order,
+                             body.get("properties"))
+
+
+# --- views (CommitView<T>, commit.rs:67-73,262-320,391-397,515-552) ------
+
+def _version_wire(md: ViewMetadata, ver: ViewVersion) -> dict:
+    """Version<T> wire shape: MVs inline the storage-table identifier in
+    the version (view_metadata.rs:307-336 ``storage_table: T``,
+    skip-serialized when None)."""
+    d = ver.to_json()
+    if isinstance(md, MaterializedViewMetadata):
+        d["storage-table"] = md.storage_table
+    return d
+
+
+def build_view_requirements(base: ViewMetadata) -> list[dict]:
+    """AssertViewUuid is the only spec view requirement
+    (commit.rs:323-330)."""
+    return [{"type": "assert-view-uuid", "uuid": base.view_uuid}]
+
+
+def build_view_updates(base: ViewMetadata,
+                       new: ViewMetadata) -> list[dict]:
+    """(base → new) delta as ViewUpdate actions (commit.rs:262-320)."""
+    ups: list[dict] = []
+    for sid in sorted(new.schemas):
+        if sid not in base.schemas:
+            ups.append({"action": "add-schema",
+                        "schema": new.schemas[sid].to_json(),
+                        "last-column-id": None})
+    for vid in sorted(new.versions):
+        if vid not in base.versions:
+            ups.append({"action": "add-view-version",
+                        "view-version":
+                            _version_wire(new, new.versions[vid])})
+    if new.current_version_id != base.current_version_id:
+        ups.append({"action": "set-current-view-version",
+                    "view-version-id": new.current_version_id})
+    props = {k: v for k, v in new.properties.items()
+             if base.properties.get(k) != v}
+    if props:
+        ups.append({"action": "set-properties", "updates": props})
+    gone = sorted(k for k in base.properties if k not in new.properties)
+    if gone:
+        ups.append({"action": "remove-properties", "removals": gone})
+    if new.location != base.location:
+        ups.append({"action": "set-location", "location": new.location})
+    return ups
+
+
+def check_view_requirements(requirements: list[dict],
+                            current: ViewMetadata) -> str | None:
+    """commit.rs:391-397: AssertViewUuid is the whole check."""
+    for r in requirements:
+        t = r.get("type")
+        if t == "assert-view-uuid":
+            if current.view_uuid != r.get("uuid"):
+                return f"view uuid is {current.view_uuid}"
+        else:
+            return f"unknown view requirement type {t!r}"
+    return None
+
+
+def apply_view_updates(md: ViewMetadata,
+                       updates: list[dict]) -> ViewMetadata:
+    """Apply ViewUpdate actions in order (commit.rs:515-552);
+    SetCurrentViewVersion with -1 selects the last-added version, per the
+    spec comment on the enum."""
+    for u in updates:
+        a = u.get("action")
+        if a == "assign-uuid":
+            md = _dc_replace(md, view_uuid=u["uuid"])
+        elif a == "upgrade-format-version":
+            md = _dc_replace(md, format_version=int(u["format-version"]))
+        elif a == "add-schema":
+            s = Schema.from_json(u["schema"])
+            schemas = dict(md.schemas)
+            schemas[s.schema_id] = s
+            md = _dc_replace(md, schemas=schemas)
+        elif a == "add-view-version":
+            d = dict(u["view-version"])
+            storage = d.pop("storage-table", None)
+            ver = ViewVersion.from_json(d)
+            versions = dict(md.versions)
+            versions[ver.version_id] = ver
+            md = _dc_replace(
+                md, versions=versions,
+                version_log=md.version_log + (
+                    {"timestamp-ms": ver.timestamp_ms,
+                     "version-id": ver.version_id},))
+            if storage is not None \
+                    and isinstance(md, MaterializedViewMetadata):
+                md = _dc_replace(md, storage_table=storage)
+        elif a == "set-current-view-version":
+            vid = int(u["view-version-id"])
+            if vid == -1:
+                vid = max(md.versions)
+            md = _dc_replace(md, current_version_id=vid)
+        elif a == "set-location":
+            md = _dc_replace(md, location=u["location"])
+        elif a == "set-properties":
+            props = dict(md.properties)
+            props.update(u.get("updates", {}))
+            md = _dc_replace(md, properties=props)
+        elif a == "remove-properties":
+            props = {k: v for k, v in md.properties.items()
+                     if k not in set(u.get("removals", ()))}
+            md = _dc_replace(md, properties=props)
+        else:
+            raise ValueError(f"unknown view update action {a!r}")
+    return md
+
+
+def view_metadata_from_create(body: dict) -> ViewMetadata:
+    """Server-side CreateViewRequest materialization (create.rs:236-276
+    TryInto<ViewMetadata>/<MaterializedViewMetadata>): fresh uuid, the
+    request's version as version 1; a storage-table in the version makes
+    it a materialized view."""
+    import uuid as _uuid
+    d = dict(body["view-version"])
+    storage = d.pop("storage-table", None)
+    ver = ViewVersion.from_json(d)
+    schema = Schema.from_json(body["schema"])
+    kwargs = dict(
+        view_uuid=str(_uuid.uuid4()),
+        location=body["location"].rstrip("/"),
+        versions={ver.version_id: ver},
+        current_version_id=ver.version_id,
+        schemas={schema.schema_id: schema},
+        version_log=({"timestamp-ms": ver.timestamp_ms,
+                      "version-id": ver.version_id},),
+        properties=dict(body.get("properties", {})))
+    if storage is not None:
+        return MaterializedViewMetadata(storage_table=storage, **kwargs)
+    return ViewMetadata(**kwargs)

@@ -1,7 +1,7 @@
 """REST catalog client (SURVEY §2 A29; reference:
 catalogs/iceberg-rest-catalog/src/catalog.rs).
 
-Speaks the Iceberg REST protocol for tables:
+Speaks the Iceberg REST protocol. Tables:
 
 - ``GET  /v1/namespaces/{ns}/tables/{tbl}`` → LoadTableResult
   (``metadata-location`` + inline ``metadata``; falls back to reading
@@ -17,15 +17,26 @@ Speaks the Iceberg REST protocol for tables:
   against its current metadata and answers 409 on conflict
   (CommitFailedError → the transaction layer's optimistic retry).
 
-Views/MVs ride the spec's ``register`` shape (client-written metadata
-document + ``POST /v1/namespaces/{ns}/register``) with an
-``expected-metadata-location`` CAS extension, since the engine's view
-commits are single-pointer swaps; documented divergence — the reference
-posts CreateView bodies to /views instead.
+Views and MVs ride the spec's ``/views`` routes, mirroring the
+reference's create_view / replace_view (catalog.rs:340-389,391-455):
+
+- ``POST /v1/namespaces/{ns}/views`` → CreateViewRequest (name,
+  location, schema, view-version, properties); an MV inlines its
+  storage-table identifier in the view-version
+  (view_metadata.rs:307-336),
+- ``GET  /v1/namespaces/{ns}/views/{view}`` → LoadViewResult,
+- ``POST /v1/namespaces/{ns}/views/{view}`` → CommitViewRequest with
+  ``assert-view-uuid`` + ViewUpdate actions (commit.rs:67-73,262-330).
+
+Identifier → tabular-kind is resolved by trying the table route first
+and falling back to the view route on 404, exactly like the reference's
+load_tabular probing (catalog.rs:257-296).
 
 stdlib urllib only — no extra dependencies; tests run an in-process
-HTTP server (tests/test_rest_catalog.py) that enforces the requirement
-checks the way Polaris/Lakekeeper do.
+HTTP server (tests/test_rest_catalog.py) that materializes create
+requests and enforces commit requirements via
+``catalog.commit.check_table_requirements`` the way
+Polaris/Lakekeeper do.
 """
 
 from __future__ import annotations
@@ -39,17 +50,23 @@ from iceberg_rust_archive_spark.catalog.base import (
     metadata_from_json, parse_identifier,
 )
 from iceberg_rust_archive_spark.catalog.commit import (
-    build_table_requirements, build_table_updates,
+    _version_wire, build_table_requirements, build_table_updates,
+    build_view_requirements, build_view_updates,
 )
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.spec.view_metadata import ViewMetadata
 
 
 class RestCatalog(Catalog):
     def __init__(self, base_url: str, token: str | None = None,
-                 timeout: float = 10.0):
+                 timeout: float = 10.0, root: str | None = None):
         self.base_url = base_url.rstrip("/")
         self.token = token
         self.timeout = timeout
+        if root is not None:
+            # warehouse root for default table/view locations (the role
+            # the service's warehouse config plays for real catalogs)
+            self.root = root
 
     # --- http plumbing ---------------------------------------------------
     def _request(self, method: str, path: str, body: dict | None = None,
@@ -87,27 +104,36 @@ class RestCatalog(Catalog):
 
     # --- tabulars --------------------------------------------------------
     def list_tabulars(self, namespace: str) -> list[str]:
-        out = self._request("GET", f"namespaces/{namespace}/tables")
-        return [f"{'.'.join(ident['namespace'])}.{ident['name']}"
-                for ident in out.get("identifiers", [])]
+        names = []
+        for route in ("tables", "views"):
+            out = self._request("GET", f"namespaces/{namespace}/{route}")
+            names += [f"{'.'.join(ident['namespace'])}.{ident['name']}"
+                      for ident in out.get("identifiers", [])]
+        return sorted(names)
+
+    def _load_result(self, identifier: str) -> dict | None:
+        """LoadTableResult / LoadViewResult: probe the table route, fall
+        back to the view route (catalog.rs:257-296)."""
+        ns, name = parse_identifier(identifier)
+        for route in ("tables", "views"):
+            try:
+                return self._request(
+                    "GET", f"namespaces/{ns}/{route}/{name}")
+            except NoSuchTableError:
+                continue
+        return None
 
     def metadata_location(self, identifier: str) -> str | None:
-        ns, name = parse_identifier(identifier)
-        try:
-            out = self._request("GET", f"namespaces/{ns}/tables/{name}")
-        except NoSuchTableError:
-            return None
-        return out.get("metadata-location")
+        out = self._load_result(identifier)
+        return out.get("metadata-location") if out else None
 
     def load_tabular_with_location(self, identifier: str):
-        """LoadTableResult: prefer the inline ``metadata`` document the
-        spec returns; fall back to the shared-storage read for
-        pointer-only servers."""
-        ns, name = parse_identifier(identifier)
-        out = self._request("GET", f"namespaces/{ns}/tables/{name}")
-        loc = out.get("metadata-location")
-        if loc is None:
+        """Prefer the inline ``metadata`` document the spec returns; fall
+        back to the shared-storage read for pointer-only servers."""
+        out = self._load_result(identifier)
+        if out is None or out.get("metadata-location") is None:
             raise NoSuchTableError(identifier)
+        loc = out["metadata-location"]
         if out.get("metadata") is not None:
             return metadata_from_json(out["metadata"]), loc
         from iceberg_rust_archive_spark.object_store import store_for
@@ -122,7 +148,7 @@ class RestCatalog(Catalog):
             # materialization and uuid assignment (catalog.rs:300-318,
             # CreateTable struct in catalog/create.rs:57-81). Callers
             # must reload to observe the server-assigned identity
-            # (Table.create does).
+            # (Table.create refreshes).
             schema = metadata.schemas[metadata.current_schema_id]
             body = {
                 "name": name,
@@ -137,9 +163,18 @@ class RestCatalog(Catalog):
             self._request("POST", f"namespaces/{ns}/tables", body,
                           conflict_exc=TableAlreadyExistsError)
             return
-        # views / MVs: client-written document + spec register shape
-        loc = self._write_metadata_file(metadata)
-        self._register(ns, name, loc, expected=None)
+        # views / MVs: spec CreateViewRequest (catalog.rs:340-364;
+        # create.rs:179-194). MV storage table rides in the version.
+        ver = metadata.current_version()
+        body = {
+            "name": name,
+            "location": metadata.location,
+            "schema": metadata.schemas[ver.schema_id].to_json(),
+            "view-version": _version_wire(metadata, ver),
+            "properties": metadata.properties,
+        }
+        self._request("POST", f"namespaces/{ns}/views", body,
+                      conflict_exc=TableAlreadyExistsError)
 
     # --- commit ----------------------------------------------------------
     def update_tabular(self, identifier: str, new_metadata,
@@ -147,15 +182,14 @@ class RestCatalog(Catalog):
         ns, name = parse_identifier(identifier)
         if expected_location is None:
             expected_location = self.metadata_location(identifier)
+        # Diff against the base the WRITER read (the document at the
+        # expected location), not a fresh GET — a concurrent commit
+        # must surface as a requirement failure, not fold into the delta.
+        from iceberg_rust_archive_spark.object_store import store_for
+        base = metadata_from_json(json.loads(
+            store_for(expected_location)
+            .read_bytes(expected_location).decode("utf-8")))
         if isinstance(new_metadata, TableMetadata):
-            # Diff against the base the WRITER read (the document at the
-            # expected location), not a fresh GET — a concurrent commit
-            # must surface as a requirement failure, not fold into the
-            # delta.
-            from iceberg_rust_archive_spark.object_store import store_for
-            base = TableMetadata.from_json(json.loads(
-                store_for(expected_location)
-                .read_bytes(expected_location).decode("utf-8")))
             body = {
                 "identifier": {"namespace": ns.split("."), "name": name},
                 "requirements": build_table_requirements(base, new_metadata),
@@ -164,24 +198,24 @@ class RestCatalog(Catalog):
             out = self._request("POST", f"namespaces/{ns}/tables/{name}",
                                 body)
             return out.get("metadata-location", "")
-        loc = self._write_metadata_file(new_metadata)
-        self._register(ns, name, loc, expected=expected_location)
-        return loc
-
-    def _register(self, ns: str, name: str, location: str,
-                  expected: str | None) -> None:
-        self._request("POST", f"namespaces/{ns}/register", {
-            "name": name,
-            "metadata-location": location,
-            # CAS extension beyond the spec's register (see module doc)
-            "expected-metadata-location": expected,
-        })
+        if not isinstance(new_metadata, ViewMetadata):
+            raise TypeError(f"unsupported metadata {type(new_metadata)}")
+        body = {
+            "identifier": {"namespace": ns.split("."), "name": name},
+            "requirements": build_view_requirements(base),
+            "updates": build_view_updates(base, new_metadata),
+        }
+        out = self._request("POST", f"namespaces/{ns}/views/{name}", body)
+        return out.get("metadata-location", "")
 
     def _set_pointer(self, identifier: str, new_location: str,
                      expected_old: str | None) -> None:
-        ns, name = parse_identifier(identifier)
-        self._register(ns, name, new_location, expected_old)
+        raise NotImplementedError(
+            "RestCatalog speaks the spec commit protocol, not pointer CAS")
 
     def drop_tabular(self, identifier: str) -> None:
         ns, name = parse_identifier(identifier)
-        self._request("DELETE", f"namespaces/{ns}/tables/{name}")
+        try:
+            self._request("DELETE", f"namespaces/{ns}/tables/{name}")
+        except NoSuchTableError:
+            self._request("DELETE", f"namespaces/{ns}/views/{name}")

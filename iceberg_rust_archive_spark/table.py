@@ -41,7 +41,10 @@ class Table:
             location = f"{base}/{identifier.replace('.', '/')}"
         md = TableMetadata.new(location, schema, spec, sort_order, properties)
         catalog.create_tabular(identifier, md)
-        return Table(catalog, identifier, md)
+        # reload to observe server-assigned identity (uuid/location) —
+        # REST servers own metadata materialization (catalog.rs:300-318);
+        # for pointer catalogs this reads back the same document
+        return Table(catalog, identifier, md).refresh()
 
     @staticmethod
     def load(catalog: Catalog, identifier: str) -> "Table":

@@ -1,7 +1,10 @@
-"""REST catalog tests: an in-process HTTP server implements the
-pointer-store endpoints (the role Trino/LocalStack's REST fixture plays
-in the reference's tests/integration_trino.rs), and the client runs the
-same CRUD + CAS + engine-roundtrip scenarios as the other catalogs."""
+"""REST catalog tests: an in-process HTTP server implements a minimal
+*spec* Iceberg REST service — CreateTableRequest materialization,
+CommitTableRequest requirement validation (409 on conflict) via
+``catalog.commit.check_table_requirements`` / ``apply_table_updates``,
+and the /views routes — the role Trino/LocalStack's REST fixture plays
+in the reference's tests/integration_trino.rs. The client runs CRUD,
+commit-conflict + retry, engine-roundtrip, and view/MV scenarios."""
 
 import json
 import threading
@@ -12,13 +15,28 @@ import pytest
 from iceberg_rust_archive_spark.catalog import (
     CommitFailedError, RestCatalog,
 )
+from iceberg_rust_archive_spark.catalog.base import Catalog as _CatalogABC
+from iceberg_rust_archive_spark.catalog.commit import (
+    apply_table_updates, apply_view_updates, check_table_requirements,
+    check_view_requirements, table_metadata_from_create,
+    view_metadata_from_create,
+)
 
 
 class _State:
+    """(ns, name) → (metadata-location, metadata object); the server owns
+    metadata materialization and persists documents to shared storage,
+    like Polaris/Lakekeeper over an object store."""
+
     def __init__(self):
         self.lock = threading.Lock()
         self.namespaces = set()
-        self.tables = {}  # (ns, name) -> metadata-location
+        self.tables = {}
+        self.views = {}
+
+
+def _store(kind, state):
+    return state.tables if kind == "tables" else state.views
 
 
 def _make_handler(state: _State):
@@ -34,8 +52,11 @@ def _make_handler(state: _State):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _load_result(self, loc, md):
+            return {"metadata-location": loc, "metadata": md.to_json()}
+
         def _parts(self):
-            # /v1/namespaces[/{ns}[/tables[/{tbl}]]]
+            # /v1/namespaces[/{ns}[/tables|views[/{name}]]]
             return [p for p in self.path.split("/") if p][1:]
 
         def do_GET(self):
@@ -44,17 +65,17 @@ def _make_handler(state: _State):
                 if p == ["namespaces"]:
                     self._send(200, {"namespaces": [
                         ns.split(".") for ns in sorted(state.namespaces)]})
-                elif len(p) == 3 and p[2] == "tables":
-                    ns = p[1]
+                elif len(p) == 3 and p[2] in ("tables", "views"):
+                    store, ns = _store(p[2], state), p[1]
                     self._send(200, {"identifiers": [
                         {"namespace": k[0].split("."), "name": k[1]}
-                        for k in sorted(state.tables) if k[0] == ns]})
-                elif len(p) == 4 and p[2] == "tables":
-                    loc = state.tables.get((p[1], p[3]))
-                    if loc is None:
-                        self._send(404, {"error": "no such table"})
+                        for k in sorted(store) if k[0] == ns]})
+                elif len(p) == 4 and p[2] in ("tables", "views"):
+                    hit = _store(p[2], state).get((p[1], p[3]))
+                    if hit is None:
+                        self._send(404, {"error": "not found"})
                     else:
-                        self._send(200, {"metadata-location": loc})
+                        self._send(200, self._load_result(*hit))
                 else:
                     self._send(400, {"error": "bad path"})
 
@@ -66,17 +87,49 @@ def _make_handler(state: _State):
                 if p == ["namespaces"]:
                     state.namespaces.add(".".join(body["namespace"]))
                     self._send(200, {})
-                elif len(p) == 4 and p[2] == "tables":
-                    key = (p[1], p[3])
-                    expected = body.get("expected-metadata-location")
-                    current = state.tables.get(key)
-                    if current != expected:
-                        self._send(409, {"error": "conflict"})
-                        return
-                    state.tables[key] = body["metadata-location"]
-                    self._send(200, {})
+                elif len(p) == 3 and p[2] in ("tables", "views"):
+                    self._create(p[2], p[1], body)
+                elif len(p) == 4 and p[2] in ("tables", "views"):
+                    self._commit(p[2], p[1], p[3], body)
                 else:
                     self._send(400, {"error": "bad path"})
+
+        def _create(self, kind, ns, body):
+            store = _store(kind, state)
+            key = (ns, body["name"])
+            if key in store or key in _store(
+                    "views" if kind == "tables" else "tables", state):
+                self._send(409, {"error": "already exists"})
+                return
+            md = (table_metadata_from_create(body) if kind == "tables"
+                  else view_metadata_from_create(body))
+            loc = _CatalogABC._write_metadata_file(md)
+            store[key] = (loc, md)
+            self._send(200, self._load_result(loc, md))
+
+        def _commit(self, kind, ns, name, body):
+            store = _store(kind, state)
+            hit = store.get((ns, name))
+            if hit is None:
+                self._send(404, {"error": "not found"})
+                return
+            _, current = hit
+            check = (check_table_requirements if kind == "tables"
+                     else check_view_requirements)
+            apply_ = (apply_table_updates if kind == "tables"
+                      else apply_view_updates)
+            reason = check(body.get("requirements", []), current)
+            if reason is not None:
+                self._send(409, {"error": reason})
+                return
+            try:
+                new_md = apply_(current, body.get("updates", []))
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+                return
+            loc = _CatalogABC._write_metadata_file(new_md)
+            store[(ns, name)] = (loc, new_md)
+            self._send(200, self._load_result(loc, new_md))
 
         def do_DELETE(self):
             p = self._parts()
@@ -84,9 +137,9 @@ def _make_handler(state: _State):
                 if len(p) == 2:
                     state.namespaces.discard(p[1])
                     self._send(204)
-                elif len(p) == 4 and p[2] == "tables":
-                    if state.tables.pop((p[1], p[3]), None) is None:
-                        self._send(404, {"error": "no such table"})
+                elif len(p) == 4 and p[2] in ("tables", "views"):
+                    if _store(p[2], state).pop((p[1], p[3]), None) is None:
+                        self._send(404, {"error": "not found"})
                     else:
                         self._send(204)
                 else:
@@ -95,7 +148,7 @@ def _make_handler(state: _State):
     return Handler
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def rest_server():
     state = _State()
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
@@ -105,42 +158,84 @@ def rest_server():
     srv.shutdown()
 
 
-def test_rest_namespace_and_pointer_crud(rest_server):
+def _schema():
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, Schema, StructTypeSpec,
+    )
+    return Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "string", True))))
+
+
+def test_rest_table_crud(rest_server, tmp_path):
+    from iceberg_rust_archive_spark.catalog.base import (
+        TableAlreadyExistsError,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
     cat = RestCatalog(rest_server)
     cat.create_namespace("db")
     assert "db" in cat.list_namespaces()
-
     assert cat.metadata_location("db.t1") is None
-    cat._set_pointer("db.t1", "/tmp/v1.json", expected_old=None)
-    assert cat.metadata_location("db.t1") == "/tmp/v1.json"
+
+    t = Table.create(cat, "db.t1", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "t1"))
+    # server owns uuid assignment; the refreshed handle matches a fresh GET
+    md2, loc2 = cat.load_tabular_with_location("db.t1")
+    assert t.metadata.table_uuid == md2.table_uuid
+    assert t.metadata_location == loc2
     assert cat.list_tabulars("db") == ["db.t1"]
 
-    # CAS: correct expected succeeds, stale expected conflicts
-    cat._set_pointer("db.t1", "/tmp/v2.json", expected_old="/tmp/v1.json")
-    with pytest.raises(CommitFailedError):
-        cat._set_pointer("db.t1", "/tmp/v3.json",
-                         expected_old="/tmp/v1.json")
-    assert cat.metadata_location("db.t1") == "/tmp/v2.json"
+    with pytest.raises(TableAlreadyExistsError):
+        Table.create(cat, "db.t1", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "t1b"))
 
     cat.drop_tabular("db.t1")
     assert cat.metadata_location("db.t1") is None
+
+
+def test_rest_commit_conflict_and_retry(rest_server, spark, tmp_path):
+    """Two writers on one table: the stale writer's CommitTableRequest
+    trips assert-ref-snapshot-id (409 → CommitFailedError), and
+    commit_with_retry reloads + reapplies so both appends land — the
+    optimistic-concurrency loop of commit.rs:343-511."""
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.table import Table
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("cc")
+    t1 = Table.create(cat, "cc.tbl", _schema(), PartitionSpec(0, ()),
+                      location=str(tmp_path / "cc_tbl"))
+    t2 = Table.load(RestCatalog(rest_server), "cc.tbl")
+
+    t1.append(spark, spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    # stale single-shot commit must 409
+    files = write_datafiles(
+        spark, t2.metadata,
+        spark.createDataFrame([(2, "b")], "k long, v string"))
+    with pytest.raises(CommitFailedError):
+        t2.new_transaction().append_files(files).commit()
+
+    # the retry loop resolves it; both writers' rows are present
+    txn = t2.new_transaction().append_files(files)
+    txn.commit_with_retry(lambda t: t.append_files(files))
+    t2.refresh()
+    assert sorted(r.k for r in t2.scan(spark).collect()) == [1, 2]
 
 
 def test_rest_engine_roundtrip(rest_server, spark, tmp_path):
     """Full engine path through the REST catalog: create, append twice,
     scan, time-travel — read-your-writes across commits (the reference's
     Trino interop assertion, scaled down)."""
-    from iceberg_rust_archive_spark.spec import (
-        NestedField, PartitionSpec, Schema, StructTypeSpec,
-    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
     from iceberg_rust_archive_spark.table import Table
 
     cat = RestCatalog(rest_server)
     cat.create_namespace("rt")
-    schema = Schema(0, StructTypeSpec((
-        NestedField(1, "k", "long", True),
-        NestedField(2, "v", "string", True))))
-    t = Table.create(cat, "rt.tbl", schema, PartitionSpec(0, ()),
+    t = Table.create(cat, "rt.tbl", _schema(), PartitionSpec(0, ()),
                      location=str(tmp_path / "rt_tbl"))
     t.append(spark, spark.createDataFrame([(1, "a"), (2, "b")],
                                           "k long, v string"))
@@ -153,3 +248,56 @@ def test_rest_engine_roundtrip(rest_server, spark, tmp_path):
     # a second client sees the committed state (read-your-writes)
     t2 = Table.load(RestCatalog(rest_server), "rt.tbl")
     assert t2.scan(spark).count() == 3
+
+
+def test_rest_view_roundtrip(rest_server, tmp_path):
+    """Views over the spec /views routes: create materializes server-side
+    (fresh uuid), replace goes through CommitViewRequest."""
+    from iceberg_rust_archive_spark.spec.view_metadata import ViewMetadata
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("vw")
+    vm = ViewMetadata.new(str(tmp_path / "v1"), "SELECT 1 AS one", _schema())
+    cat.create_tabular("vw.v1", vm)
+
+    loaded, loc = cat.load_tabular_with_location("vw.v1")
+    assert isinstance(loaded, ViewMetadata)
+    assert loaded.sql == "SELECT 1 AS one"
+    assert loaded.view_uuid != vm.view_uuid  # server-assigned
+
+    v2 = loaded.with_new_version("SELECT 2 AS one", _schema())
+    cat.update_tabular("vw.v1", v2, expected_location=loc)
+    again = cat.load_tabular("vw.v1")
+    assert again.current_version_id == 2
+    assert again.sql == "SELECT 2 AS one"
+    assert "vw.v1" in cat.list_tabulars("vw")
+    cat.drop_tabular("vw.v1")
+
+
+def test_rest_mv_refresh_roundtrip(rest_server, spark, tmp_path):
+    """MV + incremental refresh end-to-end against the REST service: the
+    MV metadata rides /views (storage table inlined in the version), the
+    storage table commits ride CommitTableRequest."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, RestCatalog(rest_server,
+                                    root=str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.orders (id BIGINT NOT NULL, product_id BIGINT, "
+            "quantity INT)")
+    eng.sql("INSERT INTO db.orders VALUES (1,1,1),(2,2,4),(3,1,2)")
+    eng.sql("CREATE MATERIALIZED VIEW db.mv AS "
+            "SELECT product_id, quantity FROM db.orders "
+            "WHERE product_id < 3")
+    eng.sql("SELECT refresh_materialized_view('db.mv')")
+    sums = {r[0]: r[1] for r in eng.sql(
+        "SELECT product_id, sum(quantity) AS q FROM db.mv "
+        "GROUP BY product_id").collect()}
+    assert sums == {1: 3, 2: 4}
+
+    eng.sql("INSERT INTO db.orders VALUES (4,2,5)")
+    assert eng.refresh_materialized_view("db.mv") == "IncrementalAppend"
+    sums = {r[0]: r[1] for r in eng.sql(
+        "SELECT product_id, sum(quantity) AS q FROM db.mv "
+        "GROUP BY product_id").collect()}
+    assert sums == {1: 3, 2: 9}
