@@ -30,10 +30,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as long nanos (nanosAsLong); surface as TIMESTAMP_NTZ
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                   .cast("timestamp_ntz"))
+        from iceberg_rust_archive_spark.session import events_ts_to_ntz
+        df = events_ts_to_ntz(df)
     return df
 
 
@@ -241,10 +239,17 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     two partial-agg reductions. Per-user state is a sort within the
     partition — skewed power users are bounded by per-user event counts,
     not corpus size."""
-    from iceberg_rust_archive_spark.session import ensure_read_confs
+    from iceberg_rust_archive_spark.session import (
+        ensure_read_confs, events_ts_to_ntz,
+    )
     ensure_read_confs(spark)
-    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-          .select("user_id", "event_id", "ts"))  # ts = long nanos
+    ev = (events_ts_to_ntz(
+              spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+          .select("user_id", "event_id",
+                  # gap math below runs on long nanos regardless of the
+                  # testdata drop's physical ts encoding
+                  (F.unix_micros(F.col("ts").cast("timestamp"))
+                   * F.lit(1000)).alias("ts")))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_sess = F.when(
         F.lag("ts").over(w).isNull()

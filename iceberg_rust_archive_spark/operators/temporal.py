@@ -105,10 +105,12 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal average lag in days. Only the matched ORDER DATE is
     exposed (ties on it are deterministic even when the matched row
     isn't)."""
-    from iceberg_rust_archive_spark.session import read_parallel
-    ev = (read_parallel(spark, os.path.join(sf_dir, "events.parquet"))
-          .withColumn("ts", F.timestamp_micros(
-              F.expr("ts div 1000")))  # integer div: ns→µs exactly
+    from iceberg_rust_archive_spark.session import (
+        events_ts_to_ntz, read_parallel,
+    )
+    ev = (events_ts_to_ntz(
+              read_parallel(spark, os.path.join(sf_dir, "events.parquet")))
+          .withColumn("ts", F.col("ts").cast("timestamp"))
           .select("event_id", "user_id", "event_type", "ts"))
     orders = (read_parallel(spark, os.path.join(sf_dir, "orders.parquet"))
               .select(F.col("o_custkey").alias("user_id"),

@@ -111,6 +111,23 @@ def read_parallel(spark: SparkSession, path: str):
     return df
 
 
+def events_ts_to_ntz(df):
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ across testdata drops:
+    earlier drops carried INT64 TIMESTAMP(NANOS) (surfaced as a long
+    under nanosAsLong), later drops carry native timestamp[us]. Every
+    events reader goes through this so a testdata regeneration can't
+    change query semantics."""
+    from pyspark.sql import functions as F
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                   .cast("timestamp_ntz"))
+    if dt == "timestamp":  # session is UTC, so the cast is value-preserving
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -129,12 +146,8 @@ def load_tables(spark: SparkSession, sf_dir: str,
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                # nanosAsLong read: surface ts as TIMESTAMP_NTZ in the view
-                from pyspark.sql import functions as F
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                           .cast("timestamp_ntz"))
+            if name == "events":
+                df = events_ts_to_ntz(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

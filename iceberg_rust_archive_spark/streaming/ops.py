@@ -43,7 +43,7 @@ EVENTS_SCHEMA = StructType([
     StructField("value", DoubleType()),
 ])
 
-# Driver testdata carries ts as INT64 TIMESTAMP(NANOS); under
+# Some testdata drops carry ts as INT64 TIMESTAMP(NANOS); under
 # nanosAsLong the streaming parquet source surfaces it as a long.
 NANOS_EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType()),
@@ -52,6 +52,22 @@ NANOS_EVENTS_SCHEMA = StructType([
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
 ])
+
+
+def _events_ts_is_nanos_long(path: str) -> bool:
+    """Sniff one parquet footer: True when ts is ns-encoded int64 (needs
+    the nanosAsLong long schema + explicit conversion), False for native
+    timestamp columns. Streaming reads are schema-first, so the right
+    schema must be chosen before the stream starts."""
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        cand = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not cand:
+            return False
+        path = os.path.join(path, cand[0])
+    t = pq.read_schema(path).field("ts").type
+    import pyarrow as pa
+    return t == pa.int64() or (pa.types.is_timestamp(t) and t.unit == "ns")
 
 _SINK_SEQ = count()
 
@@ -82,11 +98,17 @@ def run_stream_windowed_once(spark: SparkSession, events_path: str,
         os.symlink(os.path.abspath(events_path),
                    os.path.join(d, os.path.basename(events_path)))
         events_path, cleanup = d, (lambda: shutil.rmtree(d, True))
-    stream = (spark.readStream.schema(NANOS_EVENTS_SCHEMA)
-              .parquet(events_path))
+    if _events_ts_is_nanos_long(events_path):
+        stream = (spark.readStream.schema(NANOS_EVENTS_SCHEMA)
+                  .parquet(events_path)
+                  .withColumn("ts",
+                              F.timestamp_micros(F.expr("ts div 1000"))
+                               .cast("timestamp_ntz")))
+    else:
+        stream = (spark.readStream.schema(EVENTS_SCHEMA)
+                  .parquet(events_path)
+                  .withColumn("ts", F.col("ts").cast("timestamp_ntz")))
     agg = (stream
-           .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))
-                             .cast("timestamp_ntz"))
            .groupBy(F.window("ts", window).alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum("value").alias("sum_value"))

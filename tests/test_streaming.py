@@ -18,12 +18,14 @@ from iceberg_rust_archive_spark.streaming import (
 
 @pytest.fixture(scope="module")
 def events_dir(spark):
-    """Events parquet re-written with proper timestamp type (testdata
-    carries ns-as-long) into a streaming source dir."""
+    """Events parquet re-written with a uniform timestamp type (testdata
+    drops vary between ns-as-long and native timestamp[us]) into a
+    streaming source dir."""
+    from iceberg_rust_archive_spark.session import events_ts_to_ntz
     d = tempfile.mkdtemp(prefix="stream-src-")
-    src = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-    (src.withColumn("ts", F.timestamp_micros(
-            (F.col("ts") / 1000).cast("long")))
+    src = events_ts_to_ntz(
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
+    (src.withColumn("ts", F.col("ts").cast("timestamp"))
         .select("event_id", "ts", "user_id", "event_type", "value")
         .repartition(4).write.mode("overwrite").parquet(d))
     yield d

@@ -67,9 +67,10 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)")
 
     # windowed event agg at 10×
+    from iceberg_rust_archive_spark.session import events_ts_to_ntz
     ev = amplify(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+        events_ts_to_ntz(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))),
         ["event_id"])
     t0 = time.perf_counter()
     (ev.groupBy(F.window("ts", "1 hour"), "event_type")
