@@ -6,8 +6,11 @@ write.rs:215-256). The Spark-native equivalent: derive the transform
 columns, ``repartition`` on them (one shuffle — co-locates each partition's
 rows), and let the parquet writer's ``partitionBy`` lay out
 ``<location>/data/<txid>/<p>=<v>/...``. File rolling is Spark's
-``maxRecordsPerFile`` (the reference rolls at 512 MB, write.rs:66; we map
-the table property to a record-count cap derived from sampled row width).
+``maxRecordsPerFile`` (the reference rolls on real bytes at 512 MB,
+write.rs:66,330-370; Spark's only knob is a record cap, so we derive it
+by parquet-encoding a bounded row sample with the table's codec and
+dividing the byte target by the measured row width — see
+``_records_per_file``).
 
 Identity-transform source columns stay *in* the data files (partition dirs
 carry derived ``_p_*`` names), so reading a file list directly — without
@@ -34,6 +37,52 @@ from iceberg_rust_archive_spark.spec.types import spark_schema_for
 from iceberg_rust_archive_spark.sources.stats import harvest_files
 
 _P_PREFIX = "_p_"
+
+# Rows sampled to measure parquet-encoded row width. Small enough that
+# the extra job is a CollectLimit short-circuit (no full scan, no
+# shuffle), large enough that dictionary/RLE encodings engage.
+_WIDTH_SAMPLE_ROWS = 512
+# One measurement per table location: repeated appends to the same table
+# (the common case — MV refresh loops, streaming sinks) skip the sample
+# job after the first write.
+_WIDTH_CACHE: dict[str, int] = {}
+
+
+def _records_per_file(df: DataFrame, target_bytes: int, codec: str,
+                      cache_key: str | None = None) -> int:
+    """Byte-based file rolling through Spark's record-count knob: encode
+    a bounded sample of ``df`` to parquet in-driver (same codec the real
+    write uses) and derive ``maxRecordsPerFile = target / measured_width``.
+
+    The reference rolls when the writer's actual byte count crosses the
+    target (iceberg-rust/src/arrow/write.rs:66,330-370); Spark's parquet
+    writer only rolls on record count, so the conversion must come from a
+    measurement — a fixed rows-per-byte guess produces multi-GB files on
+    wide document rows and confetti files on skinny ones. The sample
+    under-compresses relative to a full 512 MB row group (smaller
+    dictionaries), so the cap errs toward smaller files — the safe
+    direction for executor memory at scale."""
+    if cache_key is not None and cache_key in _WIDTH_CACHE:
+        width = _WIDTH_CACHE[cache_key]
+    else:
+        try:
+            import io
+            import pyarrow.parquet as pq
+            tbl = df.limit(_WIDTH_SAMPLE_ROWS).toArrow()
+            if tbl.num_rows == 0:
+                return max(10_000, target_bytes // 64)
+            buf = io.BytesIO()
+            # Spark codec names → pyarrow's (Spark's "uncompressed"/"lz4"
+            # are "none"/"lz4" in pyarrow)
+            pa_codec = {"uncompressed": "none"}.get(codec, codec)
+            pq.write_table(tbl, buf, compression=pa_codec)
+            width = max(1, buf.tell() // tbl.num_rows)
+        except Exception:
+            # toArrow/codec unavailable: fall back to the 64-byte guess
+            return max(10_000, target_bytes // 64)
+        if cache_key is not None:
+            _WIDTH_CACHE[cache_key] = width
+    return max(128, target_bytes // width)
 
 
 def _partition_value_from_str(s: str, transform: str, source_type: str):
@@ -91,6 +140,15 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         schema = schema.project(list(equality_ids))  # write.rs:163-168
     spec = md.default_spec()
     df = align_to_schema(df, schema)
+    target_bytes = int(md.properties.get(
+        "write.target-file-size-bytes", 512_000_000))
+    codec = md.properties.get("write.parquet.compression-codec", "zstd")
+    # measure row width BEFORE the partition shuffle (the sample limit
+    # then short-circuits the scan) and without the _p_* columns, which
+    # partitionBy routes into directory names, not file bytes
+    records_cap = _records_per_file(
+        df, target_bytes, codec,
+        cache_key=f"{md.location}#{schema.schema_id}#{content}")
 
     # derive transform columns (A11)
     pcols: list[str] = []
@@ -126,13 +184,9 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
 
     tx_id = uuid.uuid4().hex[:12]
     out_dir = os.path.join(md.location, "data", tx_id)
-    target_bytes = int(md.properties.get(
-        "write.target-file-size-bytes", 512_000_000))
-    writer = df.write.mode("errorifexists") \
-        .option("compression", md.properties.get(
-            "write.parquet.compression-codec", "zstd"))
-    # approximate the byte-based roll with a generous record cap
-    writer = writer.option("maxRecordsPerFile", max(10_000, target_bytes // 64))
+    writer = (df.write.mode("errorifexists")
+              .option("compression", codec)
+              .option("maxRecordsPerFile", records_cap))
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(out_dir)

@@ -106,7 +106,9 @@ class Table:
         ``_metadata.row_index`` makes the ordinals free at scan time.
         Scale: the hit projection is two skinny columns — the shuffle to
         the single sorted writer carries only (path, long) pairs, never
-        data rows."""
+        data rows. Idempotent: pairs already present in the table's
+        delete files are anti-joined away, and an all-duplicate call
+        commits nothing."""
         from pyspark.sql import functions as F
         from iceberg_rust_archive_spark.session import ensure_read_confs
         from iceberg_rust_archive_spark.sources.manifests import (
@@ -124,11 +126,18 @@ class Table:
         snap = md.current_snapshot(branch)
         if snap is None:
             return self
-        paths = [e.data_file.file_path
-                 for mle in read_manifest_list(snap.manifest_list)
-                 for e in read_manifest(mle.manifest_path)
-                 if e.status != STATUS_DELETED
-                 and e.data_file.content == CONTENT_DATA]
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_POSITION_DELETES,
+        )
+        paths, existing_pos = [], []
+        for mle in read_manifest_list(snap.manifest_list):
+            for e in read_manifest(mle.manifest_path):
+                if e.status == STATUS_DELETED:
+                    continue
+                if e.data_file.content == CONTENT_DATA:
+                    paths.append(e.data_file.file_path)
+                elif e.data_file.content == CONTENT_POSITION_DELETES:
+                    existing_pos.append(e.data_file.file_path)
         if not paths:
             return self
         schema = spark_schema_for(md.current_schema(branch).struct)
@@ -137,7 +146,18 @@ class Table:
                 .select(F.regexp_replace(F.col("_metadata.file_path"),
                                          "^file:/+", "/").alias("file_path"),
                         F.col("_metadata.row_index").alias("pos")))
+        if existing_pos:
+            # rows this table already position-deleted must not be
+            # re-written as fresh pairs on every call — delete files
+            # would grow monotonically under repeated predicates. The
+            # anti-join is on the same skinny (path, long) pairs the
+            # merge-on-read scan broadcasts, so it stays cheap at scale.
+            prior = spark.read.parquet(*existing_pos) \
+                .select("file_path", "pos")
+            hits = hits.join(prior, ["file_path", "pos"], "left_anti")
         files = write_position_deletes(spark, md, hits)
+        if sum(f.record_count for f in files) == 0:
+            return self  # nothing newly deleted — don't commit a snapshot
         txn = self.new_transaction(branch).append_delete_files(files)
         txn.commit_with_retry(lambda t: t.append_delete_files(files))
         return self.refresh()

@@ -8,13 +8,17 @@ A transaction buffers operations, then ``commit()``:
    ``AssertRefSnapshotId`` semantics, commit.rs:343-372).
 
 Manifest bin-packing mirrors the reference heuristics (operation.rs:648-666,
-append.rs:107-191): with ``limit = 4 + √(total_files)``, new files merge
-into the last same-content manifest while it stays under the limit,
-otherwise they split into ``2^⌈log₂(n/limit)⌉`` fresh manifests. (The
-reference picks the merge target by smallest-bounding-rectangle in
-partition space for partitioned tables, append.rs:107-150; we take the most
-recent manifest — same asymptotics, simpler geometry. Rectangle helpers
-live in util/geometry for the compaction path.)
+append.rs:100-191): with ``limit = 4 + √(total_files)``, new files merge
+into one same-content manifest while it stays under the limit, otherwise
+they split into ``2^⌈log₂(n/limit)⌉`` fresh manifests. The merge target is
+chosen the way the reference does: partitioned tables pick the manifest
+whose partition bounding rectangle stays smallest after expanding with the
+new files' rectangle, comparing dimension spans with earlier-spec-field
+priority (append.rs:107-150 ``select_manifest_partitioned`` +
+util/mod.rs ``Rectangle::cmp_with_priority``); unpartitioned tables pick
+the fewest-rows manifest (append.rs:152-191
+``select_manifest_unpartitioned``). Keeping manifests partition-local
+preserves manifest-list pruning power over many commits.
 """
 
 from __future__ import annotations
@@ -215,6 +219,79 @@ class Transaction:
 
     # --- manifest bin-packing -------------------------------------------
     @staticmethod
+    def _dim_span(lo, hi):
+        """Width of one partition dimension as a comparable float
+        (util/mod.rs ``Value::try_sub`` stand-in). Numeric partition
+        values (identity int/long, bucket, year/month/day/hour,
+        truncate-int) subtract directly; dates and strings go through a
+        monotone surrogate so rectangle comparison still orders them.
+        Unknown bounds sort last (``inf``) — a merge target without
+        summaries never wins over one with them."""
+        if lo is None or hi is None:
+            return float("inf")
+        try:
+            return float(hi) - float(lo)
+        except (TypeError, ValueError):
+            pass
+        if isinstance(lo, str) and isinstance(hi, str):
+            try:  # ISO dates (identity date partition values)
+                import datetime as _dt
+                return float(_dt.date.fromisoformat(hi).toordinal()
+                             - _dt.date.fromisoformat(lo).toordinal())
+            except ValueError:
+                # lexicographic surrogate: first 8 bytes as base-256
+                def enc(s):
+                    b = s.encode("utf-8")[:8].ljust(8, b"\0")
+                    return int.from_bytes(b, "big")
+                return float(enc(hi) - enc(lo))
+        return float("inf")
+
+    @staticmethod
+    def _select_merge_target(same, new_files, pf_names):
+        """Merge-target choice (append.rs:100-191): partitioned tables
+        pick the manifest whose partition bounding rectangle is smallest
+        after expanding with the new files' rectangle, comparing spans
+        with earlier-spec-field priority (``select_manifest_partitioned``
+        + Rectangle::cmp_with_priority); unpartitioned tables pick the
+        fewest-rows manifest (``select_manifest_unpartitioned``)."""
+        if not same:
+            return None
+        if not pf_names:
+            return min(same, key=lambda m: (m.added_rows_count
+                                            + m.existing_rows_count))
+        new_lo: list = []
+        new_hi: list = []
+        for name in pf_names:
+            vals = [f.partition.get(name) for f in new_files]
+            nn = [v for v in vals if v is not None]
+            new_lo.append(min(nn) if nn else None)
+            new_hi.append(max(nn) if nn else None)
+
+        def expanded_spans(m):
+            spans = []
+            for i in range(len(pf_names)):
+                s = m.partitions[i] if i < len(m.partitions) else None
+                lo = s.lower_bound if s else None
+                hi = s.upper_bound if s else None
+                if lo is None and hi is None:
+                    # no summary for this dim: contents unknown — the
+                    # reference errors here (summary_to_rectangle); we
+                    # deprioritize instead so legacy manifests still work
+                    spans.append(float("inf"))
+                    continue
+                try:
+                    if new_lo[i] is not None:
+                        lo = new_lo[i] if lo is None else min(lo, new_lo[i])
+                    if new_hi[i] is not None:
+                        hi = new_hi[i] if hi is None else max(hi, new_hi[i])
+                    spans.append(Transaction._dim_span(lo, hi))
+                except TypeError:  # mixed-type bounds (legacy manifests)
+                    spans.append(float("inf"))
+            return tuple(spans)
+
+        return min(same, key=expanded_spans)
+
+    @staticmethod
     def _pack_manifests(metadata_dir, existing_list, new_files, content,
                         snap_id, seq, spec_id, pf_names, schema_json=None):
         same = [m for m in existing_list if m.content == content]
@@ -225,7 +302,7 @@ class Transaction:
 
         entries = [ManifestEntry(STATUS_ADDED, f, snap_id, seq, seq)
                    for f in new_files]
-        target = same[-1] if same else None
+        target = Transaction._select_merge_target(same, new_files, pf_names)
         if target is not None and (target.added_files_count
                                    + target.existing_files_count
                                    + len(entries)) <= limit:
@@ -236,7 +313,7 @@ class Transaction:
             merged = write_manifest(metadata_dir, carried + entries, spec_id,
                                     content, snap_id, seq, pf_names,
                                     schema_json)
-            return other + same[:-1] + [merged]
+            return other + [m for m in same if m is not target] + [merged]
 
         n_splits = 1
         if len(entries) > limit:

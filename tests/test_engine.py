@@ -361,3 +361,73 @@ def test_tag_refs(spark, catalog):
     assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
     assert _sums(t, spark, branch="v1") == {1: 7, 2: 1, 3: 3}
     assert t.metadata.refs["v1"].ref_type == "tag"
+
+
+def test_byte_based_file_rolling(spark, catalog):
+    """File rolling tracks BYTES, not a fixed record guess (the
+    reference rolls at write.target-file-size-bytes, write.rs:66):
+    ~1 KB rows against a 64 KB target must split into many near-target
+    files instead of one multi-target-size file."""
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "id", "long", True),
+        NestedField(2, "payload", "string", True))))
+    t = Table.create(catalog, "db.wide_rows", schema, PartitionSpec(0, ()),
+                     properties={"write.target-file-size-bytes": "65536",
+                                 # zstd flattens random text too well for a
+                                 # size assertion; uncompressed is exact
+                                 "write.parquet.compression-codec":
+                                     "uncompressed"})
+    import random
+    rng = random.Random(7)
+    rows = [(i, "".join(chr(rng.randrange(33, 127)) for _ in range(1024)))
+            for i in range(512)]  # ~512 KB of payload
+    t.append(spark, spark.createDataFrame(rows, ["id", "payload"])
+             .coalesce(1))  # single writer task → rolling does the splitting
+    files = [e.data_file
+             for mle in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for e in read_manifest(mle.manifest_path)]
+    assert sum(f.record_count for f in files) == 512
+    # a 64-byte-row guess would cap at ~1M records = ONE 525KB file
+    assert len(files) >= 4
+    # and no file wildly overshoots the byte target
+    assert max(f.file_size_in_bytes for f in files) < 4 * 65536
+
+
+def test_position_delete_idempotent(spark, catalog):
+    """Repeated delete_where_pos calls must not regrow delete files:
+    already-deleted pairs are anti-joined away, and a call that deletes
+    nothing new commits no snapshot."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_POSITION_DELETES,
+    )
+
+    def pos_pairs(t):
+        return sum(e.data_file.record_count
+                   for mle in read_manifest_list(
+                       t.metadata.current_snapshot().manifest_list)
+                   for e in read_manifest(mle.manifest_path)
+                   if e.data_file.content == CONTENT_POSITION_DELETES)
+
+    t = _mk_table(catalog, "orders_posdel_idem")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("id") == 6)
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    assert pos_pairs(t) == 1
+
+    t.delete_where_pos(spark, F.col("id") == 6)  # exact repeat: no-op
+    assert t.metadata.current_snapshot().snapshot_id == snap1
+    assert pos_pairs(t) == 1
+
+    # overlapping predicate: only the NEW pair is written
+    t.delete_where_pos(spark, F.col("id").isin(5, 6))
+    assert pos_pairs(t) == 2
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == [1, 2, 3, 4]

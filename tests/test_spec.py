@@ -203,3 +203,68 @@ def test_v1_table_metadata_compat():
     # and it re-serializes as a V2-shaped doc that round-trips
     md2 = TableMetadata.from_json(md.to_json())
     assert md2.current_schema().field_by_name("d").field_type == "date"
+
+
+def test_manifest_merge_target_selection():
+    """Merge-target choice mirrors the reference (append.rs:100-191):
+    partitioned → smallest bounding rectangle after expansion, with
+    earlier-dimension priority; unpartitioned → fewest rows."""
+    from iceberg_rust_archive_spark.spec.manifest import (
+        DataFile, FieldSummary, ManifestListEntry,
+    )
+    from iceberg_rust_archive_spark.transaction import Transaction
+
+    def mle(path, rows, bounds):
+        return ManifestListEntry(
+            manifest_path=path, manifest_length=1, partition_spec_id=0,
+            content=0, sequence_number=1, min_sequence_number=1,
+            added_snapshot_id=1, added_files_count=1,
+            added_rows_count=rows,
+            partitions=tuple(FieldSummary(lower_bound=lo, upper_bound=hi)
+                             for lo, hi in bounds))
+
+    def df_(day):
+        return DataFile(0, f"/f{day}.parquet", "parquet",
+                        {"d_day": day}, 1, 1)
+
+    # new files land at day 100-101; m_near covers [90, 110], m_far
+    # covers [0, 20] — expanding m_far would span [0, 101], so m_near
+    # must win even though m_far is "older"/smaller in rows
+    m_near = mle("near", 500, [(90, 110)])
+    m_far = mle("far", 10, [(0, 20)])
+    got = Transaction._select_merge_target(
+        [m_far, m_near], [df_(100), df_(101)], ["d_day"])
+    assert got is m_near
+
+    # earlier dimension has priority: equal first-dim spans fall through
+    # to the second dimension
+    m_a = mle("a", 1, [(0, 10), (0, 100)])
+    m_b = mle("b", 1, [(0, 10), (40, 60)])
+    got = Transaction._select_merge_target(
+        [m_a, m_b],
+        [DataFile(0, "/x.parquet", "parquet", {"d_day": 5, "b": 50}, 1, 1)],
+        ["d_day", "b"])
+    assert got is m_b
+
+    # unpartitioned: fewest rows wins (select_manifest_unpartitioned)
+    m_big = mle("big", 1000, [])
+    m_small = mle("small", 3, [])
+    got = Transaction._select_merge_target(
+        [m_big, m_small], [DataFile(0, "/y.parquet", "parquet", {}, 1, 1)],
+        [])
+    assert got is m_small
+
+    # manifests without partition summaries never beat ones with them
+    m_none = mle("none", 1, [])
+    got = Transaction._select_merge_target(
+        [m_none, m_near], [df_(100)], ["d_day"])
+    assert got is m_near
+
+    # string identity partitions order lexicographically
+    m_s1 = mle("s1", 1, [("aaaa", "cccc")])
+    m_s2 = mle("s2", 1, [("mmmm", "zzzz")])
+    got = Transaction._select_merge_target(
+        [m_s1, m_s2],
+        [DataFile(0, "/z.parquet", "parquet", {"k": "bbbb"}, 1, 1)],
+        ["k"])
+    assert got is m_s1
