@@ -258,10 +258,14 @@ def _bounds_in(lst, field_types: dict[int, str]) -> dict:
 
 
 def entry_from_avro(d: dict, field_types: dict[int, str]):
+    """V2 and V1 manifest entries (manifest.rs:90-117 try_from_v1/v2):
+    V1 carries no content (implicitly data), no sequence numbers
+    (inherit 0, the V1→V2 migration rule), and an extra
+    block_size_in_bytes we ignore."""
     from iceberg_rust_archive_spark.spec.manifest import DataFile, ManifestEntry
     f = d["data_file"]
     df = DataFile(
-        f["content"], f["file_path"], f["file_format"],
+        f.get("content", 0), f["file_path"], f["file_format"],
         {k: v for k, v in f["partition"].items()},
         f["record_count"], f["file_size_in_bytes"],
         _map_in(f.get("column_sizes")), _map_in(f.get("value_counts")),
@@ -307,6 +311,9 @@ def mle_to_avro(m, ptypes: list[str]) -> dict:
 
 
 def mle_from_avro(d: dict, ptypes: list[str]):
+    """V2 and V1 manifest-file rows (manifest_list.rs V1/V2 structs):
+    V1 has no content (data) or sequence numbers (0), and names its
+    counts ``added_data_files_count`` etc."""
     from iceberg_rust_archive_spark.spec.manifest import (
         FieldSummary, ManifestListEntry,
     )
@@ -318,13 +325,24 @@ def mle_from_avro(d: dict, ptypes: list[str]):
         decode_bound(p["upper_bound"], t)
         if p.get("upper_bound") is not None else None)
         for p, t in zip(parts, ptypes + ["string"] * len(parts)))
+
+    def count(v2_name, v1_name, default=0):
+        v = d.get(v2_name)
+        if v is None:
+            v = d.get(v1_name)
+        return v if v is not None else default
+
     return ManifestListEntry(
         d["manifest_path"], d["manifest_length"], d["partition_spec_id"],
-        d.get("content", 0), d["sequence_number"], d["min_sequence_number"],
-        d["added_snapshot_id"], d.get("added_files_count", 0),
-        d.get("existing_files_count", 0), d.get("deleted_files_count", 0),
-        d.get("added_rows_count", 0), d.get("existing_rows_count", 0),
-        d.get("deleted_rows_count", 0), summaries)
+        d.get("content", 0), d.get("sequence_number", 0),
+        d.get("min_sequence_number", 0),
+        d["added_snapshot_id"],
+        count("added_files_count", "added_data_files_count"),
+        count("existing_files_count", "existing_data_files_count"),
+        count("deleted_files_count", "deleted_data_files_count"),
+        count("added_rows_count", "added_rows_count"),
+        count("existing_rows_count", "existing_rows_count"),
+        count("deleted_rows_count", "deleted_rows_count"), summaries)
 
 
 def field_types_from_schema_json(schema_json: str | None) -> dict[int, str]:

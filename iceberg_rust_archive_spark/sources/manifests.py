@@ -97,7 +97,15 @@ def read_manifest(path: str) -> list[ManifestEntry]:
     ftypes = mavro.field_types_from_schema_json(meta.get("schema"))
     ftypes.update({int(k): v for k, v in
                    json.loads(meta.get("bound-types", "{}")).items()})
-    return [mavro.entry_from_avro(r, ftypes) for r in records]
+    entries = [mavro.entry_from_avro(r, ftypes) for r in records]
+    if meta.get("format-version") == "1":
+        # V1 entries carry no sequence numbers; the V1→V2 migration rule
+        # assigns 0 (manifest.rs try_from_v1 → None, read as 0 downstream)
+        entries = [ManifestEntry(e.status, e.data_file, e.snapshot_id,
+                                 e.sequence_number or 0,
+                                 e.file_sequence_number or 0)
+                   for e in entries]
+    return entries
 
 
 def _ocf_metadata(path: str) -> dict:

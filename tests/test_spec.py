@@ -268,3 +268,78 @@ def test_manifest_merge_target_selection():
         [DataFile(0, "/z.parquet", "parquet", {"k": "bbbb"}, 1, 1)],
         ["k"])
     assert got is m_s1
+
+
+def test_manifest_v1_read_shim(tmp_path):
+    """Foreign V1 manifests (no content/sequence-number fields, V1
+    count names, block_size_in_bytes present) must read through the
+    same functions V2 uses (manifest.rs:90-117 try_from_v1)."""
+    from iceberg_rust_archive_spark.sources.avro_io import write_ocf
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    man_path = str(tmp_path / "v1-manifest.avro")
+    v1_entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "d_day", "type": ["null", "int"],
+                             "field-id": 1000}]}},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "block_size_in_bytes", "type": "long",
+                     "field-id": 105},
+                ]}},
+        ]}
+    write_ocf(man_path, v1_entry_schema, [
+        {"status": 1, "snapshot_id": 77, "data_file": {
+            "file_path": "/d/f1.parquet", "file_format": "PARQUET",
+            "partition": {"d_day": 18262}, "record_count": 10,
+            "file_size_in_bytes": 1234, "block_size_in_bytes": 67108864}},
+    ], {"format-version": "1", "partition-spec-id": "0"})
+
+    [e] = read_manifest(man_path)
+    assert e.data_file.content == 0          # implicit data
+    assert e.sequence_number == 0            # V1 inherits 0
+    assert e.data_file.partition == {"d_day": 18262}
+    assert e.data_file.record_count == 10
+
+    list_path = str(tmp_path / "v1-list.avro")
+    v1_list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_data_files_count", "type": "int",
+             "field-id": 504},
+            {"name": "existing_data_files_count", "type": "int",
+             "field-id": 505},
+            {"name": "deleted_data_files_count", "type": "int",
+             "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+        ]}
+    write_ocf(list_path, v1_list_schema, [
+        {"manifest_path": man_path, "manifest_length": 999,
+         "partition_spec_id": 0, "added_snapshot_id": 77,
+         "added_data_files_count": 1, "existing_data_files_count": 0,
+         "deleted_data_files_count": 0, "added_rows_count": 10},
+    ], {"format-version": "1"})
+
+    [mle] = read_manifest_list(list_path)
+    assert mle.content == 0
+    assert mle.sequence_number == 0 and mle.min_sequence_number == 0
+    assert mle.added_files_count == 1
+    assert mle.added_rows_count == 10
+    # and the pointed-to V1 manifest reads through the same path
+    assert read_manifest(mle.manifest_path)[0].data_file.record_count == 10
