@@ -209,4 +209,35 @@ def scan(spark: SparkSession, md: TableMetadata,
         df = df.filter(residual)
     if columns:
         df = df.select(*columns)
+
+    # A9→planner: feed harvested manifest statistics into Spark's join
+    # planning the way the reference's TableProvider::statistics feeds
+    # DataFusion's CBO (datafusion_iceberg/src/statistics.rs:20-146).
+    # Spark can't see through our temp-view/parquet-list relations to
+    # size the table itself until AQE observes the first shuffle, so a
+    # provably-small post-pruning scan carries an explicit broadcast
+    # hint — joins against it skip the shuffle at plan time. Unused
+    # hints are dropped silently, so non-join consumers are unaffected.
+    total_bytes = sum(e.data_file.file_size_in_bytes or 0
+                      for e in data_entries)
+    thr = _broadcast_threshold(spark)
+    if 0 < total_bytes <= thr or (thr > 0 and not data_entries):
+        df = df.hint("broadcast")
     return df
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes (-1 = disabled)."""
+    raw = str(spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                   ("tb", 1024**4), ("k", 1024), ("m", 1024**2),
+                   ("g", 1024**3), ("t", 1024**4), ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[:-len(suf)], m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 * 1024 * 1024

@@ -431,3 +431,31 @@ def test_position_delete_idempotent(spark, catalog):
     t.delete_where_pos(spark, F.col("id").isin(5, 6))
     assert pos_pairs(t) == 2
     assert sorted(r["id"] for r in t.scan(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_small_scan_carries_broadcast_hint(spark, catalog):
+    """Manifest statistics feed join planning (the reference's
+    TableProvider::statistics role, statistics.rs:20-146): joining a big
+    DataFrame against a small Iceberg scan must plan a broadcast join
+    up front — no shuffle of either side at plan time."""
+    from pyspark.sql import functions as F
+    t = _mk_table(catalog, "orders_bcast")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    dim = t.scan(spark)
+    big = spark.range(10_000).withColumn("id", F.col("id") % 9 + 1)
+    plan = big.join(dim, "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and a huge threshold-busting table must NOT hint: fake it by
+    # dropping the threshold below the table's byte size
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        from iceberg_rust_archive_spark.operators.scan import (
+            _broadcast_threshold,
+        )
+        assert _broadcast_threshold(spark) == 1
+        plan2 = t.scan(spark)._jdf.queryExecution().logical().toString()
+        assert "broadcast" not in plan2.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
