@@ -100,7 +100,7 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     # A3: file-level pruning (data files only; deletes must all apply)
     kept = set(id(f) for f in prune_datafiles(
-        preds, schema, [e.data_file for e in data_entries]))
+        preds, schema, [e.data_file for e in data_entries], spec))
     data_entries = [e for e in data_entries if id(e.data_file) in kept]
 
     if from_snapshot_id is not None:

@@ -165,15 +165,67 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
     return out
 
 
+def _partition_value_excludes(preds: list[Pred], spec: PartitionSpec,
+                              schema: Schema, f: DataFile) -> bool:
+    """File-level partition pruning on the EXACT transformed value in
+    the file's partition tuple. Column bounds can't express bucket
+    membership (murmur3 destroys order), but the partition tuple stores
+    ``bucket(key)`` itself — so ``key = lit`` / ``key IN (...)`` prunes
+    any file whose bucket value can't match. Applies to every transform
+    for equality predicates (transform(lit) must equal the stored
+    value); this is what turns an LSH key probe into a file lookup."""
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        if src is None or not isinstance(src.field_type, str):
+            continue
+        pv = f.partition.get(pf.name)
+        if pv is None:
+            continue
+        def same_kind(a, b):
+            # guard against representation skew (e.g. identity-timestamp
+            # literals transform to ISO strings while path-parsed
+            # partition values are epoch micros) — mismatched kinds must
+            # keep the file, never prune it
+            num = (int, float)
+            return (isinstance(a, num) and isinstance(b, num)
+                    and not isinstance(a, bool) and not isinstance(b, bool)) \
+                or type(a) is type(b)
+
+        for p in preds:
+            if p.column != src.name or p.op not in ("=", "in"):
+                continue
+            try:
+                if p.op == "=":
+                    lit = _lit_for_transform(p.value, src.field_type)
+                    tv = transform_value(pf.transform, lit, src.field_type)
+                    if same_kind(tv, pv) and tv != pv:
+                        return True
+                else:
+                    lits = [transform_value(
+                        pf.transform, _lit_for_transform(v, src.field_type),
+                        src.field_type) for v in p.value]
+                    if all(same_kind(t, pv) for t in lits) \
+                            and pv not in lits:
+                        return True
+            except (TypeError, ValueError):
+                continue  # un-transformable literal → conservative keep
+    return False
+
+
 def prune_datafiles(preds: list[Pred], schema: Schema,
-                    files: list[DataFile]) -> list[DataFile]:
+                    files: list[DataFile],
+                    spec: PartitionSpec | None = None) -> list[DataFile]:
     """File-level pruning (A3) on per-column lower/upper bounds and null
-    counts (pruning_statistics.rs:144-234)."""
+    counts (pruning_statistics.rs:144-234), plus exact partition-value
+    pruning when the partition spec is provided."""
     if not preds:
         return files
     out = []
     for f in files:
         keep = True
+        if spec is not None and _partition_value_excludes(
+                preds, spec, schema, f):
+            continue
         for p in preds:
             fld = schema.field_by_name(p.column)
             if fld is None or not isinstance(fld.field_type, str):
