@@ -81,10 +81,17 @@ def scan(spark: SparkSession, md: TableMetadata,
         df = spark.createDataFrame([], spark_schema)
         return df.select(*columns) if columns else df
 
-    # A2: partition-level pruning over manifest-list rows
-    mlist = prune_manifests(preds, spec, schema, mlist)
+    # A2: partition-level pruning over manifest-list rows, each manifest
+    # under the spec it was WRITTEN with — after spec evolution old
+    # manifests carry old-layout summaries (partition.rs: specs are
+    # id-addressed precisely so readers resolve per-manifest)
+    def spec_of(mle):
+        return md.partition_specs.get(mle.partition_spec_id, spec)
+    mlist = [m for m in mlist
+             if m in prune_manifests(preds, spec_of(m), schema, [m])]
 
     data_entries, delete_entries, pos_delete_entries = [], [], []
+    entry_spec: dict[int, int] = {}  # id(entry) -> spec id of its manifest
     for mle in mlist:
         for e in read_manifest(mle.manifest_path):
             if e.status == STATUS_DELETED:
@@ -93,14 +100,23 @@ def scan(spark: SparkSession, md: TableMetadata,
                 continue
             if e.data_file.content == CONTENT_DATA:
                 data_entries.append(e)
+                entry_spec[id(e)] = mle.partition_spec_id
             elif e.data_file.content == CONTENT_EQUALITY_DELETES:
                 delete_entries.append(e)
             elif e.data_file.content == CONTENT_POSITION_DELETES:
                 pos_delete_entries.append(e)
 
-    # A3: file-level pruning (data files only; deletes must all apply)
-    kept = set(id(f) for f in prune_datafiles(
-        preds, schema, [e.data_file for e in data_entries], spec))
+    # A3: file-level pruning (data files only; deletes must all apply),
+    # grouped by originating spec so partition-value checks use the
+    # right transform per file
+    kept = set()
+    by_spec: dict[int, list] = defaultdict(list)
+    for e in data_entries:
+        by_spec[entry_spec[id(e)]].append(e)
+    for sid, entries in by_spec.items():
+        sp = md.partition_specs.get(sid, spec)
+        kept |= set(id(f) for f in prune_datafiles(
+            preds, schema, [e.data_file for e in entries], sp))
     data_entries = [e for e in data_entries if id(e.data_file) in kept]
 
     if from_snapshot_id is not None:

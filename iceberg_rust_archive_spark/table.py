@@ -162,6 +162,14 @@ class Table:
         txn.commit_with_retry(lambda t: t.append_delete_files(files))
         return self.refresh()
 
+    def update_partition_spec(self, fields) -> "Table":
+        """Partition spec evolution (AddSpec/SetDefaultSpec): new writes
+        lay out under the new transform; existing files stay put and
+        scans prune each manifest under its own spec."""
+        txn = self.new_transaction().update_spec(fields)
+        txn.commit_with_retry(lambda t: t.update_spec(fields))
+        return self.refresh()
+
     def overwrite(self, spark: SparkSession, df: DataFrame,
                   branch: str | None = None) -> "Table":
         """Full replace (Replace op, operation.rs:384-547)."""

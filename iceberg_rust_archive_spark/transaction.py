@@ -64,6 +64,7 @@ class Transaction:
         self._deletes: list[DataFile] = []
         self._replacement: list[DataFile] | None = None
         self._new_schema: Schema | None = None
+        self._new_spec_fields: list | None = None
         self._properties: dict = {}
         self._summary_extra: dict = {}
 
@@ -84,6 +85,17 @@ class Transaction:
 
     def update_schema(self, schema: Schema) -> "Transaction":
         self._new_schema = schema
+        return self
+
+    def update_spec(self, fields) -> "Transaction":
+        """Partition spec evolution (AddSpec + SetDefaultSpec,
+        commit.rs: the two update actions the REST protocol carries for
+        it). ``fields`` are PartitionFields whose field_id may be 0 —
+        fresh ids are assigned past last_partition_id, and the new spec
+        gets the next spec id. Existing data files keep their old-spec
+        partition tuples (scan prunes each manifest under the spec it
+        was written with); only NEW writes use the new layout."""
+        self._new_spec_fields = list(fields)
         return self
 
     def set_properties(self, props: dict) -> "Transaction":
@@ -123,6 +135,26 @@ class Transaction:
                                  md.last_column_id,
                                  self._new_schema.highest_field_id()))
 
+        if self._new_spec_fields is not None:
+            import dataclasses as _dc
+            from iceberg_rust_archive_spark.spec.partition import (
+                PartitionSpec,
+            )
+            next_fid = max(md.last_partition_id, 999)  # spec ids start at 1000
+            fields = []
+            for pf in self._new_spec_fields:
+                next_fid += 1
+                fields.append(_dc.replace(pf, field_id=next_fid))
+            new_spec = PartitionSpec(max(md.partition_specs, default=-1) + 1,
+                                     tuple(fields))
+            specs = dict(md.partition_specs)
+            specs[new_spec.spec_id] = new_spec
+            md = _dc_replace(md, partition_specs=specs,
+                             default_spec_id=new_spec.spec_id,
+                             last_partition_id=next_fid)
+            spec = new_spec
+            pf_names = [f.name for f in spec.fields]
+
         old_entries = list(read_manifest_list(parent.manifest_list)) \
             if parent else []
         files_to_delete: list[str] = []
@@ -161,9 +193,23 @@ class Transaction:
             operation = "append" if not self._deletes else "delete" \
                 if not self._appended else "overwrite"
             added = self._appended + self._deletes
-            if not added and not self._properties \
-                    and self._new_schema is None and not self._summary_extra:
-                return md  # no-op
+            if not added and not self._summary_extra \
+                    and self._new_schema is None:
+                # (schema changes always ride a snapshot: branch reads
+                # resolve their schema via the snapshot's schema-id,
+                # table_metadata.rs:156-183)
+                if not self._properties and self._new_spec_fields is None:
+                    return md  # true no-op
+                # metadata-only commit (spec/properties evolution): no
+                # data changed, so no snapshot — just the new document
+                if self._properties:
+                    props = dict(md.properties)
+                    props.update(self._properties)
+                    md = _dc_replace(md, properties=props)
+                self.catalog.update_tabular(
+                    self.identifier, md,
+                    expected_location=self.base_location)
+                return md
 
         summary = {"operation": operation,
                    "added-data-files": str(len(added or [])),
@@ -294,8 +340,14 @@ class Transaction:
     @staticmethod
     def _pack_manifests(metadata_dir, existing_list, new_files, content,
                         snap_id, seq, spec_id, pf_names, schema_json=None):
-        same = [m for m in existing_list if m.content == content]
-        other = [m for m in existing_list if m.content != content]
+        # merge candidates must share content AND partition spec — after
+        # spec evolution, old-layout manifests keep their spec id and new
+        # entries' tuples must not mix into them
+        same = [m for m in existing_list
+                if m.content == content and m.partition_spec_id == spec_id]
+        other = [m for m in existing_list
+                if not (m.content == content
+                        and m.partition_spec_id == spec_id)]
         total = sum(m.added_files_count + m.existing_files_count
                     for m in same) + len(new_files)
         limit = 4 + int(math.isqrt(total))  # operation.rs:648-666

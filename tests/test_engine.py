@@ -459,3 +459,48 @@ def test_small_scan_carries_broadcast_hint(spark, catalog):
         assert "broadcast" not in plan2.lower()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_spec_evolution(spark, catalog):
+    """AddSpec/SetDefaultSpec evolution: day-partitioned history +
+    bucket-partitioned future coexist in one table; scans read both
+    layouts and prune each manifest under the spec it was written
+    with."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    t = _mk_table(catalog, "orders_specevo")          # day(date) spec
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    old_snap = t.metadata.current_snapshot().snapshot_id
+
+    t.update_partition_spec(
+        [PartitionField(2, 0, "cust_bucket", "bucket[4]")])
+    # metadata-only commit: spec changed, no new snapshot
+    assert t.metadata.current_snapshot().snapshot_id == old_snap
+    assert t.metadata.default_spec().fields[0].transform == "bucket[4]"
+    assert t.metadata.default_spec().fields[0].field_id >= 1000
+    assert len(t.metadata.partition_specs) == 2
+
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+
+    # full scan reads both layouts
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == list(
+        range(1, 10))
+    # manifests carry their own spec ids; the new one is bucket-laid-out
+    mlist = read_manifest_list(t.metadata.current_snapshot().manifest_list)
+    spec_ids = {m.partition_spec_id for m in mlist}
+    assert spec_ids == {0, 1}
+    new_files = [e.data_file for m in mlist if m.partition_spec_id == 1
+                 for e in read_manifest(m.manifest_path)]
+    assert all("cust_bucket" in f.partition for f in new_files)
+
+    # pruning still works on BOTH layouts: date predicate prunes
+    # old-spec files, customer_id equality prunes new-spec buckets
+    import datetime as dt2
+    d1 = t.scan(spark, filter=[Pred("date", "=", dt2.date(2020, 1, 1))])
+    assert sorted(r["id"] for r in d1.collect()) == [1, 2, 3]
+    d2 = t.scan(spark, filter=[Pred("customer_id", "=", 2)])
+    assert sorted(r["id"] for r in d2.collect()) == [2, 8, 9]
