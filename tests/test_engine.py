@@ -504,3 +504,67 @@ def test_partition_spec_evolution(spark, catalog):
     assert sorted(r["id"] for r in d1.collect()) == [1, 2, 3]
     d2 = t.scan(spark, filter=[Pred("customer_id", "=", 2)])
     assert sorted(r["id"] for r in d2.collect()) == [2, 8, 9]
+
+
+def test_zorder_rewrite_prunes_both_columns(spark, catalog):
+    """Z-order clustering must make file-level bounds selective on BOTH
+    listed columns; a lexicographic (x, y) sort leaves y bounds wide in
+    every file, so y-predicates prune nothing."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.maintenance import zorder_rewrite
+    from iceberg_rust_archive_spark.predicates import prune_datafiles
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "x", "long", True),
+        NestedField(2, "y", "long", True),
+        NestedField(3, "payload", "string", True))))
+    t = Table.create(catalog, "db.zorder", schema, PartitionSpec(0, ()),
+                     properties={"write.target-file-size-bytes": "16384",
+                                 "write.parquet.compression-codec":
+                                     "uncompressed"})
+    n = 4096
+    # x ascending, y a pseudo-random permutation of the same range: a
+    # linear x-sort leaves every file spanning nearly the full y range
+    rows = (spark.range(n)
+            .select(F.col("id").alias("x"),
+                    F.pmod(F.col("id") * F.lit(2654435761), F.lit(n))
+                    .alias("y"),
+                    F.concat(F.lit("p" * 64),
+                             F.col("id").cast("string")).alias("payload"))
+            .orderBy("x").coalesce(1))
+    t.append(spark, rows)
+
+    def files(tab):
+        return [e.data_file
+                for mle in read_manifest_list(
+                    tab.metadata.current_snapshot().manifest_list)
+                for e in read_manifest(mle.manifest_path)]
+
+    def mean_span(tab, fid):
+        fs = files(tab)
+        spans = [f.upper_bounds[fid] - f.lower_bounds[fid] for f in fs
+                 if f.lower_bounds.get(fid) is not None
+                 and f.upper_bounds.get(fid) is not None]
+        return sum(spans) / len(spans), len(fs)
+
+    x_span_lin, total = mean_span(t, 1)
+    y_span_lin, _ = mean_span(t, 2)
+    assert total >= 8
+    assert x_span_lin < n / 4          # x-sorted: tight x bounds
+    assert y_span_lin > n * 0.8        # ...but every file spans ~all of y
+
+    t = zorder_rewrite(spark, t, ["x", "y"])
+    x_span_z, total2 = mean_span(t, 1)
+    y_span_z, _ = mean_span(t, 2)
+    assert total2 >= 8
+    # z-clustering: each file covers a compact square — BOTH dimensions'
+    # bounds are now a fraction of the domain
+    assert y_span_z < y_span_lin / 3
+    assert x_span_z < n / 2
+    # content unchanged
+    assert t.scan(spark).count() == n
+    assert t.scan(spark).agg(F.sum("x")).collect()[0][0] == n * (n - 1) // 2
