@@ -130,6 +130,84 @@ def zorder_rewrite(spark: SparkSession, table: Table,
     return table.overwrite(spark, clustered, branch=branch)
 
 
+def rewrite_manifests(table: Table, branch: str | None = None) -> Table:
+    """Regroup the current snapshot's manifest entries into ~√N
+    manifests CLUSTERED BY PARTITION TUPLE — metadata-only compaction
+    (no data file moves; entries carry STATUS_EXISTING with their
+    original sequence numbers, so delete ordering is preserved).
+
+    Why: commit-time bin-packing keeps manifests small, and the
+    smallest-bounding-rectangle merge target slows locality decay, but
+    hundreds of commits with interleaved partitions still leave each
+    manifest spanning wide partition ranges — then manifest-list
+    pruning (A2) keeps everything and every scan parses every manifest.
+    Re-clustering restores tight FieldSummary rectangles; at 100 TB
+    (thousands of manifests) this is the metadata analogue of data
+    compaction, and it's pure driver work over O(files) rows."""
+    import math
+
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list, write_manifest,
+        write_manifest_list,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import (
+        ManifestEntry, STATUS_DELETED, STATUS_EXISTING,
+    )
+    from iceberg_rust_archive_spark.spec.snapshot import Snapshot
+    from iceberg_rust_archive_spark.transaction import new_snapshot_id
+
+    md = table.metadata
+    snap = md.current_snapshot(branch)
+    if snap is None:
+        return table
+    metadata_dir = os.path.join(md.location, "metadata")
+    import json as _json
+    schema_json = _json.dumps(md.schemas[md.current_schema_id].to_json())
+
+    # group live entries by (content, spec-id) — specs cannot mix
+    groups: dict[tuple, list] = {}
+    for mle in read_manifest_list(snap.manifest_list):
+        for e in read_manifest(mle.manifest_path):
+            if e.status == STATUS_DELETED:
+                continue
+            groups.setdefault((mle.content, mle.partition_spec_id),
+                              []).append(
+                ManifestEntry(STATUS_EXISTING, e.data_file, e.snapshot_id,
+                              e.sequence_number, e.file_sequence_number))
+
+    snap_id = new_snapshot_id()
+    seq = md.last_sequence_number + 1
+    new_list = []
+    for (content, spec_id), entries in sorted(groups.items()):
+        spec = md.partition_specs.get(spec_id, md.default_spec())
+        pf_names = [f.name for f in spec.fields]
+        # cluster: sort by partition tuple (None last per dim)
+        entries.sort(key=lambda e: tuple(
+            (e.data_file.partition.get(n) is None,
+             e.data_file.partition.get(n))
+            for n in pf_names))
+        n_manifests = max(1, math.isqrt(len(entries)))
+        chunk = math.ceil(len(entries) / n_manifests)
+        for i in range(0, len(entries), chunk):
+            new_list.append(write_manifest(
+                metadata_dir, entries[i:i + chunk], spec_id, content,
+                snap_id, seq, pf_names, schema_json))
+
+    manifest_list_path = write_manifest_list(metadata_dir, snap_id, new_list)
+    snapshot = Snapshot(
+        snapshot_id=snap_id, sequence_number=seq,
+        timestamp_ms=int(time.time() * 1000),
+        manifest_list=manifest_list_path,
+        summary={"operation": "replace",
+                 "rewritten-manifests": str(len(new_list))},
+        parent_snapshot_id=snap.snapshot_id,
+        schema_id=md.current_schema_id)
+    new_md = md.with_snapshot(snapshot, branch)
+    table.catalog.update_tabular(table.identifier, new_md,
+                                 table.metadata_location)
+    return table.refresh()
+
+
 def expire_snapshots(table: Table, older_than_ms: int) -> Table:
     """Remove snapshot entries with timestamp < older_than_ms, except
     those pinned by refs; rewrites table metadata via the catalog CAS."""

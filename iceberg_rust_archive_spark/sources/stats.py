@@ -21,6 +21,34 @@ import os
 from iceberg_rust_archive_spark.spec.manifest import CONTENT_DATA, DataFile
 
 
+# String bounds are truncated like the spec's write.metadata default
+# (truncate(16), TableMetadataBuilder METRICS defaults): a manifest row
+# must stay O(small) per column even when the column holds documents —
+# full-text min/max would make metadata scale with content length.
+TRUNCATE_BOUND_LEN = 16
+
+
+def _trunc_lower(v):
+    """Lower bounds truncate plainly: prefix ≤ every value it bounds."""
+    if isinstance(v, str) and len(v) > TRUNCATE_BOUND_LEN:
+        return v[:TRUNCATE_BOUND_LEN]
+    return v
+
+
+def _trunc_upper(v):
+    """Upper bounds truncate then increment the last incrementable code
+    point, so the result still upper-bounds every value sharing the
+    prefix; un-incrementable (all U+10FFFF) → drop the bound."""
+    if isinstance(v, str) and len(v) > TRUNCATE_BOUND_LEN:
+        t = v[:TRUNCATE_BOUND_LEN]
+        for i in range(len(t) - 1, -1, -1):
+            cp = ord(t[i])
+            if cp < 0x10FFFF:
+                return t[:i] + chr(cp + 1)
+        return None
+    return v
+
+
 def _norm_bound(v):
     if v is None:
         return None
@@ -79,6 +107,10 @@ def harvest_one(path: str, field_ids: dict[str, int],
                     lowers[fid] = lo
                 if hi is not None and (fid not in uppers or hi > uppers[fid]):
                     uppers[fid] = hi
+
+    lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()}
+    uppers = {fid: u for fid, v in uppers.items()
+              if (u := _trunc_upper(v)) is not None}
 
     return DataFile(
         content=content, file_path=path, file_format="parquet",

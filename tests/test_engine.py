@@ -568,3 +568,43 @@ def test_zorder_rewrite_prunes_both_columns(spark, catalog):
     # content unchanged
     assert t.scan(spark).count() == n
     assert t.scan(spark).agg(F.sum("x")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_rewrite_manifests_restores_pruning(spark, catalog):
+    """Interleaved-partition commits leave every manifest spanning every
+    day -> manifest-level pruning keeps all of them. rewrite_manifests
+    re-clusters entries by partition tuple; afterwards a day predicate
+    skips most manifests and the data is unchanged."""
+    from iceberg_rust_archive_spark.maintenance import rewrite_manifests
+    from iceberg_rust_archive_spark.predicates import prune_manifests
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    t = _mk_table(catalog, "orders_rwm")
+    for i in range(6):  # every commit touches all three days
+        t.append(spark, spark.createDataFrame(
+            [(100 * i + j, j, 1, d, 1)
+             for j, d in enumerate([dt.date(2020, 1, 1),
+                                    dt.date(2020, 2, 2),
+                                    dt.date(2020, 3, 3)])], COLS))
+    before = t.scan(spark).count()
+    md = t.metadata
+    mlist = read_manifest_list(md.current_snapshot().manifest_list)
+    preds = [Pred("date", "=", dt.date(2020, 1, 1))]
+    kept_before = prune_manifests(preds, md.default_spec(),
+                                  md.current_schema(), mlist)
+    assert len(kept_before) == len(mlist)  # decayed: nothing prunes
+
+    t = rewrite_manifests(t)
+    md = t.metadata
+    mlist2 = read_manifest_list(md.current_snapshot().manifest_list)
+    kept_after = prune_manifests(preds, md.default_spec(),
+                                 md.current_schema(), mlist2)
+    assert len(mlist2) >= 2
+    assert len(kept_after) < len(mlist2)   # re-clustered: pruning works
+    # data intact, sequence numbers preserved for delete ordering
+    assert t.scan(spark).count() == before
+    assert all(e.min_sequence_number >= 1 for e in mlist2)
+    files = [e for m in mlist2 for e in read_manifest(m.manifest_path)]
+    assert {e.sequence_number for e in files} == set(range(1, 7))

@@ -343,3 +343,24 @@ def test_manifest_v1_read_shim(tmp_path):
     assert mle.added_rows_count == 10
     # and the pointed-to V1 manifest reads through the same path
     assert read_manifest(mle.manifest_path)[0].data_file.record_count == 10
+
+
+def test_string_bound_truncation():
+    """String bounds truncate at 16 chars like the spec's metrics
+    default: lower = plain prefix, upper = prefix with last code point
+    incremented, so [lo, hi] still contains every bounded value."""
+    from iceberg_rust_archive_spark.sources.stats import (
+        _trunc_lower, _trunc_upper,
+    )
+    long_lo = "aaaaaaaaaaaaaaaaZZZ"   # 19 chars
+    long_hi = "zzzzzzzzzzzzzzzz___tail"
+    assert _trunc_lower(long_lo) == "a" * 16
+    up = _trunc_upper(long_hi)
+    assert len(up) == 16 and up == "z" * 15 + "{"
+    # invariant: truncated bounds still bound the originals
+    assert _trunc_lower(long_lo) <= long_lo
+    assert long_hi <= up
+    # short strings unchanged
+    assert _trunc_lower("abc") == "abc" and _trunc_upper("abc") == "abc"
+    # all-U+10FFFF upper is un-incrementable → bound dropped
+    assert _trunc_upper(chr(0x10FFFF) * 20) is None
