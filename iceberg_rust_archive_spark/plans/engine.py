@@ -18,6 +18,9 @@ Supported statements::
         (CREATE TEMPORARY VIEW is accepted as an MV alias — planner.rs:94-98)
     DROP TABLE ns.t | DROP VIEW ns.v
     INSERT INTO ns.t VALUES (...), (...) | INSERT INTO ns.t SELECT ...
+    ALTER TABLE ns.t ADD COLUMN(S) c TYPE, ... | DROP COLUMN c
+        | RENAME COLUMN a TO b | ADD/DROP PARTITION FIELD <expr>
+        | SET TBLPROPERTIES ('k'='v', ...)
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
 """
@@ -165,6 +168,12 @@ class Engine:
             t.delete_where_equal(self.spark, rows, cols)
             return None
 
+        m = re.match(r"alter\s+table\s+([\w.]+)\s+(.*)$", s,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            self._alter_table_sql(m.group(1), m.group(2))
+            return None
+
         m = re.match(
             r"select\s+refresh_materialized_view\s*\(\s*'([^']+)'\s*\)", low)
         if m:
@@ -172,6 +181,81 @@ class Engine:
             return self.spark.createDataFrame([(strategy,)], ["strategy"])
 
         return self._run_select(s)
+
+    def _alter_table_sql(self, identifier: str, action: str) -> None:
+        """ALTER TABLE surface over the evolution transactions
+        (AddSchema/SetCurrentSchema + AddSpec/SetDefaultSpec — the same
+        update actions the REST commit protocol carries):
+
+            ADD COLUMN[S] name TYPE [, name TYPE ...]
+            DROP COLUMN name | RENAME COLUMN a TO b
+            ADD PARTITION FIELD <transform-expr> | DROP PARTITION FIELD <name>
+            SET TBLPROPERTIES ('k'='v', ...)
+        """
+        import dataclasses as _dc
+        t = self.load_table(identifier)
+        md = t.metadata
+        schema = md.current_schema()
+        a = action.strip()
+
+        def _evolve(new_fields):
+            new_schema = Schema(schema.schema_id + 1,
+                                StructTypeSpec(tuple(new_fields)))
+            txn = t.new_transaction().update_schema(new_schema)
+            txn.commit_with_retry(lambda x: x.update_schema(new_schema))
+            t.refresh()
+
+        m = re.match(r"add\s+columns?\s*\(?(.*?)\)?\s*$", a,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            next_id = md.last_column_id
+            added = []
+            for part in m.group(1).split(","):
+                name, _, typ = part.strip().partition(" ")
+                next_id += 1
+                added.append(NestedField(next_id, name,
+                                         _sql_type_to_iceberg(typ), False))
+            _evolve(list(schema.fields) + added)
+            return
+
+        m = re.match(r"drop\s+column\s+(\w+)\s*$", a, re.IGNORECASE)
+        if m:
+            _evolve([f for f in schema.fields if f.name != m.group(1)])
+            return
+
+        m = re.match(r"rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", a,
+                     re.IGNORECASE)
+        if m:
+            _evolve([_dc.replace(f, name=m.group(2))
+                     if f.name == m.group(1) else f for f in schema.fields])
+            return
+
+        m = re.match(r"add\s+partition\s+field\s+(.*)$", a, re.IGNORECASE)
+        if m:
+            new_pf = PartitionSpec.parse_transform_expr(
+                m.group(1).strip(), lambda: 0, schema)
+            t.update_partition_spec(
+                list(md.default_spec().fields) + [new_pf])
+            return
+
+        m = re.match(r"drop\s+partition\s+field\s+(\w+)\s*$", a,
+                     re.IGNORECASE)
+        if m:
+            t.update_partition_spec(
+                [f for f in md.default_spec().fields
+                 if f.name != m.group(1)])
+            return
+
+        m = re.match(r"set\s+tblproperties\s*\((.*)\)\s*$", a,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'",
+                                    m.group(1)))
+            txn = t.new_transaction().set_properties(props)
+            txn.commit_with_retry(lambda x: x.set_properties(props))
+            return
+
+        raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
 
     # --- helpers ----------------------------------------------------------
     def _create_table_sql(self, identifier, cols_sql, part_sql):

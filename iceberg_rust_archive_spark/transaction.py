@@ -140,11 +140,19 @@ class Transaction:
             from iceberg_rust_archive_spark.spec.partition import (
                 PartitionSpec,
             )
-            next_fid = max(md.last_partition_id, 999)  # spec ids start at 1000
+            # carried-over fields (id > 999) keep their ids; only fresh
+            # fields (id 0) get the next ones — two passes so a fresh id
+            # can never collide with a carried one
+            next_fid = max([md.last_partition_id, 999]
+                           + [pf.field_id for pf in self._new_spec_fields
+                              if pf.field_id > 999])
             fields = []
             for pf in self._new_spec_fields:
-                next_fid += 1
-                fields.append(_dc.replace(pf, field_id=next_fid))
+                if pf.field_id > 999:
+                    fields.append(pf)
+                else:
+                    next_fid += 1
+                    fields.append(_dc.replace(pf, field_id=next_fid))
             new_spec = PartitionSpec(max(md.partition_specs, default=-1) + 1,
                                      tuple(fields))
             specs = dict(md.partition_specs)

@@ -608,3 +608,40 @@ def test_rewrite_manifests_restores_pruning(spark, catalog):
     assert all(e.min_sequence_number >= 1 for e in mlist2)
     files = [e for m in mlist2 for e in read_manifest(m.manifest_path)]
     assert {e.sequence_number for e in files} == set(range(1, 7))
+
+
+def test_alter_table_sql(spark, tmp_path):
+    """ALTER TABLE SQL surface: column add/rename/drop, partition-field
+    add, properties — each a proper evolution commit."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (id BIGINT, amount INT, d DATE)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10, DATE '2020-01-01')")
+
+    eng.sql("ALTER TABLE db.t ADD COLUMN note STRING")
+    eng.sql("INSERT INTO db.t VALUES (2, 20, DATE '2020-02-01', 'hi')")
+    got = {r.id: r.note for r in eng.sql("SELECT id, note FROM db.t")
+           .collect()}
+    assert got == {1: None, 2: "hi"}
+
+    eng.sql("ALTER TABLE db.t RENAME COLUMN note TO comment")
+    got = {r.id: r.comment for r in
+           eng.sql("SELECT id, comment FROM db.t").collect()}
+    assert got == {1: None, 2: "hi"}  # field-id resolution, not name
+
+    eng.sql("ALTER TABLE db.t ADD PARTITION FIELD month(d)")
+    t = eng.load_table("db.t")
+    assert [f.transform for f in t.metadata.default_spec().fields] == [
+        "month"]
+    eng.sql("INSERT INTO db.t VALUES (3, 30, DATE '2020-03-15', 'x')")
+    assert eng.sql("SELECT count(*) AS n FROM db.t").collect()[0].n == 3
+
+    eng.sql("ALTER TABLE db.t SET TBLPROPERTIES ('write.target-file-size-"
+            "bytes'='123456')")
+    t = eng.load_table("db.t")
+    assert t.metadata.properties["write.target-file-size-bytes"] == "123456"
+
+    eng.sql("ALTER TABLE db.t DROP COLUMN comment")
+    assert "comment" not in eng.sql("SELECT * FROM db.t").columns
