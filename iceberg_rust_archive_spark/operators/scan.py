@@ -168,7 +168,14 @@ def scan(spark: SparkSession, md: TableMetadata,
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
 
-    deleted_partitions = {pkey(e) for e in delete_entries}
+    # deletes whose file carries NO partition tuple (the equality
+    # columns don't cover the partition source) apply GLOBALLY — every
+    # partition's chain must anti-join them, not just the {} partition
+    global_deletes = [e for e in delete_entries if not e.data_file.partition]
+    part_deletes = [e for e in delete_entries if e.data_file.partition]
+    deleted_partitions = {pkey(e) for e in part_deletes}
+    if global_deletes:
+        deleted_partitions |= {pkey(e) for e in data_entries}
     plain_files = [e.data_file.file_path for e in data_entries
                    if pkey(e) not in deleted_partitions]
 
@@ -182,8 +189,11 @@ def scan(spark: SparkSession, md: TableMetadata,
     for e in data_entries:
         if pkey(e) in deleted_partitions:
             groups[pkey(e)][e.sequence_number or 0]["data"].append(e)
-    for e in delete_entries:
+    for e in part_deletes:
         groups[pkey(e)][e.sequence_number or 0]["delete"].append(e)
+    for e in global_deletes:
+        for pk in deleted_partitions or {pkey(e)}:
+            groups[pk][e.sequence_number or 0]["delete"].append(e)
 
     for _key, by_seq in groups.items():
         acc: DataFrame | None = None

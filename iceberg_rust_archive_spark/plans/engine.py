@@ -21,6 +21,8 @@ Supported statements::
     ALTER TABLE ns.t ADD COLUMN(S) c TYPE, ... | DROP COLUMN c
         | RENAME COLUMN a TO b | ADD/DROP PARTITION FIELD <expr>
         | SET TBLPROPERTIES ('k'='v', ...)
+    MERGE INTO ns.t USING <src> ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
 """
@@ -175,12 +177,45 @@ class Engine:
             return None
 
         m = re.match(
+            r"merge\s+into\s+([\w.]+)(?:\s+as\s+\w+|\s+\w+)?\s+"
+            r"using\s+(.*?)\s+on\s+(.*?)\s+"
+            r"when\s+matched\s+then\s+update\s+set\s+\*\s+"
+            r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            self._merge_sql(m.group(1), m.group(2), m.group(3))
+            return None
+
+        m = re.match(
             r"select\s+refresh_materialized_view\s*\(\s*'([^']+)'\s*\)", low)
         if m:
             strategy = self.refresh_materialized_view(m.group(1))
             return self.spark.createDataFrame([(strategy,)], ["strategy"])
 
         return self._run_select(s)
+
+    def _merge_sql(self, identifier: str, using: str, on: str) -> None:
+        """MERGE INTO (upsert form): ``UPDATE SET * / INSERT *`` only —
+        the whole-row upsert Iceberg's eq-delete+append commit expresses
+        natively (Table.upsert). Join keys come from equality conjuncts
+        naming the same column on both sides."""
+        using = using.strip()
+        m = re.match(r"\((.*)\)\s*(?:as\s+)?\w*\s*$", using,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            rows = self._run_select(m.group(1))
+        else:
+            src_tbl = using.split()[0]
+            rows = self._run_select(f"SELECT * FROM {src_tbl}")
+        keys = []
+        for a, b in re.findall(r"\w+\.(\w+)\s*=\s*\w+\.(\w+)", on):
+            if a.lower() != b.lower():
+                raise ValueError(
+                    f"MERGE ON must equate same-named columns, got {a}={b}")
+            keys.append(a)
+        if not keys:
+            raise ValueError(f"no join keys found in ON clause: {on!r}")
+        self.load_table(identifier).upsert(self.spark, rows, keys)
 
     def _alter_table_sql(self, identifier: str, action: str) -> None:
         """ALTER TABLE surface over the evolution transactions

@@ -162,6 +162,33 @@ class Table:
         txn.commit_with_retry(lambda t: t.append_delete_files(files))
         return self.refresh()
 
+    def upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
+               branch: str | None = None) -> "Table":
+        """MERGE-style upsert in ONE atomic commit: an equality-delete
+        file over the source's key tuples plus the source rows as data
+        files, both at the same sequence number. Deletes apply only to
+        strictly-earlier sequence numbers (table.rs:498-531), so the
+        commit replaces matching rows and inserts the rest — the
+        standard Iceberg MERGE INTO shape, which the reference's engine
+        does not expose.
+
+        Scale: the delete side is just the key projection (skinny
+        columns); merge-on-read cost is the same broadcast anti-join
+        the delete path already pays, until compaction absorbs it."""
+        schema = self.metadata.current_schema(branch)
+        eq_ids = tuple(schema.field_by_name(c).field_id for c in keys)
+        del_files = write_datafiles(
+            spark, self.metadata, df.select(*keys).dropDuplicates(),
+            content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids,
+            branch=branch)
+        data_files = write_datafiles(spark, self.metadata, df,
+                                     branch=branch)
+        txn = (self.new_transaction(branch)
+               .append_delete_files(del_files).append_files(data_files))
+        txn.commit_with_retry(lambda t: t.append_delete_files(del_files)
+                              .append_files(data_files))
+        return self.refresh()
+
     def update_partition_spec(self, fields) -> "Table":
         """Partition spec evolution (AddSpec/SetDefaultSpec): new writes
         lay out under the new transform; existing files stay put and

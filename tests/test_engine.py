@@ -645,3 +645,98 @@ def test_alter_table_sql(spark, tmp_path):
 
     eng.sql("ALTER TABLE db.t DROP COLUMN comment")
     assert "comment" not in eng.sql("SELECT * FROM db.t").columns
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """N writers race one table through the SQL catalog's CAS: every
+    append must land exactly once via optimistic retry (the reference's
+    transaction loop under real contention, not a staged conflict)."""
+    import threading
+
+    cat = SqlCatalog(str(tmp_path / "race.db"))
+    Table.create(cat, "db.race", ORDERS_SCHEMA, PartitionSpec(0, ()),
+                 location=str(tmp_path / "race_tbl"))
+    n_writers, errs = 6, []
+
+    def writer(i):
+        try:
+            t = Table.load(SqlCatalog(str(tmp_path / "race.db")), "db.race")
+            rows = [(100 * i + j, i, 1, dt.date(2020, 1, 1), 1)
+                    for j in range(3)]
+            from iceberg_rust_archive_spark.sources.write import (
+                write_datafiles,
+            )
+            files = write_datafiles(spark, t.metadata,
+                                    spark.createDataFrame(rows, COLS))
+            txn = t.new_transaction().append_files(files)
+            txn.commit_with_retry(lambda x: x.append_files(files),
+                                  attempts=n_writers + 2)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,))
+               for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = Table.load(cat, "db.race")
+    got = sorted(r["id"] for r in t.scan(spark).collect())
+    assert got == sorted(100 * i + j for i in range(n_writers)
+                         for j in range(3))
+    # linear history: snapshots chain parent→child with dense sequences
+    seqs = sorted(s.sequence_number for s in t.metadata.snapshots.values())
+    assert seqs == list(range(1, n_writers + 1))
+
+
+def test_upsert_one_commit(spark, catalog):
+    """MERGE-shaped upsert: matching keys replaced, new keys inserted,
+    ONE snapshot for the whole operation; rows appended later are not
+    affected by the upsert's delete (sequence ordering)."""
+    t = _mk_table(catalog, "orders_upsert", spec=PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    n_snaps = len(t.metadata.snapshots)
+
+    up = [(1, 1, 1, dt.date(2020, 1, 1), 100),    # replaces id 1
+          (6, 3, 3, dt.date(2020, 2, 2), 200),    # replaces id 6
+          (42, 9, 9, dt.date(2020, 9, 9), 7)]     # brand new
+    t.upsert(spark, spark.createDataFrame(up, COLS), keys=["id"])
+    assert len(t.metadata.snapshots) == n_snaps + 1
+
+    got = {r["id"]: r["amount"] for r in t.scan(spark).collect()}
+    assert got == {1: 100, 2: 1, 3: 3, 4: 1, 5: 2, 6: 200, 42: 7}
+
+    # idempotent re-upsert of the same rows: same values, new snapshot
+    t.upsert(spark, spark.createDataFrame(up, COLS), keys=["id"])
+    got2 = {r["id"]: r["amount"] for r in t.scan(spark).collect()}
+    assert got2 == got
+
+
+def test_upsert_partitioned_key_not_partition_source(spark, catalog):
+    """Upsert keyed on a non-partition column of a day-partitioned
+    table: the delete file carries no partition tuple, so it must apply
+    GLOBALLY across partitions (the empty-partition delete rule)."""
+    t = _mk_table(catalog, "orders_upsert_part")  # day(date) spec
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    up = [(4, 1, 2, dt.date(2021, 7, 7), 400)]   # id 4 moves partitions!
+    t.upsert(spark, spark.createDataFrame(up, COLS), keys=["id"])
+    got = {r["id"]: (r["amount"], r["date"]) for r in
+           t.scan(spark).collect()}
+    assert got[4] == (400, dt.date(2021, 7, 7))
+    assert len(got) == 6
+
+
+def test_merge_into_sql(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10), (2, 20)")
+    eng.sql("MERGE INTO db.t USING (SELECT 2 AS k, 99 AS v "
+            "UNION ALL SELECT 3, 30) s ON db.t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = {r.k: r.v for r in eng.sql("SELECT k, v FROM db.t").collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
