@@ -23,6 +23,8 @@ Supported statements::
         | SET TBLPROPERTIES ('k'='v', ...)
     MERGE INTO ns.t USING <src> ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    UPDATE ns.t SET col = expr, ... WHERE pred
+    DELETE FROM ns.t WHERE pred
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
 """
@@ -155,6 +157,46 @@ class Engine:
                      re.IGNORECASE | re.DOTALL)
         if m:
             return self._insert_sql(m.group(1), m.group(2))
+
+        m = re.match(
+            r"update\s+([\w.]+)\s+set\s+(.*?)\s+where\s+(.*)$", s,
+            re.IGNORECASE | re.DOTALL)
+        if m:
+            # DML UPDATE: matched rows become an equality delete over
+            # ALL columns + re-insert with the SET expressions applied,
+            # one atomic commit — the UPDATE half of the MERGE shape.
+            ident, sets, pred = m.group(1), m.group(2), m.group(3)
+            t = self.load_table(ident)
+            cols = [f.name for f in t.metadata.current_schema().fields]
+            assigns = {}
+            for part in re.split(r",(?![^()]*\))", sets):
+                name, _, expr = part.partition("=")
+                assigns[name.strip().lower()] = expr.strip()
+            proj = ", ".join(
+                f"({assigns[c.lower()]}) AS {c}" if c.lower() in assigns
+                else c for c in cols)
+            old = self._run_select(
+                f"SELECT * FROM {ident} WHERE {pred}")
+            new = self._run_select(
+                f"SELECT {proj} FROM {ident} WHERE {pred}")
+            from iceberg_rust_archive_spark.sources.write import (
+                write_datafiles,
+            )
+            from iceberg_rust_archive_spark.spec.manifest import (
+                CONTENT_EQUALITY_DELETES,
+            )
+            schema = t.metadata.current_schema()
+            eq_ids = tuple(schema.field_by_name(c).field_id for c in cols)
+            del_files = write_datafiles(
+                self.spark, t.metadata, old,
+                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
+            data_files = write_datafiles(self.spark, t.metadata, new)
+            txn = (t.new_transaction().append_delete_files(del_files)
+                   .append_files(data_files))
+            txn.commit_with_retry(
+                lambda x: x.append_delete_files(del_files)
+                .append_files(data_files))
+            return None
 
         m = re.match(r"delete\s+from\s+([\w.]+)\s+where\s+(.*)$", s,
                      re.IGNORECASE | re.DOTALL)

@@ -740,3 +740,25 @@ def test_merge_into_sql(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT *")
     got = {r.k: r.v for r in eng.sql("SELECT k, v FROM db.t").collect()}
     assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_update_sql(spark, tmp_path):
+    """DML UPDATE: matched rows replaced in one commit; others and
+    later inserts untouched."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT, tag STRING)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10, 'a'), (2, 20, 'b'), "
+            "(3, 30, 'a')")
+    n_snaps = len(eng.load_table("db.t").metadata.snapshots)
+    eng.sql("UPDATE db.t SET v = v * 10, tag = upper(tag) "
+            "WHERE tag = 'a'")
+    t = eng.load_table("db.t")
+    assert len(t.metadata.snapshots) == n_snaps + 1  # one commit
+    got = {r.k: (r.v, r.tag) for r in
+           eng.sql("SELECT * FROM db.t").collect()}
+    assert got == {1: (100, "A"), 2: (20, "b"), 3: (300, "A")}
+    eng.sql("INSERT INTO db.t VALUES (1, 11, 'a')")  # post-update insert
+    assert eng.sql("SELECT count(*) AS n FROM db.t").collect()[0].n == 4
