@@ -25,6 +25,10 @@ Supported statements::
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     UPDATE ns.t SET col = expr, ... WHERE pred
     DELETE FROM ns.t WHERE pred
+    INSERT OVERWRITE ns.t <select|values>
+    SELECT ... FROM ns.t VERSION AS OF <id> | TIMESTAMP AS OF '<ts>'
+    CALL system.rewrite_manifests('ns.t') | system.compact('ns.t')
+        | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
 """
@@ -157,6 +161,42 @@ class Engine:
                      re.IGNORECASE | re.DOTALL)
         if m:
             return self._insert_sql(m.group(1), m.group(2))
+
+        m = re.match(r"insert\s+overwrite\s+(?:table\s+)?([\w.]+)\s+(.*)$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if m:
+            # full-replace semantics (the reference's Replace op)
+            rows = self._run_select(f"SELECT * FROM ({m.group(2)})")
+            t = self.load_table(m.group(1))
+            rows = rows.toDF(*[f.name for f in
+                               t.metadata.current_schema().fields])
+            t.overwrite(self.spark, rows)
+            return None
+
+        m = re.match(
+            r"call\s+system\.(\w+)\s*\(\s*'([\w.]+)'\s*"
+            r"(?:,\s*(.*?))?\)\s*$", s, re.IGNORECASE | re.DOTALL)
+        if m:
+            # maintenance procedures, Spark-Iceberg style:
+            #   CALL system.rewrite_manifests('ns.t')
+            #   CALL system.compact('ns.t')
+            #   CALL system.zorder('ns.t', 'col1', 'col2')
+            #   CALL system.expire_snapshots('ns.t', <older_than_ms>)
+            from iceberg_rust_archive_spark import maintenance as mt
+            proc, ident, rest = m.group(1).lower(), m.group(2), m.group(3)
+            t = self.load_table(ident)
+            if proc == "rewrite_manifests":
+                mt.rewrite_manifests(t)
+            elif proc == "compact":
+                mt.compact_table(self.spark, t)
+            elif proc == "zorder":
+                cols = re.findall(r"'([\w.]+)'", rest or "")
+                mt.zorder_rewrite(self.spark, t, cols)
+            elif proc == "expire_snapshots":
+                mt.expire_snapshots(t, int((rest or "0").strip()))
+            else:
+                raise ValueError(f"unknown procedure {proc!r}")
+            return None
 
         m = re.match(
             r"update\s+([\w.]+)\s+set\s+(.*?)\s+where\s+(.*)$", s,
@@ -363,7 +403,36 @@ class Engine:
 
     def _run_select(self, sql: str) -> DataFrame:
         """Register every referenced catalog tabular, then spark.sql
-        (the A33 context-provider role)."""
+        (the A33 context-provider role). Time travel rides standard
+        suffixes: ``FROM t VERSION AS OF <snapshot-id>`` and
+        ``FROM t TIMESTAMP AS OF '<ts>'`` (A35) — the pinned scan is
+        registered under a derived view name before delegation."""
+        tt_mapping = {}
+
+        def _pin(m):
+            ident, kind, lit = m.group(1), m.group(2).lower(), m.group(3)
+            try:
+                t = self.load_table(ident)
+            except Exception:  # noqa: BLE001
+                return m.group(0)
+            safe = re.sub(r"\W", "_", ident)
+            if kind.startswith("version"):
+                df = t.scan(self.spark, snapshot_id=int(lit.strip()))
+                vn = f"ice_tt_{safe}_{lit.strip()}"
+            else:
+                import datetime as _dt
+                ts = _dt.datetime.fromisoformat(lit.strip().strip("'"))
+                ms = int(ts.timestamp() * 1000)
+                df = t.scan(self.spark, as_of_ms=ms)
+                vn = f"ice_tt_{safe}_{ms}"
+            df.createOrReplaceTempView(vn)
+            tt_mapping[ident] = vn
+            return vn
+        sql = re.sub(
+            r"([\w.]+)\s+(version\s+as\s+of|timestamp\s+as\s+of)\s+"
+            r"('[^']*'|\d+)",
+            _pin, sql, flags=re.IGNORECASE)
+
         mapping = {}
         for name in find_relations(sql):
             try:

@@ -762,3 +762,29 @@ def test_update_sql(spark, tmp_path):
     assert got == {1: (100, "A"), 2: (20, "b"), 3: (300, "A")}
     eng.sql("INSERT INTO db.t VALUES (1, 11, 'a')")  # post-update insert
     assert eng.sql("SELECT count(*) AS n FROM db.t").collect()[0].n == 4
+
+
+def test_time_travel_sql_and_procedures(spark, tmp_path):
+    """VERSION AS OF / TIMESTAMP AS OF suffixes, INSERT OVERWRITE, and
+    CALL system.* maintenance procedures through the SQL router."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10), (2, 20)")
+    t = eng.load_table("db.t")
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    eng.sql("INSERT INTO db.t VALUES (3, 30)")
+
+    assert eng.sql("SELECT count(*) AS n FROM db.t").collect()[0].n == 3
+    assert eng.sql(f"SELECT count(*) AS n FROM db.t VERSION AS OF {snap1}"
+                   ).collect()[0].n == 2
+
+    eng.sql("CALL system.rewrite_manifests('db.t')")
+    eng.sql("CALL system.compact('db.t')")
+    assert eng.sql("SELECT count(*) AS n FROM db.t").collect()[0].n == 3
+
+    eng.sql("INSERT OVERWRITE db.t VALUES (9, 90)")
+    got = [(r.k, r.v) for r in eng.sql("SELECT * FROM db.t").collect()]
+    assert got == [(9, 90)]
