@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (`decode_image` raises NotImplementedError unless PIL is
-importable); everything around it — schema, batching, partitioning,
-``mapInPandas`` signatures — is real and tested. The deterministic
-fake featurizer (md5-derived) stands in for a real embedding model so
-the pipeline is end-to-end testable and oracle-checkable.
+Decode reality levels (the container has no imaging/audio libraries):
+- **REAL, stdlib-only**: WAV audio decode (``decode_wav`` →
+  rate/duration/RMS/ZCR via ``wave`` + numpy, ``audio_features`` as the
+  mapInPandas path) and image header decode (``image_dims`` → format +
+  dimensions from PNG/GIF/BMP/JPEG bytes).
+- **STUB**: pixel-level image decode (`decode_image` raises unless PIL
+  is importable). The deterministic fake featurizer (md5-derived)
+  stands in for a pixel-embedding model so the pipeline stays
+  end-to-end testable and oracle-checkable.
 
 Design for 100 TB of media:
 - payloads ride in the DataFrame as ``binary`` — never hit the driver;
@@ -72,16 +75,106 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decode. The execution container has no imaging
-    libraries; plug PIL/pyvips here in production."""
+    """STUB: full pixel decode. The execution container has no imaging
+    libraries; plug PIL/pyvips here in production. Header-level decode
+    (format + dimensions) IS real — see ``image_dims``."""
     try:
         from PIL import Image  # noqa: F401
         import io
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires PIL; container has no imaging libs "
-            "(deterministic fake featurizer used instead)") from exc
+            "pixel decode requires PIL; container has no imaging libs "
+            "(image_dims covers header metadata; deterministic fake "
+            "featurizer stands in for pixel features)") from exc
+
+
+def image_dims(payload: bytes):
+    """REAL header decode, stdlib-only: (format, width, height) from
+    PNG / GIF / BMP headers and JPEG SOF segments, or None. This is the
+    trust-the-bytes-not-the-metadata step a crawled-media pipeline
+    runs before any expensive pixel decode — corrupt or mislabeled
+    payloads drop here."""
+    import struct
+    p = payload
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" \
+            and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return ("png", w, h)
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", p[6:10])
+        return ("gif", w, h)
+    if len(p) >= 26 and p[:2] == b"BM":
+        w, h = struct.unpack("<ii", p[18:26])
+        return ("bmp", w, abs(h))  # negative h = top-down rows
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":      # JPEG: walk segments
+        i = 2
+        while i + 9 <= len(p) and p[i] == 0xFF:
+            marker, seglen = p[i + 1], int.from_bytes(p[i + 2:i + 4],
+                                                      "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):   # SOFn
+                h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+    return None
+
+
+WAV_FEATURE_SCHEMA = StructType([
+    StructField("item_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossing_rate", DoubleType()),
+])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode, stdlib-only (``wave`` + numpy): PCM WAV
+    payload → sample rate, channels, duration, RMS (normalized to
+    [0, 1] full scale), zero-crossing rate. The production swap-in for
+    compressed formats is soundfile/ffmpeg — same return contract."""
+    import io
+    import wave
+
+    import numpy as np
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), \
+            w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported sample width {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    full = float(2 ** (8 * width - 1))
+    rms = float(np.sqrt(np.mean((x / full) ** 2))) if x.size else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+        if x.size > 1 else 0.0
+    return {"sample_rate": rate, "n_channels": nch,
+            "duration_s": n / rate if rate else 0.0,
+            "rms": rms, "zero_crossing_rate": zcr}
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas over (item_id, payload) WAV rows → WAV_FEATURE_SCHEMA
+    rows. Undecodable payloads are dropped (the standard crawled-media
+    posture: quarantine, don't fail the batch)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                try:
+                    f = decode_wav(bytes(payload))
+                except Exception:  # noqa: BLE001 — corrupt payload
+                    continue
+                out.append({"item_id": item_id, **f})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAV_FEATURE_SCHEMA])
+
+    return df.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
 def fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
