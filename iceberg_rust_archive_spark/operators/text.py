@@ -254,3 +254,58 @@ ORACLE_SQL["text_tfidf_top_terms"] = f"""
                  ORDER BY tfidf DESC, w) AS rank FROM scored
     ) WHERE rank <= 3
 """
+
+
+# --- PII detection + intra-document repetition (quality gates) ----------
+
+# Conservative, auditable patterns — the pre-filter a training pipeline
+# runs before a proper NER pass. All JVM-side regexp_count: zero Python.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?\d[\d\- ]{7,14}\d",
+    "ipv4s": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure: document counts and total hits per
+    pattern family, plus the fraction of documents with ANY hit — the
+    scrub-or-drop routing signal. One scan, one aggregation shuffle."""
+    d = _docs(spark, sf_dir)
+    hits = d.select(
+        "source",
+        *[F.regexp_count(F.col("text"), F.lit(rx)).alias(name)
+          for name, rx in PII_PATTERNS.items()])
+    any_hit = sum(F.col(n) for n in PII_PATTERNS) > 0
+    return (hits.withColumn("has_pii", any_hit.cast("int"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.sum(n).alias(f"sum_{n}") for n in PII_PATTERNS],
+                 F.round(F.avg("has_pii"), 4).alias("pii_doc_frac"))
+            .orderBy("source"))
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str,
+                          n: int = 3) -> DataFrame:
+    """Gopher-style intra-document repetition: fraction of duplicate
+    word n-grams per document, aggregated per source. High duplicate
+    fraction = boilerplate/spam → drop before training. All
+    higher-order functions over one scan; the only shuffle is the final
+    per-source aggregate."""
+    d = _docs(spark, sf_dir)
+    grams = (d
+             .withColumn("ws", F.expr(_WORDS))
+             .withColumn("gs", F.expr(
+                 f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n})))")))
+    rep = grams.select(
+        "source",
+        F.when(F.size("gs") > 0,
+               (F.size("gs") - F.size(F.array_distinct("gs")))
+               / F.size("gs")).otherwise(F.lit(0.0)).alias("dup_frac"))
+    return (rep.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+                 F.round(F.max("dup_frac"), 4).alias("max_dup_frac"))
+            .orderBy("source"))

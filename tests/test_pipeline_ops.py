@@ -348,3 +348,43 @@ def test_wav_decode_and_audio_features(spark):
     assert abs(got[1].rms - 0.3536) < 0.01
     assert got[2].rms == 0.0
     assert abs(got[2].duration_s - 0.5) < 1e-9
+
+
+def test_pii_patterns_and_repetition(spark, tmp_path):
+    """PII regexes count crafted hits exactly; repetition flags the
+    boilerplate doc and not the clean one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.operators.text import (
+        text_pii_stats, text_repetition_stats,
+    )
+
+    docs = [
+        (1, "srcA", "contact me at jo.doe+x@mail.example.org or "
+                    "+1 415-555-0199 from 10.0.0.1 ssn 123-45-6789"),
+        (2, "srcA", "perfectly clean prose with no identifiers at all "
+                    "just words"),
+        (3, "srcB", "spam spam spam " * 20),          # pure boilerplate
+        (4, "srcB", "one two three four five six seven eight nine ten"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs]),
+        "text": pa.array([d[2] for d in docs]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    pii = {r.source: r for r in
+           text_pii_stats(spark, str(tmp_path)).collect()}
+    assert pii["srcA"].sum_emails == 1
+    assert pii["srcA"].sum_phones >= 1
+    assert pii["srcA"].sum_ipv4s == 1
+    assert pii["srcA"].sum_ssn_like == 1
+    assert pii["srcA"].pii_doc_frac == 0.5
+    assert pii["srcB"].pii_doc_frac == 0.0
+
+    rep = {r.source: r for r in
+           text_repetition_stats(spark, str(tmp_path)).collect()}
+    assert rep["srcB"].max_dup_frac > 0.9     # "spam spam spam ..."
+    assert rep["srcA"].max_dup_frac < 0.2
