@@ -118,7 +118,9 @@ def _ann_topk(s: SparkSession, d: str) -> DataFrame:
 
 
 def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
-    """quality scoring (per source) + token counting (per lang)."""
+    """quality scoring (per source) + token counting (per lang) + PII
+    exposure (per source) + n-gram repetition (per source) — the four
+    text-gate families as one labeled-union entry."""
     q = text.text_quality_score(s, d).select(
         F.concat(F.lit("src:"), F.col("source")).alias("grp"),
         F.col("n_docs").alias("c1"), F.col("n_low_quality").alias("c2"),
@@ -128,7 +130,18 @@ def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
         F.col("sum_ws_tokens").alias("c1"),
         F.col("sum_bpe_tokens").alias("c2"),
         F.col("avg_bpe_tokens").alias("avg_stat"))
-    return q.unionByName(t)
+    p = text.text_pii_stats(s, d).select(
+        F.concat(F.lit("pii:"), F.col("source")).alias("grp"),
+        F.col("n_docs").alias("c1"),
+        (F.col("sum_emails") + F.col("sum_phones") + F.col("sum_ipv4s")
+         + F.col("sum_ssn_like")).cast("long").alias("c2"),
+        F.col("pii_doc_frac").alias("avg_stat"))
+    r = text.text_repetition_stats(s, d).select(
+        F.concat(F.lit("rep:"), F.col("source")).alias("grp"),
+        F.col("n_docs").alias("c1"),
+        F.round(F.col("max_dup_frac") * 10000).cast("long").alias("c2"),
+        F.col("avg_dup_frac").alias("avg_stat"))
+    return q.unionByName(t).unionByName(p).unionByName(r)
 
 
 def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
@@ -307,6 +320,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lang:' || lang, sum_ws_tokens, sum_bpe_tokens,
                    avg_bpe_tokens
             FROM ({o.pop('text_token_count')})
+            UNION ALL
+            SELECT 'pii:' || source, n_docs,
+                   sum_emails + sum_phones + sum_ipv4s + sum_ssn_like,
+                   pii_doc_frac
+            FROM ({o.pop('text_pii_stats')})
+            UNION ALL
+            SELECT 'rep:' || source, n_docs,
+                   CAST(round(max_dup_frac * 10000) AS BIGINT),
+                   avg_dup_frac
+            FROM ({o.pop('text_repetition_stats')})
         """,
         "set_membership_ops": f"""
             SELECT 'distinct_custkey' AS op,

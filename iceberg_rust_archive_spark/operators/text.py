@@ -309,3 +309,52 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str,
                  F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
                  F.round(F.max("dup_frac"), 4).alias("max_dup_frac"))
             .orderBy("source"))
+
+
+# DuckDB twins of the PII / repetition gates (RE2 and Java regex agree
+# on these pattern families; counts via regexp_extract_all length)
+ORACLE_SQL["text_pii_stats"] = """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')))
+                AS BIGINT) AS sum_emails,
+           CAST(sum(len(regexp_extract_all(text,
+                '\\+?\\d[\\d\\- ]{7,14}\\d'))) AS BIGINT) AS sum_phones,
+           CAST(sum(len(regexp_extract_all(text,
+                '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT)
+               AS sum_ipv4s,
+           CAST(sum(len(regexp_extract_all(text,
+                '\\b\\d{3}-\\d{2}-\\d{4}\\b'))) AS BIGINT) AS sum_ssn_like,
+           round(avg(CASE WHEN
+                len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text,
+                   '\\+?\\d[\\d\\- ]{7,14}\\d'))
+                + len(regexp_extract_all(text,
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+                + len(regexp_extract_all(text,
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
+                THEN 1 ELSE 0 END), 4) AS pii_doc_frac
+    FROM documents GROUP BY source
+"""
+
+ORACLE_SQL["text_repetition_stats"] = f"""
+    WITH g AS (
+      SELECT source,
+             list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')) AS gs
+      FROM (SELECT source, {_DWORDS} AS ws FROM documents)
+    ),
+    d AS (
+      SELECT source,
+             CASE WHEN len(gs) > 0
+                  THEN (len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs)
+                  ELSE 0 END AS df
+      FROM g
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(df), 4) AS avg_dup_frac,
+           round(max(df), 4) AS max_dup_frac
+    FROM d GROUP BY source
+"""
