@@ -96,13 +96,19 @@ def harvest_one(path: str, field_ids: dict[str, int],
                 continue
             col_sizes[fid] = col_sizes.get(fid, 0) + c.total_compressed_size
             value_counts[fid] = value_counts.get(fid, 0) + c.num_values
-            st = c.statistics
+            try:
+                st = c.statistics
+            except Exception:  # noqa: BLE001 — nested-type leaves
+                continue
             if st is None:
                 continue
             if st.null_count is not None:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
             if st.has_min_max:
-                lo, hi = _norm_bound(st.min), _norm_bound(st.max)
+                try:  # the min/max CAST is lazy and can be unsupported
+                    lo, hi = _norm_bound(st.min), _norm_bound(st.max)
+                except Exception:  # noqa: BLE001
+                    continue
                 if lo is not None and (fid not in lowers or lo < lowers[fid]):
                     lowers[fid] = lo
                 if hi is not None and (fid not in uppers or hi > uppers[fid]):

@@ -788,3 +788,54 @@ def test_time_travel_sql_and_procedures(spark, tmp_path):
     eng.sql("INSERT OVERWRITE db.t VALUES (9, 90)")
     got = [(r.k, r.v) for r in eng.sql("SELECT * FROM db.t").collect()]
     assert got == [(9, 90)]
+
+
+def test_nested_decimal_null_partition_roundtrip(spark, catalog):
+    """Robustness: struct/list/map/decimal columns round-trip through
+    write→manifest→scan; a null partition source lands in the hive
+    default partition and scans back."""
+    import decimal
+
+    from iceberg_rust_archive_spark.spec.types import (
+        ListTypeSpec, MapTypeSpec,
+    )
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "id", "long", True),
+        NestedField(2, "price", "decimal(10,2)", False),
+        NestedField(3, "tags", ListTypeSpec(10, "string"), False),
+        NestedField(4, "attrs", MapTypeSpec(11, "string", 12, "long"),
+                    False),
+        NestedField(5, "loc", StructTypeSpec((
+            NestedField(13, "lat", "double", False),
+            NestedField(14, "lon", "double", False))), False),
+        NestedField(6, "grp", "string", False),
+    )))
+    spec = PartitionSpec(0, (PartitionField(6, 1000, "grp", "identity"),))
+    t = Table.create(catalog, "db.nested", schema, spec)
+
+    rows = [
+        (1, decimal.Decimal("12.34"), ["a", "b"], {"k": 7},
+         (1.5, -2.5), "g1"),
+        (2, decimal.Decimal("0.01"), [], {}, (0.0, 0.0), "g2"),
+        (3, None, None, None, None, None),   # null partition source
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, price decimal(10,2), tags array<string>, "
+              "attrs map<string,bigint>, "
+              "loc struct<lat:double,lon:double>, grp string")
+    t.append(spark, df)
+
+    got = {r.id: r for r in t.scan(spark).collect()}
+    assert got[1].price == decimal.Decimal("12.34")
+    assert got[1].tags == ["a", "b"] and got[1].attrs == {"k": 7}
+    assert got[1].loc.lat == 1.5
+    assert got[3].grp is None and got[3].price is None
+    assert len(got) == 3
+
+    # identity pruning still works alongside the null partition
+    only_g1 = t.scan(spark, filter=[Pred("grp", "=", "g1")])
+    assert sorted(r.id for r in only_g1.collect()) == [1]
+    # and null rows are reachable (residual filter; files kept)
+    nulls = t.scan(spark).filter("grp IS NULL")
+    assert sorted(r.id for r in nulls.collect()) == [3]
