@@ -180,3 +180,55 @@ def test_stream_windowed_once_matches_batch(spark):
               for r in run_stream_windowed_once(
                   spark, SF_DIR + "/events.parquet").collect()}
     assert batch == stream
+
+
+def test_dedup_stream_idempotent_ingestion(spark, tmp_path):
+    """Streaming ingestion dedup over the persistent index: novel docs
+    flow through; a checkpoint-loss replay re-classifies everything as
+    duplicate (index = idempotence); incremental files only contribute
+    their genuinely new docs."""
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.operators.incremental_dedup import (
+        create_minhash_index,
+    )
+    from iceberg_rust_archive_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+    )
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    idx = create_minhash_index(cat, "db.stream_idx", buckets=16)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out1 = str(tmp_path / "accepted")
+
+    b1 = [(1, "s", "the quick brown fox jumps over the lazy dog today"),
+          (2, "s", "pack my box with five dozen liquor jugs tonight ok")]
+    spark.createDataFrame(b1, ["doc_id", "source", "text"]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stats = run_dedup_stream_once(spark, str(src), idx, out1)
+    assert stats["novel"] == 2 and stats["dups"] == 0
+    assert spark.read.parquet(out1).count() == 2
+
+    # checkpoint loss: fresh output/checkpoint, same files — the index
+    # classifies every doc as a duplicate of itself; zero re-emits
+    out2 = str(tmp_path / "accepted2")
+    idx.refresh()
+    stats2 = run_dedup_stream_once(spark, str(src), idx, out2)
+    assert stats2["novel"] == 0 and stats2["dups"] == 2
+    import os
+    assert not os.path.exists(os.path.join(out2, "_SUCCESS")) or \
+        spark.read.parquet(out2).count() == 0
+
+    # a later file: one near-copy of doc 1 plus one new doc
+    b2 = [(11, "s", "the quick brown fox jumps over the lazy dog today!"),
+          (12, "s", "entirely novel sentence about distributed query "
+                    "planning")]
+    spark.createDataFrame(b2, ["doc_id", "source", "text"]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    idx.refresh()
+    stats3 = run_dedup_stream_once(spark, str(src), idx, out1)
+    assert stats3["docs"] == 2          # checkpoint skips batch-1 files
+    assert stats3["novel"] == 1 and stats3["dups"] == 1
+    got = sorted(r.doc_id for r in spark.read.parquet(out1).collect())
+    assert got == [1, 2, 12]
