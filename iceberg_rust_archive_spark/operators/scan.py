@@ -212,8 +212,14 @@ def scan(spark: SparkSession, md: TableMetadata,
                         schema.project(list(eq_ids)).struct)
                     del_df = spark.read.schema(del_schema).parquet(
                         de.data_file.file_path)
-                    acc = acc.join(F.broadcast(del_df), on=eq_names,
-                                   how="left_anti")
+                    # broadcast only provably-small delete sets (the
+                    # reference forces CollectLeft likewise,
+                    # table.rs:631-641); a bulk delete falls back to a
+                    # shuffle anti-join that scales with the delete set
+                    if (de.data_file.file_size_in_bytes or 0) \
+                            <= 64 * 1024 * 1024:
+                        del_df = F.broadcast(del_df)
+                    acc = acc.join(del_df, on=eq_names, how="left_anti")
             dfiles = [e.data_file.file_path for e in batch["data"]]
             if dfiles:
                 d = read_data(dfiles)
