@@ -121,8 +121,12 @@ def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
     sh = (exploded_shingles(d, n)
           .select("doc_id", F.xxhash64("sh").alias("sh"))).cache()
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)
-                             .select("sh")), "sh")
+    # broadcast the STOP list (df > cap), not the keep list: stop
+    # shingles are few by Zipf regardless of corpus size, while the
+    # keep list is ~every distinct shingle — broadcasting it would be
+    # impossible at 100 TB. Anti-join semantics are identical.
+    stop = df_counts.filter(F.col("df") > max_df).select("sh")
+    sh = sh.join(F.broadcast(stop), "sh", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))

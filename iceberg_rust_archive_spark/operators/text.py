@@ -227,7 +227,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str,
     n_sources = d.select("source").distinct().count()
     df_counts = (tf.groupBy("w")
                  .agg(F.countDistinct("source").alias("n_src")))
-    scored = (tf.join(F.broadcast(df_counts), "w")
+    # no forced broadcast: df_counts is vocabulary-sized (could be 10M+
+    # terms at 100 TB) — AQE broadcasts it when it measures small and
+    # shuffles on the shared `w` key otherwise
+    scored = (tf.join(df_counts, "w")
               .withColumn("tfidf", F.round(
                   F.col("tf") * F.log(F.lit(float(n_sources))
                                       / F.col("n_src")), 6)))
