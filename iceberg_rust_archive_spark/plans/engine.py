@@ -27,6 +27,7 @@ Supported statements::
     DELETE FROM ns.t WHERE pred
     INSERT OVERWRITE ns.t <select|values>
     SELECT ... FROM ns.t VERSION AS OF <id> | TIMESTAMP AS OF '<ts>'
+    SELECT ... FROM ns.t.snapshots | .files | .manifests | .history
     CALL system.rewrite_manifests('ns.t') | system.compact('ns.t')
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
@@ -432,6 +433,21 @@ class Engine:
             r"([\w.]+)\s+(version\s+as\s+of|timestamp\s+as\s+of)\s+"
             r"('[^']*'|\d+)",
             _pin, sql, flags=re.IGNORECASE)
+
+        def _meta(m):
+            # ns.t.snapshots/files/manifests/history → metadata table
+            ident, kind = m.group(1), m.group(2).lower()
+            try:
+                df = self.load_table(ident).inspect(self.spark, kind)
+            except Exception:  # noqa: BLE001 — not a catalog table
+                return m.group(0)
+            safe = re.sub(r"\W", "_", ident)
+            vn = f"ice_meta_{safe}_{kind}"
+            df.createOrReplaceTempView(vn)
+            return vn
+        sql = re.sub(
+            r"([\w.]+)\.(snapshots|files|manifests|history)\b",
+            _meta, sql, flags=re.IGNORECASE)
 
         mapping = {}
         for name in find_relations(sql):

@@ -162,6 +162,80 @@ class Table:
         txn.commit_with_retry(lambda t: t.append_delete_files(files))
         return self.refresh()
 
+    def inspect(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Metadata tables (Iceberg's ``t.snapshots`` / ``t.files`` /
+        ``t.manifests`` / ``t.history`` introspection surface; driver-
+        side metadata only — no data scan):
+
+        - snapshots: one row per snapshot (id, parent, sequence,
+          timestamp, operation, manifest-list path),
+        - manifests: current snapshot's manifest-list rows,
+        - files: current snapshot's live data/delete files with stats,
+        - history: the snapshot log as (made_current_at, snapshot_id,
+          is_current_ancestor)."""
+        import json as _json
+
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest, read_manifest_list,
+        )
+        md = self.metadata
+        if kind == "snapshots":
+            rows = [(s.timestamp_ms, s.snapshot_id, s.parent_snapshot_id,
+                     s.sequence_number,
+                     (s.summary or {}).get("operation"),
+                     s.manifest_list)
+                    for s in sorted(md.snapshots.values(),
+                                    key=lambda s: s.sequence_number)]
+            return spark.createDataFrame(
+                rows, "committed_at_ms long, snapshot_id long, "
+                      "parent_id long, sequence_number long, "
+                      "operation string, manifest_list string")
+        snap = md.current_snapshot()
+        mlist = read_manifest_list(snap.manifest_list) if snap else []
+        if kind == "manifests":
+            rows = [(m.manifest_path, m.manifest_length,
+                     m.partition_spec_id, m.content, m.sequence_number,
+                     m.min_sequence_number, m.added_files_count,
+                     m.existing_files_count, m.added_rows_count,
+                     m.existing_rows_count)
+                    for m in mlist]
+            return spark.createDataFrame(
+                rows, "path string, length long, partition_spec_id int, "
+                      "content int, sequence_number long, "
+                      "min_sequence_number long, added_files_count int, "
+                      "existing_files_count int, added_rows_count long, "
+                      "existing_rows_count long")
+        if kind == "files":
+            from iceberg_rust_archive_spark.spec.manifest import (
+                STATUS_DELETED,
+            )
+            rows = [(e.data_file.content, e.data_file.file_path,
+                     e.data_file.file_format,
+                     _json.dumps(e.data_file.partition, sort_keys=True,
+                                 default=str),
+                     e.data_file.record_count,
+                     e.data_file.file_size_in_bytes, e.sequence_number)
+                    for m in mlist for e in read_manifest(m.manifest_path)
+                    if e.status != STATUS_DELETED]
+            return spark.createDataFrame(
+                rows, "content int, file_path string, file_format string, "
+                      "partition string, record_count long, "
+                      "file_size_in_bytes long, sequence_number long")
+        if kind == "history":
+            current_chain = set()
+            s = snap
+            while s is not None:
+                current_chain.add(s.snapshot_id)
+                s = md.snapshots.get(s.parent_snapshot_id) \
+                    if s.parent_snapshot_id is not None else None
+            rows = [(e["timestamp-ms"], e["snapshot-id"],
+                     e["snapshot-id"] in current_chain)
+                    for e in md.snapshot_log]
+            return spark.createDataFrame(
+                rows, "made_current_at_ms long, snapshot_id long, "
+                      "is_current_ancestor boolean")
+        raise ValueError(f"unknown metadata table {kind!r}")
+
     def upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
                branch: str | None = None) -> "Table":
         """MERGE-style upsert in ONE atomic commit: an equality-delete

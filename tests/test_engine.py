@@ -839,3 +839,40 @@ def test_nested_decimal_null_partition_roundtrip(spark, catalog):
     # and null rows are reachable (residual filter; files kept)
     nulls = t.scan(spark).filter("grp IS NULL")
     assert sorted(r.id for r in nulls.collect()) == [3]
+
+
+def test_metadata_tables(spark, tmp_path):
+    """ns.t.snapshots / .files / .manifests / .history metadata tables
+    through both the API and the SQL router."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10), (2, 20)")
+    eng.sql("INSERT INTO db.t VALUES (3, 30)")
+
+    snaps = eng.sql("SELECT * FROM db.t.snapshots ORDER BY "
+                    "sequence_number").collect()
+    assert [s.sequence_number for s in snaps] == [1, 2]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    assert snaps[0].operation == "append"
+
+    files = eng.sql("SELECT * FROM db.t.files").collect()
+    assert sum(f.record_count for f in files) == 3
+    assert all(f.content == 0 for f in files)
+
+    # bin-packing carried batch-1 rows as EXISTING into the merged
+    # manifest; added+existing covers the table
+    mans = eng.sql("SELECT sum(added_rows_count + existing_rows_count) "
+                   "AS r FROM db.t.manifests").collect()
+    assert mans[0].r == 3
+
+    hist = eng.sql("SELECT * FROM db.t.history ORDER BY "
+                   "made_current_at_ms").collect()
+    assert len(hist) == 2 and all(h.is_current_ancestor for h in hist)
+
+    # metadata tables join with the data surface in one statement
+    joined = eng.sql(
+        "SELECT count(*) AS n FROM db.t, db.t.snapshots").collect()
+    assert joined[0].n == 3 * 2
