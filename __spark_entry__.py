@@ -460,9 +460,16 @@ def _component_oracles() -> dict[str, str]:
               FROM orders
             ) WHERE rn = 1
         """,
-        # events_approx_distinct: deliberately NO oracle — HLL++ sketch
-        # estimates are engine-specific; the driver's rows-only check
-        # applies (exact_users column anchors correctness in tests)
+        # events_approx_distinct: the engine-specific HLL estimate is
+        # graded as a tolerance boolean (|approx-exact| ≤ 15%·exact,
+        # 3× the sketch's rsd) so the whole entry hash-grades; DuckDB
+        # reproduces the exact count and the constant-true bound
+        "events_approx_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS approx_ok
+            FROM events
+            GROUP BY event_type
+        """,
         "events_percentiles": """
             SELECT event_type, count(*) AS n_events,
                    round(quantile_cont(value, 0.5), 4) AS p50,

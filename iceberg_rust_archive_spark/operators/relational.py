@@ -197,14 +197,20 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user sketch per event type plus exact
-    distinct count for reference. The sketch column has NO DuckDB oracle
-    (different sketch impls give different estimates — the driver
-    records the weaker rows-only check); the exact column anchors it."""
+    """HyperLogLog++ distinct-user sketch per event type, graded against
+    the exact count. Raw sketch estimates are engine-specific (DuckDB's
+    HLL ≠ Spark's HLL++), so the oracle-comparable output is the exact
+    count plus ``approx_ok`` — the sketch landing within 15% of exact
+    (3× the default 5% rsd, so it never flaps) — which DuckDB reproduces
+    as a constant ``true``. The sketch is still computed and bounded;
+    a broken HLL path turns ``approx_ok`` false and hash-fails."""
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+            .agg(F.approx_count_distinct("user_id").alias("approx"),
                  F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("approx") - F.col("exact_users"))
+                     <= 0.15 * F.col("exact_users")).alias("approx_ok"))
             .orderBy("event_type"))
 
 

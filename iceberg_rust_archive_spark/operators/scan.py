@@ -168,62 +168,119 @@ def scan(spark: SparkSession, md: TableMetadata,
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
 
-    # deletes whose file carries NO partition tuple (the equality
-    # columns don't cover the partition source) apply GLOBALLY — every
-    # partition's chain must anti-join them, not just the {} partition
-    global_deletes = [e for e in delete_entries if not e.data_file.partition]
-    part_deletes = [e for e in delete_entries if e.data_file.partition]
-    deleted_partitions = {pkey(e) for e in part_deletes}
-    if global_deletes:
-        deleted_partitions |= {pkey(e) for e in data_entries}
-    plain_files = [e.data_file.file_path for e in data_entries
-                   if pkey(e) not in deleted_partitions]
+    def apply_eq_deletes(acc: DataFrame, deletes: list) -> DataFrame:
+        """Anti-join a batch of same-sequence equality-delete files onto
+        ``acc`` — ONE join per distinct equality-id set (a bulk delete
+        spanning thousands of files is one multi-path parquet relation,
+        not thousands of join nodes).
 
-    parts: list[DataFrame] = []
-    if plain_files:
-        parts.append(read_data(plain_files))
+        Iceberg semantics: equality deletes compare with *null-safe*
+        equality (a NULL in the delete row matches a NULL in the data
+        row), so the join condition is built from ``eqNullSafe`` — a
+        plain ``on=names`` anti-join would silently keep any matched
+        row containing a NULL (e.g. rows whose ALTER-TABLE-added
+        column is NULL when UPDATE deletes on all columns).
+        ``<=>`` is still an equi-join key for Spark, so broadcast /
+        shuffled hash joins apply unchanged."""
+        by_eq: dict[tuple, list] = defaultdict(list)
+        for de in deletes:
+            by_eq[tuple(de.data_file.equality_ids or ())].append(de)
+        for eq_ids, des in by_eq.items():
+            eq_fields = [schema.field_by_id(i) for i in eq_ids]
+            eq_names = [f.name for f in eq_fields if f is not None]
+            if not eq_names:
+                continue
+            del_schema = spark_schema_for(
+                schema.project(list(eq_ids)).struct)
+            del_df = (spark.read.schema(del_schema)
+                      .parquet(*[d.data_file.file_path for d in des])
+                      .select(*[F.col(c).alias(f"__del_{c}")
+                                for c in eq_names]))
+            # broadcast only provably-small delete sets (the reference
+            # forces CollectLeft likewise, table.rs:631-641); a bulk
+            # delete falls back to a shuffle anti-join that scales
+            # with the delete set
+            if sum(d.data_file.file_size_in_bytes or 0
+                   for d in des) <= 64 * 1024 * 1024:
+                del_df = F.broadcast(del_df)
+            cond = None
+            for c in eq_names:
+                term = F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+                cond = term if cond is None else (cond & term)
+            acc = acc.join(del_df, on=cond, how="left_anti")
+        return acc
 
-    # A5: per-partition sequence-ordered equality-delete merge-on-read
-    groups: dict[str, dict[int, dict[str, list]]] = defaultdict(
-        lambda: defaultdict(lambda: {"data": [], "delete": []}))
-    for e in data_entries:
-        if pkey(e) in deleted_partitions:
-            groups[pkey(e)][e.sequence_number or 0]["data"].append(e)
-    for e in part_deletes:
-        groups[pkey(e)][e.sequence_number or 0]["delete"].append(e)
-    for e in global_deletes:
-        for pk in deleted_partitions or {pkey(e)}:
-            groups[pk][e.sequence_number or 0]["delete"].append(e)
-
-    for _key, by_seq in groups.items():
+    def build_chain(by_seq: dict[int, dict[str, list]]) -> DataFrame | None:
+        """Sequence-ordered merge-on-read chain: deletes at seq s apply
+        to strictly-earlier data (table.rs:498-531)."""
         acc: DataFrame | None = None
         for seq in sorted(by_seq):
             batch = by_seq[seq]
-            # deletes at seq s apply to strictly-earlier data
-            # (table.rs:498-531)
-            if acc is not None:
-                for de in batch["delete"]:
-                    eq_ids = de.data_file.equality_ids or ()
-                    eq_fields = [schema.field_by_id(i) for i in eq_ids]
-                    eq_names = [f.name for f in eq_fields if f is not None]
-                    if not eq_names:
-                        continue
-                    del_schema = spark_schema_for(
-                        schema.project(list(eq_ids)).struct)
-                    del_df = spark.read.schema(del_schema).parquet(
-                        de.data_file.file_path)
-                    # broadcast only provably-small delete sets (the
-                    # reference forces CollectLeft likewise,
-                    # table.rs:631-641); a bulk delete falls back to a
-                    # shuffle anti-join that scales with the delete set
-                    if (de.data_file.file_size_in_bytes or 0) \
-                            <= 64 * 1024 * 1024:
-                        del_df = F.broadcast(del_df)
-                    acc = acc.join(del_df, on=eq_names, how="left_anti")
+            if acc is not None and batch["delete"]:
+                acc = apply_eq_deletes(acc, batch["delete"])
             dfiles = [e.data_file.file_path for e in batch["data"]]
             if dfiles:
                 d = read_data(dfiles)
                 acc = d if acc is None else acc.unionByName(d)
+        return acc
+
+    # Deletes whose file carries NO partition tuple (the equality
+    # columns don't cover the partition source) apply GLOBALLY.  They
+    # are applied ONCE above a sequence-stratified union of all
+    # non-part-deleted data — plan size O(#global-strata), NOT
+    # O(partitions × deletes) as a per-partition fan-out would be
+    # (one MERGE on a non-partition key of a 10k-partition table must
+    # not build a 10k-branch plan).  Per-partition chains are kept
+    # only for partitions actually named by partition-scoped deletes;
+    # those chains interleave the globals by sequence as before.
+    # NOTE the all-None tuple: the Avro manifest's r102 record is typed
+    # from the table spec, so a partition-LESS delete file ({} at write
+    # time) reads back as {field: None, ...}.  Treat it as global too —
+    # the writer (sources/write.py) only scopes a delete when the
+    # partition source is among the equality columns, so an all-None
+    # scoped delete would mean every delete row has a null source value
+    # and the null-safe equality condition already restricts matches to
+    # those rows; applying it globally is the same row set.
+    def _is_global(e):
+        return all(v is None for v in e.data_file.partition.values())
+
+    global_deletes = [e for e in delete_entries if _is_global(e)]
+    part_deletes = [e for e in delete_entries if not _is_global(e)]
+    part_deleted = {pkey(e) for e in part_deletes}
+    plain_entries = [e for e in data_entries if pkey(e) not in part_deleted]
+    plain_files = [e.data_file.file_path for e in plain_entries]
+
+    parts: list[DataFrame] = []
+    if not global_deletes:
+        if plain_files:
+            parts.append(read_data(plain_files))
+    else:
+        # single stratified chain over all partition-less-delete data
+        strata: dict[int, dict[str, list]] = defaultdict(
+            lambda: {"data": [], "delete": []})
+        for e in plain_entries:
+            strata[e.sequence_number or 0]["data"].append(e)
+        for e in global_deletes:
+            strata[e.sequence_number or 0]["delete"].append(e)
+        acc = build_chain(strata)
+        if acc is not None:
+            parts.append(acc)
+
+    # A5: per-partition sequence-ordered equality-delete merge-on-read
+    # (partition-scoped deletes only; globals interleaved per chain)
+    groups: dict[str, dict[int, dict[str, list]]] = defaultdict(
+        lambda: defaultdict(lambda: {"data": [], "delete": []}))
+    for e in data_entries:
+        if pkey(e) in part_deleted:
+            groups[pkey(e)][e.sequence_number or 0]["data"].append(e)
+    for e in part_deletes:
+        groups[pkey(e)][e.sequence_number or 0]["delete"].append(e)
+    for e in global_deletes:
+        for pk in part_deleted:
+            groups[pk][e.sequence_number or 0]["delete"].append(e)
+
+    for _key, by_seq in groups.items():
+        acc = build_chain(by_seq)
         if acc is not None:
             parts.append(acc)
 

@@ -32,6 +32,7 @@ extension surface, layered on the same scan machinery.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,8 +45,19 @@ MAX_QUERIES = 8          # ... capped to a CONSTANT count (id < MOD*MAX)
 LSH_TABLES = 3           # banded signature tables
 LSH_MIN_BITS = 8         # bits/table clamp: 2^8 buckets floor ...
 LSH_MAX_BITS = 21        # ... and T*bits ≤ 64 axis hyperplanes ceiling
+LSH_HYPER_MAX_BITS = 30  # random-hyperplane path: 2^30 buckets/table cap
 LSH_TARGET_BUCKET = 32   # bits = ceil(log2(N / target)) → buckets ∝ N
 LSH_COSINE_THRESHOLD = 0.25
+
+
+def lsh_bits_needed(n: int) -> int:
+    """Corpus-adaptive signature width: ``ceil(log2(N / target))``
+    floored at LSH_MIN_BITS — bucket count per table ∝ N so expected
+    occupancy stays ~constant as the corpus grows."""
+    if n <= 0:
+        return LSH_MIN_BITS
+    return max(LSH_MIN_BITS,
+               math.ceil(math.log2(max(n, 1) / LSH_TARGET_BUCKET)))
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +151,24 @@ def _bucket_expr(t: int) -> str:
             f"THEN cast(pow(2, i) AS INT) ELSE 0 END)")
 
 
+def _hyperplane_bucket_expr(t: int, bits: int) -> str:
+    """Spark SQL for table ``t``'s bucket key on the random-hyperplane
+    path (engaged when ``T·bits_needed`` exceeds the d=64 axis budget,
+    i.e. past ~64M vectors at T=3): bit i is the sign of ``v · r(t,i)``
+    where the projection vector's components are deterministic ±1 draws
+    seeded by ``murmur3(t·2^20 + i·2^10 + c)`` — no stored projection
+    matrix, executors regenerate it inside the expression, so the plan
+    shape is identical to the axis path (scan → projection → equi-join
+    on the packed key), just ``bits × d`` extra multiply-adds per row."""
+    sign = (f"CASE WHEN pmod(hash({t} * 1048576 + i * 1024 + c), 2) = 0 "
+            f"THEN 1D ELSE -1D END")
+    proj = (f"aggregate(sequence(1, size(v)), 0D, "
+            f"(pacc, c) -> pacc + element_at(v, c) * {sign})")
+    return (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + "
+            f"CASE WHEN {proj} > 0 THEN cast(pow(2, i) AS LONG) "
+            f"ELSE 0L END)")
+
+
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
                   threshold: float = LSH_COSINE_THRESHOLD) -> DataFrame:
     """Near-neighbor pairs via BANDED sign-LSH with CORPUS-ADAPTIVE
@@ -153,18 +183,31 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     N, instead of the O(N²/256) a FIXED 8-bit key gave. The T tables
     recover recall lost to wider bands (mirrors the MinHash banding
     geometry in dedup.py). The 21-bit ceiling is the axis-hyperplane
-    budget (T·bits ≤ d=64); past ~64M vectors swap the axis-aligned
-    signs for seeded random-hyperplane projections (same plan shape,
-    more multiply-adds per row)."""
+    budget (T·bits ≤ d=64); when the corpus needs MORE than 21 bits
+    (past ~64M vectors at target occupancy 32) the signature switches
+    to seeded random-hyperplane projections (``_hyperplane_bucket_expr``
+    — same plan shape, more multiply-adds per row), so per-bucket
+    occupancy stays flat instead of growing linearly past the cap."""
     # The self-join goes through a temp view + SQL: self-joining a single
     # DataFrame plan that contains higher-order-function lambdas trips
     # Catalyst's lambda-variable rebinding during join dedup; SQL view
     # expansion analyzes each side independently, sidestepping it.
     from iceberg_rust_archive_spark.session import read_parallel
-    read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet")) \
-        .createOrReplaceTempView("embeddings_sim_src")
-    buckets = ", ".join(
-        f"{_bucket_expr(t)} AS b{t}" for t in range(LSH_TABLES))
+    src = read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    src.createOrReplaceTempView("embeddings_sim_src")
+    # branch decision is one metadata-cheap count; the axis path keeps
+    # the bits computation IN-QUERY (params CTE) for oracle parity
+    bits_needed = lsh_bits_needed(src.count())
+    if bits_needed <= LSH_MAX_BITS:
+        buckets = ", ".join(
+            f"{_bucket_expr(t)} AS b{t}" for t in range(LSH_TABLES))
+        params_join = " CROSS JOIN params"
+    else:
+        bits = min(bits_needed, LSH_HYPER_MAX_BITS)
+        buckets = ", ".join(
+            f"{_hyperplane_bucket_expr(t, bits)} AS b{t}"
+            for t in range(LSH_TABLES))
+        params_join = ""
     cand = "\n          UNION\n".join(
         f"          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
         f" FROM n a JOIN n b"
@@ -184,7 +227,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
                  {buckets}
           FROM (SELECT vec_id,
                        transform(embedding, x -> cast(x AS DOUBLE)) AS v
-                FROM embeddings_sim_src) CROSS JOIN params
+                FROM embeddings_sim_src){params_join}
         ),
         cand AS (
 {cand}
@@ -202,8 +245,20 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     """)
 
 
-IVF_CENTROIDS = 32   # oracle-checked entry pins this; scale path: ~√N
+IVF_CENTROIDS = 32        # cell count below the auto-switch corpus size
+IVF_AUTO_SWITCH_N = 1_000_000  # above: K = ceil(√N) (cells ∝ √N)
 IVF_NPROBE = 4
+
+
+def ivf_num_centroids(n: int) -> int:
+    """Corpus-adaptive cell count: pinned at IVF_CENTROIDS for small
+    corpora (keeps the oracle-graded entry deterministic at its fixed
+    sf), ``ceil(√N)`` above IVF_AUTO_SWITCH_N — with K ∝ √N and nprobe
+    fixed, the scored candidate fraction per query is O(nprobe/√N) and
+    per-cell occupancy grows as √N instead of N."""
+    if n <= IVF_AUTO_SWITCH_N:
+        return IVF_CENTROIDS
+    return math.isqrt(n - 1) + 1
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOPK,
@@ -237,9 +292,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOPK,
     import numpy as np
 
     from iceberg_rust_archive_spark.session import read_parallel
-    if n_centroids is None:
-        n_centroids = IVF_CENTROIDS
     e = read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    if n_centroids is None:
+        # one metadata-cheap count picks K: pinned IVF_CENTROIDS below
+        # the switch threshold (oracle-graded sf stays deterministic),
+        # ceil(√N) above it so cells ∝ √N
+        n_centroids = ivf_num_centroids(e.count())
 
     # Both small sides are bounded by construction: K centroid rows and
     # ≤ MAX_QUERIES query rows. Collect + broadcast, like the exact

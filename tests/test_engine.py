@@ -876,3 +876,47 @@ def test_metadata_tables(spark, tmp_path):
     joined = eng.sql(
         "SELECT count(*) AS n FROM db.t, db.t.snapshots").collect()
     assert joined[0].n == 3 * 2
+
+
+def test_update_sql_rows_with_nulls(spark, tmp_path):
+    """UPDATE writes an all-column equality delete; rows containing
+    NULLs (e.g. in an ALTER-TABLE-added column) must still be deleted —
+    Iceberg equality deletes compare null-safe ("nulls are equal") — not
+    left behind as silent duplicates (r4 ADVICE high)."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10), (2, 20)")
+    eng.sql("ALTER TABLE db.t ADD COLUMN note STRING")  # old rows: NULL
+    eng.sql("UPDATE db.t SET v = v + 1 WHERE k = 1")
+    got = {r.k: (r.v, r.note) for r in
+           eng.sql("SELECT * FROM db.t").collect()}
+    assert got == {1: (11, None), 2: (20, None)}
+    # and a NULL in the explicit values survives a second update cycle
+    eng.sql("INSERT INTO db.t VALUES (3, 30, NULL)")
+    eng.sql("UPDATE db.t SET note = 'x' WHERE k >= 2")
+    got = {r.k: (r.v, r.note) for r in
+           eng.sql("SELECT * FROM db.t").collect()}
+    assert got == {1: (11, None), 2: (20, "x"), 3: (30, "x")}
+
+
+def test_global_delete_plan_is_flat(spark, catalog):
+    """One partition-less (global) equality delete on a many-partition
+    table must be applied ONCE above a sequence-stratified union — the
+    optimized plan carries O(#strata) anti-joins, not O(partitions)
+    (r4 What's-wrong #1: 10k partitions × one MERGE must not build a
+    10k-branch plan)."""
+    t = _mk_table(catalog, "orders_flatdel")
+    rows = [(i, i % 7, 1 + i % 3,
+             dt.date(2020, 1, 1) + dt.timedelta(days=i), 1)
+            for i in range(50)]
+    t.append(spark, spark.createDataFrame(rows, COLS))  # 50 day parts
+    # delete key does not cover the partition source → global delete
+    t.delete_where_equal(spark, spark.createDataFrame([(3,), (7,)],
+                                                      ["id"]), ["id"])
+    df = t.scan(spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan
+    assert df.count() == 48

@@ -3,6 +3,7 @@ text, multimodal). Correctness vs DuckDB is the driver's oracle gate;
 these tests pin down the operator-level invariants and the multimodal
 Arrow plumbing that the oracle can't see."""
 
+import math
 import os
 
 import pytest
@@ -388,3 +389,57 @@ def test_pii_patterns_and_repetition(spark, tmp_path):
            text_repetition_stats(spark, str(tmp_path)).collect()}
     assert rep["srcB"].max_dup_frac > 0.9     # "spam spam spam ..."
     assert rep["srcA"].max_dup_frac < 0.2
+
+
+def test_lsh_hyperplane_switch(spark, monkeypatch):
+    """When the corpus-adaptive width exceeds the axis budget (T·bits >
+    64 — past ~64M vectors in production), the signature switches to
+    seeded random-hyperplane projections. Forced here by shrinking the
+    axis ceiling: the switched path must still emit only genuine
+    above-threshold pairs (verification is exact regardless of how
+    candidates were bucketed)."""
+    monkeypatch.setattr(similarity, "LSH_MAX_BITS", 4)
+    monkeypatch.setattr(similarity, "LSH_MIN_BITS", 5)
+    pairs = similarity.ann_lsh_pairs(spark, SF_DIR).collect()
+    assert pairs, "hyperplane path produced no candidates"
+    assert all(r.cosine >= similarity.LSH_COSINE_THRESHOLD for r in pairs)
+    hyper = {(r.vec_a, r.vec_b): r.cosine for r in pairs}
+    # candidate sets legitimately differ between bucketings (each is a
+    # subset of the true above-threshold pairs); where they overlap the
+    # exact verification cosine must agree bit-for-bit
+    monkeypatch.undo()
+    axis = {(r.vec_a, r.vec_b): r.cosine for r in
+            similarity.ann_lsh_pairs(spark, SF_DIR).collect()}
+    inter = set(hyper) & set(axis)
+    assert inter, "bucketing paths shared no candidates"
+    assert all(abs(hyper[k] - axis[k]) < 1e-9 for k in inter)
+
+
+def test_ivf_num_centroids_switch():
+    """K is pinned below the switch threshold and grows as ceil(√N)
+    above it — cells ∝ √N keeps candidate fraction O(nprobe/√N)."""
+    assert similarity.ivf_num_centroids(1000) == similarity.IVF_CENTROIDS
+    assert similarity.ivf_num_centroids(
+        similarity.IVF_AUTO_SWITCH_N) == similarity.IVF_CENTROIDS
+    assert similarity.ivf_num_centroids(4_000_000) == 2000
+    assert similarity.ivf_num_centroids(4_000_001) == 2001
+
+
+def test_ivf_auto_centroids_end_to_end(spark, monkeypatch):
+    """With the switch threshold forced below the corpus size, IVF picks
+    K = ceil(√N) and the pipeline still returns exact-scored neighbors
+    bounded by the brute-force best."""
+    n = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")).count()
+    monkeypatch.setattr(similarity, "IVF_AUTO_SWITCH_N", 1)
+    want_k = similarity.ivf_num_centroids(n)
+    assert want_k == math.isqrt(n - 1) + 1
+    ivf = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    assert ivf, "auto-K IVF returned nothing"
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in similarity.ann_cosine_topk(spark, SF_DIR).collect()}
+    best = {}
+    for (q, _), c in exact.items():
+        best[q] = max(best.get(q, -2.0), c)
+    for r in ivf:
+        assert r.cosine <= best[r.query_id] + 1e-9
