@@ -74,19 +74,163 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: full pixel decode. The execution container has no imaging
-    libraries; plug PIL/pyvips here in production. Header-level decode
-    (format + dimensions) IS real — see ``image_dims``."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr) -> bytes:
+    """REAL stdlib-only PNG writer: 8-bit grayscale/RGB/RGBA from a
+    numpy array (H,W) or (H,W,C). Scanline y is written with filter
+    type ``y % 5`` — deliberately cycling through None/Sub/Up/Average/
+    Paeth so every decoder unfilter path is exercised by round-trips,
+    not just the trivial filter-0 one."""
+    import struct
+    import zlib
+
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = a[y].reshape(-1).astype(np.int16)
+        ft = y % 5
+        if ft == 0:
+            flt = line
+        elif ft == 1:    # Sub: left neighbor
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+            flt = line - left
+        elif ft == 2:    # Up
+            flt = line - prev
+        elif ft == 3:    # Average
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+            flt = line - (left + prev) // 2
+        else:            # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int16),
+                                     prev[:-bpp]])
+            pred = np.fromiter(
+                (_paeth(int(la), int(ua), int(ca))
+                 for la, ua, ca in zip(left, prev, upleft)),
+                dtype=np.int16, count=w * ch)
+            flt = line - pred
+        raw.append(ft)
+        raw.extend((flt & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes):
+    """REAL stdlib-only PNG pixel decode (r4 verdict #5 — replaces the
+    repo's last ``NotImplementedError``): chunk walk → zlib-inflate the
+    IDAT stream → per-scanline unfilter (all five filter types incl.
+    the Paeth predictor) → numpy array (H, W, C) uint8.
+
+    Supports the common crawl shape: bit depth 8, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Anything else
+    raises ValueError (the quarantine path — corrupt or exotic payloads
+    drop, the batch never fails)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    p = payload
+    if p[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, w = 8, None
+    idat = bytearray()
+    while i + 8 <= len(p):
+        (ln,), tag = struct.unpack(">I", p[i:i + 4]), p[i + 4:i + 8]
+        body = p[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace})")
+            ch = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * ch, ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(
+            np.int32)
+        pos += stride + 1
+        if ft == 1:      # Sub — sequential in x, vectorized over bytes
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:    # Up
+            line = (line + prev) & 0xFF
+        elif ft == 3:    # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ft == 4:    # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                upleft = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x]
+                           + _paeth(int(left), int(prev[x]),
+                                    int(upleft))) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes):
+    """Full pixel decode: PNG natively (stdlib ``decode_png``); other
+    formats via PIL when present (production swap-in: pyvips/ffmpeg),
+    else ValueError — the quarantine posture, never a crash."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
-        from PIL import Image  # noqa: F401
         import io
+
+        from PIL import Image
         return Image.open(io.BytesIO(payload))
     except ImportError as exc:
-        raise NotImplementedError(
-            "pixel decode requires PIL; container has no imaging libs "
-            "(image_dims covers header metadata; deterministic fake "
-            "featurizer stands in for pixel features)") from exc
+        raise ValueError(
+            "non-PNG pixel decode requires an imaging lib (PIL/pyvips); "
+            "PNG decode is native — see decode_png") from exc
 
 
 def image_dims(payload: bytes):
@@ -213,25 +357,109 @@ def sample_frames(payload: bytes, n_frames: int,
             for i in range(min(n_frames, len(payload)))]
 
 
+PIX_MOD = 7          # pixel-stat branch decodes docs with doc_id % 7 == 0
+PIX_STATS_SCHEMA = StructType([
+    StructField("item_id", LongType()),
+    StructField("source", StringType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("std_r", DoubleType()),
+    StructField("std_g", DoubleType()),
+    StructField("std_b", DoubleType()),
+])
+
+
+def synthetic_pixels(doc_id: int):
+    """Deterministic RGB test image for ``doc_id``: shape
+    (3 + d%4, 4 + d%5, 3), pixel value (d + 3x + 5y + 11c) % 256 — a
+    gradient with a closed form DuckDB can re-derive, so the full
+    encode→decode round-trip is value-graded by the driver's oracle."""
+    import numpy as np
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    y, x, c = np.indices((h, w, 3))
+    return ((doc_id + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas kernel: per doc, synthesize the gradient image,
+    ENCODE it to PNG (cycling all five scanline filters) and DECODE it
+    back with the stdlib codec, then compute per-channel mean/std from
+    exact integer sums — ``mean = s/n``, ``std = sqrt((ssq - s²/n)/n)``
+    with the identical expression shape as the DuckDB oracle so the
+    doubles agree bit-for-bit. A bug anywhere in the filter/unfilter
+    paths changes the decoded bytes and hash-fails the entry."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        for pdf in batches:
+            out = []
+            for item_id, source in zip(pdf["item_id"], pdf["source"]):
+                arr = decode_png(encode_png(synthetic_pixels(int(item_id))))
+                n = arr.shape[0] * arr.shape[1]
+                rec = {"item_id": int(item_id), "source": source}
+                for ci, cn in enumerate("rgb"):
+                    chan = arr[:, :, ci].astype("int64")
+                    s, ssq = int(chan.sum()), int((chan * chan).sum())
+                    rec[f"mean_{cn}"] = round(s / n, 4)
+                    rec[f"std_{cn}"] = round(
+                        math.sqrt((ssq - (s * s) / n) / n), 4)
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PIX_STATS_SCHEMA])
+
+    return df.mapInPandas(run, schema=PIX_STATS_SCHEMA)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Headline query: metadata-pruned decode pipeline. Filter on plain
-    metadata columns first (no Python runs for pruned rows), featurize
-    the survivors, summarize per source."""
+    """Headline query, a labeled union of two branches:
+
+    - ``meta``: metadata-pruned featurize pipeline (filter on plain
+      metadata columns first — no Python runs for pruned rows; fake
+      md5 featurizer on the opaque payload), per-source rollup.
+    - ``pixels``: REAL PNG round-trip — synthesize a gradient image per
+      doc (closed form), encode with all five PNG filters, decode with
+      the stdlib unfilter loops, per-source rollup of per-channel
+      mean/std. DuckDB re-derives the expected stats from the gradient
+      formula, so the codec is value-graded end-to-end."""
     media = media_table(spark, sf_dir).filter(
         (F.col("media_format") != "webp") & (F.col("width") >= 64))
     feats = extract_features(media)
-    return (feats
+    meta = (feats
             .withColumn("f0", F.round(F.element_at("feature", 1), 4))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("payload_bytes").alias("sum_payload_bytes"),
-                 F.round(F.avg("f0"), 4).alias("avg_f0"))
-            .orderBy("source"))
+                 F.round(F.avg("f0"), 4).alias("stat_a"))
+            .select(F.lit("meta").alias("method"), "source", "n_items",
+                    "sum_payload_bytes", "stat_a",
+                    *[F.lit(0.0).alias(f"stat_{c}") for c in "bcdef"]))
+
+    from iceberg_rust_archive_spark.session import read_parallel
+    docs = (read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") % PIX_MOD == 0)
+            .select(F.col("doc_id").alias("item_id"), "source"))
+    pix = (png_pixel_stats(docs)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_items"),
+                F.round(F.avg("mean_r"), 4).alias("stat_a"),
+                F.round(F.avg("mean_g"), 4).alias("stat_b"),
+                F.round(F.avg("mean_b"), 4).alias("stat_c"),
+                F.round(F.avg("std_r"), 4).alias("stat_d"),
+                F.round(F.avg("std_g"), 4).alias("stat_e"),
+                F.round(F.avg("std_b"), 4).alias("stat_f"))
+           .select(F.lit("pixels").alias("method"), "source", "n_items",
+                   F.lit(0).cast("long").alias("sum_payload_bytes"),
+                   "stat_a", "stat_b", "stat_c", "stat_d", "stat_e",
+                   "stat_f"))
+    return meta.unionByName(pix).orderBy("method", "source")
 
 
-# DuckDB oracle: the fake featurizer is md5-based, so the pipeline is
-# exactly reproducible in SQL. md5(text || chr(0)) == md5(payload+b'\0')
-# because payload is the utf-8 encoding of text.
+# DuckDB oracle: the fake featurizer is md5-based and the pixel branch
+# is a closed-form gradient, so BOTH branches are exactly reproducible
+# in SQL. md5(text || chr(0)) == md5(payload+b'\0') because payload is
+# the utf-8 encoding of text; the pixel stats re-derive from
+# (doc_id + 3x + 5y + 11c) % 256 with the same exact-integer-sum
+# expression shape the Spark kernel uses.
 ORACLE_SQL = {
     "multimodal_features": """
         WITH media AS (
@@ -244,12 +472,65 @@ ORACLE_SQL = {
                  round(('0x' || md5(text || chr(0))[1:8])::BIGINT
                        / 4294967296.0, 4) AS f0
           FROM documents
+        ),
+        meta AS (
+          SELECT 'meta' AS method, source, count(*) AS n_items,
+                 CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
+                 round(avg(f0), 4) AS stat_a,
+                 0.0 AS stat_b, 0.0 AS stat_c, 0.0 AS stat_d,
+                 0.0 AS stat_e, 0.0 AS stat_f
+          FROM media
+          WHERE media_format <> 'webp' AND width >= 64
+          GROUP BY source
+        ),
+        dims AS (
+          SELECT doc_id, source, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        xs AS (
+          SELECT doc_id, source, h,
+                 unnest(generate_series(0, w - 1)) AS x
+          FROM dims
+        ),
+        pxl AS (
+          SELECT doc_id, source, x,
+                 unnest(generate_series(0, h - 1)) AS y
+          FROM xs
+        ),
+        vals AS (
+          SELECT doc_id, source,
+                 (doc_id + 3 * x + 5 * y) % 256 AS v0,
+                 (doc_id + 3 * x + 5 * y + 11) % 256 AS v1,
+                 (doc_id + 3 * x + 5 * y + 22) % 256 AS v2
+          FROM pxl
+        ),
+        per_doc AS (
+          SELECT doc_id, source,
+                 round(sum(v0)::DOUBLE / count(*), 4) AS mean_r,
+                 round(sum(v1)::DOUBLE / count(*), 4) AS mean_g,
+                 round(sum(v2)::DOUBLE / count(*), 4) AS mean_b,
+                 round(sqrt((sum(v0 * v0)::DOUBLE
+                   - (sum(v0)::DOUBLE * sum(v0)::DOUBLE) / count(*))
+                   / count(*)), 4) AS std_r,
+                 round(sqrt((sum(v1 * v1)::DOUBLE
+                   - (sum(v1)::DOUBLE * sum(v1)::DOUBLE) / count(*))
+                   / count(*)), 4) AS std_g,
+                 round(sqrt((sum(v2 * v2)::DOUBLE
+                   - (sum(v2)::DOUBLE * sum(v2)::DOUBLE) / count(*))
+                   / count(*)), 4) AS std_b
+          FROM vals GROUP BY doc_id, source
+        ),
+        pixels AS (
+          SELECT 'pixels' AS method, source, count(*) AS n_items,
+                 CAST(0 AS BIGINT) AS sum_payload_bytes,
+                 round(avg(mean_r), 4) AS stat_a,
+                 round(avg(mean_g), 4) AS stat_b,
+                 round(avg(mean_b), 4) AS stat_c,
+                 round(avg(std_r), 4) AS stat_d,
+                 round(avg(std_g), 4) AS stat_e,
+                 round(avg(std_b), 4) AS stat_f
+          FROM per_doc GROUP BY source
         )
-        SELECT source, count(*) AS n_items,
-               CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
-               round(avg(f0), 4) AS avg_f0
-        FROM media
-        WHERE media_format <> 'webp' AND width >= 64
-        GROUP BY source
+        SELECT * FROM meta UNION ALL SELECT * FROM pixels
     """,
 }

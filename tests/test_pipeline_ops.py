@@ -121,14 +121,77 @@ def test_sample_frames():
     assert multimodal.sample_frames(payload, 0) == []
 
 
-def test_decode_image_is_stubbed():
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present; stub not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n")
+def test_png_roundtrip_all_filters_and_shapes():
+    """PNG codec is REAL (stdlib zlib + filter/unfilter loops): encode
+    cycles all five scanline filters, decode must reproduce the source
+    array exactly across gray/RGB/RGBA and awkward (tall/wide/1-px)
+    shapes — including ≥5 rows so every filter type actually runs."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    for shape in [(7, 5), (6, 9, 3), (8, 3, 4), (1, 1, 3), (5, 1),
+                  (2, 17, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dec = multimodal.decode_png(multimodal.encode_png(arr))
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        assert dec.shape == want.shape
+        assert (dec == want).all(), f"roundtrip mismatch at {shape}"
+
+
+def test_decode_png_known_bytes():
+    """Decode a PNG assembled by hand (filter 0 only, no encoder in the
+    loop) — guards against a symmetric encode/decode bug cancelling in
+    round-trip tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+    w, h = 3, 2
+    rows = [[10, 20, 30, 40, 50, 60, 70, 80, 90],
+            [15, 25, 35, 45, 55, 65, 75, 85, 95]]
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    dec = multimodal.decode_png(png)
+    assert dec.shape == (2, 3, 3)
+    assert dec.reshape(2, 9).tolist() == rows
+    # decode_image routes PNG natively now (r4's last stub removed)
+    assert (multimodal.decode_image(png) == dec).all()
+
+
+def test_decode_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n")  # truncated signature
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png at all")
+
+
+def test_png_pixel_stats_closed_form(spark):
+    """The pixel-stat branch's decoded mean/std must equal the gradient
+    closed form computed independently in numpy."""
+    import math
+
+    import numpy as np
+    docs = spark.createDataFrame(
+        [(0, "s0"), (7, "s1"), (21, "s2")], ["item_id", "source"])
+    got = {r.item_id: r for r in
+           multimodal.png_pixel_stats(docs).collect()}
+    for d in (0, 7, 21):
+        arr = multimodal.synthetic_pixels(d).astype(np.int64)
+        n = arr.shape[0] * arr.shape[1]
+        r = got[d]
+        for ci, cn in enumerate("rgb"):
+            chan = arr[:, :, ci]
+            s, ssq = int(chan.sum()), int((chan * chan).sum())
+            assert getattr(r, f"mean_{cn}") == round(s / n, 4)
+            assert getattr(r, f"std_{cn}") == round(
+                math.sqrt((ssq - (s * s) / n) / n), 4)
 
 
 def test_asof_join_semantics(spark):
