@@ -59,9 +59,24 @@ from iceberg_rust_archive_spark.spec.view_metadata import ViewMetadata
 
 class RestCatalog(Catalog):
     def __init__(self, base_url: str, token: str | None = None,
-                 timeout: float = 10.0, root: str | None = None):
+                 timeout: float = 10.0, root: str | None = None,
+                 credential: str | None = None,
+                 scope: str = "catalog",
+                 oauth2_server_uri: str | None = None):
+        """``token``: static bearer token. ``credential``
+        ("client_id:client_secret"): OAuth2 client-credentials flow —
+        the token is fetched from ``oauth2_server_uri`` (default: the
+        spec's ``/v1/oauth/tokens`` endpoint on this catalog) lazily and
+        re-fetched once on a 401, the refresh path real REST catalogs
+        (Polaris/Tabular-style) require. Mirrors the reference client's
+        oauth_access_token/bearer_access_token split
+        (catalogs/iceberg-rest-catalog/src/catalog.rs:595-596)."""
         self.base_url = base_url.rstrip("/")
         self.token = token
+        self.credential = credential
+        self.scope = scope
+        self.oauth2_server_uri = (oauth2_server_uri
+                                  or f"{self.base_url}/v1/oauth/tokens")
         self.timeout = timeout
         if root is not None:
             # warehouse root for default table/view locations (the role
@@ -69,26 +84,59 @@ class RestCatalog(Catalog):
             self.root = root
 
     # --- http plumbing ---------------------------------------------------
+    def _fetch_token(self) -> None:
+        """OAuth2 client-credentials exchange (RFC 6749 §4.4, the
+        form-encoded request the Iceberg REST spec's tokens endpoint
+        accepts) → bearer token for subsequent requests."""
+        import urllib.parse
+        cid, _, secret = (self.credential or "").partition(":")
+        form = urllib.parse.urlencode({
+            "grant_type": "client_credentials",
+            "client_id": cid, "client_secret": secret,
+            "scope": self.scope,
+        })
+        req = urllib.request.Request(self.oauth2_server_uri,
+                                     data=form.encode(), method="POST")
+        req.add_header("Content-Type",
+                       "application/x-www-form-urlencoded")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(
+                f"OAuth2 token exchange failed: {e.code} "
+                f"{e.read()[:300]!r}") from None
+        self.token = out["access_token"]
+
     def _request(self, method: str, path: str, body: dict | None = None,
                  conflict_exc: type[Exception] = CommitFailedError):
         url = f"{self.base_url}/v1/{path}"
         data = json.dumps(body).encode() if body is not None else None
-        req = urllib.request.Request(url, data=data, method=method)
-        req.add_header("Content-Type", "application/json")
-        if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                payload = resp.read()
-                return json.loads(payload) if payload else None
-        except urllib.error.HTTPError as e:
-            detail = e.read()[:300]
-            if e.code == 404:
-                raise NoSuchTableError(path) from None
-            if e.code == 409:
-                raise conflict_exc(f"{path}: {detail!r}") from None
-            raise RuntimeError(
-                f"{method} {url} -> {e.code}: {detail}") from None
+        if self.token is None and self.credential:
+            self._fetch_token()
+        for attempt in (0, 1):
+            req = urllib.request.Request(url, data=data, method=method)
+            req.add_header("Content-Type", "application/json")
+            if self.token:
+                req.add_header("Authorization", f"Bearer {self.token}")
+            try:
+                with urllib.request.urlopen(req,
+                                            timeout=self.timeout) as resp:
+                    payload = resp.read()
+                    return json.loads(payload) if payload else None
+            except urllib.error.HTTPError as e:
+                detail = e.read()[:300]
+                if e.code == 401 and self.credential and attempt == 0:
+                    # token expired/revoked server-side: one refresh +
+                    # replay, then surface the failure
+                    self._fetch_token()
+                    continue
+                if e.code == 404:
+                    raise NoSuchTableError(path) from None
+                if e.code == 409:
+                    raise conflict_exc(f"{path}: {detail!r}") from None
+                raise RuntimeError(
+                    f"{method} {url} -> {e.code}: {detail}") from None
 
     # --- namespaces ------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:

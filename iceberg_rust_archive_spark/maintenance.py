@@ -76,6 +76,13 @@ def zorder_rewrite(spark: SparkSession, table: Table,
     schema = table.metadata.current_schema(branch)
     numeric = {"int", "long", "float", "double", "date",
                "timestamp", "timestamptz", "decimal"}
+    # the interleaved key must fit 63 bits (JVM shiftleft masks the
+    # shift amount mod 64, so an overflowing dimension would silently
+    # WRAP and degrade clustering to noise): shrink per-dimension
+    # resolution for wide column lists instead
+    bits = min(ZORDER_BITS, 63 // max(len(columns), 1))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(columns)})")
 
     stats = df.agg(*[f for c in columns
                      for f in (F.min(c).alias(f"lo_{c}"),
@@ -106,18 +113,18 @@ def zorder_rewrite(spark: SparkSession, table: Table,
                 and lo != hi:
             lo_d, hi_d = num_lit(lo, base), num_lit(hi, base)
             scaled = ((as_num(c, base) - F.lit(lo_d)) / F.lit(hi_d - lo_d)
-                      * ((1 << ZORDER_BITS) - 1))
+                      * ((1 << bits) - 1))
             return F.coalesce(scaled.cast("long"), F.lit(0))
         if base in numeric:
             return F.lit(0).cast("long")  # constant / empty column
         # opaque types: stable hash → even spread, no range semantics
-        return F.pmod(F.xxhash64(F.col(c)), F.lit(1 << ZORDER_BITS)) \
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits)) \
             .cast("long")
 
     # Morton interleave: z = fold over bit b, dim d of rank_d's bit b
     z = F.lit(0).cast("long")
     ranks = [rank(c) for c in columns]
-    for b in range(ZORDER_BITS):
+    for b in range(bits):
         for d, r in enumerate(ranks):
             bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(
@@ -208,19 +215,61 @@ def rewrite_manifests(table: Table, branch: str | None = None) -> Table:
     return table.refresh()
 
 
-def expire_snapshots(table: Table, older_than_ms: int) -> Table:
-    """Remove snapshot entries with timestamp < older_than_ms, except
-    those pinned by refs; rewrites table metadata via the catalog CAS."""
+def expire_snapshots(table: Table, older_than_ms: int,
+                     now_ms: int | None = None) -> Table:
+    """Snapshot expiry honoring per-ref retention (snapshot.rs:265-282
+    ``SnapshotRetention``; the reference STORES these fields but never
+    applies them — we finish the semantics):
+
+    1. refs past their ``max_ref_age_ms`` (age of the snapshot they
+       pin, relative to ``now_ms``) are dropped — except ``main``,
+       which is never expired;
+    2. each surviving BRANCH retains its ancestry while a snapshot is
+       newer than the branch's ``max_snapshot_age_ms`` cutoff (default:
+       the global ``older_than_ms``) OR within the most recent
+       ``min_snapshots_to_keep`` (default 1) commits of the branch;
+       tags retain exactly their pinned snapshot;
+    3. any other snapshot with timestamp < ``older_than_ms`` expires.
+
+    Rewrites table metadata via the catalog CAS. ``now_ms`` is
+    injectable for deterministic tests."""
+    import dataclasses
     md = table.metadata
-    keep_ids = {r.snapshot_id for r in md.refs.values()}
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+
+    refs = {}
+    for name, r in md.refs.items():
+        pinned = md.snapshots.get(r.snapshot_id)
+        if (name != "main" and r.max_ref_age_ms is not None
+                and pinned is not None
+                and now - pinned.timestamp_ms > r.max_ref_age_ms):
+            continue  # ref expired wholesale
+        refs[name] = r
+
+    keep_ids = set()
     current = md.current_snapshot()
     if current is not None:
         keep_ids.add(current.snapshot_id)
+    for r in refs.values():
+        keep_ids.add(r.snapshot_id)
+        if r.ref_type != "branch":
+            continue
+        cutoff = (now - r.max_snapshot_age_ms
+                  if r.max_snapshot_age_ms is not None else older_than_ms)
+        min_keep = (r.min_snapshots_to_keep
+                    if r.min_snapshots_to_keep is not None else 1)
+        pos, sid = 0, r.snapshot_id
+        while sid is not None and sid in md.snapshots:
+            s = md.snapshots[sid]
+            if pos < min_keep or s.timestamp_ms >= cutoff:
+                keep_ids.add(sid)
+            pos += 1
+            sid = s.parent_snapshot_id
+
     kept = {sid: s for sid, s in md.snapshots.items()
             if sid in keep_ids or s.timestamp_ms >= older_than_ms}
-    import dataclasses
     new_md = dataclasses.replace(
-        md, snapshots=kept,
+        md, snapshots=kept, refs=refs,
         snapshot_log=tuple(e for e in md.snapshot_log
                            if e.get("snapshot-id") in kept))
     table.catalog.update_tabular(table.identifier, new_md,

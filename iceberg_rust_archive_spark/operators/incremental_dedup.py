@@ -93,28 +93,49 @@ def index_add(spark: SparkSession, index: Table, docs: DataFrame) -> Table:
     return index.append(spark, minhash_bands(docs))
 
 
+PROBE_KEY_CAP = 100_000  # max distinct band keys collected for pruning
+
+
 def dedup_against_index(spark: SparkSession, index: Table,
                         new_docs: DataFrame, threshold: float = 0.5,
-                        add_novel: bool = True):
+                        add_novel: bool = True,
+                        before_index_commit=None):
     """Returns ``(dups, novel_ids)``: ``dups`` is a DataFrame of
     (doc_id, dup_of, est_jaccard) — each new document paired with its
     best already-indexed match at est_jaccard ≥ threshold; ``novel_ids``
     the new doc_ids with no such match (appended to the index when
     ``add_novel``). The estimator is the agreeing-slot fraction of the
     two MinHash signatures — unbiased for true Jaccard, so the verify
-    step needs no shingle storage in the index."""
+    step needs no shingle storage in the index.
+
+    ``before_index_commit(novel_ids)`` (if given) runs after the verdict
+    but BEFORE the index append — the hook a sink uses to persist its
+    output first, so a crash between the two replays as novel-again
+    (at-least-once into an idempotent staging write = effective
+    exactly-once) instead of silently losing the batch.
+
+    Driver safety: the file-pruning IN list is built only while the
+    batch has ≤ PROBE_KEY_CAP distinct band keys; a jumbo backfill
+    batch skips driver-side pruning (the bucket-key equi-join below
+    still bounds the work) instead of shipping a multi-GB predicate
+    into the plan."""
     bands_new = minhash_bands(new_docs).cache()
-    probe_keys = [r["key"] for r in
-                  bands_new.select("key").distinct().collect()]
-    if not probe_keys:
+    probe_count = (bands_new.select("key").distinct()
+                   .limit(PROBE_KEY_CAP + 1).count())
+    if probe_count == 0:
         empty = spark.createDataFrame(
             [], "doc_id long, dup_of long, est_jaccard double")
         return empty, []
 
-    # A2/A3 pruning turns the IN list into an LSH bucket lookup: only
-    # index files whose bucket partitions / key bounds can contain a
-    # probe key are read. The corpus side never shuffles.
-    idx = index.scan(spark, filter=[Pred("key", "in", probe_keys)])
+    if probe_count <= PROBE_KEY_CAP:
+        # A2/A3 pruning turns the IN list into an LSH bucket lookup:
+        # only index files whose bucket partitions / key bounds can
+        # contain a probe key are read. The corpus side never shuffles.
+        probe_keys = [r["key"] for r in
+                      bands_new.select("key").distinct().collect()]
+        idx = index.scan(spark, filter=[Pred("key", "in", probe_keys)])
+    else:
+        idx = index.scan(spark)
     nb = (bands_new.select(F.col("doc_id").alias("new_id"), "band",
                            "key", F.col("sig").alias("new_sig")))
     cand = (idx.join(F.broadcast(nb), on=["band", "key"])
@@ -131,14 +152,16 @@ def dedup_against_index(spark: SparkSession, index: Table,
                       F.col("best.dup_of").alias("dup_of"),
                       F.col("best.est_jaccard").alias("est_jaccard")))
     scored = scored.cache()
-    dup_ids = {r["doc_id"] for r in scored.select("doc_id").collect()}
-    novel_ids = sorted(
-        r["doc_id"]
-        for r in bands_new.select("doc_id").distinct().collect()
-        if r["doc_id"] not in dup_ids)
+    # novel rows via anti-join on the verdict (NOT a driver isin list —
+    # a literal id list would grow with the batch and bloat the plan)
+    novel_rows = (bands_new.join(scored.select("doc_id"),
+                                 on="doc_id", how="left_anti")
+                  .select("doc_id", "band", "key", "sig").cache())
+    novel_ids = sorted(r["doc_id"] for r in
+                       novel_rows.select("doc_id").distinct().collect())
+    if before_index_commit is not None:
+        before_index_commit(novel_ids)
     if add_novel and novel_ids:
-        novel_rows = bands_new.filter(F.col("doc_id").isin(novel_ids)) \
-            .select("doc_id", "band", "key", "sig")
         # bands already computed — append directly, skip re-shingling
         index.append(spark, novel_rows)
     return scored, novel_ids

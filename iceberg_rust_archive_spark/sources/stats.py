@@ -38,12 +38,19 @@ def _trunc_lower(v):
 def _trunc_upper(v):
     """Upper bounds truncate then increment the last incrementable code
     point, so the result still upper-bounds every value sharing the
-    prefix; un-incrementable (all U+10FFFF) → drop the bound."""
+    prefix; un-incrementable (all U+10FFFF) → drop the bound.
+
+    Incrementing U+D7FF must jump over the UTF-16 surrogate block to
+    U+E000 (mirrors Iceberg's UnicodeUtil.truncateStringMax): lone
+    surrogates are not encodable, so chr(0xD800) would blow up the
+    Avro manifest writer's UTF-8 encode and fail the commit."""
     if isinstance(v, str) and len(v) > TRUNCATE_BOUND_LEN:
         t = v[:TRUNCATE_BOUND_LEN]
         for i in range(len(t) - 1, -1, -1):
             cp = ord(t[i])
-            if cp < 0x10FFFF:
+            if cp == 0xD7FF:
+                return t[:i] + chr(0xE000)
+            if cp < 0x10FFFF and not 0xD800 <= cp < 0xDFFF:
                 return t[:i] + chr(cp + 1)
         return None
     return v

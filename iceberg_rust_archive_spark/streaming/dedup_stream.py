@@ -10,10 +10,22 @@ documents land in the output and their band signatures commit to the
 index. The reference has no streaming runtime at all (SURVEY §2); this
 is the Spark-first surface over the same data model.
 
-Effective exactly-once WITHOUT a transactional sink: the index itself
-is the idempotence mechanism. A replayed micro-batch finds its own
-documents already indexed, classifies every one as a duplicate, and
-emits nothing — so crash/replay converges instead of double-emitting.
+Effective exactly-once WITHOUT a transactional sink, from two pieces:
+
+1. **Output before index** — novel rows are staged to a deterministic
+   per-batch directory (``out_dir/batch=<id>``, mode=overwrite) BEFORE
+   their signatures commit to the index (the ``before_index_commit``
+   hook of dedup_against_index). A crash between the two replays the
+   batch as novel-again and overwrites the same staging dir with the
+   same content — nothing is lost and nothing duplicates. The reverse
+   order would be at-MOST-once: index-first + crash makes the replay
+   classify the batch as duplicates and emit nothing, silently losing
+   it from the output.
+2. **Index as idempotence** — after the index commit, a checkpoint-loss
+   replay finds its own documents indexed, classifies every one as a
+   duplicate, and emits nothing; already-staged batch dirs are left
+   untouched.
+
 The test drives two identical availableNow passes and asserts the
 second emits zero rows.
 """
@@ -49,21 +61,33 @@ def run_dedup_stream_once(spark: SparkSession, source_dir: str,
     ensure_read_confs(spark)
     stats = {"batches": 0, "docs": 0, "novel": 0, "dups": 0}
 
-    def process(batch_df, _batch_id):
+    def process(batch_df, batch_id):
         batch_df = batch_df.select("doc_id", "source", "text")
         n = batch_df.count()
         if n == 0:
             return
         index.refresh()
+
+        def stage_output(novel_ids):
+            """Persist the batch's novel rows BEFORE the index commit
+            (see module docstring): deterministic per-batch dir +
+            overwrite = idempotent under replay; join on an id frame,
+            not a driver isin literal that grows with the batch."""
+            if not novel_ids:
+                return
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in novel_ids], "doc_id long")
+            (batch_df.join(F.broadcast(ids_df), on="doc_id")
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
         dups, novel_ids = dedup_against_index(
-            spark, index, batch_df, threshold=threshold, add_novel=True)
+            spark, index, batch_df, threshold=threshold, add_novel=True,
+            before_index_commit=stage_output)
         stats["batches"] += 1
         stats["docs"] += n
         stats["dups"] += dups.count()
         stats["novel"] += len(novel_ids)
-        if novel_ids:
-            (batch_df.filter(F.col("doc_id").isin(novel_ids))
-             .write.mode("append").parquet(out_dir))
 
     q = (spark.readStream.schema(DOCS_SCHEMA).parquet(source_dir)
          .writeStream.foreachBatch(process)

@@ -330,11 +330,34 @@ def table_statistics(table: Table, branch: str | None = None,
 
 
 def create_tag(table: Table, name: str,
-               snapshot_id: int | None = None) -> Table:
+               snapshot_id: int | None = None,
+               max_ref_age_ms: int | None = None) -> Table:
     """Pin a named TAG ref to a snapshot (SnapshotReference type 'tag',
     snapshot.rs:258-297). Tags are immutable read pointers: scans resolve
     them exactly like branches (`scan(branch=<tag>)`), but append paths
-    refuse to advance them."""
+    refuse to advance them. ``max_ref_age_ms`` lets ``expire_snapshots``
+    drop the tag once it outlives the retention window."""
+    return _create_ref(table, name, "tag", snapshot_id,
+                       max_ref_age_ms=max_ref_age_ms)
+
+
+def create_branch(table: Table, name: str,
+                  snapshot_id: int | None = None,
+                  min_snapshots_to_keep: int | None = None,
+                  max_snapshot_age_ms: int | None = None,
+                  max_ref_age_ms: int | None = None) -> Table:
+    """Create a named BRANCH ref with per-ref retention settings
+    (snapshot.rs:265-282): ``min_snapshots_to_keep`` /
+    ``max_snapshot_age_ms`` bound the branch's retained ancestry in
+    ``expire_snapshots``; ``max_ref_age_ms`` expires the ref itself."""
+    return _create_ref(table, name, "branch", snapshot_id,
+                       min_snapshots_to_keep=min_snapshots_to_keep,
+                       max_snapshot_age_ms=max_snapshot_age_ms,
+                       max_ref_age_ms=max_ref_age_ms)
+
+
+def _create_ref(table: Table, name: str, ref_type: str,
+                snapshot_id: int | None, **retention) -> Table:
     import dataclasses
     from iceberg_rust_archive_spark.spec.snapshot import SnapshotReference
     md = table.metadata
@@ -343,7 +366,7 @@ def create_tag(table: Table, name: str,
     if md.snapshot_by_id(sid) is None:
         raise ValueError(f"no snapshot {sid}")
     new_refs = dict(md.refs)
-    new_refs[name] = SnapshotReference(sid, "tag")
+    new_refs[name] = SnapshotReference(sid, ref_type, **retention)
     new_md = dataclasses.replace(md, refs=new_refs)
     table.catalog.update_tabular(table.identifier, new_md,
                                  table.metadata_location)

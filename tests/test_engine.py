@@ -920,3 +920,66 @@ def test_global_delete_plan_is_flat(spark, catalog):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LeftAnti") == 1, plan
     assert df.count() == 48
+
+
+def test_expire_snapshots_per_ref_retention(spark, catalog):
+    """Per-ref retention (snapshot.rs:265-282, stored-but-unapplied in
+    the reference): a branch with min_snapshots_to_keep=3 retains its
+    last three ancestry snapshots through an expire-everything cutoff,
+    and a tag with max_ref_age_ms expires wholesale."""
+    import time as _time
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+    from iceberg_rust_archive_spark.table import create_branch, create_tag
+
+    t = _mk_table(catalog, "orders_refret", spec=PartitionSpec(0, ()))
+    for i in range(4):
+        rows = [(100 * i + j, j, 1, dt.date(2020, 1, 1), 1)
+                for j in range(3)]
+        t = t.append(spark, spark.createDataFrame(rows, COLS))
+    assert len(t.metadata.snapshots) == 4
+    head = t.metadata.current_snapshot().snapshot_id
+    t = create_branch(t, "dev", min_snapshots_to_keep=3)
+    t = create_tag(t, "old-tag", max_ref_age_ms=1_000)
+
+    now = int(_time.time() * 1000)
+    # aggressive global cutoff: everything is "old"; tag is past its
+    # ref age (pretend an hour elapsed)
+    t = expire_snapshots(t, older_than_ms=now + 10_000,
+                         now_ms=now + 3_600_000)
+    assert "old-tag" not in t.metadata.refs          # ref expired
+    assert "dev" in t.metadata.refs
+    # dev's min_snapshots_to_keep=3 pins head + 2 ancestors; main
+    # (no retention settings) alone would have kept only head
+    assert len(t.metadata.snapshots) == 3
+    assert t.metadata.current_snapshot().snapshot_id == head
+    # the retained ancestry is readable through the branch
+    assert _sums(t, spark, branch="dev")[1] == 12
+
+
+def test_expire_snapshots_branch_age_window(spark, catalog):
+    """max_snapshot_age_ms on a branch overrides the global cutoff for
+    that branch's ancestry: a generous per-branch window keeps history
+    the global cutoff would drop."""
+    import time as _time
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+    from iceberg_rust_archive_spark.table import create_branch
+
+    t = _mk_table(catalog, "orders_refage", spec=PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t = create_branch(t, "keepall", max_snapshot_age_ms=3_600_000)
+    now = int(_time.time() * 1000)
+    t = expire_snapshots(t, older_than_ms=now + 10_000, now_ms=now)
+    # global cutoff says drop everything, branch window says keep all
+    assert len(t.metadata.snapshots) == 2
+
+
+def test_zorder_rejects_too_many_columns(spark, catalog):
+    """The Morton key must fit 63 bits: wide column lists shrink the
+    per-dimension resolution, and an absurd list raises instead of
+    silently wrapping shifts (JVM shiftleft masks mod 64)."""
+    from iceberg_rust_archive_spark.maintenance import zorder_rewrite
+    t = _mk_table(catalog, "orders_zguard", spec=PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    with pytest.raises(ValueError, match="too many"):
+        zorder_rewrite(spark, t, ["id"] * 64)

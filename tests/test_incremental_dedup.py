@@ -101,3 +101,30 @@ def test_empty_batch(spark, catalog):
     dups, novel = dedup_against_index(
         spark, idx, spark.createDataFrame([], "doc_id long, text string"))
     assert dups.count() == 0 and novel == []
+
+
+def test_probe_key_cap_fallback_matches_uncapped(spark, catalog,
+                                                 monkeypatch):
+    """Above PROBE_KEY_CAP distinct band keys the probe must skip the
+    driver-side IN pruning (a jumbo backfill would otherwise ship a
+    multi-GB literal predicate) and still return identical verdicts via
+    the bucket-key join alone."""
+    import iceberg_rust_archive_spark.operators.incremental_dedup as inc
+
+    idx = create_minhash_index(catalog, "db.mh_cap", buckets=16)
+    index_add(spark, idx, spark.createDataFrame(BASE, ["doc_id", "text"]))
+    idx.refresh()
+    batch = spark.createDataFrame(BATCH, ["doc_id", "text"])
+
+    dups_ref, novel_ref = dedup_against_index(
+        spark, idx, batch, threshold=0.5, add_novel=False)
+    ref = {(r.doc_id, r.dup_of, r.est_jaccard)
+           for r in dups_ref.collect()}
+
+    monkeypatch.setattr(inc, "PROBE_KEY_CAP", 2)  # any batch overflows
+    dups_cap, novel_cap = dedup_against_index(
+        spark, idx, batch, threshold=0.5, add_novel=False)
+    got = {(r.doc_id, r.dup_of, r.est_jaccard)
+           for r in dups_cap.collect()}
+    assert got == ref
+    assert novel_cap == novel_ref

@@ -26,13 +26,19 @@ from iceberg_rust_archive_spark.catalog.commit import (
 class _State:
     """(ns, name) → (metadata-location, metadata object); the server owns
     metadata materialization and persists documents to shared storage,
-    like Polaris/Lakekeeper over an object store."""
+    like Polaris/Lakekeeper over an object store. With ``auth`` set to
+    ("client_id", "client_secret") every catalog route demands a bearer
+    token minted by the spec's /v1/oauth/tokens endpoint; tokens can be
+    revoked (``valid_tokens.clear()``) to exercise refresh-on-401."""
 
-    def __init__(self):
+    def __init__(self, auth=None):
         self.lock = threading.Lock()
         self.namespaces = set()
         self.tables = {}
         self.views = {}
+        self.auth = auth
+        self.valid_tokens = set()
+        self.tokens_minted = 0
 
 
 def _store(kind, state):
@@ -59,9 +65,34 @@ def _make_handler(state: _State):
             # /v1/namespaces[/{ns}[/tables|views[/{name}]]]
             return [p for p in self.path.split("/") if p][1:]
 
+        def _authorized(self):
+            if state.auth is None:
+                return True
+            tok = self.headers.get("Authorization", "")
+            return (tok.startswith("Bearer ")
+                    and tok[len("Bearer "):] in state.valid_tokens)
+
+        def _mint_token(self, raw: bytes):
+            from urllib.parse import parse_qs
+            form = {k: v[0] for k, v in parse_qs(raw.decode()).items()}
+            cid, secret = state.auth
+            if (form.get("grant_type") != "client_credentials"
+                    or form.get("client_id") != cid
+                    or form.get("client_secret") != secret):
+                self._send(401, {"error": "invalid_client"})
+                return
+            state.tokens_minted += 1
+            tok = f"tok-{state.tokens_minted}"
+            state.valid_tokens.add(tok)
+            self._send(200, {"access_token": tok, "token_type": "bearer",
+                             "expires_in": 60})
+
         def do_GET(self):
             p = self._parts()
             with state.lock:
+                if not self._authorized():
+                    self._send(401, {"error": "unauthorized"})
+                    return
                 if p == ["namespaces"]:
                     self._send(200, {"namespaces": [
                         ns.split(".") for ns in sorted(state.namespaces)]})
@@ -81,9 +112,16 @@ def _make_handler(state: _State):
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n)) if n else {}
+            raw = self.rfile.read(n) if n else b""
             p = self._parts()
             with state.lock:
+                if p == ["oauth", "tokens"] and state.auth is not None:
+                    self._mint_token(raw)
+                    return
+                if not self._authorized():
+                    self._send(401, {"error": "unauthorized"})
+                    return
+                body = json.loads(raw) if raw else {}
                 if p == ["namespaces"]:
                     state.namespaces.add(".".join(body["namespace"]))
                     self._send(200, {})
@@ -134,6 +172,9 @@ def _make_handler(state: _State):
         def do_DELETE(self):
             p = self._parts()
             with state.lock:
+                if not self._authorized():
+                    self._send(401, {"error": "unauthorized"})
+                    return
                 if len(p) == 2:
                     state.namespaces.discard(p[1])
                     self._send(204)
@@ -155,6 +196,16 @@ def rest_server():
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+@pytest.fixture()
+def auth_rest_server():
+    state = _State(auth=("svc-client", "s3cret"))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", state
     srv.shutdown()
 
 
@@ -301,3 +352,43 @@ def test_rest_mv_refresh_roundtrip(rest_server, spark, tmp_path):
         "SELECT product_id, sum(quantity) AS q FROM db.mv "
         "GROUP BY product_id").collect()}
     assert sums == {1: 3, 2: 9}
+
+
+def test_rest_oauth2_client_credentials_and_refresh(auth_rest_server,
+                                                    tmp_path):
+    """OAuth2 client-credentials flow (reference client surface:
+    catalogs/iceberg-rest-catalog/src/catalog.rs:595-596): the client
+    exchanges its credential at /v1/oauth/tokens lazily, and when the
+    server revokes the token mid-session the next request refreshes
+    once on 401 and replays."""
+    base, state = auth_rest_server
+    from iceberg_rust_archive_spark.catalog.rest_catalog import RestCatalog
+    from iceberg_rust_archive_spark.table import Table
+
+    cat = RestCatalog(base, credential="svc-client:s3cret",
+                      root=str(tmp_path / "wh"))
+    cat.create_namespace("db")
+    assert cat.token == "tok-1"                      # lazily exchanged
+
+    t = Table.create(cat, "db.authed", _schema())
+    assert t.metadata.table_uuid
+
+    state.valid_tokens.clear()                       # revoke server-side
+    assert cat.list_tabulars("db") == ["db.authed"]  # refreshed + replayed
+    assert cat.token == "tok-2"
+    assert state.tokens_minted == 2
+
+    # wrong secret is surfaced, not retried forever
+    bad = RestCatalog(base, credential="svc-client:wrong")
+    with pytest.raises(RuntimeError, match="token exchange failed"):
+        bad.list_tabulars("db")
+
+
+def test_rest_unauthenticated_rejected(auth_rest_server, tmp_path):
+    """Without a credential the auth-required server answers 401, which
+    surfaces as an error instead of looping."""
+    base, _state = auth_rest_server
+    from iceberg_rust_archive_spark.catalog.rest_catalog import RestCatalog
+    cat = RestCatalog(base)
+    with pytest.raises(RuntimeError, match="401"):
+        cat.create_namespace("db")

@@ -364,3 +364,19 @@ def test_string_bound_truncation():
     assert _trunc_lower("abc") == "abc" and _trunc_upper("abc") == "abc"
     # all-U+10FFFF upper is un-incrementable → bound dropped
     assert _trunc_upper(chr(0x10FFFF) * 20) is None
+
+
+def test_trunc_upper_skips_surrogate_range():
+    """Incrementing a prefix ending in U+D7FF must jump to U+E000 —
+    chr(0xD800) is a lone surrogate that UTF-8 cannot encode (Iceberg
+    UnicodeUtil.truncateStringMax behavior)."""
+    from iceberg_rust_archive_spark.sources.stats import (
+        TRUNCATE_BOUND_LEN, _trunc_upper,
+    )
+    s = "a" * (TRUNCATE_BOUND_LEN - 1) + "퟿" + "tail"
+    out = _trunc_upper(s)
+    assert out == "a" * (TRUNCATE_BOUND_LEN - 1) + ""
+    out.encode("utf-8")  # must be encodable
+    assert out > s[:TRUNCATE_BOUND_LEN]
+    # all-U+10FFFF prefix is un-incrementable → bound dropped
+    assert _trunc_upper("\U0010ffff" * (TRUNCATE_BOUND_LEN + 1)) is None
