@@ -78,5 +78,43 @@ def main():
     print(f"windowed agg @ {amp}x: {time.perf_counter()-t0:.1f}s")
 
 
+def lsh_occupancy(spark, sf_dir: str, amp: int):
+    """Evidence for the corpus-adaptive LSH claim: signature width
+    follows ``bits = clamp(ceil(log2(N/target)))``, so per-bucket
+    occupancy should stay ~flat as the corpus amplifies — compare the
+    non-empty-bucket mean/p99/max at 1× vs ``amp``× (with a FIXED width
+    the occupancy would grow ~linearly in amp)."""
+    from iceberg_rust_archive_spark.operators.similarity import (
+        LSH_MIN_BITS, _bucket_expr, lsh_bits_needed,
+    )
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    for label, factor in (("1x", 1), (f"{amp}x", amp)):
+        reps = spark.range(factor).withColumnRenamed("id", "_rep")
+        e = (base.crossJoin(F.broadcast(reps))
+             .withColumn("vec_id",
+                         F.col("vec_id") + F.col("_rep") * 10_000_000)
+             .drop("_rep"))
+        n = e.count()
+        bits = lsh_bits_needed(n)
+        e.select("vec_id",
+                 F.expr("transform(embedding, x -> cast(x AS DOUBLE))")
+                 .alias("v")).createOrReplaceTempView("occ_src")
+        row = spark.sql(f"""
+            SELECT avg(c) AS mean, max(c) AS mx,
+                   percentile(c, 0.99) AS p99
+            FROM (SELECT count(*) AS c
+                  FROM (SELECT {_bucket_expr(0)} AS b0
+                        FROM (SELECT v, {bits} AS bits FROM occ_src))
+                  GROUP BY b0)
+        """).collect()[0]
+        print(f"lsh occupancy @ {label}: N={n} bits={bits} "
+              f"(floor {LSH_MIN_BITS}) mean={row.mean:.1f} "
+              f"p99={row.p99:.0f} max={row.mx}")
+
+
 if __name__ == "__main__":
     main()
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_rust_archive_spark.session import get_spark
+    lsh_occupancy(get_spark("stress"), sf_dir, amp)
