@@ -161,7 +161,13 @@ def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
         F.lit("case_high_count").alias("op"),
         F.col("o_orderstatus").alias("key"),
         F.col("high_line_count").alias("n"))
-    return u.unionByName(a).unionByName(c)
+    se = relational.set_intersect_except(s, d).select(
+        "op", F.col("o_custkey").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n"))
+    rc = relational.orders_rollup_cube(s, d).select(
+        "op", F.concat_ws("/", "yr", "prio").alias("key"), F.col("n"))
+    return (u.unionByName(a).unionByName(c)
+            .unionByName(se).unionByName(rc))
 
 
 def _dedup_shingle_pairs(s: SparkSession, d: str) -> DataFrame:
@@ -342,6 +348,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'case_high_count', o_orderstatus, high_line_count
             FROM ({o.pop('case_projection')})
+            UNION ALL
+            SELECT op, CAST(o_custkey AS VARCHAR), CAST(1 AS BIGINT)
+            FROM ({o.pop('set_intersect_except')})
+            UNION ALL
+            SELECT op, yr || '/' || prio, n
+            FROM ({o.pop('orders_rollup_cube')})
         """,
         "dedup_shingle_pairs": f"""
             SELECT 'jaccard3' AS method, doc_a, doc_b, jaccard AS sim
@@ -450,6 +462,30 @@ def _component_oracles() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY o_orderstatus
+        """,
+        "set_intersect_except": """
+            SELECT 'both_years' AS op, o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+            UNION ALL
+            SELECT 'only_1994', o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        """,
+        "orders_rollup_cube": """
+            SELECT 'rollup' AS op, coalesce(yr, 'ALL') AS yr,
+                   coalesce(prio, 'ALL') AS prio, count(*) AS n
+            FROM (SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+                         o_orderpriority AS prio FROM orders)
+            GROUP BY ROLLUP(yr, prio)
+            UNION ALL
+            SELECT 'cube', coalesce(yr, 'ALL'), coalesce(prio, 'ALL'),
+                   count(*)
+            FROM (SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+                         o_orderpriority AS prio FROM orders)
+            GROUP BY CUBE(yr, prio)
         """,
         "window_topn_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (

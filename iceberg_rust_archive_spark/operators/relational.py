@@ -157,6 +157,46 @@ def case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics — the two set ops the
+    reference leaves unimplemented; Spark supplies them natively as
+    parity supersets): customers ordering in BOTH 1994 and 1995, and
+    those ordering ONLY in 1994. One shuffle each on the dedup key;
+    Catalyst plans them as aggregate + semi/anti join."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def cust_of(year: int):
+        return (orders.filter(F.year("o_orderdate") == year)
+                .select("o_custkey"))
+
+    both = cust_of(1994).intersect(cust_of(1995)).select(
+        F.lit("both_years").alias("op"), "o_custkey")
+    only94 = cust_of(1994).subtract(cust_of(1995)).select(
+        F.lit("only_1994").alias("op"), "o_custkey")
+    return both.unionByName(only94).orderBy("op", "o_custkey")
+
+
+def orders_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE aggregates over (year, priority) — multi-level
+    grouping the reference doesn't implement; Spark's native rollup/
+    cube are one pass with partial aggregation per grouping set. NULL
+    group keys are coalesced to 'ALL' so the result is engine-portable
+    (no GROUPING() function semantics to align)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("string").alias("yr"),
+        F.col("o_orderpriority").alias("prio"))
+    out = []
+    for op, grouped in (("rollup", base.rollup("yr", "prio")),
+                        ("cube", base.cube("yr", "prio"))):
+        out.append(grouped.agg(F.count(F.lit(1)).alias("n"))
+                   .select(F.lit(op).alias("op"),
+                           F.coalesce("yr", F.lit("ALL")).alias("yr"),
+                           F.coalesce("prio", F.lit("ALL")).alias("prio"),
+                           "n"))
+    return out[0].unionByName(out[1]).orderBy("op", "yr", "prio")
+
+
 def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window rank: top order per customer by totalprice (dedup primitive)."""
     from pyspark.sql.window import Window

@@ -983,3 +983,67 @@ def test_zorder_rejects_too_many_columns(spark, catalog):
     t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
     with pytest.raises(ValueError, match="too many"):
         zorder_rewrite(spark, t, ["id"] * 64)
+
+
+def test_duckdb_reads_engine_written_files(spark, catalog):
+    """Cross-engine interop on the FILE level (the closest sandbox
+    stand-in for the reference's Trino integration test,
+    tests/integration_trino.rs — no containers here): parquet data
+    files written by this engine must be readable by an independent
+    engine (DuckDB) with identical values, and the current snapshot's
+    file list must reconstruct the same table state DuckDB-side."""
+    duckdb = pytest.importorskip("duckdb")
+    t = _mk_table(catalog, "orders_duck")
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([r for r in BATCH1 if r[1] == 1],
+                                     COLS),
+        ["id", "customer_id", "product_id", "date"])
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    snap = t.metadata.current_snapshot()
+    data_paths, delete_paths = [], []
+    for mle in read_manifest_list(snap.manifest_list):
+        for e in read_manifest(mle.manifest_path):
+            if e.status == 2:  # deleted entry
+                continue
+            p = e.data_file.file_path.replace("file:", "")
+            if e.data_file.content == 0:
+                data_paths.append((p, e.sequence_number or 0))
+            else:
+                delete_paths.append((p, e.sequence_number or 0))
+
+    con = duckdb.connect()
+    # merge-on-read replay in DuckDB: data rows minus matching earlier-
+    # sequence delete rows (null-safe equality via IS NOT DISTINCT FROM)
+    total = 0
+    sums = {}
+    for dp, dseq in data_paths:
+        rows = con.execute(
+            f"SELECT id, customer_id, product_id, date, amount "
+            f"FROM read_parquet('{dp}')").fetchall()
+        for row in rows:
+            deleted = False
+            for lp, lseq in delete_paths:
+                if lseq <= dseq:
+                    continue
+                hit = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{lp}') d "
+                    f"WHERE d.id IS NOT DISTINCT FROM ? AND "
+                    f"d.customer_id IS NOT DISTINCT FROM ? AND "
+                    f"d.product_id IS NOT DISTINCT FROM ? AND "
+                    f"d.date IS NOT DISTINCT FROM ?",
+                    [row[0], row[1], row[2], row[3]]).fetchone()[0]
+                if hit:
+                    deleted = True
+                    break
+            if not deleted:
+                total += 1
+                sums[row[2]] = sums.get(row[2], 0) + row[4]
+
+    # DuckDB's independent replay equals the engine's scan
+    assert sums == _sums(t, spark)
+    assert total == t.scan(spark).count()
