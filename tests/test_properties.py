@@ -104,3 +104,39 @@ def test_mv_incremental_equals_full_recompute(spark, tmp_path_factory,
               eng.sql("SELECT g, sv, ck, mn, mx FROM db.mvp").collect()}
         direct = {tuple(r) for r in eng.sql(q).collect()}
         assert mv == direct, (batches, mv, direct)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12),
+       st.sampled_from([1, 3, 4]), st.integers(0, 2**31 - 1))
+def test_png_codec_roundtrip_property(h, w, ch, seed):
+    """decode(encode(x)) == x for arbitrary small images across all
+    channel counts — the encoder cycles every PNG filter type, so
+    height ≥ 5 cases exercise Paeth/Average/Up/Sub unfilters too."""
+    import numpy as np
+
+    from iceberg_rust_archive_spark.operators.multimodal import (
+        decode_png, encode_png,
+    )
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    assert out.shape == (h, w, ch)
+    assert (out == arr).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_trunc_upper_is_valid_upper_bound(s):
+    """For any string, the truncated upper bound must be UTF-8
+    encodable and ≥ the original (or dropped): the manifest-stats
+    invariant that makes file pruning sound."""
+    from iceberg_rust_archive_spark.sources.stats import (
+        TRUNCATE_BOUND_LEN, _trunc_lower, _trunc_upper,
+    )
+    up = _trunc_upper(s)
+    lo = _trunc_lower(s)
+    if up is not None:
+        up.encode("utf-8")          # never a lone surrogate
+        assert up >= s or len(s) <= TRUNCATE_BOUND_LEN
+    assert lo <= s
