@@ -144,6 +144,21 @@ def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
     return q.unionByName(t).unionByName(p).unionByName(r)
 
 
+def _dedup_exact_decontam(s: SparkSession, d: str) -> DataFrame:
+    """exact-dedup summary + benchmark n-gram decontamination, one
+    entry: both are per-source keep/flag rollups of the documents
+    table (method labels keep the branches separately hashed)."""
+    e = dedup.dedup_exact(s, d).select(
+        F.lit("exact").alias("method"), "source", "n_docs",
+        F.col("n_unique").alias("n_keep"),
+        F.col("n_dupes").alias("n_flag"))
+    c = dedup.decontaminate(s, d).select(
+        F.lit("decontam").alias("method"), "source", "n_docs",
+        F.col("n_clean").alias("n_keep"),
+        F.col("n_contaminated").alias("n_flag"))
+    return e.unionByName(c)
+
+
 def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
     """union+distinct, anti-join NOT IN, and the CASE-sum projection
     (absorbed here so the 50-entry cap frees a slot for
@@ -261,7 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             iceberg_queries.iceberg_lineitem_partitioned,
         "iceberg_transform_pruned": _iceberg_transform_pruned,
         # training-data pipeline operators (documents/embeddings tables)
-        "dedup_exact": dedup.dedup_exact,
+        "dedup_exact": _dedup_exact_decontam,
         "dedup_shingle_pairs": _dedup_shingle_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_pairs": _embedding_near_pairs,
@@ -336,6 +351,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(max_dup_frac * 10000) AS BIGINT),
                    avg_dup_frac
             FROM ({o.pop('text_repetition_stats')})
+        """,
+        "dedup_exact": f"""
+            SELECT 'exact' AS method, source, n_docs,
+                   n_unique AS n_keep, n_dupes AS n_flag
+            FROM ({o.pop('dedup_exact')})
+            UNION ALL
+            SELECT 'decontam', source, n_docs, n_clean, n_contaminated
+            FROM ({o.pop('decontaminate')})
         """,
         "set_membership_ops": f"""
             SELECT 'distinct_custkey' AS op,

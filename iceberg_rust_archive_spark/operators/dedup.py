@@ -107,6 +107,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+DECONTAM_BENCH_MOD = 31  # synthetic held-out slice: doc_id % 31 == 0
+
+
+def decontaminate(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Benchmark decontamination — the training-data gate that flags
+    docs sharing any word n-gram with a held-out evaluation set (the
+    GPT-3-style n-gram overlap rule). Output per source: training doc
+    count, contaminated count, clean count.
+
+    The held-out set here is a deterministic slice of ``documents``
+    (``doc_id % 31 == 0``) standing in for a real benchmark table the
+    caller supplies.
+
+    Scale shape: benchmark shingles ⋈ training shingles is an inverted
+    n-gram index equi-join — only docs sharing a shingle ever meet, the
+    shuffle key is the content-derived shingle. In production the
+    benchmark side is a FIXED eval suite (thousands of docs, bounded by
+    construction) so AQE broadcasts it and the training corpus never
+    reshuffles; contaminated ids reduce to a distinct + one left join
+    back to the training rows."""
+    d = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = d.filter(is_bench).select("doc_id", "text")
+    train = d.filter(~is_bench)
+    bsh = exploded_shingles(bench, n).select("sh").distinct()
+    hits = (exploded_shingles(train.select("doc_id", "text"), n)
+            .join(bsh, "sh")
+            .select("doc_id").distinct()
+            .withColumn("hit", F.lit(1)))
+    return (train.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce("hit", F.lit(0)))
+                  .alias("n_contaminated"))
+            .withColumn("n_clean",
+                        F.col("n_docs") - F.col("n_contaminated"))
+            .orderBy("source"))
+
+
 def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
     """Candidate pairs from the inverted shingle index with df cap.
     Shared-shingle counts come from the self equi-join on the shingle;
@@ -449,6 +488,32 @@ def _embedding_oracle() -> str:
 
 
 ORACLE_SQL["dedup_embedding_cosine"] = _embedding_oracle()
+
+ORACLE_SQL["decontaminate"] = f"""
+    WITH ss AS (
+      SELECT doc_id, {_SHINGLES_W} AS shs
+      FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+    ),
+    b AS (
+      SELECT DISTINCT sh FROM (
+        SELECT unnest(shs) AS sh FROM ss
+        WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)
+    ),
+    t AS (
+      SELECT doc_id, unnest(shs) AS sh FROM ss
+      WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    ),
+    hits AS (SELECT DISTINCT t.doc_id FROM t JOIN b USING (sh))
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(count(*) - sum(CASE WHEN h.doc_id IS NOT NULL
+                               THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+    GROUP BY d.source
+"""
 
 
 DRIVER_CC_MAX_EDGES = 2_000_000

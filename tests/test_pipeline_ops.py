@@ -506,3 +506,24 @@ def test_ivf_auto_centroids_end_to_end(spark, monkeypatch):
         best[q] = max(best.get(q, -2.0), c)
     for r in ivf:
         assert r.cosine <= best[r.query_id] + 1e-9
+
+
+def test_decontaminate_invariants(spark):
+    """Per-source counts are consistent, and exact copies of held-out
+    docs (doc_id % 31 == 0 slice) are always flagged contaminated."""
+    rows = dedup.decontaminate(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_contaminated + r.n_clean == r.n_docs
+        assert 0 <= r.n_contaminated <= r.n_docs
+    # the documents table contains exact dupes across the slice
+    # boundary at this SF iff any training text equals a benchmark
+    # text; verify flag agreement with a direct check
+    import os as _os
+    d = spark.read.parquet(_os.path.join(SF_DIR, "documents.parquet"))
+    bench_texts = {r.text for r in
+                   d.filter(F.col("doc_id") % 31 == 0).collect()}
+    train = d.filter(F.col("doc_id") % 31 != 0).collect()
+    exact_overlap = sum(1 for r in train if r.text in bench_texts)
+    total_flagged = sum(r.n_contaminated for r in rows)
+    assert total_flagged >= exact_overlap  # n-gram match ⊇ exact match
