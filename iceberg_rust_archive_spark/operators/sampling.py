@@ -47,11 +47,42 @@ def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
 def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_rust_archive_spark.session import read_parallel
     d = read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
-    return (with_split(d)
+    base = (with_split(d)
             .groupBy("source", "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+    return base.unionByName(stratified_sample_summary(spark, sf_dir)) \
+        .orderBy("source", "split")
+
+
+STRATIFIED_TARGET = 50  # rebalance: ≈ this many docs kept per source
+
+
+def stratified_sample_summary(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Stratified per-source sampling: rebalance skewed sources to
+    ≈ STRATIFIED_TARGET docs each by keeping a per-source fraction of
+    hash buckets (rate = target/count, capped at 1).
+
+    Scale shape: one small per-source count (group cardinality = the
+    source enum, bounded by construction → broadcast back), then a
+    content-hash filter — the corpus itself never shuffles, and the
+    same rows are kept on every engine, every run, at any parallelism
+    (the reproducibility property engine RNG sampling can't give)."""
+    from iceberg_rust_archive_spark.session import read_parallel
+    d = read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    keep_buckets = F.least(
+        F.lit(SPLIT_BUCKETS).cast("long"),
+        F.ceil(F.lit(float(SPLIT_BUCKETS * STRATIFIED_TARGET))
+               / F.col("n_src")))
+    return (d.join(F.broadcast(counts), "source")
+            .filter(_hash_bucket(F.col("doc_id")) < keep_buckets)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars"))
-            .orderBy("source", "split"))
+            .select("source", F.lit("stratified").alias("split"),
+                    "n_docs", "sum_chars"))
 
 
 ORACLE_SQL = {
@@ -67,9 +98,24 @@ ORACLE_SQL = {
                      % {SPLIT_BUCKETS} AS b
             FROM documents
           )
+        ),
+        strat AS (
+          SELECT d.source, d.n_chars
+          FROM documents d
+          JOIN (SELECT source, count(*) AS n_src
+                FROM documents GROUP BY source) c USING (source)
+          WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT
+                  % {SPLIT_BUCKETS}
+                < least({SPLIT_BUCKETS},
+                        ceil({float(SPLIT_BUCKETS * STRATIFIED_TARGET)}
+                             / n_src))
         )
         SELECT source, split, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM s GROUP BY source, split
+        UNION ALL
+        SELECT source, 'stratified', count(*),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM strat GROUP BY source
     """,
 }
