@@ -277,6 +277,139 @@ def expire_snapshots(table: Table, older_than_ms: int,
     return table.refresh()
 
 
+def rewrite_position_deletes(spark: SparkSession, table: Table,
+                             branch: str | None = None) -> Table:
+    """Merge the current snapshot's position-delete files into ONE
+    sorted file (Iceberg's RewritePositionDeleteFiles): a streaming
+    merge-on-read sink commits one small delete file per micro-batch,
+    and every subsequent scan anti-joins the growing union. Merging
+    dedups the (file_path, pos) pairs and drops pairs pointing at data
+    files no longer live (superseded by compaction), so MoR read debt
+    shrinks instead of accreting. Position deletes match by exact file
+    path, so collapsing files of different sequence numbers into one
+    new-sequence file cannot change which rows they hit — unlike
+    equality deletes, whose sequence strata must be preserved
+    (``compact_table`` absorbs those wholesale instead).
+
+    Scale: pair merging is an executor-side distinct over skinny
+    (path, pos) rows; only manifest metadata is handled driver-side."""
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list, write_manifest,
+        write_manifest_list,
+    )
+    from iceberg_rust_archive_spark.sources.write import (
+        write_position_deletes,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_POSITION_DELETES, ManifestEntry, STATUS_ADDED,
+        STATUS_DELETED, STATUS_EXISTING,
+    )
+    from iceberg_rust_archive_spark.spec.snapshot import Snapshot
+    from iceberg_rust_archive_spark.transaction import new_snapshot_id
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    md = table.metadata
+    snap = md.current_snapshot(branch)
+    if snap is None:
+        return table
+    keep_groups: dict[tuple, list] = {}
+    pos_files: list[str] = []
+    live_paths: list[str] = []
+    for mle in read_manifest_list(snap.manifest_list):
+        for e in read_manifest(mle.manifest_path):
+            if e.status == STATUS_DELETED:
+                continue
+            if e.data_file.content == CONTENT_POSITION_DELETES:
+                pos_files.append(e.data_file.file_path)
+                continue
+            if e.data_file.content == 0:
+                live_paths.append(e.data_file.file_path)
+            keep_groups.setdefault(
+                (mle.content, mle.partition_spec_id), []).append(
+                ManifestEntry(STATUS_EXISTING, e.data_file, e.snapshot_id,
+                              e.sequence_number, e.file_sequence_number))
+    if len(pos_files) <= 1:
+        return table  # nothing to merge
+
+    pd_schema = StructType([StructField("file_path", StringType()),
+                            StructField("pos", LongType())])
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    live_df = spark.createDataFrame(
+        [(p,) for p in live_paths], "file_path string").select(
+        norm("file_path").alias("file_path"))
+    pairs = (spark.read.schema(pd_schema).parquet(*pos_files)
+             .select(norm("file_path").alias("file_path"), "pos")
+             .dropDuplicates(["file_path", "pos"])
+             .join(live_df, "file_path"))  # drop superseded targets
+    new_files = write_position_deletes(spark, md, pairs)
+
+    snap_id = new_snapshot_id()
+    seq = md.last_sequence_number + 1
+    metadata_dir = os.path.join(md.location, "metadata")
+    import json as _json
+    schema_json = _json.dumps(md.schemas[md.current_schema_id].to_json())
+    new_list = []
+    for (content, spec_id), entries in sorted(keep_groups.items()):
+        spec = md.partition_specs.get(spec_id, md.default_spec())
+        pf_names = [f.name for f in spec.fields]
+        new_list.append(write_manifest(
+            metadata_dir, entries, spec_id, content, snap_id, seq,
+            pf_names, schema_json))
+    del_entries = [ManifestEntry(STATUS_ADDED, f, snap_id, seq, seq)
+                   for f in new_files]
+    new_list.append(write_manifest(
+        metadata_dir, del_entries, md.default_spec().spec_id, 1,
+        snap_id, seq, [f.name for f in md.default_spec().fields],
+        schema_json))
+
+    manifest_list_path = write_manifest_list(metadata_dir, snap_id,
+                                             new_list)
+    snapshot = Snapshot(
+        snapshot_id=snap_id, sequence_number=seq,
+        timestamp_ms=int(time.time() * 1000),
+        manifest_list=manifest_list_path,
+        summary={"operation": "replace",
+                 "merged-position-delete-files": str(len(pos_files))},
+        parent_snapshot_id=snap.snapshot_id,
+        schema_id=md.current_schema_id)
+    new_md = md.with_snapshot(snapshot, branch)
+    table.catalog.update_tabular(table.identifier, new_md,
+                                 table.metadata_location)
+    return table.refresh()
+
+
+def rollback_to_snapshot(table: Table, snapshot_id: int,
+                         branch: str | None = None) -> Table:
+    """Point the branch ref back at an earlier snapshot (Iceberg's
+    rollback_to_snapshot procedure / set-snapshot-ref update): a
+    metadata-only commit — no data or manifest movement — after which
+    scans resolve the old state and new appends parent onto it. The
+    abandoned snapshots stay readable by id until expiry."""
+    import dataclasses
+
+    from iceberg_rust_archive_spark.spec.snapshot import SnapshotReference
+
+    md = table.metadata
+    if md.snapshot_by_id(snapshot_id) is None:
+        raise ValueError(f"no snapshot {snapshot_id}")
+    name = branch or "main"
+    old = md.refs.get(name)
+    if old is not None and old.ref_type != "branch":
+        raise ValueError(f"ref {name} is a tag; tags are immutable")
+    new_refs = dict(md.refs)
+    new_refs[name] = SnapshotReference(
+        snapshot_id, "branch",
+        *( (old.min_snapshots_to_keep, old.max_snapshot_age_ms,
+            old.max_ref_age_ms) if old is not None else (None, None, None)))
+    new_md = dataclasses.replace(md, refs=new_refs)
+    table.catalog.update_tabular(table.identifier, new_md,
+                                 table.metadata_location)
+    return table.refresh()
+
+
 def remove_orphan_files(table: Table, older_than_ms: int | None = None,
                         spark: SparkSession | None = None) -> list[str]:
     """Delete unreferenced files under ``<location>/data``; returns the

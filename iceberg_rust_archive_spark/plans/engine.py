@@ -195,6 +195,10 @@ class Engine:
                 mt.zorder_rewrite(self.spark, t, cols)
             elif proc == "expire_snapshots":
                 mt.expire_snapshots(t, int((rest or "0").strip()))
+            elif proc == "rewrite_position_deletes":
+                mt.rewrite_position_deletes(self.spark, t)
+            elif proc == "rollback_to_snapshot":
+                mt.rollback_to_snapshot(t, int((rest or "0").strip()))
             else:
                 raise ValueError(f"unknown procedure {proc!r}")
             return None

@@ -1047,3 +1047,68 @@ def test_duckdb_reads_engine_written_files(spark, catalog):
     # DuckDB's independent replay equals the engine's scan
     assert sums == _sums(t, spark)
     assert total == t.scan(spark).count()
+
+
+def test_rewrite_position_deletes_merges_files(spark, catalog):
+    """Iceberg RewritePositionDeleteFiles semantics: N small pos-delete
+    files merge into one sorted file, scan results are unchanged, and
+    merge-on-read debt (delete files per scan) drops to 1."""
+    from pyspark.sql import functions as F
+    from iceberg_rust_archive_spark.maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    def pos_delete_files(t):
+        snap = t.metadata.current_snapshot()
+        return [e.data_file.file_path
+                for mle in read_manifest_list(snap.manifest_list)
+                for e in read_manifest(mle.manifest_path)
+                if e.status != 2 and e.data_file.content == 1]
+
+    t = _mk_table(catalog, "orders_posmerge", spec=PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.delete_where_pos(spark, F.col("id") == 1)
+    t = t.delete_where_pos(spark, F.col("id") == 4)
+    t = t.delete_where_pos(spark, F.col("id") == 6)
+    assert len(pos_delete_files(t)) == 3
+    before = sorted(r.id for r in t.scan(spark).collect())
+
+    t = rewrite_position_deletes(spark, t)
+    assert len(pos_delete_files(t)) == 1
+    assert sorted(r.id for r in t.scan(spark).collect()) == before == \
+        [2, 3, 5]
+    # appends after the merge still land and read cleanly
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert sorted(r.id for r in t.scan(spark).collect()) == \
+        [2, 3, 5, 7, 8, 9]
+    # idempotent when nothing to merge
+    assert rewrite_position_deletes(spark, t) is t
+
+
+def test_rollback_to_snapshot(spark, catalog):
+    """rollback points main back at an earlier snapshot metadata-only:
+    scans read the old state, a new append parents onto it, and the
+    abandoned snapshot stays readable by id."""
+    from iceberg_rust_archive_spark.maintenance import (
+        rollback_to_snapshot,
+    )
+    t = _mk_table(catalog, "orders_rb", spec=PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    first = t.metadata.current_snapshot().snapshot_id
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    second = t.metadata.current_snapshot().snapshot_id
+    assert _sums(t, spark) == {1: 9, 2: 2, 3: 4}
+
+    t = rollback_to_snapshot(t, first)
+    assert t.metadata.current_snapshot().snapshot_id == first
+    assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+    # abandoned head still readable by id
+    assert _sums(t, spark, snapshot_id=second) == {1: 9, 2: 2, 3: 4}
+    # new writes parent onto the rolled-back state
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert t.metadata.current_snapshot().parent_snapshot_id == first
+    with pytest.raises(ValueError):
+        rollback_to_snapshot(t, 999999)
