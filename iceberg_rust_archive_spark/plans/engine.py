@@ -377,6 +377,27 @@ class Engine:
             txn.commit_with_retry(lambda x: x.set_properties(props))
             return
 
+        m = re.match(r"write\s+ordered\s+by\s+(.*)$", a, re.IGNORECASE)
+        if m:
+            # sort order evolution (AddSortOrder/SetDefaultSortOrder):
+            #   ALTER TABLE t WRITE ORDERED BY col [ASC|DESC][, ...]
+            from iceberg_rust_archive_spark.spec.sort import SortField
+            sfs = []
+            for part in m.group(1).split(","):
+                toks = part.strip().split()
+                fld = schema.field_by_name(toks[0])
+                if fld is None:
+                    raise ValueError(f"no column {toks[0]!r}")
+                direction = (toks[1].lower() if len(toks) > 1 else "asc")
+                sfs.append(SortField(fld.field_id, "identity", direction,
+                                     "nulls-first"))
+            t.update_sort_order(sfs)
+            return
+
+        if re.match(r"write\s+unordered\s*$", a, re.IGNORECASE):
+            t.update_sort_order([])
+            return
+
         raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
 
     # --- helpers ----------------------------------------------------------

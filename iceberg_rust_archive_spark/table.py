@@ -271,6 +271,16 @@ class Table:
         txn.commit_with_retry(lambda t: t.update_spec(fields))
         return self.refresh()
 
+    def update_sort_order(self, fields) -> "Table":
+        """Sort order evolution (AddSortOrder/SetDefaultSortOrder):
+        new writes sort by the given SortFields; metadata-only commit.
+        Pass an empty list for WRITE UNORDERED."""
+        from iceberg_rust_archive_spark.spec.sort import SortOrder
+        order = SortOrder(0, tuple(fields))
+        txn = self.new_transaction().update_sort_order(order)
+        txn.commit_with_retry(lambda t: t.update_sort_order(order))
+        return self.refresh()
+
     def overwrite(self, spark: SparkSession, df: DataFrame,
                   branch: str | None = None) -> "Table":
         """Full replace (Replace op, operation.rs:384-547)."""

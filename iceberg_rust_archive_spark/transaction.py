@@ -65,6 +65,7 @@ class Transaction:
         self._replacement: list[DataFile] | None = None
         self._new_schema: Schema | None = None
         self._new_spec_fields: list | None = None
+        self._new_sort_order = None
         self._properties: dict = {}
         self._summary_extra: dict = {}
 
@@ -96,6 +97,16 @@ class Transaction:
         partition tuples (scan prunes each manifest under the spec it
         was written with); only NEW writes use the new layout."""
         self._new_spec_fields = list(fields)
+        return self
+
+    def update_sort_order(self, order) -> "Transaction":
+        """Sort order evolution (AddSortOrder + SetDefaultSortOrder,
+        the REST commit protocol's update actions for it):
+        metadata-only — NEW writes sort by the new order (write_datafiles
+        reads the default order at write time); existing files keep
+        their layout, and their historical order ids stay resolvable in
+        the sort-orders map."""
+        self._new_sort_order = order
         return self
 
     def set_properties(self, props: dict) -> "Transaction":
@@ -163,6 +174,15 @@ class Transaction:
             spec = new_spec
             pf_names = [f.name for f in spec.fields]
 
+        if self._new_sort_order is not None:
+            import dataclasses as _dcs
+            oid = max(md.sort_orders, default=-1) + 1
+            so = _dcs.replace(self._new_sort_order, order_id=oid)
+            orders = dict(md.sort_orders)
+            orders[oid] = so
+            md = _dc_replace(md, sort_orders=orders,
+                             default_sort_order_id=oid)
+
         old_entries = list(read_manifest_list(parent.manifest_list)) \
             if parent else []
         files_to_delete: list[str] = []
@@ -206,7 +226,8 @@ class Transaction:
                 # (schema changes always ride a snapshot: branch reads
                 # resolve their schema via the snapshot's schema-id,
                 # table_metadata.rs:156-183)
-                if not self._properties and self._new_spec_fields is None:
+                if not self._properties and self._new_spec_fields is None \
+                        and self._new_sort_order is None:
                     return md  # true no-op
                 # metadata-only commit (spec/properties evolution): no
                 # data changed, so no snapshot — just the new document

@@ -1112,3 +1112,44 @@ def test_rollback_to_snapshot(spark, catalog):
     assert t.metadata.current_snapshot().parent_snapshot_id == first
     with pytest.raises(ValueError):
         rollback_to_snapshot(t, 999999)
+
+
+def test_sort_order_evolution_sql(spark, tmp_path):
+    """ALTER TABLE ... WRITE ORDERED BY: metadata-only commit; new
+    writes are sorted within files by the new order so their column
+    bounds tighten (the pruning payoff), and WRITE UNORDERED resets."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT)")
+    eng.sql("ALTER TABLE db.t WRITE ORDERED BY v DESC")
+    t = eng.load_table("db.t")
+    so = t.metadata.sort_orders[t.metadata.default_sort_order_id]
+    assert [(f.source_id, f.direction) for f in so.fields] == [(2, "desc")]
+    assert len(t.metadata.snapshots) == 0  # metadata-only, no snapshot
+
+    # insert: every written file must be internally sorted by v desc
+    # (sortWithinPartitions — the property that tightens file bounds)
+    eng.sql("INSERT INTO db.t VALUES (1, 30), (2, 10), (3, 20), "
+            "(4, 60), (5, 40), (6, 50)")
+    t = eng.load_table("db.t")
+    snap = t.metadata.current_snapshot()
+    files = [e.data_file
+             for mle in read_manifest_list(snap.manifest_list)
+             for e in read_manifest(mle.manifest_path)]
+    assert files
+    for f in files:
+        vs = [r.v for r in spark.read.parquet(f.file_path).collect()]
+        assert vs == sorted(vs, reverse=True), f.file_path
+
+    eng.sql("ALTER TABLE db.t WRITE UNORDERED")
+    t = eng.load_table("db.t")
+    assert t.metadata.sort_orders[
+        t.metadata.default_sort_order_id].fields == ()
+    # data unchanged throughout
+    got = {r.k: r.v for r in eng.sql("SELECT * FROM db.t").collect()}
+    assert got == {1: 30, 2: 10, 3: 20, 4: 60, 5: 40, 6: 50}
