@@ -163,25 +163,31 @@ def decode_png(payload: bytes):
         raise ValueError("not a PNG")
     i, w = 8, None
     idat = bytearray()
-    while i + 8 <= len(p):
-        (ln,), tag = struct.unpack(">I", p[i:i + 4]), p[i + 4:i + 8]
-        body = p[i + 8:i + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body)
-            if depth != 8 or color not in _PNG_CHANNELS or interlace:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth} color={color} "
-                    f"interlace={interlace})")
-            ch = _PNG_CHANNELS[color]
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        i += 12 + ln  # len + tag + body + crc
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    # struct.error (truncated chunk bodies) and zlib.error (corrupt IDAT)
+    # must surface as ValueError — callers quarantine on ValueError and a
+    # bare struct/zlib error would fail the whole Arrow batch
+    try:
+        while i + 8 <= len(p):
+            (ln,), tag = struct.unpack(">I", p[i:i + 4]), p[i + 4:i + 8]
+            body = p[i + 8:i + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body)
+                if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                    raise ValueError(
+                        f"unsupported PNG (depth={depth} color={color} "
+                        f"interlace={interlace})")
+                ch = _PNG_CHANNELS[color]
+            elif tag == b"IDAT":
+                idat.extend(body)
+            elif tag == b"IEND":
+                break
+            i += 12 + ln  # len + tag + body + crc
+        if w is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"corrupt PNG: {exc}") from exc
     stride, bpp = w * ch, ch
     if len(raw) != h * (stride + 1):
         raise ValueError("truncated pixel data")
@@ -391,6 +397,12 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
     paths changes the decoded bytes and hash-fails the entry."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
+
+        def round4(x: float) -> float:
+            # half-away-from-zero to match DuckDB round() and F.round —
+            # Python round() banker's-rounds exact ties (possible here:
+            # means are integer sums over small n), a latent hash flap
+            return math.floor(x * 1e4 + 0.5) / 1e4
         for pdf in batches:
             out = []
             for item_id, source in zip(pdf["item_id"], pdf["source"]):
@@ -400,9 +412,9 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
                 for ci, cn in enumerate("rgb"):
                     chan = arr[:, :, ci].astype("int64")
                     s, ssq = int(chan.sum()), int((chan * chan).sum())
-                    rec[f"mean_{cn}"] = round(s / n, 4)
-                    rec[f"std_{cn}"] = round(
-                        math.sqrt((ssq - (s * s) / n) / n), 4)
+                    rec[f"mean_{cn}"] = round4(s / n)
+                    rec[f"std_{cn}"] = round4(
+                        math.sqrt((ssq - (s * s) / n) / n))
                 out.append(rec)
             yield pd.DataFrame(
                 out, columns=[f.name for f in PIX_STATS_SCHEMA])

@@ -115,7 +115,14 @@ class TableMetadata:
         snaps = dict(self.snapshots)
         snaps[snapshot.snapshot_id] = snapshot
         refs = dict(self.refs)
-        refs[branch] = SnapshotReference(snapshot.snapshot_id, "branch")
+        if existing is not None:
+            # Carry the branch's configured retention forward: rebuilding the
+            # ref from scratch would silently erase min_snapshots_to_keep /
+            # max_snapshot_age_ms / max_ref_age_ms on every commit, so a later
+            # expire_snapshots could delete ancestry the user pinned.
+            refs[branch] = replace(existing, snapshot_id=snapshot.snapshot_id)
+        else:
+            refs[branch] = SnapshotReference(snapshot.snapshot_id, "branch")
         log = self.snapshot_log + (
             {"timestamp-ms": snapshot.timestamp_ms,
              "snapshot-id": snapshot.snapshot_id},)

@@ -176,10 +176,18 @@ class Transaction:
 
         if self._new_sort_order is not None:
             import dataclasses as _dcs
-            oid = max(md.sort_orders, default=-1) + 1
-            so = _dcs.replace(self._new_sort_order, order_id=oid)
+            new_fields = self._new_sort_order.fields
+            # spec reserves order-id 0 for the unsorted order (WRITE
+            # UNORDERED), and re-applying an identical order reuses its
+            # existing id instead of accumulating duplicates
+            oid = next((i for i, o in md.sort_orders.items()
+                        if o.fields == new_fields),
+                       0 if not new_fields
+                       else max(md.sort_orders, default=-1) + 1)
             orders = dict(md.sort_orders)
-            orders[oid] = so
+            if oid not in orders:
+                orders[oid] = _dcs.replace(self._new_sort_order,
+                                           order_id=oid)
             md = _dc_replace(md, sort_orders=orders,
                              default_sort_order_id=oid)
 

@@ -956,6 +956,35 @@ def test_expire_snapshots_per_ref_retention(spark, catalog):
     assert _sums(t, spark, branch="dev")[1] == 12
 
 
+def test_branch_retention_survives_commit(spark, catalog):
+    """A commit to a retention-configured branch must not erase its
+    retention fields: with_snapshot carries min_snapshots_to_keep etc.
+    forward instead of rebuilding a bare ref, so a later
+    expire_snapshots still honors the configured pin."""
+    import time as _time
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+    from iceberg_rust_archive_spark.table import create_branch
+
+    t = _mk_table(catalog, "orders_retkeep", spec=PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = create_branch(t, "dev", min_snapshots_to_keep=3)
+    # three commits land ON the branch after retention was configured
+    for i in range(3):
+        rows = [(900 + 10 * i + j, j, 1, dt.date(2021, 1, 1), 1)
+                for j in range(2)]
+        t = t.append(spark, spark.createDataFrame(rows, COLS),
+                     branch="dev")
+    ref = t.metadata.refs["dev"]
+    assert ref.min_snapshots_to_keep == 3, ref
+    now = int(_time.time() * 1000)
+    t = expire_snapshots(t, older_than_ms=now + 10_000, now_ms=now)
+    # dev pins its last three ancestry snapshots through the cutoff
+    dev_head = t.metadata.refs["dev"].snapshot_id
+    assert dev_head in t.metadata.snapshots
+    kept = len(t.metadata.snapshots)
+    assert kept >= 3, t.metadata.snapshots.keys()
+
+
 def test_expire_snapshots_branch_age_window(spark, catalog):
     """max_snapshot_age_ms on a branch overrides the global cutoff for
     that branch's ancestry: a generous per-branch window keeps history
@@ -1148,8 +1177,18 @@ def test_sort_order_evolution_sql(spark, tmp_path):
 
     eng.sql("ALTER TABLE db.t WRITE UNORDERED")
     t = eng.load_table("db.t")
+    # spec reserves order-id 0 for the unsorted order: UNORDERED must
+    # map to it, never mint a new empty order at a nonzero id
+    assert t.metadata.default_sort_order_id == 0
+    assert t.metadata.sort_orders[0].fields == ()
+    # re-applying an identical order reuses its id (no duplicate entries)
+    n_orders = len(t.metadata.sort_orders)
+    eng.sql("ALTER TABLE db.t WRITE ORDERED BY v DESC")
+    eng.sql("ALTER TABLE db.t WRITE ORDERED BY v DESC")
+    t = eng.load_table("db.t")
+    assert len(t.metadata.sort_orders) == n_orders
     assert t.metadata.sort_orders[
-        t.metadata.default_sort_order_id].fields == ()
+        t.metadata.default_sort_order_id].fields != ()
     # data unchanged throughout
     got = {r.k: r.v for r in eng.sql("SELECT * FROM db.t").collect()}
     assert got == {1: 30, 2: 10, 3: 20, 4: 60, 5: 40, 6: 50}

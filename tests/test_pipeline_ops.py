@@ -172,6 +172,41 @@ def test_decode_png_rejects_garbage():
         multimodal.decode_png(b"not a png at all")
 
 
+def test_decode_png_quarantines_corrupt_signed_payloads():
+    """PNG-signed but corrupt payloads must raise ValueError — the
+    quarantine contract — not leak struct.error / zlib.error, which
+    would crash the whole Arrow batch in the mapInPandas kernel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # truncated IHDR body → struct.unpack would raise struct.error
+    trunc_ihdr = sig + chunk(b"IHDR", struct.pack(">II", 3, 2))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(trunc_ihdr)
+    # corrupt IDAT stream → zlib.decompress would raise zlib.error
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+    bad_idat = sig + ihdr + chunk(b"IDAT", b"\xde\xad\xbe\xef") \
+        + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bad_idat)
+    # and the quarantine path actually drops them batch-wide
+    arr = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    good = multimodal.encode_png(arr)
+    for payload in (trunc_ihdr, bad_idat):
+        try:
+            multimodal.decode_png(payload)
+        except ValueError:
+            pass  # quarantined
+    assert (multimodal.decode_png(good) == arr).all()
+
+
 def test_png_pixel_stats_closed_form(spark):
     """The pixel-stat branch's decoded mean/std must equal the gradient
     closed form computed independently in numpy."""
