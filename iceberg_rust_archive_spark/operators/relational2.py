@@ -355,5 +355,60 @@ def make_query(sql_text: str):
     return run
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe q21: the SQL text's double-correlated EXISTS / NOT
+    EXISTS makes Spark pass lineitem THREE times (two extra shuffle
+    self-joins); this plan derives everything from ONE pass.
+
+    Per (orderkey, suppkey) count the 'R' lines, then per orderkey fold
+    that into: distinct-supplier count, distinct-R-supplier count, the
+    sole R supplier's key and its line count. The EXISTS pair becomes
+    ``n_supp > 1 AND n_r_supp = 1``; numwait multiplicity (count(*) over
+    qualifying l1 rows) is exactly the sole R supplier's r-line count.
+    Two cascaded groupBys = one lineitem shuffle on (orderkey, suppkey)
+    plus a cheap post-aggregate reshuffle on orderkey — no Expand, no
+    self-join. Dimension joins happen ABOVE the per-order aggregate, so
+    at 100 TB the fact table is reduced ~#lines/#orders-fold before any
+    join; nation (25 rows) broadcasts, supplier/orders joins are left to
+    AQE on post-aggregate cardinality. Oracle = the SQL text (unchanged,
+    it defines semantics). Ref: datafusion_iceberg delegates this shape
+    to DataFusion's decorrelation; we decorrelate by hand because
+    Catalyst plans correlated EXISTS as repeated fact-table joins."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.session import load_tables
+    load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+
+    is_r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    per_pair = (spark.table("lineitem")
+                .groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum(is_r).alias("r_lines")))
+    r = F.col("r_lines") > 0
+    per_order = (per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(r.cast("int")).alias("n_r_supp"),
+        F.max(F.when(r, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.max(F.when(r, F.col("r_lines"))).alias("r_line_cnt")))
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+
+    orders_f = (spark.table("orders")
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey"))
+    sup = (spark.table("supplier")
+           .join(F.broadcast(spark.table("nation").filter(
+               F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name"))
+    return (waiting
+            .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(sup, F.col("r_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.sum("r_line_cnt").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
+
+
 QUERIES = {name: make_query(text) for name, text in SQL.items()}
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
 ORACLE_SQL = dict(SQL)
