@@ -380,3 +380,36 @@ def test_trunc_upper_skips_surrogate_range():
     assert out > s[:TRUNCATE_BOUND_LEN]
     # all-U+10FFFF prefix is un-incrementable → bound dropped
     assert _trunc_upper("\U0010ffff" * (TRUNCATE_BOUND_LEN + 1)) is None
+
+
+def test_concurrent_manifest_reads_match_serial(tmp_path):
+    """The scan's thread-pooled manifest fetch (mirroring the reference's
+    unordered concurrent stream, iceberg-rust/src/table/mod.rs:313-356)
+    must return exactly the serial loop's entries, in input order, over
+    100+ manifests."""
+    from iceberg_rust_archive_spark.operators.scan import _read_manifests
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, write_manifest,
+    )
+
+    mdir = str(tmp_path / "metadata")
+    import os
+    os.makedirs(mdir)
+    mles = []
+    for i in range(120):
+        df = DataFile(0, f"/data/f{i}.parquet", "parquet",
+                      {"bucket": i % 8}, 100 + i, 10_000 + i,
+                      lower_bounds={1: i}, upper_bounds={1: i + 100},
+                      null_value_counts={1: 0})
+        entries = [ManifestEntry(1, df, snapshot_id=i,
+                                 sequence_number=i + 1,
+                                 file_sequence_number=i + 1)]
+        mles.append(write_manifest(mdir, entries, 0, 0, i, i + 1,
+                                   ["bucket"]))
+    paths = [m.manifest_path for m in mles]
+    serial = [read_manifest(p) for p in paths]
+    concurrent = _read_manifests(paths)
+    assert concurrent == serial
+    # order preserved: entry i carries sequence_number i+1
+    for i, entries in enumerate(concurrent):
+        assert entries[0].sequence_number == i + 1
