@@ -213,8 +213,22 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
 
+    # data root + layout (table_metadata.rs:48-49): ``write.data.path``
+    # overrides ``<location>/data``; ``write.object-storage.enabled``
+    # switches to the hashed-prefix layout (arrow/write.rs:470-478) —
+    # no partition dirs in paths, a short hash prefix instead, so high
+    # write concurrency spreads across S3 key ranges instead of
+    # hammering one sequential prefix. Partition values then travel
+    # ONLY in DataFile metadata (scan reads explicit file lists and
+    # prunes on metadata, never on directory names, so reads are
+    # layout-agnostic).
+    data_root = md.properties.get("write.data.path") \
+        or os.path.join(md.location, "data")
+    hashed = md.properties.get(
+        "write.object-storage.enabled", "false").lower() == "true"
     tx_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join(md.location, "data", tx_id)
+    out_dir = os.path.join(data_root,
+                           ("_stage-" + tx_id) if hashed else tx_id)
     writer = (df.write.mode("errorifexists")
               .option("compression", codec)
               .option("maxRecordsPerFile", records_cap))
@@ -244,6 +258,26 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         for fn in files:
             if fn.endswith(".parquet"):
                 items.append((os.path.join(root, fn), partition))
+
+    if hashed:
+        # relocate each file to <data_root>/<hex>/<uuid>.parquet; the
+        # hive-style stage path was only the partition-value carrier.
+        # (A production committer would write to final paths directly;
+        # local rename is metadata-only, and the stage dir is removed
+        # so orphan scans never see it.)
+        import hashlib
+        import shutil
+        moved: list[tuple[str, dict]] = []
+        for path, partition in items:
+            fn = uuid.uuid4().hex + ".parquet"
+            prefix = hashlib.sha256(fn.encode()).hexdigest()[:6]
+            dest_dir = os.path.join(data_root, prefix)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, fn)
+            os.rename(path, dest)
+            moved.append((dest, partition))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        items = moved
 
     field_ids = {f.name: f.field_id for f in schema.fields}
     return harvest_files(spark, items, field_ids, content, equality_ids)
