@@ -314,17 +314,36 @@ def iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat, d = _tmp_catalog()
     try:
         t = Table.create(cat, "db.orders_bkt", ORDERS_SCHEMA, BUCKET_SPEC)
-        t.append(spark, _orders(spark, sf_dir))
+        t = t.append(spark, _orders(spark, sf_dir))
         keys = (11, 42, 77)
-        out = None
-        for k in keys:
-            df = t.scan(spark, filter=[Pred("o_custkey", "=", k)])
-            part = (df.filter(F.col("o_custkey") == k)
-                    .groupBy("o_custkey")
-                    .agg(F.count(F.lit(1)).alias("n_orders"),
-                         F.round(F.sum("o_totalprice"), 2).alias("total")))
-            out = part if out is None else out.unionByName(part)
-        out = out.orderBy("o_custkey")
+        # ONE scan with an IN predicate (r5 verdict #6 — the per-key scan
+        # loop paid 3× metadata resolution): partition-space rewrite
+        # prunes to the union of the 3 buckets before any file is read
+        df = t.scan(spark, filter=[Pred("o_custkey", "in", list(keys))])
+        # pruning evidence: every planned input file's partition tuple is
+        # one of the expected bucket values (metadata-only check)
+        from iceberg_rust_archive_spark.functions.transforms import (
+            transform_value,
+        )
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest, read_manifest_list,
+        )
+        want_buckets = {transform_value("bucket[8]", k, "long")
+                        for k in keys}
+        planned = {p[len("file:"):] if p.startswith("file:") else p
+                   for p in df.inputFiles()}
+        by_path = {e.data_file.file_path: e.data_file.partition
+                   for mle in read_manifest_list(
+                       t.metadata.current_snapshot().manifest_list)
+                   for e in read_manifest(mle.manifest_path)}
+        assert planned and all(
+            by_path[p]["o_custkey_bucket"] in want_buckets
+            for p in planned), "scan read a file outside the IN buckets"
+        out = (df.filter(F.col("o_custkey").isin(*keys))
+               .groupBy("o_custkey")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("o_custkey"))
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
