@@ -99,7 +99,8 @@ PROBE_KEY_CAP = 100_000  # max distinct band keys collected for pruning
 def dedup_against_index(spark: SparkSession, index: Table,
                         new_docs: DataFrame, threshold: float = 0.5,
                         add_novel: bool = True,
-                        before_index_commit=None):
+                        before_index_commit=None,
+                        novel_as_dataframe: bool = False):
     """Returns ``(dups, novel_ids)``: ``dups`` is a DataFrame of
     (doc_id, dup_of, est_jaccard) — each new document paired with its
     best already-indexed match at est_jaccard ≥ threshold; ``novel_ids``
@@ -114,6 +115,14 @@ def dedup_against_index(spark: SparkSession, index: Table,
     (at-least-once into an idempotent staging write = effective
     exactly-once) instead of silently losing the batch.
 
+    ``novel_as_dataframe=True`` switches the hook argument AND the
+    second return value from a collected id list to the distinct
+    novel-id DataFrame. The list contract forces a driver-side
+    materialization that a jumbo backfill batch turns into a multi-GB
+    Python list (r5 verdict What's-wrong #5); the DataFrame variant
+    lets the sink write it distributed (e.g. ``df.write.parquet``) and
+    never lands ids on the driver.
+
     Driver safety: the file-pruning IN list is built only while the
     batch has ≤ PROBE_KEY_CAP distinct band keys; a jumbo backfill
     batch skips driver-side pruning (the bucket-key equi-join below
@@ -125,7 +134,8 @@ def dedup_against_index(spark: SparkSession, index: Table,
     if probe_count == 0:
         empty = spark.createDataFrame(
             [], "doc_id long, dup_of long, est_jaccard double")
-        return empty, []
+        return (empty, spark.createDataFrame([], "doc_id long")) \
+            if novel_as_dataframe else (empty, [])
 
     if probe_count <= PROBE_KEY_CAP:
         # A2/A3 pruning turns the IN list into an LSH bucket lookup:
@@ -157,11 +167,17 @@ def dedup_against_index(spark: SparkSession, index: Table,
     novel_rows = (bands_new.join(scored.select("doc_id"),
                                  on="doc_id", how="left_anti")
                   .select("doc_id", "band", "key", "sig").cache())
-    novel_ids = sorted(r["doc_id"] for r in
-                       novel_rows.select("doc_id").distinct().collect())
+    novel_id_df = novel_rows.select("doc_id").distinct()
+    if novel_as_dataframe:
+        if before_index_commit is not None:
+            before_index_commit(novel_id_df)
+        if add_novel and novel_rows.limit(1).count():
+            # bands already computed — append directly, skip re-shingling
+            index.append(spark, novel_rows)
+        return scored, novel_id_df
+    novel_ids = sorted(r["doc_id"] for r in novel_id_df.collect())
     if before_index_commit is not None:
         before_index_commit(novel_ids)
     if add_novel and novel_ids:
-        # bands already computed — append directly, skip re-shingling
         index.append(spark, novel_rows)
     return scored, novel_ids

@@ -128,3 +128,40 @@ def test_probe_key_cap_fallback_matches_uncapped(spark, catalog,
            for r in dups_cap.collect()}
     assert got == ref
     assert novel_cap == novel_ref
+
+
+def test_novel_rows_dataframe_hook(spark, catalog, tmp_path):
+    """novel_as_dataframe=True: the hook receives the distinct novel-id
+    DataFrame (never a driver list), the sink can persist it
+    distributed, and the verdict/index behavior matches the list
+    variant exactly."""
+    idx = create_minhash_index(catalog, "db.mh_index_dfhook", buckets=16)
+    index_add(spark, idx, spark.createDataFrame(BASE, ["doc_id", "text"]))
+    idx.refresh()
+
+    staged = str(tmp_path / "staged_novel")
+    seen = {}
+
+    def hook(df):
+        # a real sink writes distributed; assert we got a DataFrame
+        assert hasattr(df, "write"), type(df)
+        df.write.mode("overwrite").parquet(staged)
+        seen["ok"] = True
+
+    dups, novel_df = dedup_against_index(
+        spark, idx, spark.createDataFrame(BATCH, ["doc_id", "text"]),
+        threshold=0.5, before_index_commit=hook, novel_as_dataframe=True)
+    assert seen.get("ok")
+    got = {r.doc_id: r.dup_of for r in dups.collect()}
+    assert got == {103: 2, 101: 1}
+    assert [r.doc_id for r in novel_df.collect()] == [102]
+    assert [r.doc_id for r in
+            spark.read.parquet(staged).collect()] == [102]
+    # the novel doc landed in the index (same as the list variant)
+    idx = idx.refresh()
+    dups2, novel2 = dedup_against_index(
+        spark, idx, spark.createDataFrame(
+            [(202, BATCH[1][1])], ["doc_id", "text"]),
+        threshold=0.5, add_novel=False)
+    assert {r.doc_id: r.dup_of for r in dups2.collect()} == {202: 102}
+    assert novel2 == []
