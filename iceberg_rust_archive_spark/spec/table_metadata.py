@@ -133,7 +133,13 @@ class TableMetadata:
 
     # --- serde -----------------------------------------------------------
     def to_json(self) -> dict:
+        main = self.refs.get(MAIN_BRANCH)
         return {
+            # independent readers (Java, pyiceberg) resolve the current
+            # snapshot from this field, not from refs — omitting it reads
+            # as "empty table" elsewhere even though refs.main is set
+            **({"current-snapshot-id": main.snapshot_id}
+               if main is not None else {}),
             "format-version": self.format_version,
             "table-uuid": self.table_uuid,
             "location": self.location,
@@ -176,6 +182,12 @@ class TableMetadata:
                  for s in d.get("snapshots", [])}
         refs = {k: SnapshotReference.from_json(v)
                 for k, v in d.get("refs", {}).items()}
+        # writers that predate refs (or minimal external ones) carry only
+        # current-snapshot-id; synthesize the main branch from it
+        cur = d.get("current-snapshot-id")
+        if cur is not None and cur != -1 and MAIN_BRANCH not in refs \
+                and cur in snaps:
+            refs[MAIN_BRANCH] = SnapshotReference(cur, "branch")
         return TableMetadata(
             table_uuid=d["table-uuid"], location=d["location"],
             last_sequence_number=d.get("last-sequence-number", 0),
