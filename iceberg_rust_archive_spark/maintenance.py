@@ -154,7 +154,7 @@ def rewrite_manifests(table: Table, branch: str | None = None) -> Table:
     import math
 
     from iceberg_rust_archive_spark.sources.manifests import (
-        read_manifest, read_manifest_list, write_manifest,
+        read_manifest_list, read_manifests, write_manifest,
         write_manifest_list,
     )
     from iceberg_rust_archive_spark.spec.manifest import (
@@ -173,8 +173,10 @@ def rewrite_manifests(table: Table, branch: str | None = None) -> Table:
 
     # group live entries by (content, spec-id) — specs cannot mix
     groups: dict[tuple, list] = {}
-    for mle in read_manifest_list(snap.manifest_list):
-        for e in read_manifest(mle.manifest_path):
+    mlist = read_manifest_list(snap.manifest_list)
+    for mle, entries in zip(mlist, read_manifests(
+            [m.manifest_path for m in mlist])):
+        for e in entries:
             if e.status == STATUS_DELETED:
                 continue
             groups.setdefault((mle.content, mle.partition_spec_id),
@@ -294,7 +296,7 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
     Scale: pair merging is an executor-side distinct over skinny
     (path, pos) rows; only manifest metadata is handled driver-side."""
     from iceberg_rust_archive_spark.sources.manifests import (
-        read_manifest, read_manifest_list, write_manifest,
+        read_manifest_list, read_manifests, write_manifest,
         write_manifest_list,
     )
     from iceberg_rust_archive_spark.sources.write import (
@@ -318,8 +320,10 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
     keep_groups: dict[tuple, list] = {}
     pos_files: list[str] = []
     live_paths: list[str] = []
-    for mle in read_manifest_list(snap.manifest_list):
-        for e in read_manifest(mle.manifest_path):
+    mlist = read_manifest_list(snap.manifest_list)
+    for mle, entries in zip(mlist, read_manifests(
+            [m.manifest_path for m in mlist])):
+        for e in entries:
             if e.status == STATUS_DELETED:
                 continue
             if e.data_file.content == CONTENT_POSITION_DELETES:
@@ -416,7 +420,7 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None,
     deleted paths. Files with mtime >= older_than_ms (default: 3h ago)
     are kept — they may belong to an uncommitted in-flight write."""
     from iceberg_rust_archive_spark.sources.manifests import (
-        read_manifest, read_manifest_list,
+        read_manifest_list, read_manifests,
     )
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - 3 * 3600 * 1000
@@ -427,8 +431,10 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None,
         if snap.manifest_list in seen_lists:
             continue
         seen_lists.add(snap.manifest_list)
-        for mle in read_manifest_list(snap.manifest_list):
-            for e in read_manifest(mle.manifest_path):
+        for entries in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)]):
+            for e in entries:
                 referenced.add(os.path.abspath(
                     e.data_file.file_path.replace("file:", "")))
     data_dir = os.path.join(md.location, "data")

@@ -28,7 +28,7 @@ from iceberg_rust_archive_spark.predicates import (
     Pred, prune_datafiles, prune_manifests, to_spark_filter,
 )
 from iceberg_rust_archive_spark.sources.manifests import (
-    read_manifest, read_manifest_list,
+    read_manifest_list, read_manifests,
 )
 from iceberg_rust_archive_spark.spec.manifest import (
     CONTENT_DATA, CONTENT_EQUALITY_DELETES, CONTENT_POSITION_DELETES,
@@ -37,24 +37,9 @@ from iceberg_rust_archive_spark.spec.manifest import (
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
 from iceberg_rust_archive_spark.spec.types import spark_schema_for
 
-# Manifest fetch concurrency. The reference reads manifests as a
-# flattened UNORDERED concurrent stream (iceberg-rust/src/table/
-# mod.rs:313-356); a serial driver loop is invisible at bench scale but
-# at thousands of manifests on object storage (~10ms+ RTT each) it adds
-# tens of seconds of driver latency before the first Spark job starts.
-_MANIFEST_READ_THREADS = 16
-
-
-def _read_manifests(paths: list[str]) -> list[list]:
-    """Fetch manifests concurrently, preserving input order (pruning and
-    plan construction stay deterministic; the reference's unordered
-    stream is safe there because its consumers re-key by file)."""
-    if len(paths) <= 1:
-        return [read_manifest(p) for p in paths]
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(
-            max_workers=min(_MANIFEST_READ_THREADS, len(paths))) as ex:
-        return list(ex.map(read_manifest, paths))
+# concurrent fetch (sources/manifests.py) shared with commit-rebuild and
+# maintenance paths; old private name kept for existing callers/tests
+_read_manifests = read_manifests
 
 
 def _resolve_entries(md: TableMetadata, branch, snapshot_id, as_of_ms,

@@ -151,3 +151,23 @@ def read_manifest_list(path: str) -> list[ManifestListEntry]:
     _schema, records = read_ocf(path)
     ptypes = json.loads(_ocf_metadata(path).get("partition-types", "[]"))
     return [mavro.mle_from_avro(r, ptypes) for r in records]
+
+
+# Manifest fetch concurrency (the reference reads manifests as a
+# flattened unordered concurrent stream — iceberg-rust/src/table/
+# mod.rs:313-356). Serial loops are invisible locally but at thousands
+# of manifests on object storage (~10ms+ RTT each) they add tens of
+# seconds of driver dead time; shared by scan, commit-rebuild, and
+# maintenance paths.
+MANIFEST_READ_THREADS = 16
+
+
+def read_manifests(paths: list[str]) -> list[list[ManifestEntry]]:
+    """Fetch many manifests concurrently, preserving input order so
+    pruning and plan construction stay deterministic."""
+    if len(paths) <= 1:
+        return [read_manifest(p) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(
+            max_workers=min(MANIFEST_READ_THREADS, len(paths))) as ex:
+        return list(ex.map(read_manifest, paths))

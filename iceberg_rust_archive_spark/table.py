@@ -112,7 +112,7 @@ class Table:
         from pyspark.sql import functions as F
         from iceberg_rust_archive_spark.session import ensure_read_confs
         from iceberg_rust_archive_spark.sources.manifests import (
-            read_manifest, read_manifest_list,
+            read_manifest_list, read_manifests,
         )
         from iceberg_rust_archive_spark.sources.write import (
             write_position_deletes,
@@ -130,8 +130,9 @@ class Table:
             CONTENT_POSITION_DELETES,
         )
         paths, existing_pos = [], []
-        for mle in read_manifest_list(snap.manifest_list):
-            for e in read_manifest(mle.manifest_path):
+        mlist_all = read_manifest_list(snap.manifest_list)
+        for entries in read_manifests([m.manifest_path for m in mlist_all]):
+            for e in entries:
                 if e.status == STATUS_DELETED:
                     continue
                 if e.data_file.content == CONTENT_DATA:
@@ -176,7 +177,7 @@ class Table:
         import json as _json
 
         from iceberg_rust_archive_spark.sources.manifests import (
-            read_manifest, read_manifest_list,
+            read_manifest_list, read_manifests,
         )
         md = self.metadata
         if kind == "snapshots":
@@ -215,8 +216,9 @@ class Table:
                                  default=str),
                      e.data_file.record_count,
                      e.data_file.file_size_in_bytes, e.sequence_number)
-                    for m in mlist for e in read_manifest(m.manifest_path)
-                    if e.status != STATUS_DELETED]
+                    for es in read_manifests(
+                        [m.manifest_path for m in mlist])
+                    for e in es if e.status != STATUS_DELETED]
             return spark.createDataFrame(
                 rows, "content int, file_path string, file_format string, "
                       "partition string, record_count long, "
@@ -301,7 +303,7 @@ def table_statistics(table: Table, branch: str | None = None,
     (e.g. `broadcast()` hints for small tables, file-count heuristics),
     mirroring how the reference feeds DataFusion's CBO."""
     from iceberg_rust_archive_spark.sources.manifests import (
-        read_manifest, read_manifest_list,
+        read_manifest_list, read_manifests,
     )
     from iceberg_rust_archive_spark.spec.manifest import CONTENT_DATA
 
@@ -315,8 +317,10 @@ def table_statistics(table: Table, branch: str | None = None,
         return stats
     schema = md.current_schema(branch)
     by_id = {f.field_id: f.name for f in schema.fields}
-    for mle in read_manifest_list(snap.manifest_list):
-        for entry in read_manifest(mle.manifest_path):
+    for entries in read_manifests(
+            [m.manifest_path
+             for m in read_manifest_list(snap.manifest_list)]):
+        for entry in entries:
             f = entry.data_file
             if f.content == CONTENT_DATA:
                 stats["record_count"] += f.record_count

@@ -31,7 +31,8 @@ from dataclasses import replace as _dc_replace
 
 from iceberg_rust_archive_spark.catalog.base import Catalog, CommitFailedError
 from iceberg_rust_archive_spark.sources.manifests import (
-    read_manifest, read_manifest_list, write_manifest, write_manifest_list,
+    read_manifest, read_manifest_list, read_manifests, write_manifest,
+    write_manifest_list,
 )
 from iceberg_rust_archive_spark.spec.manifest import (
     CONTENT_DATA, CONTENT_EQUALITY_DELETES, DataFile, ManifestEntry,
@@ -203,8 +204,9 @@ class Transaction:
         if self._replacement is not None:
             # physical delete of replaced files happens post-commit
             # (transaction/mod.rs:377-379 → table/mod.rs:359-411)
-            for mle in old_entries:
-                for e in read_manifest(mle.manifest_path):
+            for entries in read_manifests(
+                    [m.manifest_path for m in old_entries]):
+                for e in entries:
                     files_to_delete.append(e.data_file.file_path)
             new_list = []
             if self._replacement:
