@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    dedup, iceberg_queries, multimodal, relational, relational2,
-    sampling, similarity, temporal, text,
+    dedup, iceberg_queries, multimodal, packing, quantize, relational,
+    relational2, sampling, similarity, temporal, text,
 )
 
 
@@ -144,6 +144,43 @@ def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
     return q.unionByName(t).unionByName(p).unionByName(r)
 
 
+def _text_analysis_suite(s: SparkSession, d: str) -> DataFrame:
+    """language-ID confusion matrix + Karp-Rabin fingerprint dedup +
+    TF-IDF top terms — three text-analysis families, one labeled-union
+    entry (frees two slots under the 50-entry cap for the round-6 ops)."""
+    lang = text.text_language_id(s, d).select(
+        F.lit("lang").alias("branch"), F.col("lang").alias("k1"),
+        F.col("predicted").alias("k2"), F.col("n_docs").alias("c1"),
+        F.lit(None).cast("double").alias("stat"))
+    fp = text.text_fingerprint(s, d).select(
+        F.lit("fp").alias("branch"), F.col("source").alias("k1"),
+        F.lit("").alias("k2"), F.col("n_docs").alias("c1"),
+        F.col("n_unique_fp").cast("double").alias("stat"))
+    tf = text.text_tfidf_top_terms(s, d).select(
+        F.lit("tfidf").alias("branch"), F.col("source").alias("k1"),
+        F.col("w").alias("k2"), F.col("rank").cast("long").alias("c1"),
+        F.col("tfidf").alias("stat"))
+    return lang.unionByName(fp).unionByName(tf)
+
+
+def _events_pivot_approx(s: SparkSession, d: str) -> DataFrame:
+    """event-type pivot + approx-distinct check, one labeled entry."""
+    p = relational.events_pivot(s, d).select(
+        F.lit("pivot").alias("branch"),
+        F.col("decile").cast("string").alias("key"),
+        F.col("click").alias("c1"), F.col("error").alias("c2"),
+        F.col("purchase").alias("c3"), F.col("signup").alias("c4"),
+        F.col("view").alias("c5"))
+    a = relational.events_approx_distinct(s, d).select(
+        F.lit("approx").alias("branch"), F.col("event_type").alias("key"),
+        F.col("exact_users").alias("c1"),
+        F.col("approx_ok").cast("long").alias("c2"),
+        F.lit(None).cast("long").alias("c3"),
+        F.lit(None).cast("long").alias("c4"),
+        F.lit(None).cast("long").alias("c5"))
+    return p.unionByName(a)
+
+
 def _dedup_exact_decontam(s: SparkSession, d: str) -> DataFrame:
     """exact-dedup summary + benchmark n-gram decontamination, one
     entry: both are per-source keep/flag rollups of the documents
@@ -218,7 +255,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     everything that lacked a green row last round."""
     r2 = relational2.QUERIES
     return {
-        # --- new in round 3 (no green row yet — run first) ---------------
+        # --- new in round 6 (no green row yet — run first) ---------------
+        "iceberg_dml": iceberg_queries.iceberg_dml,
+        "sequence_packing": packing.sequence_packing,
+        "embedding_quantization": quantize.embedding_quantization,
+        "text_analysis_suite": _text_analysis_suite,
+        "events_pivot_approx": _events_pivot_approx,
+        # --- new in round 3 -----------------------------------------------
         "iceberg_position_delete": iceberg_queries.iceberg_position_delete,
         # --- no correctness row in round 1 (fell past the 50-row cap) ---
         "q2_min_cost_supplier": r2["q2_min_cost_supplier"],
@@ -230,8 +273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": r2["q22_global_sales_opportunity"],
         # --- err in round 1 (vanilla-session nanos crash, now fixed) ----
         "events_value_stats": _events_value_stats,
-        "events_pivot": relational.events_pivot,
-        "events_approx_distinct": relational.events_approx_distinct,
         "events_windowed_agg": _events_windowed_agg,
         "asof_events_orders": temporal.asof_events_orders,
         "q4_order_priority_exists": r2["q4_order_priority_exists"],
@@ -282,9 +323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": _embedding_near_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "ann_cosine_topk": _ann_topk,
-        "text_language_id": text.text_language_id,
-        "text_fingerprint": text.text_fingerprint,
-        "text_tfidf_top_terms": text.text_tfidf_top_terms,
     }
 
 
@@ -391,6 +429,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'embdedup', doc_a, doc_b, cosine
             FROM ({o.pop('dedup_embedding_cosine')})
+        """,
+        "text_analysis_suite": f"""
+            SELECT 'lang' AS branch, lang AS k1, predicted AS k2,
+                   n_docs AS c1, CAST(NULL AS DOUBLE) AS stat
+            FROM ({o.pop('text_language_id')})
+            UNION ALL
+            SELECT 'fp', source, '', n_docs, CAST(n_unique_fp AS DOUBLE)
+            FROM ({o.pop('text_fingerprint')})
+            UNION ALL
+            SELECT 'tfidf', source, w, CAST(rank AS BIGINT), tfidf
+            FROM ({o.pop('text_tfidf_top_terms')})
+        """,
+        "events_pivot_approx": f"""
+            SELECT 'pivot' AS branch, CAST(decile AS VARCHAR) AS key,
+                   click AS c1, error AS c2, purchase AS c3,
+                   signup AS c4, view AS c5
+            FROM ({o.pop('events_pivot')})
+            UNION ALL
+            SELECT 'approx', event_type, exact_users,
+                   CAST(approx_ok AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM ({o.pop('events_approx_distinct')})
         """,
     }
     o.update(combined)
@@ -665,6 +725,38 @@ def _component_oracles() -> dict[str, str]:
             GROUP BY 1
             ORDER BY 1
         """,
+        "iceberg_dml": """
+            WITH del AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders
+              WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+            ), upd AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM del
+            ), msrc AS (
+              SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 100 = 7
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, 'Y',
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 100 = 13
+            ), merged AS (
+              SELECT * FROM upd
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM msrc)
+              UNION ALL SELECT * FROM msrc
+            )
+            SELECT o_orderstatus, count(o_orderkey) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        **packing.ORACLE_SQL,
+        **quantize.ORACLE_SQL,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,
         **text.ORACLE_SQL,

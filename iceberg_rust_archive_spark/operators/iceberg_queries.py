@@ -330,9 +330,14 @@ def iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         want_buckets = {transform_value("bucket[8]", k, "long")
                         for k in keys}
-        planned = {p[len("file:"):] if p.startswith("file:") else p
-                   for p in df.inputFiles()}
-        by_path = {e.data_file.file_path: e.data_file.partition
+        from urllib.parse import urlparse
+
+        def _norm(p: str) -> str:
+            # inputFiles() may render file:/tmp/x or file:///tmp/x
+            # depending on session confs; manifests store bare paths
+            return os.path.normpath(urlparse(p).path or p)
+        planned = {_norm(p) for p in df.inputFiles()}
+        by_path = {_norm(e.data_file.file_path): e.data_file.partition
                    for mle in read_manifest_list(
                        t.metadata.current_snapshot().manifest_list)
                    for e in read_manifest(mle.manifest_path)}
@@ -370,6 +375,55 @@ def iceberg_truncate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy((F.col("o_custkey") % 100).alias("ckey_mod"))
                .agg(F.count(F.lit(1)).alias("n_orders"))
                .orderBy("ckey_mod"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML roundtrip: DELETE FROM → UPDATE ... SET → MERGE INTO
+    (upsert), all through the engine's SQL surface, then aggregate the
+    final table state.
+
+    The reference exposes deletes only through its API (README.md:20-56
+    lists equality deletes as a format capability, no SQL DML); this
+    entry proves the same eq-delete writer (A16) + merge-on-read scan
+    (A5) compose into the full DML triple: DELETE = eq-delete file,
+    UPDATE = eq-delete + re-insert in one commit, MERGE = Table.upsert
+    (key-scoped eq-delete + data files at one sequence number). The
+    oracle replays the three statements as set algebra over the source
+    parquet, so every row the engine keeps/rewrites is value-checked."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    cat, d = _tmp_catalog()
+    try:
+        eng = Engine(spark, cat)
+        t = Table.create(cat, "db.orders_dml", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        t.append(spark, src)
+        eng.sql("DELETE FROM db.orders_dml "
+                "WHERE o_orderstatus = 'F' AND o_totalprice < 50000")
+        eng.sql("UPDATE db.orders_dml SET o_totalprice = o_totalprice + 1.0 "
+                "WHERE o_orderpriority = '1-URGENT'")
+        msrc = src.filter(F.col("o_orderkey") % 100 == 7).select(
+            "o_orderkey", "o_custkey",
+            F.lit("X").alias("o_orderstatus"), "o_totalprice",
+            "o_orderdate", "o_orderpriority"
+        ).unionByName(src.filter(F.col("o_orderkey") % 100 == 13).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey", F.lit("Y").alias("o_orderstatus"),
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+        msrc.createOrReplaceTempView("dml_merge_src")
+        eng.sql("MERGE INTO db.orders_dml t USING dml_merge_src m "
+                "ON t.o_orderkey = m.o_orderkey "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *")
+        out = eng.sql(
+            "SELECT o_orderstatus, count(o_orderkey) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total "
+            "FROM db.orders_dml GROUP BY o_orderstatus "
+            "ORDER BY o_orderstatus")
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)

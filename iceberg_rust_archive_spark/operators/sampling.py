@@ -51,8 +51,10 @@ def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
-    return base.unionByName(stratified_sample_summary(spark, sf_dir)) \
-        .orderBy("source", "split")
+    return (base
+            .unionByName(stratified_sample_summary(spark, sf_dir))
+            .unionByName(per_source_cap_summary(spark, sf_dir))
+            .orderBy("source", "split"))
 
 
 STRATIFIED_TARGET = 50  # rebalance: ≈ this many docs kept per source
@@ -82,6 +84,36 @@ def stratified_sample_summary(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars"))
             .select("source", F.lit("stratified").alias("split"),
+                    "n_docs", "sum_chars"))
+
+
+CAP_PER_SOURCE = 120  # per-domain document cap (CommonCrawl-style)
+
+
+def per_source_cap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps: keep at most CAP_PER_SOURCE docs per
+    source, ranked by content hash — the per-domain cap every web-crawl
+    pipeline applies so no single host dominates the corpus.
+
+    Unlike the bucket-rate stratified branch (approximate counts), the
+    rank cut is EXACT: ties broken by (md5(doc_id), doc_id) make the
+    kept set deterministic on every engine. Scale shape: one window
+    rank per source — the shuffle is by source; a skewed mega-source
+    pays one partition's sort of CAP + its rows, and the standard
+    mitigation (pre-filter with an over-admitting hash-bucket rate,
+    then rank only the survivors) composes from the stratified branch
+    above."""
+    from pyspark.sql import Window
+    from iceberg_rust_archive_spark.session import read_parallel
+    d = read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= CAP_PER_SOURCE)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .select("source", F.lit("capped").alias("split"),
                     "n_docs", "sum_chars"))
 
 
@@ -117,5 +149,16 @@ ORACLE_SQL = {
         SELECT source, 'stratified', count(*),
                CAST(sum(n_chars) AS BIGINT)
         FROM strat GROUP BY source
+        UNION ALL
+        SELECT source, 'capped', count(*),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(doc_id::VARCHAR), doc_id)
+                   AS rk
+          FROM documents
+        ) WHERE rk <= {CAP_PER_SOURCE}
+        GROUP BY source
     """,
 }

@@ -1250,3 +1250,36 @@ def test_sort_order_evolution_sql(spark, tmp_path):
     # data unchanged throughout
     got = {r.k: r.v for r in eng.sql("SELECT * FROM db.t").collect()}
     assert got == {1: 30, 2: 10, 3: 20, 4: 60, 5: 40, 6: 50}
+
+
+def test_sql_dml_delete_update_merge_exact_rows(spark, tmp_path):
+    """The DML triple on a 6-row table, exact final contents checked:
+    DELETE → eq-delete file; UPDATE → eq-delete + re-insert, one
+    commit; MERGE INTO → key-scoped upsert (replace matched, insert
+    new)."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.acc (id BIGINT, grp STRING, amt DOUBLE)")
+    eng.sql("INSERT INTO db.acc VALUES (1,'a',10.0),(2,'a',20.0),"
+            "(3,'b',30.0),(4,'b',40.0),(5,'c',50.0),(6,'c',60.0)")
+
+    eng.sql("DELETE FROM db.acc WHERE grp = 'c' AND amt < 60")
+    eng.sql("UPDATE db.acc SET amt = amt + 100 WHERE grp = 'a'")
+    spark.createDataFrame(
+        [(2, "a", 999.0), (7, "d", 70.0)], ["id", "grp", "amt"]
+    ).createOrReplaceTempView("dml_src")
+    eng.sql("MERGE INTO db.acc t USING dml_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+
+    got = {(r.id, r.grp, r.amt) for r in
+           eng.sql("SELECT id, grp, amt FROM db.acc").collect()}
+    assert got == {
+        (1, "a", 110.0),   # updated
+        (2, "a", 999.0),   # merge-matched replacement wins over update
+        (3, "b", 30.0), (4, "b", 40.0),
+        (6, "c", 60.0),    # 5 deleted
+        (7, "d", 70.0),    # merge-inserted
+    }
