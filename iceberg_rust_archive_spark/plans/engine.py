@@ -217,13 +217,14 @@ class Engine:
             for part in re.split(r",(?![^()]*\))", sets):
                 name, _, expr = part.partition("=")
                 assigns[name.strip().lower()] = expr.strip()
-            proj = ", ".join(
-                f"({assigns[c.lower()]}) AS {c}" if c.lower() in assigns
-                else c for c in cols)
+            # ONE scan of the matched rows feeds both the delete side
+            # and the re-insert side (cached across the two writes —
+            # the merge-on-read scan under it can be expensive)
             old = self._run_select(
-                f"SELECT * FROM {ident} WHERE {pred}")
-            new = self._run_select(
-                f"SELECT {proj} FROM {ident} WHERE {pred}")
+                f"SELECT * FROM {ident} WHERE {pred}").cache()
+            new = old.selectExpr(*[
+                f"({assigns[c.lower()]}) AS {c}" if c.lower() in assigns
+                else c for c in cols])
             from iceberg_rust_archive_spark.sources.write import (
                 write_datafiles,
             )
@@ -241,6 +242,7 @@ class Engine:
             txn.commit_with_retry(
                 lambda x: x.append_delete_files(del_files)
                 .append_files(data_files))
+            old.unpersist()
             return None
 
         m = re.match(r"delete\s+from\s+([\w.]+)\s+where\s+(.*)$", s,
@@ -274,6 +276,16 @@ class Engine:
             return None
 
         m = re.match(
+            r"merge\s+into\s+([\w.]+)(?:\s+as\s+(\w+)|\s+(\w+))?\s+"
+            r"using\s+(.*?)\s+on\s+(.*?)\s+(when\s+.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            talias = m.group(2) or m.group(3)
+            self._merge_sql_general(m.group(1), talias, m.group(4),
+                                    m.group(5), m.group(6))
+            return None
+
+        m = re.match(
             r"select\s+refresh_materialized_view\s*\(\s*'([^']+)'\s*\)", low)
         if m:
             strategy = self.refresh_materialized_view(m.group(1))
@@ -303,6 +315,181 @@ class Engine:
         if not keys:
             raise ValueError(f"no join keys found in ON clause: {on!r}")
         self.load_table(identifier).upsert(self.spark, rows, keys)
+
+    def _merge_sql_general(self, identifier: str, talias: str | None,
+                           using: str, on: str, whens: str) -> None:
+        """General MERGE INTO: ordered WHEN clauses, each optionally
+        guarded::
+
+            WHEN [NOT] MATCHED [AND <cond>] THEN
+                UPDATE SET col = expr, ...   (exprs may use both aliases)
+              | UPDATE SET *
+              | DELETE
+              | INSERT *
+              | INSERT (cols) VALUES (exprs)
+
+        First clause whose guard passes wins (Spark/Delta semantics).
+        Execution is ONE atomic commit: an equality-delete file over the
+        OLD key tuples of every affected matched row, plus data files
+        holding the post-UPDATE matched rows and the NOT-MATCHED
+        inserts — the same sequence-number coupling Table.upsert uses,
+        so the MERGE is all-or-nothing under merge-on-read.
+
+        Scale: both branches are single joins of target × source on the
+        ON condition (Catalyst picks broadcast when the source measures
+        small); no per-clause passes — clause guards compile into CASE
+        chains inside one projection."""
+        t = self.load_table(identifier)
+        cols = [f.name for f in t.metadata.current_schema().fields]
+        talias = talias or "t"
+
+        using = using.strip()
+        m = re.match(r"\((.*)\)\s*(?:as\s+)?(\w+)?\s*$", using,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            sdf, salias = self._run_select(m.group(1)), m.group(2) or "s"
+        else:
+            parts = using.split()
+            sdf = self._run_select(f"SELECT * FROM {parts[0]}")
+            salias = (parts[-1] if len(parts) > 1
+                      and parts[-1].lower() != "as" else "s")
+        self._run_select(f"SELECT * FROM {identifier}") \
+            .createOrReplaceTempView("__merge_tgt")
+        sdf.createOrReplaceTempView("__merge_src")
+
+        keys = []
+        for a, b in re.findall(r"\w+\.(\w+)\s*=\s*\w+\.(\w+)", on):
+            if a.lower() != b.lower():
+                raise ValueError(
+                    f"MERGE ON must equate same-named columns, got {a}={b}")
+            keys.append(a)
+        if not keys:
+            raise ValueError(f"no join keys found in ON clause: {on!r}")
+
+        clauses = re.findall(
+            r"when\s+(not\s+)?matched\s*(?:and\s+(.*?))?\s*then\s+"
+            r"(update\s+set\s+.*?|insert\s+.*?|delete)\s*(?=when\s|$)",
+            whens, re.IGNORECASE | re.DOTALL)
+        if not clauses:
+            raise ValueError(f"no WHEN clauses parsed from: {whens!r}")
+        matched, not_matched = [], []
+        for neg, cond, action in clauses:
+            cond = (cond or "true").strip() or "true"
+            action = action.strip()
+            (not_matched if neg else matched).append((cond, action))
+
+        def _set_map(action: str) -> dict[str, str]:
+            sets_sql = re.sub(r"^update\s+set\s+", "", action,
+                              flags=re.IGNORECASE).strip()
+            if sets_sql == "*":
+                return {c.lower(): f"{salias}.{c}" for c in cols}
+            out = {}
+            for part in re.split(r",(?![^()]*\))", sets_sql):
+                name, _, expr = part.partition("=")
+                name = name.strip().split(".")[-1].lower()
+                out[name] = expr.strip()
+            return out
+
+        def _insert_map(action: str) -> dict[str, str]:
+            if re.match(r"insert\s+\*\s*$", action, re.IGNORECASE):
+                return {c.lower(): f"{salias}.{c}" for c in cols}
+            m2 = re.match(r"insert\s*\((.*?)\)\s*values\s*\((.*)\)\s*$",
+                          action, re.IGNORECASE | re.DOTALL)
+            if not m2:
+                raise ValueError(f"cannot parse INSERT clause: {action!r}")
+            names = [n.strip().split(".")[-1].lower()
+                     for n in m2.group(1).split(",")]
+            exprs = re.split(r",(?![^()]*\))", m2.group(2))
+            if len(names) != len(exprs):
+                raise ValueError("INSERT column/value count mismatch")
+            return dict(zip(names, (e.strip() for e in exprs)))
+
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_archive_spark.sources.write import write_datafiles
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_EQUALITY_DELETES,
+        )
+
+        data_parts = []
+        del_rows = None
+        if matched:
+            branches, col_cases = [], {c: [] for c in cols}
+            update_idx = []
+            for i, (cond, action) in enumerate(matched):
+                branches.append(f"WHEN ({cond}) THEN {i}")
+                if action.lower().startswith("update"):
+                    update_idx.append(i)
+                    sets = _set_map(action)
+                elif action.lower() == "delete":
+                    sets = None
+                else:
+                    raise ValueError(
+                        f"MATCHED clause must UPDATE or DELETE: {action!r}")
+                for c in cols:
+                    v = ("NULL" if sets is None
+                         else sets.get(c.lower(), f"{talias}.{c}"))
+                    col_cases[c].append(f"WHEN ({cond}) THEN ({v})")
+            act = "CASE " + " ".join(branches) + " ELSE -1 END"
+            proj = ", ".join(
+                "CASE " + " ".join(col_cases[c])
+                + f" ELSE {talias}.{c} END AS {c}" for c in cols)
+            oldk = ", ".join(f"{talias}.{k} AS __old_{k}" for k in keys)
+            affected = self.spark.sql(
+                f"SELECT {act} AS __act, {oldk}, {proj} "
+                f"FROM __merge_tgt {talias} JOIN __merge_src {salias} "
+                f"ON {on}").filter(F.col("__act") >= 0).cache()
+            del_rows = affected.select(
+                *[F.col(f"__old_{k}").alias(k) for k in keys]
+            ).dropDuplicates()
+            if update_idx:
+                data_parts.append(
+                    affected.filter(F.col("__act").isin(update_idx))
+                    .select(*cols))
+        if not_matched:
+            branches, col_cases = [], {c: [] for c in cols}
+            for i, (cond, action) in enumerate(not_matched):
+                ins = _insert_map(action)
+                branches.append(f"WHEN ({cond}) THEN {i}")
+                for c in cols:
+                    v = ins.get(c.lower(), "NULL")
+                    col_cases[c].append(f"WHEN ({cond}) THEN ({v})")
+            act = "CASE " + " ".join(branches) + " ELSE -1 END"
+            proj = ", ".join(
+                "CASE " + " ".join(col_cases[c])
+                + " ELSE NULL END AS " + c for c in cols)
+            inserts = self.spark.sql(
+                f"SELECT {act} AS __act, {proj} FROM __merge_src {salias} "
+                f"LEFT ANTI JOIN __merge_tgt {talias} ON {on}"
+            ).filter(F.col("__act") >= 0).select(*cols)
+            data_parts.append(inserts)
+
+        from iceberg_rust_archive_spark.spec.types import spark_schema_for
+        schema = t.metadata.current_schema()
+        target = spark_schema_for(schema.struct)
+        del_files, data_files = [], []
+        if del_rows is not None:
+            eq_ids = tuple(schema.field_by_name(k).field_id for k in keys)
+            key_schema = spark_schema_for(schema.project(list(eq_ids)).struct)
+            dk = del_rows
+            for f in key_schema.fields:
+                dk = dk.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            del_files = write_datafiles(
+                self.spark, t.metadata, dk,
+                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
+        if data_parts:
+            data = data_parts[0]
+            for p in data_parts[1:]:
+                data = data.unionByName(p)
+            for f in target.fields:
+                data = data.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            data_files = write_datafiles(self.spark, t.metadata, data)
+        if del_files or data_files:
+            txn = (t.new_transaction().append_delete_files(del_files)
+                   .append_files(data_files))
+            txn.commit_with_retry(
+                lambda x: x.append_delete_files(del_files)
+                .append_files(data_files))
 
     def _alter_table_sql(self, identifier: str, action: str) -> None:
         """ALTER TABLE surface over the evolution transactions
@@ -377,6 +564,37 @@ class Engine:
             txn.commit_with_retry(lambda x: x.set_properties(props))
             return
 
+        m = re.match(
+            r"create\s+(branch|tag)\s+(\w+)"
+            r"(?:\s+as\s+of\s+version\s+(\d+))?\s*$", a, re.IGNORECASE)
+        if m:
+            # Spark-Iceberg-style ref DDL over the SnapshotReference
+            # metadata (snapshot.rs:258-297):
+            #   ALTER TABLE t CREATE BRANCH dev [AS OF VERSION <snap-id>]
+            #   ALTER TABLE t CREATE TAG v1 [AS OF VERSION <snap-id>]
+            from iceberg_rust_archive_spark.table import (
+                create_branch, create_tag,
+            )
+            snap = int(m.group(3)) if m.group(3) else None
+            if m.group(1).lower() == "branch":
+                create_branch(t, m.group(2), snapshot_id=snap)
+            else:
+                create_tag(t, m.group(2), snapshot_id=snap)
+            return
+
+        m = re.match(r"drop\s+(branch|tag)\s+(\w+)\s*$", a, re.IGNORECASE)
+        if m:
+            name = m.group(2)
+            refs = dict(md.refs or {})
+            if name not in refs:
+                raise ValueError(f"no such ref {name!r}")
+            import dataclasses as _dcs
+            new_md = _dcs.replace(
+                md, refs={k: v for k, v in refs.items() if k != name})
+            self.catalog.update_tabular(identifier, new_md,
+                                        t.metadata_location)
+            return
+
         m = re.match(r"write\s+ordered\s+by\s+(.*)$", a, re.IGNORECASE)
         if m:
             # sort order evolution (AddSortOrder/SetDefaultSortOrder):
@@ -443,8 +661,15 @@ class Engine:
                 return m.group(0)
             safe = re.sub(r"\W", "_", ident)
             if kind.startswith("version"):
-                df = t.scan(self.spark, snapshot_id=int(lit.strip()))
-                vn = f"ice_tt_{safe}_{lit.strip()}"
+                ref = lit.strip().strip("'")
+                if ref.isdigit():
+                    # numeric → snapshot id; quoted name → branch/tag
+                    # ref (Spark-Iceberg's VERSION AS OF convention)
+                    df = t.scan(self.spark, snapshot_id=int(ref))
+                else:
+                    df = t.scan(self.spark, branch=ref)
+                ref_safe = re.sub(r"\W", "_", ref)
+                vn = f"ice_tt_{safe}_{ref_safe}"
             else:
                 import datetime as _dt
                 ts = _dt.datetime.fromisoformat(lit.strip().strip("'"))

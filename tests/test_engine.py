@@ -1283,3 +1283,93 @@ def test_sql_dml_delete_update_merge_exact_rows(spark, tmp_path):
         (6, "c", 60.0),    # 5 deleted
         (7, "d", 70.0),    # merge-inserted
     }
+
+
+def test_sql_merge_general_clauses(spark, tmp_path):
+    """General MERGE: guarded UPDATE with cross-alias exprs, guarded
+    DELETE, INSERT with explicit column list — first-match clause
+    priority, one atomic commit."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.inv (id BIGINT, qty BIGINT, note STRING)")
+    eng.sql("INSERT INTO db.inv VALUES (1,5,'a'),(2,0,'b'),(3,7,'c'),"
+            "(4,2,'d')")
+    spark.createDataFrame(
+        [(1, 10), (2, 3), (3, -7), (9, 42)], ["id", "delta"]
+    ).createOrReplaceTempView("inv_changes")
+
+    eng.sql("""
+        MERGE INTO db.inv t USING inv_changes c ON t.id = c.id
+        WHEN MATCHED AND t.qty + c.delta <= 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + c.delta,
+                                     note = concat(t.note, '+')
+        WHEN NOT MATCHED AND c.delta > 0
+             THEN INSERT (id, qty) VALUES (c.id, c.delta)
+    """)
+
+    got = {(r.id, r.qty, r.note) for r in
+           eng.sql("SELECT id, qty, note FROM db.inv").collect()}
+    assert got == {
+        (1, 15, "a+"),      # matched, update (delta makes qty positive)
+        (2, 3, "b+"),       # guard qty+delta<=0 false (0+3=3) → update
+        (4, 2, "d"),        # untouched (no source row)
+        (9, 42, None),      # not-matched insert, note NULL
+    }                        # id=3: 7 + (-7) <= 0 → deleted
+
+
+def test_sql_merge_matched_only_and_unmatched_only(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.kv (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.kv VALUES (1,'x'),(2,'y')")
+    spark.createDataFrame([(2, "Y2"), (5, "Z")], ["k", "v"]) \
+        .createOrReplaceTempView("kv_src")
+
+    # matched-only MERGE: no inserts happen
+    eng.sql("MERGE INTO db.kv t USING kv_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = upper(s.v)")
+    got = {(r.k, r.v) for r in eng.sql("SELECT k, v FROM db.kv").collect()}
+    assert got == {(1, "x"), (2, "Y2")}
+
+    # unmatched-only MERGE: no updates happen
+    eng.sql("MERGE INTO db.kv t USING kv_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = {(r.k, r.v) for r in eng.sql("SELECT k, v FROM db.kv").collect()}
+    assert got == {(1, "x"), (2, "Y2"), (5, "Z")}
+
+
+def test_sql_branch_tag_ddl_and_ref_reads(spark, tmp_path):
+    """ALTER TABLE CREATE/DROP BRANCH|TAG + VERSION AS OF '<ref>' reads:
+    a branch write is invisible on main and on a tag pinned earlier."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.r (id BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.r VALUES (1,'a'),(2,'b')")
+
+    eng.sql("ALTER TABLE db.r CREATE TAG v1")
+    eng.sql("ALTER TABLE db.r CREATE BRANCH dev")
+    t = eng.load_table("db.r")
+    assert set(t.metadata.refs) >= {"main", "v1", "dev"}
+    assert t.metadata.refs["v1"].ref_type == "tag"
+
+    # write onto the branch only
+    t.append(spark,
+             spark.createDataFrame([(3, "c")], ["id", "v"]),
+             branch="dev")
+    main_n = eng.sql("SELECT count(*) AS n FROM db.r").collect()[0].n
+    tag_n = eng.sql(
+        "SELECT count(*) AS n FROM db.r VERSION AS OF 'v1'").collect()[0].n
+    dev_n = eng.sql(
+        "SELECT count(*) AS n FROM db.r VERSION AS OF 'dev'").collect()[0].n
+    assert (main_n, tag_n, dev_n) == (2, 2, 3)
+
+    eng.sql("ALTER TABLE db.r DROP BRANCH dev")
+    assert "dev" not in eng.load_table("db.r").metadata.refs
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE db.r DROP BRANCH nope")
