@@ -77,6 +77,16 @@ def main():
        .agg(F.count(F.lit(1)), F.sum("value")).collect())
     print(f"windowed agg @ {amp}x: {time.perf_counter()-t0:.1f}s")
 
+    # sequence packing at amp× docs: the prefix-sum window must stay
+    # shard-parallel — wall time should scale ~linearly in rows/shard,
+    # not serialize through one global ordering
+    from iceberg_rust_archive_spark.operators.packing import pack_bins
+    for shards in (4, 32):
+        t0 = time.perf_counter()
+        nb = pack_bins(docs, shards=shards).count()
+        print(f"pack_bins @ {amp}x shards={shards}: {nb} bins "
+              f"({time.perf_counter()-t0:.1f}s)")
+
 
 def lsh_occupancy(spark, sf_dir: str, amp: int):
     """Evidence for the corpus-adaptive LSH claim: signature width
@@ -144,8 +154,11 @@ def manifest_fetch_latency():
             paths.append(write_manifest(
                 mdir, [ManifestEntry(1, df, i, i + 1, i + 1)],
                 0, 0, i, i + 1, []).manifest_path)
-        orig = scan_mod.read_manifest
-        scan_mod.read_manifest = slow_read
+        from iceberg_rust_archive_spark.sources import (
+            manifests as manifests_mod,
+        )
+        orig = manifests_mod.read_manifest
+        manifests_mod.read_manifest = slow_read
         try:
             for n in (100, 400):
                 t0 = _t.perf_counter()
@@ -160,7 +173,7 @@ def manifest_fetch_latency():
                       f"serial={serial:.2f}s concurrent={conc:.2f}s "
                       f"speedup={serial/conc:.1f}x")
         finally:
-            scan_mod.read_manifest = orig
+            manifests_mod.read_manifest = orig
 
 
 def mv_refresh_loop(spark, sf_dir: str, n_refreshes: int = 5):
