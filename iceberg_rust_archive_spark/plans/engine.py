@@ -204,13 +204,15 @@ class Engine:
             return None
 
         m = re.match(
-            r"update\s+([\w.]+)\s+set\s+(.*?)\s+where\s+(.*)$", s,
+            r"update\s+([\w.]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", s,
             re.IGNORECASE | re.DOTALL)
         if m:
             # DML UPDATE: matched rows become an equality delete over
             # ALL columns + re-insert with the SET expressions applied,
             # one atomic commit — the UPDATE half of the MERGE shape.
-            ident, sets, pred = m.group(1), m.group(2), m.group(3)
+            # No WHERE → every row updates.
+            ident, sets = m.group(1), m.group(2)
+            pred = m.group(3) or "true"
             t = self.load_table(ident)
             cols = [f.name for f in t.metadata.current_schema().fields]
             assigns = {}
@@ -245,16 +247,29 @@ class Engine:
             old.unpersist()
             return None
 
-        m = re.match(r"delete\s+from\s+([\w.]+)\s+where\s+(.*)$", s,
-                     re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            r"(?:delete\s+from\s+([\w.]+)(?:\s+where\s+(.*))?"
+            r"|truncate\s+table\s+([\w.]+))\s*$", s,
+            re.IGNORECASE | re.DOTALL)
         if m:
             # DML DELETE → equality-delete file over ALL columns of the
             # matched rows (merge-on-read removes them; A16+A5). The
             # reference only exposes deletes via its API — this is the
             # SQL-shim surface on the same writer.
-            ident, pred = m.group(1), m.group(2)
-            rows = self._run_select(f"SELECT * FROM {ident} WHERE {pred}")
+            # DELETE without WHERE / TRUNCATE TABLE → a Replace commit
+            # with an empty file set (one metadata write, no per-row
+            # delete files — O(1) regardless of table size).
+            ident, pred = m.group(1) or m.group(3), m.group(2)
             t = self.load_table(ident)
+            if pred is None:
+                from iceberg_rust_archive_spark.spec.types import (
+                    spark_schema_for,
+                )
+                empty = self.spark.createDataFrame(
+                    [], spark_schema_for(t.metadata.current_schema().struct))
+                t.overwrite(self.spark, empty)
+                return None
+            rows = self._run_select(f"SELECT * FROM {ident} WHERE {pred}")
             cols = [f.name for f in t.metadata.current_schema().fields]
             t.delete_where_equal(self.spark, rows, cols)
             return None
@@ -696,7 +711,7 @@ class Engine:
             df.createOrReplaceTempView(vn)
             return vn
         sql = re.sub(
-            r"([\w.]+)\.(snapshots|files|manifests|history)\b",
+            r"([\w.]+)\.(snapshots|files|manifests|history|refs)\b",
             _meta, sql, flags=re.IGNORECASE)
 
         mapping = {}

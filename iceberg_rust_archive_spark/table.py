@@ -223,6 +223,15 @@ class Table:
                 rows, "content int, file_path string, file_format string, "
                       "partition string, record_count long, "
                       "file_size_in_bytes long, sequence_number long")
+        if kind == "refs":
+            rows = [(name, r.ref_type, r.snapshot_id,
+                     r.min_snapshots_to_keep, r.max_snapshot_age_ms,
+                     r.max_ref_age_ms)
+                    for name, r in sorted((md.refs or {}).items())]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long, "
+                      "min_snapshots_to_keep int, max_snapshot_age_ms "
+                      "long, max_ref_age_ms long")
         if kind == "history":
             current_chain = set()
             s = snap

@@ -877,6 +877,13 @@ def test_metadata_tables(spark, tmp_path):
         "SELECT count(*) AS n FROM db.t, db.t.snapshots").collect()
     assert joined[0].n == 3 * 2
 
+    # refs metadata table reflects branch/tag DDL incl. retention cols
+    eng.sql("ALTER TABLE db.t CREATE TAG stable")
+    refs = {r.name: r for r in eng.sql("SELECT * FROM db.t.refs").collect()}
+    assert refs["main"].type == "branch"
+    assert refs["stable"].type == "tag"
+    assert refs["stable"].snapshot_id == snaps[1].snapshot_id
+
 
 def test_update_sql_rows_with_nulls(spark, tmp_path):
     """UPDATE writes an all-column equality delete; rows containing
@@ -1373,3 +1380,30 @@ def test_sql_branch_tag_ddl_and_ref_reads(spark, tmp_path):
     assert "dev" not in eng.load_table("db.r").metadata.refs
     with pytest.raises(ValueError):
         eng.sql("ALTER TABLE db.r DROP BRANCH nope")
+
+
+def test_sql_truncate_and_unconditioned_dml(spark, tmp_path):
+    """DELETE without WHERE / TRUNCATE TABLE = one Replace commit with
+    an empty file set (no per-row delete files); UPDATE without WHERE
+    touches every row."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.w (id BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO db.w VALUES (1,1),(2,2),(3,3)")
+
+    eng.sql("UPDATE db.w SET v = v * 10")
+    got = {(r.id, r.v) for r in eng.sql("SELECT id, v FROM db.w").collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+    eng.sql("TRUNCATE TABLE db.w")
+    assert eng.sql("SELECT count(*) AS n FROM db.w").collect()[0].n == 0
+    # truncate is a Replace snapshot, not an eq-delete chain
+    t = eng.load_table("db.w")
+    assert t.metadata.current_snapshot().summary["operation"] in (
+        "overwrite", "delete", "replace")
+
+    eng.sql("INSERT INTO db.w VALUES (9,9)")
+    eng.sql("DELETE FROM db.w")
+    assert eng.sql("SELECT count(*) AS n FROM db.w").collect()[0].n == 0
