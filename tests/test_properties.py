@@ -140,3 +140,59 @@ def test_trunc_upper_is_valid_upper_bound(s):
         up.encode("utf-8")          # never a lone surrogate
         assert up >= s or len(s) <= TRUNCATE_BOUND_LEN
     assert lo <= s
+
+
+@SLOW
+@given(
+    tgt=st.lists(st.tuples(st.integers(0, 6), st.integers(-20, 20)),
+                 min_size=0, max_size=10, unique_by=lambda r: r[0]),
+    src=st.lists(st.tuples(st.integers(0, 6), st.integers(-20, 20)),
+                 min_size=0, max_size=10, unique_by=lambda r: r[0]),
+    thresh=st.integers(-10, 10),
+)
+def test_merge_general_matches_model(spark, tmp_path_factory, tgt, src,
+                                     thresh):
+    """General MERGE vs a Python reference model over random tables:
+
+        WHEN MATCHED AND s.v < thresh THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        WHEN NOT MATCHED AND s.v >= thresh THEN INSERT *
+
+    (unique keys per side — Iceberg MERGE semantics require an
+    unambiguous source match)."""
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    wh = tmp_path_factory.mktemp("merge-prop")
+    eng = Engine(spark, FileCatalog(str(wh / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.m (k BIGINT, v BIGINT)")
+    if tgt:
+        eng.sql("INSERT INTO db.m VALUES "
+                + ",".join(f"({k},{v})" for k, v in tgt))
+    (spark.createDataFrame(src, "k long, v long") if src
+     else spark.createDataFrame([], "k long, v long")
+     ).createOrReplaceTempView("merge_prop_src")
+
+    eng.sql(f"""
+        MERGE INTO db.m t USING merge_prop_src s ON t.k = s.k
+        WHEN MATCHED AND s.v < {thresh} THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        WHEN NOT MATCHED AND s.v >= {thresh} THEN INSERT *
+    """)
+
+    model = dict(tgt)
+    smap = dict(src)
+    for k, sv in smap.items():
+        if k in model:
+            if sv < thresh:
+                del model[k]
+            else:
+                model[k] = model[k] + sv
+        elif sv >= thresh:
+            model[k] = sv
+
+    got = {r.k: r.v for r in eng.sql("SELECT k, v FROM db.m").collect()}
+    assert got == model
+    eng.sql("DROP TABLE db.m")
+    eng.sql("DROP SCHEMA db")
