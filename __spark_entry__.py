@@ -141,7 +141,13 @@ def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
         F.col("n_docs").alias("c1"),
         F.round(F.col("max_dup_frac") * 10000).cast("long").alias("c2"),
         F.col("avg_dup_frac").alias("avg_stat"))
-    return q.unionByName(t).unionByName(p).unionByName(r)
+    ppl = text.text_perplexity_proxy(s, d).select(
+        F.concat(F.lit("ppl:"), F.col("source")).alias("grp"),
+        F.col("n_docs").alias("c1"),
+        F.round(F.col("max_nll") * 1000).cast("long").alias("c2"),
+        F.col("avg_nll").alias("avg_stat"))
+    return (q.unionByName(t).unionByName(p).unionByName(r)
+            .unionByName(ppl))
 
 
 def _text_analysis_suite(s: SparkSession, d: str) -> DataFrame:
@@ -389,6 +395,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(max_dup_frac * 10000) AS BIGINT),
                    avg_dup_frac
             FROM ({o.pop('text_repetition_stats')})
+            UNION ALL
+            SELECT 'ppl:' || source, n_docs,
+                   CAST(round(max_nll * 1000) AS BIGINT), avg_nll
+            FROM ({o.pop('text_perplexity_proxy')})
         """,
         "dedup_exact": f"""
             SELECT 'exact' AS method, source, n_docs,

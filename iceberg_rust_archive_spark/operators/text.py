@@ -361,3 +361,92 @@ ORACLE_SQL["text_repetition_stats"] = f"""
            round(max(df), 4) AS max_dup_frac
     FROM d GROUP BY source
 """
+
+
+# --- perplexity-proxy quality scoring (corpus bigram LM) ----------------
+
+# Add-k smoothing constant for the bigram model.
+PPL_K = 0.5
+
+
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-proxy summary from a corpus-trained word
+    bigram LM — the CCNet/GPT-3-style quality gate (score documents by
+    how "expected" their word sequences are; boilerplate and gibberish
+    both score badly) without any external model artifact.
+
+    Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V) with add-k
+    smoothing over the corpus vocabulary V; per-doc score = mean
+    negative log-prob over its bigram instances (rounded before the
+    source rollup so cross-engine float summation can't flap the
+    grade).
+
+    Scale shape: one explode → one (w1,w2) count aggregate (heavy-tail
+    Zipf keys partial-aggregate well map-side), one unigram aggregate,
+    then the corpus bigrams join back against the count tables on
+    content-derived keys — AQE broadcasts the count sides when they
+    measure small and shuffles on the shared key otherwise. Zero
+    Python. At 100 TB the count tables are vocabulary-sized; the
+    standard width cut (hash bigrams to 64-bit before counting) drops
+    in without changing the plan shape."""
+    d = _docs(spark, sf_dir)
+    words = (d.select("doc_id", "source", F.expr(_WORDS).alias("ws"))
+             .filter(F.size("ws") >= 2))
+    bigrams = words.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(slice(ws, 1, size(ws) - 1), "
+            "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
+        )).alias("bg")).select("doc_id", "source",
+                               F.col("bg.w1").alias("w1"),
+                               F.col("bg.w2").alias("w2"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bg"))
+    uni_counts = (words.select(F.explode("ws").alias("w"))
+                  .groupBy("w").agg(F.count(F.lit(1)).alias("c_uni")))
+    vocab = uni_counts.count()
+    scored = (bigrams
+              .join(bg_counts, ["w1", "w2"])
+              .join(uni_counts.withColumnRenamed("w", "w1"), "w1")
+              .withColumn("nll", -F.log(
+                  (F.col("c_bg") + F.lit(PPL_K))
+                  / (F.col("c_uni") + F.lit(PPL_K * vocab)))))
+    per_doc = (scored.groupBy("doc_id", "source")
+               .agg(F.round(F.avg("nll"), 4).alias("doc_nll")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("doc_nll"), 3).alias("avg_nll"),
+                 F.round(F.max("doc_nll"), 3).alias("max_nll"))
+            .orderBy("source"))
+
+
+ORACLE_SQL["text_perplexity_proxy"] = f"""
+    WITH w AS (
+      SELECT doc_id, source, {_DWORDS} AS ws FROM documents
+    ), eligible AS (
+      SELECT * FROM w WHERE len(ws) >= 2
+    ), bg AS (
+      SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+      FROM eligible, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), bgc AS (
+      SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2
+    ), unic AS (
+      SELECT w, count(*) AS c_uni
+      FROM (SELECT unnest(ws) AS w FROM eligible) GROUP BY 1
+    ), v AS (SELECT count(*) AS vocab FROM unic),
+    scored AS (
+      SELECT bg.doc_id, bg.source,
+             -ln((c_bg + {PPL_K}) / (c_uni + {PPL_K} * v.vocab)) AS nll
+      FROM bg
+      JOIN bgc USING (w1, w2)
+      JOIN unic ON unic.w = bg.w1
+      CROSS JOIN v
+    ), per_doc AS (
+      SELECT doc_id, source, round(avg(nll), 4) AS doc_nll
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(doc_nll), 3) AS avg_nll,
+           round(max(doc_nll), 3) AS max_nll
+    FROM per_doc GROUP BY source ORDER BY source
+"""

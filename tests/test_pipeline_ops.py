@@ -645,3 +645,24 @@ def test_per_source_cap_exact_and_deterministic(spark):
     for r in rows:
         assert r.split == "capped"
         assert r.n_docs == min(sampling.CAP_PER_SOURCE, per_src[r.source])
+
+
+def test_perplexity_proxy_orders_quality(spark):
+    """Sanity: a doc made of corpus-frequent bigrams scores lower NLL
+    than a doc of unique gibberish bigrams under the same corpus LM."""
+    from iceberg_rust_archive_spark.operators import text as text_ops
+    rows = (
+        # source 'common': many repeats of the same sentence
+        [("common", i, "the cat sat on the mat") for i in range(20)]
+        # source 'rare': each doc is unique word soup
+        + [("rare", 100 + i, f"zq{i}x vbn{i}m plo{i}k wer{i}t")
+           for i in range(20)])
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    import os as _os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "documents.parquet")
+        df.write.parquet(p)
+        out = {r.source: r.avg_nll
+               for r in text_ops.text_perplexity_proxy(spark, d).collect()}
+    assert out["common"] < out["rare"]
