@@ -132,6 +132,36 @@ class Engine:
             self.catalog.drop_namespace(m.group(1))
             return None
 
+        m = re.match(r"show\s+(?:tables|views)(?:\s+in\s+([\w.]+))?\s*$",
+                     low)
+        if m:
+            namespaces = ([m.group(1)] if m.group(1)
+                          else self.catalog.list_namespaces())
+            rows = [(ns, name) for ns in namespaces
+                    for name in self.catalog.list_tabulars(ns)]
+            return self.spark.createDataFrame(
+                rows, "namespace string, name string")
+        m = re.match(r"show\s+(?:schemas|namespaces)\s*$", low)
+        if m:
+            return self.spark.createDataFrame(
+                [(ns,) for ns in self.catalog.list_namespaces()],
+                "namespace string")
+        m = re.match(r"describe\s+(?:table\s+)?([\w.]+)\s*$", s,
+                     re.IGNORECASE)
+        if m:
+            t = self.load_table(m.group(1))
+            schema = t.metadata.current_schema()
+            spec = t.metadata.default_spec()
+            part_by = {pf.source_id: pf.transform for pf in spec.fields}
+            rows = [(f.name,
+                     f.field_type if isinstance(f.field_type, str)
+                     else "struct",
+                     not f.required, part_by.get(f.field_id))
+                    for f in schema.fields]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, "
+                      "nullable boolean, partition_transform string")
+
         m = re.match(
             r"create\s+(?:external\s+)?table\s+([\w.]+)\s*\((.*?)\)\s*"
             r"(?:using\s+iceberg|stored\s+as\s+iceberg)?\s*"
@@ -645,7 +675,8 @@ class Engine:
             fields.append(NestedField(i + 1, name,
                                       _sql_type_to_iceberg(sqltype), required))
         schema = Schema(0, StructTypeSpec(tuple(fields)))
-        part_by = [p.strip() for p in (part_sql or "").split(",") if p.strip()]
+        part_by = [p.strip() for p in
+                   re.split(r",(?![^()]*\))", part_sql or "") if p.strip()]
         self.create_table(identifier, schema, part_by or None)
         return None
 
@@ -711,7 +742,8 @@ class Engine:
             df.createOrReplaceTempView(vn)
             return vn
         sql = re.sub(
-            r"([\w.]+)\.(snapshots|files|manifests|history|refs)\b",
+            r"([\w.]+)\.(snapshots|files|manifests|history|refs"
+            r"|partitions)\b",
             _meta, sql, flags=re.IGNORECASE)
 
         mapping = {}

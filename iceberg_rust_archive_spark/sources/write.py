@@ -197,9 +197,24 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         spec_fields.append((pf, src))
 
     # one shuffle to co-locate partitions; sort within tasks by the sort
-    # order (if any) so min/max file bounds stay tight for pruning
-    if pcols:
+    # order (if any) so min/max file bounds stay tight for pruning.
+    # ``write.distribution-mode`` (Iceberg table property): 'hash'
+    # (default here) clusters rows by partition transform with one hash
+    # exchange; 'range' range-partitions on the transforms — a sampled
+    # skew-aware exchange that also globally ORDERS the partitions, so
+    # each output file covers a contiguous transform range (tightest
+    # possible bounds for pruning, at the cost of the sampling pass);
+    # 'none' skips the shuffle entirely — every task writes files for
+    # the partitions it already holds (write-side fan-out, right when
+    # upstream already clustered the data or partitions ≈ tasks).
+    dist_mode = md.properties.get("write.distribution-mode", "hash")
+    if pcols and dist_mode == "hash":
         df = df.repartition(*[F.col(c) for c in pcols])
+    elif pcols and dist_mode == "range":
+        df = df.repartitionByRange(*[F.col(c) for c in pcols])
+    elif dist_mode not in ("none", "hash", "range"):
+        raise ValueError(
+            f"unknown write.distribution-mode {dist_mode!r}")
     order = md.sort_orders.get(md.default_sort_order_id)
     if order and order.fields:
         sort_cols = []

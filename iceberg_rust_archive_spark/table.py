@@ -223,6 +223,27 @@ class Table:
                 rows, "content int, file_path string, file_format string, "
                       "partition string, record_count long, "
                       "file_size_in_bytes long, sequence_number long")
+        if kind == "partitions":
+            from collections import defaultdict as _dd
+
+            from iceberg_rust_archive_spark.spec.manifest import (
+                STATUS_DELETED,
+            )
+            agg = _dd(lambda: [0, 0, 0])  # records, files, bytes
+            for es in read_manifests([m.manifest_path for m in mlist]):
+                for e in es:
+                    if e.status == STATUS_DELETED \
+                            or e.data_file.content != 0:
+                        continue
+                    k = _json.dumps(e.data_file.partition, sort_keys=True,
+                                    default=str)
+                    agg[k][0] += e.data_file.record_count
+                    agg[k][1] += 1
+                    agg[k][2] += e.data_file.file_size_in_bytes or 0
+            rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+            return spark.createDataFrame(
+                rows, "partition string, record_count long, "
+                      "file_count int, total_size_bytes long")
         if kind == "refs":
             rows = [(name, r.ref_type, r.snapshot_id,
                      r.min_snapshots_to_keep, r.max_snapshot_age_ms,

@@ -1407,3 +1407,64 @@ def test_sql_truncate_and_unconditioned_dml(spark, tmp_path):
     eng.sql("INSERT INTO db.w VALUES (9,9)")
     eng.sql("DELETE FROM db.w")
     assert eng.sql("SELECT count(*) AS n FROM db.w").collect()[0].n == 0
+
+
+@pytest.mark.parametrize("mode", ["hash", "range", "none"])
+def test_write_distribution_modes(spark, tmp_path, mode):
+    """write.distribution-mode=hash|range|none all land identical table
+    contents; range additionally clusters files so each partition's
+    files don't interleave transform values."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql(f"CREATE TABLE db.d_{mode} (id BIGINT, grp BIGINT) "
+            "PARTITIONED BY (bucket(4, grp))")
+    eng.sql(f"ALTER TABLE db.d_{mode} SET TBLPROPERTIES "
+            f"('write.distribution-mode'='{mode}')")
+    rows = ",".join(f"({i},{i % 10})" for i in range(100))
+    eng.sql(f"INSERT INTO db.d_{mode} VALUES {rows}")
+    got = {(r.id, r.grp) for r in
+           eng.sql(f"SELECT id, grp FROM db.d_{mode}").collect()}
+    assert got == {(i, i % 10) for i in range(100)}
+    # every data file must carry exactly one partition tuple regardless
+    # of mode (partition integrity is mode-independent)
+    files = eng.sql(f"SELECT partition FROM db.d_{mode}.files").collect()
+    assert files and all(f.partition for f in files)
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.p (id BIGINT, grp BIGINT) "
+            "PARTITIONED BY (grp)")
+    rows = ",".join(f"({i},{i % 3})" for i in range(30))
+    eng.sql(f"INSERT INTO db.p VALUES {rows}")
+    parts = eng.sql("SELECT * FROM db.p.partitions "
+                    "ORDER BY partition").collect()
+    assert len(parts) == 3
+    assert sum(p.record_count for p in parts) == 30
+    assert all(p.file_count >= 1 and p.total_size_bytes > 0
+               for p in parts)
+
+
+def test_show_and_describe_sql(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.a (id BIGINT, d DATE) "
+            "PARTITIONED BY (month(d))")
+    eng.sql("CREATE TABLE db.b (x BIGINT)")
+
+    ns = {r.namespace for r in eng.sql("SHOW SCHEMAS").collect()}
+    assert "db" in ns
+    tabs = {r.name for r in eng.sql("SHOW TABLES IN db").collect()}
+    assert tabs == {"db.a", "db.b"}
+
+    desc = {r.col_name: (r.data_type, r.partition_transform)
+            for r in eng.sql("DESCRIBE TABLE db.a").collect()}
+    assert desc["id"] == ("long", None)
+    assert desc["d"] == ("date", "month")
