@@ -577,6 +577,35 @@ class Engine:
             _evolve([f for f in schema.fields if f.name != m.group(1)])
             return
 
+        m = re.match(r"alter\s+column\s+(\w+)\s+(?:set\s+data\s+)?type\s+"
+                     r"([\w(), ]+)\s*$", a, re.IGNORECASE)
+        if m:
+            # Type promotion (schema evolution, spec §Schemas): only the
+            # spec's safe widenings are legal — int→long, float→double,
+            # decimal(P,S)→decimal(P',S) with P'>P. Readers then widen
+            # old files at scan time (Spark 4 parquet readers upcast
+            # int32→long / float→double natively; bounds compare
+            # numerically in the pruner regardless of width).
+            name, new_t = m.group(1), _sql_type_to_iceberg(m.group(2))
+            fld = schema.field_by_name(name)
+            if fld is None:
+                raise ValueError(f"no column {name!r}")
+            old_t = fld.field_type
+            def _dec(t):
+                m2 = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+                return (int(m2.group(1)), int(m2.group(2))) if m2 else None
+            ok = ((old_t, new_t) in (("int", "long"), ("float", "double"))
+                  or (_dec(old_t) is not None and _dec(new_t) is not None
+                      and _dec(new_t)[1] == _dec(old_t)[1]
+                      and _dec(new_t)[0] > _dec(old_t)[0]))
+            if not ok:
+                raise ValueError(
+                    f"illegal type promotion {old_t} -> {new_t}")
+            _evolve([f if f.field_id != fld.field_id
+                     else NestedField(f.field_id, f.name, new_t, f.required)
+                     for f in schema.fields])
+            return
+
         m = re.match(r"rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", a,
                      re.IGNORECASE)
         if m:

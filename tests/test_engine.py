@@ -1468,3 +1468,33 @@ def test_show_and_describe_sql(spark, tmp_path):
             for r in eng.sql("DESCRIBE TABLE db.a").collect()}
     assert desc["id"] == ("long", None)
     assert desc["d"] == ("date", "month")
+
+
+def test_alter_column_type_promotion(spark, tmp_path):
+    """int→long / float→double promotion: files written under the old
+    width still read (Spark 4 parquet readers widen), bounds still
+    prune, and illegal narrowings are rejected."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.tp (id BIGINT, n INT, x FLOAT)")
+    eng.sql("INSERT INTO db.tp VALUES (1, 10, CAST(1.5 AS FLOAT))")
+
+    eng.sql("ALTER TABLE db.tp ALTER COLUMN n TYPE BIGINT")
+    eng.sql("ALTER TABLE db.tp ALTER COLUMN x TYPE DOUBLE")
+    # append under the widened schema
+    eng.sql("INSERT INTO db.tp VALUES (2, 3000000000, 2.25)")
+
+    rows = {r.id: (r.n, r.x) for r in
+            eng.sql("SELECT id, n, x FROM db.tp").collect()}
+    assert rows == {1: (10, 1.5), 2: (3000000000, 2.25)}
+    t = eng.load_table("db.tp")
+    got_types = {f.name: f.field_type
+                 for f in t.metadata.current_schema().fields}
+    assert got_types["n"] == "long" and got_types["x"] == "double"
+
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE db.tp ALTER COLUMN n TYPE INT")  # narrowing
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE db.tp ALTER COLUMN id TYPE DOUBLE")
