@@ -606,6 +606,26 @@ class Engine:
                      for f in schema.fields])
             return
 
+        m = re.match(r"set\s+identifier\s+fields\s*\(?([\w, ]+?)\)?\s*$",
+                     a, re.IGNORECASE)
+        if m:
+            # identifier-field-ids (schema.rs row-identity contract):
+            # the default MERGE/upsert key set when none is given
+            names = [n.strip() for n in m.group(1).split(",") if n.strip()]
+            ids = []
+            for n in names:
+                fld = schema.field_by_name(n)
+                if fld is None:
+                    raise ValueError(f"no column {n!r}")
+                ids.append(fld.field_id)
+            new_schema = Schema(schema.schema_id + 1,
+                                StructTypeSpec(tuple(schema.fields)),
+                                tuple(ids))
+            txn = t.new_transaction().update_schema(new_schema)
+            txn.commit_with_retry(lambda x: x.update_schema(new_schema))
+            t.refresh()
+            return
+
         m = re.match(r"rename\s+column\s+(\w+)\s+to\s+(\w+)\s*$", a,
                      re.IGNORECASE)
         if m:

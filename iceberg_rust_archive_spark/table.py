@@ -268,7 +268,8 @@ class Table:
                       "is_current_ancestor boolean")
         raise ValueError(f"unknown metadata table {kind!r}")
 
-    def upsert(self, spark: SparkSession, df: DataFrame, keys: list[str],
+    def upsert(self, spark: SparkSession, df: DataFrame,
+               keys: list[str] | None = None,
                branch: str | None = None) -> "Table":
         """MERGE-style upsert in ONE atomic commit: an equality-delete
         file over the source's key tuples plus the source rows as data
@@ -280,8 +281,19 @@ class Table:
 
         Scale: the delete side is just the key projection (skinny
         columns); merge-on-read cost is the same broadcast anti-join
-        the delete path already pays, until compaction absorbs it."""
+        the delete path already pays, until compaction absorbs it.
+
+        ``keys=None`` defaults to the schema's identifier-field-ids
+        (the spec's row-identity contract, set via ALTER TABLE ...
+        SET IDENTIFIER FIELDS)."""
         schema = self.metadata.current_schema(branch)
+        if keys is None:
+            ids = schema.identifier_field_ids
+            if not ids:
+                raise ValueError(
+                    "upsert without keys requires identifier fields "
+                    "on the schema")
+            keys = [schema.field_by_id(i).name for i in ids]
         eq_ids = tuple(schema.field_by_name(c).field_id for c in keys)
         del_files = write_datafiles(
             spark, self.metadata, df.select(*keys).dropDuplicates(),

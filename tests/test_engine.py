@@ -1498,3 +1498,25 @@ def test_alter_column_type_promotion(spark, tmp_path):
         eng.sql("ALTER TABLE db.tp ALTER COLUMN n TYPE INT")  # narrowing
     with pytest.raises(ValueError):
         eng.sql("ALTER TABLE db.tp ALTER COLUMN id TYPE DOUBLE")
+
+
+def test_identifier_fields_default_upsert_keys(spark, tmp_path):
+    """SET IDENTIFIER FIELDS records row identity in the schema;
+    Table.upsert without explicit keys uses it."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.idf (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.idf VALUES (1,'a'),(2,'b')")
+    t = eng.load_table("db.idf")
+    with pytest.raises(ValueError):
+        t.upsert(spark, spark.createDataFrame([(1, "A")], ["k", "v"]))
+
+    eng.sql("ALTER TABLE db.idf SET IDENTIFIER FIELDS (k)")
+    t = eng.load_table("db.idf")
+    assert t.metadata.current_schema().identifier_field_ids == (1,)
+    t.upsert(spark, spark.createDataFrame(
+        [(1, "A"), (3, "c")], ["k", "v"]))
+    got = {(r.k, r.v) for r in eng.sql("SELECT * FROM db.idf").collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c")}
