@@ -1520,3 +1520,41 @@ def test_identifier_fields_default_upsert_keys(spark, tmp_path):
         [(1, "A"), (3, "c")], ["k", "v"]))
     got = {(r.k, r.v) for r in eng.sql("SELECT * FROM db.idf").collect()}
     assert got == {(1, "A"), (2, "b"), (3, "c")}
+
+
+def test_concurrent_appenders_all_commit(spark, tmp_path):
+    """8 threads race appends into one table; commit_with_retry must
+    serialize them through the catalog CAS with zero lost updates —
+    the reference's optimistic-concurrency contract."""
+    import threading
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.race (id BIGINT, w BIGINT)")
+
+    errs = []
+
+    def worker(w):
+        try:
+            t = eng.load_table("db.race")
+            rows = spark.createDataFrame(
+                [(w * 100 + i, w) for i in range(5)], ["id", "w"])
+            t.append(spark, rows)
+        except Exception as e:  # noqa: BLE001
+            errs.append((w, e))
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    assert eng.sql("SELECT count(*) AS n FROM db.race").collect()[0].n == 40
+    t = eng.load_table("db.race")
+    # 8 commits → 8 snapshots, strictly increasing sequence numbers
+    seqs = sorted(s.sequence_number for s in t.metadata.snapshots.values())
+    assert seqs == list(range(1, 9))
