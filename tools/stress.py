@@ -87,6 +87,40 @@ def main():
         print(f"pack_bins @ {amp}x shards={shards}: {nb} bins "
               f"({time.perf_counter()-t0:.1f}s)")
 
+    # Iceberg write path at amp× orders: partitioned write (transform
+    # shuffle + stats harvest + commit) then a pruned scan — the
+    # engine-side cost should scale ~linearly in rows while the pruned
+    # scan stays proportional to the matching partitions only
+    import shutil
+    import tempfile
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.operators.iceberg_queries import (
+        MONTH_SPEC, ORDERS_SCHEMA,
+    )
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.table import Table
+    od = amplify(
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+        ["o_orderkey"])
+    wh = tempfile.mkdtemp(prefix="stress-write-")
+    try:
+        cat = FileCatalog(os.path.join(wh, "wh"))
+        t = Table.create(cat, "db.orders_amp", ORDERS_SCHEMA, MONTH_SPEC)
+        t0 = time.perf_counter()
+        t = t.append(spark, od)
+        tw = time.perf_counter() - t0
+        import datetime as dt
+        t0 = time.perf_counter()
+        n96 = t.scan(spark, filter=[
+            Pred("o_orderdate", ">=", dt.datetime(1996, 1, 1)),
+            Pred("o_orderdate", "<", dt.datetime(1996, 7, 1))]).count()
+        ts = time.perf_counter() - t0
+        print(f"iceberg write @ {amp}x orders: {od.count()} rows in "
+              f"{tw:.1f}s; pruned 6-month scan {n96} rows in {ts:.1f}s")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
 
 def lsh_occupancy(spark, sf_dir: str, amp: int):
     """Evidence for the corpus-adaptive LSH claim: signature width
