@@ -760,10 +760,34 @@ def _component_oracles() -> dict[str, str]:
               SELECT * FROM upd
               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM msrc)
               UNION ALL SELECT * FROM msrc
+            ), m2src AS (
+              SELECT o_orderkey, o_custkey, 'Z' AS o_orderstatus,
+                     100.0 AS o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 100 = 21
+              UNION ALL
+              SELECT o_orderkey + 200000000, o_custkey, 'W',
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 100 = 23
+            ), final AS (
+              -- untouched rows
+              SELECT * FROM merged
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m2src)
+              UNION ALL
+              -- matched, guard (price < 100000) FALSE -> guarded update
+              SELECT m.o_orderkey, m.o_custkey, s.o_orderstatus,
+                     m.o_totalprice + s.o_totalprice,
+                     m.o_orderdate, m.o_orderpriority
+              FROM merged m JOIN m2src s USING (o_orderkey)
+              WHERE NOT (m.o_totalprice < 100000)
+              -- matched + guard TRUE rows are DELETEd (omitted)
+              UNION ALL
+              -- not matched -> INSERT *
+              SELECT s.* FROM m2src s
+              WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM merged)
             )
             SELECT o_orderstatus, count(o_orderkey) AS n_orders,
                    round(sum(o_totalprice), 2) AS total
-            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+            FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         **packing.ORACLE_SQL,
         **quantize.ORACLE_SQL,

@@ -419,6 +419,25 @@ def iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ON t.o_orderkey = m.o_orderkey "
                 "WHEN MATCHED THEN UPDATE SET * "
                 "WHEN NOT MATCHED THEN INSERT *")
+        # second MERGE exercises the GENERAL clause path (guarded
+        # DELETE, guarded cross-alias UPDATE, INSERT *) — oracle-graded
+        m2 = src.filter(F.col("o_orderkey") % 100 == 21).select(
+            "o_orderkey", "o_custkey",
+            F.lit("Z").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority"
+        ).unionByName(src.filter(F.col("o_orderkey") % 100 == 23).select(
+            (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+            "o_custkey", F.lit("W").alias("o_orderstatus"),
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+        m2.createOrReplaceTempView("dml_merge_src2")
+        eng.sql("MERGE INTO db.orders_dml t USING dml_merge_src2 m "
+                "ON t.o_orderkey = m.o_orderkey "
+                "WHEN MATCHED AND t.o_totalprice < 100000 THEN DELETE "
+                "WHEN MATCHED THEN UPDATE SET "
+                "o_totalprice = t.o_totalprice + m.o_totalprice, "
+                "o_orderstatus = m.o_orderstatus "
+                "WHEN NOT MATCHED THEN INSERT *")
         out = eng.sql(
             "SELECT o_orderstatus, count(o_orderkey) AS n_orders, "
             "round(sum(o_totalprice), 2) AS total "
