@@ -92,18 +92,20 @@ class Engine:
                 fields.append(PartitionSpec.parse_transform_expr(
                     expr, lambda: next(counter), schema))
         spec = PartitionSpec(0, tuple(fields))
-        return Table.create(self.catalog, identifier, schema, spec,
+        return Table.create(self.catalog, identifier.lower(), schema, spec,
                             properties=properties)
 
     def load_table(self, identifier: str) -> Table:
-        return Table.load(self.catalog, identifier)
+        # SQL identifiers are case-insensitive; the catalog stores the
+        # lowercase canonical form
+        return Table.load(self.catalog, identifier.lower())
 
     def create_view(self, identifier: str, sql: str) -> None:
         schema = mv_mod.schema_from_df(self._run_select(sql))
         base = getattr(self.catalog, "root", "/tmp/iceberg-warehouse")
         vm = ViewMetadata.new(
             f"{base}/{identifier.replace('.', '/')}", sql, schema)
-        self.catalog.create_tabular(identifier, vm)
+        self.catalog.create_tabular(identifier.lower(), vm)
 
     def create_materialized_view(self, identifier: str, sql: str) -> None:
         schema = mv_mod.schema_from_df(self._run_select(sql))
@@ -111,7 +113,7 @@ class Engine:
         mvm = MaterializedViewMetadata.new_mv(
             f"{base}/{identifier.replace('.', '/')}", sql, schema,
             storage_table=identifier + "_storage")
-        self.catalog.create_tabular(identifier, mvm)
+        self.catalog.create_tabular(identifier.lower(), mvm)
 
     def refresh_materialized_view(self, identifier: str) -> str:
         return mv_mod.refresh_materialized_view(self.spark, self.catalog,
@@ -798,7 +800,7 @@ class Engine:
         mapping = {}
         for name in find_relations(sql):
             try:
-                md = self.catalog.load_tabular(name)
+                md = self.catalog.load_tabular(name.lower())
             except Exception:  # noqa: BLE001 — not a catalog table
                 continue
             vn = "ice_" + re.sub(r"\W", "_", name)

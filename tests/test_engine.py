@@ -1592,3 +1592,44 @@ def test_changelog_read_insert_delete_upsert(spark, tmp_path):
     # replaying the changelog onto the from-state reproduces the table
     assert {(r.k, r.v) for r in t.scan(spark).collect()} == {
         (2, "B2"), (3, "c")}
+
+
+def test_sql_router_tolerates_case_and_whitespace(spark, tmp_path):
+    """Every routed statement family parses under scrambled case,
+    extra whitespace/newlines, and trailing semicolons."""
+    import random
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    rng = random.Random(7)
+
+    def scramble(sql):
+        mangled = "".join(
+            c.upper() if rng.random() < 0.5 else c.lower() for c in sql)
+        return "  " + mangled.replace(" WHERE ", "\n  wHeRe ") \
+                             .replace(" VALUES ", "\n VALUES\t") + " ;"
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    stmts = [
+        "CREATE SCHEMA db",
+        "CREATE TABLE db.fz (id BIGINT, v STRING)",
+        "INSERT INTO db.fz VALUES (1,'a'),(2,'b')",
+        "UPDATE db.fz SET v = 'B' WHERE id = 2",
+        "DELETE FROM db.fz WHERE id = 1",
+        "ALTER TABLE db.fz ADD COLUMN note STRING",
+        "ALTER TABLE db.fz CREATE TAG t1",
+        "SHOW TABLES IN db",
+        "DESCRIBE TABLE db.fz",
+        "SELECT count(*) AS n FROM db.fz",
+    ]
+    for sql in stmts:
+        # string literals must survive the scrambler ('a' stays 'a')
+        s = scramble(sql)
+        # restore literal case inside quotes
+        import re as _re
+        for lit in _re.findall(r"'([^']*)'", sql):
+            s = _re.sub(f"'{lit}'", f"'{lit}'", s, flags=_re.IGNORECASE)
+        eng.sql(s)
+    got = {(r.id, r.v) for r in
+           eng.sql("SELECT id, v FROM db.fz").collect()}
+    assert got == {(2, "B")}
