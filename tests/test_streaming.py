@@ -232,3 +232,55 @@ def test_dedup_stream_idempotent_ingestion(spark, tmp_path):
     assert stats3["novel"] == 1 and stats3["dups"] == 1
     got = sorted(r.doc_id for r in spark.read.parquet(out1).collect())
     assert got == [1, 2, 12]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark: once the
+    watermark finalizes a window, a row for that window arriving in a
+    LATER micro-batch is dropped by the stateful operator (Spark
+    filters with the previous trigger's watermark, so the late row
+    must land one batch after the window's emission to be droppable)
+    and the closed window is never re-emitted."""
+    import datetime as dt
+    import time as _time
+
+    from iceberg_rust_archive_spark.streaming.ops import EVENTS_SCHEMA
+
+    src = str(tmp_path / "late_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mod-times keep batch order stable
+
+    from pyspark.sql import functions as F
+    # b0: two on-time hour-0 events; b1: hour-3 (advances watermark);
+    # b2: hour-4 (emission batch for hour-0 with wm=02:00);
+    # b3: the 3-hour-late hour-0 row (+ an on-time hour-5 row)
+    write_file([(1, t0, 1, "click", 1.0),
+                (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0)])
+    write_file([(3, t0 + dt.timedelta(hours=3), 1, "click", 1.0)])
+    write_file([(4, t0 + dt.timedelta(hours=4), 1, "click", 1.0)])
+    write_file([(5, t0 + dt.timedelta(minutes=30), 2, "click", 1.0),
+                (6, t0 + dt.timedelta(hours=5), 1, "click", 1.0)])
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("ws"), "n"))
+    q = (agg.writeStream.format("memory").queryName("late_win")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    rows = spark.sql("SELECT * FROM late_win").collect()
+    per_window = {}
+    for r in rows:
+        per_window.setdefault(r.ws, []).append(r.n)
+    # hour-0 emitted exactly once with the on-time events only, and the
+    # operator accounted the late row as watermark-dropped
+    assert per_window.get(t0) == [2], per_window
+    assert dropped == 1, dropped
