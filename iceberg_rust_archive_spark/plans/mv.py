@@ -57,6 +57,11 @@ from iceberg_rust_archive_spark.table import Table
 FULL = "FullOverwrite"
 INCR_APPEND = "IncrementalAppend"
 INCR_AGG = "IncrementalAggregate"
+# Beyond the reference: sum/count aggregate MVs stay incremental even
+# after source DELETEs by folding the table CHANGELOG (insert/delete
+# rows, Table.changes) into the group deltas with signed weights —
+# where the reference (mod.rs:291-358) must fall back to FullOverwrite.
+CHANGELOG_AGG = "ChangelogAggregate"
 
 _INCREMENTAL_AGGS = {"sum", "count", "min", "max"}  # aggregate_functions.rs
 
@@ -108,10 +113,32 @@ class SourceState:
                     break
         self.invalid = (old_snapshot_id is not None
                         and (old is None or non_append_since))
+        # changelog eligibility: the old snapshot must still exist so
+        # Table.changes can resolve deletes against it
+        self.old_exists = old is not None
 
 
 def _view_name(identifier: str, suffix: str) -> str:
     return "mv_src_" + re.sub(r"\W", "_", identifier) + "_" + suffix
+
+
+def _multiplicity_item(parsed: ParsedSelect):
+    """The COUNT(*) (or COUNT(<literal>)) item — the group's exact row
+    multiplicity, needed to detect groups whose last row was deleted."""
+    for a in parsed.agg_items():
+        if a.agg_fn == "count" and (
+                a.agg_inner == "*"
+                or re.fullmatch(r"\d+", a.agg_inner or "")):
+            return a
+    return None
+
+
+def _changelog_capable(parsed: ParsedSelect) -> bool:
+    """sum/count only (min/max can't be retracted without a group
+    recompute) and an explicit multiplicity column."""
+    if any(a.agg_fn not in ("sum", "count") for a in parsed.agg_items()):
+        return False
+    return _multiplicity_item(parsed) is not None
 
 
 def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
@@ -151,9 +178,19 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     if not first_refresh and all(s.fresh for s in sources):
         return "Fresh"  # no-op (mod.rs:73-75)
     if (first_refresh or old_state is None
-            or any(s.invalid for s in sources)
             or any(s.old_snapshot_id is None for s in sources)):
         strategy = FULL
+    elif any(s.invalid for s in sources):
+        # Non-append history since the last refresh. For a single-source
+        # sum/count aggregate with an explicit COUNT(*) multiplicity
+        # column, the CHANGELOG (insert/delete rows) still yields exact
+        # group deltas via signed weights; everything else recomputes.
+        if (strategy == INCR_AGG and len(sources) == 1
+                and sources[0].old_exists
+                and _changelog_capable(parsed)):
+            strategy = CHANGELOG_AGG
+        else:
+            strategy = FULL
 
     new_state = RefreshState(
         refresh_version_id=mv.current_version_id,
@@ -197,50 +234,85 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                 result.unpersist()
         return FULL
 
-    # --- PosDelta passes -------------------------------------------------
-    passes: list[DataFrame] = []
-    for i, src in enumerate(sources):
-        if src.fresh:
-            continue
-        bindings: dict[str, DataFrame] = {}
-        for j, other in enumerate(sources):
-            if other.name == src.name:
-                bindings[other.name] = other.table.scan(
-                    spark, from_snapshot_id=other.old_snapshot_id)
-            elif j < i:
-                bindings[other.name] = other.table.scan(spark)  # new
-            else:
-                bindings[other.name] = other.table.scan(
-                    spark, snapshot_id=other.old_snapshot_id)   # old
-        passes.append(bind_and_run(bindings))
-    assert passes, f"no outdated sources but strategy={strategy}"
-    delta = passes[0]
-    for p in passes[1:]:
-        delta = delta.unionByName(p)
-
-    if strategy == INCR_APPEND:
-        files = _write(spark, storage, delta)
-        txn = storage.new_transaction(branch).append_files(files) \
-            .set_refresh_state(new_state.to_json_str())
-        txn.commit_with_retry(lambda t: t.append_files(files)
-                              .set_refresh_state(new_state.to_json_str()))
-        return INCR_APPEND
-
-    # --- incremental aggregate merge ------------------------------------
     keys = [i.out_name for i in parsed.key_items()]
     aggs = parsed.agg_items()
-    # re-merge the per-pass aggregate outputs into one delta per group
-    merge_across = []
-    for a in aggs:
-        c = F.col(a.alias)
-        if a.agg_fn in ("sum", "count"):
-            merge_across.append(F.sum(c).alias(a.alias))
-        elif a.agg_fn == "min":
-            merge_across.append(F.min(c).alias(a.alias))
-        else:
-            merge_across.append(F.max(c).alias(a.alias))
-    delta_agg = (delta.groupBy(*keys).agg(*merge_across) if keys
-                 else delta.agg(*merge_across))
+
+    if strategy == CHANGELOG_AGG:
+        # --- changelog delta: signed group aggregates ---------------------
+        # insert rows weigh +1, delete rows -1; sum -> Σ(w·expr),
+        # count(*) -> Σw, count(expr) -> Σ(w where expr not null). The
+        # merge below then ADDS these (possibly negative) deltas onto the
+        # stored groups — exactly retraction algebra, no FULL recompute.
+        src = sources[0]
+        ch = src.table.changes(spark,
+                               from_snapshot_id=src.old_snapshot_id)
+        ch = ch.withColumn(
+            "__w", F.when(F.col("_change_type") == "insert",
+                          F.lit(1)).otherwise(F.lit(-1)))
+        wm = re.search(
+            r"\bwhere\s+(.*?)(?:\bgroup\s+by\b|\border\s+by\b"
+            r"|\bhaving\b|$)", run_sql, re.IGNORECASE | re.DOTALL)
+        if wm:
+            ch = ch.filter(F.expr(wm.group(1).strip()))
+        agg_exprs = []
+        for a in aggs:
+            inner = a.agg_inner
+            if a.agg_fn == "sum":
+                agg_exprs.append(
+                    F.expr(f"sum(__w * ({inner}))").alias(a.alias))
+            elif inner == "*" or re.fullmatch(r"\d+", inner or ""):
+                agg_exprs.append(F.sum("__w").cast("long").alias(a.alias))
+            else:
+                agg_exprs.append(F.expr(
+                    f"sum(CASE WHEN ({inner}) IS NOT NULL "
+                    "THEN __w ELSE 0 END)").cast("long").alias(a.alias))
+        kexprs = [F.expr(i.expr).alias(i.out_name)
+                  for i in parsed.key_items()]
+        delta_agg = (ch.groupBy(*kexprs).agg(*agg_exprs) if kexprs
+                     else ch.agg(*agg_exprs))
+    else:
+        # --- PosDelta passes ---------------------------------------------
+        passes: list[DataFrame] = []
+        for i, src in enumerate(sources):
+            if src.fresh:
+                continue
+            bindings: dict[str, DataFrame] = {}
+            for j, other in enumerate(sources):
+                if other.name == src.name:
+                    bindings[other.name] = other.table.scan(
+                        spark, from_snapshot_id=other.old_snapshot_id)
+                elif j < i:
+                    bindings[other.name] = other.table.scan(spark)  # new
+                else:
+                    bindings[other.name] = other.table.scan(
+                        spark, snapshot_id=other.old_snapshot_id)   # old
+            passes.append(bind_and_run(bindings))
+        assert passes, f"no outdated sources but strategy={strategy}"
+        delta = passes[0]
+        for p in passes[1:]:
+            delta = delta.unionByName(p)
+
+        if strategy == INCR_APPEND:
+            files = _write(spark, storage, delta)
+            txn = storage.new_transaction(branch).append_files(files) \
+                .set_refresh_state(new_state.to_json_str())
+            txn.commit_with_retry(lambda t: t.append_files(files)
+                                  .set_refresh_state(new_state.to_json_str()))
+            return INCR_APPEND
+
+        # --- incremental aggregate merge ---------------------------------
+        # re-merge the per-pass aggregate outputs into one delta per group
+        merge_across = []
+        for a in aggs:
+            c = F.col(a.alias)
+            if a.agg_fn in ("sum", "count"):
+                merge_across.append(F.sum(c).alias(a.alias))
+            elif a.agg_fn == "min":
+                merge_across.append(F.min(c).alias(a.alias))
+            else:
+                merge_across.append(F.max(c).alias(a.alias))
+        delta_agg = (delta.groupBy(*keys).agg(*merge_across) if keys
+                     else delta.agg(*merge_across))
     delta_agg = delta_agg.cache()  # ForkNode equivalent (fork_node.rs)
 
     stored = storage.scan(spark)
@@ -273,6 +345,12 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                                 how="left_anti") if keys \
         else delta_agg.limit(0)
     upserts = merged.unionByName(new_groups.select(*delta_agg.columns))
+    if strategy == CHANGELOG_AGG:
+        # a group whose multiplicity reached 0 ceased to exist: it is
+        # retracted (its key is in retract_keys below) and NOT
+        # re-inserted — a GROUP BY result has no empty groups
+        mult = _multiplicity_item(parsed).alias
+        upserts = upserts.filter(F.col(mult) > 0)
     # one row per touched group — tiny by construction. Cache it so the
     # write path's width sample and the writer don't each re-run the
     # stored-table merge-on-read scan + join.
@@ -303,7 +381,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     delta_agg.unpersist()
     upserts.unpersist()
     _maybe_compact_storage(spark, catalog, mv, branch)
-    return INCR_AGG
+    return strategy
 
 
 # Auto-compact the MV storage table once this many delete MANIFESTS

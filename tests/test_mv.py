@@ -330,3 +330,51 @@ def test_mv_full_refresh_after_source_delete(engine):
     got = {r[0]: r[1] for r in
            engine.sql("SELECT product_id, q FROM db.dmv").collect()}
     assert got == {1: 6, 3: 3}
+
+
+def test_mv_changelog_refresh_survives_source_deletes(engine, spark):
+    """A sum/count aggregate MV with COUNT(*) stays INCREMENTAL through
+    source DELETEs: the changelog's signed weights retract the deleted
+    rows' contributions, fully-deleted groups disappear, and the result
+    equals a from-scratch recompute — where the reference must fall back
+    to FullOverwrite."""
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
+
+    engine.sql("CREATE MATERIALIZED VIEW db.clv AS "
+               "SELECT product_id, count(*) AS n, sum(quantity) AS q "
+               "FROM db.orders GROUP BY product_id")
+    assert engine.refresh_materialized_view("db.clv") == FULL
+
+    def mv_rows():
+        return {r.product_id: (r.n, r.q) for r in
+                engine.sql("SELECT product_id, n, q FROM db.clv")
+                .collect()}
+    assert mv_rows() == {1: (4, 7), 2: (1, 1), 3: (1, 3)}
+
+    # delete one row of product 1 AND product 2's only row; also
+    # append a new product-4 row — a mixed delete+append interval
+    engine.sql("DELETE FROM db.orders WHERE id = 3")      # p1, qty 3
+    engine.sql("DELETE FROM db.orders WHERE product_id = 2")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7, 2, 4, DATE '2020-03-03', 5)")
+
+    assert engine.refresh_materialized_view("db.clv") == CHANGELOG_AGG
+    assert mv_rows() == {1: (3, 4), 3: (1, 3), 4: (1, 5)}
+
+    # UPDATE = delete+insert in one commit; changelog handles it too
+    engine.sql("UPDATE db.orders SET quantity = quantity + 10 "
+               "WHERE product_id = 3")
+    assert engine.refresh_materialized_view("db.clv") == CHANGELOG_AGG
+    assert mv_rows() == {1: (3, 4), 3: (1, 13), 4: (1, 5)}
+
+    # equivalence with a full recompute of the same SQL
+    want = {r.product_id: (r.n, r.q) for r in engine.sql(
+        "SELECT product_id, count(*) AS n, sum(quantity) AS q "
+        "FROM db.orders GROUP BY product_id").collect()}
+    assert mv_rows() == want
+
+    # and append-only intervals still use the cheaper INCR_AGG path
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(8, 1, 1, DATE '2020-03-04', 1)")
+    assert engine.refresh_materialized_view("db.clv") == INCR_AGG
+    assert mv_rows()[1] == (4, 5)
