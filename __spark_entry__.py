@@ -694,8 +694,9 @@ def _component_oracles() -> dict[str, str]:
         "mv_incremental_refresh": """
             SELECT CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-                   count(o_orderkey) AS n_orders, o_orderstatus
+                   count(*) AS n_orders, o_orderstatus
             FROM orders
+            WHERE NOT (o_custkey % 7 = 2)
             GROUP BY o_orderstatus
         """,
         "csv_source_roundtrip": """

@@ -163,9 +163,11 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship scenario (delta_queries/mod.rs:1199-1517):
     seed table → create aggregate MV → full refresh → append more source
     rows → INCREMENTAL refresh (only the snapshot delta is scanned,
-    A21-A24) → MV contents must equal a full recompute."""
+    A21-A24) → then DELETE source rows → CHANGELOG refresh (signed
+    retraction weights over Table.changes — beyond the reference, which
+    must recompute here) → MV contents must equal a full recompute."""
     from iceberg_rust_archive_spark.plans.engine import Engine
-    from iceberg_rust_archive_spark.plans.mv import INCR_AGG
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG, INCR_AGG
 
     cat, d = _tmp_catalog()
     try:
@@ -178,12 +180,15 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db.omv",
             "SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
             "THEN 1 ELSE 0 END) AS high_line_count, "
-            "count(o_orderkey) AS n_orders, o_orderstatus "
+            "count(*) AS n_orders, o_orderstatus "
             "FROM db.orders_mv GROUP BY o_orderstatus")
         eng.refresh_materialized_view("db.omv")
         t.append(spark, src.filter(F.col("o_orderkey") % 3 == 0))
         strategy = eng.refresh_materialized_view("db.omv")
         assert strategy == INCR_AGG, strategy
+        eng.sql("DELETE FROM db.orders_mv WHERE o_custkey % 7 = 2")
+        strategy = eng.refresh_materialized_view("db.omv")
+        assert strategy == CHANGELOG_AGG, strategy
         out = eng.sql("SELECT high_line_count, n_orders, o_orderstatus "
                       "FROM db.omv").orderBy("o_orderstatus")
         return spark.createDataFrame(out.collect(), out.schema)
