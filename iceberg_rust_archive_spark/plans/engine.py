@@ -231,6 +231,17 @@ class Engine:
                 mt.rewrite_position_deletes(self.spark, t)
             elif proc == "rollback_to_snapshot":
                 mt.rollback_to_snapshot(t, int((rest or "0").strip()))
+            elif proc == "create_changelog_view":
+                # CALL system.create_changelog_view('ns.t'[, from[, to]])
+                # → registers <ns>_<t>_changes for SELECTs (CDC surface)
+                args = [a for a in re.findall(r"\d+", rest or "")]
+                ch = t.changes(
+                    self.spark,
+                    from_snapshot_id=int(args[0]) if args else None,
+                    to_snapshot_id=int(args[1]) if len(args) > 1 else None)
+                vn = re.sub(r"\W", "_", ident) + "_changes"
+                ch.createOrReplaceTempView(vn)
+                return self.spark.createDataFrame([(vn,)], ["view_name"])
             else:
                 raise ValueError(f"unknown procedure {proc!r}")
             return None

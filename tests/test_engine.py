@@ -1633,3 +1633,20 @@ def test_sql_router_tolerates_case_and_whitespace(spark, tmp_path):
     got = {(r.id, r.v) for r in
            eng.sql("SELECT id, v FROM db.fz").collect()}
     assert got == {(2, "B")}
+
+
+def test_create_changelog_view_sql(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.cv (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.cv VALUES (1,'a'),(2,'b')")
+    eng.sql("DELETE FROM db.cv WHERE k = 1")
+
+    vn = eng.sql("CALL system.create_changelog_view('db.cv')") \
+        .collect()[0].view_name
+    rows = {(r.k, r.v, r._change_type)
+            for r in spark.sql(f"SELECT * FROM {vn}").collect()}
+    assert rows == {(1, "a", "insert"), (2, "b", "insert"),
+                    (1, "a", "delete")}
