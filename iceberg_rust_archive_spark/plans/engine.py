@@ -21,17 +21,30 @@ Supported statements::
     ALTER TABLE ns.t ADD COLUMN(S) c TYPE, ... | DROP COLUMN c
         | RENAME COLUMN a TO b | ADD/DROP PARTITION FIELD <expr>
         | SET TBLPROPERTIES ('k'='v', ...)
-    MERGE INTO ns.t USING <src> ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-    UPDATE ns.t SET col = expr, ... WHERE pred
-    DELETE FROM ns.t WHERE pred
+    MERGE INTO ns.t USING <src> ON t.k = s.k            (general clauses:)
+        WHEN [NOT] MATCHED [AND cond] THEN
+            UPDATE SET col = expr, ... | UPDATE SET * | DELETE
+          | INSERT * | INSERT (cols) VALUES (exprs)
+    UPDATE ns.t SET col = expr, ... [WHERE pred]
+    DELETE FROM ns.t [WHERE pred] | TRUNCATE TABLE ns.t
     INSERT OVERWRITE ns.t <select|values>
-    SELECT ... FROM ns.t VERSION AS OF <id> | TIMESTAMP AS OF '<ts>'
+    ALTER TABLE ns.t ALTER COLUMN c TYPE <wider>
+        | SET IDENTIFIER FIELDS (cols)
+        | CREATE/DROP BRANCH|TAG name [AS OF VERSION n]
+    SHOW TABLES [IN ns] | SHOW SCHEMAS | DESCRIBE [TABLE] ns.t
+    SELECT ... FROM ns.t VERSION AS OF <id>|'<branch|tag>'
+        | TIMESTAMP AS OF '<ts>'
     SELECT ... FROM ns.t.snapshots | .files | .manifests | .history
+        | .refs | .partitions
     CALL system.rewrite_manifests('ns.t') | system.compact('ns.t')
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
+        | system.rewrite_position_deletes('ns.t')
+        | system.rollback_to_snapshot('ns.t', id)
+        | system.create_changelog_view('ns.t'[, from[, to]])
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
+
+SQL identifiers are case-insensitive (canonicalized to lowercase).
 """
 
 from __future__ import annotations
