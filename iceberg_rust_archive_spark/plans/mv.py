@@ -70,7 +70,7 @@ def classify(parsed: ParsedSelect) -> str:
     """mod.rs:370-415 equivalent on the parsed SQL."""
     if (parsed.has_window or parsed.has_distinct or parsed.has_subquery
             or parsed.has_outer_join or parsed.has_repeated_relation
-            or parsed.has_comma_from):
+            or parsed.has_comma_from or parsed.has_having):
         return FULL
     if parsed.is_aggregate:
         aggs = parsed.agg_items()

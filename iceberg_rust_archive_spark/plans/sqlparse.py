@@ -94,6 +94,10 @@ class ParsedSelect:
     # only captures its first relation. Classified FULL (always correct).
     has_repeated_relation: bool = False
     has_comma_from: bool = False
+    # HAVING filters on the TOTAL aggregate; a delta pass would apply it
+    # to the delta-local aggregate and drop groups whose delta fails but
+    # whose merged total passes. Classified FULL (always correct).
+    has_having: bool = False
 
     @property
     def is_aggregate(self) -> bool:
@@ -143,8 +147,9 @@ def parse_select(sql: str) -> ParsedSelect:
                 item.agg_fn = am.group(1).lower()
                 item.agg_inner = am.group(2).strip()
             p.items.append(item)
-    g = re.search(r"\bgroup\s+by\s+(.*?)(\border\s+by\b|\blimit\b|$)", text,
-                  re.IGNORECASE | re.DOTALL)
+    p.has_having = bool(re.search(r"\bhaving\b", low))
+    g = re.search(r"\bgroup\s+by\s+(.*?)(\bhaving\b|\border\s+by\b"
+                  r"|\blimit\b|$)", text, re.IGNORECASE | re.DOTALL)
     if g:
         p.group_by = split_top_level(g.group(1).strip())
     return p

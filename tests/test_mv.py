@@ -378,3 +378,30 @@ def test_mv_changelog_refresh_survives_source_deletes(engine, spark):
                "(8, 1, 1, DATE '2020-03-04', 1)")
     assert engine.refresh_materialized_view("db.clv") == INCR_AGG
     assert mv_rows()[1] == (4, 5)
+
+
+def test_mv_having_classified_full_and_correct(engine):
+    """HAVING filters the TOTAL aggregate, so incremental delta passes
+    would be wrong (a group whose delta fails the predicate but whose
+    merged total passes would be dropped) — classified FULL, and the
+    refreshed contents equal the direct query."""
+    from iceberg_rust_archive_spark.plans.sqlparse import parse_select
+
+    sql = ("SELECT product_id, count(*) AS n, sum(quantity) AS q "
+           "FROM db.orders GROUP BY product_id HAVING count(*) > 1")
+    p = parse_select(sql)
+    assert p.has_having and p.group_by == ["product_id"]
+    assert classify(p) == FULL
+
+    engine.sql(f"CREATE MATERIALIZED VIEW db.hv AS {sql}")
+    engine.refresh_materialized_view("db.hv")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(9, 2, 2, DATE '2020-04-01', 4)")
+    assert engine.refresh_materialized_view("db.hv") == FULL
+    got = {r.product_id: (r.n, r.q) for r in
+           engine.sql("SELECT * FROM db.hv").collect()}
+    want = {r.product_id: (r.n, r.q) for r in engine.sql(
+        "SELECT product_id, count(*) AS n, sum(quantity) AS q "
+        "FROM db.orders GROUP BY product_id HAVING count(*) > 1"
+    ).collect()}
+    assert got == want and 2 in got  # product 2 crossed the bar
