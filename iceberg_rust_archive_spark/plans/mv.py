@@ -70,11 +70,17 @@ def classify(parsed: ParsedSelect) -> str:
     """mod.rs:370-415 equivalent on the parsed SQL."""
     if (parsed.has_window or parsed.has_distinct or parsed.has_subquery
             or parsed.has_outer_join or parsed.has_repeated_relation
-            or parsed.has_comma_from or parsed.has_having):
+            or parsed.has_comma_from or parsed.has_having
+            or parsed.has_limit):
         return FULL
     if parsed.is_aggregate:
         aggs = parsed.agg_items()
         if not aggs or any(i.agg_fn not in _INCREMENTAL_AGGS for i in aggs):
+            return FULL
+        # count(DISTINCT x)/sum(DISTINCT x) are NOT additive across
+        # deltas — distinct values may repeat between old and new rows
+        if any(re.match(r"distinct\b", (i.agg_inner or "").strip(),
+                        re.IGNORECASE) for i in aggs):
             return FULL
         if any(i.alias is None for i in aggs):
             return FULL  # merge needs stable output names

@@ -98,6 +98,9 @@ class ParsedSelect:
     # to the delta-local aggregate and drop groups whose delta fails but
     # whose merged total passes. Classified FULL (always correct).
     has_having: bool = False
+    # LIMIT bounds the TOTAL result; an incremental append/merge would
+    # grow past it. Classified FULL.
+    has_limit: bool = False
 
     @property
     def is_aggregate(self) -> bool:
@@ -148,6 +151,7 @@ def parse_select(sql: str) -> ParsedSelect:
                 item.agg_inner = am.group(2).strip()
             p.items.append(item)
     p.has_having = bool(re.search(r"\bhaving\b", low))
+    p.has_limit = bool(re.search(r"\blimit\s+\d", low))
     g = re.search(r"\bgroup\s+by\s+(.*?)(\bhaving\b|\border\s+by\b"
                   r"|\blimit\b|$)", text, re.IGNORECASE | re.DOTALL)
     if g:

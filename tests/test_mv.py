@@ -405,3 +405,19 @@ def test_mv_having_classified_full_and_correct(engine):
         "FROM db.orders GROUP BY product_id HAVING count(*) > 1"
     ).collect()}
     assert got == want and 2 in got  # product 2 crossed the bar
+
+
+def test_mv_classify_rejects_limit_and_distinct_aggs():
+    """LIMIT bounds the total result and DISTINCT aggregates are not
+    additive across deltas — both must classify FULL."""
+    assert classify(parse_select(
+        "SELECT a, b FROM t LIMIT 10")) == FULL
+    assert classify(parse_select(
+        "SELECT k, sum(x) AS s FROM t GROUP BY k LIMIT 5")) == FULL
+    assert classify(parse_select(
+        "SELECT k, count(DISTINCT x) AS n FROM t GROUP BY k")) == FULL
+    assert classify(parse_select(
+        "SELECT k, sum(DISTINCT x) AS s FROM t GROUP BY k")) == FULL
+    # plain additive aggregates keep their incremental classification
+    assert classify(parse_select(
+        "SELECT k, count(*) AS n FROM t GROUP BY k")) == INCR_AGG
