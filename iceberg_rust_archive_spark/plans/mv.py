@@ -7,8 +7,12 @@ Strategy classification (mod.rs:370-415): queries outside the supported
 shape (window fns, DISTINCT, outer joins, subqueries, non-incremental
 aggregates) ⇒ FULL overwrite; ORDER BY ⇒ overwrite (storage order is
 meaningless, the reference calls this IncrementalOverwrite); plain
-SELECT-FROM-JOIN-WHERE[-UNION] ⇒ incremental append; + GROUP BY over
-sum/count/min/max ⇒ incremental aggregate merge.
+SELECT-FROM-JOIN-WHERE ⇒ incremental append; + GROUP BY over
+sum/count/min/max ⇒ incremental aggregate merge. UNION queries
+classify FULL here: the reference's δ(A∪B)=δA∪δB rule needs per-branch
+delta plans, while this driver's pass machinery re-runs the WHOLE SQL
+per source binding — for a union that would re-emit the other branch's
+rows every pass, so the (always-correct) recompute is used instead.
 
 PosDelta (transform.rs:27-213): with append-only sources, the delta of a
 multilinear plan (σ, π, ⋈, ∪ all distribute over appends) expands to

@@ -421,3 +421,19 @@ def test_mv_classify_rejects_limit_and_distinct_aggs():
     # plain additive aggregates keep their incremental classification
     assert classify(parse_select(
         "SELECT k, count(*) AS n FROM t GROUP BY k")) == INCR_AGG
+
+
+def test_mv_classify_expression_wrapped_aggregates_full():
+    """sum(x)+1 / round(sum(x),2) are not merge-able named aggregates;
+    UNION needs per-branch delta plans the pass machinery doesn't
+    build — all classify FULL. Expression GROUP BY keys stay
+    incremental (the delta SQL re-derives them)."""
+    assert classify(parse_select(
+        "SELECT k, sum(x) + 1 AS y FROM t GROUP BY k")) == FULL
+    assert classify(parse_select(
+        "SELECT k, round(sum(x), 2) AS y FROM t GROUP BY k")) == FULL
+    assert classify(parse_select(
+        "SELECT a FROM t UNION ALL SELECT a FROM u")) == FULL
+    assert classify(parse_select(
+        "SELECT upper(k) AS ku, sum(x) AS s FROM t "
+        "GROUP BY upper(k)")) == INCR_AGG
