@@ -510,6 +510,17 @@ class Engine:
                 f"SELECT {act} AS __act, {oldk}, {proj} "
                 f"FROM __merge_tgt {talias} JOIN __merge_src {salias} "
                 f"ON {on}").filter(F.col("__act") >= 0).cache()
+            # ambiguity guard (Iceberg/Delta semantics): a target row
+            # matched by >1 source row has no well-defined result —
+            # fail loudly instead of silently writing duplicates. One
+            # small aggregate over the touched keys only.
+            dup = (affected
+                   .groupBy(*[F.col(f"__old_{k}") for k in keys])
+                   .count().filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    "MERGE source matches a target row more than once "
+                    f"(e.g. key {tuple(dup[0])[:-1]})")
             del_rows = affected.select(
                 *[F.col(f"__old_{k}").alias(k) for k in keys]
             ).dropDuplicates()

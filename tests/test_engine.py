@@ -1650,3 +1650,38 @@ def test_create_changelog_view_sql(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM {vn}").collect()}
     assert rows == {(1, "a", "insert"), (2, "b", "insert"),
                     (1, "a", "delete")}
+
+
+def test_merge_rejects_ambiguous_source(spark, tmp_path):
+    """A source with duplicate join keys matches one target row twice —
+    MERGE must fail loudly (Iceberg/Delta semantics), not write dupes."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.amb (k BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO db.amb VALUES (1, 1)")
+    spark.createDataFrame([(1, 10), (1, 20)], ["k", "v"]) \
+        .createOrReplaceTempView("amb_src")
+    with pytest.raises(ValueError, match="more than once"):
+        eng.sql("MERGE INTO db.amb t USING amb_src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET v = s.v "
+                "WHEN NOT MATCHED THEN INSERT *")
+    # table unchanged
+    assert [(r.k, r.v) for r in
+            eng.sql("SELECT * FROM db.amb").collect()] == [(1, 1)]
+
+
+def test_delete_with_subquery_predicate(spark, tmp_path):
+    """DELETE ... WHERE k IN (SELECT ...) resolves the subquery through
+    the same catalog-registered SELECT path."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t1 (k BIGINT, v BIGINT)")
+    eng.sql("CREATE TABLE db.t2 (k BIGINT)")
+    eng.sql("INSERT INTO db.t1 VALUES (1,1),(2,2),(3,3)")
+    eng.sql("INSERT INTO db.t2 VALUES (1),(3)")
+    eng.sql("DELETE FROM db.t1 WHERE k IN (SELECT k FROM db.t2)")
+    assert {r.k for r in eng.sql("SELECT k FROM db.t1").collect()} == {2}
