@@ -151,6 +151,32 @@ def _changelog_capable(parsed: ParsedSelect) -> bool:
     return _multiplicity_item(parsed) is not None
 
 
+def _weighted_sql(parsed: ParsedSelect, run_sql: str, wtot: str) -> str:
+    """Rewrite the MV's SELECT list so every aggregate folds the row's
+    signed weight product ``wtot`` (Z-relation / IVM algebra): rows of
+    weight -1 are retractions, joins multiply weights through, and
+    sum-of-weights IS the group multiplicity. FROM/WHERE/GROUP BY text
+    is untouched."""
+    items = []
+    for i in parsed.items:
+        if not i.agg_fn:
+            items.append(f"{i.expr} AS {i.alias}" if i.alias else i.expr)
+        elif i.agg_fn == "sum":
+            items.append(
+                f"sum(({wtot}) * ({i.agg_inner})) AS {i.alias}")
+        elif (i.agg_inner == "*"
+                or re.fullmatch(r"\d+", i.agg_inner or "")):
+            items.append(f"CAST(sum({wtot}) AS BIGINT) AS {i.alias}")
+        else:
+            items.append(
+                f"CAST(sum(CASE WHEN ({i.agg_inner}) IS NOT NULL "
+                f"THEN {wtot} ELSE 0 END) AS BIGINT) AS {i.alias}")
+    body = re.search(r"select\s+(.*?)\s+from\s", run_sql,
+                     re.IGNORECASE | re.DOTALL)
+    return (run_sql[:body.start(1)] + ", ".join(items)
+            + run_sql[body.end(1):])
+
+
 def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                               identifier: str,
                               branch: str | None = None) -> str:
@@ -195,8 +221,8 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         # sum/count aggregate with an explicit COUNT(*) multiplicity
         # column, the CHANGELOG (insert/delete rows) still yields exact
         # group deltas via signed weights; everything else recomputes.
-        if (strategy == INCR_AGG and len(sources) == 1
-                and sources[0].old_exists
+        if (strategy == INCR_AGG
+                and all(s.old_exists for s in sources)
                 and _changelog_capable(parsed)):
             strategy = CHANGELOG_AGG
         else:
@@ -210,13 +236,14 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
 
     run_sql = strip_order_by(sql)
 
-    def bind_and_run(bindings: dict[str, DataFrame]) -> DataFrame:
+    def bind_and_run(bindings: dict[str, DataFrame],
+                     sql_text: str | None = None) -> DataFrame:
         mapping = {}
         for name, df in bindings.items():
             vn = _view_name(name, "v")
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
-        return spark.sql(rewrite_relations(run_sql, mapping))
+        return spark.sql(rewrite_relations(sql_text or run_sql, mapping))
 
     def current_bindings() -> dict[str, DataFrame]:
         return {s.name: s.table.scan(spark) for s in sources}
@@ -248,38 +275,51 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     aggs = parsed.agg_items()
 
     if strategy == CHANGELOG_AGG:
-        # --- changelog delta: signed group aggregates ---------------------
-        # insert rows weigh +1, delete rows -1; sum -> Σ(w·expr),
-        # count(*) -> Σw, count(expr) -> Σ(w where expr not null). The
-        # merge below then ADDS these (possibly negative) deltas onto the
-        # stored groups — exactly retraction algebra, no FULL recompute.
-        src = sources[0]
-        ch = src.table.changes(spark,
-                               from_snapshot_id=src.old_snapshot_id)
-        ch = ch.withColumn(
-            "__w", F.when(F.col("_change_type") == "insert",
-                          F.lit(1)).otherwise(F.lit(-1)))
-        wm = re.search(
-            r"\bwhere\s+(.*?)(?:\bgroup\s+by\b|\border\s+by\b"
-            r"|\bhaving\b|$)", run_sql, re.IGNORECASE | re.DOTALL)
-        if wm:
-            ch = ch.filter(F.expr(wm.group(1).strip()))
-        agg_exprs = []
-        for a in aggs:
-            inner = a.agg_inner
-            if a.agg_fn == "sum":
-                agg_exprs.append(
-                    F.expr(f"sum(__w * ({inner}))").alias(a.alias))
-            elif inner == "*" or re.fullmatch(r"\d+", inner or ""):
-                agg_exprs.append(F.sum("__w").cast("long").alias(a.alias))
-            else:
-                agg_exprs.append(F.expr(
-                    f"sum(CASE WHEN ({inner}) IS NOT NULL "
-                    "THEN __w ELSE 0 END)").cast("long").alias(a.alias))
-        kexprs = [F.expr(i.expr).alias(i.out_name)
-                  for i in parsed.key_items()]
-        delta_agg = (ch.groupBy(*kexprs).agg(*agg_exprs) if kexprs
-                     else ch.agg(*agg_exprs))
+        # --- weighted changelog delta passes (IVM / Z-relations) ---------
+        # Each pass binds ONE source to its signed changelog (insert +1 /
+        # delete -1) and the others to new (j<i) / old (j>i) snapshot
+        # states with weight 1 — the same PosDelta expansion as below,
+        # generalized to retractions: weights multiply through joins, the
+        # rewritten aggregates fold the product, and sum-of-weights is
+        # the group multiplicity. The merge then ADDS the (possibly
+        # negative) deltas onto the stored groups — no FULL recompute
+        # even though sources saw DELETEs.
+        cpasses: list[DataFrame] = []
+        for i, src in enumerate(sources):
+            if src.fresh:
+                continue
+            bindings: dict[str, DataFrame] = {}
+            wnames: list[str] = []
+            for j, other in enumerate(sources):
+                wname = f"__w_{j}"
+                if other.name == src.name:
+                    df = other.table.changes(
+                        spark, from_snapshot_id=other.old_snapshot_id)
+                    df = df.withColumn(
+                        wname,
+                        F.when(F.col("_change_type") == "insert",
+                               F.lit(1)).otherwise(F.lit(-1))) \
+                        .drop("_change_type", "_commit_snapshot_id")
+                elif j < i:
+                    df = other.table.scan(spark).withColumn(
+                        wname, F.lit(1))
+                else:
+                    df = other.table.scan(
+                        spark, snapshot_id=other.old_snapshot_id
+                    ).withColumn(wname, F.lit(1))
+                bindings[other.name] = df
+                wnames.append(wname)
+            wsql = _weighted_sql(parsed, run_sql, " * ".join(wnames))
+            cpasses.append(bind_and_run(bindings, wsql))
+        assert cpasses, "no outdated sources but strategy=ChangelogAgg"
+        delta = cpasses[0]
+        for p in cpasses[1:]:
+            delta = delta.unionByName(p)
+        # re-merge the per-pass weighted aggregates (all additive here)
+        delta_agg = (delta.groupBy(*keys).agg(
+            *[F.sum(F.col(a.alias)).alias(a.alias) for a in aggs])
+            if keys else delta.agg(
+            *[F.sum(F.col(a.alias)).alias(a.alias) for a in aggs]))
     else:
         # --- PosDelta passes ---------------------------------------------
         passes: list[DataFrame] = []

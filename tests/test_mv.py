@@ -437,3 +437,42 @@ def test_mv_classify_expression_wrapped_aggregates_full():
     assert classify(parse_select(
         "SELECT upper(k) AS ku, sum(x) AS s FROM t "
         "GROUP BY upper(k)")) == INCR_AGG
+
+
+def test_mv_changelog_refresh_join_sources_with_deletes(engine):
+    """Multi-source generalization: a JOIN aggregate MV stays
+    incremental through DELETEs on either side — weighted changelog
+    passes multiply retraction weights through the join (IVM /
+    Z-relation algebra) and the merged groups equal a recompute."""
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
+
+    engine.sql("CREATE TABLE db.cust (customer_id BIGINT, region STRING)")
+    engine.sql("INSERT INTO db.cust VALUES (1,'E'),(2,'W'),(3,'E')")
+    sql = ("SELECT c.region, count(*) AS n, sum(o.quantity) AS q "
+           "FROM db.orders o JOIN db.cust c "
+           "ON o.customer_id = c.customer_id GROUP BY c.region")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.jmv AS {sql}")
+    engine.refresh_materialized_view("db.jmv")
+
+    def mv_rows():
+        return {r.region: (r.n, r.q) for r in
+                engine.sql("SELECT * FROM db.jmv").collect()}
+    def want():
+        return {r.region: (r.n, r.q) for r in engine.sql(sql).collect()}
+    assert mv_rows() == want() == {"E": (5, 10), "W": (1, 1)}
+
+    # delete a fact row AND a dim row (kills all of customer 2's join
+    # output), append a new fact for a surviving customer
+    engine.sql("DELETE FROM db.orders WHERE id = 3")       # c3/E, qty 3
+    engine.sql("DELETE FROM db.cust WHERE customer_id = 2")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7, 1, 9, DATE '2020-03-01', 4)")
+    assert engine.refresh_materialized_view("db.jmv") == CHANGELOG_AGG
+    assert mv_rows() == want()
+    assert "W" not in mv_rows()  # region W's only row retracted away
+
+    # deletes on BOTH sides in one interval, plus dim re-insert
+    engine.sql("DELETE FROM db.orders WHERE customer_id = 3")
+    engine.sql("INSERT INTO db.cust VALUES (2, 'W')")
+    assert engine.refresh_materialized_view("db.jmv") == CHANGELOG_AGG
+    assert mv_rows() == want()
