@@ -768,13 +768,29 @@ class Engine:
 
     def _insert_sql(self, identifier: str, rest: str) -> None:
         t = self.load_table(identifier)
+        from pyspark.sql import functions as F
+
         from iceberg_rust_archive_spark.spec.types import spark_schema_for
         target = spark_schema_for(t.metadata.current_schema().struct)
+        # optional explicit column list: INSERT INTO t (a, b) VALUES ...
+        cols = None
+        m = re.match(r"\(([\w,\s]+)\)\s*(.*)$", rest, re.DOTALL)
+        if m:
+            cols = [c.strip().lower() for c in m.group(1).split(",")]
+            rest = m.group(2)
         if re.match(r"values\s*\(", rest, re.IGNORECASE):
             df = self.spark.sql(f"SELECT * FROM ({rest})")
-            df = df.toDF(*[f.name for f in target.fields])
+            df = df.toDF(*(cols or [f.name for f in target.fields]))
         else:
             df = self._run_select(rest)
+            if cols:
+                df = df.toDF(*cols)
+        if cols:
+            # name-mapped projection; unnamed columns become NULL
+            df = df.select(*[
+                F.col(f.name).cast(f.dataType) if f.name.lower() in cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields])
         t.append(self.spark, df)
 
     def _run_select(self, sql: str) -> DataFrame:

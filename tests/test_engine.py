@@ -1685,3 +1685,17 @@ def test_delete_with_subquery_predicate(spark, tmp_path):
     eng.sql("INSERT INTO db.t2 VALUES (1),(3)")
     eng.sql("DELETE FROM db.t1 WHERE k IN (SELECT k FROM db.t2)")
     assert {r.k for r in eng.sql("SELECT k FROM db.t1").collect()} == {2}
+
+
+def test_insert_with_column_list(spark, tmp_path):
+    """INSERT INTO t (a, b) VALUES/SELECT: name-mapped projection,
+    missing columns NULL, any column order."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (a BIGINT, b STRING, c BIGINT)")
+    eng.sql("INSERT INTO db.t (a, b) VALUES (1, 'x'), (2, 'y')")
+    eng.sql("INSERT INTO db.t (c, a) VALUES (30, 3)")
+    got = {(r.a, r.b, r.c) for r in eng.sql("SELECT * FROM db.t").collect()}
+    assert got == {(1, "x", None), (2, "y", None), (3, None, 30)}
