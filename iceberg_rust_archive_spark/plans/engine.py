@@ -856,8 +856,12 @@ class Engine:
                 continue
             vn = "ice_" + re.sub(r"\W", "_", name)
             if isinstance(md, MaterializedViewMetadata):
-                # MV scan = storage-table scan (table.rs:183-189)
-                df = Table.load(self.catalog, md.storage_table).scan(self.spark)
+                # MV scan = storage-table scan (table.rs:183-189),
+                # projected back through any avg sum/count decomposition
+                df = mv_mod.storage_read_projection(
+                    md.sql,
+                    Table.load(self.catalog, md.storage_table)
+                    .scan(self.spark))
             elif isinstance(md, ViewMetadata):
                 df = self._run_select(md.sql)  # view replay (A20)
             elif isinstance(md, TableMetadata):

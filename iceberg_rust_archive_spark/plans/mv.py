@@ -151,6 +151,59 @@ def _changelog_capable(parsed: ParsedSelect) -> bool:
     return _multiplicity_item(parsed) is not None
 
 
+def _replace_select_list(run_sql: str, items: list[str]) -> str:
+    body = re.search(r"select\s+(.*?)\s+from\s", run_sql,
+                     re.IGNORECASE | re.DOTALL)
+    return (run_sql[:body.start(1)] + ", ".join(items)
+            + run_sql[body.end(1):])
+
+
+def storage_plan(sql: str):
+    """(run_sql, parsed, avg_proj) for an MV's STORAGE layout.
+
+    ``avg(E) AS a`` is not mergeable, but its decomposition is: the
+    storage table persists ``sum(E) AS __avg_a_s, count(E) AS
+    __avg_a_c`` instead, every incremental path (append merge AND
+    weighted changelog) treats them as the additive aggregates they
+    are, and reads project ``__avg_a_s / __avg_a_c AS a`` back
+    (Spark's avg = sum/count in double for numeric inputs; decimal
+    avg scale may differ — such MVs still work, with double output).
+    Decomposition only applies when the decomposed query classifies
+    IncrementalAggregate; anything else keeps the original SQL (and
+    recomputes fully, storing plain results)."""
+    run_sql0 = strip_order_by(sql)
+    parsed0 = parse_select(run_sql0)
+    if not any(i.agg_fn == "avg" for i in parsed0.items):
+        return run_sql0, parsed0, None
+    items, proj = [], []
+    for i in parsed0.items:
+        if i.agg_fn == "avg" and i.alias:
+            sa, ca = f"__avg_{i.alias}_s", f"__avg_{i.alias}_c"
+            items.append(f"sum({i.agg_inner}) AS {sa}")
+            items.append(f"count({i.agg_inner}) AS {ca}")
+            proj.append((i.alias, f"CAST({sa} AS DOUBLE) / {ca}"))
+        elif i.agg_fn:
+            items.append(f"{i.agg_fn}({i.agg_inner}) AS {i.alias}")
+            proj.append((i.alias, i.alias))
+        else:
+            items.append(f"{i.expr} AS {i.alias}" if i.alias else i.expr)
+            proj.append((i.out_name, i.out_name))
+    run_sql_d = _replace_select_list(run_sql0, items)
+    parsed_d = parse_select(run_sql_d)
+    if classify(parsed_d) != INCR_AGG:
+        return run_sql0, parsed0, None
+    return run_sql_d, parsed_d, proj
+
+
+def storage_read_projection(sql: str, df: DataFrame) -> DataFrame:
+    """Project a storage-table scan back to the MV's declared columns
+    (re-deriving avg from its persisted sum/count decomposition)."""
+    _, _, proj = storage_plan(sql)
+    if proj is None:
+        return df
+    return df.selectExpr(*[f"{expr} AS {name}" for name, expr in proj])
+
+
 def _weighted_sql(parsed: ParsedSelect, run_sql: str, wtot: str) -> str:
     """Rewrite the MV's SELECT list so every aggregate folds the row's
     signed weight product ``wtot`` (Z-relation / IVM algebra): rows of
@@ -185,7 +238,9 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     if not isinstance(mv, MaterializedViewMetadata):
         raise TypeError(f"{identifier} is not a materialized view")
     sql = mv.sql
-    parsed = parse_select(sql)
+    # storage layout: avg(E) decomposes into persisted sum/count pairs
+    # (reads re-derive avg); parsed/classification run on that form
+    run_sql, parsed, _avg_proj = storage_plan(sql)
     strategy = classify(parsed)
 
     # --- load / bootstrap the storage table -----------------------------
@@ -233,8 +288,6 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         source_table_states=tuple(
             SourceTableState(s.table.metadata.table_uuid, "main",
                              s.current_snapshot_id or -1) for s in sources))
-
-    run_sql = strip_order_by(sql)
 
     def bind_and_run(bindings: dict[str, DataFrame],
                      sql_text: str | None = None) -> DataFrame:

@@ -1699,3 +1699,17 @@ def test_insert_with_column_list(spark, tmp_path):
     eng.sql("INSERT INTO db.t (c, a) VALUES (30, 3)")
     got = {(r.a, r.b, r.c) for r in eng.sql("SELECT * FROM db.t").collect()}
     assert got == {(1, "x", None), (2, "y", None), (3, None, 30)}
+
+
+def test_update_set_sees_old_values(spark, tmp_path):
+    """SQL UPDATE semantics: every SET expression evaluates against the
+    OLD row, so a = b, b = a swaps."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.sw (id BIGINT, a BIGINT, b BIGINT)")
+    eng.sql("INSERT INTO db.sw VALUES (1, 10, 20)")
+    eng.sql("UPDATE db.sw SET a = b, b = a WHERE id = 1")
+    r = eng.sql("SELECT a, b FROM db.sw").collect()[0]
+    assert (r.a, r.b) == (20, 10)

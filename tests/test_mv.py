@@ -476,3 +476,35 @@ def test_mv_changelog_refresh_join_sources_with_deletes(engine):
     engine.sql("INSERT INTO db.cust VALUES (2, 'W')")
     assert engine.refresh_materialized_view("db.jmv") == CHANGELOG_AGG
     assert mv_rows() == want()
+
+
+def test_mv_avg_incremental_via_decomposition(engine):
+    """avg(E) MVs persist sum/count pairs and stay incremental —
+    through appends (INCR_AGG) and deletes (CHANGELOG_AGG); reads
+    re-derive avg, always equal to a direct recompute."""
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
+
+    sql = ("SELECT product_id, count(*) AS n, avg(quantity) AS aq "
+           "FROM db.orders GROUP BY product_id")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.avgmv AS {sql}")
+    assert engine.refresh_materialized_view("db.avgmv") == FULL
+
+    def mv_rows():
+        return {r.product_id: (r.n, r.aq) for r in
+                engine.sql("SELECT * FROM db.avgmv").collect()}
+    def want():
+        return {r.product_id: (r.n, r.aq)
+                for r in engine.sql(sql).collect()}
+    assert mv_rows() == want()
+    assert mv_rows()[1] == (4, 1.75)  # quantities 1,1,3,2
+
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7, 2, 1, DATE '2020-03-01', 9)")
+    assert engine.refresh_materialized_view("db.avgmv") == INCR_AGG
+    assert mv_rows() == want()
+    assert mv_rows()[1] == (5, 3.2)   # +qty 9 → 16/5
+
+    engine.sql("DELETE FROM db.orders WHERE id IN (1, 2)")  # two qty-1 rows
+    assert engine.refresh_materialized_view("db.avgmv") == CHANGELOG_AGG
+    assert mv_rows() == want()
+    assert mv_rows()[1] == (3, 14.0 / 3)
