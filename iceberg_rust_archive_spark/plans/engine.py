@@ -186,6 +186,25 @@ class Engine:
             return self._create_table_sql(m.group(1), m.group(2), m.group(3))
 
         m = re.match(
+            r"create\s+table\s+([\w.]+)\s*"
+            r"(?:partitioned\s+by\s*\((.*?)\)\s*)?"
+            r"(?:using\s+iceberg\s+)?as\s+(select\s+.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            # CTAS: schema derived from the SELECT result, then one
+            # append — two commits (create + insert), matching the
+            # non-atomic CTAS of engines without a staged-commit API
+            from iceberg_rust_archive_spark.plans.mv import schema_from_df
+            rows = self._run_select(m.group(3))
+            schema = schema_from_df(rows)
+            part_by = [p.strip() for p in
+                       re.split(r",(?![^()]*\))", m.group(2) or "")
+                       if p.strip()]
+            t = self.create_table(m.group(1), schema, part_by or None)
+            t.append(self.spark, rows)
+            return None
+
+        m = re.match(
             r"create\s+(materialized|temporary)\s+view\s+([\w.]+)\s+as\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if m:

@@ -1713,3 +1713,27 @@ def test_update_set_sees_old_values(spark, tmp_path):
     eng.sql("UPDATE db.sw SET a = b, b = a WHERE id = 1")
     r = eng.sql("SELECT a, b FROM db.sw").collect()[0]
     assert (r.a, r.b) == (20, 10)
+
+
+def test_create_table_as_select(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.src (k BIGINT, grp STRING, v BIGINT)")
+    eng.sql("INSERT INTO db.src VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
+
+    eng.sql("CREATE TABLE db.ctas AS "
+            "SELECT grp, count(*) AS n, sum(v) AS sv "
+            "FROM db.src GROUP BY grp")
+    got = {(r.grp, r.n, r.sv) for r in
+           eng.sql("SELECT * FROM db.ctas").collect()}
+    assert got == {("a", 2, 40), ("b", 1, 20)}
+
+    # partitioned CTAS
+    eng.sql("CREATE TABLE db.ctas2 PARTITIONED BY (grp) AS "
+            "SELECT * FROM db.src")
+    assert eng.sql("SELECT count(*) AS n FROM db.ctas2") \
+        .collect()[0].n == 3
+    t = eng.load_table("db.ctas2")
+    assert [f.name for f in t.metadata.default_spec().fields] == ["grp"]
