@@ -66,6 +66,11 @@ INCR_AGG = "IncrementalAggregate"
 # rows, Table.changes) into the group deltas with signed weights —
 # where the reference (mod.rs:291-358) must fall back to FullOverwrite.
 CHANGELOG_AGG = "ChangelogAggregate"
+# min/max (non-retractable) aggregate MVs under source DELETEs:
+# recompute ONLY the groups the changelog touched (base scan semi-joined
+# on the touched keys), replace those groups — cost scales with the
+# change interval's key set, not the table.
+CHANGELOG_SCOPED = "ChangelogScopedRecompute"
 
 _INCREMENTAL_AGGS = {"sum", "count", "min", "max"}  # aggregate_functions.rs
 
@@ -280,6 +285,11 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                 and all(s.old_exists for s in sources)
                 and _changelog_capable(parsed)):
             strategy = CHANGELOG_AGG
+        elif (strategy == INCR_AGG and len(sources) == 1
+                and sources[0].old_exists and parsed.key_items()):
+            # min/max present (or no COUNT(*)): recompute just the
+            # touched groups instead of the whole table
+            strategy = CHANGELOG_SCOPED
         else:
             strategy = FULL
 
@@ -300,6 +310,53 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
 
     def current_bindings() -> dict[str, DataFrame]:
         return {s.name: s.table.scan(spark) for s in sources}
+
+    # --- scoped group recompute (min/max under deletes) -------------------
+    if strategy == CHANGELOG_SCOPED:
+        src = sources[0]
+        kitems = parsed.key_items()
+        ch = src.table.changes(spark,
+                               from_snapshot_id=src.old_snapshot_id)
+        touched = (ch.select(*[F.expr(i.expr).alias(f"__t_{i.out_name}")
+                               for i in kitems])
+                   .dropDuplicates().cache())
+        base = src.table.scan(spark)
+        cond = None
+        for i in kitems:
+            e = F.expr(i.expr).eqNullSafe(F.col(f"__t_{i.out_name}"))
+            cond = e if cond is None else cond & e
+        # semi-join keeps only the touched groups' base rows; AQE picks
+        # broadcast when the touched-key set measures small
+        scoped = base.join(touched, cond, "left_semi")
+        recomputed = bind_and_run({src.name: scoped}).cache()
+        try:
+            files = _write(spark, storage, recomputed)
+            schema = storage.metadata.current_schema()
+            keys_ = [i.out_name for i in kitems]
+            eq_ids = tuple(schema.field_by_name(k).field_id for k in keys_)
+            from iceberg_rust_archive_spark.sources.write import (
+                write_datafiles,
+            )
+            from iceberg_rust_archive_spark.spec.manifest import (
+                CONTENT_EQUALITY_DELETES,
+            )
+            retract = touched.select(
+                *[F.col(f"__t_{k}").alias(k) for k in keys_])
+            del_files = write_datafiles(
+                spark, storage.metadata, retract,
+                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
+            txn = storage.new_transaction(branch).append_files(files) \
+                .append_delete_files(del_files) \
+                .set_refresh_state(new_state.to_json_str())
+            txn.commit_with_retry(
+                lambda t: t.append_files(files)
+                .append_delete_files(del_files)
+                .set_refresh_state(new_state.to_json_str()))
+        finally:
+            recomputed.unpersist()
+            touched.unpersist()
+        _maybe_compact_storage(spark, catalog, mv, branch)
+        return CHANGELOG_SCOPED
 
     # --- FULL: recompute + replace (operation.rs:384-547) ----------------
     if strategy == FULL:

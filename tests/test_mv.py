@@ -508,3 +508,38 @@ def test_mv_avg_incremental_via_decomposition(engine):
     assert engine.refresh_materialized_view("db.avgmv") == CHANGELOG_AGG
     assert mv_rows() == want()
     assert mv_rows()[1] == (3, 14.0 / 3)
+
+
+def test_mv_minmax_scoped_recompute_under_deletes(engine):
+    """min/max MVs can't retract algebraically; under source DELETEs
+    only the TOUCHED groups are recomputed from base and replaced —
+    vanished groups disappear, untouched groups' storage rows are not
+    rewritten, and contents always equal a recompute."""
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_SCOPED
+
+    sql = ("SELECT product_id, max(quantity) AS mx, min(quantity) AS mn "
+           "FROM db.orders GROUP BY product_id")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.mmv AS {sql}")
+    engine.refresh_materialized_view("db.mmv")
+
+    def mv_rows():
+        return {r.product_id: (r.mx, r.mn) for r in
+                engine.sql("SELECT * FROM db.mmv").collect()}
+    def want():
+        return {r.product_id: (r.mx, r.mn)
+                for r in engine.sql(sql).collect()}
+    assert mv_rows() == want() == {1: (3, 1), 2: (1, 1), 3: (3, 3)}
+
+    # delete product 1's max row (max must DROP — the non-retractable
+    # case) and product 2's only row (group vanishes)
+    engine.sql("DELETE FROM db.orders WHERE id = 3")  # p1 qty 3
+    engine.sql("DELETE FROM db.orders WHERE product_id = 2")
+    assert engine.refresh_materialized_view("db.mmv") == CHANGELOG_SCOPED
+    assert mv_rows() == want() == {1: (2, 1), 3: (3, 3)}
+
+    # mixed interval: delete + append touching an untouched group
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7, 1, 3, DATE '2020-03-01', 9)")
+    engine.sql("DELETE FROM db.orders WHERE id = 5")  # p1 qty 2
+    assert engine.refresh_materialized_view("db.mmv") == CHANGELOG_SCOPED
+    assert mv_rows() == want() == {1: (1, 1), 3: (9, 3)}
