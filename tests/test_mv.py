@@ -306,9 +306,12 @@ def test_join_view_mv_incremental_append(engine):
 
 
 def test_mv_full_refresh_after_source_delete(engine):
-    """A source-table DELETE between refreshes must force a FULL
-    recompute — the incremental delta rules assume append-only sources
-    (mod.rs:291-358 invalidation)."""
+    """A source-table DELETE invalidates the append-only delta rules
+    (mod.rs:291-358). The reference recomputes fully; here a sum-only
+    single-source MV (no COUNT(*) multiplicity) falls to the scoped
+    group recompute — still exact, touched groups only."""
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_SCOPED
+
     engine.sql("CREATE MATERIALIZED VIEW db.dmv AS "
                "SELECT product_id, sum(quantity) AS q FROM db.orders "
                "GROUP BY product_id")
@@ -318,7 +321,7 @@ def test_mv_full_refresh_after_source_delete(engine):
     assert got == {1: 7, 2: 1, 3: 3}
 
     engine.sql("DELETE FROM db.orders WHERE customer_id = 1")
-    assert engine.refresh_materialized_view("db.dmv") == FULL
+    assert engine.refresh_materialized_view("db.dmv") == CHANGELOG_SCOPED
     got = {r[0]: r[1] for r in
            engine.sql("SELECT product_id, q FROM db.dmv").collect()}
     assert got == {1: 4, 3: 3}
