@@ -436,12 +436,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).filter(
         (F.col("media_format") != "webp") & (F.col("width") >= 64))
     feats = extract_features(media)
+    # group means go through an exact-integer path: the per-item values
+    # are 4-dp-rounded, so ×10000 → BIGINT sums are order-independent
+    # and engine-identical — a plain avg(double) is partition-order
+    # dependent and flaps the 4th decimal when a mean lands on a
+    # .00005 rounding tie (observed: 47.1288 vs 47.1287)
+    # final half-up via floor(x+0.5), NOT the engines' round(): on an
+    # exact .00005 tie Spark rounds the shortest-decimal rendering
+    # (BigDecimal HALF_UP → up) while DuckDB rounds the raw double
+    # (slightly below the tie → down); floor(+0.5) is bit-identical
+    # arithmetic in both
+    def _imean(c):
+        avg_scaled = F.avg(F.round(F.col(c) * 10000).cast("long"))
+        return F.floor(avg_scaled + F.lit(0.5)) / 10000.0
+
     meta = (feats
             .withColumn("f0", F.round(F.element_at("feature", 1), 4))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("payload_bytes").alias("sum_payload_bytes"),
-                 F.round(F.avg("f0"), 4).alias("stat_a"))
+                 _imean("f0").alias("stat_a"))
             .select(F.lit("meta").alias("method"), "source", "n_items",
                     "sum_payload_bytes", "stat_a",
                     *[F.lit(0.0).alias(f"stat_{c}") for c in "bcdef"]))
@@ -453,12 +467,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pix = (png_pixel_stats(docs)
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n_items"),
-                F.round(F.avg("mean_r"), 4).alias("stat_a"),
-                F.round(F.avg("mean_g"), 4).alias("stat_b"),
-                F.round(F.avg("mean_b"), 4).alias("stat_c"),
-                F.round(F.avg("std_r"), 4).alias("stat_d"),
-                F.round(F.avg("std_g"), 4).alias("stat_e"),
-                F.round(F.avg("std_b"), 4).alias("stat_f"))
+                _imean("mean_r").alias("stat_a"),
+                _imean("mean_g").alias("stat_b"),
+                _imean("mean_b").alias("stat_c"),
+                _imean("std_r").alias("stat_d"),
+                _imean("std_g").alias("stat_e"),
+                _imean("std_b").alias("stat_f"))
            .select(F.lit("pixels").alias("method"), "source", "n_items",
                    F.lit(0).cast("long").alias("sum_payload_bytes"),
                    "stat_a", "stat_b", "stat_c", "stat_d", "stat_e",
@@ -488,7 +502,8 @@ ORACLE_SQL = {
         meta AS (
           SELECT 'meta' AS method, source, count(*) AS n_items,
                  CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
-                 round(avg(f0), 4) AS stat_a,
+                 floor(avg(CAST(round(f0 * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_a,
                  0.0 AS stat_b, 0.0 AS stat_c, 0.0 AS stat_d,
                  0.0 AS stat_e, 0.0 AS stat_f
           FROM media
@@ -535,12 +550,18 @@ ORACLE_SQL = {
         pixels AS (
           SELECT 'pixels' AS method, source, count(*) AS n_items,
                  CAST(0 AS BIGINT) AS sum_payload_bytes,
-                 round(avg(mean_r), 4) AS stat_a,
-                 round(avg(mean_g), 4) AS stat_b,
-                 round(avg(mean_b), 4) AS stat_c,
-                 round(avg(std_r), 4) AS stat_d,
-                 round(avg(std_g), 4) AS stat_e,
-                 round(avg(std_b), 4) AS stat_f
+                 floor(avg(CAST(round(mean_r * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_a,
+                 floor(avg(CAST(round(mean_g * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_b,
+                 floor(avg(CAST(round(mean_b * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_c,
+                 floor(avg(CAST(round(std_r * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_d,
+                 floor(avg(CAST(round(std_g * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_e,
+                 floor(avg(CAST(round(std_b * 10000) AS BIGINT))
+                       + 0.5) / 10000.0 AS stat_f
           FROM per_doc GROUP BY source
         )
         SELECT * FROM meta UNION ALL SELECT * FROM pixels
