@@ -65,7 +65,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bins"),
                  F.sum("n_docs").alias("n_docs"),
                  F.sum("bin_tokens").alias("sum_tokens"),
-                 F.round(F.avg("n_docs"), 4).alias("avg_docs_per_bin"))
+                 (F.floor(F.avg("n_docs") * 10000 + F.lit(0.5))
+                  / 10000.0).alias("avg_docs_per_bin"))
             .orderBy("source"))
 
 
@@ -92,7 +93,7 @@ ORACLE_SQL = {
         SELECT source, count(*) AS n_bins,
                CAST(sum(n_docs) AS BIGINT) AS n_docs,
                CAST(sum(bin_tokens) AS BIGINT) AS sum_tokens,
-               round(avg(n_docs), 4) AS avg_docs_per_bin
+               floor(avg(n_docs) * 10000 + 0.5) / 10000.0 AS avg_docs_per_bin
         FROM bins GROUP BY source ORDER BY source
     """,
 }

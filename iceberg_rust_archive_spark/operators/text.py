@@ -88,11 +88,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (0.4 * F.least(n_words / 100.0, F.lit(1.0))
              + 0.3 * (1.0 - punct / F.greatest(F.length("text"), F.lit(1)))
              + 0.3 * (n_stop / nw))
-    d = d.withColumn("score", F.round(score, 4))
+    # per-row and group rounding both go through exact scaled integers
+    # + floor(x+0.5): engine round() builtins disagree on exact .00005
+    # ties (Spark rounds the shortest-decimal rendering, DuckDB the raw
+    # double), and avg(double) is partition-order dependent
+    d = d.withColumn("score_s",
+                     F.floor(score * 10000 + F.lit(0.5)).cast("long"))
     return (d.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("score"), 4).alias("avg_score"),
-                 F.sum(F.when(F.col("score") < 0.5, 1).otherwise(0))
+                 (F.floor(F.avg("score_s") + F.lit(0.5)) / 10000.0)
+                 .alias("avg_score"),
+                 F.sum(F.when(F.col("score_s") < 5000, 1).otherwise(0))
                  .alias("n_low_quality"))
             .orderBy("source"))
 
@@ -106,7 +112,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.sum("ws_tokens").alias("sum_ws_tokens"),
                  F.sum("bpe_tokens").alias("sum_bpe_tokens"),
-                 F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"))
+                 (F.floor(F.avg("bpe_tokens") * 10000 + F.lit(0.5))
+                  / 10000.0).alias("avg_bpe_tokens"))
             .orderBy("lang"))
 
 
@@ -165,19 +172,20 @@ ORACLE_SQL = {
     """,
     "text_quality_score": f"""
         WITH q AS (
-          SELECT source, round(
+          SELECT source, CAST(floor((
             0.4 * least(len({_DWORDS}) / 100.0, 1.0)
             + 0.3 * (1.0 - (length(text) -
                 length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                 / greatest(length(text), 1))
             + 0.3 * (len(list_filter({_DWORDS}, w -> w IN
                 ({", ".join(f"'{w}'" for w in EN_STOP)})))
-                / greatest(len({_DWORDS}), 1)), 4) AS score
+                / greatest(len({_DWORDS}), 1))) * 10000 + 0.5)
+            AS BIGINT) AS score_s
           FROM documents
         )
         SELECT source, count(*) AS n_docs,
-               round(avg(score), 4) AS avg_score,
-               CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END)
+               floor(avg(score_s) + 0.5) / 10000.0 AS avg_score,
+               CAST(sum(CASE WHEN score_s < 5000 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_low_quality
         FROM q GROUP BY source
     """,
@@ -189,7 +197,7 @@ ORACLE_SQL = {
         )
         SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
                CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
-               round(avg(bpe_tokens), 4) AS avg_bpe_tokens
+               floor(avg(bpe_tokens) * 10000 + 0.5) / 10000.0 AS avg_bpe_tokens
         FROM t GROUP BY lang
     """,
     "text_fingerprint": f"""
@@ -285,7 +293,8 @@ def text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  *[F.sum(n).alias(f"sum_{n}") for n in PII_PATTERNS],
-                 F.round(F.avg("has_pii"), 4).alias("pii_doc_frac"))
+                 (F.floor(F.avg("has_pii") * 10000 + F.lit(0.5))
+                  / 10000.0).alias("pii_doc_frac"))
             .orderBy("source"))
 
 
@@ -307,10 +316,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str,
         F.when(F.size("gs") > 0,
                (F.size("gs") - F.size(F.array_distinct("gs")))
                / F.size("gs")).otherwise(F.lit(0.0)).alias("dup_frac"))
+    rep = rep.withColumn(
+        "dup_s", F.floor(F.col("dup_frac") * 10000 + F.lit(0.5))
+        .cast("long"))
     return (rep.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
-                 F.round(F.max("dup_frac"), 4).alias("max_dup_frac"))
+                 (F.floor(F.avg("dup_s") + F.lit(0.5)) / 10000.0)
+                 .alias("avg_dup_frac"),
+                 (F.max("dup_s") / 10000.0).alias("max_dup_frac"))
             .orderBy("source"))
 
 
@@ -328,7 +341,7 @@ ORACLE_SQL["text_pii_stats"] = """
                AS sum_ipv4s,
            CAST(sum(len(regexp_extract_all(text,
                 '\\b\\d{3}-\\d{2}-\\d{4}\\b'))) AS BIGINT) AS sum_ssn_like,
-           round(avg(CASE WHEN
+           floor(avg(CASE WHEN
                 len(regexp_extract_all(text,
                  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
                 + len(regexp_extract_all(text,
@@ -337,7 +350,7 @@ ORACLE_SQL["text_pii_stats"] = """
                    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
                 + len(regexp_extract_all(text,
                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
-                THEN 1 ELSE 0 END), 4) AS pii_doc_frac
+                THEN 1 ELSE 0 END) * 10000 + 0.5) / 10000.0 AS pii_doc_frac
     FROM documents GROUP BY source
 """
 
@@ -351,14 +364,14 @@ ORACLE_SQL["text_repetition_stats"] = f"""
     ),
     d AS (
       SELECT source,
-             CASE WHEN len(gs) > 0
+             CAST(floor((CASE WHEN len(gs) > 0
                   THEN (len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs)
-                  ELSE 0 END AS df
+                  ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS df_s
       FROM g
     )
     SELECT source, count(*) AS n_docs,
-           round(avg(df), 4) AS avg_dup_frac,
-           round(max(df), 4) AS max_dup_frac
+           floor(avg(df_s) + 0.5) / 10000.0 AS avg_dup_frac,
+           max(df_s) / 10000.0 AS max_dup_frac
     FROM d GROUP BY source
 """
 
@@ -412,11 +425,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("c_bg") + F.lit(PPL_K))
                   / (F.col("c_uni") + F.lit(PPL_K * vocab)))))
     per_doc = (scored.groupBy("doc_id", "source")
-               .agg(F.round(F.avg("nll"), 4).alias("doc_nll")))
+               .agg(F.floor(F.avg("nll") * 10000 + F.lit(0.5))
+                    .cast("long").alias("doc_s")))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("doc_nll"), 3).alias("avg_nll"),
-                 F.round(F.max("doc_nll"), 3).alias("max_nll"))
+                 (F.floor(F.avg("doc_s") / 10.0 + F.lit(0.5)) / 1000.0)
+                 .alias("avg_nll"),
+                 (F.floor(F.max("doc_s") / 10.0 + F.lit(0.5)) / 1000.0)
+                 .alias("max_nll"))
             .orderBy("source"))
 
 
@@ -442,11 +458,12 @@ ORACLE_SQL["text_perplexity_proxy"] = f"""
       JOIN unic ON unic.w = bg.w1
       CROSS JOIN v
     ), per_doc AS (
-      SELECT doc_id, source, round(avg(nll), 4) AS doc_nll
+      SELECT doc_id, source,
+             CAST(floor(avg(nll) * 10000 + 0.5) AS BIGINT) AS doc_s
       FROM scored GROUP BY 1, 2
     )
     SELECT source, count(*) AS n_docs,
-           round(avg(doc_nll), 3) AS avg_nll,
-           round(max(doc_nll), 3) AS max_nll
+           floor(avg(doc_s) / 10.0 + 0.5) / 1000.0 AS avg_nll,
+           floor(max(doc_s) / 10.0 + 0.5) / 1000.0 AS max_nll
     FROM per_doc GROUP BY source ORDER BY source
 """
