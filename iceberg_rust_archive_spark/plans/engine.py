@@ -263,6 +263,13 @@ class Engine:
                 mt.rewrite_position_deletes(self.spark, t)
             elif proc == "rollback_to_snapshot":
                 mt.rollback_to_snapshot(t, int((rest or "0").strip()))
+            elif proc == "remove_orphan_files":
+                removed = mt.remove_orphan_files(
+                    t, int(rest.strip()) if rest and rest.strip() else None,
+                    spark=self.spark)
+                return self.spark.createDataFrame(
+                    [(p,) for p in removed] or [(None,)],
+                    "orphan_file_path string")
             elif proc == "create_changelog_view":
                 # CALL system.create_changelog_view('ns.t'[, from[, to]])
                 # → registers <ns>_<t>_changes for SELECTs (CDC surface)

@@ -1737,3 +1737,28 @@ def test_create_table_as_select(spark, tmp_path):
         .collect()[0].n == 3
     t = eng.load_table("db.ctas2")
     assert [f.name for f in t.metadata.default_spec().fields] == ["grp"]
+
+
+def test_call_remove_orphan_files(spark, tmp_path):
+    import os
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.orf (k BIGINT)")
+    eng.sql("INSERT INTO db.orf VALUES (1),(2)")
+    t = eng.load_table("db.orf")
+    orphan = os.path.join(t.metadata.location, "data", "stray.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    spark.createDataFrame([(9,)], ["k"]).coalesce(1).write \
+        .mode("overwrite").parquet(orphan + ".dir")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    # cutoff in the future → even freshly-written orphans qualify
+    out = eng.sql(
+        "CALL system.remove_orphan_files('db.orf', 9999999999999)")
+    removed = {r.orphan_file_path for r in out.collect()}
+    assert any(p and p.endswith("stray.parquet") for p in removed)
+    # referenced data intact
+    assert eng.sql("SELECT count(*) AS n FROM db.orf").collect()[0].n == 2
