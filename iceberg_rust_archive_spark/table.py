@@ -116,11 +116,14 @@ class Table:
                 F.lit(kind).alias("_change_type"),
                 F.lit(sid).alias("_commit_snapshot_id"))
 
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_POSITION_DELETES,
+        )
         for s in snaps:
             if not (lo < s.sequence_number <= hi):
                 continue
             mlist = read_manifest_list(s.manifest_list)
-            added_data, added_deletes = [], []
+            added_data, added_deletes, added_pos = [], [], []
             for entries in read_manifests(
                     [m.manifest_path for m in mlist]):
                 for e in entries:
@@ -131,6 +134,8 @@ class Table:
                         added_data.append(e)
                     elif e.data_file.content == CONTENT_EQUALITY_DELETES:
                         added_deletes.append(e)
+                    elif e.data_file.content == CONTENT_POSITION_DELETES:
+                        added_pos.append(e)
             piece = None
             if added_data:
                 ins = spark.read.schema(spark_schema).parquet(
@@ -160,6 +165,40 @@ class Table:
                         cond = term if cond is None else cond & term
                     removed = prior.join(keys, on=cond, how="left_semi")
                     tagged = _tag(removed, "delete", s.snapshot_id)
+                    piece = tagged if piece is None \
+                        else piece.unionByName(tagged)
+            if added_pos:
+                # position deletes name exact (file, ordinal) pairs;
+                # resolve them to the removed ROWS by re-reading just
+                # the targeted files with _metadata row ordinals.
+                # (Our pos-delete writer only targets live rows, so no
+                # double-retraction with earlier logical deletes.)
+                from pyspark.sql.types import (
+                    LongType, StringType, StructField, StructType,
+                )
+                pd_schema = StructType([
+                    StructField("file_path", StringType()),
+                    StructField("pos", LongType())])
+                pairs = (spark.read.schema(pd_schema).parquet(
+                    *[e.data_file.file_path for e in added_pos])
+                    .select(F.regexp_replace("file_path", "^file:/+", "/")
+                            .alias("__fp"),
+                            F.col("pos").alias("__pos"))
+                    .dropDuplicates())
+                targets = [r["__fp"] for r in
+                           pairs.select("__fp").distinct().collect()]
+                if targets:
+                    victims = (spark.read.schema(spark_schema)
+                               .parquet(*targets)
+                               .withColumn("__fp", F.regexp_replace(
+                                   F.col("_metadata.file_path"),
+                                   "^file:/+", "/"))
+                               .withColumn("__pos",
+                                           F.col("_metadata.row_index"))
+                               .join(pairs, ["__fp", "__pos"],
+                                     "left_semi")
+                               .drop("__fp", "__pos"))
+                    tagged = _tag(victims, "delete", s.snapshot_id)
                     piece = tagged if piece is None \
                         else piece.unionByName(tagged)
             if piece is not None:

@@ -1762,3 +1762,25 @@ def test_call_remove_orphan_files(spark, tmp_path):
     assert any(p and p.endswith("stray.parquet") for p in removed)
     # referenced data intact
     assert eng.sql("SELECT count(*) AS n FROM db.orf").collect()[0].n == 2
+
+
+def test_changelog_includes_position_deletes(spark, tmp_path):
+    """delete_where_pos commits must surface in the changelog as
+    resolved delete rows (else changelog-driven MV refreshes silently
+    miss them)."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.pcd (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.pcd VALUES (1,'a'),(2,'b'),(3,'c')")
+    from pyspark.sql import functions as SF
+    t = eng.load_table("db.pcd")
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    t.delete_where_pos(spark, SF.col("k") == 2)
+    t = eng.load_table("db.pcd")
+
+    ch = {(r.k, r.v, r._change_type)
+          for r in t.changes(spark, from_snapshot_id=snap1).collect()}
+    assert ch == {(2, "b", "delete")}
+    assert {r.k for r in t.scan(spark).collect()} == {1, 3}

@@ -546,3 +546,25 @@ def test_mv_minmax_scoped_recompute_under_deletes(engine):
     engine.sql("DELETE FROM db.orders WHERE id = 5")  # p1 qty 2
     assert engine.refresh_materialized_view("db.mmv") == CHANGELOG_SCOPED
     assert mv_rows() == want() == {1: (1, 1), 3: (9, 3)}
+
+
+def test_mv_changelog_refresh_after_position_delete(engine, spark):
+    """Position-delete commits flow through the changelog too — the
+    weighted refresh stays incremental and exact."""
+    from pyspark.sql import functions as SF
+
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
+
+    sql = ("SELECT product_id, count(*) AS n, sum(quantity) AS q "
+           "FROM db.orders GROUP BY product_id")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.pmv AS {sql}")
+    engine.refresh_materialized_view("db.pmv")
+
+    t = engine.load_table("db.orders")
+    t.delete_where_pos(spark, SF.col("id") == 3)  # p1, qty 3
+
+    assert engine.refresh_materialized_view("db.pmv") == CHANGELOG_AGG
+    got = {r.product_id: (r.n, r.q) for r in
+           engine.sql("SELECT * FROM db.pmv").collect()}
+    want = {r.product_id: (r.n, r.q) for r in engine.sql(sql).collect()}
+    assert got == want == {1: (3, 4), 2: (1, 1), 3: (1, 3)}
