@@ -120,14 +120,22 @@ class SourceState:
         old = (table.metadata.snapshot_by_id(old_snapshot_id)
                if old_snapshot_id is not None else None)
         non_append_since = False
+        replace_since = False
         if old is not None:
             for s in table.metadata.snapshots.values():
-                if (s.sequence_number > old.sequence_number
-                        and s.summary.get("operation") != "append"):
-                    non_append_since = True
-                    break
+                if s.sequence_number > old.sequence_number:
+                    op = s.summary.get("operation")
+                    if op != "append":
+                        non_append_since = True
+                    if op == "replace":
+                        # full rewrite: the changelog of this interval
+                        # is table-sized (see Table.changes) — a
+                        # recompute is strictly cheaper, so the
+                        # changelog strategies bow out
+                        replace_since = True
         self.invalid = (old_snapshot_id is not None
                         and (old is None or non_append_since))
+        self.replace_since = replace_since
         # changelog eligibility: the old snapshot must still exist so
         # Table.changes can resolve deletes against it
         self.old_exists = old is not None
@@ -282,11 +290,14 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         # column, the CHANGELOG (insert/delete rows) still yields exact
         # group deltas via signed weights; everything else recomputes.
         if (strategy == INCR_AGG
-                and all(s.old_exists for s in sources)
+                and all(s.old_exists and not s.replace_since
+                        for s in sources)
                 and _changelog_capable(parsed)):
             strategy = CHANGELOG_AGG
         elif (strategy == INCR_AGG and len(sources) == 1
-                and sources[0].old_exists and parsed.key_items()):
+                and sources[0].old_exists
+                and not sources[0].replace_since
+                and parsed.key_items()):
             # min/max present (or no COUNT(*)): recompute just the
             # touched groups instead of the whole table
             strategy = CHANGELOG_SCOPED

@@ -122,6 +122,18 @@ class Table:
         for s in snaps:
             if not (lo < s.sequence_number <= hi):
                 continue
+            if (s.summary or {}).get("operation") == "replace":
+                # full rewrite (compaction / truncate / overwrite):
+                # delete files can't express it, and the replaced data
+                # files are physically removed post-commit, so the
+                # parent state is no longer reconstructable. Refuse
+                # loudly — the same contract as Iceberg's changelog
+                # scan on non-expressible snapshots. (The MV refresh
+                # driver detects this case up front and recomputes.)
+                raise ValueError(
+                    f"changelog range spans a replace commit "
+                    f"(snapshot {s.snapshot_id}); row-level changes "
+                    "cannot be derived across a full rewrite")
             mlist = read_manifest_list(s.manifest_list)
             added_data, added_deletes, added_pos = [], [], []
             for entries in read_manifests(

@@ -216,7 +216,12 @@ class Transaction:
                      for f in self._replacement],
                     spec.spec_id, CONTENT_DATA, snap_id, seq, pf_names,
                     schema_json))
-            operation = "overwrite"
+            # "replace": every prior file dropped and rewritten — the
+            # one operation a row-level changelog CANNOT express from
+            # delete files alone. Readers (Table.changes, the MV
+            # changelog eligibility) key off this label; eq-delete +
+            # append commits keep "overwrite".
+            operation = "replace"
             added = self._replacement
         else:
             new_list = list(old_entries)

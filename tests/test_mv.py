@@ -568,3 +568,55 @@ def test_mv_changelog_refresh_after_position_delete(engine, spark):
            engine.sql("SELECT * FROM db.pmv").collect()}
     want = {r.product_id: (r.n, r.q) for r in engine.sql(sql).collect()}
     assert got == want == {1: (3, 4), 2: (1, 1), 3: (1, 3)}
+
+
+def test_mv_source_compaction_forces_full(engine, spark):
+    """A source-table COMPACTION (Replace commit) between refreshes is
+    not changelog-expressible at sub-table cost — the refresh must fall
+    back to FULL (and stay correct), not changelog-replay a rewrite."""
+    from iceberg_rust_archive_spark import maintenance as mt
+
+    sql = ("SELECT product_id, count(*) AS n, sum(quantity) AS q "
+           "FROM db.orders GROUP BY product_id")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.cmv AS {sql}")
+    engine.refresh_materialized_view("db.cmv")
+
+    engine.sql("DELETE FROM db.orders WHERE id = 3")
+    mt.compact_table(spark, engine.load_table("db.orders"))
+    t = engine.load_table("db.orders")
+    assert t.metadata.current_snapshot().summary["operation"] == "replace"
+
+    assert engine.refresh_materialized_view("db.cmv") == FULL
+    got = {r.product_id: (r.n, r.q) for r in
+           engine.sql("SELECT * FROM db.cmv").collect()}
+    want = {r.product_id: (r.n, r.q) for r in engine.sql(sql).collect()}
+    assert got == want
+
+
+def test_changelog_refuses_replace_commits(spark, tmp_path):
+    """Table.changes across a Replace commit (truncate/compaction) must
+    refuse loudly: the replaced files are physically gone, so row-level
+    changes cannot be derived — same contract as Iceberg's changelog
+    scan on non-expressible snapshots."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.tr (k BIGINT)")
+    eng.sql("INSERT INTO db.tr VALUES (1),(2)")
+    t = eng.load_table("db.tr")
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    eng.sql("TRUNCATE TABLE db.tr")
+    eng.sql("INSERT INTO db.tr VALUES (9)")
+    t = eng.load_table("db.tr")
+    with pytest.raises(ValueError, match="replace commit"):
+        t.changes(spark, from_snapshot_id=snap1).collect()
+    # a range that starts AFTER the replace works fine
+    snaps = sorted(t.metadata.snapshots.values(),
+                   key=lambda s: s.sequence_number)
+    repl = next(s for s in snaps
+                if s.summary.get("operation") == "replace")
+    ch = [(r.k, r._change_type) for r in
+          t.changes(spark,
+                    from_snapshot_id=repl.snapshot_id).collect()]
+    assert ch == [(9, "insert")]
