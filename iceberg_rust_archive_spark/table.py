@@ -102,12 +102,21 @@ class Table:
         md = self.metadata
         schema = md.current_schema()
         spark_schema = spark_schema_for(schema.struct)
-        snaps = sorted(md.snapshots.values(),
-                       key=lambda s: s.sequence_number)
+        # walk the ANCESTRY of the to-snapshot, not all snapshots by
+        # sequence: commits on other branches may share the sequence
+        # range but are not part of this lineage's history
+        tip = (md.snapshot_by_id(to_snapshot_id)
+               if to_snapshot_id is not None else md.current_snapshot())
+        chain = []
+        s_ = tip
+        while s_ is not None:
+            chain.append(s_)
+            s_ = (md.snapshots.get(s_.parent_snapshot_id)
+                  if s_.parent_snapshot_id is not None else None)
+        snaps = list(reversed(chain))
         lo = (md.snapshot_by_id(from_snapshot_id).sequence_number
               if from_snapshot_id is not None else -1)
-        hi = (md.snapshot_by_id(to_snapshot_id).sequence_number
-              if to_snapshot_id is not None else float("inf"))
+        hi = tip.sequence_number if tip is not None else float("-inf")
         out: DataFrame | None = None
 
         def _tag(d, kind, sid):

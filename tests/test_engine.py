@@ -1784,3 +1784,27 @@ def test_changelog_includes_position_deletes(spark, tmp_path):
           for r in t.changes(spark, from_snapshot_id=snap1).collect()}
     assert ch == {(2, "b", "delete")}
     assert {r.k for r in t.scan(spark).collect()} == {1, 3}
+
+
+def test_changelog_excludes_other_branches(spark, tmp_path):
+    """changes() walks the to-snapshot's ancestry — a commit on another
+    branch inside the same sequence range must not leak into main's
+    changelog."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.br (k BIGINT)")
+    eng.sql("INSERT INTO db.br VALUES (1)")
+    t = eng.load_table("db.br")
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    eng.sql("ALTER TABLE db.br CREATE BRANCH dev")
+    t = eng.load_table("db.br")
+    t.append(spark, spark.createDataFrame([(99,)], ["k"]), branch="dev")
+    t = eng.load_table("db.br")
+    t.append(spark, spark.createDataFrame([(2,)], ["k"]))
+    t = eng.load_table("db.br")
+
+    ch = {(r.k, r._change_type)
+          for r in t.changes(spark, from_snapshot_id=snap1).collect()}
+    assert ch == {(2, "insert")}, ch  # 99 lives only on dev
