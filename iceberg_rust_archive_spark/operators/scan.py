@@ -59,6 +59,21 @@ def _resolve_entries(md: TableMetadata, branch, snapshot_id, as_of_ms,
         start = md.snapshot_by_id(from_snapshot_id)
         if start is not None:
             start_seq = start.sequence_number
+            # a replace commit in the range rewrites ALL files at a new
+            # sequence number — an incremental read would re-emit the
+            # whole table as "new rows". Refuse loudly (Iceberg's
+            # incremental scan contract for overwrite snapshots);
+            # consumers resync from a full scan.
+            s_ = snap
+            while s_ is not None and s_.sequence_number > start_seq:
+                if (s_.summary or {}).get("operation") == "replace":
+                    raise ValueError(
+                        f"incremental read range spans a replace "
+                        f"commit (snapshot {s_.snapshot_id}); rows "
+                        "cannot be attributed — resync from a full "
+                        "scan")
+                s_ = (md.snapshots.get(s_.parent_snapshot_id)
+                      if s_.parent_snapshot_id is not None else None)
     mlist = read_manifest_list(snap.manifest_list)
     if start_seq >= 0:
         mlist = [m for m in mlist if m.sequence_number > start_seq]

@@ -1808,3 +1808,33 @@ def test_changelog_excludes_other_branches(spark, tmp_path):
     ch = {(r.k, r._change_type)
           for r in t.changes(spark, from_snapshot_id=snap1).collect()}
     assert ch == {(2, "insert")}, ch  # 99 lives only on dev
+
+
+def test_incremental_read_refuses_replace_range(spark, tmp_path):
+    """scan(from_snapshot_id=...) across a compaction must refuse: the
+    rewritten files carry new sequence numbers and would re-emit the
+    whole table as new rows."""
+    from iceberg_rust_archive_spark import maintenance as mt
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.inc (k BIGINT)")
+    eng.sql("INSERT INTO db.inc VALUES (1)")
+    t = eng.load_table("db.inc")
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    eng.sql("INSERT INTO db.inc VALUES (2)")
+    t = eng.load_table("db.inc")
+    # pre-compaction: clean incremental read
+    assert {r.k for r in
+            t.scan(spark, from_snapshot_id=snap1).collect()} == {2}
+    mt.compact_table(spark, t)
+    t = eng.load_table("db.inc")
+    with pytest.raises(ValueError, match="replace commit"):
+        t.scan(spark, from_snapshot_id=snap1)
+    # post-compaction baseline works again
+    snap3 = t.metadata.current_snapshot().snapshot_id
+    eng.sql("INSERT INTO db.inc VALUES (3)")
+    t = eng.load_table("db.inc")
+    assert {r.k for r in
+            t.scan(spark, from_snapshot_id=snap3).collect()} == {3}
