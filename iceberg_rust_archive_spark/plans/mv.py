@@ -54,7 +54,7 @@ from iceberg_rust_archive_spark.spec.types import (
 )
 from iceberg_rust_archive_spark.spec.view_metadata import (
     REFRESH_STATE_KEY, MaterializedViewMetadata, RefreshState,
-    SourceTableState,
+    SourceTableState, ViewMetadata,
 )
 from iceberg_rust_archive_spark.table import Table
 
@@ -243,6 +243,40 @@ def _weighted_sql(parsed: ParsedSelect, run_sql: str, wtot: str) -> str:
             + run_sql[body.end(1):])
 
 
+def _expand_view_refs(catalog: Catalog, sql: str, depth: int = 0) -> str:
+    """Resolve non-table relations so the refresh machinery only ever
+    binds real tables: a plain VIEW inlines as a subquery (its query
+    re-evaluates each refresh — correct; the expansion marks the plan
+    has_subquery, so such MVs recompute fully), and a MATERIALIZED VIEW
+    rebinds to its STORAGE TABLE — which is a real Iceberg table, so
+    source-freshness tracking and every incremental strategy work
+    through MV-over-MV layers."""
+    if depth > 10:
+        raise ValueError("view nesting deeper than 10 levels")
+    mapping: dict[str, str] = {}
+    for name in parse_select(sql).relations:
+        try:
+            md = catalog.load_tabular(name)
+        except Exception:  # noqa: BLE001 — unresolved → leave to binder
+            continue
+        if isinstance(md, MaterializedViewMetadata):
+            _, _, proj = storage_plan(md.sql)
+            if proj is None:
+                mapping[name.lower()] = md.storage_table
+            else:
+                # inner MV persists an avg decomposition — project the
+                # declared columns back over its storage table
+                cols = ", ".join(f"{e} AS {n}" for n, e in proj)
+                mapping[name.lower()] = \
+                    f"(SELECT {cols} FROM {md.storage_table})"
+        elif isinstance(md, ViewMetadata):
+            mapping[name.lower()] = f"({strip_order_by(md.sql)})"
+    if not mapping:
+        return sql
+    return _expand_view_refs(catalog, rewrite_relations(sql, mapping),
+                             depth + 1)
+
+
 def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                               identifier: str,
                               branch: str | None = None) -> str:
@@ -250,7 +284,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     mv = catalog.load_tabular(identifier)
     if not isinstance(mv, MaterializedViewMetadata):
         raise TypeError(f"{identifier} is not a materialized view")
-    sql = mv.sql
+    sql = _expand_view_refs(catalog, mv.sql)
     # storage layout: avg(E) decomposes into persisted sum/count pairs
     # (reads re-derive avg); parsed/classification run on that form
     run_sql, parsed, _avg_proj = storage_plan(sql)

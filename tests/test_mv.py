@@ -620,3 +620,33 @@ def test_changelog_refuses_replace_commits(spark, tmp_path):
           t.changes(spark,
                     from_snapshot_id=repl.snapshot_id).collect()]
     assert ch == [(9, "insert")]
+
+
+def test_mv_over_view_and_over_mv(engine):
+    """MV over a plain VIEW (inlined subquery → full recompute) and MV
+    over another MV (rebinds to the inner storage table → incremental
+    source tracking works through the layer)."""
+    engine.sql("CREATE VIEW db.w AS "
+               "SELECT product_id, quantity * 2 AS q2 FROM db.orders")
+    engine.sql("CREATE MATERIALIZED VIEW db.vm AS "
+               "SELECT product_id, sum(q2) AS s FROM db.w "
+               "GROUP BY product_id")
+    assert engine.refresh_materialized_view("db.vm") == FULL
+    got = {r.product_id: r.s for r in
+           engine.sql("SELECT * FROM db.vm").collect()}
+    assert got == {1: 14, 2: 2, 3: 6}
+
+    # layered MV: aggregates the inner MV's storage table
+    engine.sql("CREATE MATERIALIZED VIEW db.vm2 AS "
+               "SELECT count(*) AS n, sum(s) AS total FROM db.vm")
+    engine.refresh_materialized_view("db.vm2")
+    r = engine.sql("SELECT * FROM db.vm2").collect()[0]
+    assert (r.n, r.total) == (3, 22)
+
+    # source change propagates through refreshes of both layers
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7, 1, 1, DATE '2020-05-01', 5)")
+    engine.refresh_materialized_view("db.vm")
+    engine.refresh_materialized_view("db.vm2")
+    r = engine.sql("SELECT * FROM db.vm2").collect()[0]
+    assert (r.n, r.total) == (3, 32)
