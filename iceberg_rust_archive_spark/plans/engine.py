@@ -114,23 +114,25 @@ class Engine:
         return Table.load(self.catalog, identifier.lower())
 
     def create_view(self, identifier: str, sql: str) -> None:
+        identifier = identifier.lower()
         schema = mv_mod.schema_from_df(self._run_select(sql))
         base = getattr(self.catalog, "root", "/tmp/iceberg-warehouse")
         vm = ViewMetadata.new(
             f"{base}/{identifier.replace('.', '/')}", sql, schema)
-        self.catalog.create_tabular(identifier.lower(), vm)
+        self.catalog.create_tabular(identifier, vm)
 
     def create_materialized_view(self, identifier: str, sql: str) -> None:
+        identifier = identifier.lower()
         schema = mv_mod.schema_from_df(self._run_select(sql))
         base = getattr(self.catalog, "root", "/tmp/iceberg-warehouse")
         mvm = MaterializedViewMetadata.new_mv(
             f"{base}/{identifier.replace('.', '/')}", sql, schema,
             storage_table=identifier + "_storage")
-        self.catalog.create_tabular(identifier.lower(), mvm)
+        self.catalog.create_tabular(identifier, mvm)
 
     def refresh_materialized_view(self, identifier: str) -> str:
         return mv_mod.refresh_materialized_view(self.spark, self.catalog,
-                                                identifier)
+                                                identifier.lower())
 
     # --- SQL router -------------------------------------------------------
     def sql(self, text: str) -> DataFrame | None:

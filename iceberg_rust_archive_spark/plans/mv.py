@@ -256,7 +256,7 @@ def _expand_view_refs(catalog: Catalog, sql: str, depth: int = 0) -> str:
     mapping: dict[str, str] = {}
     for name in parse_select(sql).relations:
         try:
-            md = catalog.load_tabular(name)
+            md = catalog.load_tabular(name.lower())
         except Exception:  # noqa: BLE001 — unresolved → leave to binder
             continue
         if isinstance(md, MaterializedViewMetadata):
@@ -308,7 +308,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
 
     sources: list[SourceState] = []
     for name in parsed.relations:
-        t = Table.load(catalog, name)
+        t = Table.load(catalog, name.lower())
         old_snap = old_state.snapshot_for(t.metadata.table_uuid) \
             if old_state else None
         sources.append(SourceState(name, t, old_snap))

@@ -650,3 +650,21 @@ def test_mv_over_view_and_over_mv(engine):
     engine.refresh_materialized_view("db.vm2")
     r = engine.sql("SELECT * FROM db.vm2").collect()[0]
     assert (r.n, r.total) == (3, 32)
+
+
+def test_mv_mixed_case_identifiers(spark, tmp_path):
+    """MV create/refresh/read with MiXeD-cAsE identifiers — every
+    catalog touchpoint must canonicalize."""
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA DB")
+    eng.sql("CREATE TABLE DB.T (k BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO db.T VALUES (1,10),(2,20)")
+    eng.sql("CREATE MATERIALIZED VIEW DB.MV1 AS "
+            "SELECT SUM(v) AS s, k FROM DB.T GROUP BY k")
+    assert eng.sql("SELECT refresh_materialized_view('DB.MV1')") \
+        .collect()[0][0] == FULL
+    eng.sql("INSERT INTO DB.t VALUES (1, 5)")
+    assert eng.refresh_materialized_view("Db.Mv1") == INCR_AGG
+    got = sorted((r.k, r.s) for r in
+                 eng.sql("SELECT k, s FROM db.mv1").collect())
+    assert got == [(1, 15), (2, 20)]
