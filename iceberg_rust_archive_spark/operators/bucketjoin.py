@@ -82,7 +82,8 @@ def _files_by_bucket(table, pf_name: str):
             if b is None:
                 return None  # pre-evolution file without the bucket value
             out[int(b)].append((e.data_file.file_path,
-                                e.data_file.file_size_in_bytes or 0))
+                                e.data_file.file_size_in_bytes or 0,
+                                e.data_file.file_format))
     return dict(out)
 
 
@@ -119,10 +120,13 @@ def bucketed_join(spark: SparkSession, left, right, key: str,
         lg, rg = lf.get(b), rf.get(b)
         if not lg or not rg:
             continue  # inner join: an empty side empties the bucket
-        ld = spark.read.schema(l_schema).parquet(*[p for p, _ in lg])
-        rd = spark.read.schema(r_schema).parquet(*[p for p, _ in rg])
-        l_bytes = sum(s for _, s in lg)
-        r_bytes = sum(s for _, s in rg)
+        from iceberg_rust_archive_spark.sources.readers import (
+            read_data_files,
+        )
+        ld = read_data_files(spark, l_schema, [(p, f) for p, _, f in lg])
+        rd = read_data_files(spark, r_schema, [(p, f) for p, _, f in rg])
+        l_bytes = sum(s for _, s, _f in lg)
+        r_bytes = sum(s for _, s, _f in rg)
         # the manifest stats name the smaller side exactly — hint it
         # when broadcastable so the per-bucket join plans with zero
         # Exchanges; otherwise only this bucket's rows shuffle

@@ -30,6 +30,7 @@ from iceberg_rust_archive_spark.predicates import (
 from iceberg_rust_archive_spark.sources.manifests import (
     read_manifest_list, read_manifests,
 )
+from iceberg_rust_archive_spark.sources.readers import read_data_files
 from iceberg_rust_archive_spark.spec.manifest import (
     CONTENT_DATA, CONTENT_EQUALITY_DELETES, CONTENT_POSITION_DELETES,
     STATUS_DELETED,
@@ -151,15 +152,14 @@ def scan(spark: SparkSession, md: TableMetadata,
     # merge-on-read natural, so we support it as a parity superset.
     has_pos = bool(pos_delete_entries)
 
-    def read_data(paths: list[str]) -> DataFrame:
-        d = spark.read.schema(spark_schema).parquet(*paths)
-        if has_pos:
-            # normalize file:///p -> /p to match DataFile.file_path form
-            d = d.withColumn(
-                "__fp", F.regexp_replace(F.col("_metadata.file_path"),
-                                         "^file:/+", "/")) \
-                 .withColumn("__pos", F.col("_metadata.row_index"))
-        return d
+    def read_data(entries: list) -> DataFrame:
+        # format-aware (DataFile.file_format — parquet/ORC may mix after
+        # a write.format.default flip); __fp normalizes file:///p -> /p
+        # to match DataFile.file_path form when pos-deletes are in play
+        return read_data_files(
+            spark, spark_schema,
+            [(e.data_file.file_path, e.data_file.file_format)
+             for e in entries], with_pos=has_pos)
 
     def apply_pos_deletes(d: DataFrame) -> DataFrame:
         """Anti-join the (file_path, pos) delete pairs, drop helpers.
@@ -212,8 +212,10 @@ def scan(spark: SparkSession, md: TableMetadata,
                 continue
             del_schema = spark_schema_for(
                 schema.project(list(eq_ids)).struct)
-            del_df = (spark.read.schema(del_schema)
-                      .parquet(*[d.data_file.file_path for d in des])
+            del_df = (read_data_files(
+                          spark, del_schema,
+                          [(d.data_file.file_path, d.data_file.file_format)
+                           for d in des])
                       .select(*[F.col(c).alias(f"__del_{c}")
                                 for c in eq_names]))
             # broadcast only provably-small delete sets (the reference
@@ -238,9 +240,8 @@ def scan(spark: SparkSession, md: TableMetadata,
             batch = by_seq[seq]
             if acc is not None and batch["delete"]:
                 acc = apply_eq_deletes(acc, batch["delete"])
-            dfiles = [e.data_file.file_path for e in batch["data"]]
-            if dfiles:
-                d = read_data(dfiles)
+            if batch["data"]:
+                d = read_data(batch["data"])
                 acc = d if acc is None else acc.unionByName(d)
         return acc
 
@@ -268,12 +269,11 @@ def scan(spark: SparkSession, md: TableMetadata,
     part_deletes = [e for e in delete_entries if not _is_global(e)]
     part_deleted = {pkey(e) for e in part_deletes}
     plain_entries = [e for e in data_entries if pkey(e) not in part_deleted]
-    plain_files = [e.data_file.file_path for e in plain_entries]
 
     parts: list[DataFrame] = []
     if not global_deletes:
-        if plain_files:
-            parts.append(read_data(plain_files))
+        if plain_entries:
+            parts.append(read_data(plain_entries))
     else:
         # single stratified chain over all partition-less-delete data
         strata: dict[int, dict[str, list]] = defaultdict(

@@ -71,6 +71,15 @@ CHANGELOG_AGG = "ChangelogAggregate"
 # on the touched keys), replace those groups — cost scales with the
 # change interval's key set, not the table.
 CHANGELOG_SCOPED = "ChangelogScopedRecompute"
+# count(DISTINCT x) (and friends) is not additive across deltas — the
+# same value may appear on both sides of the interval — so no merge
+# expression exists. But for a single-source keyed aggregate the
+# TOUCHED-GROUP set is still exactly the delta rows' group keys, so the
+# MV refreshes by recomputing only those groups over the base table
+# (appends: incremental scan names the keys; deletes: the changelog
+# does). The reference classifies every DISTINCT aggregate
+# FullOverwrite (mod.rs:370-415) — this is a parity superset.
+DISTINCT_SCOPED = "DistinctScopedRecompute"
 
 _INCREMENTAL_AGGS = {"sum", "count", "min", "max"}  # aggregate_functions.rs
 
@@ -86,13 +95,18 @@ def classify(parsed: ParsedSelect) -> str:
         aggs = parsed.agg_items()
         if not aggs or any(i.agg_fn not in _INCREMENTAL_AGGS for i in aggs):
             return FULL
-        # count(DISTINCT x)/sum(DISTINCT x) are NOT additive across
-        # deltas — distinct values may repeat between old and new rows
-        if any(re.match(r"distinct\b", (i.agg_inner or "").strip(),
-                        re.IGNORECASE) for i in aggs):
-            return FULL
         if any(i.alias is None for i in aggs):
             return FULL  # merge needs stable output names
+        # count(DISTINCT x)/sum(DISTINCT x) are NOT additive across
+        # deltas — distinct values may repeat between old and new rows.
+        # Single-source keyed aggregates still refresh incrementally by
+        # recomputing only the touched groups (DISTINCT_SCOPED); joins
+        # would aggregate over the whole join anyway, so they recompute.
+        if any(re.match(r"distinct\b", (i.agg_inner or "").strip(),
+                        re.IGNORECASE) for i in aggs):
+            if len(parsed.relations) == 1 and parsed.key_items():
+                return DISTINCT_SCOPED
+            return FULL
         return INCR_AGG
     return INCR_APPEND
 
@@ -323,7 +337,11 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         # sum/count aggregate with an explicit COUNT(*) multiplicity
         # column, the CHANGELOG (insert/delete rows) still yields exact
         # group deltas via signed weights; everything else recomputes.
-        if (strategy == INCR_AGG
+        if (strategy == DISTINCT_SCOPED
+                and all(s.old_exists and not s.replace_since
+                        for s in sources)):
+            pass  # stays scoped — touched keys come from the changelog
+        elif (strategy == INCR_AGG
                 and all(s.old_exists and not s.replace_since
                         for s in sources)
                 and _changelog_capable(parsed)):
@@ -356,12 +374,19 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     def current_bindings() -> dict[str, DataFrame]:
         return {s.name: s.table.scan(spark) for s in sources}
 
-    # --- scoped group recompute (min/max under deletes) -------------------
-    if strategy == CHANGELOG_SCOPED:
+    # --- scoped group recompute (min/max under deletes; any DISTINCT
+    # aggregate under appends OR deletes) ---------------------------------
+    if strategy in (CHANGELOG_SCOPED, DISTINCT_SCOPED):
         src = sources[0]
         kitems = parsed.key_items()
-        ch = src.table.changes(spark,
-                               from_snapshot_id=src.old_snapshot_id)
+        if src.invalid:
+            ch = src.table.changes(spark,
+                                   from_snapshot_id=src.old_snapshot_id)
+        else:
+            # appends only: the incremental scan's rows name exactly
+            # the groups whose aggregates can have changed
+            ch = src.table.scan(spark,
+                                from_snapshot_id=src.old_snapshot_id)
         touched = (ch.select(*[F.expr(i.expr).alias(f"__t_{i.out_name}")
                                for i in kitems])
                    .dropDuplicates().cache())
@@ -401,7 +426,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             recomputed.unpersist()
             touched.unpersist()
         _maybe_compact_storage(spark, catalog, mv, branch)
-        return CHANGELOG_SCOPED
+        return strategy
 
     # --- FULL: recompute + replace (operation.rs:384-547) ----------------
     if strategy == FULL:

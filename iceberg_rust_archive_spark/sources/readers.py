@@ -1,0 +1,66 @@
+"""Format-aware data-file reads.
+
+Iceberg records a format PER FILE (``DataFile.file_format``, manifest
+field r101 — iceberg-rust-spec/src/spec/manifest.rs DataFile), so one
+table can legally mix Parquet and ORC data files (e.g. after flipping
+``write.format.default``). Every place the engine turns a file list into
+a DataFrame goes through :func:`read_data_files`, which groups the list
+by format and unions one bulk relation per format — the scan plan stays
+O(#formats), not O(#files), and Catalyst still sees plain file-source
+relations it can prune and push filters into.
+
+Position-delete ordinals are the one parquet-only feature: Spark exposes
+``_metadata.row_index`` for its Parquet reader but not ORC (probed on
+this runtime), so callers that need row ordinals pass ``with_pos=True``
+and get a loud error if any ORC file is in range, instead of a silent
+wrong-ordinal join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUPPORTED = ("parquet", "orc")
+
+
+def norm_format(fmt: str | None) -> str:
+    return (fmt or "parquet").strip().lower()
+
+
+def read_data_files(spark: SparkSession, spark_schema,
+                    path_fmt_pairs, with_pos: bool = False) -> DataFrame:
+    """One DataFrame over a mixed-format file list.
+
+    ``path_fmt_pairs``: iterable of ``(file_path, file_format)``.
+    ``with_pos``: add ``__fp``/``__pos`` helper columns from the file
+    metadata (parquet only — ORC in range raises).
+    """
+    groups: dict[str, list[str]] = {}
+    for p, fmt in path_fmt_pairs:
+        groups.setdefault(norm_format(fmt), []).append(p)
+    out: DataFrame | None = None
+    for fmt in sorted(groups):
+        paths = groups[fmt]
+        if fmt not in _SUPPORTED:
+            raise ValueError(
+                f"unsupported data file format {fmt!r} "
+                f"(supported: {_SUPPORTED})")
+        if with_pos and fmt != "parquet":
+            raise ValueError(
+                "position deletes address parquet row ordinals; Spark "
+                "has no _metadata.row_index for ORC data files — use "
+                "equality deletes on ORC tables")
+        reader = spark.read.schema(spark_schema)
+        # pyspark API asymmetry: .parquet(*paths) is variadic, but
+        # .orc(path, mergeSchema=..., ...) takes ONE path-or-list —
+        # a variadic call would silently feed path #2 into mergeSchema
+        # and read a single file.
+        d = reader.parquet(*paths) if fmt == "parquet" \
+            else reader.orc(paths)
+        if with_pos:
+            d = (d.withColumn("__fp", F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"))
+                 .withColumn("__pos", F.col("_metadata.row_index")))
+        out = d if out is None else out.unionByName(d)
+    return out

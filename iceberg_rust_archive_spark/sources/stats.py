@@ -74,12 +74,71 @@ def _norm_bound(v):
     return v
 
 
+def _harvest_one_orc(path: str, field_ids: dict[str, int],
+                     partition: dict | None,
+                     content: int,
+                     equality_ids: tuple[int, ...] | None) -> DataFile:
+    """ORC DataFile stats: pyarrow's ORC reader exposes no per-stripe
+    column statistics API, so bounds come from reading the file back and
+    reducing with pyarrow.compute (C-side, GIL-released). Costlier than
+    a parquet footer read, but it runs once per written file, on the
+    executors above the distributed threshold — the same I/O locality
+    the write itself had. column_sizes are apportioned from in-memory
+    Arrow buffer sizes (relative, not exact on-disk bytes)."""
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+
+    f = po.ORCFile(path)
+    tbl = f.read()
+    fsize = os.path.getsize(path)
+    col_sizes: dict[int, int] = {}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    lowers: dict[int, object] = {}
+    uppers: dict[int, object] = {}
+    mem_total = max(1, tbl.nbytes)
+    for name in tbl.column_names:
+        fid = field_ids.get(name)
+        if fid is None:
+            continue
+        col = tbl.column(name)
+        value_counts[fid] = len(col)
+        null_counts[fid] = col.null_count
+        col_sizes[fid] = max(1, fsize * col.nbytes // mem_total)
+        if len(col) == col.null_count:
+            continue
+        try:
+            lo = _norm_bound(pc.min(col).as_py())
+            hi = _norm_bound(pc.max(col).as_py())
+        except Exception:  # noqa: BLE001 — nested/unordered types
+            continue
+        if lo is not None:
+            lowers[fid] = lo
+        if hi is not None:
+            uppers[fid] = hi
+
+    lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()}
+    uppers = {fid: u for fid, v in uppers.items()
+              if (u := _trunc_upper(v)) is not None}
+    return DataFile(
+        content=content, file_path=path, file_format="orc",
+        partition=partition or {}, record_count=f.nrows,
+        file_size_in_bytes=fsize,
+        column_sizes=col_sizes, value_counts=value_counts,
+        null_value_counts=null_counts, lower_bounds=lowers,
+        upper_bounds=uppers, equality_ids=equality_ids)
+
+
 def harvest_one(path: str, field_ids: dict[str, int],
                 partition: dict | None = None,
                 content: int = CONTENT_DATA,
                 equality_ids: tuple[int, ...] | None = None) -> DataFile:
     """Read one footer with pyarrow; aggregate row-group stats per column.
-    ``field_ids`` maps column name → iceberg field id."""
+    ``field_ids`` maps column name → iceberg field id. ORC files (by
+    extension) route to the Arrow-reduction harvester."""
+    if path.endswith(".orc"):
+        return _harvest_one_orc(path, field_ids, partition, content,
+                                equality_ids)
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)

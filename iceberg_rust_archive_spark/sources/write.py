@@ -52,7 +52,8 @@ _WIDTH_CACHE: dict[str, int] = {}
 
 
 def _records_per_file(df: DataFrame, target_bytes: int, codec: str,
-                      cache_key: str | None = None) -> int:
+                      cache_key: str | None = None,
+                      fmt: str = "parquet") -> int:
     """Byte-based file rolling through Spark's record-count knob: encode
     a bounded sample of ``df`` to parquet in-driver (same codec the real
     write uses) and derive ``maxRecordsPerFile = target / measured_width``.
@@ -75,12 +76,15 @@ def _records_per_file(df: DataFrame, target_bytes: int, codec: str,
             # changes row width), the SOURCE footer's bytes-per-row is
             # the measurement. Projection can only shrink rows, so the
             # estimate errs toward smaller files — the safe direction.
+            # (Parquet-source inputs only; an ORC *output* format still
+            # uses this estimate — byte-per-row is close enough across
+            # the two columnar codecs for a file-rolling cap.)
             plan = df._jdf.queryExecution().analyzed().toString()
             import re as _re
             if not _re.search(r"\b(Join|Aggregate|Generate|Window|Union"
                               r"|Expand|GlobalLimit)", plan):
                 srcs = df.inputFiles()
-                if srcs:
+                if srcs and srcs[0].endswith(".parquet"):
                     import pyarrow.parquet as pq
                     p = srcs[0]
                     p = p[len("file:"):] if p.startswith("file:") else p
@@ -96,15 +100,22 @@ def _records_per_file(df: DataFrame, target_bytes: int, codec: str,
             return max(128, target_bytes // width)
         try:
             import io
-            import pyarrow.parquet as pq
             tbl = df.limit(_WIDTH_SAMPLE_ROWS).toArrow()
             if tbl.num_rows == 0:
                 return max(10_000, target_bytes // 64)
             buf = io.BytesIO()
-            # Spark codec names → pyarrow's (Spark's "uncompressed"/"lz4"
-            # are "none"/"lz4" in pyarrow)
-            pa_codec = {"uncompressed": "none"}.get(codec, codec)
-            pq.write_table(tbl, buf, compression=pa_codec)
+            if fmt == "orc":
+                import pyarrow.orc as po
+                po.write_table(tbl, buf, compression={
+                    "zstd": "zstd", "zlib": "zlib", "snappy": "snappy",
+                    "lz4": "lz4", "uncompressed": "uncompressed",
+                    "none": "uncompressed"}.get(codec, "zstd"))
+            else:
+                import pyarrow.parquet as pq
+                # Spark codec names → pyarrow's (Spark's "uncompressed"/
+                # "lz4" are "none"/"lz4" in pyarrow)
+                pa_codec = {"uncompressed": "none"}.get(codec, codec)
+                pq.write_table(tbl, buf, compression=pa_codec)
             width = max(1, buf.tell() // tbl.num_rows)
         except Exception:
             # toArrow/codec unavailable: fall back to the 64-byte guess
@@ -171,7 +182,19 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     df = align_to_schema(df, schema)
     target_bytes = int(md.properties.get(
         "write.target-file-size-bytes", 512_000_000))
-    codec = md.properties.get("write.parquet.compression-codec", "zstd")
+    # Data-file format follows ``write.format.default`` (Iceberg table
+    # property; the spec records a format PER FILE so flipping it mid-
+    # table is legal — the scan reads each file under its own format).
+    # Delete files stay parquet regardless: position-delete ordinals
+    # need Spark's parquet _metadata.row_index, and one delete format
+    # keeps every merge-on-read join a single bulk relation.
+    fmt = md.properties.get("write.format.default", "parquet") \
+        .strip().lower() if content == CONTENT_DATA else "parquet"
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported write.format.default {fmt!r} "
+                         "(parquet, orc)")
+    codec = md.properties.get(
+        f"write.{fmt}.compression-codec", "zstd")
     # measure row width BEFORE the partition shuffle (the sample limit
     # then short-circuits the scan) and without the _p_* columns, which
     # partitionBy routes into directory names, not file bytes
@@ -179,7 +202,8 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
                          for f in df.schema.fields)
     records_cap = _records_per_file(
         df, target_bytes, codec,
-        cache_key=f"{schema_fp}#{codec}#{content}#{target_bytes}")
+        cache_key=f"{schema_fp}#{codec}#{content}#{target_bytes}#{fmt}",
+        fmt=fmt)
 
     # derive transform columns (A11)
     pcols: list[str] = []
@@ -249,7 +273,7 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
               .option("maxRecordsPerFile", records_cap))
     if pcols:
         writer = writer.partitionBy(*pcols)
-    writer.parquet(out_dir)
+    getattr(writer, fmt)(out_dir)  # .parquet(...) / .orc(...)
 
     # enumerate written files + parse partition tuples from paths
     items: list[tuple[str, dict]] = []
@@ -271,7 +295,7 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
                     src.field_type if isinstance(src.field_type, str)
                     else "string")
         for fn in files:
-            if fn.endswith(".parquet"):
+            if fn.endswith("." + fmt):
                 items.append((os.path.join(root, fn), partition))
 
     if hashed:
@@ -284,7 +308,7 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         import shutil
         moved: list[tuple[str, dict]] = []
         for path, partition in items:
-            fn = uuid.uuid4().hex + ".parquet"
+            fn = uuid.uuid4().hex + "." + fmt
             prefix = hashlib.sha256(fn.encode()).hexdigest()[:6]
             dest_dir = os.path.join(data_root, prefix)
             os.makedirs(dest_dir, exist_ok=True)

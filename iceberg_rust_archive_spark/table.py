@@ -15,6 +15,7 @@ from iceberg_rust_archive_spark.spec.partition import PartitionSpec
 from iceberg_rust_archive_spark.spec.schema import Schema
 from iceberg_rust_archive_spark.spec.sort import SortOrder
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+from iceberg_rust_archive_spark.sources.readers import read_data_files
 from iceberg_rust_archive_spark.sources.write import write_datafiles
 from iceberg_rust_archive_spark.transaction import Transaction
 
@@ -159,8 +160,10 @@ class Table:
                         added_pos.append(e)
             piece = None
             if added_data:
-                ins = spark.read.schema(spark_schema).parquet(
-                    *[e.data_file.file_path for e in added_data])
+                ins = read_data_files(
+                    spark, spark_schema,
+                    [(e.data_file.file_path, e.data_file.file_format)
+                     for e in added_data])
                 piece = _tag(ins, "insert", s.snapshot_id)
             if added_deletes and s.parent_snapshot_id is not None:
                 prior = self.scan(spark,
@@ -176,8 +179,10 @@ class Table:
                         continue
                     dsch = spark_schema_for(
                         schema.project(list(eq_ids)).struct)
-                    keys = (spark.read.schema(dsch).parquet(
-                        *[d.data_file.file_path for d in des])
+                    keys = (read_data_files(
+                        spark, dsch,
+                        [(d.data_file.file_path, d.data_file.file_format)
+                         for d in des])
                         .select(*[F.col(c).alias(f"__k_{c}")
                                   for c in names]).dropDuplicates())
                     cond = None
@@ -303,6 +308,13 @@ class Table:
                 if e.status == STATUS_DELETED:
                     continue
                 if e.data_file.content == CONTENT_DATA:
+                    if (e.data_file.file_format or "parquet") \
+                            .lower() != "parquet":
+                        raise ValueError(
+                            "position deletes require parquet data "
+                            "files (Spark exposes _metadata.row_index "
+                            "for parquet only) — use "
+                            "delete_where_equal on ORC tables")
                     paths.append(e.data_file.file_path)
                 elif e.data_file.content == CONTENT_POSITION_DELETES:
                     existing_pos.append(e.data_file.file_path)

@@ -668,3 +668,80 @@ def test_mv_mixed_case_identifiers(spark, tmp_path):
     got = sorted((r.k, r.s) for r in
                  eng.sql("SELECT k, s FROM db.mv1").collect())
     assert got == [(1, 15), (2, 20)]
+
+
+def test_distinct_agg_mv_scoped_incremental(engine):
+    """count(DISTINCT x) has no delta-merge expression, but a
+    single-source keyed MV still refreshes incrementally by recomputing
+    ONLY the touched groups (the reference classifies every DISTINCT
+    aggregate FullOverwrite — mod.rs:370-415)."""
+    from iceberg_rust_archive_spark.plans.mv import DISTINCT_SCOPED
+
+    sql = ("SELECT product_id, count(DISTINCT customer_id) AS nc, "
+           "sum(quantity) AS q FROM db.orders GROUP BY product_id")
+    assert classify(parse_select(sql)) == DISTINCT_SCOPED
+    engine.sql(f"CREATE MATERIALIZED VIEW db.dmv AS {sql}")
+    assert engine.refresh_materialized_view("db.dmv") == FULL
+
+    def mv_rows():
+        return {r.product_id: (r.nc, r.q) for r in
+                engine.sql("SELECT * FROM db.dmv").collect()}
+
+    def want():
+        return {r.product_id: (r.nc, r.q)
+                for r in engine.sql(sql.replace(
+                    "FROM db.orders",
+                    "FROM db.orders")).collect()}
+    assert mv_rows() == want() == {1: (3, 7), 2: (1, 1), 3: (1, 3)}
+
+    # append: customer 1 buys product 1 again (nc for p1 must NOT grow),
+    # customer 9 buys product 2 (nc grows), and product 4 is a NEW group
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,1,DATE '2020-03-01',2),(8,9,2,DATE '2020-03-01',1),"
+               "(9,5,4,DATE '2020-03-01',4)")
+    assert engine.refresh_materialized_view("db.dmv") == DISTINCT_SCOPED
+    assert mv_rows() == want() == {1: (3, 9), 2: (2, 2), 3: (1, 3),
+                                   4: (1, 4)}
+
+    # delete interval: remove one of customer 1's product-1 rows (nc
+    # stays 3) and ALL of product 4 (group disappears... group rows
+    # remain only if base still has rows — scoped recompute emits no
+    # row for an empty group, and the retraction removes the stale one)
+    engine.sql("DELETE FROM db.orders WHERE id = 7")
+    engine.sql("DELETE FROM db.orders WHERE product_id = 4")
+    assert engine.refresh_materialized_view("db.dmv") == DISTINCT_SCOPED
+    assert mv_rows() == want() == {1: (3, 7), 2: (2, 2), 3: (1, 3)}
+
+    # untouched-group check: only product-2 rows changed above for p2;
+    # a refresh after touching ONLY product 3 must leave others exact
+    engine.sql("UPDATE db.orders SET quantity = quantity + 1 "
+               "WHERE product_id = 3")
+    assert engine.refresh_materialized_view("db.dmv") == DISTINCT_SCOPED
+    assert mv_rows() == want()
+    assert engine.refresh_materialized_view("db.dmv") == "Fresh"
+
+
+def test_distinct_agg_mv_join_or_keyless_recomputes(engine):
+    """DISTINCT aggregates over a join, or without GROUP BY keys, have
+    no scoped-group shortcut — they classify FULL and stay correct."""
+    from iceberg_rust_archive_spark.plans.mv import DISTINCT_SCOPED
+
+    assert classify(parse_select(
+        "SELECT count(DISTINCT o.customer_id) AS nc, p.x AS x "
+        "FROM db.orders o JOIN db.parts p ON o.product_id = p.id "
+        "GROUP BY p.x")) == FULL
+    assert classify(parse_select(
+        "SELECT count(DISTINCT customer_id) AS nc "
+        "FROM db.orders")) == FULL
+    sql = ("SELECT count(DISTINCT customer_id) AS nc, "
+           "product_id FROM db.orders GROUP BY product_id")
+    assert classify(parse_select(sql)) == DISTINCT_SCOPED
+
+    engine.sql("CREATE MATERIALIZED VIEW db.kmv AS "
+               "SELECT count(DISTINCT customer_id) AS nc FROM db.orders")
+    assert engine.refresh_materialized_view("db.kmv") == FULL
+    assert engine.sql("SELECT nc FROM db.kmv").collect()[0][0] == 3
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,9,1,DATE '2020-03-01',1)")
+    assert engine.refresh_materialized_view("db.kmv") == FULL
+    assert engine.sql("SELECT nc FROM db.kmv").collect()[0][0] == 4
