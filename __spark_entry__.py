@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    dedup, iceberg_queries, multimodal, packing, quantize, relational,
-    relational2, sampling, similarity, temporal, text,
+    chunking, dedup, iceberg_queries, multimodal, packing, quantize,
+    relational, relational2, sampling, similarity, temporal, text,
 )
 
 
@@ -166,7 +166,13 @@ def _text_analysis_suite(s: SparkSession, d: str) -> DataFrame:
         F.lit("tfidf").alias("branch"), F.col("source").alias("k1"),
         F.col("w").alias("k2"), F.col("rank").cast("long").alias("c1"),
         F.col("tfidf").alias("stat"))
-    return lang.unionByName(fp).unionByName(tf)
+    ch = chunking.chunk_summary(s, d).select(
+        F.concat(F.lit("chunk:"), F.col("branch")).alias("branch"),
+        F.col("source").alias("k1"),
+        F.col("max_units").cast("string").alias("k2"),
+        F.col("n_chunks").alias("c1"),
+        F.col("sum_units").cast("double").alias("stat"))
+    return lang.unionByName(fp).unionByName(tf).unionByName(ch)
 
 
 def _events_pivot_approx(s: SparkSession, d: str) -> DataFrame:
@@ -450,6 +456,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'tfidf', source, w, CAST(rank AS BIGINT), tfidf
             FROM ({o.pop('text_tfidf_top_terms')})
+            UNION ALL
+            SELECT concat('chunk:', branch), source,
+                   CAST(max_units AS VARCHAR), n_chunks,
+                   CAST(sum_units AS DOUBLE)
+            FROM ({o.pop('document_chunk_summary')})
         """,
         "events_pivot_approx": f"""
             SELECT 'pivot' AS branch, CAST(decile AS VARCHAR) AS key,
@@ -792,6 +803,7 @@ def _component_oracles() -> dict[str, str]:
         """,
         **packing.ORACLE_SQL,
         **quantize.ORACLE_SQL,
+        **chunking.ORACLE_SQL,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,
         **text.ORACLE_SQL,
