@@ -54,6 +54,7 @@ def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base
             .unionByName(stratified_sample_summary(spark, sf_dir))
             .unionByName(per_source_cap_summary(spark, sf_dir))
+            .unionByName(mixture_sample_summary(spark, sf_dir))
             .orderBy("source", "split"))
 
 
@@ -117,6 +118,49 @@ def per_source_cap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_docs", "sum_chars"))
 
 
+MIXTURE_BUDGET_FRAC = 0.4  # sampled mixture size vs the full corpus
+
+
+def mixture_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture sampling: draw a corpus whose per-source
+    share follows an externally-specified mixture-weight table (the
+    pretraining "data recipe" knob — here weights ∝ source index + 1, a
+    deterministic stand-in for a quality-tier table). Per-source target
+    = weight/Σweights × budget; kept rows = content-hash buckets below
+    ceil(rate × buckets), so the draw is reproducible on any engine and
+    adding data never reassigns kept rows.
+
+    Scale shape: the weight/rate table has source-enum cardinality —
+    one tiny aggregate broadcast back onto the corpus; the corpus scan
+    itself never shuffles. A weight demanding MORE than a source has
+    caps at rate 1 (upsampling is a repeat-factor column for the data
+    loader, not a row-duplicating shuffle)."""
+    from iceberg_rust_archive_spark.session import read_parallel
+    d = read_parallel(spark, os.path.join(sf_dir, "documents.parquet"))
+    idx = F.regexp_extract("source", "(\\d+)", 1).cast("double") + 1
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src"), F.first(idx).alias("w"))
+    tot = counts.agg(F.sum("n_src").alias("n_tot"),
+                     F.sum("w").alias("w_tot"))
+    # the rate expression is kept textually identical to the DuckDB
+    # oracle's (same left-assoc multiply chain): IEEE doubles are
+    # deterministic per expression SHAPE, and a different association
+    # order could flip the ceil on an exact bucket boundary
+    rates = (counts.crossJoin(F.broadcast(tot))  # enum-sized × 1 row
+             .withColumn("keep_b", F.expr(
+                 f"least(cast({SPLIT_BUCKETS} as bigint), "
+                 f"ceil({SPLIT_BUCKETS} * (w / w_tot) "
+                 f"* {MIXTURE_BUDGET_FRAC} * n_tot / n_src))"))
+             .select("source", "keep_b"))
+    return (d.join(F.broadcast(rates), "source")
+            .filter(_hash_bucket(F.col("doc_id")) < F.col("keep_b"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .select("source", F.lit("mixture").alias("split"),
+                    "n_docs", "sum_chars"))
+
+
 ORACLE_SQL = {
     "dataset_split_summary": f"""
         WITH s AS (
@@ -159,6 +203,28 @@ ORACLE_SQL = {
                    AS rk
           FROM documents
         ) WHERE rk <= {CAP_PER_SOURCE}
+        GROUP BY source
+        UNION ALL
+        SELECT source, 'mixture', count(*),
+               CAST(sum(n_chars) AS BIGINT)
+        FROM documents d
+        JOIN (
+          SELECT source,
+                 least(CAST({SPLIT_BUCKETS} AS BIGINT),
+                       ceil({SPLIT_BUCKETS} * (w / w_tot)
+                            * {MIXTURE_BUDGET_FRAC} * n_tot / n_src))
+                   AS keep_b
+          FROM (SELECT source, count(*) AS n_src,
+                       CAST(regexp_extract(source, '(\\d+)', 1) AS DOUBLE)
+                         + 1 AS w
+                FROM documents GROUP BY source) c,
+               (SELECT count(*) AS n_tot FROM documents) t1,
+               (SELECT sum(CAST(regexp_extract(source, '(\\d+)', 1)
+                                AS DOUBLE) + 1) AS w_tot
+                FROM (SELECT DISTINCT source FROM documents)) t2
+        ) r USING (source)
+        WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT
+                % {SPLIT_BUCKETS} < keep_b
         GROUP BY source
     """,
 }

@@ -666,3 +666,26 @@ def test_perplexity_proxy_orders_quality(spark):
         out = {r.source: r.avg_nll
                for r in text_ops.text_perplexity_proxy(spark, d).collect()}
     assert out["common"] < out["rare"]
+
+
+def test_mixture_sample_follows_weights(spark):
+    """The mixture draw's per-source share must track the weight table
+    (∝ source index + 1): kept counts are monotone-ish in weight and
+    the draw is deterministic across runs."""
+    from iceberg_rust_archive_spark.operators import sampling
+    rows = {r.source: r.n_docs for r in
+            sampling.mixture_sample_summary(spark, SF_DIR).collect()}
+    rows2 = {r.source: r.n_docs for r in
+             sampling.mixture_sample_summary(spark, SF_DIR).collect()}
+    assert rows == rows2
+    # lowest-weight source keeps fewer docs than the highest-weight one
+    lo = min(rows, key=lambda s: int(s.replace("src", "")))
+    hi = max(rows, key=lambda s: int(s.replace("src", "")))
+    assert rows[lo] < rows[hi]
+    # rates respect availability: nothing exceeds the source's size
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    per_src = {r.source: r.cnt for r in
+               d.groupBy("source").agg(
+                   F.count(F.lit(1)).alias("cnt")).collect()}
+    for s, n in rows.items():
+        assert 0 < n <= per_src[s]
