@@ -247,3 +247,52 @@ def prune_datafiles(preds: list[Pred], schema: Schema,
         if keep:
             out.append(f)
     return out
+
+
+def file_fully_matches(preds: list[Pred], schema: Schema,
+                       f: DataFile) -> bool:
+    """EVERY row of ``f`` provably satisfies every predicate — the
+    precondition for answering ``count(*)`` from manifest metadata
+    alone (``Table.count``). Conservative by construction: missing
+    bounds or any null in a filtered column → False (a NULL fails
+    every comparison predicate).
+
+    Truncated string bounds stay sound here: a truncated lower bound
+    is still ≤ every value (so ``lo >= lit`` proves ``value >= lit``)
+    and the truncate-increment upper is still ≥ every value."""
+    for p in preds:
+        fld = schema.field_by_name(p.column)
+        if fld is None or not isinstance(fld.field_type, str):
+            return False
+        lo = f.lower_bounds.get(fld.field_id)
+        hi = f.upper_bounds.get(fld.field_id)
+        nulls = f.null_value_counts.get(fld.field_id)
+        values = f.value_counts.get(fld.field_id)
+        if p.op == "is_null":
+            if not (nulls is not None and values is not None
+                    and nulls == values):
+                return False
+            continue
+        if nulls is None or nulls != 0:
+            return False
+        if p.op == "not_null":
+            continue
+        if lo is None or hi is None:
+            return False
+        lit = _norm_literal(p.value, fld.field_type) if p.op != "in" \
+            else [_norm_literal(v, fld.field_type) for v in p.value]
+        try:
+            ok = {
+                "=": lambda: lo == hi == lit,
+                "!=": lambda: hi < lit or lo > lit,
+                "<": lambda: hi < lit,
+                "<=": lambda: hi <= lit,
+                ">": lambda: lo > lit,
+                ">=": lambda: lo >= lit,
+                "in": lambda: lo == hi and lo in lit,
+            }.get(p.op, lambda: False)()
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True

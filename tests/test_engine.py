@@ -1838,3 +1838,37 @@ def test_incremental_read_refuses_replace_range(spark, tmp_path):
     t = eng.load_table("db.inc")
     assert {r.k for r in
             t.scan(spark, from_snapshot_id=snap3).collect()} == {3}
+
+
+def test_metadata_only_count(spark, catalog):
+    """Table.count answers count(*) from manifest record_counts with
+    ZERO Spark jobs when provable (spark=None asserts the fast path),
+    scans only boundary files under partial predicates, and falls back
+    to the real merge-on-read scan once delete files are live."""
+    t = _mk_table(catalog, "orders_count")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+
+    # no predicate, no deletes → pure metadata (no SparkSession needed)
+    assert t.count() == len(BATCH1) + len(BATCH2)
+
+    # partition-aligned predicate: day partitioning makes date-equality
+    # fully cover each file → still metadata-only
+    assert t.count(filter=[Pred("date", "=", dt.date(2020, 1, 1))]) == 3
+
+    # partial predicate (amount straddles file bounds) → boundary files
+    # scanned; result equals the real scan's count
+    n = t.count(spark, filter=[Pred("amount", ">=", 2)])
+    assert n == t.scan(
+        spark, filter=[Pred("amount", ">=", 2)]).count() == 4
+    with pytest.raises(ValueError, match="inexact"):
+        t.count(filter=[Pred("amount", ">=", 2)])
+
+    # live equality-delete file → metadata count would overcount;
+    # fallback runs merge-on-read and spark=None refuses
+    t.delete_where_equal(spark, spark.createDataFrame([(1,), (7,)],
+                                                      ["id"]), ["id"])
+    t = t.refresh()
+    assert t.count(spark) == 7
+    with pytest.raises(ValueError, match="inexact"):
+        t.count()
