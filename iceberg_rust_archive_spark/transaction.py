@@ -259,6 +259,17 @@ class Transaction:
                    "added-data-files": str(len(added or [])),
                    "added-records": str(sum(f.record_count
                                             for f in (added or [])))}
+        # spec-standard running totals (Snapshots§Summary): derived from
+        # the manifest-list counters already in hand — no manifest reads
+        summary["total-data-files"] = str(sum(
+            m.added_files_count + m.existing_files_count
+            for m in new_list if m.content == 0))
+        summary["total-delete-files"] = str(sum(
+            m.added_files_count + m.existing_files_count
+            for m in new_list if m.content == 1))
+        summary["total-records"] = str(sum(
+            m.added_rows_count + m.existing_rows_count
+            for m in new_list if m.content == 0))
         summary.update(self._summary_extra)
 
         manifest_list_path = write_manifest_list(metadata_dir, snap_id,

@@ -1872,3 +1872,27 @@ def test_metadata_only_count(spark, catalog):
     assert t.count(spark) == 7
     with pytest.raises(ValueError, match="inexact"):
         t.count()
+
+
+def test_snapshot_summary_running_totals(spark, catalog):
+    """Snapshots carry the spec-standard total-data-files /
+    total-records / total-delete-files summary counters, derived from
+    the manifest-list tallies (no manifest reads at commit)."""
+    t = _mk_table(catalog, "orders_totals")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    s1 = t.refresh().metadata.current_snapshot().summary
+    assert s1["total-records"] == str(len(BATCH1))
+    assert int(s1["total-data-files"]) >= 1
+    assert s1["total-delete-files"] == "0"
+
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    s2 = t.refresh().metadata.current_snapshot().summary
+    assert s2["total-records"] == str(len(BATCH1) + len(BATCH2))
+    assert int(s2["total-data-files"]) > int(s1["total-data-files"])
+
+    t.delete_where_equal(spark, spark.createDataFrame([(1,)], ["id"]),
+                         ["id"])
+    s3 = t.refresh().metadata.current_snapshot().summary
+    # data totals unchanged (merge-on-read), delete files now counted
+    assert s3["total-records"] == s2["total-records"]
+    assert int(s3["total-delete-files"]) >= 1
