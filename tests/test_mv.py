@@ -411,16 +411,25 @@ def test_mv_having_classified_full_and_correct(engine):
 
 
 def test_mv_classify_rejects_limit_and_distinct_aggs():
-    """LIMIT bounds the total result and DISTINCT aggregates are not
-    additive across deltas — both must classify FULL."""
+    """LIMIT bounds the total result — classifies FULL. DISTINCT
+    aggregates are not additive across deltas, so they can never be
+    INCR_AGG; single-source keyed ones take the touched-group scoped
+    recompute instead (r6), and everything else stays FULL."""
+    from iceberg_rust_archive_spark.plans.mv import DISTINCT_SCOPED
+
     assert classify(parse_select(
         "SELECT a, b FROM t LIMIT 10")) == FULL
     assert classify(parse_select(
         "SELECT k, sum(x) AS s FROM t GROUP BY k LIMIT 5")) == FULL
     assert classify(parse_select(
-        "SELECT k, count(DISTINCT x) AS n FROM t GROUP BY k")) == FULL
+        "SELECT k, count(DISTINCT x) AS n FROM t GROUP BY k")) \
+        == DISTINCT_SCOPED
     assert classify(parse_select(
-        "SELECT k, sum(DISTINCT x) AS s FROM t GROUP BY k")) == FULL
+        "SELECT k, sum(DISTINCT x) AS s FROM t GROUP BY k")) \
+        == DISTINCT_SCOPED
+    # keyless / multi-source DISTINCT aggregates have no scoped path
+    assert classify(parse_select(
+        "SELECT count(DISTINCT x) AS n FROM t")) == FULL
     # plain additive aggregates keep their incremental classification
     assert classify(parse_select(
         "SELECT k, count(*) AS n FROM t GROUP BY k")) == INCR_AGG
