@@ -479,7 +479,8 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                         wname,
                         F.when(F.col("_change_type") == "insert",
                                F.lit(1)).otherwise(F.lit(-1))) \
-                        .drop("_change_type", "_commit_snapshot_id")
+                        .drop("_change_type", "_commit_snapshot_id",
+                              "_change_ordinal")
                 elif j < i:
                     df = other.table.scan(spark).withColumn(
                         wname, F.lit(1))

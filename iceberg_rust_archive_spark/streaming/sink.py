@@ -64,3 +64,86 @@ def write_stream_to_table(stream_df: DataFrame, table,
     return (stream_df.writeStream
             .foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir))
+
+
+CDC_BATCH_KEY = "streaming-cdc-batch-id"
+CDC_BATCH_PROP = "streaming.cdc-last-batch-id"
+
+
+def apply_changes_to_table(stream_df: DataFrame, table, keys: list[str],
+                           checkpoint_dir: str, spark=None):
+    """CDC APPLY sink: maintain a MIRROR Iceberg table from a changelog
+    stream — rows carrying ``_change_type`` ('insert' | 'delete'),
+    ``_change_ordinal`` (monotone commit marker) and the full data
+    columns, i.e. exactly the ``Table.changes()`` feed shape.
+
+    Per micro-batch, in ONE atomic commit:
+    - the batch is NETTED per key first (events at the key's max
+      ordinal win; an upsert's delete+insert pair shares an ordinal and
+      the insert is the survivor) — a key updated three times in one
+      batch lands once, not three times;
+    - every key seen in the batch goes into ONE equality-delete file
+      (retraction of the mirror's prior row, no-op for brand-new keys);
+    - the surviving insert rows append as data files at the same
+      sequence number, so the delete applies only to strictly-earlier
+      data (table.rs:498-531) and the commit IS the net batch.
+
+    Exactly-once: the committed batch id rides table properties +
+    snapshot summary (same idempotence contract as
+    ``write_stream_to_table``); a post-crash replayed batch is a no-op.
+
+    Scale: the delete side is the skinny key projection; netting is one
+    window over the batch (micro-batch-sized, not table-sized); the
+    mirror pays the ordinary merge-on-read anti-join until compaction.
+
+    Returns an un-started ``DataStreamWriter``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = spark or stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        table.refresh()
+        prop = table.metadata.properties.get(CDC_BATCH_PROP)
+        if prop is not None and batch_id <= int(prop):
+            return  # replayed batch — already committed
+        batch_df = batch_df.cache()
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            w = Window.partitionBy(*keys)
+            mx = F.max("_change_ordinal").over(w)
+            last = (batch_df.withColumn("__mx", mx)
+                    .filter(F.col("_change_ordinal") == F.col("__mx")))
+            finals = (last.filter(F.col("_change_type") == "insert")
+                      .drop("_change_type", "_commit_snapshot_id",
+                            "_change_ordinal", "__mx"))
+            del_keys = batch_df.select(*keys).dropDuplicates()
+
+            from iceberg_rust_archive_spark.sources.write import (
+                write_datafiles,
+            )
+            from iceberg_rust_archive_spark.spec.manifest import (
+                CONTENT_EQUALITY_DELETES,
+            )
+            md = table.metadata
+            schema = md.current_schema()
+            eq_ids = tuple(schema.field_by_name(k).field_id for k in keys)
+            del_files = write_datafiles(
+                spark, md, del_keys, content=CONTENT_EQUALITY_DELETES,
+                equality_ids=eq_ids)
+            data_files = write_datafiles(spark, md, finals)
+
+            def build(t):
+                return (t.append_files(data_files)
+                        .append_delete_files(del_files)
+                        .set_summary(CDC_BATCH_KEY, str(batch_id))
+                        .set_properties({CDC_BATCH_PROP: str(batch_id)}))
+            build(table.new_transaction()).commit_with_retry(build)
+            table.refresh()
+        finally:
+            batch_df.unpersist()
+
+    return (stream_df.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir))

@@ -203,11 +203,16 @@ class Table:
         hi = tip.sequence_number if tip is not None else float("-inf")
         out: DataFrame | None = None
 
-        def _tag(d, kind, sid):
+        def _tag(d, kind, snap_):
+            # _change_ordinal = the commit's sequence number — the only
+            # MONOTONE commit marker (snapshot ids are random), so CDC
+            # consumers can net multi-commit chains per key (Iceberg's
+            # changelog scan exposes the same field)
             return d.select(
                 *spark_schema.fieldNames(),
                 F.lit(kind).alias("_change_type"),
-                F.lit(sid).alias("_commit_snapshot_id"))
+                F.lit(snap_.snapshot_id).alias("_commit_snapshot_id"),
+                F.lit(snap_.sequence_number).alias("_change_ordinal"))
 
         from iceberg_rust_archive_spark.spec.manifest import (
             CONTENT_POSITION_DELETES,
@@ -247,7 +252,7 @@ class Table:
                     spark, spark_schema,
                     [(e.data_file.file_path, e.data_file.file_format)
                      for e in added_data])
-                piece = _tag(ins, "insert", s.snapshot_id)
+                piece = _tag(ins, "insert", s)
             if added_deletes and s.parent_snapshot_id is not None:
                 prior = self.scan(spark,
                                   snapshot_id=s.parent_snapshot_id)
@@ -273,7 +278,7 @@ class Table:
                         term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
                         cond = term if cond is None else cond & term
                     removed = prior.join(keys, on=cond, how="left_semi")
-                    tagged = _tag(removed, "delete", s.snapshot_id)
+                    tagged = _tag(removed, "delete", s)
                     piece = tagged if piece is None \
                         else piece.unionByName(tagged)
             if added_pos:
@@ -307,7 +312,7 @@ class Table:
                                .join(pairs, ["__fp", "__pos"],
                                      "left_semi")
                                .drop("__fp", "__pos"))
-                    tagged = _tag(victims, "delete", s.snapshot_id)
+                    tagged = _tag(victims, "delete", s)
                     piece = tagged if piece is None \
                         else piece.unionByName(tagged)
             if piece is not None:
@@ -317,7 +322,8 @@ class Table:
             from pyspark.sql.types import LongType, StringType, StructType
             empty = StructType(fields).add(
                 "_change_type", StringType()).add(
-                "_commit_snapshot_id", LongType())
+                "_commit_snapshot_id", LongType()).add(
+                "_change_ordinal", LongType())
             return spark.createDataFrame([], empty)
         return out
 

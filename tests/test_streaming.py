@@ -284,3 +284,69 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # operator accounted the late row as watermark-dropped
     assert per_window.get(t0) == [2], per_window
     assert dropped == 1, dropped
+
+
+def test_cdc_apply_stream_mirrors_table(spark, tmp_path):
+    """A changelog stream applied through apply_changes_to_table keeps
+    a mirror table equal to the source: multi-commit chains net per key
+    inside a batch (insert→update→update lands once; insert→delete
+    lands zero times), replays after checkpoint loss are no-ops."""
+    import datetime as dt
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.streaming.sink import (
+        apply_changes_to_table,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "id", "long", True),
+        NestedField(2, "v", "string", True))))
+    cat = FileCatalog(str(tmp_path / "wh"))
+    src = Table.create(cat, "db.cdc_src", schema, PartitionSpec(0, ()))
+    mirror = Table.create(cat, "db.cdc_mirror", schema,
+                          PartitionSpec(0, ()))
+
+    # commit chain: inserts → update (upsert) → delete → re-insert
+    src.append(spark, spark.createDataFrame(
+        [(1, "a1"), (2, "b1"), (3, "c1")], ["id", "v"]))
+    src.upsert(spark, spark.createDataFrame(
+        [(1, "a2"), (4, "d1")], ["id", "v"]), keys=["id"])
+    src = src.refresh()
+    src.delete_where_equal(
+        spark, spark.createDataFrame([(2,)], ["id"]), ["id"])
+    src = src.refresh()
+    src.upsert(spark, spark.createDataFrame(
+        [(1, "a3")], ["id", "v"]), keys=["id"])
+    src = src.refresh()
+
+    # stage the changelog as a streaming file source
+    stage = str(tmp_path / "changes")
+    src.changes(spark).write.parquet(stage)
+    ch_schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(ch_schema).parquet(stage)
+    ckpt = str(tmp_path / "ckpt")
+    q = (apply_changes_to_table(stream, mirror, ["id"], ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    mirror = mirror.refresh()
+    want = sorted((r.id, r.v) for r in src.scan(spark).collect())
+    got = sorted((r.id, r.v) for r in mirror.scan(spark).collect())
+    assert got == want == [(1, "a3"), (3, "c1"), (4, "d1")]
+
+    # checkpoint-loss replay: same data, fresh checkpoint — the batch-id
+    # marker makes the replay a no-op (no new snapshot, same rows)
+    n_snaps = len(mirror.metadata.snapshots)
+    q2 = (apply_changes_to_table(
+            spark.readStream.schema(ch_schema).parquet(stage),
+            mirror, ["id"], str(tmp_path / "ckpt2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    mirror = mirror.refresh()
+    assert len(mirror.metadata.snapshots) == n_snaps
+    assert sorted((r.id, r.v)
+                  for r in mirror.scan(spark).collect()) == want
