@@ -121,6 +121,49 @@ def main():
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
+    # ORC twin of the same write+scan: the format branch must not
+    # change the plan shape (same transform shuffle, same pruning) —
+    # only the encode/harvest cost may differ
+    wh = tempfile.mkdtemp(prefix="stress-orc-")
+    try:
+        cat = FileCatalog(os.path.join(wh, "wh"))
+        t = Table.create(cat, "db.orders_orc", ORDERS_SCHEMA, MONTH_SPEC,
+                         properties={"write.format.default": "orc"})
+        t0 = time.perf_counter()
+        t = t.append(spark, od)
+        tw = time.perf_counter() - t0
+        import datetime as dt
+        t0 = time.perf_counter()
+        n96 = t.scan(spark, filter=[
+            Pred("o_orderdate", ">=", dt.datetime(1996, 1, 1)),
+            Pred("o_orderdate", "<", dt.datetime(1996, 7, 1))]).count()
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nc = t.count()  # metadata-only: zero Spark jobs
+        tc = time.perf_counter() - t0
+        print(f"iceberg ORC write @ {amp}x orders: {tw:.1f}s; pruned "
+              f"scan {n96} rows in {ts:.1f}s; metadata count {nc} rows "
+              f"in {tc*1000:.0f}ms (no Spark job)")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    # chunking amplification: pure per-row explode — wall time must
+    # scale with output volume, plan must stay Exchange-free
+    from iceberg_rust_archive_spark.operators.chunking import (
+        chunk_by_chars,
+    )
+    ch = chunk_by_chars(docs.select("doc_id", "text"))
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    # the amplification crossJoin adds a BroadcastExchange; chunking
+    # itself must add no SHUFFLE exchange
+    assert "ShuffleExchange" not in plan \
+        and "Exchange hashpartitioning" not in plan, \
+        "chunking must not shuffle"
+    t0 = time.perf_counter()
+    n_ch = ch.count()
+    print(f"chunk_by_chars @ {amp}x docs: {n_ch} chunks "
+          f"({time.perf_counter()-t0:.1f}s, shuffle-free)")
+
 
 def lsh_occupancy(spark, sf_dir: str, amp: int):
     """Evidence for the corpus-adaptive LSH claim: signature width
