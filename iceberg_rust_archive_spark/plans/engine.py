@@ -827,6 +827,26 @@ class Engine:
         suffixes: ``FROM t VERSION AS OF <snapshot-id>`` and
         ``FROM t TIMESTAMP AS OF '<ts>'`` (A35) — the pinned scan is
         registered under a derived view name before delegation."""
+        # Bare `SELECT count(*) FROM <iceberg table>` routes through the
+        # metadata fast path (Table.count): manifest record_counts answer
+        # it with zero Spark jobs on a delete-free table of ANY size; the
+        # merge-on-read fallback inside count() keeps semantics exact.
+        m = re.match(r"\s*select\s+count\(\s*(?:\*|1)\s*\)"
+                     r"(?:\s+as\s+(\w+))?\s+from\s+([\w.]+)\s*;?\s*$",
+                     sql, re.IGNORECASE)
+        if m:
+            try:
+                t = self.load_table(m.group(2))
+            except Exception:  # noqa: BLE001 — view/temp relation
+                t = None
+            if t is not None:
+                from pyspark.sql.types import (
+                    LongType, StructField, StructType,
+                )
+                n = t.count(self.spark)
+                name = m.group(1) or "count(1)"  # Spark's default name
+                return self.spark.createDataFrame(
+                    [(n,)], StructType([StructField(name, LongType())]))
         tt_mapping = {}
 
         def _pin(m):

@@ -754,3 +754,24 @@ def test_distinct_agg_mv_join_or_keyless_recomputes(engine):
                "(7,9,1,DATE '2020-03-01',1)")
     assert engine.refresh_materialized_view("db.kmv") == FULL
     assert engine.sql("SELECT nc FROM db.kmv").collect()[0][0] == 4
+
+
+def test_sql_count_star_metadata_route(engine):
+    """Bare SELECT count(*) FROM <table> routes through Table.count's
+    manifest fast path but keeps exact semantics through DML."""
+    df = engine.sql("SELECT count(*) FROM db.orders")
+    assert df.columns == ["count(1)"] and df.collect()[0][0] == 6
+    df = engine.sql("SELECT count(*) AS n FROM db.orders")
+    assert df.columns == ["n"] and df.collect()[0][0] == 6
+
+    engine.sql("DELETE FROM db.orders WHERE product_id = 1")
+    assert engine.sql(
+        "SELECT count(*) FROM db.orders").collect()[0][0] == 2
+
+    # anything beyond the bare shape delegates to the normal planner
+    assert engine.sql(
+        "SELECT count(*) AS n FROM db.orders WHERE quantity > 1"
+    ).collect()[0][0] == 1
+    engine.sql("CREATE VIEW db.ov AS SELECT * FROM db.orders")
+    assert engine.sql(
+        "SELECT count(*) FROM db.ov").collect()[0][0] == 2
