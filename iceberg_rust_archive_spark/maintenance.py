@@ -461,6 +461,16 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None,
             continue
         if os.path.getmtime(ap) * 1000 >= older_than_ms:
             continue
-        os.remove(ap)
         removed.append(ap)
+    # concurrent deletes above a handful (the reference streams deletes
+    # concurrently too, table/mod.rs:374-408): on object storage each
+    # DELETE is an ~10ms round-trip — a 100k-orphan cleanup must not be
+    # a 17-minute serial driver loop
+    if len(removed) > 64:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            list(ex.map(os.remove, removed))
+    else:
+        for ap in removed:
+            os.remove(ap)
     return removed
