@@ -152,3 +152,22 @@ def test_ocf_roundtrip_unions_and_maps():
         write_ocf(f.name, schema, recs)
         _, out = read_ocf(f.name)
     assert out == recs
+
+
+def test_java_avro_reads_orc_table_manifest(spark, tmp_path):
+    """An ORC-format table's manifests must record file_format='orc'
+    in spec Avro, readable by the stock Java implementation — external
+    readers dispatch their data-file reader on this field."""
+    cat = FileCatalog(str(tmp_path / "wh_orc"))
+    t = Table.create(cat, "db.orders_orc_avro", ORDERS_SCHEMA, DAY_SPEC,
+                     properties={"write.format.default": "orc"})
+    t.append(spark, spark.createDataFrame(BATCH, COLS))
+    snap = t.refresh().metadata.current_snapshot()
+    mle = read_manifest_list(snap.manifest_list)[0]
+    _schema, records = _jvm_read(spark, mle.manifest_path)
+    assert records
+    for rec in records:
+        df = rec.get("data_file")
+        fmt = str(df.get("file_format"))
+        assert fmt.lower() == "orc"
+        assert str(df.get("file_path")).endswith(".orc")
