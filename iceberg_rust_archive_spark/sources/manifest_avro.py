@@ -225,7 +225,11 @@ def entry_to_avro(e, field_types: dict[int, str]) -> dict:
         "file_sequence_number": e.file_sequence_number,
         "data_file": {
             "content": df.content, "file_path": df.file_path,
-            "file_format": df.file_format, "partition": dict(df.partition),
+            # the spec writes the enum name UPPERCASE ("PARQUET"/"ORC");
+            # readers (incl. ours) accept any case but external writers
+            # emit upper, so match them byte-for-byte
+            "file_format": (df.file_format or "parquet").upper(),
+            "partition": dict(df.partition),
             "record_count": df.record_count,
             "file_size_in_bytes": df.file_size_in_bytes,
             "column_sizes": _map_out(df.column_sizes),
@@ -265,7 +269,8 @@ def entry_from_avro(d: dict, field_types: dict[int, str]):
     from iceberg_rust_archive_spark.spec.manifest import DataFile, ManifestEntry
     f = d["data_file"]
     df = DataFile(
-        f.get("content", 0), f["file_path"], f["file_format"],
+        f.get("content", 0), f["file_path"],
+        (f["file_format"] or "parquet").lower(),
         {k: v for k, v in f["partition"].items()},
         f["record_count"], f["file_size_in_bytes"],
         _map_in(f.get("column_sizes")), _map_in(f.get("value_counts")),

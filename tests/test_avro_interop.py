@@ -169,5 +169,5 @@ def test_java_avro_reads_orc_table_manifest(spark, tmp_path):
     for rec in records:
         df = rec.get("data_file")
         fmt = str(df.get("file_format"))
-        assert fmt.lower() == "orc"
+        assert fmt == "ORC"  # spec enum casing on the wire
         assert str(df.get("file_path")).endswith(".orc")
