@@ -47,6 +47,67 @@ def compact_table(spark: SparkSession, table: Table,
     return table.overwrite(spark, df, branch=branch)
 
 
+def rewrite_data_files(spark: SparkSession, table: Table,
+                       small_ratio: float = 0.75,
+                       min_input_files: int = 2,
+                       branch: str | None = None) -> Table:
+    """SELECTIVE bin-pack compaction (Iceberg's RewriteDataFiles): only
+    files smaller than ``small_ratio × write.target-file-size-bytes``
+    are rewritten; every right-sized file — and its manifest — carries
+    over untouched. This is the production steady-state maintenance
+    shape: on a 100 TB table a trickle-append workload leaves a tail of
+    small files, and rewriting ONLY that tail costs O(tail), where
+    ``compact_table`` would re-shuffle the entire table.
+
+    Guard: live delete files make a selective rewrite unsafe (the
+    rewritten rows' new sequence number escapes existing equality
+    deletes) — the transaction layer refuses; run ``compact_table``
+    (which absorbs deletes) first."""
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.sources.readers import read_data_files
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_DATA, STATUS_DELETED,
+    )
+    from iceberg_rust_archive_spark.spec.types import spark_schema_for
+    md = table.metadata
+    snap = md.current_snapshot(branch)
+    if snap is None:
+        return table
+    target = int(md.properties.get(
+        "write.target-file-size-bytes", 512_000_000))
+    threshold = int(target * small_ratio)
+    small = []
+    for entries in read_manifests(
+            [m.manifest_path
+             for m in read_manifest_list(snap.manifest_list)]):
+        for e in entries:
+            if e.status == STATUS_DELETED \
+                    or e.data_file.content != CONTENT_DATA:
+                continue
+            if (e.data_file.file_size_in_bytes or 0) < threshold:
+                small.append(e.data_file)
+    if len(small) < min_input_files:
+        return table
+    schema = spark_schema_for(md.current_schema(branch).struct)
+    df = read_data_files(
+        spark, schema, [(f.file_path, f.file_format) for f in small])
+    # the actual bin-pack: land the tail in ceil(bytes/target) outputs
+    # (without this, each tiny input partition re-emits its own file)
+    import math as _math
+    total = sum(f.file_size_in_bytes or 0 for f in small)
+    df = df.repartition(max(1, _math.ceil(total / target)))
+    files = write_datafiles(spark, md, df, branch=branch)
+    removed = [f.file_path for f in small]
+
+    def build(t):
+        return t.rewrite_files(removed, files)
+    build(table.new_transaction(branch)).commit_with_retry(build)
+    return table.refresh()
+
+
 ZORDER_BITS = 16  # per-dimension rank resolution (2-4 cols → ≤64-bit z)
 
 

@@ -36,7 +36,7 @@ from iceberg_rust_archive_spark.sources.manifests import (
 )
 from iceberg_rust_archive_spark.spec.manifest import (
     CONTENT_DATA, CONTENT_EQUALITY_DELETES, DataFile, ManifestEntry,
-    STATUS_ADDED, STATUS_EXISTING,
+    STATUS_ADDED, STATUS_DELETED, STATUS_EXISTING,
 )
 from iceberg_rust_archive_spark.spec.schema import Schema
 from iceberg_rust_archive_spark.spec.snapshot import MAIN_BRANCH, Snapshot
@@ -64,6 +64,8 @@ class Transaction:
         self._appended: list[DataFile] = []
         self._deletes: list[DataFile] = []
         self._replacement: list[DataFile] | None = None
+        self._rewrite_removed: set[str] | None = None
+        self._rewrite_added: list[DataFile] = []
         self._new_schema: Schema | None = None
         self._new_spec_fields: list | None = None
         self._new_sort_order = None
@@ -83,6 +85,24 @@ class Transaction:
         """Full replace: drop every previous data/delete file
         (operation.rs:384-547)."""
         self._replacement = list(files)
+        return self
+
+    def rewrite_files(self, removed_paths, added: list[DataFile]) -> "Transaction":
+        """SELECTIVE rewrite (Iceberg's RewriteDataFiles / bin-pack
+        shape): drop exactly ``removed_paths``, add ``added``, leave
+        every other file untouched — manifests not naming a removed
+        file carry over byte-identical; touched manifests are rewritten
+        with their survivors as STATUS_EXISTING under their ORIGINAL
+        sequence numbers.
+
+        Contract: the table must hold no live delete files (the
+        rewritten data's new, higher sequence number would escape
+        existing equality deletes and resurrect rows) — callers run a
+        delete-absorbing compaction first; commit raises otherwise.
+        A removed path that no longer exists raises too (a concurrent
+        rewrite won the race — the caller's retry re-plans)."""
+        self._rewrite_removed = set(removed_paths)
+        self._rewrite_added = list(added)
         return self
 
     def update_schema(self, schema: Schema) -> "Transaction":
@@ -223,6 +243,54 @@ class Transaction:
             # append commits keep "overwrite".
             operation = "replace"
             added = self._replacement
+        elif self._rewrite_removed is not None:
+            removed = set(self._rewrite_removed)
+            if any(m.content == 1 for m in old_entries):
+                raise CommitFailedError(
+                    "selective rewrite with live delete files would "
+                    "resurrect deleted rows — compact first")
+            found: set[str] = set()
+            new_list = []
+            for mle, entries in zip(
+                    old_entries,
+                    read_manifests([m.manifest_path
+                                    for m in old_entries])):
+                live = [e for e in entries if e.status != STATUS_DELETED]
+                hit = [e for e in live
+                       if e.data_file.file_path in removed]
+                if not hit:
+                    new_list.append(mle)  # untouched manifest carries over
+                    continue
+                found.update(e.data_file.file_path for e in hit)
+                survivors = [
+                    ManifestEntry(STATUS_EXISTING, e.data_file,
+                                  e.snapshot_id, e.sequence_number,
+                                  e.file_sequence_number)
+                    for e in live
+                    if e.data_file.file_path not in removed]
+                if survivors:
+                    sp = md.partition_specs.get(mle.partition_spec_id,
+                                                spec)
+                    new_list.append(write_manifest(
+                        metadata_dir, survivors, sp.spec_id,
+                        CONTENT_DATA, snap_id, seq,
+                        [f.name for f in sp.fields], schema_json))
+            if found != removed:
+                raise CommitFailedError(
+                    f"rewrite lost a race: {len(removed - found)} "
+                    "removed file(s) are no longer live — re-plan")
+            if self._rewrite_added:
+                new_list.append(write_manifest(
+                    metadata_dir,
+                    [ManifestEntry(STATUS_ADDED, f, snap_id, seq, seq)
+                     for f in self._rewrite_added],
+                    spec.spec_id, CONTENT_DATA, snap_id, seq, pf_names,
+                    schema_json))
+            files_to_delete.extend(sorted(removed))
+            # same label as full replace: row-level changes across a
+            # rewrite are not derivable, incremental readers resync
+            operation = "replace"
+            added = self._rewrite_added
         else:
             new_list = list(old_entries)
             # manifest-list content codes: 0=data, 1=deletes

@@ -1896,3 +1896,57 @@ def test_snapshot_summary_running_totals(spark, catalog):
     # data totals unchanged (merge-on-read), delete files now counted
     assert s3["total-records"] == s2["total-records"]
     assert int(s3["total-delete-files"]) >= 1
+
+
+def test_rewrite_data_files_selective_binpack(spark, catalog):
+    """Selective compaction rewrites ONLY the small-file tail: rows
+    and values unchanged, untouched manifests carry over byte-identical,
+    removed files physically deleted, and the guard refuses a rewrite
+    over live delete files."""
+    import os as _os
+
+    from iceberg_rust_archive_spark.maintenance import rewrite_data_files
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+
+    # unpartitioned + tiny appends → a tail of small files
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    t = Table.create(catalog, "db.orders_binpack", ORDERS_SCHEMA,
+                     PartitionSpec(0, ()))
+    for row in BATCH1:
+        t.append(spark, spark.createDataFrame([row], COLS))
+    t = t.refresh()
+
+    def live_files(tb):
+        snap = tb.metadata.current_snapshot()
+        out = []
+        for entries in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)]):
+            out += [e.data_file.file_path for e in entries
+                    if e.status != 2]
+        return out
+
+    before_files = live_files(t)
+    assert len(before_files) >= len(BATCH1)
+    before = _sums(t, spark)
+
+    t = rewrite_data_files(spark, t)
+    after_files = live_files(t)
+    assert len(after_files) == 1  # tail packed into one file
+    assert _sums(t, spark) == before
+    # the replaced small files are physically gone
+    assert all(not _os.path.exists(p) for p in before_files)
+    op = t.metadata.current_snapshot().summary["operation"]
+    assert op == "replace"
+
+    # append one right-sized... (another tiny file) + a delete file:
+    # the selective rewrite must refuse, compact_table still works
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t.delete_where_equal(spark, spark.createDataFrame([(1,)], ["id"]),
+                         ["id"])
+    t = t.refresh()
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    with pytest.raises(CommitFailedError, match="compact first"):
+        rewrite_data_files(spark, t)
