@@ -39,6 +39,7 @@ Supported statements::
     CALL system.rewrite_manifests('ns.t') | system.compact('ns.t')
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
         | system.rewrite_position_deletes('ns.t')
+        | system.rewrite_data_files('ns.t')
         | system.rollback_to_snapshot('ns.t', id)
         | system.create_changelog_view('ns.t'[, from[, to]])
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
@@ -263,6 +264,8 @@ class Engine:
                 mt.expire_snapshots(t, int((rest or "0").strip()))
             elif proc == "rewrite_position_deletes":
                 mt.rewrite_position_deletes(self.spark, t)
+            elif proc == "rewrite_data_files":
+                mt.rewrite_data_files(self.spark, t)
             elif proc == "rollback_to_snapshot":
                 mt.rollback_to_snapshot(t, int((rest or "0").strip()))
             elif proc == "remove_orphan_files":
