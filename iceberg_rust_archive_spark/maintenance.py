@@ -535,3 +535,96 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None,
         for ap in removed:
             os.remove(ap)
     return removed
+
+
+def add_files(spark: SparkSession, table: Table, paths: list[str],
+              fmt: str = "parquet", branch: str | None = None) -> Table:
+    """Register EXISTING parquet/ORC files as table data files without
+    rewriting a byte — Iceberg's ``add_files`` / table-migration shape
+    (the on-ramp from a plain directory dataset into the metadata
+    layer; at 100 TB a migrate MUST be metadata-only).
+
+    Steps:
+    1. stats harvest per file (footer read / Arrow reduction — the same
+       executor-distributed path fresh writes use);
+    2. for partitioned tables, ONE Spark job derives each file's
+       partition tuple from its contents (`_metadata.file_path` group):
+       a file whose rows span more than one partition value is refused
+       — registering it would poison partition pruning;
+    3. ordinary append commit (CAS, retried).
+
+    The files must already match the table schema by name; they are
+    NOT copied or moved, so they must live where the table's readers
+    can reach them."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        transform_column,
+    )
+    from iceberg_rust_archive_spark.sources.stats import harvest_files
+    from iceberg_rust_archive_spark.spec.types import spark_schema_for
+    md = table.metadata
+    schema = md.current_schema(branch)
+    spec = md.default_spec()
+    partitions: dict[str, dict] = {p: {} for p in paths}
+    if spec.fields:
+        from iceberg_rust_archive_spark.sources.readers import (
+            strip_field_ids,
+        )
+        # external files carry no field ids — resolve by name here too
+        sschema = strip_field_ids(spark_schema_for(schema.struct))
+        reader = spark.read.schema(sschema)
+        d = reader.parquet(*paths) if fmt == "parquet" \
+            else reader.orc(paths)
+        d = d.withColumn("__fp", F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"))
+        aggs = []
+        for pf in spec.fields:
+            src = schema.field_by_id(pf.source_id)
+            c = transform_column(
+                pf.transform, src.name,
+                src.field_type if isinstance(src.field_type, str)
+                else "string")
+            aggs += [F.countDistinct(c).alias(f"__n_{pf.name}"),
+                     F.first(c).alias(f"__v_{pf.name}")]
+        rows = d.groupBy("__fp").agg(*aggs).collect()
+        by_fp = {r["__fp"]: r for r in rows}
+        for p in paths:
+            ap = os.path.abspath(p)
+            r = by_fp.get(ap)
+            if r is None:
+                raise ValueError(f"{p}: no rows read (missing file?)")
+            tup = {}
+            for pf in spec.fields:
+                if r[f"__n_{pf.name}"] > 1:
+                    raise ValueError(
+                        f"{p} spans multiple {pf.name!r} partition "
+                        "values — rewrite it instead of registering")
+                v = r[f"__v_{pf.name}"]
+                import datetime as _dt
+                if isinstance(v, _dt.date):
+                    epoch = _dt.date(1970, 1, 1)
+                    v = (v - epoch).days if pf.transform == "day" else v
+                tup[pf.name] = v
+            partitions[p] = tup
+    field_ids = {f.name: f.field_id for f in schema.fields}
+    files = harvest_files(spark, [(p, partitions[p]) for p in paths],
+                          field_ids)
+    # registered files carry no embedded field ids → record the spec's
+    # name-mapping property so every scan resolves columns BY NAME
+    # (Iceberg's schema.name-mapping.default contract). Caveat vs the
+    # full spec: our reader applies CURRENT names, so renaming a column
+    # after registering external files requires rewriting them
+    # (rewrite_data_files / compact) first.
+    import json as _json
+    props = {}
+    if "schema.name-mapping.default" not in md.properties:
+        props["schema.name-mapping.default"] = _json.dumps(
+            [{"field-id": f.field_id, "names": [f.name]}
+             for f in schema.fields])
+
+    def build(t):
+        t = t.append_files(files)
+        return t.set_properties(props) if props else t
+    build(table.new_transaction(branch)).commit_with_retry(build)
+    return table.refresh()

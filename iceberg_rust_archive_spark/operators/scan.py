@@ -152,6 +152,10 @@ def scan(spark: SparkSession, md: TableMetadata,
     # merge-on-read natural, so we support it as a parity superset.
     has_pos = bool(pos_delete_entries)
 
+    # tables holding add_files-registered external files (no embedded
+    # field ids) carry the name-mapping property → resolve BY NAME
+    by_name = "schema.name-mapping.default" in md.properties
+
     def read_data(entries: list) -> DataFrame:
         # format-aware (DataFile.file_format — parquet/ORC may mix after
         # a write.format.default flip); __fp normalizes file:///p -> /p
@@ -159,7 +163,7 @@ def scan(spark: SparkSession, md: TableMetadata,
         return read_data_files(
             spark, spark_schema,
             [(e.data_file.file_path, e.data_file.file_format)
-             for e in entries], with_pos=has_pos)
+             for e in entries], with_pos=has_pos, by_name=by_name)
 
     def apply_pos_deletes(d: DataFrame) -> DataFrame:
         """Anti-join the (file_path, pos) delete pairs, drop helpers.

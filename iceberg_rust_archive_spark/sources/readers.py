@@ -28,14 +28,30 @@ def norm_format(fmt: str | None) -> str:
     return (fmt or "parquet").strip().lower()
 
 
+def strip_field_ids(spark_schema):
+    """Rebuild the schema without parquet field-id metadata → Spark
+    resolves columns BY NAME. Used when the table carries
+    ``schema.name-mapping.default`` (files registered via add_files
+    have no embedded ids; an id-typed read schema makes Spark REFUSE
+    such files outright)."""
+    from pyspark.sql.types import StructField, StructType
+    return StructType([StructField(f.name, f.dataType, f.nullable)
+                       for f in spark_schema.fields])
+
+
 def read_data_files(spark: SparkSession, spark_schema,
-                    path_fmt_pairs, with_pos: bool = False) -> DataFrame:
+                    path_fmt_pairs, with_pos: bool = False,
+                    by_name: bool = False) -> DataFrame:
     """One DataFrame over a mixed-format file list.
 
     ``path_fmt_pairs``: iterable of ``(file_path, file_format)``.
     ``with_pos``: add ``__fp``/``__pos`` helper columns from the file
     metadata (parquet only — ORC in range raises).
+    ``by_name``: resolve columns by name instead of field id (the
+    name-mapping read path for registered external files).
     """
+    if by_name:
+        spark_schema = strip_field_ids(spark_schema)
     groups: dict[str, list[str]] = {}
     for p, fmt in path_fmt_pairs:
         groups.setdefault(norm_format(fmt), []).append(p)

@@ -1950,3 +1950,52 @@ def test_rewrite_data_files_selective_binpack(spark, catalog):
     from iceberg_rust_archive_spark.catalog.base import CommitFailedError
     with pytest.raises(CommitFailedError, match="compact first"):
         rewrite_data_files(spark, t)
+
+
+def test_add_files_registers_without_rewrite(spark, catalog, tmp_path):
+    """add_files registers existing parquet files as table data —
+    metadata-only (same bytes, same paths), partition tuples derived
+    from contents, pruning live, multi-partition files refused."""
+    import os as _os
+
+    from iceberg_rust_archive_spark.maintenance import add_files
+
+    # two partition-pure files + one spanning both days
+    src = str(tmp_path / "ext")
+    d1 = [r for r in BATCH1 if r[3] == dt.date(2020, 1, 1)]
+    d2 = [r for r in BATCH1 if r[3] == dt.date(2020, 2, 2)]
+
+    def ext(rows):
+        # external writer: schema-compatible types, NO field ids
+        return (spark.createDataFrame(rows, COLS)
+                .selectExpr("cast(id as long) id",
+                            "cast(customer_id as long) customer_id",
+                            "cast(product_id as long) product_id",
+                            "date", "cast(amount as int) amount")
+                .coalesce(1))
+    ext(d1).write.parquet(src + "/a")
+    ext(d2).write.parquet(src + "/b")
+    ext(BATCH1).write.parquet(src + "/mixed")
+
+    def one_file(d):
+        return [_os.path.join(d, f) for f in _os.listdir(d)
+                if f.endswith(".parquet")][0]
+
+    t = _mk_table(catalog, "orders_addfiles")
+    t = add_files(spark, t, [one_file(src + "/a"), one_file(src + "/b")])
+    assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+    # bytes were not copied: table reads the original locations
+    files = t.scan(spark).inputFiles()
+    assert all("/ext/" in f for f in files)
+    # partition pruning works off the derived tuples
+    pruned = t.scan(spark, filter=[Pred("date", "=", dt.date(2020, 1, 1))])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="spans multiple"):
+        add_files(spark, t, [one_file(src + "/mixed")])
+
+    # engine-written appends coexist with registered files (the
+    # name-mapping read path resolves both by name)
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t.refresh(), spark) == {1: 9, 2: 2, 3: 4}
