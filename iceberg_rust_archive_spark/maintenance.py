@@ -628,3 +628,51 @@ def add_files(spark: SparkSession, table: Table, paths: list[str],
         return t.set_properties(props) if props else t
     build(table.new_transaction(branch)).commit_with_retry(build)
     return table.refresh()
+
+
+def fast_forward(table: Table, to_branch: str,
+                 from_branch: str = "main") -> Table:
+    """Publish a staged branch: point ``from_branch`` (default main) at
+    ``to_branch``'s head — Iceberg's ``fast_forward`` procedure, the
+    final step of the write-audit-publish (WAP) pattern. A staging job
+    commits to an audit branch, validation reads it, and publishing is
+    this METADATA-ONLY ref move (no data rewrite, no re-commit race
+    with the staging job).
+
+    Guarded like git: the target branch's ancestry must contain the
+    source's current head (a true fast-forward). A diverged source
+    branch raises — publishing would silently drop its commits; rebase
+    by re-staging instead."""
+    import dataclasses
+
+    from iceberg_rust_archive_spark.spec.snapshot import SnapshotReference
+
+    md = table.metadata
+    src = md.refs.get(from_branch)
+    dst = md.refs.get(to_branch)
+    if dst is None:
+        raise ValueError(f"no such branch {to_branch!r}")
+    if dst.ref_type != "branch":
+        raise ValueError(f"{to_branch!r} is a tag")
+    if src is not None:
+        # walk dst ancestry; src head must appear (fast-forward check)
+        sid = dst.snapshot_id
+        ok = False
+        while sid is not None and sid in md.snapshots:
+            if sid == src.snapshot_id:
+                ok = True
+                break
+            sid = md.snapshots[sid].parent_snapshot_id
+        if not ok:
+            raise ValueError(
+                f"{from_branch!r} is not an ancestor of "
+                f"{to_branch!r} — not a fast-forward")
+    new_refs = dict(md.refs)
+    keep = (src.min_snapshots_to_keep, src.max_snapshot_age_ms,
+            src.max_ref_age_ms) if src is not None else (None, None, None)
+    new_refs[from_branch] = SnapshotReference(
+        dst.snapshot_id, "branch", *keep)
+    new_md = dataclasses.replace(md, refs=new_refs)
+    table.catalog.update_tabular(table.identifier, new_md,
+                                 table.metadata_location)
+    return table.refresh()

@@ -40,6 +40,8 @@ Supported statements::
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
         | system.rewrite_position_deletes('ns.t')
         | system.rewrite_data_files('ns.t')
+        | system.fast_forward('ns.t', 'branch')
+        | system.add_files('ns.t', '/path/f.parquet', ...)
         | system.rollback_to_snapshot('ns.t', id)
         | system.create_changelog_view('ns.t'[, from[, to]])
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
@@ -266,6 +268,14 @@ class Engine:
                 mt.rewrite_position_deletes(self.spark, t)
             elif proc == "rewrite_data_files":
                 mt.rewrite_data_files(self.spark, t)
+            elif proc == "fast_forward":
+                # CALL system.fast_forward('ns.t', 'audit_branch')
+                br = re.findall(r"'([^']+)'", rest or "")
+                mt.fast_forward(t, br[0] if br else "main")
+            elif proc == "add_files":
+                # CALL system.add_files('ns.t', '/path/f1', '/path/f2')
+                fps = re.findall(r"'([^']+)'", rest or "")
+                mt.add_files(self.spark, t, fps)
             elif proc == "rollback_to_snapshot":
                 mt.rollback_to_snapshot(t, int((rest or "0").strip()))
             elif proc == "remove_orphan_files":

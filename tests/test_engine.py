@@ -1999,3 +1999,34 @@ def test_add_files_registers_without_rewrite(spark, catalog, tmp_path):
     # name-mapping read path resolves both by name)
     t.append(spark, spark.createDataFrame(BATCH2, COLS))
     assert _sums(t.refresh(), spark) == {1: 9, 2: 2, 3: 4}
+
+
+def test_fast_forward_publishes_staged_branch(spark, catalog):
+    """WAP publish: stage commits on an audit branch, validate, then
+    fast_forward main onto it — metadata-only; a diverged main refuses."""
+    from iceberg_rust_archive_spark.maintenance import fast_forward
+    from iceberg_rust_archive_spark.table import create_branch
+
+    t = _mk_table(catalog, "orders_wap")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.refresh()
+    t = create_branch(t, "audit")
+    t.append(spark, spark.createDataFrame(BATCH2, COLS), branch="audit")
+    t = t.refresh()
+
+    # staged rows invisible on main, visible on the audit branch
+    assert sum(_sums(t, spark).values()) == 11
+    assert sum(_sums(t, spark, branch="audit").values()) == 15
+
+    t = fast_forward(t, "audit")
+    assert sum(_sums(t, spark).values()) == 15  # published
+    # snapshot identity: main now IS the audit head
+    assert t.metadata.refs["main"].snapshot_id == \
+        t.metadata.refs["audit"].snapshot_id
+
+    # diverge main with a new commit → audit is no longer ahead
+    t.append(spark, spark.createDataFrame(
+        [(99, 1, 1, dt.date(2020, 3, 3), 1)], COLS))
+    t = t.refresh()
+    with pytest.raises(ValueError, match="fast-forward"):
+        fast_forward(t, "audit")
