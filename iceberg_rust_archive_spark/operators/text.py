@@ -298,6 +298,33 @@ def text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def redact_pii(docs, text_col: str = "text",
+               out_col: str = "redacted") -> "DataFrame":
+    """PII REDACTION (not just detection): each pattern family's hits
+    are replaced with a typed placeholder (``<EMAIL>``, ``<PHONE>``,
+    ``<IP>``, ``<SSN>``) — the standard scrub step training pipelines
+    run on web text before tokenization. A chained ``regexp_replace``
+    projection: all JVM regex, zero Python, zero shuffle; order
+    matters (SSN before phone — an SSN is also a phone-shaped digit
+    run) and is fixed here.
+
+    Returns the input plus ``out_col`` and per-family hit counts, so
+    callers can route (redact vs drop) on the same pass."""
+    placeholders = {"emails": "<EMAIL>", "ssn_like": "<SSN>",
+                    "ipv4s": "<IP>", "phones": "<PHONE>"}
+    order = ["emails", "ssn_like", "ipv4s", "phones"]
+    out = docs
+    for name in order:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name])))
+    red = F.col(text_col)
+    for name in order:
+        red = F.regexp_replace(red, PII_PATTERNS[name],
+                               placeholders[name])
+    return out.withColumn(out_col, red)
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str,
                           n: int = 3) -> DataFrame:
     """Gopher-style intra-document repetition: fraction of duplicate

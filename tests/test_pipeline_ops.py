@@ -689,3 +689,27 @@ def test_mixture_sample_follows_weights(spark):
                    F.count(F.lit(1)).alias("cnt")).collect()}
     for s, n in rows.items():
         assert 0 < n <= per_src[s]
+
+
+def test_redact_pii_typed_placeholders(spark):
+    from iceberg_rust_archive_spark.operators.text import redact_pii
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org today"),
+        (1, "ssn 123-45-6789 and phone +1 415-555-0199"),
+        (2, "server at 10.0.12.7 rebooted"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[0].redacted == "mail me at <EMAIL> today"
+    assert got[0].n_emails == 1
+    # SSN redacts as <SSN>, not as a phone-shaped digit run
+    assert "<SSN>" in got[1].redacted and "<PHONE>" in got[1].redacted
+    assert "123-45-6789" not in got[1].redacted
+    assert got[2].redacted == "server at <IP> rebooted"
+    assert got[3].redacted == got[3].text
+    assert (got[3].n_emails, got[3].n_phones,
+            got[3].n_ipv4s, got[3].n_ssn_like) == (0, 0, 0, 0)
+    # no shuffle: pure projection
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
