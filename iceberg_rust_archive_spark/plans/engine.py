@@ -906,7 +906,7 @@ class Engine:
             return vn
         sql = re.sub(
             r"([\w.]+)\.(snapshots|files|manifests|history|refs"
-            r"|partitions)\b",
+            r"|partitions|entries)\b",
             _meta, sql, flags=re.IGNORECASE)
 
         mapping = {}

@@ -491,6 +491,26 @@ class Table:
                 rows, "content int, file_path string, file_format string, "
                       "partition string, record_count long, "
                       "file_size_in_bytes long, sequence_number long")
+        if kind == "entries":
+            # Iceberg's `entries` metadata table: the raw manifest rows
+            # with status (0 existing / 1 added / 2 deleted) + sequence
+            # numbers — the forensic view `files` (live-only) hides
+            rows = [(e.status, e.snapshot_id, e.sequence_number,
+                     e.file_sequence_number, e.data_file.content,
+                     e.data_file.file_path,
+                     e.data_file.file_format,
+                     _json.dumps(e.data_file.partition, sort_keys=True,
+                                 default=str),
+                     e.data_file.record_count)
+                    for es in read_manifests(
+                        [m.manifest_path for m in mlist])
+                    for e in es]
+            return spark.createDataFrame(
+                rows, "status int, snapshot_id long, "
+                      "sequence_number long, file_sequence_number long, "
+                      "content int, file_path string, "
+                      "file_format string, partition string, "
+                      "record_count long")
         if kind == "partitions":
             from collections import defaultdict as _dd
 

@@ -2030,3 +2030,54 @@ def test_fast_forward_publishes_staged_branch(spark, catalog):
     t = t.refresh()
     with pytest.raises(ValueError, match="fast-forward"):
         fast_forward(t, "audit")
+
+
+def test_entries_metadata_table(spark, tmp_path):
+    """ns.t.entries exposes raw manifest rows (status + sequence
+    numbers), incl. EXISTING entries a selective rewrite carried over."""
+    from iceberg_rust_archive_spark.maintenance import rewrite_data_files
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v INT)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10), (2, 20)")
+    rows = eng.sql("SELECT * FROM db.t.entries").collect()
+    assert all(r.status == 1 for r in rows)  # fresh appends: ADDED
+    assert sum(r.record_count for r in rows) == 2
+
+    eng.sql("INSERT INTO db.t VALUES (3, 30)")
+    t = eng.load_table("db.t")
+    rewrite_data_files(spark, t)
+    rows = eng.sql("SELECT * FROM db.t.entries").collect()
+    # the packed output is ADDED at the new sequence
+    assert {r.status for r in rows} <= {0, 1}
+    assert sum(r.record_count for r in rows if r.status == 1) >= 3 \
+        or sum(r.record_count for r in rows) == 3
+
+
+def test_rewrite_race_with_concurrent_append(spark, tmp_path):
+    """A selective rewrite racing a concurrent append: the stale
+    rewrite's first commit CAS-fails, the retry re-applies on the
+    reloaded state, and BOTH the appended rows and the packed tail
+    survive — no lost update in either direction."""
+    from iceberg_rust_archive_spark.maintenance import rewrite_data_files
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+
+    cat = SqlCatalog(str(tmp_path / "cat.db"))
+    t = Table.create(cat, "db.orders_rwrace", ORDERS_SCHEMA,
+                     PartitionSpec(0, ()))
+    for row in BATCH1[:4]:
+        t.append(spark, spark.createDataFrame([row], COLS))
+    t = t.refresh()
+
+    # stale handle plans the rewrite...
+    stale = Table.load(cat, "db.orders_rwrace")
+    # ...but a concurrent writer appends first
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+
+    rewrite_data_files(spark, stale)  # commit_with_retry inside
+    final = Table.load(cat, "db.orders_rwrace")
+    got = sorted(r["id"] for r in final.scan(spark).collect())
+    assert got == sorted([r[0] for r in BATCH1[:4]]
+                         + [r[0] for r in BATCH2])
