@@ -196,3 +196,80 @@ def test_merge_general_matches_model(spark, tmp_path_factory, tgt, src,
     assert got == model
     eng.sql("DROP TABLE db.m")
     eng.sql("DROP SCHEMA db")
+
+
+# --- pure-function properties (no Spark per example → many examples) ---
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(0, 500),
+    width=st.integers(1, 60),
+    overlap_frac=st.floats(0, 0.99),
+)
+def test_chunk_boundary_math_covers_exactly(n, width, overlap_frac):
+    """The chunk-count formula (1 if L<=W else ceil((L-W)/S)+1) always
+    yields windows that (a) cover every character, (b) never start past
+    the end, (c) overlap consecutive windows by exactly `overlap` except
+    possibly the last."""
+    overlap = min(int(width * overlap_frac), width - 1)
+    stride = width - overlap
+    n_chunks = 1 if n <= width else -(-(n - width) // stride) + 1
+    starts = [i * stride for i in range(n_chunks)]
+    covered = set()
+    for s_ in starts:
+        covered.update(range(s_, min(s_ + width, n)))
+    assert covered == set(range(n))
+    assert all(s_ < max(n, 1) for s_ in starts)
+    # minimality: one fewer window would leave a tail uncovered
+    if n_chunks > 1:
+        assert (n_chunks - 2) * stride + width < n
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    values=st.lists(st.one_of(st.integers(-50, 50), st.none()),
+                    min_size=1, max_size=30),
+    op=st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "in",
+                        "is_null", "not_null"]),
+    lit=st.integers(-50, 50),
+    lit2=st.integers(-50, 50),
+)
+def test_file_fully_matches_is_sound(values, op, lit, lit2):
+    """If file_fully_matches says yes, EVERY row of the simulated file
+    satisfies the predicate — the soundness requirement behind the
+    metadata-only count (an unsound yes = silently wrong counts)."""
+    from iceberg_rust_archive_spark.predicates import (
+        Pred, file_fully_matches,
+    )
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import DataFile
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "x", "int", True),)))
+    non_null = [v for v in values if v is not None]
+    f = DataFile(
+        content=0, file_path="/f", file_format="parquet", partition={},
+        record_count=len(values), file_size_in_bytes=1,
+        column_sizes={}, value_counts={1: len(values)},
+        null_value_counts={1: len(values) - len(non_null)},
+        lower_bounds={1: min(non_null)} if non_null else {},
+        upper_bounds={1: max(non_null)} if non_null else {})
+    pval = [lit, lit2] if op == "in" else lit
+    p = Pred("x", op, None if op in ("is_null", "not_null") else pval)
+
+    def sat(v):
+        if op == "is_null":
+            return v is None
+        if v is None:
+            return False
+        if op == "not_null":
+            return True
+        if op == "in":
+            return v in pval
+        return {"=": v == lit, "!=": v != lit, "<": v < lit,
+                "<=": v <= lit, ">": v > lit, ">=": v >= lit}[op]
+
+    if file_fully_matches([p], schema, f):
+        assert all(sat(v) for v in values), \
+            f"unsound full-match: {op} {pval} over {values}"
