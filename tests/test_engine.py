@@ -2081,3 +2081,34 @@ def test_rewrite_race_with_concurrent_append(spark, tmp_path):
     got = sorted(r["id"] for r in final.scan(spark).collect())
     assert got == sorted([r[0] for r in BATCH1[:4]]
                          + [r[0] for r in BATCH2])
+
+
+def test_rewrite_migrates_old_spec_files_to_new_layout(spark, catalog):
+    """Selective rewrite doubles as a LAYOUT migrator: files written
+    under an old partition spec come out re-laid under the current
+    default spec, so pruning works on the new dimension afterwards."""
+    from iceberg_rust_archive_spark.maintenance import rewrite_data_files
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+
+    t = Table.create(catalog, "db.orders_specmig", ORDERS_SCHEMA,
+                     PartitionSpec(0, ()))  # unpartitioned history
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t = t.refresh()
+    t.update_partition_spec([PartitionField(4, 0, "date_day", "day")])
+    before = sorted(r["id"] for r in t.scan(spark).collect())
+
+    t = rewrite_data_files(spark, t)
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == before
+    # every live data file now carries a day partition tuple, and a
+    # date-equality scan prunes to that day's file(s) only
+    mlist = read_manifest_list(t.metadata.current_snapshot().manifest_list)
+    assert all(m.partition_spec_id ==
+               t.metadata.default_spec().spec_id
+               for m in mlist if m.content == 0)
+    pruned = t.scan(spark, filter=[Pred("date", "=", dt.date(2020, 1, 3))])
+    assert sorted(r["id"] for r in pruned.collect()) == [7, 8, 9]
+    assert len(pruned.inputFiles()) < len(t.scan(spark).inputFiles())
