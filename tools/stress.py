@@ -164,6 +164,29 @@ def main():
     print(f"chunk_by_chars @ {amp}x docs: {n_ch} chunks "
           f"({time.perf_counter()-t0:.1f}s, shuffle-free)")
 
+    # PCA Gram-partial reduction at amp× embeddings: the collect must
+    # stay partition-count-sized (the 100 TB contract), wall time ∝ one
+    # scan + d² GEMM per batch
+    from iceberg_rust_archive_spark.operators.projection import (
+        _moment_partials, fit_pca,
+    )
+    emb = amplify(spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")), ["vec_id"])
+    t0 = time.perf_counter()
+    n_parts = _moment_partials(emb, "embedding").count()
+    mean, comps, evals = fit_pca(emb, k=8)
+    print(f"pca fit @ {amp}x embeddings: {n_parts} partials "
+          f"(≤ partitions), top eigenvalue {evals[0]:.3f} "
+          f"({time.perf_counter()-t0:.1f}s)")
+
+    # BPE word-count pass at amp× docs — the data-scale half of
+    # tokenizer training (merge loop is bounded-vocab driver work)
+    from iceberg_rust_archive_spark.operators.bpe import word_frequencies
+    t0 = time.perf_counter()
+    n_vocab = word_frequencies(docs).count()
+    print(f"bpe word-count @ {amp}x docs: {n_vocab} vocab rows "
+          f"({time.perf_counter()-t0:.1f}s)")
+
 
 def lsh_occupancy(spark, sf_dir: str, amp: int):
     """Evidence for the corpus-adaptive LSH claim: signature width
