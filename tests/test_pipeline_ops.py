@@ -713,3 +713,18 @@ def test_redact_pii_typed_placeholders(spark):
     # no shuffle: pure projection
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_end_to_end_pipeline_example(spark, tmp_path):
+    """The examples/pipeline.py composition runs end-to-end and its
+    stage accounting is monotone (each gate can only drop rows); the
+    sink is a real Iceberg table with a metadata-answerable count."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from examples.pipeline import run_pipeline
+    c = run_pipeline(spark, SF_DIR, str(tmp_path / "wh"))
+    assert c["raw"] >= c["after_quality"] >= c["after_dedup"] \
+        >= c["after_mixture"] > 0
+    assert c["chunks_written"] >= c["after_mixture"]  # ≥1 chunk per doc
+    assert c["snapshots"] == 1
