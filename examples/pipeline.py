@@ -71,6 +71,25 @@ def run_pipeline(spark, sf_dir: str, warehouse: str) -> dict:
     docs = docs.join(losers, "doc_id", "left_anti")
     counts["after_dedup"] = docs.count()
 
+    # 3b. benchmark decontamination: drop any doc sharing a word
+    #     3-gram with the held-out eval slice (the fixed eval suite's
+    #     shingle set is bounded → broadcast; the corpus never
+    #     reshuffles)
+    from iceberg_rust_archive_spark.operators.dedup import (
+        DECONTAM_BENCH_MOD, exploded_shingles,
+    )
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench_sh = (exploded_shingles(
+        docs.filter(is_bench).select("doc_id", "text"))
+        .select("sh").distinct())
+    contaminated = (exploded_shingles(
+        docs.filter(~is_bench).select("doc_id", "text"))
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id").distinct())
+    docs = docs.filter(~is_bench).join(contaminated, "doc_id",
+                                       "left_anti")
+    counts["after_decontam"] = docs.count()
+
     # 4. per-source mixture draw (deterministic md5 buckets, ~70%)
     docs = docs.filter(_hash_bucket(F.col("doc_id")) < 70)
     counts["after_mixture"] = docs.count()

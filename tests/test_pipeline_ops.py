@@ -725,6 +725,6 @@ def test_end_to_end_pipeline_example(spark, tmp_path):
     from examples.pipeline import run_pipeline
     c = run_pipeline(spark, SF_DIR, str(tmp_path / "wh"))
     assert c["raw"] >= c["after_quality"] >= c["after_dedup"] \
-        >= c["after_mixture"] > 0
+        >= c["after_decontam"] >= c["after_mixture"] > 0
     assert c["chunks_written"] >= c["after_mixture"]  # ≥1 chunk per doc
     assert c["snapshots"] == 1
