@@ -92,6 +92,14 @@ def apply_changes_to_table(stream_df: DataFrame, table, keys: list[str],
     snapshot summary (same idempotence contract as
     ``write_stream_to_table``); a post-crash replayed batch is a no-op.
 
+    Ordering contract: micro-batches must arrive in commit order and
+    must NOT split one source commit's events across batches (deliver
+    per-commit files, or whole prefixes like a ``Table.changes``
+    replay). A batch boundary inside a commit separates its
+    retraction from its insert, and whichever lands second would
+    wrongly win the per-key netting — the same prefix-consistency rule
+    every changelog consumer (Debezium, Iceberg CDC) imposes.
+
     Scale: the delete side is the skinny key projection; netting is one
     window over the batch (micro-batch-sized, not table-sized); the
     mirror pays the ordinary merge-on-read anti-join until compaction.
