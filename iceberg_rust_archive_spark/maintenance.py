@@ -93,7 +93,8 @@ def rewrite_data_files(spark: SparkSession, table: Table,
         return table
     schema = spark_schema_for(md.current_schema(branch).struct)
     df = read_data_files(
-        spark, schema, [(f.file_path, f.file_format) for f in small])
+        spark, schema, [(f.file_path, f.file_format) for f in small],
+        by_name="schema.name-mapping.default" in md.properties)
     # the actual bin-pack: land the tail in ceil(bytes/target) outputs
     # (without this, each tiny input partition re-emits its own file)
     import math as _math

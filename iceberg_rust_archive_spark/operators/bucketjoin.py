@@ -123,8 +123,12 @@ def bucketed_join(spark: SparkSession, left, right, key: str,
         from iceberg_rust_archive_spark.sources.readers import (
             read_data_files,
         )
-        ld = read_data_files(spark, l_schema, [(p, f) for p, _, f in lg])
-        rd = read_data_files(spark, r_schema, [(p, f) for p, _, f in rg])
+        bn_l = "schema.name-mapping.default" in left.metadata.properties
+        bn_r = "schema.name-mapping.default" in right.metadata.properties
+        ld = read_data_files(spark, l_schema,
+                             [(p, f) for p, _, f in lg], by_name=bn_l)
+        rd = read_data_files(spark, r_schema,
+                             [(p, f) for p, _, f in rg], by_name=bn_r)
         l_bytes = sum(s for _, s, _f in lg)
         r_bytes = sum(s for _, s, _f in rg)
         # the manifest stats name the smaller side exactly — hint it

@@ -143,7 +143,8 @@ class Table:
             ensure_read_confs(spark)
             d = read_data_files(
                 spark, spark_schema_for(schema.struct),
-                [(f.file_path, f.file_format) for f in residual_files])
+                [(f.file_path, f.file_format) for f in residual_files],
+                by_name="schema.name-mapping.default" in md.properties)
             cond = to_spark_filter(preds)
             if cond is not None:
                 d = d.filter(cond)
@@ -251,7 +252,9 @@ class Table:
                 ins = read_data_files(
                     spark, spark_schema,
                     [(e.data_file.file_path, e.data_file.file_format)
-                     for e in added_data])
+                     for e in added_data],
+                    by_name="schema.name-mapping.default"
+                    in md.properties)
                 piece = _tag(ins, "insert", s)
             if added_deletes and s.parent_snapshot_id is not None:
                 prior = self.scan(spark,

@@ -2112,3 +2112,39 @@ def test_rewrite_migrates_old_spec_files_to_new_layout(spark, catalog):
     pruned = t.scan(spark, filter=[Pred("date", "=", dt.date(2020, 1, 3))])
     assert sorted(r["id"] for r in pruned.collect()) == [7, 8, 9]
     assert len(pruned.inputFiles()) < len(t.scan(spark).inputFiles())
+
+
+def test_add_files_table_survives_dml_and_rewrite(spark, catalog, tmp_path):
+    """A name-mapping table (registered external files) supports the
+    full lifecycle: equality deletes merge-on-read over by-name data
+    reads, and a selective rewrite (after compaction absorbs deletes)
+    replaces external files with engine-written id-carrying ones."""
+    from iceberg_rust_archive_spark.maintenance import (
+        add_files, compact_table, rewrite_data_files,
+    )
+
+    src = str(tmp_path / "ext2")
+    (spark.createDataFrame(BATCH1, COLS)
+     .selectExpr("cast(id as long) id",
+                 "cast(customer_id as long) customer_id",
+                 "cast(product_id as long) product_id",
+                 "date", "cast(amount as int) amount")
+     .coalesce(1).write.parquet(src))
+    import os as _os
+    f = [_os.path.join(src, x) for x in _os.listdir(src)
+         if x.endswith(".parquet")]
+
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    t = Table.create(catalog, "db.orders_extdml", ORDERS_SCHEMA,
+                     PartitionSpec(0, ()))
+    t = add_files(spark, t, f)
+    t.delete_where_equal(spark, spark.createDataFrame([(3,)], ["id"]),
+                         ["id"])
+    t = t.refresh()
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == \
+        [1, 2, 4, 5, 6]
+    t = compact_table(spark, t)       # absorbs the delete
+    t = rewrite_data_files(spark, t)  # packs whatever tail remains
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == \
+        [1, 2, 4, 5, 6]
+    assert t.count() == 5  # metadata-only again after compaction
