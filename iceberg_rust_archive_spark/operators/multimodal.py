@@ -352,6 +352,84 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+def encode_minimal_mp4(duration_s: float, timescale: int = 1000,
+                       n_tracks: int = 1,
+                       brand: bytes = b"isom") -> bytes:
+    """Spec-shaped minimal MP4: an ``ftyp`` box plus a ``moov``
+    containing an mvhd (version 0) and ``n_tracks`` empty ``trak``
+    boxes — enough real ISO-BMFF structure that any box walker (ours
+    below, ffprobe, mp4dump) reads brand/timescale/duration from the
+    same bytes. The deterministic test-fixture twin of the stdlib PNG
+    encoder above."""
+    import struct as _st
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return _st.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", brand + _st.pack(">I", 0) + brand + b"mp41")
+    dur = int(round(duration_s * timescale))
+    mvhd_body = (_st.pack(">B", 0) + b"\x00\x00\x00"   # version 0 + flags
+                 + _st.pack(">IIII", 0, 0, timescale, dur)
+                 + b"\x00" * 80)                        # rate..next_track
+    moov = box(b"moov", box(b"mvhd", mvhd_body)
+               + b"".join(box(b"trak", b"") for _ in range(n_tracks)))
+    return ftyp + moov
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """REAL ISO-BMFF box walk (stdlib struct, no media libs): top-level
+    boxes → ``ftyp`` major brand; ``moov`` children → ``mvhd``
+    timescale/duration (v0 and v1 layouts) and ``trak`` count. Frame
+    DECODE stays stubbed (``sample_frames``); the metadata a pipeline
+    partitions/filters on is parsed from the actual bytes.
+
+    Quarantine contract (same as decode_png): any corrupt payload
+    raises ValueError — callers drop the row, the batch never dies."""
+    import struct as _st
+
+    def walk(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size, tag = _st.unpack(">I4s", buf[off:off + 8])
+            if size < 8 or off + size > end:
+                raise ValueError("corrupt MP4: bad box size")
+            yield tag, off + 8, off + size
+            off += size
+        if off != end:
+            raise ValueError("corrupt MP4: trailing bytes")
+
+    if len(payload) < 8:
+        raise ValueError("not an MP4: too short")
+    try:
+        out = {"brand": None, "timescale": None, "duration_s": None,
+               "n_tracks": 0}
+        for tag, b0, b1 in walk(payload, 0, len(payload)):
+            if tag == b"ftyp":
+                out["brand"] = payload[b0:b0 + 4].decode("ascii",
+                                                         "replace")
+            elif tag == b"moov":
+                for t2, c0, c1 in walk(payload, b0, b1):
+                    if t2 == b"mvhd":
+                        ver = payload[c0]
+                        if ver == 1:
+                            ts, dur = _st.unpack(
+                                ">IQ", payload[c0 + 20:c0 + 32])
+                        else:
+                            ts, dur = _st.unpack(
+                                ">II", payload[c0 + 12:c0 + 20])
+                        if not ts:
+                            raise ValueError("corrupt MP4: timescale 0")
+                        out["timescale"] = ts
+                        out["duration_s"] = dur / ts
+                    elif t2 == b"trak":
+                        out["n_tracks"] += 1
+        if out["brand"] is None or out["timescale"] is None:
+            raise ValueError("not an MP4: missing ftyp/mvhd")
+        return out
+    except _st.error as e:  # truncated fixed-layout field
+        raise ValueError(f"corrupt MP4: {e}") from e
+
+
 def sample_frames(payload: bytes, n_frames: int,
                   frame_size: int = 16) -> list[bytes]:
     """STUB-adjacent: deterministic frame sampling for "video" payloads

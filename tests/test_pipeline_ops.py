@@ -728,3 +728,39 @@ def test_end_to_end_pipeline_example(spark, tmp_path):
         >= c["after_decontam"] >= c["after_mixture"] > 0
     assert c["chunks_written"] >= c["after_mixture"]  # ≥1 chunk per doc
     assert c["snapshots"] == 1
+
+
+def test_mp4_metadata_roundtrip_and_quarantine():
+    """Real ISO-BMFF box walk: encoder→parser round-trips duration,
+    timescale, brand, and track count; corrupt payloads raise the
+    ValueError quarantine contract (v1 mvhd layout parsed too)."""
+    import struct
+
+    import pytest as _pt
+
+    from iceberg_rust_archive_spark.operators.multimodal import (
+        encode_minimal_mp4, mp4_metadata,
+    )
+    payload = encode_minimal_mp4(12.5, timescale=600, n_tracks=2,
+                                 brand=b"mp42")
+    meta = mp4_metadata(payload)
+    assert meta == {"brand": "mp42", "timescale": 600,
+                    "duration_s": 12.5, "n_tracks": 2}
+
+    # a version-1 mvhd (64-bit times) parses too
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+    mvhd1 = (b"\x01\x00\x00\x00"
+             + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+             + b"\x00" * 80)
+    p1 = (box(b"ftyp", b"isom" + b"\x00" * 4 + b"isommp41")
+          + box(b"moov", box(b"mvhd", mvhd1) + box(b"trak", b"")))
+    m1 = mp4_metadata(p1)
+    assert (m1["timescale"], m1["duration_s"], m1["n_tracks"]) \
+        == (90000, 7.0, 1)
+
+    for bad in (b"", b"\x00" * 7, payload[:20],
+                b"\x00\x00\x00\x02zzzz",          # box size < 8
+                box(b"ftyp", b"isom" + b"\x00" * 8)):  # no moov/mvhd
+        with _pt.raises(ValueError):
+            mp4_metadata(bad)
