@@ -430,6 +430,41 @@ def mp4_metadata(payload: bytes) -> dict:
         raise ValueError(f"corrupt MP4: {e}") from e
 
 
+VID_MOD = 5          # video branch synthesizes MP4s for doc_id % 5 == 2
+VID_TIMESCALE = 600  # classic QuickTime default
+
+
+def mp4_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Per item: build an MP4 with duration ticks ``doc_id % 541 + 60``
+    and ``doc_id % 3 + 1`` tracks, parse it back with
+    :func:`mp4_metadata`, emit (ticks, tracks) — exact integers, so the
+    rollup is engine-identical with zero float risk."""
+    out_schema = StructType([
+        StructField("item_id", LongType()),
+        StructField("source", StringType()),
+        StructField("ticks", LongType()),
+        StructField("tracks", IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ticks, tracks = [], []
+            for did in pdf["item_id"]:
+                d = int(did)
+                t = d % 541 + 60
+                payload = encode_minimal_mp4(
+                    t / VID_TIMESCALE, VID_TIMESCALE, d % 3 + 1)
+                meta = mp4_metadata(payload)
+                ticks.append(int(round(meta["duration_s"]
+                                       * meta["timescale"])))
+                tracks.append(meta["n_tracks"])
+            yield pd.DataFrame({"item_id": pdf["item_id"],
+                                "source": pdf["source"],
+                                "ticks": ticks, "tracks": tracks})
+
+    return docs.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(payload: bytes, n_frames: int,
                   frame_size: int = 16) -> list[bytes]:
     """STUB-adjacent: deterministic frame sampling for "video" payloads
@@ -555,7 +590,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(0).cast("long").alias("sum_payload_bytes"),
                    "stat_a", "stat_b", "stat_c", "stat_d", "stat_e",
                    "stat_f"))
-    return meta.unionByName(pix).orderBy("method", "source")
+
+    # video branch: REAL ISO-BMFF round-trip — synthesize an MP4 per
+    # item (duration/tracks closed-form in doc_id), parse it back with
+    # the stdlib box walker, roll up exact-integer tick sums; DuckDB
+    # re-derives the expected values from the same formulas, so the
+    # parser is value-graded end-to-end like the PNG codec
+    vdocs = (read_parallel(spark,
+                           os.path.join(sf_dir, "documents.parquet"))
+             .filter(F.col("doc_id") % VID_MOD == 2)
+             .select(F.col("doc_id").alias("item_id"), "source"))
+    vid = (mp4_roundtrip_stats(vdocs)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_items"),
+                F.sum("ticks").alias("sum_payload_bytes"),
+                F.sum("tracks").cast("double").alias("stat_a"))
+           .select(F.lit("video").alias("method"), "source", "n_items",
+                   "sum_payload_bytes", "stat_a",
+                   *[F.lit(0.0).alias(f"stat_{c}") for c in "bcdef"]))
+    return (meta.unionByName(pix).unionByName(vid)
+            .orderBy("method", "source"))
 
 
 # DuckDB oracle: the fake featurizer is md5-based and the pixel branch
@@ -643,5 +697,13 @@ ORACLE_SQL = {
           FROM per_doc GROUP BY source
         )
         SELECT * FROM meta UNION ALL SELECT * FROM pixels
+        UNION ALL
+        SELECT 'video' AS method, source, count(*) AS n_items,
+               CAST(sum(doc_id % 541 + 60) AS BIGINT)
+                 AS sum_payload_bytes,
+               CAST(sum(doc_id % 3 + 1) AS DOUBLE) AS stat_a,
+               0.0 AS stat_b, 0.0 AS stat_c, 0.0 AS stat_d,
+               0.0 AS stat_e, 0.0 AS stat_f
+        FROM documents WHERE doc_id % 5 = 2 GROUP BY source
     """,
 }
