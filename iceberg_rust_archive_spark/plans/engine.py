@@ -40,6 +40,7 @@ Supported statements::
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
         | system.rewrite_position_deletes('ns.t')
         | system.rewrite_data_files('ns.t')
+        | system.analyze('ns.t'[, 'col', ...])
         | system.fast_forward('ns.t', 'branch')
         | system.add_files('ns.t', '/path/f.parquet', ...)
         | system.rollback_to_snapshot('ns.t', id)
@@ -268,6 +269,12 @@ class Engine:
                 mt.rewrite_position_deletes(self.spark, t)
             elif proc == "rewrite_data_files":
                 mt.rewrite_data_files(self.spark, t)
+            elif proc == "analyze":
+                from iceberg_rust_archive_spark.table import (
+                    analyze_table,
+                )
+                cols = re.findall(r"'([\w.]+)'", rest or "")
+                analyze_table(self.spark, t, cols or None)
             elif proc == "fast_forward":
                 # CALL system.fast_forward('ns.t', 'audit_branch')
                 br = re.findall(r"'([^']+)'", rest or "")

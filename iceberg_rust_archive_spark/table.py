@@ -673,7 +673,39 @@ def table_statistics(table: Table, branch: str | None = None,
                     c["lower"] = lo
                 if hi is not None and (c["upper"] is None or hi > c["upper"]):
                     c["upper"] = hi
+    # NDV estimates recorded by analyze_table ride table properties
+    # (the spec's home is a Puffin statistics file of theta sketches;
+    # same producer/consumer contract, simpler carrier)
+    for k, v in md.properties.items():
+        if k.startswith("stats.ndv."):
+            name = k[len("stats.ndv."):]
+            if name in stats["columns"]:
+                stats["columns"][name]["ndv"] = int(v)
     return stats
+
+
+def analyze_table(spark: SparkSession, table: Table,
+                  columns: list[str] | None = None,
+                  branch: str | None = None) -> Table:
+    """ANALYZE: per-column approximate distinct counts in ONE scan
+    (HyperLogLog++ via ``approx_count_distinct`` — merges map-side, so
+    the shuffle carries sketches, not values) recorded as
+    ``stats.ndv.<col>`` table properties and surfaced by
+    :func:`table_statistics`. Cardinality is what bounds/row-counts
+    can't give the planner: join-side selectivity and groupBy output
+    size estimates both key off NDV (the reference feeds DataFusion's
+    CBO the same triple — statistics.rs:20-146)."""
+    from pyspark.sql import functions as F
+    schema = table.metadata.current_schema(branch)
+    cols = columns or [f.name for f in schema.fields
+                       if isinstance(f.field_type, str)]
+    row = (table.scan(spark, branch=branch)
+           .agg(*[F.approx_count_distinct(c).alias(c) for c in cols])
+           .collect()[0])
+    props = {f"stats.ndv.{c}": str(row[c]) for c in cols}
+    txn = table.new_transaction(branch).set_properties(props)
+    txn.commit_with_retry(lambda t: t.set_properties(props))
+    return table.refresh()
 
 
 def create_tag(table: Table, name: str,

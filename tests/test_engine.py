@@ -2148,3 +2148,21 @@ def test_add_files_table_survives_dml_and_rewrite(spark, catalog, tmp_path):
     assert sorted(r["id"] for r in t.scan(spark).collect()) == \
         [1, 2, 4, 5, 6]
     assert t.count() == 5  # metadata-only again after compaction
+
+
+def test_analyze_table_records_ndv(spark, catalog):
+    """ANALYZE computes per-column approx distinct counts in one scan,
+    persists them as properties, and table_statistics surfaces them."""
+    from iceberg_rust_archive_spark.table import (
+        analyze_table, table_statistics,
+    )
+    t = _mk_table(catalog, "orders_analyze")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = analyze_table(spark, t, ["customer_id", "product_id"])
+    stats = table_statistics(t)
+    # exact distincts: customers {1,2,3}, products {1,2,3}; HLL is
+    # exact at this cardinality
+    assert stats["columns"]["customer_id"]["ndv"] == 3
+    assert stats["columns"]["product_id"]["ndv"] == 3
+    # metadata-only commit: no new snapshot
+    assert len(t.metadata.snapshots) == 1
