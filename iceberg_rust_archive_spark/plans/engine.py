@@ -35,7 +35,7 @@ Supported statements::
     SELECT ... FROM ns.t VERSION AS OF <id>|'<branch|tag>'
         | TIMESTAMP AS OF '<ts>'
     SELECT ... FROM ns.t.snapshots | .files | .manifests | .history
-        | .refs | .partitions
+        | .refs | .partitions | .entries
     CALL system.rewrite_manifests('ns.t') | system.compact('ns.t')
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
         | system.rewrite_position_deletes('ns.t')
