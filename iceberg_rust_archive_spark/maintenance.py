@@ -50,6 +50,7 @@ def compact_table(spark: SparkSession, table: Table,
 def rewrite_data_files(spark: SparkSession, table: Table,
                        small_ratio: float = 0.75,
                        min_input_files: int = 2,
+                       filter: list | None = None,  # noqa: A002
                        branch: str | None = None) -> Table:
     """SELECTIVE bin-pack compaction (Iceberg's RewriteDataFiles): only
     files smaller than ``small_ratio × write.target-file-size-bytes``
@@ -59,10 +60,16 @@ def rewrite_data_files(spark: SparkSession, table: Table,
     small files, and rewriting ONLY that tail costs O(tail), where
     ``compact_table`` would re-shuffle the entire table.
 
+    ``filter`` (a list of ``Pred``) scopes the candidate set by the
+    same partition/bounds pruning the scan uses — the "compact only
+    yesterday's partition" knob: a nightly job touches one day's tail,
+    never the table.
+
     Guard: live delete files make a selective rewrite unsafe (the
     rewritten rows' new sequence number escapes existing equality
     deletes) — the transaction layer refuses; run ``compact_table``
     (which absorbs deletes) first."""
+    from iceberg_rust_archive_spark.predicates import prune_datafiles
     from iceberg_rust_archive_spark.sources.manifests import (
         read_manifest_list, read_manifests,
     )
@@ -79,16 +86,23 @@ def rewrite_data_files(spark: SparkSession, table: Table,
     target = int(md.properties.get(
         "write.target-file-size-bytes", 512_000_000))
     threshold = int(target * small_ratio)
+    ice_schema = md.current_schema(branch)
     small = []
-    for entries in read_manifests(
-            [m.manifest_path
-             for m in read_manifest_list(snap.manifest_list)]):
+    mlist = read_manifest_list(snap.manifest_list)
+    for mle, entries in zip(
+            mlist, read_manifests([m.manifest_path for m in mlist])):
+        sp = md.partition_specs.get(mle.partition_spec_id,
+                                    md.default_spec())
         for e in entries:
             if e.status == STATUS_DELETED \
                     or e.data_file.content != CONTENT_DATA:
                 continue
-            if (e.data_file.file_size_in_bytes or 0) < threshold:
-                small.append(e.data_file)
+            if (e.data_file.file_size_in_bytes or 0) >= threshold:
+                continue
+            if filter and not prune_datafiles(
+                    filter, ice_schema, [e.data_file], sp):
+                continue  # outside the requested scope
+            small.append(e.data_file)
     if len(small) < min_input_files:
         return table
     schema = spark_schema_for(md.current_schema(branch).struct)

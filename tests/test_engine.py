@@ -2166,3 +2166,42 @@ def test_analyze_table_records_ndv(spark, catalog):
     assert stats["columns"]["product_id"]["ndv"] == 3
     # metadata-only commit: no new snapshot
     assert len(t.metadata.snapshots) == 1
+
+
+def test_rewrite_data_files_partition_scoped(spark, catalog):
+    """filter=... scopes the rewrite: only the targeted partition's
+    small-file tail is packed; other partitions' files are untouched
+    (same paths before and after)."""
+    from iceberg_rust_archive_spark.maintenance import rewrite_data_files
+
+    t = _mk_table(catalog, "orders_scoped_rw")   # day(date) partitioned
+    for row in BATCH1:
+        t.append(spark, spark.createDataFrame([row], COLS))
+    t = t.refresh()
+
+    def files_by_day(tb):
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest_list, read_manifests,
+        )
+        snap = tb.metadata.current_snapshot()
+        out = {}
+        for es in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)]):
+            for e in es:
+                if e.status != 2:
+                    out.setdefault(e.data_file.partition["date_day"],
+                                   set()).add(e.data_file.file_path)
+        return out
+
+    before = files_by_day(t)
+    jan = [k for k in before if k == 18262][0]   # 2020-01-01
+    feb = [k for k in before if k != jan][0]
+    assert len(before[jan]) == 3 and len(before[feb]) == 3
+
+    t = rewrite_data_files(
+        spark, t, filter=[Pred("date", "=", dt.date(2020, 1, 1))])
+    after = files_by_day(t)
+    assert len(after[jan]) == 1              # packed
+    assert after[feb] == before[feb]         # untouched, same paths
+    assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
