@@ -2205,3 +2205,42 @@ def test_rewrite_data_files_partition_scoped(spark, catalog):
     assert len(after[jan]) == 1              # packed
     assert after[feb] == before[feb]         # untouched, same paths
     assert _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+
+
+def test_call_system_new_procedures(spark, tmp_path):
+    """The round-6 continuation CALL routes: analyze, rewrite_data_files,
+    fast_forward, add_files — all through SQL."""
+    import os as _os
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.table import create_branch
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.p (k BIGINT, v INT)")
+    for i in range(3):
+        eng.sql(f"INSERT INTO db.p VALUES ({i}, {i * 10})")
+
+    eng.sql("CALL system.analyze('db.p', 'k')")
+    t = eng.load_table("db.p")
+    assert t.metadata.properties["stats.ndv.k"] == "3"
+
+    eng.sql("CALL system.rewrite_data_files('db.p')")
+    assert eng.sql("SELECT count(*) FROM db.p").collect()[0][0] == 3
+
+    t = eng.load_table("db.p")
+    create_branch(t.refresh(), "audit")
+    t = eng.load_table("db.p")
+    t.append(spark, spark.createDataFrame([(9, 90)], ["k", "v"]),
+             branch="audit")
+    eng.sql("CALL system.fast_forward('db.p', 'audit')")
+    assert eng.sql("SELECT count(*) FROM db.p").collect()[0][0] == 4
+
+    ext = str(tmp_path / "ext")
+    (spark.createDataFrame([(7, 70)], ["k", "v"])
+     .selectExpr("cast(k as long) k", "cast(v as int) v")
+     .coalesce(1).write.parquet(ext))
+    f = [_os.path.join(ext, x) for x in _os.listdir(ext)
+         if x.endswith(".parquet")][0]
+    eng.sql(f"CALL system.add_files('db.p', '{f}')")
+    assert eng.sql("SELECT count(*) FROM db.p").collect()[0][0] == 5
