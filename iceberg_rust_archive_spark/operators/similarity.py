@@ -488,3 +488,57 @@ ORACLE_SQL = {
         ) WHERE rank <= {TOPK}
     """,
 }
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.95,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: flag every
+    corpus row whose cosine similarity to ANY held-out benchmark vector
+    reaches ``threshold`` — the complement of n-gram decontamination
+    (dedup.decontaminate) for paraphrased leakage that shares no
+    surface string.
+
+    Scale shape mirrors ``ann_cosine_topk``: the benchmark side is a
+    FIXED eval suite, bounded by construction, so it collects and
+    broadcasts as one normalized matrix; the corpus is scored one GEMM
+    per Arrow batch and emits ONLY its flagged rows' (id, max_cosine)
+    — output ∝ contamination, not corpus. Zero shuffles.
+
+    Returns (id_col, max_cosine) for flagged rows; anti-join it back
+    to drop them."""
+    import numpy as np
+
+    b_rows = benchmark.select(vec_col).collect()
+    if not b_rows:
+        return (corpus.select(F.col(id_col))
+                .limit(0)
+                .withColumn("max_cosine", F.lit(0.0)))
+    bm = np.array([r[0] for r in b_rows], dtype=np.float64)
+    bn = np.sqrt((bm * bm).sum(axis=1))
+    bn[bn == 0] = 1.0
+    bmat = (bm / bn[:, None]).T  # d × B, pre-normalized
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(bmat)
+
+    out_schema = f"{id_col} long, max_cosine double"
+
+    def score(batches):
+        import pandas as pd
+        mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((vm * vm).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            best = ((vm / nrm[:, None]) @ mat).max(axis=1)
+            mask = best >= threshold
+            if mask.any():
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy()[mask],
+                    "max_cosine": np.round(best[mask], 4)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=out_schema)

@@ -764,3 +764,41 @@ def test_mp4_metadata_roundtrip_and_quarantine():
                 box(b"ftyp", b"isom" + b"\x00" * 8)):  # no moov/mvhd
         with _pt.raises(ValueError):
             mp4_metadata(bad)
+
+
+def test_semantic_decontaminate_flags_paraphrase_leakage(spark):
+    """Embedding-space decontamination: exact copies and near-copies of
+    benchmark vectors are flagged; orthogonal corpus rows are not; the
+    plan is shuffle-free and output ∝ contamination."""
+    import numpy as np
+
+    from iceberg_rust_archive_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    rng = np.random.default_rng(3)
+    bench_vecs = [rng.normal(0, 1, 8) for _ in range(4)]
+    rows = []
+    # ids 0-3: exact copies (cos 1.0); 10-13: tiny perturbations
+    # (cos ≈ 1); 100+: independent random vectors (cos ≈ 0 in d=8
+    # rarely > .95)
+    for i, v in enumerate(bench_vecs):
+        rows.append((i, (v).astype(np.float32).tolist()))
+        rows.append((10 + i, (v + rng.normal(0, .01, 8))
+                     .astype(np.float32).tolist()))
+    for i in range(100, 140):
+        rows.append((i, rng.normal(0, 1, 8).astype(np.float32).tolist()))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bench = spark.createDataFrame(
+        [(i, v.astype(np.float32).tolist())
+         for i, v in enumerate(bench_vecs)], ["vec_id", "embedding"])
+
+    flagged = semantic_decontaminate(corpus, bench, threshold=0.95)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    ids = {r.vec_id for r in flagged.collect()}
+    assert set(range(4)) <= ids and {10, 11, 12, 13} <= ids
+    assert all(i < 100 for i in ids)
+    # empty benchmark → nothing flagged, schema stable
+    empty = semantic_decontaminate(corpus, bench.limit(0))
+    assert empty.columns == ["vec_id", "max_cosine"]
+    assert empty.count() == 0
