@@ -32,6 +32,7 @@ Supported statements::
         | SET IDENTIFIER FIELDS (cols)
         | CREATE/DROP BRANCH|TAG name [AS OF VERSION n]
     SHOW TABLES [IN ns] | SHOW SCHEMAS | DESCRIBE [TABLE] ns.t
+    SHOW CREATE TABLE ns.t                       (re-runnable DDL)
     SELECT ... FROM ns.t VERSION AS OF <id>|'<branch|tag>'
         | TIMESTAMP AS OF '<ts>'
     SELECT ... FROM ns.t.snapshots | .files | .manifests | .history
@@ -167,6 +168,49 @@ class Engine:
             return self.spark.createDataFrame(
                 [(ns,) for ns in self.catalog.list_namespaces()],
                 "namespace string")
+        m = re.match(r"show\s+create\s+table\s+([\w.]+)\s*$", s,
+                     re.IGNORECASE)
+        if m:
+            t = self.load_table(m.group(1))
+            md = t.metadata
+            schema = md.current_schema()
+            sql_type = {"long": "BIGINT", "int": "INT",
+                        "string": "STRING", "double": "DOUBLE",
+                        "float": "FLOAT", "boolean": "BOOLEAN",
+                        "date": "DATE", "timestamp": "TIMESTAMP",
+                        "timestamptz": "TIMESTAMPTZ", "binary": "BINARY"}
+            cols = ",\n  ".join(
+                f"{f.name} "
+                f"{sql_type.get(f.field_type, str(f.field_type).upper()) if isinstance(f.field_type, str) else 'STRUCT'}"
+                f"{' NOT NULL' if f.required else ''}"
+                for f in schema.fields)
+            ddl = (f"CREATE TABLE {m.group(1).lower()} (\n  {cols})\n"
+                   f"USING ICEBERG")
+            by_id = {f.field_id: f.name for f in schema.fields}
+            spec = md.default_spec()
+            if spec.fields:
+                parts = []
+                for pf in spec.fields:
+                    src = by_id.get(pf.source_id, pf.name)
+                    if pf.transform == "identity":
+                        parts.append(src)
+                    elif pf.transform.startswith("bucket["):
+                        parts.append(
+                            f"bucket({pf.transform[7:-1]}, {src})")
+                    elif pf.transform.startswith("truncate["):
+                        parts.append(
+                            f"truncate({pf.transform[9:-1]}, {src})")
+                    else:
+                        parts.append(f"{pf.transform}({src})")
+                ddl += f"\nPARTITIONED BY ({', '.join(parts)})"
+            props = {k: v for k, v in sorted(md.properties.items())
+                     if not k.startswith("stats.")}
+            if props:
+                ddl += "\nTBLPROPERTIES (" + ", ".join(
+                    f"'{k}'='{v}'" for k, v in props.items()) + ")"
+            return self.spark.createDataFrame(
+                [(ddl,)], "createtab_stmt string")
+
         m = re.match(r"describe\s+(?:table\s+)?([\w.]+)\s*$", s,
                      re.IGNORECASE)
         if m:

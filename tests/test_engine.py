@@ -2244,3 +2244,25 @@ def test_call_system_new_procedures(spark, tmp_path):
          if x.endswith(".parquet")][0]
     eng.sql(f"CALL system.add_files('db.p', '{f}')")
     assert eng.sql("SELECT count(*) FROM db.p").collect()[0][0] == 5
+
+
+def test_show_create_table(spark, tmp_path):
+    """SHOW CREATE TABLE emits a re-runnable DDL statement: columns
+    with SQL types and NOT NULL, the partition transforms in SQL
+    syntax, and table properties — feeding it back recreates an
+    equivalent table."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.src (id BIGINT NOT NULL, v INT, "
+            "d DATE, s STRING) PARTITIONED BY (day(d), bucket(4, id))")
+    ddl = eng.sql("SHOW CREATE TABLE db.src").collect()[0][0]
+    assert "id BIGINT NOT NULL" in ddl and "day(d)" in ddl \
+        and "bucket(4, id)" in ddl and "USING ICEBERG" in ddl
+
+    # round-trip: the emitted DDL recreates an equivalent table
+    eng.sql(ddl.replace("db.src", "db.clone"))
+    a = eng.sql("DESCRIBE db.src").collect()
+    b = eng.sql("DESCRIBE db.clone").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
