@@ -42,6 +42,121 @@ from iceberg_rust_archive_spark.spec.types import spark_schema_for
 # maintenance paths; old private name kept for existing callers/tests
 _read_manifests = read_manifests
 
+# auto plan-mode switches to executor-side planning at this many
+# manifests; overridable per table via the read.plan-mode /
+# read.plan.distributed-min-manifests properties
+DISTRIBUTED_PLAN_MIN_MANIFESTS = 64
+
+
+def _entry_filter(entries, start_seq):
+    """Shared per-entry admission rule for both plan modes: drop
+    tombstoned entries and (for incremental reads) old sequences."""
+    for e in entries:
+        if e.status == STATUS_DELETED:
+            continue
+        if start_seq >= 0 and (e.sequence_number or 0) <= start_seq:
+            continue
+        yield e
+
+
+def plan_manifest_entries(spark, md, mlist, preds, schema, start_seq):
+    """Read surviving manifests and prune data files, returning
+    ``(data: [(entry, spec_id)], eq_deletes: [entry], pos_deletes:
+    [entry])``.
+
+    Two physical strategies behind one contract (gated by the
+    ``read.plan-mode`` table property: ``auto``/``local``/
+    ``distributed``):
+
+    - **local** — concurrent driver-side fetch (the reference's
+      unordered stream, iceberg-rust/src/table/mod.rs:313-356) plus a
+      Python pruning loop. Right up to a few dozen manifests.
+    - **distributed** — one Spark job over the manifest paths: each
+      task parses its manifests and prunes with that manifest's own
+      partition spec, shipping back only SURVIVING entries with their
+      column bounds stripped (bounds exist to be pruned on; once a
+      file survives they are dead weight on the wire). At 100 TB —
+      thousands of manifests, millions of file rows — planning cost
+      becomes one parallel metadata job instead of a driver loop, and
+      driver traffic is proportional to the PRUNED file list (which
+      the driver needs anyway to build the parquet relation).
+
+    Delete files are never pruned (every delete must apply — A5).
+    """
+    mode = str(md.properties.get("read.plan-mode", "auto")).lower()
+    min_m = int(md.properties.get(
+        "read.plan.distributed-min-manifests",
+        DISTRIBUTED_PLAN_MIN_MANIFESTS))
+    if mode not in ("local", "distributed"):
+        mode = "distributed" if len(mlist) >= min_m else "local"
+
+    specs = dict(md.partition_specs)
+    default_spec = md.default_spec()
+
+    if mode == "distributed" and mlist:
+        tasks = [(m.manifest_path, m.partition_spec_id) for m in mlist]
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(tasks), sc.defaultParallelism * 2))
+
+        def plan_part(it):
+            from dataclasses import replace as _dc_replace
+
+            from iceberg_rust_archive_spark.predicates import (
+                prune_datafiles as _prune,
+            )
+            from iceberg_rust_archive_spark.sources.manifests import (
+                read_manifest as _read,
+            )
+            for path, sid in it:
+                sp = specs.get(sid, default_spec)
+                entries = list(_entry_filter(_read(path), start_seq))
+                data = [e for e in entries
+                        if e.data_file.content == CONTENT_DATA]
+                kept_files = set(id(f) for f in _prune(
+                    preds, schema, [e.data_file for e in data], sp))
+                for e in entries:
+                    c = e.data_file.content
+                    if c == CONTENT_DATA:
+                        if id(e.data_file) in kept_files:
+                            slim = _dc_replace(e.data_file,
+                                               lower_bounds={},
+                                               upper_bounds={})
+                            yield ("d", sid, _dc_replace(e, data_file=slim))
+                    elif c == CONTENT_EQUALITY_DELETES:
+                        yield ("e", sid, e)
+                    elif c == CONTENT_POSITION_DELETES:
+                        yield ("p", sid, e)
+
+        rows = sc.parallelize(tasks, n_slices).mapPartitions(
+            plan_part).collect()
+        data = [(e, sid) for kind, sid, e in rows if kind == "d"]
+        eq = [e for kind, _sid, e in rows if kind == "e"]
+        pos = [e for kind, _sid, e in rows if kind == "p"]
+        return data, eq, pos
+
+    # local: concurrent fetch, then prune grouped by originating spec so
+    # partition-value checks use the right transform per file (A3)
+    data_pairs, eq, pos = [], [], []
+    all_entries = read_manifests([m.manifest_path for m in mlist])
+    for mle, mentries in zip(mlist, all_entries):
+        for e in _entry_filter(mentries, start_seq):
+            if e.data_file.content == CONTENT_DATA:
+                data_pairs.append((e, mle.partition_spec_id))
+            elif e.data_file.content == CONTENT_EQUALITY_DELETES:
+                eq.append(e)
+            elif e.data_file.content == CONTENT_POSITION_DELETES:
+                pos.append(e)
+    kept = set()
+    by_spec: dict[int, list] = defaultdict(list)
+    for e, sid in data_pairs:
+        by_spec[sid].append(e)
+    for sid, entries in by_spec.items():
+        sp = specs.get(sid, default_spec)
+        kept |= set(id(f) for f in prune_datafiles(
+            preds, schema, [e.data_file for e in entries], sp))
+    data = [(e, sid) for e, sid in data_pairs if id(e.data_file) in kept]
+    return data, eq, pos
+
 
 def _resolve_entries(md: TableMetadata, branch, snapshot_id, as_of_ms,
                      from_snapshot_id):
@@ -110,35 +225,11 @@ def scan(spark: SparkSession, md: TableMetadata,
     mlist = [m for m in mlist
              if m in prune_manifests(preds, spec_of(m), schema, [m])]
 
-    data_entries, delete_entries, pos_delete_entries = [], [], []
-    entry_spec: dict[int, int] = {}  # id(entry) -> spec id of its manifest
-    all_entries = _read_manifests([m.manifest_path for m in mlist])
-    for mle, mentries in zip(mlist, all_entries):
-        for e in mentries:
-            if e.status == STATUS_DELETED:
-                continue
-            if start_seq >= 0 and (e.sequence_number or 0) <= start_seq:
-                continue
-            if e.data_file.content == CONTENT_DATA:
-                data_entries.append(e)
-                entry_spec[id(e)] = mle.partition_spec_id
-            elif e.data_file.content == CONTENT_EQUALITY_DELETES:
-                delete_entries.append(e)
-            elif e.data_file.content == CONTENT_POSITION_DELETES:
-                pos_delete_entries.append(e)
-
-    # A3: file-level pruning (data files only; deletes must all apply),
-    # grouped by originating spec so partition-value checks use the
-    # right transform per file
-    kept = set()
-    by_spec: dict[int, list] = defaultdict(list)
-    for e in data_entries:
-        by_spec[entry_spec[id(e)]].append(e)
-    for sid, entries in by_spec.items():
-        sp = md.partition_specs.get(sid, spec)
-        kept |= set(id(f) for f in prune_datafiles(
-            preds, schema, [e.data_file for e in entries], sp))
-    data_entries = [e for e in data_entries if id(e.data_file) in kept]
+    # A3: manifest read + file-level pruning (data files only; deletes
+    # must all apply) — executor-side above the manifest-count gate
+    planned, delete_entries, pos_delete_entries = plan_manifest_entries(
+        spark, md, mlist, preds, schema, start_seq)
+    data_entries = [e for e, _sid in planned]
 
     if from_snapshot_id is not None:
         delete_entries = []  # incremental append reads new data only (A22)
