@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_rust_archive_spark.operators import (  # noqa: E402
-    chunking, dedup, iceberg_queries, multimodal, packing, quantize,
-    relational, relational2, sampling, similarity, temporal, text,
+    chunking, clustering, dedup, iceberg_queries, multimodal, packing,
+    quantize, relational, relational2, sampling, similarity, temporal, text,
 )
 
 
@@ -246,14 +246,22 @@ def _dedup_shingle_pairs(s: SparkSession, d: str) -> DataFrame:
 
 
 def _embedding_near_pairs(s: SparkSession, d: str) -> DataFrame:
-    """sign-LSH near-neighbor pairs + the embedding-cosine dedup view."""
+    """sign-LSH near-neighbor pairs + the embedding-cosine dedup view +
+    (round 7) the distributed k-means Lloyd step and SemDeDup
+    within-cluster near-dup pairs."""
     p = similarity.ann_lsh_pairs(s, d).select(
         F.lit("lsh").alias("method"), F.col("vec_a").alias("id_a"),
         F.col("vec_b").alias("id_b"), "cosine")
     e = dedup.dedup_embedding_cosine(s, d).select(
         F.lit("embdedup").alias("method"), F.col("doc_a").alias("id_a"),
         F.col("doc_b").alias("id_b"), "cosine")
-    return p.unionByName(e)
+    km = clustering.kmeans_summary(s, d).select(
+        F.lit("kmeans").alias("method"),
+        F.col("cid").cast("long").alias("id_a"),
+        F.col("n").alias("id_b"), F.col("centroid_norm").alias("cosine"))
+    sd = clustering.semantic_dedup_pairs(s, d).select(
+        F.lit("semdedup").alias("method"), "id_a", "id_b", "cosine")
+    return p.unionByName(e).unionByName(km).unionByName(sd)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -445,6 +453,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'embdedup', doc_a, doc_b, cosine
             FROM ({o.pop('dedup_embedding_cosine')})
+            UNION ALL
+            SELECT 'kmeans', CAST(cid AS BIGINT), n, centroid_norm
+            FROM ({o.pop('kmeans_summary')})
+            UNION ALL
+            SELECT 'semdedup', id_a, id_b, cosine
+            FROM ({o.pop('semantic_dedup_pairs')})
         """,
         "text_analysis_suite": f"""
             SELECT 'lang' AS branch, lang AS k1, predicted AS k2,
@@ -804,6 +818,7 @@ def _component_oracles() -> dict[str, str]:
         **packing.ORACLE_SQL,
         **quantize.ORACLE_SQL,
         **chunking.ORACLE_SQL,
+        **clustering.ORACLE_SQL,
         **dedup.ORACLE_SQL,
         **similarity.ORACLE_SQL,
         **text.ORACLE_SQL,

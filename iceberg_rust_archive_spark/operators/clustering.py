@@ -1,0 +1,223 @@
+"""Distributed k-means (Lloyd's) + SemDeDup-style semantic dedup over
+the embeddings table.
+
+Reference parity note: the reference engine (JanKaul/iceberg-rust_archive)
+has no vector operators — this module belongs to the
+training-data-pipeline extension surface, layered on the same scan
+machinery as operators/similarity.py.
+
+100 TB shape:
+
+- ``fit_kmeans`` — assignment is a numpy GEMM per Arrow batch inside
+  one ``mapInPandas`` (no shuffle); each PARTITION contributes exactly
+  one (k × dim) sum matrix + k counts, so driver traffic per Lloyd
+  iteration is O(partitions × k × dim) and independent of row count —
+  the same Gram-partial pattern as operators/projection.py (PCA). The
+  result is partition-invariant because partials are added in float64
+  and means are taken once on the driver.
+- ``assign_clusters`` — stateless broadcast-centroids map; composes
+  with the IVF coarse quantizer in operators/similarity.py (a trained
+  centroid set drops in where IVF uses its deterministic one).
+- ``semantic_dedup_pairs`` — SemDeDup: pairwise cosine confined WITHIN
+  clusters. Scale story: k grows with the corpus (k ≈ √N keeps
+  expected cluster size √N), so the per-cluster pair explosion is
+  bounded by construction and the only shuffle is the equi-join on
+  ``cid``. The pairwise join itself is JVM-side (aggregate-over-
+  zip_with dot products, no Python in the hot path).
+
+Float discipline (oracle parity): cosines are rounded to 4 decimals
+BEFORE any argmax/threshold on BOTH engines, with ties broken by the
+smaller centroid id, so Spark's GEMM and DuckDB's sequential fold agree
+exactly — the same convention ann_ivf_topk established.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.operators.similarity import _dot, _vectors
+
+KMEANS_K = 8
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def _init_centroids(vecs: DataFrame, k: int) -> np.ndarray:
+    """Deterministic init: the vectors with the k smallest vec_id.
+    (k rows — constant-size collect; a k-means++ sampler could replace
+    this without touching the iteration kernel.)"""
+    rows = (vecs.orderBy("vec_id").limit(k).select("v").collect())
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _assign_ids(vecs: DataFrame, cents: np.ndarray,
+                out_col: str = "cid") -> DataFrame:
+    """(vec_id, cid): nearest centroid by ROUNDED cosine, ties → smaller
+    cid. One Arrow-batched GEMM per batch; centroids ride the closure
+    (k × dim float64 — broadcast-small by construction)."""
+    c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                           1e-300)
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                             1e-300)
+            cs = np.round((x / nrm) @ c.T, 4)
+            # argmax with smaller-cid tie-break: argmax returns the
+            # FIRST maximal index, which is the smallest cid
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                out_col: cs.argmax(axis=1)})
+
+    return vecs.mapInPandas(kernel, f"vec_id long, {out_col} int")
+
+
+def fit_kmeans(vecs: DataFrame, k: int = KMEANS_K, iters: int = 2,
+               init: np.ndarray | None = None):
+    """Lloyd's algorithm over (vec_id, v) with cosine assignment.
+    Returns ``(centroids, sizes)`` — centroids are plain member means
+    (un-normalized), sizes the final cluster populations. Empty
+    clusters keep their previous centroid."""
+    cents = _init_centroids(vecs, k) if init is None else init
+    sizes = np.zeros(k, dtype=np.int64)
+    for _ in range(max(1, iters)):
+        c = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+        dim = c.shape[1]
+
+        def partials(batches, c=c, k=k, dim=dim):
+            import pandas as pd
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                nrm = np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                                 1e-300)
+                a = np.round((x / nrm) @ c.T, 4).argmax(axis=1)
+                np.add.at(counts, a, 1)
+                np.add.at(sums, a, x)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({
+                "cid": nz.astype("int32"),
+                "n": counts[nz],
+                "vsum": [sums[i].tolist() for i in nz]})
+
+        rows = vecs.mapInPandas(
+            partials, "cid int, n long, vsum array<double>").collect()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cents)
+        for r in rows:
+            counts[r["cid"]] += r["n"]
+            sums[r["cid"]] += np.asarray(r["vsum"], dtype=np.float64)
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / counts[nz, None]
+        sizes = counts
+    return cents, sizes
+
+
+def assign_clusters(vecs: DataFrame, cents: np.ndarray,
+                    out_col: str = "cid") -> DataFrame:
+    """vecs plus an ``out_col`` cluster-id column (equi-join on vec_id —
+    the GEMM kernel only ships ids back, never the vectors)."""
+    return vecs.join(_assign_ids(vecs, cents, out_col), "vec_id")
+
+
+def kmeans_summary(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
+                   ) -> DataFrame:
+    """One oracle-visible Lloyd step: assign every vector to its
+    nearest deterministic init centroid (vec_id < k), then report the
+    UPDATED cluster means as (cid, n, centroid_norm). SQL-expressible
+    (unnest + per-position avg), so the distributed kernel is graded
+    end-to-end by the DuckDB twin."""
+    vecs = _vectors(spark, sf_dir)
+    cents, sizes = fit_kmeans(vecs, k=k, iters=1)
+    rows = [(int(cid), int(n),
+             float(np.round(np.linalg.norm(cents[cid]), 4)))
+            for cid, n in enumerate(sizes) if n > 0]
+    return spark.createDataFrame(
+        rows, "cid int, n long, centroid_norm double").orderBy("cid")
+
+
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str,
+                         k: int = KMEANS_K,
+                         threshold: float = SEMDEDUP_THRESHOLD,
+                         ) -> DataFrame:
+    """SemDeDup near-duplicate pairs: cluster on the deterministic init
+    centroids, then within-cluster pairwise rounded cosine ≥ threshold.
+    Returns (id_a, id_b, cosine) with id_a < id_b."""
+    vecs = _vectors(spark, sf_dir)
+    cents = _init_centroids(vecs, k)
+    members = assign_clusters(vecs, cents)
+    a = members.select(F.col("vec_id").alias("id_a"),
+                       F.col("v").alias("va"),
+                       F.col("nrm").alias("na"), "cid")
+    b = members.select(F.col("vec_id").alias("id_b"),
+                       F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb"), "cid")
+    pairs = (a.join(b, "cid")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(_dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")), 4)
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+    return pairs.orderBy("id_a", "id_b")
+
+
+# DuckDB twins (same fold order + rounding discipline as similarity.py)
+_N = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+"""
+_ASSIGN = f"""
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cs DESC, cid) AS rn
+  FROM (SELECT n.vec_id, n.v, n.nrm, c.cid,
+               round(list_sum(list_transform(generate_series(1, len(n.v)),
+                     i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 4) AS cs
+        FROM n CROSS JOIN c)
+"""
+
+ORACLE_SQL = {
+    "kmeans_summary": f"""
+        WITH n AS ({_N}),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+              WHERE vec_id < {KMEANS_K}),
+        assign AS ({_ASSIGN}),
+        members AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+        sizes AS (SELECT cid, count(*) AS n FROM members GROUP BY cid),
+        upd AS (
+          SELECT cid, pos, avg(val) AS m FROM (
+            SELECT cid, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos
+            FROM members) GROUP BY cid, pos)
+        SELECT CAST(u.cid AS INT) AS cid, s.n,
+               round(sqrt(sum(m * m)), 4) AS centroid_norm
+        FROM upd u JOIN sizes s USING (cid)
+        GROUP BY u.cid, s.n
+    """,
+    "semantic_dedup_pairs": f"""
+        WITH n AS ({_N}),
+        c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+              WHERE vec_id < {KMEANS_K}),
+        assign AS ({_ASSIGN}),
+        members AS (SELECT vec_id, v, nrm, cid FROM assign WHERE rn = 1)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_sum(list_transform(
+                       generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4)
+                 AS cosine
+          FROM members a JOIN members b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        WHERE cosine >= {SEMDEDUP_THRESHOLD}
+    """,
+}

@@ -1,0 +1,105 @@
+"""Distributed k-means + SemDeDup (operators/clustering.py).
+
+Ground truth is a plain-numpy Lloyd's run on the collected vectors —
+the distributed kernel must reproduce it exactly (same rounding/
+tie-break discipline) and be partition-count invariant."""
+
+import numpy as np
+import pytest
+
+from iceberg_rust_archive_spark.operators import clustering
+from iceberg_rust_archive_spark.operators.similarity import _vectors
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _numpy_lloyd(x, k, iters):
+    cents = x[:k].copy()
+    sizes = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        c = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-300)
+        a = np.round(xn @ c.T, 4).argmax(axis=1)
+        new = cents.copy()
+        for i in range(k):
+            m = a == i
+            sizes[i] = m.sum()
+            if sizes[i]:
+                new[i] = x[m].mean(axis=0)
+        cents = new
+    return cents, sizes
+
+
+@pytest.fixture(scope="module")
+def xs(spark):
+    rows = (_vectors(spark, SF_DIR).orderBy("vec_id")
+            .select("vec_id", "v").collect())
+    ids = np.array([r[0] for r in rows])
+    x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    assert (ids == np.arange(len(ids))).all()  # init = x[:k]
+    return x
+
+
+def test_fit_kmeans_matches_numpy(spark, xs):
+    vecs = _vectors(spark, SF_DIR)
+    for iters in (1, 3):
+        cents, sizes = clustering.fit_kmeans(vecs, k=4, iters=iters)
+        ref_c, ref_s = _numpy_lloyd(xs, 4, iters)
+        assert (sizes == ref_s).all()
+        np.testing.assert_allclose(cents, ref_c, rtol=0, atol=1e-9)
+
+
+def test_fit_kmeans_partition_invariant(spark):
+    vecs = _vectors(spark, SF_DIR)
+    c1, s1 = clustering.fit_kmeans(vecs.coalesce(1), k=4, iters=2)
+    c32, s32 = clustering.fit_kmeans(vecs.repartition(32), k=4, iters=2)
+    assert (s1 == s32).all()
+    # partials are float64 sums; reduce order differs → near-equal only
+    np.testing.assert_allclose(c1, c32, rtol=0, atol=1e-9)
+
+
+def test_assign_clusters_covers_all_rows(spark, xs):
+    vecs = _vectors(spark, SF_DIR)
+    cents, _ = clustering.fit_kmeans(vecs, k=4, iters=2)
+    out = clustering.assign_clusters(vecs, cents)
+    assert out.count() == len(xs)
+    cids = [r[0] for r in out.select("cid").distinct().collect()]
+    assert set(cids) <= set(range(4))
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    vecs = _vectors(spark, SF_DIR)
+    # adversarial init: two identical centroids — the duplicate (higher
+    # cid) can never win the smaller-cid tie-break, so it goes empty
+    # and must keep its init vector instead of collapsing to NaN
+    init = clustering._init_centroids(vecs, 2)
+    init = np.stack([init[0], init[0]])
+    cents, sizes = clustering.fit_kmeans(vecs, k=2, iters=1, init=init)
+    assert sizes[1] == 0
+    np.testing.assert_array_equal(cents[1], init[1])
+    assert np.isfinite(cents).all()
+
+
+def test_semdedup_pairs_are_within_cluster_and_thresholded(spark):
+    vecs = _vectors(spark, SF_DIR)
+    cents = clustering._init_centroids(vecs, clustering.KMEANS_K)
+    members = {r["vec_id"]: r["cid"] for r in
+               clustering._assign_ids(vecs, cents).collect()}
+    pairs = clustering.semantic_dedup_pairs(spark, SF_DIR).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert members[r["id_a"]] == members[r["id_b"]]
+        assert r["cosine"] >= clustering.SEMDEDUP_THRESHOLD
+
+
+def test_trained_centroids_drop_into_ivf_shape(spark):
+    """A trained quantizer composes with assign_clusters the way the
+    IVF coarse quantizer does: every vector lands in exactly one cell."""
+    vecs = _vectors(spark, SF_DIR)
+    cents, _ = clustering.fit_kmeans(vecs, k=8, iters=2)
+    cells = clustering.assign_clusters(vecs, cents, out_col="cell")
+    n = vecs.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
