@@ -346,12 +346,27 @@ def expire_snapshots(table: Table, older_than_ms: int,
 
     kept = {sid: s for sid, s in md.snapshots.items()
             if sid in keep_ids or s.timestamp_ms >= older_than_ms}
+    # statistics files are keyed by snapshot: entries for expired
+    # snapshots leave the metadata and their Puffin files are deleted
+    # with it (they live under metadata/, beyond orphan-removal's scope)
+    kept_stats, dropped_stats = [], []
+    for st in md.statistics:
+        (kept_stats if st.get("snapshot-id") in kept
+         else dropped_stats).append(st)
     new_md = dataclasses.replace(
-        md, snapshots=kept, refs=refs,
+        md, snapshots=kept, refs=refs, statistics=tuple(kept_stats),
         snapshot_log=tuple(e for e in md.snapshot_log
                            if e.get("snapshot-id") in kept))
     table.catalog.update_tabular(table.identifier, new_md,
                                  table.metadata_location)
+    from iceberg_rust_archive_spark.object_store import store_for
+    for st in dropped_stats:
+        p = st.get("statistics-path")
+        if p:
+            try:
+                store_for(p).remove(p)
+            except FileNotFoundError:
+                pass
     return table.refresh()
 
 

@@ -47,6 +47,10 @@ class TableMetadata:
     snapshot_log: tuple = field(default_factory=tuple)   # ({timestamp-ms, snapshot-id})
     metadata_log: tuple = field(default_factory=tuple)
     properties: dict = field(default_factory=dict)
+    # spec `statistics` list: Puffin stats files keyed by snapshot-id
+    # ({snapshot-id, statistics-path, file-size-in-bytes,
+    #   file-footer-size-in-bytes, blob-metadata: [...]})
+    statistics: tuple = field(default_factory=tuple)
     format_version: int = FORMAT_VERSION
 
     # --- accessors -------------------------------------------------------
@@ -158,6 +162,8 @@ class TableMetadata:
             "snapshot-log": list(self.snapshot_log),
             "metadata-log": list(self.metadata_log),
             "properties": self.properties,
+            **({"statistics": list(self.statistics)}
+               if self.statistics else {}),
         }
 
     @staticmethod
@@ -202,6 +208,7 @@ class TableMetadata:
             snapshot_log=tuple(d.get("snapshot-log", [])),
             metadata_log=tuple(d.get("metadata-log", [])),
             properties=d.get("properties", {}),
+            statistics=tuple(d.get("statistics", [])),
             format_version=d.get("format-version", FORMAT_VERSION),
         )
 

@@ -673,14 +673,25 @@ def table_statistics(table: Table, branch: str | None = None,
                     c["lower"] = lo
                 if hi is not None and (c["upper"] is None or hi > c["upper"]):
                     c["upper"] = hi
-    # NDV estimates recorded by analyze_table ride table properties
-    # (the spec's home is a Puffin statistics file of theta sketches;
-    # same producer/consumer contract, simpler carrier)
+    # NDV estimates recorded by analyze_table: the spec home is the
+    # Puffin statistics file — engines read the `ndv` blob property
+    # straight from the metadata's statistics entry without parsing
+    # sketch bytes (Trino/Spark consume it the same way). stats.ndv.*
+    # properties remain as a back-compat carrier.
     for k, v in md.properties.items():
         if k.startswith("stats.ndv."):
             name = k[len("stats.ndv."):]
             if name in stats["columns"]:
                 stats["columns"][name]["ndv"] = int(v)
+    for st in md.statistics:
+        if st.get("snapshot-id") != snap.snapshot_id:
+            continue
+        for bm in st.get("blob-metadata", []):
+            ndv = (bm.get("properties") or {}).get("ndv")
+            for fid in bm.get("fields", []):
+                name = by_id.get(fid)
+                if ndv is not None and name in stats["columns"]:
+                    stats["columns"][name]["ndv"] = int(ndv)
     return stats
 
 
@@ -694,17 +705,73 @@ def analyze_table(spark: SparkSession, table: Table,
     :func:`table_statistics`. Cardinality is what bounds/row-counts
     can't give the planner: join-side selectivity and groupBy output
     size estimates both key off NDV (the reference feeds DataFusion's
-    CBO the same triple — statistics.rs:20-146)."""
+    CBO the same triple — statistics.rs:20-146).
+
+    Sketch-capable columns (int/long/string/binary — what Spark's
+    ``hll_sketch_agg`` accepts) additionally persist their DataSketches
+    HLL binary image into a spec-layout **Puffin statistics file**
+    registered under the metadata ``statistics`` field, so independent
+    engines get both the cheap path (the ``ndv`` blob property in the
+    table metadata) and the mergeable path (union the sketch bytes
+    across snapshots/partitions with any DataSketches reader)."""
+    import os as _os
+    import uuid as _uuid
+
     from pyspark.sql import functions as F
-    schema = table.metadata.current_schema(branch)
+
+    from iceberg_rust_archive_spark.sources.puffin import write_puffin
+
+    md = table.metadata
+    schema = md.current_schema(branch)
     cols = columns or [f.name for f in schema.fields
                        if isinstance(f.field_type, str)]
-    row = (table.scan(spark, branch=branch)
-           .agg(*[F.approx_count_distinct(c).alias(c) for c in cols])
-           .collect()[0])
-    props = {f"stats.ndv.{c}": str(row[c]) for c in cols}
-    txn = table.new_transaction(branch).set_properties(props)
-    txn.commit_with_retry(lambda t: t.set_properties(props))
+    sketchable = {f.name for f in schema.fields
+                  if f.field_type in ("int", "long", "string", "binary")}
+    aggs = []
+    for c in cols:
+        if c in sketchable:
+            aggs.append(F.hll_sketch_agg(c).alias(f"__sk_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(c))
+    row = table.scan(spark, branch=branch).agg(*aggs).collect()[0]
+
+    snap = md.current_snapshot(branch)
+    props = {}
+    blobs = []
+    fid_of = {f.name: f.field_id for f in schema.fields}
+    for c in cols:
+        sketch = row[f"__sk_{c}"] if c in sketchable else None
+        if sketch is not None:
+            # record the SKETCH's own estimate so blob bytes and the
+            # ndv property can never disagree
+            est = spark.createDataFrame([(bytearray(sketch),)], "s binary") \
+                .select(F.hll_sketch_estimate("s")).collect()[0][0]
+            blobs.append({"type": "apache-datasketches-hll-4",
+                          "fields": [fid_of[c]],
+                          "snapshot-id": snap.snapshot_id if snap else None,
+                          "sequence-number":
+                              snap.sequence_number if snap else None,
+                          "payload": bytes(sketch),
+                          "properties": {"ndv": str(int(est))}})
+            props[f"stats.ndv.{c}"] = str(int(est))
+        else:
+            props[f"stats.ndv.{c}"] = str(row[c])
+
+    stats_entry = None
+    if blobs and snap is not None:
+        path = _os.path.join(
+            md.location, "metadata",
+            f"{snap.snapshot_id}-{_uuid.uuid4().hex[:12]}.stats.puffin")
+        meta = write_puffin(path, blobs)
+        stats_entry = {"snapshot-id": snap.snapshot_id,
+                       "statistics-path": path, **meta}
+
+    def apply(t):
+        t.set_properties(props)
+        if stats_entry is not None:
+            t.set_statistics(stats_entry)
+        return t
+
+    apply(table.new_transaction(branch)).commit_with_retry(apply)
     return table.refresh()
 
 

@@ -71,6 +71,7 @@ class Transaction:
         self._new_sort_order = None
         self._properties: dict = {}
         self._summary_extra: dict = {}
+        self._statistics: dict | None = None
 
     # --- operations (transaction/mod.rs:56-384) --------------------------
     def append_files(self, files: list[DataFile]) -> "Transaction":
@@ -134,6 +135,12 @@ class Transaction:
         self._properties.update(props)
         return self
 
+    def set_statistics(self, stats_entry: dict) -> "Transaction":
+        """Register a Puffin statistics file (spec ``SetStatistics``
+        update): replaces any previous entry for the same snapshot."""
+        self._statistics = stats_entry
+        return self
+
     def set_refresh_state(self, refresh_state_json: str) -> "Transaction":
         """MV refresh state rides in the snapshot summary
         (materialized_view/transaction/mod.rs:66-133)."""
@@ -145,6 +152,14 @@ class Transaction:
         MV refresh state uses; e.g. streaming sink batch ids)."""
         self._summary_extra[key] = value
         return self
+
+    def _apply_statistics(self, md: TableMetadata) -> TableMetadata:
+        if self._statistics is None:
+            return md
+        sid = self._statistics.get("snapshot-id")
+        stats = tuple(s for s in md.statistics
+                      if s.get("snapshot-id") != sid) + (self._statistics,)
+        return _dc_replace(md, statistics=stats)
 
     # --- commit ----------------------------------------------------------
     def commit(self) -> TableMetadata:
@@ -310,7 +325,8 @@ class Transaction:
                 # resolve their schema via the snapshot's schema-id,
                 # table_metadata.rs:156-183)
                 if not self._properties and self._new_spec_fields is None \
-                        and self._new_sort_order is None:
+                        and self._new_sort_order is None \
+                        and self._statistics is None:
                     return md  # true no-op
                 # metadata-only commit (spec/properties evolution): no
                 # data changed, so no snapshot — just the new document
@@ -318,6 +334,7 @@ class Transaction:
                     props = dict(md.properties)
                     props.update(self._properties)
                     md = _dc_replace(md, properties=props)
+                md = self._apply_statistics(md)
                 self.catalog.update_tabular(
                     self.identifier, md,
                     expected_location=self.base_location)
@@ -353,6 +370,7 @@ class Transaction:
             props = dict(new_md.properties)
             props.update(self._properties)
             new_md = _dc_replace(new_md, properties=props)
+        new_md = self._apply_statistics(new_md)
         new_md = _dc_replace(new_md, metadata_log=new_md.metadata_log + (
             {"timestamp-ms": snapshot.timestamp_ms,
              "metadata-file": self.catalog.metadata_location(

@@ -2334,3 +2334,70 @@ def test_distributed_plan_matches_local(spark, catalog):
     snaps = sorted(md.snapshots.values(), key=lambda s: s.sequence_number)
     inc = t.scan(spark, from_snapshot_id=snaps[0].snapshot_id)
     assert {r["id"] for r in inc.collect()} <= {7, 8, 9}
+
+
+def test_analyze_writes_puffin_statistics(spark, catalog):
+    """ANALYZE persists a spec-layout Puffin statistics file: real
+    DataSketches-HLL blob bytes (re-estimable by Spark's
+    hll_sketch_estimate to exactly the recorded ndv property), a
+    statistics entry in the table metadata keyed by snapshot, JSON
+    round-trip through the metadata document, and expiry semantics
+    (expired snapshot → entry dropped, Puffin file deleted)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+    from iceberg_rust_archive_spark.sources.puffin import read_puffin
+    from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+    from iceberg_rust_archive_spark.table import (
+        analyze_table, table_statistics,
+    )
+
+    t = _mk_table(catalog, "orders_puffin")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = analyze_table(spark, t, ["customer_id", "date"])
+    md = t.metadata
+
+    # one statistics entry for the current snapshot
+    snap = md.current_snapshot()
+    assert len(md.statistics) == 1
+    st = md.statistics[0]
+    assert st["snapshot-id"] == snap.snapshot_id
+    path = st["statistics-path"]
+    assert _os.path.exists(path)
+    assert st["file-size-in-bytes"] == _os.path.getsize(path)
+
+    # sketchable column (long) → HLL blob; date column → ndv-only
+    blobs, props = read_puffin(path)
+    fid = {f.name: f.field_id for f in md.current_schema().fields}
+    assert [b["fields"] for b in blobs] == [[fid["customer_id"]]]
+    blob = blobs[0]
+    assert blob["type"] == "apache-datasketches-hll-4"
+    assert blob["snapshot-id"] == snap.snapshot_id
+    # blob bytes are a genuine DataSketches image: Spark re-estimates
+    # them to exactly the ndv the blob metadata advertises
+    est = spark.createDataFrame([(bytearray(blob["payload"]),)], "s binary") \
+        .select(F.hll_sketch_estimate("s")).collect()[0][0]
+    assert str(int(est)) == blob["properties"]["ndv"] == "3"
+
+    stats = table_statistics(t)
+    assert stats["columns"]["customer_id"]["ndv"] == 3
+    assert stats["columns"]["date"]["ndv"] == 2  # two distinct days
+
+    # metadata JSON round-trip preserves the statistics entry
+    md2 = TableMetadata.loads(md.dumps())
+    assert md2.statistics == md.statistics
+
+    # a second snapshot + re-analyze adds a second entry...
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t = analyze_table(spark, t.refresh(), ["customer_id"])
+    assert len(t.metadata.statistics) == 2
+    # ...and expiring the first snapshot drops its entry + file
+    keep = t.metadata.current_snapshot().snapshot_id
+    cutoff = max(s.timestamp_ms for s in t.metadata.snapshots.values()) + 1
+    t = expire_snapshots(t, cutoff)
+    assert set(t.metadata.snapshots) == {keep}
+    assert [s["snapshot-id"] for s in t.metadata.statistics] == [keep]
+    assert not _os.path.exists(path)
+    assert _os.path.exists(t.metadata.statistics[0]["statistics-path"])
