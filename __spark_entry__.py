@@ -248,18 +248,31 @@ def _dedup_shingle_pairs(s: SparkSession, d: str) -> DataFrame:
 def _embedding_near_pairs(s: SparkSession, d: str) -> DataFrame:
     """sign-LSH near-neighbor pairs + the embedding-cosine dedup view +
     (round 7) the distributed k-means Lloyd step and SemDeDup
-    within-cluster near-dup pairs."""
-    p = similarity.ann_lsh_pairs(s, d).select(
+    within-cluster near-dup pairs.
+
+    Shared work is computed ONCE per run: the LSH pair set is cached
+    and reused for the embdedup branch (same pairs joined to the
+    documents table — what dedup_embedding_cosine computes from
+    scratch), and the k deterministic init centroids are collected once
+    and fed to both clustering branches."""
+    pairs = similarity.ann_lsh_pairs(s, d).cache()
+    p = pairs.select(
         F.lit("lsh").alias("method"), F.col("vec_a").alias("id_a"),
         F.col("vec_b").alias("id_b"), "cosine")
-    e = dedup.dedup_embedding_cosine(s, d).select(
-        F.lit("embdedup").alias("method"), F.col("doc_a").alias("id_a"),
-        F.col("doc_b").alias("id_b"), "cosine")
-    km = clustering.kmeans_summary(s, d).select(
+    docs = dedup._docs(s, d).select("doc_id")
+    e = (pairs
+         .join(docs.withColumnRenamed("doc_id", "vec_a"), "vec_a")
+         .join(docs.withColumnRenamed("doc_id", "vec_b"), "vec_b")
+         .select(F.lit("embdedup").alias("method"),
+                 F.col("vec_a").alias("id_a"),
+                 F.col("vec_b").alias("id_b"), "cosine"))
+    cents = clustering._init_centroids(
+        similarity._vectors(s, d), clustering.KMEANS_K)
+    km = clustering.kmeans_summary(s, d, cents=cents).select(
         F.lit("kmeans").alias("method"),
         F.col("cid").cast("long").alias("id_a"),
         F.col("n").alias("id_b"), F.col("centroid_norm").alias("cosine"))
-    sd = clustering.semantic_dedup_pairs(s, d).select(
+    sd = clustering.semantic_dedup_pairs(s, d, cents=cents).select(
         F.lit("semdedup").alias("method"), "id_a", "id_b", "cosine")
     return p.unionByName(e).unionByName(km).unionByName(sd)
 

@@ -37,7 +37,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_rust_archive_spark.operators.similarity import _dot, _vectors
+from iceberg_rust_archive_spark.operators.similarity import _vectors
 
 KMEANS_K = 8
 SEMDEDUP_THRESHOLD = 0.4
@@ -128,14 +128,14 @@ def assign_clusters(vecs: DataFrame, cents: np.ndarray,
 
 
 def kmeans_summary(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
-                   ) -> DataFrame:
+                   cents: np.ndarray | None = None) -> DataFrame:
     """One oracle-visible Lloyd step: assign every vector to its
     nearest deterministic init centroid (vec_id < k), then report the
     UPDATED cluster means as (cid, n, centroid_norm). SQL-expressible
     (unnest + per-position avg), so the distributed kernel is graded
     end-to-end by the DuckDB twin."""
     vecs = _vectors(spark, sf_dir)
-    cents, sizes = fit_kmeans(vecs, k=k, iters=1)
+    cents, sizes = fit_kmeans(vecs, k=k, iters=1, init=cents)
     rows = [(int(cid), int(n),
              float(np.round(np.linalg.norm(cents[cid]), 4)))
             for cid, n in enumerate(sizes) if n > 0]
@@ -146,26 +146,53 @@ def kmeans_summary(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str,
                          k: int = KMEANS_K,
                          threshold: float = SEMDEDUP_THRESHOLD,
-                         ) -> DataFrame:
-    """SemDeDup near-duplicate pairs: cluster on the deterministic init
-    centroids, then within-cluster pairwise rounded cosine ≥ threshold.
-    Returns (id_a, id_b, cosine) with id_a < id_b."""
+                         cents: np.ndarray | None = None) -> DataFrame:
+    """SemDeDup near-duplicate pairs: cluster on the (deterministic
+    init, or caller-trained) centroids, then within-cluster pairwise
+    rounded cosine ≥ threshold. Returns (id_a, id_b, cosine) with
+    id_a < id_b.
+
+    Physical shape: ONE shuffle — the assignment kernel tags each row
+    with its cid without any join (v/nrm pass through the same Arrow
+    batch), then ``groupBy(cid).applyInPandas`` does the pairwise
+    cosine as a per-cluster float64 GEMM. SemDeDup's contract is that
+    a cluster fits one task (k grows ≈ √N with the corpus), so the
+    quadratic stays bounded per task and never materializes globally."""
     vecs = _vectors(spark, sf_dir)
-    cents = _init_centroids(vecs, k)
-    members = assign_clusters(vecs, cents)
-    a = members.select(F.col("vec_id").alias("id_a"),
-                       F.col("v").alias("va"),
-                       F.col("nrm").alias("na"), "cid")
-    b = members.select(F.col("vec_id").alias("id_b"),
-                       F.col("v").alias("vb"),
-                       F.col("nrm").alias("nb"), "cid")
-    pairs = (a.join(b, "cid")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     F.round(_dot(F.col("va"), F.col("vb"))
-                             / (F.col("na") * F.col("nb")), 4)
-                     .alias("cosine"))
-             .filter(F.col("cosine") >= threshold))
+    if cents is None:
+        cents = _init_centroids(vecs, k)
+    c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                           1e-300)
+
+    def tag(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                             1e-300)
+            pdf = pdf.copy()
+            pdf["cid"] = np.round((x / nrm) @ c.T, 4).argmax(axis=1)
+            yield pdf
+
+    members = vecs.mapInPandas(
+        tag, "vec_id long, v array<double>, nrm double, cid int")
+
+    def pairwise(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        cs = np.round((x @ x.T) / np.outer(nrm, nrm), 4)
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = cs[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]],
+                             "id_b": ids[ib[keep]],
+                             "cosine": cs[ia[keep], ib[keep]]})
+
+    pairs = members.groupBy("cid").applyInPandas(
+        pairwise, "id_a long, id_b long, cosine double")
     return pairs.orderBy("id_a", "id_b")
 
 
