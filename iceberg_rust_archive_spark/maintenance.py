@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -293,6 +294,97 @@ def rewrite_manifests(table: Table, branch: str | None = None) -> Table:
     return table.refresh()
 
 
+def compute_partition_stats(spark: SparkSession, table: Table,
+                            branch: str | None = None) -> Table:
+    """Write the spec's **partition statistics file** for the current
+    snapshot: one Parquet row per partition with the unified partition
+    tuple (struct over every field name appearing in any spec; fields
+    outside a row's own spec are null), ``spec_id``, and data/delete
+    record+file counters. Registered under the table metadata's
+    ``partition-statistics`` list; ``inspect('partitions')`` answers
+    from this file when it matches the current snapshot, skipping the
+    manifest walk.
+
+    Scale: input is manifest rows (one per file, concurrent fetch) and
+    output is one row per partition — metadata-proportional driver
+    work, no Spark job at all."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import STATUS_DELETED
+
+    md = table.metadata
+    snap = md.current_snapshot(branch)
+    if snap is None:
+        return table
+    mlist = read_manifest_list(snap.manifest_list)
+    agg: dict = {}
+    field_names: list[str] = []
+    for mle, entries in zip(mlist, read_manifests(
+            [m.manifest_path for m in mlist])):
+        for e in entries:
+            if e.status == STATUS_DELETED:
+                continue
+            part = e.data_file.partition
+            for name in part:
+                if name not in field_names:
+                    field_names.append(name)
+            key = (_json.dumps(part, sort_keys=True, default=str),
+                   mle.partition_spec_id)
+            row = agg.setdefault(key, {
+                "partition": dict(part), "spec_id": mle.partition_spec_id,
+                "data_record_count": 0, "data_file_count": 0,
+                "total_data_file_size_in_bytes": 0,
+                "position_delete_record_count": 0,
+                "position_delete_file_count": 0,
+                "equality_delete_record_count": 0,
+                "equality_delete_file_count": 0})
+            c = e.data_file.content
+            if c == 0:
+                row["data_record_count"] += e.data_file.record_count
+                row["data_file_count"] += 1
+                row["total_data_file_size_in_bytes"] += \
+                    e.data_file.file_size_in_bytes or 0
+            elif c == 1:
+                row["position_delete_record_count"] += \
+                    e.data_file.record_count
+                row["position_delete_file_count"] += 1
+            elif c == 2:
+                row["equality_delete_record_count"] += \
+                    e.data_file.record_count
+                row["equality_delete_file_count"] += 1
+
+    rows = [agg[k] for k in sorted(agg)]
+    # unified tuple: every field name from any spec, null when absent
+    parts = [{n: r["partition"].get(n) for n in field_names}
+             for r in rows]
+    cols: dict = {"partition": parts} if field_names else {}
+    for c in ("spec_id", "data_record_count", "data_file_count",
+              "total_data_file_size_in_bytes",
+              "position_delete_record_count",
+              "position_delete_file_count",
+              "equality_delete_record_count",
+              "equality_delete_file_count"):
+        cols[c] = [r[c] for r in rows]
+    tbl = pa.table(cols)
+    path = os.path.join(
+        md.location, "metadata",
+        f"partition-stats-{snap.snapshot_id}-"
+        f"{uuid.uuid4().hex[:12]}.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path)
+    entry = {"snapshot-id": snap.snapshot_id, "statistics-path": path,
+             "file-size-in-bytes": os.path.getsize(path)}
+    txn = table.new_transaction(branch).set_partition_statistics(entry)
+    txn.commit_with_retry(lambda t: t.set_partition_statistics(entry))
+    return table.refresh()
+
+
 def expire_snapshots(table: Table, older_than_ms: int,
                      now_ms: int | None = None) -> Table:
     """Snapshot expiry honoring per-ref retention (snapshot.rs:265-282
@@ -353,8 +445,13 @@ def expire_snapshots(table: Table, older_than_ms: int,
     for st in md.statistics:
         (kept_stats if st.get("snapshot-id") in kept
          else dropped_stats).append(st)
+    kept_pstats = []
+    for st in md.partition_statistics:
+        (kept_pstats if st.get("snapshot-id") in kept
+         else dropped_stats).append(st)
     new_md = dataclasses.replace(
         md, snapshots=kept, refs=refs, statistics=tuple(kept_stats),
+        partition_statistics=tuple(kept_pstats),
         snapshot_log=tuple(e for e in md.snapshot_log
                            if e.get("snapshot-id") in kept))
     table.catalog.update_tabular(table.identifier, new_md,

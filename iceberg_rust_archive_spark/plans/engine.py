@@ -45,6 +45,7 @@ Supported statements::
         | system.fast_forward('ns.t', 'branch')
         | system.add_files('ns.t', '/path/f.parquet', ...)
         | system.rollback_to_snapshot('ns.t', id)
+        | system.compute_partition_stats('ns.t')
         | system.create_changelog_view('ns.t'[, from[, to]])
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
@@ -329,6 +330,8 @@ class Engine:
                 mt.add_files(self.spark, t, fps)
             elif proc == "rollback_to_snapshot":
                 mt.rollback_to_snapshot(t, int((rest or "0").strip()))
+            elif proc == "compute_partition_stats":
+                mt.compute_partition_stats(self.spark, t)
             elif proc == "remove_orphan_files":
                 removed = mt.remove_orphan_files(
                     t, int(rest.strip()) if rest and rest.strip() else None,

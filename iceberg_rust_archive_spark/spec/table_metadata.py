@@ -51,6 +51,9 @@ class TableMetadata:
     # ({snapshot-id, statistics-path, file-size-in-bytes,
     #   file-footer-size-in-bytes, blob-metadata: [...]})
     statistics: tuple = field(default_factory=tuple)
+    # spec `partition-statistics` list ({snapshot-id, statistics-path,
+    # file-size-in-bytes}; the file is Parquet, one row per partition)
+    partition_statistics: tuple = field(default_factory=tuple)
     format_version: int = FORMAT_VERSION
 
     # --- accessors -------------------------------------------------------
@@ -164,6 +167,8 @@ class TableMetadata:
             "properties": self.properties,
             **({"statistics": list(self.statistics)}
                if self.statistics else {}),
+            **({"partition-statistics": list(self.partition_statistics)}
+               if self.partition_statistics else {}),
         }
 
     @staticmethod
@@ -209,6 +214,7 @@ class TableMetadata:
             metadata_log=tuple(d.get("metadata-log", [])),
             properties=d.get("properties", {}),
             statistics=tuple(d.get("statistics", [])),
+            partition_statistics=tuple(d.get("partition-statistics", [])),
             format_version=d.get("format-version", FORMAT_VERSION),
         )
 

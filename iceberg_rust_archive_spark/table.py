@@ -520,6 +520,35 @@ class Table:
             from iceberg_rust_archive_spark.spec.manifest import (
                 STATUS_DELETED,
             )
+            # fast path: a partition-statistics file for the CURRENT
+            # snapshot answers without walking manifests (at 100 TB the
+            # walk is thousands of manifest fetches; the stats file is
+            # one read of #partitions rows)
+            pstat = next((s for s in md.partition_statistics
+                          if snap is not None
+                          and s.get("snapshot-id") == snap.snapshot_id),
+                         None)
+            if pstat is not None:
+                import pyarrow.parquet as _pq
+                pt = _pq.read_table(pstat["statistics-path"]).to_pylist()
+                spec_fields = {
+                    sid: [f.name for f in sp.fields]
+                    for sid, sp in md.partition_specs.items()}
+                rows = []
+                for r in pt:
+                    names = spec_fields.get(r["spec_id"], [])
+                    part = {n: (r.get("partition") or {}).get(n)
+                            for n in names}
+                    rows.append((
+                        _json.dumps(part, sort_keys=True, default=str),
+                        r["data_record_count"], r["data_file_count"],
+                        r["total_data_file_size_in_bytes"]))
+                # delete-file-only tuples exist in the stats file but
+                # not in the manifest-walk view; keep parity
+                rows = sorted(r for r in rows if r[2] > 0)
+                return spark.createDataFrame(
+                    rows, "partition string, record_count long, "
+                          "file_count int, total_size_bytes long")
             agg = _dd(lambda: [0, 0, 0])  # records, files, bytes
             for es in read_manifests([m.manifest_path for m in mlist]):
                 for e in es:

@@ -72,6 +72,7 @@ class Transaction:
         self._properties: dict = {}
         self._summary_extra: dict = {}
         self._statistics: dict | None = None
+        self._partition_statistics: dict | None = None
 
     # --- operations (transaction/mod.rs:56-384) --------------------------
     def append_files(self, files: list[DataFile]) -> "Transaction":
@@ -141,6 +142,12 @@ class Transaction:
         self._statistics = stats_entry
         return self
 
+    def set_partition_statistics(self, stats_entry: dict) -> "Transaction":
+        """Register a partition-statistics Parquet file (spec
+        ``SetPartitionStatistics``): replaces the same-snapshot entry."""
+        self._partition_statistics = stats_entry
+        return self
+
     def set_refresh_state(self, refresh_state_json: str) -> "Transaction":
         """MV refresh state rides in the snapshot summary
         (materialized_view/transaction/mod.rs:66-133)."""
@@ -154,12 +161,19 @@ class Transaction:
         return self
 
     def _apply_statistics(self, md: TableMetadata) -> TableMetadata:
-        if self._statistics is None:
-            return md
-        sid = self._statistics.get("snapshot-id")
-        stats = tuple(s for s in md.statistics
-                      if s.get("snapshot-id") != sid) + (self._statistics,)
-        return _dc_replace(md, statistics=stats)
+        if self._statistics is not None:
+            sid = self._statistics.get("snapshot-id")
+            stats = tuple(s for s in md.statistics
+                          if s.get("snapshot-id") != sid) \
+                + (self._statistics,)
+            md = _dc_replace(md, statistics=stats)
+        if self._partition_statistics is not None:
+            sid = self._partition_statistics.get("snapshot-id")
+            pstats = tuple(s for s in md.partition_statistics
+                           if s.get("snapshot-id") != sid) \
+                + (self._partition_statistics,)
+            md = _dc_replace(md, partition_statistics=pstats)
+        return md
 
     # --- commit ----------------------------------------------------------
     def commit(self) -> TableMetadata:
@@ -326,7 +340,8 @@ class Transaction:
                 # table_metadata.rs:156-183)
                 if not self._properties and self._new_spec_fields is None \
                         and self._new_sort_order is None \
-                        and self._statistics is None:
+                        and self._statistics is None \
+                        and self._partition_statistics is None:
                     return md  # true no-op
                 # metadata-only commit (spec/properties evolution): no
                 # data changed, so no snapshot — just the new document

@@ -2401,3 +2401,76 @@ def test_analyze_writes_puffin_statistics(spark, catalog):
     assert [s["snapshot-id"] for s in t.metadata.statistics] == [keep]
     assert not _os.path.exists(path)
     assert _os.path.exists(t.metadata.statistics[0]["statistics-path"])
+
+
+def test_partition_statistics_file(spark, catalog):
+    """compute_partition_stats writes the spec's partition-statistics
+    Parquet (unified partition tuple + data/delete counters), registers
+    it under partition-statistics, and inspect('partitions') answers
+    from the file with EXACTLY the manifest-walk result. Expiry drops
+    the entry with its snapshot."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from iceberg_rust_archive_spark.maintenance import (
+        compute_partition_stats, expire_snapshots,
+    )
+    from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+
+    t = _mk_table(catalog, "orders_pstats")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_equal(spark, spark.createDataFrame(
+        [r for r in BATCH1 if r[1] == 1], COLS),
+        ["id", "customer_id", "product_id", "date"])
+    slow = [tuple(r) for r in t.inspect(spark, "partitions").collect()]
+
+    t = compute_partition_stats(spark, t)
+    md = t.metadata
+    assert len(md.partition_statistics) == 1
+    entry = md.partition_statistics[0]
+    assert entry["snapshot-id"] == md.current_snapshot().snapshot_id
+    path = entry["statistics-path"]
+    assert _os.path.getsize(path) == entry["file-size-in-bytes"]
+
+    # the file itself: unified tuple struct + per-content counters
+    pt = _pq.read_table(path).to_pylist()
+    assert all(r["spec_id"] == 0 for r in pt)
+    assert sum(r["equality_delete_file_count"] for r in pt) >= 1
+    assert sum(r["data_record_count"] for r in pt) == len(BATCH1)
+
+    # fast path result == manifest-walk result, and it really engages
+    fast = [tuple(r) for r in t.inspect(spark, "partitions").collect()]
+    assert sorted(fast) == sorted(slow)
+
+    # JSON round-trip keeps the entry
+    md2 = TableMetadata.loads(md.dumps())
+    assert md2.partition_statistics == md.partition_statistics
+
+    # new snapshot → fast path disengages (stale stats never answer)
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t = t.refresh()
+    fresh = [tuple(r) for r in t.inspect(spark, "partitions").collect()]
+    assert sum(r[1] for r in fresh) == \
+        sum(r[1] for r in slow) + len(BATCH2)
+
+    # expiry of the stats snapshot drops entry + file
+    cutoff = max(s.timestamp_ms for s in t.metadata.snapshots.values()) + 1
+    t = expire_snapshots(t, cutoff)
+    assert t.metadata.partition_statistics == ()
+    assert not _os.path.exists(path)
+
+
+def test_call_compute_partition_stats(spark, tmp_path):
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.cps (k INT, v INT) PARTITIONED BY (k)")
+    eng.sql("INSERT INTO db.cps VALUES (1, 10), (1, 11), (2, 20)")
+    eng.sql("CALL system.compute_partition_stats('db.cps')")
+    t = eng.load_table("db.cps")
+    assert len(t.metadata.partition_statistics) == 1
+    rows = {r["partition"]: r["record_count"]
+            for r in t.inspect(spark, "partitions").collect()}
+    assert rows == {'{"k": 1}': 2, '{"k": 2}': 1}
