@@ -59,6 +59,18 @@ def _entry_filter(entries, start_seq):
         yield e
 
 
+def plan_mode_used(md, mlist) -> str:
+    """'local' or 'distributed' — the read.plan-mode property, with
+    auto resolving by surviving-manifest count."""
+    mode = str(md.properties.get("read.plan-mode", "auto")).lower()
+    if mode in ("local", "distributed"):
+        return mode
+    min_m = int(md.properties.get(
+        "read.plan.distributed-min-manifests",
+        DISTRIBUTED_PLAN_MIN_MANIFESTS))
+    return "distributed" if len(mlist) >= min_m else "local"
+
+
 def plan_manifest_entries(spark, md, mlist, preds, schema, start_seq):
     """Read surviving manifests and prune data files, returning
     ``(data: [(entry, spec_id)], eq_deletes: [entry], pos_deletes:
@@ -83,12 +95,7 @@ def plan_manifest_entries(spark, md, mlist, preds, schema, start_seq):
 
     Delete files are never pruned (every delete must apply — A5).
     """
-    mode = str(md.properties.get("read.plan-mode", "auto")).lower()
-    min_m = int(md.properties.get(
-        "read.plan.distributed-min-manifests",
-        DISTRIBUTED_PLAN_MIN_MANIFESTS))
-    if mode not in ("local", "distributed"):
-        mode = "distributed" if len(mlist) >= min_m else "local"
+    mode = plan_mode_used(md, mlist)
 
     specs = dict(md.partition_specs)
     default_spec = md.default_spec()
@@ -201,7 +208,14 @@ def scan(spark: SparkSession, md: TableMetadata,
          columns: list[str] | None = None,
          branch: str | None = None, snapshot_id: int | None = None,
          as_of_ms: int | None = None,
-         from_snapshot_id: int | None = None) -> DataFrame:
+         from_snapshot_id: int | None = None,
+         report: dict | None = None) -> DataFrame:
+    """``report``, when passed, is filled in place with planning
+    metrics (the reference's ScanMetrics role): manifest/file counts
+    before and after each pruning level, bytes planned, delete-file
+    counts, and the plan mode — the numbers that tell an operator
+    whether a 100 TB query will touch 40 files or 40,000 BEFORE any
+    Spark job runs."""
     from iceberg_rust_archive_spark.session import ensure_read_confs
     ensure_read_confs(spark)  # field-id resolution on any caller's session
     preds = filter or []
@@ -211,6 +225,15 @@ def scan(spark: SparkSession, md: TableMetadata,
         if schema_id is not None else md.schemas[md.current_schema_id]
     spark_schema = spark_schema_for(schema.struct)
     spec = md.default_spec()
+
+    if report is not None:
+        report.clear()
+        report.update({
+            "snapshot_id": snap.snapshot_id if snap else None,
+            "manifests_total": len(mlist), "manifests_pruned": 0,
+            "data_files_planned": 0, "data_bytes_planned": 0,
+            "equality_delete_files": 0, "position_delete_files": 0,
+            "plan_mode": None})
 
     if snap is None:
         df = spark.createDataFrame([], spark_schema)
@@ -222,6 +245,7 @@ def scan(spark: SparkSession, md: TableMetadata,
     # id-addressed precisely so readers resolve per-manifest)
     def spec_of(mle):
         return md.partition_specs.get(mle.partition_spec_id, spec)
+    n_manifests = len(mlist)
     mlist = [m for m in mlist
              if m in prune_manifests(preds, spec_of(m), schema, [m])]
 
@@ -230,6 +254,16 @@ def scan(spark: SparkSession, md: TableMetadata,
     planned, delete_entries, pos_delete_entries = plan_manifest_entries(
         spark, md, mlist, preds, schema, start_seq)
     data_entries = [e for e, _sid in planned]
+
+    if report is not None:
+        report.update({
+            "manifests_pruned": n_manifests - len(mlist),
+            "data_files_planned": len(data_entries),
+            "data_bytes_planned": sum(
+                e.data_file.file_size_in_bytes or 0 for e in data_entries),
+            "equality_delete_files": len(delete_entries),
+            "position_delete_files": len(pos_delete_entries),
+            "plan_mode": plan_mode_used(md, mlist)})
 
     if from_snapshot_id is not None:
         delete_entries = []  # incremental append reads new data only (A22)

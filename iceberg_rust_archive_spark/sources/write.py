@@ -319,7 +319,18 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         items = moved
 
     field_ids = {f.name: f.field_id for f in schema.fields}
-    return harvest_files(spark, items, field_ids, content, equality_ids)
+    harvested = harvest_files(spark, items, field_ids, content,
+                              equality_ids)
+    # Spark's writer can emit a zero-row file for an empty leading task
+    # (seen with unrepartitioned skinny delete sets); committing it
+    # would add a dead path to every merge-on-read relation forever.
+    empties = [f for f in harvested if f.record_count == 0]
+    for f in empties:
+        try:
+            os.remove(f.file_path)
+        except OSError:
+            pass
+    return [f for f in harvested if f.record_count > 0]
 
 
 # Iceberg spec v2 reserved field ids for position-delete file columns.

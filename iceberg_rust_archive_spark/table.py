@@ -63,9 +63,11 @@ class Table:
     def scan(self, spark: SparkSession, filter: list[Pred] | None = None,  # noqa: A002
              columns: list[str] | None = None, branch: str | None = None,
              snapshot_id: int | None = None, as_of_ms: int | None = None,
-             from_snapshot_id: int | None = None) -> DataFrame:
+             from_snapshot_id: int | None = None,
+             report: dict | None = None) -> DataFrame:
         return _scan(spark, self.metadata, filter, columns, branch,
-                     snapshot_id, as_of_ms, from_snapshot_id)
+                     snapshot_id, as_of_ms, from_snapshot_id,
+                     report=report)
 
     def count(self, spark: SparkSession | None = None,
               filter: list[Pred] | None = None,  # noqa: A002

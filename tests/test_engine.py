@@ -2474,3 +2474,34 @@ def test_call_compute_partition_stats(spark, tmp_path):
     rows = {r["partition"]: r["record_count"]
             for r in t.inspect(spark, "partitions").collect()}
     assert rows == {'{"k": 1}': 2, '{"k": 2}': 1}
+
+
+def test_scan_report_metrics(spark, catalog):
+    """scan(report=...) fills planning metrics: pruning counters drop
+    when predicates prune, byte totals match the planned files, delete
+    files are counted, and the plan mode is recorded."""
+    t = _mk_table(catalog, "orders_scanreport")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))  # 2 day-partitions
+    t.delete_where_equal(spark, spark.createDataFrame([(1,)], ["id"]),
+                         ["id"])
+
+    rep = {}
+    t.scan(spark, report=rep)
+    assert rep["plan_mode"] == "local"
+    assert rep["manifests_pruned"] == 0
+    assert rep["data_files_planned"] == 2  # one file per day partition
+    assert rep["data_bytes_planned"] > 0
+    assert rep["equality_delete_files"] >= 1
+    assert rep["position_delete_files"] == 0
+
+    pruned = {}
+    t.scan(spark, filter=[Pred("date", "=", dt.date(2020, 1, 1))],
+           report=pruned)
+    assert pruned["data_files_planned"] == 1
+    assert pruned["data_bytes_planned"] < rep["data_bytes_planned"]
+
+    t.metadata.properties["read.plan-mode"] = "distributed"
+    dist = {}
+    t.scan(spark, report=dist)
+    assert dist["plan_mode"] == "distributed"
+    assert dist["data_files_planned"] == rep["data_files_planned"]
