@@ -271,6 +271,26 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     writer = (df.write.mode("errorifexists")
               .option("compression", codec)
               .option("maxRecordsPerFile", records_cap))
+    # Iceberg bloom-filter properties
+    # (write.parquet.bloom-filter-enabled.column.<c>): point-lookup
+    # row-group skipping at scan time — the difference between reading
+    # 1 and 1000 row groups for a key probe on a 100 TB table. Spark's
+    # parquet writer does not forward parquet-mr's per-column
+    # `enabled#col` keys through write options (verified: option and
+    # hadoopConf variants are both ignored, and a per-column key can
+    # even suppress the global flag), so any bloom-enabled column turns
+    # on the file-level writer, size-bounded by
+    # write.parquet.bloom-filter-max-bytes (default 64 KiB/column).
+    bloom_pfx = "write.parquet.bloom-filter-enabled.column."
+    if fmt == "parquet" and any(
+            k.startswith(bloom_pfx) and str(v).lower() == "true"
+            for k, v in md.properties.items()):
+        writer = (writer
+                  .option("parquet.bloom.filter.enabled", "true")
+                  .option("parquet.bloom.filter.max.bytes",
+                          md.properties.get(
+                              "write.parquet.bloom-filter-max-bytes",
+                              "65536")))
     if pcols:
         writer = writer.partitionBy(*pcols)
     getattr(writer, fmt)(out_dir)  # .parquet(...) / .orc(...)

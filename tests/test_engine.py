@@ -2505,3 +2505,44 @@ def test_scan_report_metrics(spark, catalog):
     t.scan(spark, report=dist)
     assert dist["plan_mode"] == "distributed"
     assert dist["data_files_planned"] == rep["data_files_planned"]
+
+
+def test_bloom_filter_write_property(spark, catalog):
+    """write.parquet.bloom-filter-enabled.column.<c> turns on parquet
+    bloom filters (size-bounded by write.parquet.bloom-filter-max-bytes)
+    so key probes skip row groups; identical data without the property
+    writes strictly smaller files, and scans return identical rows."""
+    import os as _os
+
+    rows = [(i, i % 7, 1 + i % 3, dt.date(2020, 1, 1), i % 5)
+            for i in range(5000)]
+
+    def total_bytes(t):
+        return sum(e.data_file.file_size_in_bytes
+                   for es in _manifest_entries(t) for e in es
+                   if e.data_file.content == 0)
+
+    def _manifest_entries(t):
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest, read_manifest_list,
+        )
+        snap = t.metadata.current_snapshot()
+        return [read_manifest(m.manifest_path)
+                for m in read_manifest_list(snap.manifest_list)]
+
+    plain = Table.create(catalog, "db.orders_nobloom", ORDERS_SCHEMA,
+                         DAY_SPEC)
+    plain.append(spark, spark.createDataFrame(rows, COLS))
+    bloomed = Table.create(
+        catalog, "db.orders_bloom", ORDERS_SCHEMA, DAY_SPEC,
+        properties={
+            "write.parquet.bloom-filter-enabled.column.customer_id":
+                "true",
+            "write.parquet.bloom-filter-max-bytes": "16384"})
+    bloomed.append(spark, spark.createDataFrame(rows, COLS))
+
+    delta = total_bytes(bloomed) - total_bytes(plain)
+    assert delta >= 8 * 1024, delta  # bloom pages really in the file
+    a = sorted(tuple(r) for r in plain.scan(spark).collect())
+    b = sorted(tuple(r) for r in bloomed.scan(spark).collect())
+    assert a == b
