@@ -44,8 +44,13 @@ _read_manifests = read_manifests
 
 # auto plan-mode switches to executor-side planning at this many
 # manifests; overridable per table via the read.plan-mode /
-# read.plan.distributed-min-manifests properties
-DISTRIBUTED_PLAN_MIN_MANIFESTS = 64
+# read.plan.distributed-min-manifests properties. The stress probe
+# (tools/stress.py distributed_plan_latency) puts the local-FS
+# crossover near 256 manifests × 64 entries (local 4.4s vs
+# distributed 1.7s at 512×64); object stores cross earlier because
+# the local path also pays per-manifest RTTs, so the default sits
+# between the two regimes.
+DISTRIBUTED_PLAN_MIN_MANIFESTS = 128
 
 
 def _entry_filter(entries, start_seq):

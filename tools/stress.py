@@ -276,6 +276,62 @@ def manifest_fetch_latency():
             manifests_mod.read_manifest = orig
 
 
+def distributed_plan_latency(spark):
+    """Distributed vs local scan PLANNING at growing manifest counts
+    (r7): write N real one-file Avro manifests, then run
+    plan_manifest_entries in both modes with a pruning predicate.
+    Local cost grows with total entries parsed on the driver;
+    distributed cost is one Spark job whose wall time stays ~flat in
+    N/cores — the property that matters at thousands of manifests.
+    Outputs must be identical (same surviving paths)."""
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.operators import scan as scan_mod
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.manifests import write_manifest
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import (
+        DataFile, ManifestEntry, ManifestListEntry,
+    )
+    from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+
+    schema = Schema(0, StructTypeSpec((NestedField(1, "k", "long", True),)))
+    with tempfile.TemporaryDirectory() as mdir:
+        md = TableMetadata.new(mdir, schema, PartitionSpec(0, ()))
+        mles = []
+        per_m = 64  # entries per manifest — drives driver parse cost
+        for i in range(512):
+            dfs = [DataFile(0, f"/data/f{i}_{j}.parquet", "parquet", {},
+                            100, 10_000,
+                            lower_bounds={1: (i * per_m + j) * 10},
+                            upper_bounds={1: (i * per_m + j) * 10 + 9})
+                   for j in range(per_m)]
+            mles.append(write_manifest(
+                mdir, [ManifestEntry(1, d, i, i + 1, i + 1) for d in dfs],
+                0, 0, i, i + 1, []))
+        # keeps the first 1024 of 32k files
+        preds = [Pred("k", "<", 10_240)]
+        for n in (64, 512):
+            out = {}
+            for mode in ("local", "distributed"):
+                md.properties["read.plan-mode"] = mode
+                t0 = _t.perf_counter()
+                data, _eq, _pos = scan_mod.plan_manifest_entries(
+                    spark, md, mles[:n], preds, schema, -1)
+                out[mode] = (sorted(e.data_file.file_path
+                                    for e, _ in data),
+                             _t.perf_counter() - t0)
+            assert out["local"][0] == out["distributed"][0]
+            kept = len(out["local"][0])
+            print(f"plan @ {n} manifests / {n * per_m} files "
+                  f"(kept {kept}): "
+                  f"local={out['local'][1]:.2f}s "
+                  f"distributed={out['distributed'][1]:.2f}s")
+
+
 def mv_refresh_loop(spark, sf_dir: str, n_refreshes: int = 5):
     """Chain-growth probe for the INCR_AGG refresh loop (r5 verdict #8):
     run ``n_refreshes`` incremental refreshes and print the storage-table
@@ -365,5 +421,6 @@ if __name__ == "__main__":
     spark = get_spark("stress")
     lsh_occupancy(spark, sf_dir, amp)
     manifest_fetch_latency()
+    distributed_plan_latency(spark)
     mv_refresh_loop(spark, sf_dir)
     q21_shape(spark, sf_dir, amp)
