@@ -468,7 +468,8 @@ def expire_snapshots(table: Table, older_than_ms: int,
 
 
 def rewrite_position_deletes(spark: SparkSession, table: Table,
-                             branch: str | None = None) -> Table:
+                             branch: str | None = None,
+                             to_dv: bool = False) -> Table:
     """Merge the current snapshot's position-delete files into ONE
     sorted file (Iceberg's RewritePositionDeleteFiles): a streaming
     merge-on-read sink commits one small delete file per micro-batch,
@@ -480,6 +481,12 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
     new-sequence file cannot change which rows they hit — unlike
     equality deletes, whose sequence strata must be preserved
     (``compact_table`` absorbs those wholesale instead).
+
+    Deletion vectors participate too: existing DV blobs are decoded
+    executor-side and merged with parquet pairs, and ``to_dv=True``
+    emits the merged result as one roaring bitmap per referenced data
+    file in a single Puffin object (the v3 migration path) instead of
+    one merged parquet file.
 
     Scale: pair merging is an executor-side distinct over skinny
     (path, pos) rows; only manifest metadata is handled driver-side."""
@@ -507,6 +514,7 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
         return table
     keep_groups: dict[tuple, list] = {}
     pos_files: list[str] = []
+    dv_files: list = []
     live_paths: list[str] = []
     mlist = read_manifest_list(snap.manifest_list)
     for mle, entries in zip(mlist, read_manifests(
@@ -515,7 +523,10 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
             if e.status == STATUS_DELETED:
                 continue
             if e.data_file.content == CONTENT_POSITION_DELETES:
-                pos_files.append(e.data_file.file_path)
+                if (e.data_file.file_format or "").lower() == "puffin":
+                    dv_files.append(e.data_file)
+                else:
+                    pos_files.append(e.data_file.file_path)
                 continue
             if e.data_file.content == 0:
                 live_paths.append(e.data_file.file_path)
@@ -523,7 +534,7 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
                 (mle.content, mle.partition_spec_id), []).append(
                 ManifestEntry(STATUS_EXISTING, e.data_file, e.snapshot_id,
                               e.sequence_number, e.file_sequence_number))
-    if len(pos_files) <= 1:
+    if len(pos_files) + len(dv_files) <= 1 and not (to_dv and pos_files):
         return table  # nothing to merge
 
     pd_schema = StructType([StructField("file_path", StringType()),
@@ -532,11 +543,26 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
     live_df = spark.createDataFrame(
         [(p,) for p in live_paths], "file_path string").select(
         norm("file_path").alias("file_path"))
-    pairs = (spark.read.schema(pd_schema).parquet(*pos_files)
-             .select(norm("file_path").alias("file_path"), "pos")
-             .dropDuplicates(["file_path", "pos"])
+    parts = []
+    if pos_files:
+        parts.append(spark.read.schema(pd_schema).parquet(*pos_files)
+                     .select(norm("file_path").alias("file_path"), "pos"))
+    if dv_files:
+        from iceberg_rust_archive_spark.operators.scan import dv_pairs_df
+        parts.append(dv_pairs_df(spark, dv_files, path_col="file_path",
+                                 pos_col="pos"))
+    pairs = parts[0]
+    for p_ in parts[1:]:
+        pairs = pairs.unionByName(p_)
+    pairs = (pairs.dropDuplicates(["file_path", "pos"])
              .join(live_df, "file_path"))  # drop superseded targets
-    new_files = write_position_deletes(spark, md, pairs)
+    if to_dv:
+        from iceberg_rust_archive_spark.sources.write import (
+            write_deletion_vectors,
+        )
+        new_files = write_deletion_vectors(spark, md, pairs)
+    else:
+        new_files = write_position_deletes(spark, md, pairs)
 
     snap_id = new_snapshot_id()
     seq = md.last_sequence_number + 1

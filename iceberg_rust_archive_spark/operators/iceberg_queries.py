@@ -114,19 +114,23 @@ def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append all orders, position-delete high-price rows (content=1
-    merge-on-read: scan tags _metadata row ordinals, anti-joins the
-    sorted (file_path, pos) pairs), THEN equality-delete a custkey slice
-    so both delete content types coexist in one scan — the reference
-    panics on content=1 (datafusion_iceberg/src/table.rs:422-425); this
-    is a parity superset."""
+    """Append all orders, position-delete high-price rows as a
+    **deletion vector** (content=1, v3 shape: one roaring bitmap per
+    referenced data file in a Puffin sidecar, decoded executor-side and
+    anti-joined), THEN equality-delete a custkey slice so both delete
+    content types coexist in one scan — the reference panics on
+    content=1 (datafusion_iceberg/src/table.rs:422-425); this is a
+    parity superset. The DuckDB oracle grades the resulting table
+    state, so the whole DV encode→commit→decode→merge path is
+    hash-checked end-to-end."""
     cat, d = _tmp_catalog()
     try:
         t = Table.create(cat, "db.orders_pdel", ORDERS_SCHEMA,
                          PartitionSpec(0, ()))
         src = _orders(spark, sf_dir)
         t.append(spark, src)
-        t.delete_where_pos(spark, F.col("o_totalprice") > 200000.0)
+        t.delete_where_pos(spark, F.col("o_totalprice") > 200000.0,
+                           use_dv=True)
         t.delete_where_equal(spark, src.filter(F.col("o_custkey") % 10 == 3),
                              ["o_orderkey"])
         out = (t.scan(spark).groupBy("o_orderstatus")

@@ -64,6 +64,42 @@ def _entry_filter(entries, start_seq):
         yield e
 
 
+def dv_pairs_df(spark: SparkSession, dv_files: list,
+                path_col: str = "__fp", pos_col: str = "__pos"
+                ) -> DataFrame:
+    """Decode deletion-vector DataFiles (content=1,
+    file_format='puffin') into a (path, pos) pair DataFrame. Bitmap
+    decode runs EXECUTOR-side — the driver only ships (puffin_path,
+    offset, length, referenced_file) descriptors, one per DV, and the
+    expansion to position rows happens in parallel where the anti-join
+    needs them."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    descs = [(d.file_path, d.content_offset, d.content_size_in_bytes,
+              d.referenced_data_file) for d in dv_files]
+    schema = StructType([StructField(path_col, StringType()),
+                         StructField(pos_col, LongType())])
+    if not descs:
+        return spark.createDataFrame([], schema)
+
+    def decode(it):
+        from iceberg_rust_archive_spark.object_store import store_for
+        from iceberg_rust_archive_spark.sources.roaring import (
+            deserialize_positions,
+        )
+        for path, off, ln, ref in it:
+            blob = store_for(path).read_bytes(path)[off:off + ln]
+            for p in deserialize_positions(blob):
+                yield (ref, p)
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(descs, max(1, min(len(descs),
+                                           sc.defaultParallelism))) \
+        .mapPartitions(decode)
+    return spark.createDataFrame(rdd, schema)
+
+
 def plan_mode_used(md, mlist) -> str:
     """'local' or 'distributed' — the read.plan-mode property, with
     auto resolving by surviving-manifest count."""
@@ -297,6 +333,9 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     def apply_pos_deletes(d: DataFrame) -> DataFrame:
         """Anti-join the (file_path, pos) delete pairs, drop helpers.
+        Pairs come from parquet position-delete files AND deletion
+        vectors (v3 bitmaps, decoded executor-side) — unioned, deduped,
+        one anti-join.
 
         Broadcast only while the delete set is provably small (sum of
         delete-file bytes ≤ 64 MB); a bulk-deleted 100 TB table falls
@@ -306,12 +345,27 @@ def scan(spark: SparkSession, md: TableMetadata,
         )
         pd_schema = StructType([StructField("file_path", StringType()),
                                 StructField("pos", LongType())])
-        pd_paths = [e.data_file.file_path for e in pos_delete_entries]
-        pairs = (spark.read.schema(pd_schema).parquet(*pd_paths)
-                 .select(F.regexp_replace("file_path", "^file:/+", "/")
-                         .alias("__fp"),
-                         F.col("pos").alias("__pos"))
-                 .dropDuplicates(["__fp", "__pos"]))
+        pq_entries = [e for e in pos_delete_entries
+                      if (e.data_file.file_format or "").lower()
+                      != "puffin"]
+        dv_entries = [e for e in pos_delete_entries
+                      if (e.data_file.file_format or "").lower()
+                      == "puffin"]
+        parts = []
+        if pq_entries:
+            pd_paths = [e.data_file.file_path for e in pq_entries]
+            parts.append(
+                spark.read.schema(pd_schema).parquet(*pd_paths)
+                .select(F.regexp_replace("file_path", "^file:/+", "/")
+                        .alias("__fp"),
+                        F.col("pos").alias("__pos")))
+        if dv_entries:
+            parts.append(dv_pairs_df(
+                spark, [e.data_file for e in dv_entries]))
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p)
+        pairs = pairs.dropDuplicates(["__fp", "__pos"])
         del_bytes = sum(e.data_file.file_size_in_bytes or 0
                         for e in pos_delete_entries)
         if del_bytes <= 64 * 1024 * 1024:

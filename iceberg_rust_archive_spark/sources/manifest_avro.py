@@ -163,6 +163,11 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"type": "array", "items": "long", "element-id": 133})},
         {"name": "equality_ids", "field-id": 135, "type": _opt(
             {"type": "array", "items": "int", "element-id": 136})},
+        {"name": "referenced_data_file", "field-id": 143,
+         "type": _opt("string")},
+        {"name": "content_offset", "field-id": 144, "type": _opt("long")},
+        {"name": "content_size_in_bytes", "field-id": 145,
+         "type": _opt("long")},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -243,6 +248,9 @@ def entry_to_avro(e, field_types: dict[int, str]) -> dict:
             if df.split_offsets is not None else None,
             "equality_ids": list(df.equality_ids)
             if df.equality_ids is not None else None,
+            "referenced_data_file": df.referenced_data_file,
+            "content_offset": df.content_offset,
+            "content_size_in_bytes": df.content_size_in_bytes,
         }}
 
 
@@ -282,7 +290,9 @@ def entry_from_avro(d: dict, field_types: dict[int, str]):
         tuple(f["equality_ids"]) if f.get("equality_ids") is not None
         else None,
         tuple(f["split_offsets"]) if f.get("split_offsets") is not None
-        else None)
+        else None,
+        f.get("referenced_data_file"), f.get("content_offset"),
+        f.get("content_size_in_bytes"))
     return ManifestEntry(d["status"], df, d.get("snapshot_id"),
                          d.get("sequence_number"),
                          d.get("file_sequence_number"))

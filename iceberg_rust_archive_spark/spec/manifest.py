@@ -39,6 +39,12 @@ class DataFile:
     upper_bounds: dict = field(default_factory=dict)        # field_id -> value
     equality_ids: tuple[int, ...] | None = None
     split_offsets: tuple[int, ...] | None = None
+    # v3 deletion-vector fields: a DV entry (content=1,
+    # file_format='puffin') points INTO a Puffin file at a serialized
+    # position bitmap for exactly one data file
+    referenced_data_file: str | None = None
+    content_offset: int | None = None
+    content_size_in_bytes: int | None = None
 
     def to_json(self) -> dict:
         d = {"content": self.content, "file-path": self.file_path,
@@ -56,6 +62,12 @@ class DataFile:
             d["equality-ids"] = list(self.equality_ids)
         if self.split_offsets is not None:
             d["split-offsets"] = list(self.split_offsets)
+        if self.referenced_data_file is not None:
+            d["referenced-data-file"] = self.referenced_data_file
+        if self.content_offset is not None:
+            d["content-offset"] = self.content_offset
+        if self.content_size_in_bytes is not None:
+            d["content-size-in-bytes"] = self.content_size_in_bytes
         return d
 
     @staticmethod
@@ -70,6 +82,8 @@ class DataFile:
             _s2k(d.get("lower-bounds", {})), _s2k(d.get("upper-bounds", {})),
             tuple(d["equality-ids"]) if d.get("equality-ids") is not None else None,
             tuple(d["split-offsets"]) if d.get("split-offsets") is not None else None,
+            d.get("referenced-data-file"), d.get("content-offset"),
+            d.get("content-size-in-bytes"),
         )
 
 

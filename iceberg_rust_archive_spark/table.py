@@ -362,10 +362,18 @@ class Table:
         return self.refresh()
 
     def delete_where_pos(self, spark: SparkSession, predicate,
-                         branch: str | None = None) -> "Table":
+                         branch: str | None = None,
+                         use_dv: bool | None = None) -> "Table":
         """Position-delete write (content=1): scan the current data files
         with Spark's ``_metadata`` virtual columns, project the matching
         (file_path, pos) pairs, write a sorted delete file, commit.
+
+        ``use_dv`` (default: table property ``write.delete.format`` ==
+        ``'dv'``) writes **deletion vectors** instead: one roaring
+        bitmap per referenced data file inside a single Puffin object
+        (Iceberg v3 shape, ``sources/write.py
+        write_deletion_vectors``). Parquet pairs and DVs may coexist;
+        the scan unions both before the one anti-join.
 
         The reference refuses content=1 outright (datafusion_iceberg/src/
         table.rs:422-425); we support it as a parity superset because
@@ -395,7 +403,7 @@ class Table:
         from iceberg_rust_archive_spark.spec.manifest import (
             CONTENT_POSITION_DELETES,
         )
-        paths, existing_pos = [], []
+        paths, existing_pos, existing_dv = [], [], []
         mlist_all = read_manifest_list(snap.manifest_list)
         for entries in read_manifests([m.manifest_path for m in mlist_all]):
             for e in entries:
@@ -411,7 +419,10 @@ class Table:
                             "delete_where_equal on ORC tables")
                     paths.append(e.data_file.file_path)
                 elif e.data_file.content == CONTENT_POSITION_DELETES:
-                    existing_pos.append(e.data_file.file_path)
+                    if (e.data_file.file_format or "").lower() == "puffin":
+                        existing_dv.append(e.data_file)
+                    else:
+                        existing_pos.append(e.data_file.file_path)
         if not paths:
             return self
         schema = spark_schema_for(md.current_schema(branch).struct)
@@ -420,16 +431,34 @@ class Table:
                 .select(F.regexp_replace(F.col("_metadata.file_path"),
                                          "^file:/+", "/").alias("file_path"),
                         F.col("_metadata.row_index").alias("pos")))
+        priors = []
         if existing_pos:
             # rows this table already position-deleted must not be
             # re-written as fresh pairs on every call — delete files
             # would grow monotonically under repeated predicates. The
             # anti-join is on the same skinny (path, long) pairs the
             # merge-on-read scan broadcasts, so it stays cheap at scale.
-            prior = spark.read.parquet(*existing_pos) \
-                .select("file_path", "pos")
+            priors.append(spark.read.parquet(*existing_pos)
+                          .select("file_path", "pos"))
+        if existing_dv:
+            from iceberg_rust_archive_spark.operators.scan import (
+                dv_pairs_df,
+            )
+            priors.append(dv_pairs_df(spark, existing_dv,
+                                      path_col="file_path",
+                                      pos_col="pos"))
+        for prior in priors:
             hits = hits.join(prior, ["file_path", "pos"], "left_anti")
-        files = write_position_deletes(spark, md, hits)
+        if use_dv is None:
+            use_dv = md.properties.get(
+                "write.delete.format", "parquet").lower() == "dv"
+        if use_dv:
+            from iceberg_rust_archive_spark.sources.write import (
+                write_deletion_vectors,
+            )
+            files = write_deletion_vectors(spark, md, hits)
+        else:
+            files = write_position_deletes(spark, md, hits)
         if sum(f.record_count for f in files) == 0:
             return self  # nothing newly deleted — don't commit a snapshot
         txn = self.new_transaction(branch).append_delete_files(files)

@@ -1,0 +1,149 @@
+"""Deletion vectors (Iceberg v3 shape): roaring serialization,
+DV write/scan merge-on-read, parquet↔DV coexistence, and the
+convert-to-DV maintenance path."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rust_archive_spark.catalog import FileCatalog
+from iceberg_rust_archive_spark.sources.roaring import (
+    deserialize_positions, serialize_positions,
+)
+from iceberg_rust_archive_spark.spec.manifest import (
+    CONTENT_POSITION_DELETES,
+)
+from iceberg_rust_archive_spark.table import Table
+
+from test_engine import (  # noqa: F401
+    BATCH1, BATCH2, COLS, DAY_SPEC, ORDERS_SCHEMA, _mk_table, _sums,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FileCatalog(str(tmp_path / "warehouse"))
+
+
+def test_roaring_roundtrip_shapes():
+    import random
+    random.seed(11)
+    cases = [
+        [], [0], [65535], [65536], [131071], [4294967295],
+        [2**32], [2**32 + 65536], [2**40 + 5, 3, 2**40 + 6],
+        list(range(4096)),              # exactly array-container max
+        list(range(4097)),              # first bitmap container
+        list(range(0, 300000, 3)),      # several mixed containers
+        random.sample(range(10**6), 20000),
+        [random.randrange(2**62) for _ in range(1000)],
+        [7] * 10,                       # dedup
+    ]
+    for c in cases:
+        assert deserialize_positions(serialize_positions(c)) \
+            == sorted(set(c))
+
+
+def test_roaring_bitmap_container_density():
+    # a dense 64k block serializes as one 8 KiB bitmap container, not
+    # 128 KiB of u16 arrays
+    b = serialize_positions(list(range(65536)))
+    assert len(b) < 9000
+
+
+def _dv_entries(t):
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    snap = t.metadata.current_snapshot()
+    out = []
+    for m in read_manifest_list(snap.manifest_list):
+        for e in read_manifest(m.manifest_path):
+            if e.data_file.content == CONTENT_POSITION_DELETES \
+                    and e.data_file.file_format == "puffin":
+                out.append(e)
+    return out
+
+
+def test_dv_delete_end_to_end(spark, catalog):
+    t = _mk_table(catalog, "orders_dv")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("customer_id") == 1, use_dv=True)
+    assert _sums(t, spark) == {1: 4, 3: 3}
+
+    # DV manifest entries carry the v3 pointer fields and round-trip
+    # through spec Avro
+    dvs = _dv_entries(t)
+    assert dvs and all(
+        d.data_file.referenced_data_file
+        and d.data_file.content_offset is not None
+        and d.data_file.content_size_in_bytes > 0 for d in dvs)
+
+    # the puffin blob really is the roaring bitmap for that file
+    from iceberg_rust_archive_spark.sources.puffin import read_puffin
+    blobs, _ = read_puffin(dvs[0].data_file.file_path)
+    assert blobs[0]["type"] == "deletion-vector-v1"
+    pos = deserialize_positions(blobs[0]["payload"])
+    assert pos == sorted(set(pos)) and len(pos) >= 1
+
+    # rows appended after the DV survive (path-scoped by construction)
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(t, spark) == {1: 6, 2: 1, 3: 4}
+
+    # a repeat call deletes ONLY the newly-matching rows (old pairs
+    # anti-joined away via the decoded DV priors)
+    t.delete_where_pos(spark, F.col("customer_id") == 1, use_dv=True)
+    assert _sums(t, spark) == {1: 6, 2: 1, 3: 3}
+
+
+def test_dv_table_property_default(spark, catalog):
+    t = Table.create(catalog, "db.orders_dvprop", ORDERS_SCHEMA, DAY_SPEC,
+                     properties={"write.delete.format": "dv"})
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("id") <= 2)  # property selects DV
+    assert _dv_entries(t)
+    assert _sums(t, spark) == {1: 5, 2: 1, 3: 3}
+
+
+def test_dv_coexists_with_parquet_and_equality(spark, catalog):
+    t = _mk_table(catalog, "orders_dvmix")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("customer_id") == 1, use_dv=True)
+    t.delete_where_pos(spark, F.col("id") == 2)          # parquet pairs
+    t.delete_where_equal(spark, spark.createDataFrame([(6,)], ["id"]),
+                         ["id"])                          # eq delete
+    # remaining: id 3 only (1,4,5 cust-1 DV; 2 parquet; 6 eq)
+    rows = sorted(r["id"] for r in t.scan(spark).collect())
+    assert rows == [3]
+
+
+def test_rewrite_position_deletes_converts_to_dv(spark, catalog):
+    from iceberg_rust_archive_spark.maintenance import (
+        rewrite_position_deletes,
+    )
+    t = _mk_table(catalog, "orders_dvconv")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("id") == 1)
+    t.delete_where_pos(spark, F.col("id") == 4)
+    before = _sums(t, spark)
+    t = rewrite_position_deletes(spark, t, to_dv=True)
+    # id 1 (prod 1, amt 1) and id 4 (prod 2 — its only row) deleted
+    assert _sums(t, spark) == before == {1: 6, 3: 3}
+    dvs = _dv_entries(t)
+    # exactly one DV per referenced data file, no parquet pos files left
+    refs = [d.data_file.referenced_data_file for d in dvs]
+    assert len(refs) == len(set(refs)) >= 1
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    snap = t.metadata.current_snapshot()
+    pq_pos = [e for m in read_manifest_list(snap.manifest_list)
+              for e in read_manifest(m.manifest_path)
+              if e.data_file.content == CONTENT_POSITION_DELETES
+              and e.data_file.file_format != "puffin"
+              and e.status != 2]
+    assert not pq_pos
+
+    # and merging DVs with further parquet deletes still reads right
+    t.delete_where_pos(spark, F.col("id") == 3)  # prod 1, amount 3
+    assert _sums(t, spark) == {1: 3, 3: 3}
