@@ -46,6 +46,7 @@ Supported statements::
         | system.add_files('ns.t', '/path/f.parquet', ...)
         | system.rollback_to_snapshot('ns.t', id)
         | system.compute_partition_stats('ns.t')
+    EXPLAIN [FORMATTED|EXTENDED] <select>  (plan over engine relations)
         | system.create_changelog_view('ns.t'[, from[, to]])
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
@@ -456,6 +457,21 @@ class Engine:
         if m:
             strategy = self.refresh_materialized_view(m.group(1))
             return self.spark.createDataFrame([(strategy,)], ["strategy"])
+
+        m = re.match(r"explain\s+(formatted\s+|extended\s+)?(select\s+.*)$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if m:
+            # EXPLAIN over engine-resolved relations: the inner SELECT
+            # goes through the same view registration/time-travel
+            # resolution as execution, so the plan shows the REAL scan
+            # (pruned file list, pushed filters, join strategies)
+            mode = (m.group(1) or "formatted").strip().lower()
+            df = self._run_select(m.group(2))
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), mode)
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.rstrip("\n").split("\n")],
+                "plan string")
 
         return self._run_select(s)
 

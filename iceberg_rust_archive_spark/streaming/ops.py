@@ -239,3 +239,71 @@ def table_changes_stream(spark: SparkSession, table,
             last = current.snapshot_id
         if signal == "stop":
             return
+
+
+def run_stream_stream_join_once(spark: SparkSession, events_path: str,
+                                left_type: str = "view",
+                                right_type: str = "purchase",
+                                within: str = "1 hour",
+                                watermark: str = "2 hours",
+                                timeout_sec: int = 600) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the canonical funnel
+    query): for each user, pair every ``left_type`` event with the
+    ``right_type`` events that follow it within ``within``.
+
+    State contract (what makes this viable unbounded): BOTH sides carry
+    a watermark and the join condition bounds the event-time gap, so
+    Spark derives a state-eviction horizon — each side's buffered rows
+    are dropped once the other side's watermark passes ``ts + within``.
+    Without the time-bound condition the state would grow forever; this
+    function is the pattern card for doing it right.
+
+    availableNow replay over a static path + the batch twin below make
+    it pytest-gradable: the stream's answer must equal the plain
+    DataFrame join bit-for-bit."""
+    from iceberg_rust_archive_spark.session import ensure_read_confs
+    ensure_read_confs(spark)
+    cleanup = None
+    if os.path.isfile(events_path):
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix="ssj_src_")
+        os.symlink(os.path.abspath(events_path),
+                   os.path.join(d, os.path.basename(events_path)))
+        events_path, cleanup = d, (lambda: shutil.rmtree(d, True))
+
+    def side(alias, etype):
+        if _events_ts_is_nanos_long(events_path):
+            s = (spark.readStream.schema(NANOS_EVENTS_SCHEMA)
+                 .parquet(events_path)
+                 .withColumn("ts", F.timestamp_micros(
+                     F.expr("ts div 1000")).cast("timestamp")))
+        else:
+            s = (spark.readStream.schema(EVENTS_SCHEMA)
+                 .parquet(events_path)
+                 .withColumn("ts", F.col("ts").cast("timestamp")))
+        return (s.filter(F.col("event_type") == etype)
+                .withWatermark("ts", watermark)
+                .select(F.col("user_id").alias(f"{alias}_user"),
+                        F.col("event_id").alias(f"{alias}_id"),
+                        F.col("ts").alias(f"{alias}_ts")))
+
+    joined = (side("l", left_type).join(
+        side("r", right_type),
+        F.expr(f"""l_user = r_user AND r_ts > l_ts
+                   AND r_ts <= l_ts + INTERVAL {within}"""),
+        "inner")
+        .select("l_user", "l_id", "r_id",
+                F.unix_timestamp("r_ts").cast("long")
+                 .alias("r_epoch"),
+                F.unix_timestamp("l_ts").cast("long")
+                 .alias("l_epoch")))
+    name = f"ssj_once_{os.getpid()}_{next(_SINK_SEQ)}"
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout_sec)
+    finally:
+        if cleanup is not None:
+            cleanup()
+    return spark.table(name)

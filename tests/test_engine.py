@@ -2546,3 +2546,25 @@ def test_bloom_filter_write_property(spark, catalog):
     a = sorted(tuple(r) for r in plain.scan(spark).collect())
     b = sorted(tuple(r) for r in bloomed.scan(spark).collect())
     assert a == b
+
+
+def test_explain_statement(spark, tmp_path):
+    """EXPLAIN <select> returns the physical plan of the
+    engine-resolved query: the parquet scan with PushedFilters and the
+    pruned ReadSchema are visible, and EXTENDED mode includes the
+    logical plans."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k INT, v INT) PARTITIONED BY (k)")
+    eng.sql("INSERT INTO db.t VALUES (1, 10), (2, 20)")
+    plan = "\n".join(
+        r[0] for r in
+        eng.sql("EXPLAIN SELECT v FROM db.t WHERE k = 1").collect())
+    assert "PushedFilters" in plan and "EqualTo(k,1)" in plan
+    assert "ReadSchema: struct<k:int,v:int>" in plan
+    ext = "\n".join(
+        r[0] for r in
+        eng.sql("EXPLAIN EXTENDED SELECT v FROM db.t").collect())
+    assert "== Optimized Logical Plan ==" in ext

@@ -273,3 +273,36 @@ def test_file_fully_matches_is_sound(values, op, lit, lit2):
     if file_fully_matches([p], schema, f):
         assert all(sat(v) for v in values), \
             f"unsound full-match: {op} {pval} over {values}"
+
+
+@given(positions=st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=2**16),          # container 0
+        st.integers(min_value=0, max_value=2**32 - 1),      # any 32-bit
+        st.integers(min_value=2**32, max_value=2**34),      # bucket 1+
+        st.builds(lambda k: k * 65536, st.integers(0, 70)), # boundaries
+    ), max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_roaring_roundtrip_property(positions):
+    """Deletion-vector serialization is lossless for ANY u64 position
+    set: deserialize(serialize(S)) == sorted(set(S)) across container
+    types (array/bitmap), container boundaries, and 4 GiB buckets."""
+    from iceberg_rust_archive_spark.sources.roaring import (
+        deserialize_positions, serialize_positions,
+    )
+    assert deserialize_positions(serialize_positions(positions)) \
+        == sorted(set(positions))
+
+
+@given(dense_start=st.integers(min_value=0, max_value=2**20),
+       n=st.integers(min_value=4097, max_value=9000))
+@settings(max_examples=10, deadline=None)
+def test_roaring_dense_runs_stay_compact(dense_start, n):
+    """A dense run serializes via bitmap containers: ≤ ~8 KiB per 64k
+    block plus headers, never 2 bytes/value array growth."""
+    from iceberg_rust_archive_spark.sources.roaring import (
+        serialize_positions,
+    )
+    vals = list(range(dense_start, dense_start + n))
+    blocks = len({v >> 16 for v in vals})
+    assert len(serialize_positions(vals)) <= blocks * 8192 + 64 * blocks + 64

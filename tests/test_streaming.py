@@ -410,3 +410,36 @@ def test_cdc_apply_per_commit_batches(spark, tmp_path):
     assert got == want == [(1, "a2")]
     # commit-aligned replay produced multiple sink commits
     assert len(mirror.metadata.snapshots) >= 2
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream funnel join over a static replay
+    equals the plain batch join exactly."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.streaming.ops import (
+        run_stream_stream_join_once,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = run_stream_stream_join_once(spark, path)
+    rows = {tuple(r) for r in
+            got.select("l_user", "l_id", "r_id").collect()}
+
+    ev = spark.read.parquet(path)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(
+            F.expr("ts div 1000")).cast("timestamp"))
+    l = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("l_user"),
+                 F.col("event_id").alias("l_id"),
+                 F.col("ts").alias("l_ts")))
+    r = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("r_user"),
+                 F.col("event_id").alias("r_id"),
+                 F.col("ts").alias("r_ts")))
+    want = {tuple(x) for x in
+            l.join(r, F.expr("l_user = r_user AND r_ts > l_ts AND "
+                             "r_ts <= l_ts + INTERVAL 1 HOUR"))
+            .select("l_user", "l_id", "r_id").collect()}
+    assert rows == want and len(want) > 0
