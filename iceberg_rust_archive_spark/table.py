@@ -595,6 +595,55 @@ class Table:
             return spark.createDataFrame(
                 rows, "partition string, record_count long, "
                       "file_count int, total_size_bytes long")
+        if kind == "position_deletes":
+            # live position-delete state as rows: parquet pair files
+            # read directly, deletion vectors decoded executor-side —
+            # the forensic view of exactly which (file, ordinal) pairs
+            # the next scan will anti-join
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            from iceberg_rust_archive_spark.operators.scan import (
+                dv_pairs_df,
+            )
+            from iceberg_rust_archive_spark.spec.manifest import (
+                CONTENT_POSITION_DELETES, STATUS_DELETED,
+            )
+            pq_paths, dvs = [], []
+            for es in read_manifests([m.manifest_path for m in mlist]):
+                for e in es:
+                    if e.status == STATUS_DELETED or \
+                            e.data_file.content != \
+                            CONTENT_POSITION_DELETES:
+                        continue
+                    if (e.data_file.file_format or "").lower() \
+                            == "puffin":
+                        dvs.append(e.data_file)
+                    else:
+                        pq_paths.append(e.data_file.file_path)
+            schema = StructType([
+                StructField("file_path", StringType()),
+                StructField("pos", LongType()),
+                StructField("delete_format", StringType())])
+            parts = []
+            if pq_paths:
+                parts.append(
+                    spark.read.schema(StructType(schema.fields[:2]))
+                    .parquet(*pq_paths)
+                    .withColumn("delete_format", F.lit("parquet")))
+            if dvs:
+                parts.append(
+                    dv_pairs_df(spark, dvs, path_col="file_path",
+                                pos_col="pos")
+                    .withColumn("delete_format", F.lit("puffin")))
+            if not parts:
+                return spark.createDataFrame([], schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         if kind == "refs":
             rows = [(name, r.ref_type, r.snapshot_id,
                      r.min_snapshots_to_keep, r.max_snapshot_age_ms,

@@ -147,3 +147,26 @@ def test_rewrite_position_deletes_converts_to_dv(spark, catalog):
     # and merging DVs with further parquet deletes still reads right
     t.delete_where_pos(spark, F.col("id") == 3)  # prod 1, amount 3
     assert _sums(t, spark) == {1: 3, 3: 3}
+
+
+def test_position_deletes_metadata_table(spark, catalog):
+    t = _mk_table(catalog, "orders_dvinspect")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)
+    t.delete_where_pos(spark, F.col("id") == 2)
+    rows = t.inspect(spark, "position_deletes").collect()
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r["delete_format"], []).append(r)
+    assert len(by_fmt["puffin"]) == 1
+    assert len(by_fmt["parquet"]) == 1
+    # pairs point at live data files
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    mlist = read_manifest_list(t.metadata.current_snapshot().manifest_list)
+    live = {e.data_file.file_path.replace("file:", "")
+            for es in read_manifests([m.manifest_path for m in mlist])
+            for e in es if e.data_file.content == 0}
+    for r in rows:
+        assert r["file_path"] in live
