@@ -535,8 +535,13 @@ class Engine:
             sdf = self._run_select(f"SELECT * FROM {parts[0]}")
             salias = (parts[-1] if len(parts) > 1
                       and parts[-1].lower() != "as" else "s")
-        self._run_select(f"SELECT * FROM {identifier}") \
-            .createOrReplaceTempView("__merge_tgt")
+        # the target is consumed TWICE (matched join + NOT MATCHED
+        # anti-join) and by this point in a DML session its scan may be
+        # a multi-stratum merge-on-read chain — cache one materialized
+        # pass for the statement's duration instead of replaying the
+        # chain per consumer
+        tgt = self._run_select(f"SELECT * FROM {identifier}").cache()
+        tgt.createOrReplaceTempView("__merge_tgt")
         sdf.createOrReplaceTempView("__merge_src")
 
         keys = []
@@ -683,6 +688,7 @@ class Engine:
             txn.commit_with_retry(
                 lambda x: x.append_delete_files(del_files)
                 .append_files(data_files))
+        tgt.unpersist()
 
     def _alter_table_sql(self, identifier: str, action: str) -> None:
         """ALTER TABLE surface over the evolution transactions
