@@ -322,14 +322,48 @@ def scan(spark: SparkSession, md: TableMetadata,
     # field ids) carry the name-mapping property → resolve BY NAME
     by_name = "schema.name-mapping.default" in md.properties
 
+    # v3 initial-defaults: fields added with DEFAULT fill rows from
+    # files that PREDATE the column. A file "has" the field iff its
+    # harvested per-column stats know the field id (our writer records
+    # stats for every schema column, so absence == written before the
+    # column existed) — an explicit NULL stored after the ADD COLUMN is
+    # preserved, which a blanket coalesce would destroy.
+    dflt_fields = [(f.name, f.field_id, f.initial_default, f.field_type)
+                   for f in schema.fields
+                   if getattr(f, "initial_default", None) is not None]
+
     def read_data(entries: list) -> DataFrame:
         # format-aware (DataFile.file_format — parquet/ORC may mix after
         # a write.format.default flip); __fp normalizes file:///p -> /p
         # to match DataFile.file_path form when pos-deletes are in play
-        return read_data_files(
-            spark, spark_schema,
-            [(e.data_file.file_path, e.data_file.file_format)
-             for e in entries], with_pos=has_pos, by_name=by_name)
+        def _read(es):
+            return read_data_files(
+                spark, spark_schema,
+                [(e.data_file.file_path, e.data_file.file_format)
+                 for e in es], with_pos=has_pos, by_name=by_name)
+        if not dflt_fields:
+            return _read(entries)
+        groups: dict[frozenset, list] = defaultdict(list)
+        for e in entries:
+            known = set((e.data_file.value_counts or {})) \
+                | set((e.data_file.null_value_counts or {}))
+            absent = frozenset(
+                name for name, fid, _d, _t in dflt_fields
+                if known and fid not in known)
+            groups[absent].append(e)
+        parts = []
+        for absent, es in groups.items():
+            d = _read(es)
+            for name, _fid, dv, ftype in dflt_fields:
+                if name in absent:
+                    d = d.withColumn(
+                        name, F.lit(dv).cast(
+                            spark_schema[name].dataType))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def apply_pos_deletes(d: DataFrame) -> DataFrame:
         """Anti-join the (file_path, pos) delete pairs, drop helpers.

@@ -718,11 +718,33 @@ class Engine:
         if m:
             next_id = md.last_column_id
             added = []
-            for part in m.group(1).split(","):
-                name, _, typ = part.strip().partition(" ")
+            for part in re.split(r",(?![^()]*\))", m.group(1)):
+                part = part.strip()
+                # v3 default values: ADD COLUMN c TYPE DEFAULT <lit>
+                # sets BOTH initial-default (readers fill rows from
+                # files predating the column) and write-default
+                # (writers fill when the input omits it) — Iceberg's
+                # ADD COLUMN ... DEFAULT semantics
+                dm = re.match(r"(\w+)\s+([\w(), ]+?)\s+default\s+(.+)$",
+                              part, re.IGNORECASE)
+                default = None
+                if dm:
+                    name, typ, lit = dm.group(1), dm.group(2), \
+                        dm.group(3).strip()
+                    if lit[:1] in ("'", '"'):
+                        default = lit[1:-1]
+                    elif lit.lower() in ("true", "false"):
+                        default = lit.lower() == "true"
+                    elif re.fullmatch(r"-?\d+", lit):
+                        default = int(lit)
+                    else:
+                        default = float(lit)
+                else:
+                    name, _, typ = part.partition(" ")
                 next_id += 1
-                added.append(NestedField(next_id, name,
-                                         _sql_type_to_iceberg(typ), False))
+                added.append(NestedField(
+                    next_id, name, _sql_type_to_iceberg(typ), False,
+                    initial_default=default, write_default=default))
             _evolve(list(schema.fields) + added)
             return
 
@@ -903,10 +925,15 @@ class Engine:
             if cols:
                 df = df.toDF(*cols)
         if cols:
-            # name-mapped projection; unnamed columns become NULL
+            # name-mapped projection; unnamed columns take the field's
+            # write-default (v3) when one is set, else NULL
+            wdflt = {f.name.lower(): f.write_default
+                     for f in t.metadata.current_schema().fields
+                     if getattr(f, "write_default", None) is not None}
             df = df.select(*[
                 F.col(f.name).cast(f.dataType) if f.name.lower() in cols
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                else F.lit(wdflt.get(f.name.lower()))
+                .cast(f.dataType).alias(f.name)
                 for f in target.fields])
         t.append(self.spark, df)
 

@@ -154,11 +154,19 @@ def align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
     Mirrors the reference's schema equality check on insert
     (table.rs:233-252) but coerces compatible types instead of erroring."""
     target = spark_schema_for(schema.struct)
+    wdflt = {f.name.lower(): f.write_default for f in schema.fields
+             if getattr(f, "write_default", None) is not None}
     cols = []
     df_cols = {c.lower(): c for c in df.columns}
     for f in target.fields:
         src = df_cols.get(f.name.lower())
         if src is None:
+            # v3 write-default: an omitted column fills with the
+            # field's default instead of erroring
+            if f.name.lower() in wdflt:
+                cols.append(F.lit(wdflt[f.name.lower()]).cast(f.dataType)
+                            .alias(f.name, metadata=f.metadata))
+                continue
             raise ValueError(f"input is missing column {f.name!r}")
         # re-attach the field-id metadata (cast/alias drop it) so the
         # parquet writer embeds PARQUET:field_id (SURVEY §1.2)

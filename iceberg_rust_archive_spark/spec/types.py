@@ -28,24 +28,37 @@ _FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
 
 @dataclass(frozen=True)
 class NestedField:
-    """A named, id-carrying field (types.rs:376-389)."""
+    """A named, id-carrying field (types.rs:376-389).
+
+    ``initial_default`` / ``write_default`` are the v3 default-value
+    fields: initial-default is the value READERS substitute for rows in
+    data files that predate the column (files physically missing the
+    field — NOT files that stored an explicit NULL); write-default is
+    what WRITERS fill when the input omits the column."""
     field_id: int
     name: str
     field_type: "IcebergType"
     required: bool = False
     doc: str | None = None
+    initial_default: object = None
+    write_default: object = None
 
     def to_json(self) -> dict:
         d = {"id": self.field_id, "name": self.name,
              "required": self.required, "type": type_to_json(self.field_type)}
         if self.doc is not None:
             d["doc"] = self.doc
+        if self.initial_default is not None:
+            d["initial-default"] = self.initial_default
+        if self.write_default is not None:
+            d["write-default"] = self.write_default
         return d
 
     @staticmethod
     def from_json(d: dict) -> "NestedField":
         return NestedField(d["id"], d["name"], type_from_json(d["type"]),
-                           d.get("required", False), d.get("doc"))
+                           d.get("required", False), d.get("doc"),
+                           d.get("initial-default"), d.get("write-default"))
 
 
 @dataclass(frozen=True)

@@ -2568,3 +2568,33 @@ def test_explain_statement(spark, tmp_path):
         r[0] for r in
         eng.sql("EXPLAIN EXTENDED SELECT v FROM db.t").collect())
     assert "== Optimized Logical Plan ==" in ext
+
+
+def test_add_column_with_default(spark, tmp_path):
+    """v3 default values: rows from files that PREDATE the column read
+    the initial-default; an explicit NULL written AFTER the ADD COLUMN
+    stays NULL (no blanket coalesce); an INSERT omitting the column
+    fills the write-default; metadata JSON round-trips the defaults."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.dflt (k INT, v INT)")
+    eng.sql("INSERT INTO db.dflt VALUES (1, 10), (2, 20)")  # pre-column
+    eng.sql("ALTER TABLE db.dflt ADD COLUMN tier STRING DEFAULT 'bronze'")
+    # post-column rows: one explicit value, one explicit NULL
+    eng.sql("INSERT INTO db.dflt VALUES "
+            "(3, 30, 'gold'), (4, 40, NULL)")
+    # and one INSERT omitting the column entirely → write-default
+    eng.sql("INSERT INTO db.dflt (k, v) VALUES (5, 50)")
+
+    rows = {r["k"]: r["tier"] for r in eng.sql(
+        "SELECT k, tier FROM db.dflt").collect()}
+    assert rows == {1: "bronze", 2: "bronze", 3: "gold",
+                    4: None, 5: "bronze"}
+
+    t = eng.load_table("db.dflt")
+    md2 = TableMetadata.loads(t.metadata.dumps())
+    f = md2.current_schema().field_by_name("tier")
+    assert f.initial_default == "bronze" and f.write_default == "bronze"
