@@ -99,6 +99,24 @@ class Catalog(ABC):
         loc = self._write_metadata_file(metadata)
         self._set_pointer(identifier, loc, expected_old=None)
 
+    def register_table(self, identifier: str, metadata_location: str):
+        """Register an EXISTING metadata document under a new catalog
+        identifier (Iceberg's registerTable): the pointer is set to the
+        given location without rewriting any metadata or data — the
+        migration path for adopting tables written by another catalog
+        (or recovered from a metadata-log entry). The document is read
+        first so a bad path fails here, not at first query. Returns the
+        loaded metadata."""
+        if self.table_exists(identifier):
+            raise TableAlreadyExistsError(identifier)
+        from iceberg_rust_archive_spark.object_store import store_for
+        doc = json.loads(store_for(metadata_location)
+                         .read_bytes(metadata_location).decode("utf-8"))
+        md = metadata_from_json(doc)
+        self._set_pointer(identifier, metadata_location,
+                          expected_old=None)
+        return md
+
     def update_tabular(self, identifier: str, new_metadata,
                        expected_location: str | None = None) -> str:
         """Write new metadata doc + CAS the pointer. Returns new location."""

@@ -2598,3 +2598,35 @@ def test_add_column_with_default(spark, tmp_path):
     md2 = TableMetadata.loads(t.metadata.dumps())
     f = md2.current_schema().field_by_name("tier")
     assert f.initial_default == "bronze" and f.write_default == "bronze"
+
+
+def test_register_table(spark, catalog, tmp_path):
+    """registerTable: adopt an existing metadata document under a new
+    identifier with zero rewrites — reads see identical data, commits
+    through the new identifier CAS forward from the adopted pointer,
+    and the original table object is unaffected."""
+    t = _mk_table(catalog, "orders_orig")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+
+    other = FileCatalog(str(tmp_path / "wh2"))
+    other.create_namespace("mirror")
+    other.register_table("mirror.orders", t.metadata_location)
+    m = Table.load(other, "mirror.orders")
+    assert _sums(m, spark) == _sums(t, spark) == {1: 7, 2: 1, 3: 3}
+
+    # a commit through the adopted identifier works (data dir shared)
+    m.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert _sums(m, spark) == {1: 9, 2: 2, 3: 4}
+    # the original catalog's pointer is untouched
+    assert _sums(t.refresh(), spark) == {1: 7, 2: 1, 3: 3}
+
+    # double-register refuses; bad path fails fast
+    import pytest as _pytest
+
+    from iceberg_rust_archive_spark.catalog.base import (
+        TableAlreadyExistsError,
+    )
+    with _pytest.raises(TableAlreadyExistsError):
+        other.register_table("mirror.orders", t.metadata_location)
+    with _pytest.raises(Exception):
+        other.register_table("mirror.nope", "/no/such/file.json")
