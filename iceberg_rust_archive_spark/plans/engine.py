@@ -36,7 +36,8 @@ Supported statements::
     SELECT ... FROM ns.t VERSION AS OF <id>|'<branch|tag>'
         | TIMESTAMP AS OF '<ts>'
     SELECT ... FROM ns.t.snapshots | .files | .manifests | .history
-        | .refs | .partitions | .entries
+        | .refs | .partitions | .entries | .position_deletes
+        | .all_files | .all_manifests | .metadata_log_entries
     CALL system.rewrite_manifests('ns.t') | system.compact('ns.t')
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
         | system.rewrite_position_deletes('ns.t')
@@ -46,8 +47,9 @@ Supported statements::
         | system.add_files('ns.t', '/path/f.parquet', ...)
         | system.rollback_to_snapshot('ns.t', id)
         | system.compute_partition_stats('ns.t')
-    EXPLAIN [FORMATTED|EXTENDED] <select>  (plan over engine relations)
+        | system.register_table('ns.new', '/path/vN.metadata.json')
         | system.create_changelog_view('ns.t'[, from[, to]])
+    EXPLAIN [FORMATTED|EXTENDED] <select>  (plan over engine relations)
     SELECT refresh_materialized_view('ns.mv')    (planner.rs:724-820)
     SELECT ...                                   (delegated to Spark SQL)
 
@@ -181,10 +183,17 @@ class Engine:
                         "float": "FLOAT", "boolean": "BOOLEAN",
                         "date": "DATE", "timestamp": "TIMESTAMP",
                         "timestamptz": "TIMESTAMPTZ", "binary": "BINARY"}
+            def _dflt(f):
+                d = getattr(f, "write_default", None)
+                if d is None:
+                    return ""
+                lit = f"'{d}'" if isinstance(d, str) else \
+                    str(d).upper() if isinstance(d, bool) else str(d)
+                return f" DEFAULT {lit}"
             cols = ",\n  ".join(
                 f"{f.name} "
                 f"{sql_type.get(f.field_type, str(f.field_type).upper()) if isinstance(f.field_type, str) else 'STRUCT'}"
-                f"{' NOT NULL' if f.required else ''}"
+                f"{' NOT NULL' if f.required else ''}{_dflt(f)}"
                 for f in schema.fields)
             ddl = (f"CREATE TABLE {m.group(1).lower()} (\n  {cols})\n"
                    f"USING ICEBERG")
@@ -301,6 +310,14 @@ class Engine:
             #   CALL system.expire_snapshots('ns.t', <older_than_ms>)
             from iceberg_rust_archive_spark import maintenance as mt
             proc, ident, rest = m.group(1).lower(), m.group(2), m.group(3)
+            if proc == "register_table":
+                # CALL system.register_table('ns.new', '/path/metadata.json')
+                paths = re.findall(r"'([^']+)'", rest or "")
+                if not paths:
+                    raise ValueError(
+                        "register_table needs a metadata location")
+                self.catalog.register_table(ident, paths[0])
+                return None
             t = self.load_table(ident)
             if proc == "rewrite_manifests":
                 mt.rewrite_manifests(t)
@@ -897,8 +914,25 @@ class Engine:
             name, sqltype = parts[0], parts[1]
             required = bool(re.search(r"not\s+null", sqltype, re.IGNORECASE))
             sqltype = re.sub(r"not\s+null", "", sqltype, flags=re.IGNORECASE)
+            # DEFAULT <lit> (v3, also emitted by SHOW CREATE TABLE so
+            # the round-trip DDL stays re-runnable)
+            default = None
+            dm = re.search(r"\s+default\s+(.+)$", sqltype, re.IGNORECASE)
+            if dm:
+                lit = dm.group(1).strip()
+                sqltype = sqltype[:dm.start()]
+                if lit[:1] in ("'", '"'):
+                    default = lit[1:-1]
+                elif lit.lower() in ("true", "false"):
+                    default = lit.lower() == "true"
+                elif re.fullmatch(r"-?\d+", lit):
+                    default = int(lit)
+                else:
+                    default = float(lit)
             fields.append(NestedField(i + 1, name,
-                                      _sql_type_to_iceberg(sqltype), required))
+                                      _sql_type_to_iceberg(sqltype), required,
+                                      initial_default=default,
+                                      write_default=default))
         schema = Schema(0, StructTypeSpec(tuple(fields)))
         part_by = [p.strip() for p in
                    re.split(r",(?![^()]*\))", part_sql or "") if p.strip()]

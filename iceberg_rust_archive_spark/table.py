@@ -493,8 +493,49 @@ class Table:
                 rows, "committed_at_ms long, snapshot_id long, "
                       "parent_id long, sequence_number long, "
                       "operation string, manifest_list string")
+        if kind == "metadata_log_entries":
+            rows = [(e.get("timestamp-ms"), e.get("metadata-file"))
+                    for e in md.metadata_log]
+            return spark.createDataFrame(
+                rows, "timestamp_ms long, file string")
         snap = md.current_snapshot()
         mlist = read_manifest_list(snap.manifest_list) if snap else []
+        if kind in ("all_manifests", "all_files", "all_entries"):
+            # ALL-snapshot variants (Iceberg's all_* tables): iterate
+            # every snapshot's manifest list, dedup by path so shared
+            # manifests appear once per referencing snapshot
+            rows = []
+            for s in sorted(md.snapshots.values(),
+                            key=lambda s: s.sequence_number):
+                for m in read_manifest_list(s.manifest_list):
+                    rows.append((s.snapshot_id, m))
+            if kind == "all_manifests":
+                out = [(sid, m.manifest_path, m.content,
+                        m.sequence_number, m.added_files_count,
+                        m.existing_files_count) for sid, m in rows]
+                return spark.createDataFrame(
+                    out, "ref_snapshot_id long, path string, "
+                         "content int, sequence_number long, "
+                         "added_files_count int, "
+                         "existing_files_count int")
+            seen: dict[str, list] = {}
+            for sid, m in rows:
+                seen.setdefault(m.manifest_path, []).append(sid)
+            paths = list(seen)
+            out = []
+            for path, es in zip(paths, read_manifests(paths)):
+                for e in es:
+                    if kind == "all_files" and e.status == 2:
+                        continue
+                    for sid in seen[path]:
+                        out.append((sid, e.status, e.data_file.content,
+                                    e.data_file.file_path,
+                                    e.data_file.record_count,
+                                    e.sequence_number))
+            return spark.createDataFrame(
+                out, "ref_snapshot_id long, status int, content int, "
+                     "file_path string, record_count long, "
+                     "sequence_number long")
         if kind == "manifests":
             rows = [(m.manifest_path, m.manifest_length,
                      m.partition_spec_id, m.content, m.sequence_number,

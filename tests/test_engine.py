@@ -2630,3 +2630,44 @@ def test_register_table(spark, catalog, tmp_path):
         other.register_table("mirror.orders", t.metadata_location)
     with _pytest.raises(Exception):
         other.register_table("mirror.nope", "/no/such/file.json")
+
+
+def test_all_snapshot_metadata_tables_and_register_sql(spark, catalog,
+                                                       tmp_path):
+    """all_manifests/all_files span every snapshot; metadata_log_entries
+    lists the document history; SHOW CREATE TABLE emits DEFAULT and the
+    DDL re-runs; CALL system.register_table adopts a metadata path."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    t = _mk_table(catalog, "orders_allmeta")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+
+    am = t.inspect(spark, "all_manifests")
+    assert am.select("ref_snapshot_id").distinct().count() == 2
+    af = t.inspect(spark, "all_files")
+    # snapshot 1 sees BATCH1's files; snapshot 2 sees both batches'
+    from pyspark.sql import functions as F
+    per_snap = {r["ref_snapshot_id"]: r["n"] for r in
+                af.groupBy("ref_snapshot_id")
+                .agg(F.count("*").alias("n")).collect()}
+    assert sorted(per_snap.values())[-1] > min(per_snap.values())
+    ml = t.inspect(spark, "metadata_log_entries")
+    assert ml.count() >= 1
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.d (k INT, tier STRING DEFAULT 'bronze')")
+    eng.sql("INSERT INTO db.d (k) VALUES (1)")
+    assert eng.sql("SELECT tier FROM db.d").collect()[0][0] == "bronze"
+    ddl = eng.sql("SHOW CREATE TABLE db.d").collect()[0][0]
+    assert "DEFAULT 'bronze'" in ddl
+    eng.sql(ddl.replace("db.d", "db.d2"))  # re-runnable
+    f = eng.load_table("db.d2").metadata.current_schema() \
+        .field_by_name("tier")
+    assert f.write_default == "bronze"
+
+    eng.sql(f"CALL system.register_table('db.adopted', "
+            f"'{t.metadata_location}')")
+    assert eng.sql("SELECT count(*) AS n FROM db.adopted") \
+        .collect()[0][0] == len(BATCH1) + len(BATCH2)
