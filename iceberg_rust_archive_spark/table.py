@@ -298,12 +298,31 @@ class Table:
                 pd_schema = StructType([
                     StructField("file_path", StringType()),
                     StructField("pos", LongType())])
-                pairs = (spark.read.schema(pd_schema).parquet(
-                    *[e.data_file.file_path for e in added_pos])
-                    .select(F.regexp_replace("file_path", "^file:/+", "/")
-                            .alias("__fp"),
-                            F.col("pos").alias("__pos"))
-                    .dropDuplicates())
+                pq_pos = [e for e in added_pos
+                          if (e.data_file.file_format or "").lower()
+                          != "puffin"]
+                dv_pos = [e for e in added_pos
+                          if (e.data_file.file_format or "").lower()
+                          == "puffin"]
+                pair_parts = []
+                if pq_pos:
+                    pair_parts.append(
+                        spark.read.schema(pd_schema).parquet(
+                            *[e.data_file.file_path for e in pq_pos])
+                        .select(F.regexp_replace("file_path",
+                                                 "^file:/+", "/")
+                                .alias("__fp"),
+                                F.col("pos").alias("__pos")))
+                if dv_pos:
+                    from iceberg_rust_archive_spark.operators.scan import (
+                        dv_pairs_df,
+                    )
+                    pair_parts.append(dv_pairs_df(
+                        spark, [e.data_file for e in dv_pos]))
+                pairs = pair_parts[0]
+                for pp in pair_parts[1:]:
+                    pairs = pairs.unionByName(pp)
+                pairs = pairs.dropDuplicates()
                 targets = [r["__fp"] for r in
                            pairs.select("__fp").distinct().collect()]
                 if targets:

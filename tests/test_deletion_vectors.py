@@ -170,3 +170,17 @@ def test_position_deletes_metadata_table(spark, catalog):
             for e in es if e.data_file.content == 0}
     for r in rows:
         assert r["file_path"] in live
+
+
+def test_changelog_resolves_dv_deletes(spark, catalog):
+    """Table.changes() resolves deletion-vector position deletes to the
+    removed ROWS, same as parquet pairs — the CDC surface is
+    delete-format agnostic."""
+    t = _mk_table(catalog, "orders_dvcdc")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("customer_id") == 1, use_dv=True)
+    ch = t.changes(spark).collect()
+    dels = {r["id"] for r in ch if r["_change_type"] == "delete"}
+    ins = {r["id"] for r in ch if r["_change_type"] == "insert"}
+    assert ins == {1, 2, 3, 4, 5, 6}
+    assert dels == {1, 4, 5}  # the customer-1 rows
