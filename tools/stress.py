@@ -332,6 +332,63 @@ def distributed_plan_latency(spark):
                   f"distributed={out['distributed'][1]:.2f}s")
 
 
+def dv_roundtrip_scale(spark, sf_dir: str, amp: int):
+    """Deletion-vector probe (r7): delete ~10% of an amplified orders
+    table via DVs, then scan. Measures (a) bitmap encode wall time —
+    executor-side applyInPandas, one group per data file, (b) the
+    merged anti-join scan, (c) bytes per deleted position (roaring
+    density). The 100 TB property: DV bytes scale with DELETED rows
+    (compressed), never with table rows, and decode parallelism is one
+    task per DV."""
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "o_orderkey", "long", True),
+        NestedField(2, "o_totalprice", "double", True))))
+    with tempfile.TemporaryDirectory() as d:
+        cat = FileCatalog(d)
+        t = Table.create(cat, "db.dv_scale", schema, PartitionSpec(0, ()))
+        src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+               .select("o_orderkey", "o_totalprice"))
+        reps = spark.range(amp).withColumnRenamed("id", "_r")
+        big = (src.crossJoin(F.broadcast(reps))
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.col("_r") * 10_000_000)
+               .drop("_r").repartition(32))
+        t.append(spark, big)
+        n = big.count()
+        t0 = _t.perf_counter()
+        t.delete_where_pos(spark, F.col("o_orderkey") % 10 == 3,
+                           use_dv=True)
+        enc = _t.perf_counter() - t0
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest, read_manifest_list,
+        )
+        dv_bytes = dv_rows = n_dvs = 0
+        for m in read_manifest_list(
+                t.metadata.current_snapshot().manifest_list):
+            for e in read_manifest(m.manifest_path):
+                if e.data_file.content == 1 and                         e.data_file.file_format == "puffin":
+                    n_dvs += 1
+                    dv_bytes += e.data_file.content_size_in_bytes
+                    dv_rows += e.data_file.record_count
+        t0 = _t.perf_counter()
+        survivors = t.scan(spark).count()
+        scan_s = _t.perf_counter() - t0
+        assert survivors == n - dv_rows
+        print(f"dv @ {amp}x: {n} rows, {dv_rows} deleted across "
+              f"{n_dvs} DVs, {dv_bytes} bitmap bytes "
+              f"({dv_bytes / max(dv_rows, 1):.2f} B/pos); "
+              f"encode={enc:.1f}s scan={scan_s:.1f}s")
+
+
 def mv_refresh_loop(spark, sf_dir: str, n_refreshes: int = 5):
     """Chain-growth probe for the INCR_AGG refresh loop (r5 verdict #8):
     run ``n_refreshes`` incremental refreshes and print the storage-table
@@ -422,5 +479,6 @@ if __name__ == "__main__":
     lsh_occupancy(spark, sf_dir, amp)
     manifest_fetch_latency()
     distributed_plan_latency(spark)
+    dv_roundtrip_scale(spark, sf_dir, amp)
     mv_refresh_loop(spark, sf_dir)
     q21_shape(spark, sf_dir, amp)
