@@ -172,7 +172,13 @@ def _text_analysis_suite(s: SparkSession, d: str) -> DataFrame:
         F.col("max_units").cast("string").alias("k2"),
         F.col("n_chunks").alias("c1"),
         F.col("sum_units").cast("double").alias("stat"))
-    return lang.unionByName(fp).unionByName(tf).unionByName(ch)
+    tp = clustering.cluster_topics(s, d).select(
+        F.lit("topic").alias("branch"),
+        F.col("cid").cast("string").alias("k1"),
+        F.col("w").alias("k2"), F.col("rank").cast("long").alias("c1"),
+        F.col("tfidf").alias("stat"))
+    return (lang.unionByName(fp).unionByName(tf).unionByName(ch)
+            .unionByName(tp))
 
 
 def _events_pivot_approx(s: SparkSession, d: str) -> DataFrame:
@@ -488,6 +494,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max_units AS VARCHAR), n_chunks,
                    CAST(sum_units AS DOUBLE)
             FROM ({o.pop('document_chunk_summary')})
+            UNION ALL
+            SELECT 'topic', CAST(cid AS VARCHAR), w,
+                   CAST(rank AS BIGINT), tfidf
+            FROM ({o.pop('cluster_topics')})
         """,
         "events_pivot_approx": f"""
             SELECT 'pivot' AS branch, CAST(decile AS VARCHAR) AS key,

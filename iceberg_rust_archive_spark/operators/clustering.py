@@ -248,3 +248,72 @@ ORACLE_SQL = {
         WHERE cosine >= {SEMDEDUP_THRESHOLD}
     """,
 }
+
+
+def cluster_topics(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
+                   top_n: int = 3) -> DataFrame:
+    """Cluster-then-describe: assign document embeddings to the
+    deterministic init centroids, then label each cluster with its
+    top-``top_n`` TF-IDF terms (tf within the cluster's concatenated
+    docs; idf over clusters). The cross-modal curation view — "what IS
+    cluster 3" — pairing SemDeDup's geometry with the text surface.
+
+    Shape: assignment is the join-free Arrow kernel; the text side is
+    the same explode→(cid, word) aggregate as text_tfidf_top_terms with
+    source replaced by cid, so everything after assignment is JVM-side
+    and partially aggregates map-side."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from iceberg_rust_archive_spark.operators.text import _WORDS
+    from iceberg_rust_archive_spark.session import read_parallel
+
+    vecs = _vectors(spark, sf_dir)
+    cents = _init_centroids(vecs, k)
+    assign = _assign_ids(vecs, cents)
+    docs = read_parallel(
+        spark, os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+    tagged = docs.join(assign.withColumnRenamed("vec_id", "doc_id"),
+                       "doc_id")
+    words = (tagged.withColumn("ws", F.expr(_WORDS))
+             .select("cid", F.explode("ws").alias("w")))
+    tf = words.groupBy("cid", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_clusters = tagged.select("cid").distinct().count()
+    dfc = tf.groupBy("w").agg(F.countDistinct("cid").alias("n_c"))
+    scored = (tf.join(dfc, "w")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_clusters))
+                                      / F.col("n_c")), 6)))
+    win = Window.partitionBy("cid").orderBy(
+        F.col("tfidf").desc(), F.col("w"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= top_n)
+            .select("cid", "w", "tfidf", "rank")
+            .orderBy("cid", "rank"))
+
+
+_TOPIC_WORDS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+                "w -> w != '')")
+ORACLE_SQL["cluster_topics"] = f"""
+    WITH n AS ({_N}),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+          WHERE vec_id < {KMEANS_K}),
+    assign AS ({_ASSIGN}),
+    members AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    tagged AS (
+      SELECT m.cid, d.text FROM documents d
+      JOIN members m ON d.doc_id = m.vec_id),
+    words AS (SELECT cid, unnest({_TOPIC_WORDS}) AS w FROM tagged),
+    tf AS (SELECT cid, w, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfc AS (SELECT w, count(DISTINCT cid) AS n_c FROM tf GROUP BY w),
+    nc AS (SELECT count(DISTINCT cid) AS n FROM tagged),
+    scored AS (
+      SELECT cid, w, round(tf * ln(nc.n::DOUBLE / n_c), 6) AS tfidf
+      FROM tf JOIN dfc USING (w) CROSS JOIN nc)
+    SELECT cid, w, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY cid
+                 ORDER BY tfidf DESC, w) AS rank FROM scored
+    ) WHERE rank <= 3
+"""

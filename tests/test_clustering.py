@@ -103,3 +103,22 @@ def test_trained_centroids_drop_into_ivf_shape(spark):
     n = vecs.count()
     assert cells.count() == n
     assert cells.select("vec_id").distinct().count() == n
+
+
+def test_cluster_topics_labels_every_cluster(spark):
+    """cluster_topics yields ≤ top_n ranked terms per populated
+    cluster with distinct terms per cluster and ranks 1..n."""
+    out = clustering.cluster_topics(spark, SF_DIR, top_n=3).collect()
+    assert out
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    for cid, rows in by_cid.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        terms = [r["w"] for r in rows]
+        assert len(terms) == len(set(terms))
+        # ordered by tfidf desc
+        tfidfs = [r["tfidf"] for r in sorted(rows,
+                                             key=lambda r: r["rank"])]
+        assert tfidfs == sorted(tfidfs, reverse=True)
