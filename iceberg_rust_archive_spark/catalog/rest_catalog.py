@@ -224,6 +224,20 @@ class RestCatalog(Catalog):
         self._request("POST", f"namespaces/{ns}/views", body,
                       conflict_exc=TableAlreadyExistsError)
 
+    def register_table(self, identifier: str, metadata_location: str):
+        """Spec RegisterTableRequest (POST
+        /v1/namespaces/{ns}/register): the server adopts an existing
+        metadata document under the new name — no metadata rewrite."""
+        ns, name = parse_identifier(identifier)
+        resp = self._request(
+            "POST", f"namespaces/{ns}/register",
+            {"name": name, "metadata-location": metadata_location},
+            conflict_exc=TableAlreadyExistsError)
+        from iceberg_rust_archive_spark.catalog.base import (
+            metadata_from_json,
+        )
+        return metadata_from_json(resp["metadata"])
+
     # --- commit ----------------------------------------------------------
     def update_tabular(self, identifier: str, new_metadata,
                        expected_location: str | None = None) -> str:

@@ -125,6 +125,25 @@ def _make_handler(state: _State):
                 if p == ["namespaces"]:
                     state.namespaces.add(".".join(body["namespace"]))
                     self._send(200, {})
+                elif len(p) == 3 and p[2] == "register":
+                    # spec RegisterTableRequest: adopt an existing
+                    # metadata document at its current location
+                    store = _store("tables", state)
+                    key = (p[1], body["name"])
+                    if key in store:
+                        self._send(409, {"error": "already exists"})
+                        return
+                    loc = body["metadata-location"]
+                    from iceberg_rust_archive_spark.catalog.base import (
+                        metadata_from_json,
+                    )
+                    from iceberg_rust_archive_spark.object_store import (
+                        store_for,
+                    )
+                    md = metadata_from_json(json.loads(
+                        store_for(loc).read_bytes(loc).decode()))
+                    store[key] = (loc, md)
+                    self._send(200, self._load_result(loc, md))
                 elif len(p) == 3 and p[2] in ("tables", "views"):
                     self._create(p[2], p[1], body)
                 elif len(p) == 4 and p[2] in ("tables", "views"):
@@ -392,3 +411,34 @@ def test_rest_unauthenticated_rejected(auth_rest_server, tmp_path):
     cat = RestCatalog(base)
     with pytest.raises(RuntimeError, match="401"):
         cat.create_namespace("db")
+
+
+def test_rest_register_table(rest_server, spark, tmp_path):
+    """Spec register endpoint: a FileCatalog-written table adopts into
+    the REST catalog by metadata location only; reads see the same
+    rows and commits proceed through the REST protocol."""
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.catalog.base import (
+        TableAlreadyExistsError,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    src_cat = FileCatalog(str(tmp_path / "wh"))
+    src_cat.create_namespace("db")
+    t = Table.create(src_cat, "db.src", _schema(), PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(1, "a"), (2, "b")],
+                                          ["k", "v"]))
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("adopted")
+    md = cat.register_table("adopted.t", t.metadata_location)
+    assert md.table_uuid == t.metadata.table_uuid
+
+    m = Table.load(cat, "adopted.t")
+    assert sorted(r["k"] for r in m.scan(spark).collect()) == [1, 2]
+    m.append(spark, spark.createDataFrame([(3, "c")], ["k", "v"]))
+    assert sorted(r["k"] for r in m.scan(spark).collect()) == [1, 2, 3]
+
+    with pytest.raises(TableAlreadyExistsError):
+        cat.register_table("adopted.t", t.metadata_location)
