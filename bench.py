@@ -70,9 +70,18 @@ def main():
               file=sys.stderr)
 
     total = round(sum(mins.values()), 3)
-    print(json.dumps({"metric": "total_query_time", "value": total,
+    # Full per-query maps first (may exceed the driver's 2000-char tail
+    # capture), then the compact headline as the LAST stdout line so the
+    # driver's tail parse always finds a valid JSON object (r7 verdict #2:
+    # BENCH_r05/r07 recorded "parsed": null because the single fat line
+    # outgrew the capture window).
+    print(json.dumps({"metric": "total_query_time_detail", "value": total,
                       "unit": "sec", "queries": mins,
                       "queries_mean": means, "reps": REPS,
+                      "sf": float(sf)}))
+    top5 = dict(sorted(mins.items(), key=lambda kv: -kv[1])[:5])
+    print(json.dumps({"metric": "total_query_time", "value": total,
+                      "unit": "sec", "queries": top5, "reps": REPS,
                       "sf": float(sf)}))
 
 

@@ -83,9 +83,12 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 def _single_value_bytes(value, iceberg_type: str) -> bytes:
     """Iceberg single-value binary serialization for hashing
-    (values.rs:102-127): int/long/date/time/timestamp → 8-byte LE long,
+    (values.rs:102-127, each type via its own ``to_le_bytes``):
+    int/date → 4-byte LE, long/time/timestamp → 8-byte LE,
     string → UTF-8, decimal → minimal big-endian two's complement,
-    uuid → 16 bytes, binary/fixed → raw."""
+    uuid → 16 bytes, binary/fixed → raw.  Note int and long therefore
+    hash (and bucket) DIFFERENTLY for the same numeric value — the
+    reference serializes ``Value::Int`` as i32, not widened to i64."""
     t = iceberg_type
     if t == "int":
         return struct.pack("<i", int(value))

@@ -166,6 +166,13 @@ def test_bucket_matches_reference_semantics():
     assert bucket_value(34, 16, "long") == expected_long
     assert bucket_value("iceberg", 16, "string") == \
         murmur3_32(b"iceberg") % 16
+    # int and long buckets DIVERGE for the same numeric value: the
+    # reference serializes Value::Int as i32 (values.rs:112), not widened
+    # to i64 — pin the byte layout so a future "fix" can't silently break
+    # bucket-partition compatibility with reference-written tables.
+    assert struct.pack("<i", 34) != struct.pack("<q", 34)
+    assert bucket_value(34, 1 << 20, "int") != bucket_value(34, 1 << 20, "long")
+    assert bucket_value(34, 1 << 20, "date") == bucket_value(34, 1 << 20, "int")
 
 
 def test_truncate():
