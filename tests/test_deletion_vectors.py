@@ -44,6 +44,66 @@ def test_roaring_roundtrip_shapes():
             == sorted(set(c))
 
 
+def test_dv_blob_spec_framing():
+    """Pin the v3 deletion-vector-v1 blob layout so spec-compliant
+    external readers can decode: u32 BE len(magic+vector), magic
+    D1 D3 39 64, portable-64 vector (u64 LE bitmap count · u32 LE key ·
+    standard 32-bit page, no byte-length field), u32 BE CRC-32C."""
+    import struct
+
+    from iceberg_rust_archive_spark.sources.roaring import (
+        DV_MAGIC, SERIAL_COOKIE_NO_RUN, crc32c,
+    )
+    blob = serialize_positions([1, 5, (3 << 32) + 9])
+    (body_len,) = struct.unpack_from(">I", blob, 0)
+    assert blob[4:8] == DV_MAGIC == bytes((0xD1, 0xD3, 0x39, 0x64))
+    assert len(blob) == 4 + body_len + 4
+    body = blob[4:4 + body_len]
+    (crc,) = struct.unpack_from(">I", blob, 4 + body_len)
+    assert crc == crc32c(body)
+    # vector: 2 bitmaps (high keys 0 and 3), each a standard page
+    (n_maps,) = struct.unpack_from("<Q", blob, 8)
+    assert n_maps == 2
+    (key0,) = struct.unpack_from("<I", blob, 16)
+    (cookie0,) = struct.unpack_from("<I", blob, 20)
+    assert key0 == 0 and cookie0 == SERIAL_COOKIE_NO_RUN
+
+
+def test_crc32c_known_vector():
+    # the canonical CRC-32C check value (RFC 3720 appendix / Castagnoli)
+    from iceberg_rust_archive_spark.sources.roaring import crc32c
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_dv_blob_accepts_zlib_crc_and_rejects_garbage():
+    import struct
+    import zlib
+
+    from iceberg_rust_archive_spark.sources.roaring import DV_MAGIC
+    blob = serialize_positions([10, 20, 99999])
+    (body_len,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4:4 + body_len]
+    # Delta-lineage writers checksum with java.util.zip.CRC32 — accept
+    alt = blob[:4 + body_len] + struct.pack(">I", zlib.crc32(body))
+    assert deserialize_positions(alt) == [10, 20, 99999]
+    bad = blob[:4 + body_len] + struct.pack(">I", (zlib.crc32(body) ^ 1))
+    with pytest.raises(ValueError, match="checksum"):
+        deserialize_positions(bad)
+
+
+def test_dv_legacy_pre_r8_framing_still_decodes():
+    import struct
+
+    from iceberg_rust_archive_spark.sources.roaring import _serialize32
+    # pre-r8 engine framing: u64 LE bucket count · per bucket u32 key,
+    # u32 byte-length, page — tables written by earlier rounds must read
+    vals = [3, 7, 65540]
+    page = _serialize32(vals)
+    legacy = struct.pack("<Q", 1) + struct.pack("<II", 0, len(page)) + page
+    assert deserialize_positions(legacy) == vals
+
+
 def test_roaring_bitmap_container_density():
     # a dense 64k block serializes as one 8 KiB bitmap container, not
     # 128 KiB of u16 arrays
