@@ -108,9 +108,32 @@ class RestCatalog(Catalog):
                 f"{e.read()[:300]!r}") from None
         self.token = out["access_token"]
 
+    @staticmethod
+    def _error_detail(raw: bytes) -> str:
+        """Spec ErrorModel conformance: error responses carry
+        ``{"error": {"message", "type", "code"}}`` (rest-catalog-open-
+        api.yaml ErrorModel; catalog.rs surfaces the same struct).
+        Returns ``"Type: message"`` when the body conforms, the raw
+        bytes otherwise (legacy/non-spec servers)."""
+        try:
+            doc = json.loads(raw)
+            err = doc.get("error")
+            if isinstance(err, dict):
+                typ = err.get("type") or ""
+                msg = err.get("message") or ""
+                return f"{typ}: {msg}".strip(": ") or repr(raw[:300])
+        except (ValueError, AttributeError):
+            pass
+        return repr(raw[:300])
+
     def _request(self, method: str, path: str, body: dict | None = None,
-                 conflict_exc: type[Exception] = CommitFailedError):
+                 conflict_exc: type[Exception] = CommitFailedError,
+                 params: dict | None = None):
+        import urllib.parse
         url = f"{self.base_url}/v1/{path}"
+        if params:
+            url += "?" + urllib.parse.urlencode(
+                {k: v for k, v in params.items() if v is not None})
         data = json.dumps(body).encode() if body is not None else None
         if self.token is None and self.credential:
             self._fetch_token()
@@ -125,18 +148,33 @@ class RestCatalog(Catalog):
                     payload = resp.read()
                     return json.loads(payload) if payload else None
             except urllib.error.HTTPError as e:
-                detail = e.read()[:300]
+                detail = self._error_detail(e.read())
                 if e.code == 401 and self.credential and attempt == 0:
                     # token expired/revoked server-side: one refresh +
                     # replay, then surface the failure
                     self._fetch_token()
                     continue
                 if e.code == 404:
-                    raise NoSuchTableError(path) from None
+                    raise NoSuchTableError(f"{path}: {detail}") from None
                 if e.code == 409:
-                    raise conflict_exc(f"{path}: {detail!r}") from None
+                    raise conflict_exc(f"{path}: {detail}") from None
                 raise RuntimeError(
                     f"{method} {url} -> {e.code}: {detail}") from None
+
+    def _paged(self, path: str, key: str) -> list:
+        """Drain a paginated listing route: follow ``next-page-token``
+        until the server stops returning one (catalog.rs's generated
+        client loops the same way; servers that ignore pagination just
+        answer everything with no token — one round trip)."""
+        out: list = []
+        token = None
+        while True:
+            resp = self._request("GET", path, params={
+                "pageToken": token, "pageSize": self.page_size}) or {}
+            out.extend(resp.get(key, []))
+            token = resp.get("next-page-token")
+            if not token:
+                return out
 
     # --- namespaces ------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:

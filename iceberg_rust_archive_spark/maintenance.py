@@ -594,6 +594,13 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
         parent_snapshot_id=snap.snapshot_id,
         schema_id=md.current_schema_id)
     new_md = md.with_snapshot(snapshot, branch)
+    if any(f.file_format == "puffin" for f in new_files) \
+            and new_md.format_version < 3:
+        # deletion vectors are a v3 construct — converting parquet
+        # position deletes to DVs bumps format-version with the commit
+        # (same gate as Transaction.commit)
+        import dataclasses as _dc
+        new_md = _dc.replace(new_md, format_version=3)
     table.catalog.update_tabular(table.identifier, new_md,
                                  table.metadata_location)
     return table.refresh()

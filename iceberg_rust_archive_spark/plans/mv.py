@@ -8,11 +8,15 @@ shape (window fns, DISTINCT, outer joins, subqueries, non-incremental
 aggregates) ⇒ FULL overwrite; ORDER BY ⇒ overwrite (storage order is
 meaningless, the reference calls this IncrementalOverwrite); plain
 SELECT-FROM-JOIN-WHERE ⇒ incremental append; + GROUP BY over
-sum/count/min/max ⇒ incremental aggregate merge. UNION queries
-classify FULL here: the reference's δ(A∪B)=δA∪δB rule needs per-branch
-delta plans, while this driver's pass machinery re-runs the WHOLE SQL
-per source binding — for a union that would re-emit the other branch's
-rows every pass, so the (always-correct) recompute is used instead.
+sum/count/min/max ⇒ incremental aggregate merge. Top-level UNION ALL
+of plain SELECT-FROM-JOIN-WHERE branches refreshes incrementally via
+the reference's distribution rule δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ
+(transform.rs:85-100, 287-297): the pass machinery binds per BRANCH —
+each stale source's PosDelta pass re-runs only its own branch's SQL,
+so the other branches' rows are never re-emitted — and the branch
+deltas union into one append. Bare UNION (distinct), aggregate
+branches, or non-append source history still classify FULL
+(dedup/merge across branches is not delta-distributable in general).
 
 PosDelta (transform.rs:27-213): with append-only sources, the delta of a
 multilinear plan (σ, π, ⋈, ∪ all distribute over appends) expands to
@@ -44,7 +48,8 @@ from iceberg_rust_archive_spark.catalog.base import (
     Catalog, NoSuchTableError,
 )
 from iceberg_rust_archive_spark.plans.sqlparse import (
-    ParsedSelect, parse_select, rewrite_relations, strip_order_by,
+    ParsedSelect, parse_select, rewrite_relations, split_union,
+    strip_order_by,
 )
 from iceberg_rust_archive_spark.spec.partition import PartitionSpec
 from iceberg_rust_archive_spark.spec.schema import Schema
@@ -299,6 +304,16 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     if not isinstance(mv, MaterializedViewMetadata):
         raise TypeError(f"{identifier} is not a materialized view")
     sql = _expand_view_refs(catalog, mv.sql)
+    # δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ: a top-level UNION ALL of incremental-append
+    # branches refreshes per branch (transform.rs:85-100). Returns None
+    # when the shape doesn't qualify — the normal path below then runs
+    # the always-correct recompute (the union text classifies FULL).
+    branches, union_kind = split_union(strip_order_by(sql))
+    if len(branches) > 1:
+        out = _refresh_union_all_mv(spark, catalog, mv, branches,
+                                    union_kind, branch)
+        if out is not None:
+            return out
     # storage layout: avg(E) decomposes into persisted sum/count pairs
     # (reads re-derive avg); parsed/classification run on that form
     run_sql, parsed, _avg_proj = storage_plan(sql)
@@ -613,6 +628,112 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     upserts.unpersist()
     _maybe_compact_storage(spark, catalog, mv, branch)
     return strategy
+
+
+def _refresh_union_all_mv(spark: SparkSession, catalog: Catalog,
+                          mv: MaterializedViewMetadata,
+                          branches: list[str], union_kind: str | None,
+                          branch: str | None) -> str | None:
+    """Incremental refresh for a top-level UNION ALL MV — the
+    reference's δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ distribution (delta_queries/
+    transform.rs:85-100, 193-196, 287-297), realized by binding the
+    PosDelta pass machinery PER BRANCH: each stale source's pass
+    re-runs only its own branch's SQL against (new…, δ, …old) snapshot
+    scans, so a pass never re-emits the other branches' rows, and the
+    union of branch deltas is one append to the storage table.
+
+    Returns the strategy string when it handled the refresh, or None
+    to fall back to the generic path (which classifies the union text
+    FULL — always correct) when the shape doesn't qualify:
+
+    - bare UNION dedups ACROSS branches — appending δB₁ could
+      re-introduce a row already contributed by B₂, so only UNION ALL
+      distributes;
+    - aggregate branches produce per-branch group rows whose merge
+      isn't an append (and two branches may legitimately emit the same
+      key), so every branch must classify IncrementalAppend;
+    - non-append source history invalidates the append-only delta
+      expansion, exactly as in the single-branch path;
+    - a first refresh has no deltas to take (and must create storage
+      from the full union)."""
+    if union_kind != "all":
+        return None
+    parsed_branches = [parse_select(b) for b in branches]
+    if any(classify(pb) != INCR_APPEND for pb in parsed_branches):
+        return None
+    try:
+        storage = Table.load(catalog, mv.storage_table)
+    except NoSuchTableError:
+        return None
+    snap = storage.metadata.current_snapshot()
+    if snap is None or REFRESH_STATE_KEY not in snap.summary:
+        return None
+    old_state = RefreshState.from_json_str(snap.summary[REFRESH_STATE_KEY])
+
+    # one SourceState per distinct table — a table may feed several
+    # branches; its delta is taken independently inside each
+    state_by_name: dict[str, SourceState] = {}
+    for pb in parsed_branches:
+        for name in pb.relations:
+            key = name.lower()
+            if key not in state_by_name:
+                t = Table.load(catalog, key)
+                state_by_name[key] = SourceState(
+                    name, t,
+                    old_state.snapshot_for(t.metadata.table_uuid))
+    sources = list(state_by_name.values())
+    if any(s.old_snapshot_id is None for s in sources):
+        return None
+    if all(s.fresh for s in sources):
+        return "Fresh"
+    if any(s.invalid for s in sources):
+        return None  # deletes/replaces since → generic FULL recompute
+
+    new_state = RefreshState(
+        refresh_version_id=mv.current_version_id,
+        source_table_states=tuple(
+            SourceTableState(s.table.metadata.table_uuid, "main",
+                             s.current_snapshot_id or -1)
+            for s in sources))
+
+    def run_branch(b_sql: str, bindings: dict[str, DataFrame]) -> DataFrame:
+        mapping = {}
+        for name, df in bindings.items():
+            vn = _view_name(name, "v")
+            df.createOrReplaceTempView(vn)
+            mapping[name.lower()] = vn
+        return spark.sql(rewrite_relations(b_sql, mapping))
+
+    # UNION column names come from the FIRST branch; later branches
+    # align by POSITION — rename each delta to the storage layout
+    storage_cols = [f.name for f in
+                    storage.metadata.current_schema().fields]
+    delta: DataFrame | None = None
+    for b_sql, pb in zip(branches, parsed_branches):
+        bsources = [state_by_name[n.lower()] for n in pb.relations]
+        for i, src in enumerate(bsources):
+            if src.fresh:
+                continue
+            bindings: dict[str, DataFrame] = {}
+            for j, other in enumerate(bsources):
+                if other.name == src.name:
+                    bindings[other.name] = other.table.scan(
+                        spark, from_snapshot_id=other.old_snapshot_id)
+                elif j < i:
+                    bindings[other.name] = other.table.scan(spark)
+                else:
+                    bindings[other.name] = other.table.scan(
+                        spark, snapshot_id=other.old_snapshot_id)
+            d = run_branch(b_sql, bindings).toDF(*storage_cols)
+            delta = d if delta is None else delta.unionByName(d)
+    assert delta is not None, "stale sources but no branch pass ran"
+
+    files = _write(spark, storage, delta)
+    txn = storage.new_transaction(branch).append_files(files) \
+        .set_refresh_state(new_state.to_json_str())
+    txn.commit_with_retry(lambda t: t.append_files(files)
+                          .set_refresh_state(new_state.to_json_str()))
+    return INCR_APPEND
 
 
 # Auto-compact the MV storage table once this many delete MANIFESTS

@@ -159,6 +159,56 @@ def parse_select(sql: str) -> ParsedSelect:
     return p
 
 
+def split_union(sql: str) -> tuple[list[str], str | None]:
+    """Split a TOP-LEVEL ``UNION [ALL]`` query into its branches.
+
+    Returns ``([sql], None)`` when no top-level union exists, else
+    ``(branches, kind)`` with ``kind`` = ``'all'`` when every connector
+    is UNION ALL, ``'distinct'`` otherwise (a single bare UNION makes
+    the whole chain distinct-deduplicating, so the incremental rewrite
+    must not touch it). Unions inside parentheses (subqueries) and
+    string literals are ignored — they belong to a nested scope."""
+    text = sql.strip().rstrip(";")
+    parts: list[str] = []
+    kinds: list[str] = []
+    depth, i, n, cur_start = 0, 0, len(text), 0
+    in_str: str | None = None
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and ch in "uU":
+            m = re.match(r"union\b(\s+all\b)?", text[i:], re.IGNORECASE)
+            prev = text[i - 1] if i else " "
+            if m and not (prev.isalnum() or prev == "_"):
+                parts.append(text[cur_start:i])
+                kinds.append("all" if m.group(1) else "distinct")
+                i += m.end()
+                cur_start = i
+                continue
+        i += 1
+    if not parts:
+        return [text], None
+    parts.append(text[cur_start:])
+    kind = "all" if all(k == "all" for k in kinds) else "distinct"
+    return [p.strip() for p in parts], kind
+
+
 def strip_order_by(sql: str) -> str:
     return re.sub(r"\border\s+by\b.*$", "", sql.strip().rstrip(";"),
                   flags=re.IGNORECASE | re.DOTALL).strip()

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_rust_archive_spark.functions.transforms import transform_column
+from iceberg_rust_archive_spark.object_store import store_for
 from iceberg_rust_archive_spark.spec.manifest import (
     CONTENT_DATA, CONTENT_EQUALITY_DELETES, DataFile,
 )
@@ -355,8 +356,8 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     empties = [f for f in harvested if f.record_count == 0]
     for f in empties:
         try:
-            os.remove(f.file_path)
-        except OSError:
+            store_for(f.file_path).remove(f.file_path)
+        except FileNotFoundError:
             pass
     return [f for f in harvested if f.record_count > 0]
 
@@ -408,7 +409,9 @@ def write_position_deletes(spark: SparkSession, md: TableMetadata,
 
 
 def write_deletion_vectors(spark: SparkSession, md: TableMetadata,
-                           hits: DataFrame) -> list[DataFile]:
+                           hits: DataFrame,
+                           merge_dvs: list[DataFile] | None = None
+                           ) -> list[DataFile]:
     """Write (file_path, pos) hits as **deletion vectors** (Iceberg v3
     shape): ONE roaring position bitmap per referenced data file, all
     bitmaps packed into ONE Puffin file per commit, each exposed as a
@@ -422,21 +425,39 @@ def write_deletion_vectors(spark: SparkSession, md: TableMetadata,
     is one object GET instead of a multi-file merge. Bitmap
     serialization happens executor-side (one applyInPandas group per
     referenced file); the driver only assembles the compressed blob
-    bytes it must write into the single Puffin object anyway."""
+    bytes it must write into the single Puffin object anyway.
+
+    ``merge_dvs``: prior live DV entries of this table. The v3 spec
+    invariant is at most ONE deletion vector per data file (writers
+    must merge-and-replace), so when a referenced file already has DVs
+    their bitmaps are unioned into the new blob EXECUTOR-side (the
+    group task that already holds the new positions decodes the prior
+    blob too) and the caller marks the old entries superseded in the
+    same commit (``Transaction.supersede_delete_files``)."""
     from iceberg_rust_archive_spark.sources.puffin import write_puffin
     from iceberg_rust_archive_spark.spec.manifest import (
         CONTENT_POSITION_DELETES,
     )
+    prior_by_ref: dict[str, list[tuple[str, int, int]]] = {}
+    for d in merge_dvs or []:
+        prior_by_ref.setdefault(d.referenced_data_file, []).append(
+            (d.file_path, d.content_offset, d.content_size_in_bytes))
+    prior_bc = spark.sparkContext.broadcast(prior_by_ref)
 
     def per_file(pdf):
         import pandas as pd
 
+        from iceberg_rust_archive_spark.object_store import store_for as _sf
         from iceberg_rust_archive_spark.sources.roaring import (
-            serialize_positions,
+            deserialize_positions, serialize_positions,
         )
-        pos = pdf["pos"].unique()
+        ref = pdf["file_path"].iloc[0]
+        pos = set(int(p) for p in pdf["pos"].unique())
+        for path, off, ln in prior_bc.value.get(ref, []):
+            blob = _sf(path).read_bytes(path)[off:off + ln]
+            pos.update(deserialize_positions(blob))
         return pd.DataFrame({
-            "file_path": [pdf["file_path"].iloc[0]],
+            "file_path": [ref],
             "dv": [serialize_positions(pos)],
             "cardinality": [len(pos)]})
 

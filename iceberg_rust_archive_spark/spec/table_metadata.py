@@ -96,7 +96,27 @@ class TableMetadata:
             properties: dict | None = None) -> "TableMetadata":
         spec = spec or PartitionSpec(0, ())
         sort_order = sort_order or SortOrder(0, ())
+        # column default-values are a v3 construct: a table CREATEd with
+        # DEFAULT columns starts at format-version 3 (a v2 reader would
+        # silently return NULL where the initial-default applies), unless
+        # the creator explicitly pins an older version via property.
+        fmt = FORMAT_VERSION
+        pin = str((properties or {}).get("format-version", "")).strip()
+        has_defaults = any(
+            getattr(f, "initial_default", None) is not None
+            or getattr(f, "write_default", None) is not None
+            for f in schema.fields)
+        if pin:
+            fmt = int(float(pin))
+        if has_defaults:
+            if fmt < 3:
+                if pin:
+                    raise ValueError(
+                        "column DEFAULTs require format-version 3, but "
+                        f"the table pins {pin}")
+                fmt = 3
         return TableMetadata(
+            format_version=fmt,
             table_uuid=str(_uuid.uuid4()), location=location.rstrip("/"),
             last_updated_ms=int(time.time() * 1000),
             last_column_id=schema.highest_field_id(),

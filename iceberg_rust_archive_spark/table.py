@@ -471,17 +471,32 @@ class Table:
         if use_dv is None:
             use_dv = md.properties.get(
                 "write.delete.format", "parquet").lower() == "dv"
+        superseded: set[tuple[str, int]] = set()
         if use_dv:
             from iceberg_rust_archive_spark.sources.write import (
                 write_deletion_vectors,
             )
-            files = write_deletion_vectors(spark, md, hits)
+            # v3 invariant: at most ONE DV per data file — prior bitmaps
+            # for re-touched files merge into the new blob and their old
+            # entries drop in the same commit (merge-and-replace).
+            files = write_deletion_vectors(spark, md, hits,
+                                           merge_dvs=existing_dv)
+            touched = {f.referenced_data_file for f in files}
+            superseded = {(d.file_path, d.content_offset)
+                          for d in existing_dv
+                          if d.referenced_data_file in touched}
         else:
             files = write_position_deletes(spark, md, hits)
         if sum(f.record_count for f in files) == 0:
             return self  # nothing newly deleted — don't commit a snapshot
-        txn = self.new_transaction(branch).append_delete_files(files)
-        txn.commit_with_retry(lambda t: t.append_delete_files(files))
+
+        def build(t):
+            t.append_delete_files(files)
+            if superseded:
+                t.supersede_delete_files(superseded)
+            return t
+
+        build(self.new_transaction(branch)).commit_with_retry(build)
         return self.refresh()
 
     def inspect(self, spark: SparkSession, kind: str) -> DataFrame:

@@ -73,6 +73,7 @@ class Transaction:
         self._summary_extra: dict = {}
         self._statistics: dict | None = None
         self._partition_statistics: dict | None = None
+        self._superseded_dvs: set[tuple[str, int]] = set()
 
     # --- operations (transaction/mod.rs:56-384) --------------------------
     def append_files(self, files: list[DataFile]) -> "Transaction":
@@ -81,6 +82,17 @@ class Transaction:
 
     def append_delete_files(self, files: list[DataFile]) -> "Transaction":
         self._deletes.extend(files)
+        return self
+
+    def supersede_delete_files(self,
+                               keys: set[tuple[str, int]]) -> "Transaction":
+        """Mark prior deletion-vector entries replaced by a merged DV in
+        this commit. ``keys`` are ``(puffin_path, content_offset)``
+        pairs; matching content=1 manifest entries are dropped (the v3
+        invariant: at most one DV per data file — writers must
+        merge-and-replace, never accumulate). Keys no longer live are
+        ignored so CAS retries stay safe."""
+        self._superseded_dvs |= set(keys)
         return self
 
     def replace_files(self, files: list[DataFile]) -> "Transaction":
@@ -322,6 +334,9 @@ class Transaction:
             added = self._rewrite_added
         else:
             new_list = list(old_entries)
+            if self._superseded_dvs:
+                new_list = self._drop_superseded_dvs(
+                    metadata_dir, new_list, md, snap_id, seq, schema_json)
             # manifest-list content codes: 0=data, 1=deletes
             # (manifest_list.rs:47-52) — distinct from DataFile.content
             for ml_content, files in ((0, self._appended),
@@ -354,6 +369,32 @@ class Transaction:
                     self.identifier, md,
                     expected_location=self.base_location)
                 return md
+
+        # v3 gate (spec: deletion vectors and column default-values are
+        # format-version-3 constructs): the first commit that writes a DV
+        # (content file with file_format='puffin') or a schema field with
+        # initial-default/write-default bumps format-version to 3 so a
+        # compliant reader interprets the new manifest fields / schema
+        # JSON correctly. A table explicitly pinned below 3 via the
+        # 'format-version' property rejects the construct instead — a v2
+        # reader would try to parse the Puffin blob as parquet delete
+        # rows or silently return NULL where defaults apply.
+        needs_v3 = any(f.file_format == "puffin" for f in (added or []))
+        if self._new_schema is not None:
+            needs_v3 = needs_v3 or any(
+                getattr(f, "initial_default", None) is not None
+                or getattr(f, "write_default", None) is not None
+                for f in self._new_schema.fields)
+        if needs_v3 and md.format_version < 3:
+            pin = str(md.properties.get("format-version", "")
+                      or self._properties.get("format-version", "")).strip()
+            if pin and int(float(pin)) < 3:
+                raise CommitFailedError(
+                    "deletion vectors / column defaults require "
+                    f"format-version 3, but the table pins {pin}; "
+                    "unset the 'format-version' property or use "
+                    "parquet position deletes / NULL defaults")
+            md = _dc_replace(md, format_version=3)
 
         summary = {"operation": operation,
                    "added-data-files": str(len(added or [])),
@@ -492,6 +533,42 @@ class Transaction:
             return tuple(spans)
 
         return min(same, key=expanded_spans)
+
+    def _drop_superseded_dvs(self, metadata_dir, existing_list, md,
+                             snap_id, seq, schema_json):
+        """Rewrite delete manifests dropping DV entries whose
+        ``(puffin_path, content_offset)`` is in ``self._superseded_dvs``.
+        Untouched manifests carry over byte-identical (their list rows
+        are reused); survivors keep ORIGINAL sequence numbers as
+        STATUS_EXISTING; a manifest left empty is dropped outright."""
+        out = []
+        for mle in existing_list:
+            if mle.content != 1:
+                out.append(mle)
+                continue
+            entries = list(read_manifest(mle.manifest_path))
+            hit = [e for e in entries
+                   if e.status != STATUS_DELETED
+                   and (e.data_file.file_path,
+                        e.data_file.content_offset)
+                   in self._superseded_dvs]
+            if not hit:
+                out.append(mle)
+                continue
+            hitset = {id(e) for e in hit}
+            survivors = [
+                ManifestEntry(STATUS_EXISTING, e.data_file,
+                              e.snapshot_id, e.sequence_number,
+                              e.file_sequence_number)
+                for e in entries
+                if e.status != STATUS_DELETED and id(e) not in hitset]
+            if survivors:
+                sp = md.partition_specs.get(mle.partition_spec_id,
+                                            md.default_spec())
+                out.append(write_manifest(
+                    metadata_dir, survivors, sp.spec_id, 1, snap_id,
+                    seq, [f.name for f in sp.fields], schema_json))
+        return out
 
     @staticmethod
     def _pack_manifests(metadata_dir, existing_list, new_files, content,

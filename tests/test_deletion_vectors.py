@@ -156,6 +156,58 @@ def test_dv_delete_end_to_end(spark, catalog):
     assert _sums(t, spark) == {1: 6, 2: 1, 3: 3}
 
 
+def test_dv_merge_and_replace_single_dv_per_file(spark, catalog):
+    """v3 invariant: a data file has at most ONE live deletion vector.
+    A second DV delete touching an already-DV'd file merges the prior
+    bitmap into the new blob and drops the old entry in the same
+    commit — spec readers that apply only one DV stay correct."""
+    t = _mk_table(catalog, "orders_dvmerge")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    # ids 1 and 2 share the 2020-01-01 partition file → second call
+    # must merge into the first call's bitmap, not stack a second DV
+    t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)
+    t.delete_where_pos(spark, F.col("id") == 2, use_dv=True)
+    by_ref = {}
+    for e in _dv_entries(t):
+        by_ref.setdefault(e.data_file.referenced_data_file, []).append(e)
+    assert by_ref, "expected live DV entries"
+    for ref, entries in by_ref.items():
+        assert len(entries) == 1, \
+            f"{ref} has {len(entries)} live DVs (must merge-and-replace)"
+    # the merged bitmap carries BOTH deletes
+    from iceberg_rust_archive_spark.object_store import store_for
+    d = next(iter(by_ref.values()))[0].data_file
+    assert d.record_count == 2
+    blob = store_for(d.file_path).read_bytes(
+        d.file_path)[d.content_offset:
+                     d.content_offset + d.content_size_in_bytes]
+    assert len(deserialize_positions(blob)) == 2
+    assert _sums(t, spark) == {1: 5, 2: 1, 3: 3}
+    # results stay right after more appends + a third DV round
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t.delete_where_pos(spark, F.col("id") == 5, use_dv=True)
+    refs = [e.data_file.referenced_data_file for e in _dv_entries(t)]
+    assert len(refs) == len(set(refs))  # still ≤1 DV per data file
+    assert _sums(t, spark) == {1: 5, 2: 2, 3: 4}
+
+
+def test_dv_commit_bumps_format_version(spark, catalog):
+    t = _mk_table(catalog, "orders_dvv3")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    assert t.metadata.format_version == 2
+    t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)
+    assert t.metadata.format_version == 3
+
+
+def test_dv_rejected_on_pinned_v2_table(spark, catalog):
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    t = Table.create(catalog, "db.orders_pin2", ORDERS_SCHEMA, DAY_SPEC,
+                     properties={"format-version": "2"})
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    with pytest.raises(CommitFailedError, match="format-version 3"):
+        t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)
+
+
 def test_dv_table_property_default(spark, catalog):
     t = Table.create(catalog, "db.orders_dvprop", ORDERS_SCHEMA, DAY_SPEC,
                      properties={"write.delete.format": "dv"})

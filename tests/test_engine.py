@@ -2613,6 +2613,13 @@ def test_add_column_with_default(spark, tmp_path):
     md2 = TableMetadata.loads(t.metadata.dumps())
     f = md2.current_schema().field_by_name("tier")
     assert f.initial_default == "bronze" and f.write_default == "bronze"
+    # defaults are a v3 construct: the ADD COLUMN ... DEFAULT commit
+    # bumped the format version so v2 readers don't silently read NULLs
+    assert md2.format_version == 3
+
+    # a table CREATEd with DEFAULT columns starts at v3 outright
+    eng.sql("CREATE TABLE db.dflt2 (k INT, tier STRING DEFAULT 'x')")
+    assert eng.load_table("db.dflt2").metadata.format_version == 3
 
 
 def test_register_table(spark, catalog, tmp_path):

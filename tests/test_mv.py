@@ -436,10 +436,12 @@ def test_mv_classify_rejects_limit_and_distinct_aggs():
 
 
 def test_mv_classify_expression_wrapped_aggregates_full():
-    """sum(x)+1 / round(sum(x),2) are not merge-able named aggregates;
-    UNION needs per-branch delta plans the pass machinery doesn't
-    build — all classify FULL. Expression GROUP BY keys stay
-    incremental (the delta SQL re-derives them)."""
+    """sum(x)+1 / round(sum(x),2) are not merge-able named aggregates —
+    classify FULL. Union TEXT also classifies FULL at this level: the
+    refresh driver splits top-level UNION ALL into branches BEFORE
+    classification (test_union_mv_incremental), so classify() only ever
+    sees a whole union as the generic fallback. Expression GROUP BY
+    keys stay incremental (the delta SQL re-derives them)."""
     assert classify(parse_select(
         "SELECT k, sum(x) + 1 AS y FROM t GROUP BY k")) == FULL
     assert classify(parse_select(
@@ -449,6 +451,133 @@ def test_mv_classify_expression_wrapped_aggregates_full():
     assert classify(parse_select(
         "SELECT upper(k) AS ku, sum(x) AS s FROM t "
         "GROUP BY upper(k)")) == INCR_AGG
+
+
+def test_union_mv_incremental(engine):
+    """δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ (transform.rs:85-100): a UNION ALL MV over two
+    sources refreshes incrementally — append to one source runs ONE
+    branch-bound delta pass, the commit appends exactly the delta rows
+    (proof the pass scanned only the appended snapshot range: a full
+    branch re-scan would re-emit the pre-existing rows and break the
+    multiset equality below), and the result equals a full recompute."""
+    engine.sql("CREATE TABLE db.returns (id BIGINT NOT NULL, "
+               "customer_id BIGINT, product_id BIGINT, date DATE, "
+               "quantity INT)")
+    engine.sql("INSERT INTO db.returns VALUES "
+               "(100,1,1,DATE '2020-01-05',5),(101,2,2,DATE '2020-01-06',1)")
+    union_sql = ("SELECT product_id, quantity FROM db.orders "
+                 "WHERE quantity > 0 "
+                 "UNION ALL "
+                 "SELECT product_id, quantity FROM db.returns")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.umv AS {union_sql}")
+
+    def multiset(q):
+        return sorted((r[0], r[1]) for r in engine.sql(q).collect())
+
+    assert engine.refresh_materialized_view("db.umv") == FULL  # bootstrap
+    assert multiset("SELECT * FROM db.umv") == multiset(union_sql)
+
+    # append to ONE source → incremental, and the storage commit holds
+    # exactly the 1 delta row (not a re-emission of either branch)
+    engine.sql("INSERT INTO db.returns VALUES "
+               "(102,3,3,DATE '2020-01-07',4)")
+    assert engine.refresh_materialized_view("db.umv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.umv") == multiset(union_sql)
+    storage = engine.load_table("db.umv_storage")
+    summ = storage.metadata.current_snapshot().summary
+    assert summ["operation"] == "append"
+    assert summ["added-records"] == "1"
+
+    # append to BOTH sources → two branch passes, one appended commit
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,3,DATE '2020-01-03',2)")
+    engine.sql("INSERT INTO db.returns VALUES "
+               "(103,1,1,DATE '2020-01-08',7)")
+    assert engine.refresh_materialized_view("db.umv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.umv") == multiset(union_sql)
+    summ = engine.load_table("db.umv_storage") \
+        .metadata.current_snapshot().summary
+    assert summ["added-records"] == "2"
+
+    # fresh sources → no-op; a branch-filter respecting delta: a row the
+    # WHERE excludes must not appear after refresh
+    assert engine.refresh_materialized_view("db.umv") == "Fresh"
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(8,2,1,DATE '2020-01-09',0)")  # quantity > 0 filters it
+    assert engine.refresh_materialized_view("db.umv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.umv") == multiset(union_sql)
+
+    # a DELETE in a source invalidates the append-only expansion → the
+    # generic path recomputes (always-correct fallback), result still
+    # matches
+    engine.sql("DELETE FROM db.returns WHERE id = 100")
+    assert engine.refresh_materialized_view("db.umv") == FULL
+    assert multiset("SELECT * FROM db.umv") == multiset(union_sql)
+
+
+def test_union_mv_same_table_both_branches(engine):
+    """The same source table may feed several branches with different
+    projections/filters — each branch takes its own delta pass."""
+    union_sql = ("SELECT product_id, quantity FROM db.orders "
+                 "WHERE product_id = 1 "
+                 "UNION ALL "
+                 "SELECT customer_id AS product_id, quantity "
+                 "FROM db.orders WHERE product_id <> 1")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.umv2 AS {union_sql}")
+
+    def multiset(q):
+        return sorted((r[0], r[1]) for r in engine.sql(q).collect())
+
+    engine.refresh_materialized_view("db.umv2")
+    assert multiset("SELECT * FROM db.umv2") == multiset(union_sql)
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,9,1,DATE '2020-01-03',2),(8,9,2,DATE '2020-01-03',3)")
+    assert engine.refresh_materialized_view("db.umv2") == INCR_APPEND
+    assert multiset("SELECT * FROM db.umv2") == multiset(union_sql)
+    # one row matched branch 1, one matched branch 2
+    summ = engine.load_table("db.umv2_storage") \
+        .metadata.current_snapshot().summary
+    assert summ["added-records"] == "2"
+
+
+def test_union_distinct_mv_stays_full(engine):
+    """Bare UNION dedups across branches — δ distribution is unsound
+    (an appended row may duplicate one the other branch already
+    contributed), so refresh recomputes."""
+    union_sql = ("SELECT product_id FROM db.orders "
+                 "UNION "
+                 "SELECT product_id FROM db.orders WHERE quantity > 1")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.udv AS {union_sql}")
+    engine.refresh_materialized_view("db.udv")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,1,DATE '2020-01-03',2)")
+    assert engine.refresh_materialized_view("db.udv") == FULL
+    got = sorted(r[0] for r in
+                 engine.sql("SELECT * FROM db.udv").collect())
+    assert got == sorted(r[0] for r in engine.sql(union_sql).collect())
+
+
+def test_split_union():
+    from iceberg_rust_archive_spark.plans.sqlparse import split_union
+    assert split_union("SELECT a FROM t") == (["SELECT a FROM t"], None)
+    bs, k = split_union(
+        "SELECT a FROM t UNION ALL SELECT b FROM u UNION ALL "
+        "SELECT c FROM v")
+    assert k == "all" and len(bs) == 3 and bs[2] == "SELECT c FROM v"
+    _, k2 = split_union("SELECT a FROM t UNION SELECT b FROM u")
+    assert k2 == "distinct"
+    _, k3 = split_union(
+        "SELECT a FROM t UNION ALL SELECT b FROM u UNION SELECT c FROM v")
+    assert k3 == "distinct"  # one bare UNION poisons the chain
+    # unions inside subqueries/strings don't split the top level
+    bs4, k4 = split_union(
+        "SELECT a FROM (SELECT a FROM t UNION ALL SELECT a FROM u) x")
+    assert k4 is None and len(bs4) == 1
+    bs5, k5 = split_union("SELECT 'union all' AS s FROM t")
+    assert k5 is None and len(bs5) == 1
+    # 'reunion' is not a keyword
+    bs6, k6 = split_union("SELECT reunion FROM t")
+    assert k6 is None and len(bs6) == 1
 
 
 def test_mv_changelog_refresh_join_sources_with_deletes(engine):
