@@ -62,7 +62,8 @@ class RestCatalog(Catalog):
                  timeout: float = 10.0, root: str | None = None,
                  credential: str | None = None,
                  scope: str = "catalog",
-                 oauth2_server_uri: str | None = None):
+                 oauth2_server_uri: str | None = None,
+                 page_size: int | None = None):
         """``token``: static bearer token. ``credential``
         ("client_id:client_secret"): OAuth2 client-credentials flow —
         the token is fetched from ``oauth2_server_uri`` (default: the
@@ -78,6 +79,10 @@ class RestCatalog(Catalog):
         self.oauth2_server_uri = (oauth2_server_uri
                                   or f"{self.base_url}/v1/oauth/tokens")
         self.timeout = timeout
+        # optional spec pagination hint for listing routes; listings
+        # always drain next-page-token regardless (servers choose their
+        # own page size when this is None)
+        self.page_size = page_size
         if root is not None:
             # warehouse root for default table/view locations (the role
             # the service's warehouse config plays for real catalogs)
@@ -185,16 +190,34 @@ class RestCatalog(Catalog):
         self._request("DELETE", f"namespaces/{namespace}")
 
     def list_namespaces(self) -> list[str]:
-        out = self._request("GET", "namespaces")
-        return [".".join(ns) for ns in out.get("namespaces", [])]
+        return [".".join(ns)
+                for ns in self._paged("namespaces", "namespaces")]
+
+    def load_namespace_properties(self, namespace: str) -> dict:
+        """GET /v1/namespaces/{ns} → GetNamespaceResponse properties."""
+        out = self._request("GET", f"namespaces/{namespace}") or {}
+        return out.get("properties", {})
+
+    def update_namespace_properties(self, namespace: str,
+                                    updates: dict | None = None,
+                                    removals: list[str] | None = None
+                                    ) -> dict:
+        """POST /v1/namespaces/{ns}/properties
+        (UpdateNamespacePropertiesRequest). Returns the spec response
+        ``{"updated": [...], "removed": [...], "missing": [...]}`` —
+        ``missing`` lists requested removals that did not exist."""
+        return self._request(
+            "POST", f"namespaces/{namespace}/properties",
+            {"updates": updates or {}, "removals": removals or []})
 
     # --- tabulars --------------------------------------------------------
     def list_tabulars(self, namespace: str) -> list[str]:
         names = []
         for route in ("tables", "views"):
-            out = self._request("GET", f"namespaces/{namespace}/{route}")
             names += [f"{'.'.join(ident['namespace'])}.{ident['name']}"
-                      for ident in out.get("identifiers", [])]
+                      for ident in self._paged(
+                          f"namespaces/{namespace}/{route}",
+                          "identifiers")]
         return sorted(names)
 
     def _load_result(self, identifier: str) -> dict | None:

@@ -31,12 +31,16 @@ class _State:
     token minted by the spec's /v1/oauth/tokens endpoint; tokens can be
     revoked (``valid_tokens.clear()``) to exercise refresh-on-401."""
 
-    def __init__(self, auth=None):
+    def __init__(self, auth=None, page_size=None):
         self.lock = threading.Lock()
-        self.namespaces = set()
+        self.namespaces = {}  # name -> properties dict
         self.tables = {}
         self.views = {}
         self.auth = auth
+        # server-side page cap for listing routes (spec pagination);
+        # None = answer everything in one page with no token
+        self.page_size = page_size
+        self.list_requests = 0
         self.valid_tokens = set()
         self.tokens_minted = 0
 
@@ -61,9 +65,39 @@ def _make_handler(state: _State):
         def _load_result(self, loc, md):
             return {"metadata-location": loc, "metadata": md.to_json()}
 
+        def _err(self, code, msg, typ):
+            # spec ErrorModel: {"error": {"message","type","code"}}
+            self._send(code, {"error": {"message": msg, "type": typ,
+                                        "code": code}})
+
         def _parts(self):
             # /v1/namespaces[/{ns}[/tables|views[/{name}]]]
-            return [p for p in self.path.split("/") if p][1:]
+            path = self.path.split("?", 1)[0]
+            return [p for p in path.split("/") if p][1:]
+
+        def _query(self):
+            from urllib.parse import parse_qs, urlparse
+            return {k: v[0] for k, v in
+                    parse_qs(urlparse(self.path).query).items()}
+
+        def _page(self, items, key):
+            """Spec pagination: honor pageToken (integer offset) and
+            the smaller of client pageSize / server page cap; emit
+            next-page-token while more remain."""
+            state.list_requests += 1
+            q = self._query()
+            size = state.page_size
+            if q.get("pageSize"):
+                size = min(int(q["pageSize"]), size or 1 << 30)
+            if size is None:
+                self._send(200, {key: items})
+                return
+            off = int(q.get("pageToken", 0))
+            page = items[off:off + size]
+            body = {key: page}
+            if off + size < len(items):
+                body["next-page-token"] = str(off + size)
+            self._send(200, body)
 
         def _authorized(self):
             if state.auth is None:
@@ -94,21 +128,32 @@ def _make_handler(state: _State):
                     self._send(401, {"error": "unauthorized"})
                     return
                 if p == ["namespaces"]:
-                    self._send(200, {"namespaces": [
-                        ns.split(".") for ns in sorted(state.namespaces)]})
+                    self._page([ns.split(".")
+                                for ns in sorted(state.namespaces)],
+                               "namespaces")
+                elif len(p) == 2 and p[0] == "namespaces":
+                    if p[1] not in state.namespaces:
+                        self._err(404, f"namespace {p[1]} not found",
+                                  "NoSuchNamespaceException")
+                    else:
+                        self._send(200, {
+                            "namespace": p[1].split("."),
+                            "properties": state.namespaces[p[1]]})
                 elif len(p) == 3 and p[2] in ("tables", "views"):
                     store, ns = _store(p[2], state), p[1]
-                    self._send(200, {"identifiers": [
+                    self._page([
                         {"namespace": k[0].split("."), "name": k[1]}
-                        for k in sorted(store) if k[0] == ns]})
+                        for k in sorted(store) if k[0] == ns],
+                        "identifiers")
                 elif len(p) == 4 and p[2] in ("tables", "views"):
                     hit = _store(p[2], state).get((p[1], p[3]))
                     if hit is None:
-                        self._send(404, {"error": "not found"})
+                        self._err(404, f"{p[3]} not found",
+                                  "NoSuchTableException")
                     else:
                         self._send(200, self._load_result(*hit))
                 else:
-                    self._send(400, {"error": "bad path"})
+                    self._err(400, "bad path", "BadRequestException")
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
@@ -123,15 +168,34 @@ def _make_handler(state: _State):
                     return
                 body = json.loads(raw) if raw else {}
                 if p == ["namespaces"]:
-                    state.namespaces.add(".".join(body["namespace"]))
+                    state.namespaces.setdefault(
+                        ".".join(body["namespace"]),
+                        dict(body.get("properties", {})))
                     self._send(200, {})
+                elif len(p) == 3 and p[2] == "properties":
+                    # spec UpdateNamespacePropertiesRequest
+                    if p[1] not in state.namespaces:
+                        self._err(404, f"namespace {p[1]} not found",
+                                  "NoSuchNamespaceException")
+                        return
+                    props = state.namespaces[p[1]]
+                    removed, missing = [], []
+                    for k in body.get("removals", []):
+                        (removed if k in props else missing).append(k)
+                        props.pop(k, None)
+                    ups = body.get("updates", {})
+                    props.update(ups)
+                    self._send(200, {"updated": sorted(ups),
+                                     "removed": removed,
+                                     "missing": missing})
                 elif len(p) == 3 and p[2] == "register":
                     # spec RegisterTableRequest: adopt an existing
                     # metadata document at its current location
                     store = _store("tables", state)
                     key = (p[1], body["name"])
                     if key in store:
-                        self._send(409, {"error": "already exists"})
+                        self._err(409, "table already exists",
+                                  "AlreadyExistsException")
                         return
                     loc = body["metadata-location"]
                     from iceberg_rust_archive_spark.catalog.base import (
@@ -149,14 +213,15 @@ def _make_handler(state: _State):
                 elif len(p) == 4 and p[2] in ("tables", "views"):
                     self._commit(p[2], p[1], p[3], body)
                 else:
-                    self._send(400, {"error": "bad path"})
+                    self._err(400, "bad path", "BadRequestException")
 
         def _create(self, kind, ns, body):
             store = _store(kind, state)
             key = (ns, body["name"])
             if key in store or key in _store(
                     "views" if kind == "tables" else "tables", state):
-                self._send(409, {"error": "already exists"})
+                self._err(409, "already exists",
+                          "AlreadyExistsException")
                 return
             md = (table_metadata_from_create(body) if kind == "tables"
                   else view_metadata_from_create(body))
@@ -168,7 +233,7 @@ def _make_handler(state: _State):
             store = _store(kind, state)
             hit = store.get((ns, name))
             if hit is None:
-                self._send(404, {"error": "not found"})
+                self._err(404, "not found", "NoSuchTableException")
                 return
             _, current = hit
             check = (check_table_requirements if kind == "tables"
@@ -177,12 +242,12 @@ def _make_handler(state: _State):
                       else apply_view_updates)
             reason = check(body.get("requirements", []), current)
             if reason is not None:
-                self._send(409, {"error": reason})
+                self._err(409, reason, "CommitFailedException")
                 return
             try:
                 new_md = apply_(current, body.get("updates", []))
             except ValueError as e:
-                self._send(400, {"error": str(e)})
+                self._err(400, str(e), "BadRequestException")
                 return
             loc = _CatalogABC._write_metadata_file(new_md)
             store[(ns, name)] = (loc, new_md)
@@ -195,15 +260,16 @@ def _make_handler(state: _State):
                     self._send(401, {"error": "unauthorized"})
                     return
                 if len(p) == 2:
-                    state.namespaces.discard(p[1])
+                    state.namespaces.pop(p[1], None)
                     self._send(204)
                 elif len(p) == 4 and p[2] in ("tables", "views"):
                     if _store(p[2], state).pop((p[1], p[3]), None) is None:
-                        self._send(404, {"error": "not found"})
+                        self._err(404, "not found",
+                                  "NoSuchTableException")
                     else:
                         self._send(204)
                 else:
-                    self._send(400, {"error": "bad path"})
+                    self._err(400, "bad path", "BadRequestException")
 
     return Handler
 
@@ -442,3 +508,77 @@ def test_rest_register_table(rest_server, spark, tmp_path):
 
     with pytest.raises(TableAlreadyExistsError):
         cat.register_table("adopted.t", t.metadata_location)
+
+
+@pytest.fixture()
+def paged_rest_server():
+    state = _State(page_size=3)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", state
+    srv.shutdown()
+
+
+def test_rest_paginated_listings(paged_rest_server, tmp_path):
+    """Spec pagination: the client drains next-page-token across as
+    many round trips as the server's page cap demands — listings stay
+    complete against servers (Polaris/Lakekeeper) that cap pages."""
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    url, state = paged_rest_server
+    cat = RestCatalog(url)
+    for i in range(7):
+        cat.create_namespace(f"ns{i}")
+    for i in range(7):
+        Table.create(cat, f"ns0.t{i}", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / f"t{i}"))
+    state.list_requests = 0
+    assert cat.list_namespaces() == [f"ns{i}" for i in range(7)]
+    assert state.list_requests == 3  # ceil(7/3) pages actually walked
+    state.list_requests = 0
+    assert cat.list_tabulars("ns0") == [f"ns0.t{i}" for i in range(7)]
+    # 3 pages for /tables + 1 empty /views page
+    assert state.list_requests == 4
+
+    # a client-side pageSize below the server cap narrows pages further
+    state.list_requests = 0
+    small = RestCatalog(url, page_size=2)
+    assert small.list_namespaces() == [f"ns{i}" for i in range(7)]
+    assert state.list_requests == 4  # ceil(7/2)
+
+
+def test_rest_namespace_properties(rest_server):
+    """UpdateNamespacePropertiesRequest: updated/removed/missing
+    response fields, and GET /namespaces/{ns} round-trips the state."""
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("db")
+    out = cat.update_namespace_properties(
+        "db", updates={"owner": "etl", "comment": "prod"})
+    assert out == {"updated": ["comment", "owner"], "removed": [],
+                   "missing": []}
+    assert cat.load_namespace_properties("db") == {
+        "owner": "etl", "comment": "prod"}
+    out = cat.update_namespace_properties(
+        "db", updates={"owner": "ml"}, removals=["comment", "ghost"])
+    assert out["removed"] == ["comment"] and out["missing"] == ["ghost"]
+    assert cat.load_namespace_properties("db") == {"owner": "ml"}
+
+
+def test_rest_error_body_conformance(rest_server):
+    """Spec ErrorModel bodies surface type+message in client errors:
+    the operator sees WHY (CommitFailedException / NoSuchTable...) not
+    just an HTTP code."""
+    from iceberg_rust_archive_spark.catalog.base import NoSuchTableError
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("db")
+    with pytest.raises(NoSuchTableError, match="NoSuchNamespaceException"):
+        cat.load_namespace_properties("nope")
+    with pytest.raises(RuntimeError, match="BadRequestException"):
+        cat._request("GET", "bogus/route")
+    # non-spec bodies (legacy servers) still raise with the raw payload
+    assert "oops" in RestCatalog._error_detail(b"oops")
+    assert RestCatalog._error_detail(
+        b'{"error": {"message": "m", "type": "T", "code": 409}}') == "T: m"
