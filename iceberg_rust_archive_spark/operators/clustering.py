@@ -33,6 +33,8 @@ exactly — the same convention ann_ivf_topk established.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +43,26 @@ from iceberg_rust_archive_spark.operators.similarity import _vectors
 
 KMEANS_K = 8
 SEMDEDUP_THRESHOLD = 0.4
+# Above this corpus size the default k switches from the pinned
+# KMEANS_K to ⌈√N⌉ — the same axis (and value) as similarity.py's
+# IVF_AUTO_SWITCH_N, keeping the oracle-graded entries deterministic
+# at their small fixed SFs while the 1B-row default stays sane.
+KMEANS_AUTO_SWITCH_N = 1_000_000
+# Hard per-task bound for SemDeDup's within-cluster quadratic: a
+# cluster larger than this is recursively sub-split inside its task,
+# so pair work is ≤ m·cap per cluster even under skewed assignment.
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def kmeans_k(n: int) -> int:
+    """Corpus-adaptive default cluster count (the contract the
+    SemDeDup docstring promises): pinned at KMEANS_K for small corpora,
+    ``⌈√N⌉`` above KMEANS_AUTO_SWITCH_N so the EXPECTED cluster size is
+    √N and the per-cluster pairwise GEMM stays one-task-sized — mirrors
+    ``ivf_num_centroids`` (similarity.py)."""
+    if n <= KMEANS_AUTO_SWITCH_N:
+        return KMEANS_K
+    return math.isqrt(n - 1) + 1
 
 
 def _init_centroids(vecs: DataFrame, k: int) -> np.ndarray:
@@ -74,12 +96,18 @@ def _assign_ids(vecs: DataFrame, cents: np.ndarray,
     return vecs.mapInPandas(kernel, f"vec_id long, {out_col} int")
 
 
-def fit_kmeans(vecs: DataFrame, k: int = KMEANS_K, iters: int = 2,
+def fit_kmeans(vecs: DataFrame, k: int | None = None, iters: int = 2,
                init: np.ndarray | None = None):
     """Lloyd's algorithm over (vec_id, v) with cosine assignment.
     Returns ``(centroids, sizes)`` — centroids are plain member means
     (un-normalized), sizes the final cluster populations. Empty
-    clusters keep their previous centroid."""
+    clusters keep their previous centroid. ``k`` defaults to the
+    corpus-adaptive ``kmeans_k(N)`` (⌈√N⌉ past the switch); an explicit
+    ``init`` pins k to its row count."""
+    if init is not None:
+        k = len(init)
+    elif k is None:
+        k = kmeans_k(vecs.count())
     cents = _init_centroids(vecs, k) if init is None else init
     sizes = np.zeros(k, dtype=np.int64)
     for _ in range(max(1, iters)):
@@ -127,7 +155,8 @@ def assign_clusters(vecs: DataFrame, cents: np.ndarray,
     return vecs.join(_assign_ids(vecs, cents, out_col), "vec_id")
 
 
-def kmeans_summary(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
+def kmeans_summary(spark: SparkSession, sf_dir: str,
+                   k: int | None = None,
                    cents: np.ndarray | None = None) -> DataFrame:
     """One oracle-visible Lloyd step: assign every vector to its
     nearest deterministic init centroid (vec_id < k), then report the
@@ -135,6 +164,8 @@ def kmeans_summary(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
     (unnest + per-position avg), so the distributed kernel is graded
     end-to-end by the DuckDB twin."""
     vecs = _vectors(spark, sf_dir)
+    if cents is None and k is None:
+        k = kmeans_k(vecs.count())
     cents, sizes = fit_kmeans(vecs, k=k, iters=1, init=cents)
     rows = [(int(cid), int(n),
              float(np.round(np.linalg.norm(cents[cid]), 4)))
@@ -143,10 +174,54 @@ def kmeans_summary(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
         rows, "cid int, n long, centroid_norm double").orderBy("cid")
 
 
+def _bounded_cluster_pairs(ids, x, nrm, threshold, cap):
+    """Thresholded pairwise cosine within ONE cluster, recursively
+    sub-splitting clusters larger than ``cap``: over-cap members
+    re-assign to ⌈m/cap⌉ sub-centroids (the first rows in vec_id order
+    — the `_init_centroids` rule applied locally), and each sub-cluster
+    recurses. A degenerate split (every member lands on one
+    sub-centroid, e.g. identical vectors) falls back to positional
+    chunks so progress is guaranteed. Either way total pair work per
+    original cluster is O(m·cap), never O(m²) — the guard that keeps a
+    skewed assignment from handing one task an unbounded quadratic.
+    Cross-sub-cluster pairs are not scored — the same approximation
+    SemDeDup already makes at cluster boundaries."""
+    out_a, out_b, out_c = [], [], []
+
+    def emit(idx):
+        m = len(idx)
+        if m <= cap:
+            if m < 2:
+                return
+            xs, ns = x[idx], nrm[idx]
+            cs = np.round((xs @ xs.T) / np.outer(ns, ns), 4)
+            ia, ib = np.triu_indices(m, 1)
+            keep = cs[ia, ib] >= threshold
+            out_a.extend(ids[idx[ia[keep]]])
+            out_b.extend(ids[idx[ib[keep]]])
+            out_c.extend(cs[ia[keep], ib[keep]])
+            return
+        s = -(-m // cap)  # ⌈m/cap⌉ ≥ 2 sub-centroids
+        c = x[idx[:s]]
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                           1e-300)
+        a = np.round((x[idx] / nrm[idx, None]) @ c.T, 4).argmax(axis=1)
+        subs = [idx[a == j] for j in range(s)]
+        if max(len(sub) for sub in subs) >= m:
+            subs = [idx[j::s] for j in range(s)]  # degenerate → chunks
+        for sub in subs:
+            emit(sub)
+
+    emit(np.arange(len(ids)))
+    return out_a, out_b, out_c
+
+
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str,
-                         k: int = KMEANS_K,
+                         k: int | None = None,
                          threshold: float = SEMDEDUP_THRESHOLD,
-                         cents: np.ndarray | None = None) -> DataFrame:
+                         cents: np.ndarray | None = None,
+                         max_cluster: int = SEMDEDUP_MAX_CLUSTER
+                         ) -> DataFrame:
     """SemDeDup near-duplicate pairs: cluster on the (deterministic
     init, or caller-trained) centroids, then within-cluster pairwise
     rounded cosine ≥ threshold. Returns (id_a, id_b, cosine) with
@@ -155,11 +230,16 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str,
     Physical shape: ONE shuffle — the assignment kernel tags each row
     with its cid without any join (v/nrm pass through the same Arrow
     batch), then ``groupBy(cid).applyInPandas`` does the pairwise
-    cosine as a per-cluster float64 GEMM. SemDeDup's contract is that
-    a cluster fits one task (k grows ≈ √N with the corpus), so the
-    quadratic stays bounded per task and never materializes globally."""
+    cosine as a per-cluster float64 GEMM. The default k is the
+    corpus-adaptive ``kmeans_k(N)`` (⌈√N⌉ past the switch) so the
+    EXPECTED cluster is one-task-sized, and ``max_cluster`` bounds the
+    worst case: an over-cap cluster (skewed assignment) sub-splits
+    recursively inside its task (``_bounded_cluster_pairs``), so no
+    task ever runs an unbounded quadratic."""
     vecs = _vectors(spark, sf_dir)
     if cents is None:
+        if k is None:
+            k = kmeans_k(vecs.count())
         cents = _init_centroids(vecs, k)
     c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
                            1e-300)
@@ -184,12 +264,11 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str,
         ids = pdf["vec_id"].to_numpy()
         x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = pdf["nrm"].to_numpy()
-        cs = np.round((x @ x.T) / np.outer(nrm, nrm), 4)
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = cs[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]],
-                             "id_b": ids[ib[keep]],
-                             "cosine": cs[ia[keep], ib[keep]]})
+        a, b, cos = _bounded_cluster_pairs(ids, x, nrm, threshold,
+                                           max_cluster)
+        return pd.DataFrame({"id_a": np.asarray(a, dtype=np.int64),
+                             "id_b": np.asarray(b, dtype=np.int64),
+                             "cosine": np.asarray(cos)})
 
     pairs = members.groupBy("cid").applyInPandas(
         pairwise, "id_a long, id_b long, cosine double")
@@ -250,8 +329,8 @@ ORACLE_SQL = {
 }
 
 
-def cluster_topics(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
-                   top_n: int = 3) -> DataFrame:
+def cluster_topics(spark: SparkSession, sf_dir: str,
+                   k: int | None = None, top_n: int = 3) -> DataFrame:
     """Cluster-then-describe: assign document embeddings to the
     deterministic init centroids, then label each cluster with its
     top-``top_n`` TF-IDF terms (tf within the cluster's concatenated
@@ -270,6 +349,8 @@ def cluster_topics(spark: SparkSession, sf_dir: str, k: int = KMEANS_K,
     from iceberg_rust_archive_spark.session import read_parallel
 
     vecs = _vectors(spark, sf_dir)
+    if k is None:
+        k = kmeans_k(vecs.count())
     cents = _init_centroids(vecs, k)
     assign = _assign_ids(vecs, cents)
     docs = read_parallel(

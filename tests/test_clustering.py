@@ -122,3 +122,77 @@ def test_cluster_topics_labels_every_cluster(spark):
         tfidfs = [r["tfidf"] for r in sorted(rows,
                                              key=lambda r: r["rank"])]
         assert tfidfs == sorted(tfidfs, reverse=True)
+
+
+def test_kmeans_k_scales_with_corpus():
+    """The default cluster count follows the ⌈√N⌉ contract past the
+    switch (mirrors ivf_num_centroids), keeping expected cluster size
+    √N — so the per-cluster quadratic does NOT grow linearly with the
+    corpus when callers use defaults on a 1B-row table."""
+    from iceberg_rust_archive_spark.operators.clustering import (
+        KMEANS_AUTO_SWITCH_N, KMEANS_K, kmeans_k,
+    )
+    assert kmeans_k(500) == KMEANS_K
+    assert kmeans_k(KMEANS_AUTO_SWITCH_N) == KMEANS_K
+    assert kmeans_k(KMEANS_AUTO_SWITCH_N + 1) > KMEANS_K
+    assert kmeans_k(4_000_000) == 2000
+    assert kmeans_k(1_000_000_000) == 31623  # ⌈√1e9⌉
+    # expected cluster size stays ≈ √N, not N/8
+    for n in (4_000_000, 100_000_000, 10**9):
+        assert n / kmeans_k(n) <= (n ** 0.5) + 1
+
+
+def test_bounded_cluster_pairs_caps_quadratic():
+    """An over-cap cluster sub-splits recursively: pair work is
+    O(m·cap) not O(m²), every emitted pair is still a real
+    above-threshold cosine with id_a < id_b, and identical-vector
+    (degenerate) clusters fall back to positional chunks instead of
+    recursing forever."""
+    from iceberg_rust_archive_spark.operators.clustering import (
+        _bounded_cluster_pairs,
+    )
+    rng = np.random.default_rng(7)
+    m, cap = 2000, 100
+    x = rng.normal(size=(m, 16))
+    nrm = np.linalg.norm(x, axis=1)
+    ids = np.arange(m, dtype=np.int64)
+    a, b, cos = _bounded_cluster_pairs(ids, x, nrm, -1.1, cap)
+    # threshold -1.1 keeps every scored pair → the count IS the work.
+    # uncapped would be m(m-1)/2 = 1_999_000; the cap bounds it hard
+    assert 0 < len(a) <= m * cap
+    assert all(ai < bi for ai, bi in zip(a, b))
+    # emitted cosines are exact
+    for ai, bi, ci in list(zip(a, b, cos))[:50]:
+        want = np.round(x[ai] @ x[bi] / (nrm[ai] * nrm[bi]), 4)
+        assert ci == want
+    # under the cap the result is the FULL quadratic (no approximation)
+    a2, b2, _ = _bounded_cluster_pairs(ids[:80], x[:80], nrm[:80],
+                                       -1.1, cap)
+    assert len(a2) == 80 * 79 // 2
+    # degenerate: identical vectors can't split by cosine — positional
+    # chunk fallback still terminates and stays bounded
+    xi = np.tile(x[:1], (500, 1))
+    a3, b3, _ = _bounded_cluster_pairs(np.arange(500, dtype=np.int64),
+                                       xi, np.linalg.norm(xi, axis=1),
+                                       0.99, 50)
+    assert 0 < len(a3) <= 500 * 50
+
+
+def test_semantic_dedup_max_cluster_guard_end_to_end(spark):
+    """semantic_dedup_pairs with a tiny max_cluster still runs (one
+    cluster → forced sub-splits) and every pair it emits is above
+    threshold with correct cosine values."""
+    one = np.ones((1, 64))  # single centroid → ALL rows in cluster 0
+    out = clustering.semantic_dedup_pairs(
+        spark, SF_DIR, cents=one, threshold=0.9,
+        max_cluster=40).collect()
+    full = clustering.semantic_dedup_pairs(
+        spark, SF_DIR, cents=one, threshold=0.9).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in full}
+    # sub-splitting only DROPS cross-sub pairs; everything kept is exact
+    assert set(got) <= set(want)
+    assert all(want[k] == v for k, v in got.items())
+    # at threshold 0.9 near-dups co-locate: the guard keeps most pairs
+    if want:
+        assert len(got) >= len(want) * 0.5
