@@ -306,3 +306,140 @@ def test_roaring_dense_runs_stay_compact(dense_start, n):
     vals = list(range(dense_start, dense_start + n))
     blocks = len({v >> 16 for v in vals})
     assert len(serialize_positions(vals)) <= blocks * 8192 + 64 * blocks + 64
+
+
+# --- changelog ordering property (r7 verdict next #8) -------------------
+
+def _chg_op():
+    rows = st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)),
+                    min_size=1, max_size=4)
+    keys = st.lists(st.integers(0, 5), min_size=1, max_size=3,
+                    unique=True)
+    return st.one_of(
+        st.tuples(st.just("append"), rows),
+        st.tuples(st.just("del_eq"), keys),
+        st.tuples(st.just("del_pos"), keys, st.booleans()),  # use_dv
+        st.tuples(st.just("upsert"), rows),
+    )
+
+
+@SLOW
+@given(ops=st.lists(_chg_op(), min_size=1, max_size=5))
+def test_changelog_matches_model(spark, tmp_path_factory, ops):
+    """Table.changes vs a Python multiset model over random commit
+    sequences mixing appends, equality deletes, position deletes (both
+    parquet-pair and deletion-vector formats) and one-commit upserts —
+    the foundation under all three changelog MV strategies:
+
+    - per commit, the (inserts, deletes) event multisets match the
+      model exactly (deletes surface the REMOVED ROWS, not keys);
+    - ``_change_ordinal`` is each commit's sequence number: strictly
+      monotone in commit order, shared by all of a commit's events;
+    - replaying the changelog in ordinal order from empty reproduces
+      the final table state (the property incremental consumers rely
+      on)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    wh = tmp_path_factory.mktemp("chg-prop")
+    cat = FileCatalog(str(wh / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.chg", schema, PartitionSpec(0, ()),
+                     properties={"identifier-fields": "k"})
+
+    state: Counter = Counter()          # multiset of live (k, v) rows
+    expected: list[tuple[Counter, Counter]] = []  # (inserts, deletes)
+
+    def snap_count():
+        return len(t.metadata.snapshots)
+
+    for op in ops:
+        kind = op[0]
+        before = snap_count()
+        if kind == "append":
+            rows = list(op[1])
+            t.append(spark, spark.createDataFrame(rows, "k long, v long"))
+            state.update(rows)
+            expected.append((Counter(rows), Counter()))
+        elif kind == "del_eq":
+            keys = op[1]
+            t.delete_where_equal(
+                spark, spark.createDataFrame([(k,) for k in keys], ["k"]),
+                ["k"])
+            removed = Counter({r: n for r, n in state.items()
+                               if r[0] in set(keys)})
+            state.subtract(removed)
+            state = +state
+            expected.append((Counter(), removed))
+        elif kind == "del_pos":
+            keys, use_dv = op[1], op[2]
+            t.delete_where_pos(spark, F.col("k").isin([int(x) for x in keys]),
+                               use_dv=use_dv)
+            removed = Counter({r: n for r, n in state.items()
+                               if r[0] in set(keys)})
+            if not removed:
+                assert snap_count() == before  # no-op commits nothing
+                continue
+            state.subtract(removed)
+            state = +state
+            expected.append((Counter(), removed))
+        else:  # one-commit upsert on key k
+            rows = list(op[1])
+            latest = {}
+            for k, v in rows:
+                latest[k] = v  # upsert keeps the last source row per key
+            rows = sorted(latest.items())
+            t.upsert(spark, spark.createDataFrame(rows, "k long, v long"),
+                     keys=["k"])
+            removed = Counter({r: n for r, n in state.items()
+                               if r[0] in latest})
+            state.subtract(removed)
+            state = +state
+            state.update(rows)
+            expected.append((Counter(rows), removed))
+        t = t.refresh()
+
+    events = t.changes(spark).collect()
+    by_ord: dict[int, list] = {}
+    for e in events:
+        by_ord.setdefault(e["_change_ordinal"], []).append(e)
+
+    # one ordinal per expected commit, strictly increasing, snapshot-tied
+    ordinals = sorted(by_ord)
+    assert len(ordinals) == sum(
+        1 for ins, dels in expected if ins or dels)
+    want_iter = [x for x in expected if x[0] or x[1]]
+    for o, (ins_want, del_want) in zip(ordinals, want_iter):
+        evs = by_ord[o]
+        assert len({e["_commit_snapshot_id"] for e in evs}) == 1
+        snap = t.metadata.snapshot_by_id(evs[0]["_commit_snapshot_id"])
+        assert snap.sequence_number == o
+        ins_got = Counter((e["k"], e["v"]) for e in evs
+                          if e["_change_type"] == "insert")
+        del_got = Counter((e["k"], e["v"]) for e in evs
+                          if e["_change_type"] == "delete")
+        assert ins_got == ins_want, f"ordinal {o} inserts"
+        assert del_got == del_want, f"ordinal {o} deletes"
+
+    # replay from empty in ordinal order reproduces the final state
+    replay: Counter = Counter()
+    for o in ordinals:
+        for e in by_ord[o]:
+            if e["_change_type"] == "insert":
+                replay[(e["k"], e["v"])] += 1
+            else:
+                replay[(e["k"], e["v"])] -= 1
+    replay = +replay
+    assert replay == state
+    got_rows = Counter((r["k"], r["v"])
+                       for r in t.scan(spark).collect())
+    assert got_rows == state
