@@ -290,6 +290,12 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     # even suppress the global flag), so any bloom-enabled column turns
     # on the file-level writer, size-bounded by
     # write.parquet.bloom-filter-max-bytes (default 64 KiB/column).
+    # CONTRACT CAVEAT (documented in README "Table properties"): this
+    # WIDENS the property — blooms are built for EVERY column of the
+    # file, not just the requested one, costing up to max-bytes of
+    # extra file size per column on wide tables. Acceptable because the
+    # cap bounds it and row-group skipping still works; revisit if
+    # Spark ever forwards parquet-mr's per-column `enabled#col` keys.
     bloom_pfx = "write.parquet.bloom-filter-enabled.column."
     if fmt == "parquet" and any(
             k.startswith(bloom_pfx) and str(v).lower() == "true"

@@ -389,6 +389,72 @@ def dv_roundtrip_scale(spark, sf_dir: str, amp: int):
               f"encode={enc:.1f}s scan={scan_s:.1f}s")
 
 
+def dv_vs_parquet_default(spark, sf_dir: str, amp: int):
+    """Decision probe for ``write.delete.format`` (r7 verdict next #7):
+    the SAME 3-round position-delete workload (overlapping predicates,
+    so rounds 2-3 pay the prior-anti-join and — for DVs — the
+    merge-and-replace path) against two tables, one per format.
+    Reports per-round delete wall time, delete-artifact bytes, live
+    delete entries, and the final merge-on-read scan (min of 2).
+    Whichever side wins the SCAN at constant correctness is the right
+    default: the scan is paid by every reader forever, the encode once
+    per delete."""
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "o_orderkey", "long", True),
+        NestedField(2, "o_totalprice", "double", True))))
+    src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .select("o_orderkey", "o_totalprice"))
+    reps = spark.range(amp).withColumnRenamed("id", "_r")
+    big = (src.crossJoin(F.broadcast(reps))
+           .withColumn("o_orderkey",
+                       F.col("o_orderkey") + F.col("_r") * 10_000_000)
+           .drop("_r").repartition(32))
+    preds = [F.col("o_orderkey") % 10 == 3,
+             F.col("o_orderkey") % 10 == 7,
+             F.col("o_orderkey") % 20 < 3]   # overlaps round 1
+    for fmt in ("parquet", "dv"):
+        with tempfile.TemporaryDirectory() as d:
+            cat = FileCatalog(d)
+            t = Table.create(cat, "db.dvdflt", schema,
+                             PartitionSpec(0, ()),
+                             properties={"write.delete.format": fmt})
+            t.append(spark, big)
+            round_s = []
+            for p in preds:
+                t0 = _t.perf_counter()
+                t.delete_where_pos(spark, p)
+                round_s.append(_t.perf_counter() - t0)
+            dbytes = dentries = 0
+            for m in read_manifest_list(
+                    t.metadata.current_snapshot().manifest_list):
+                for e in read_manifest(m.manifest_path):
+                    if e.data_file.content == 1 and e.status != 2:
+                        dentries += 1
+                        dbytes += (e.data_file.content_size_in_bytes
+                                   or e.data_file.file_size_in_bytes)
+            scans = []
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                n_live = t.scan(spark).count()
+                scans.append(_t.perf_counter() - t0)
+            print(f"dv-default[{fmt}] @ {amp}x: rounds="
+                  f"{[round(x, 1) for x in round_s]}s "
+                  f"delete_entries={dentries} delete_bytes={dbytes} "
+                  f"scan={min(scans):.1f}s live={n_live}")
+
+
 def mv_refresh_loop(spark, sf_dir: str, n_refreshes: int = 5):
     """Chain-growth probe for the INCR_AGG refresh loop (r5 verdict #8):
     run ``n_refreshes`` incremental refreshes and print the storage-table
