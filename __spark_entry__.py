@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode": relational.q12_shipmode,
         "iceberg_schema_evolution": iceberg_queries.iceberg_schema_evolution,
         "mv_incremental_refresh": iceberg_queries.mv_incremental_refresh,
+        "mv_union_refresh": iceberg_queries.mv_union_refresh,
         "text_quality_tokens": _text_quality_tokens,
         "multimodal_features": multimodal.multimodal_features,
         "dataset_split_summary": sampling.dataset_split_summary,
@@ -746,6 +747,18 @@ def _component_oracles() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_custkey % 7 = 2)
             GROUP BY o_orderstatus
+        """,
+        "mv_union_refresh": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total
+            FROM (
+              SELECT o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderkey % 4 IN (0, 2) AND o_totalprice > 150000
+              UNION ALL
+              SELECT o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderkey % 4 IN (1, 3)
+                AND o_orderpriority IN ('1-URGENT','2-HIGH')
+            ) GROUP BY o_orderstatus
         """,
         "csv_source_roundtrip": """
             SELECT o_orderpriority, count(*) AS n_orders,

@@ -200,6 +200,53 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def mv_union_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental UNION ALL MV (δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ — delta_queries/
+    transform.rs:85-100): two source tables seeded with disjoint orders
+    slices, a UNION ALL MV with a different filter per branch, then an
+    append to EACH source — both refreshes must classify
+    IncrementalAppend (the per-branch delta passes scan only the
+    appended snapshot ranges; a full-branch re-scan would double rows
+    and break the oracle hash). Returns the MV aggregated per status."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.plans.mv import INCR_APPEND
+
+    cat, d = _tmp_catalog()
+    try:
+        eng = Engine(spark, cat)
+        src = _orders(spark, sf_dir)
+        t1 = Table.create(cat, "db.orders_u1", ORDERS_SCHEMA,
+                          PartitionSpec(0, ()))
+        t2 = Table.create(cat, "db.orders_u2", ORDERS_SCHEMA,
+                          PartitionSpec(0, ()))
+        t1.append(spark, src.filter(F.col("o_orderkey") % 4 == 0))
+        t2.append(spark, src.filter(F.col("o_orderkey") % 4 == 1))
+        eng.create_materialized_view(
+            "db.umv",
+            "SELECT o_orderstatus, o_totalprice FROM db.orders_u1 "
+            "WHERE o_totalprice > 150000 "
+            "UNION ALL "
+            "SELECT o_orderstatus, o_totalprice FROM db.orders_u2 "
+            "WHERE o_orderpriority IN ('1-URGENT','2-HIGH')")
+        eng.refresh_materialized_view("db.umv")  # bootstrap: FULL
+        t2.refresh().append(spark,
+                            src.filter(F.col("o_orderkey") % 4 == 3))
+        strategy = eng.refresh_materialized_view("db.umv")
+        assert strategy == INCR_APPEND, strategy
+        t1.refresh().append(spark,
+                            src.filter(F.col("o_orderkey") % 4 == 2))
+        strategy = eng.refresh_materialized_view("db.umv")
+        assert strategy == INCR_APPEND, strategy
+        out = (eng.sql("SELECT * FROM db.umv")
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-range delta read (A4): only rows appended after snap1."""
     cat, d = _tmp_catalog()
