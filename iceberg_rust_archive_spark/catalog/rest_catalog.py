@@ -342,3 +342,36 @@ class RestCatalog(Catalog):
             self._request("DELETE", f"namespaces/{ns}/tables/{name}")
         except NoSuchTableError:
             self._request("DELETE", f"namespaces/{ns}/views/{name}")
+
+    def report_metrics(self, identifier: str, report: dict) -> None:
+        """POST /v1/namespaces/{ns}/tables/{tbl}/metrics
+        (ReportMetricsRequest): ship a scan report — the dict
+        ``Table.scan(report=...)`` fills maps onto the spec's
+        scan-report shape — so REST servers aggregate planning metrics
+        across engines. Fire-and-forget semantics: metrics must never
+        fail a read, so transport/HTTP errors are swallowed (the spec
+        marks the route best-effort; a 404 just means the server
+        doesn't implement it)."""
+        ns, name = parse_identifier(identifier)
+        body = {
+            "report-type": "scan-report",
+            "table-name": name,
+            "snapshot-id": report.get("snapshot_id") or -1,
+            "filter": report.get("filter", "true"),
+            "schema-id": report.get("schema_id", 0),
+            "projected-field-ids": report.get("projected_field_ids", []),
+            "projected-field-names": report.get("projected_field_names",
+                                                []),
+            "metrics": {
+                k.replace("_", "-"): {"unit": "count", "value": int(v)}
+                for k, v in report.items()
+                if k != "snapshot_id"
+                and isinstance(v, (int, float))
+                and not isinstance(v, bool)
+            },
+        }
+        try:
+            self._request("POST",
+                          f"namespaces/{ns}/tables/{name}/metrics", body)
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            pass

@@ -41,6 +41,7 @@ class _State:
         # None = answer everything in one page with no token
         self.page_size = page_size
         self.list_requests = 0
+        self.metrics = []  # (ns, table, ReportMetricsRequest) tuples
         self.valid_tokens = set()
         self.tokens_minted = 0
 
@@ -210,6 +211,11 @@ def _make_handler(state: _State):
                     self._send(200, self._load_result(loc, md))
                 elif len(p) == 3 and p[2] in ("tables", "views"):
                     self._create(p[2], p[1], body)
+                elif (len(p) == 5 and p[2] == "tables"
+                        and p[4] == "metrics"):
+                    # spec ReportMetricsRequest — record and 204
+                    state.metrics.append((p[1], p[3], body))
+                    self._send(204)
                 elif len(p) == 4 and p[2] in ("tables", "views"):
                     self._commit(p[2], p[1], p[3], body)
                 else:
@@ -582,3 +588,31 @@ def test_rest_error_body_conformance(rest_server):
     assert "oops" in RestCatalog._error_detail(b"oops")
     assert RestCatalog._error_detail(
         b'{"error": {"message": "m", "type": "T", "code": 409}}') == "T: m"
+
+
+def test_rest_report_metrics(paged_rest_server, spark, tmp_path):
+    """ReportMetricsRequest: a real scan's planning report ships to the
+    spec metrics route (fire-and-forget — servers lacking the route
+    must never fail the read)."""
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    url, state = paged_rest_server
+    cat = RestCatalog(url)
+    cat.create_namespace("db")
+    t = Table.create(cat, "db.mt", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "mt"))
+    t.append(spark, spark.createDataFrame([(1, "a"), (2, "b")],
+                                          "k long, v string"))
+    report: dict = {}
+    t.refresh().scan(spark, report=report).count()
+    cat.report_metrics("db.mt", report)
+    assert len(state.metrics) == 1
+    ns, name, body = state.metrics[0]
+    assert (ns, name) == ("db", "mt")
+    assert body["report-type"] == "scan-report"
+    assert body["metrics"]["data-files-planned"]["value"] >= 1
+    # a route-less server (plain rest_server lacks auth but has the
+    # route; simulate absence with a bogus table/namespace → 404) is
+    # swallowed: metrics never raise
+    cat.report_metrics("nope.missing", report)
