@@ -206,7 +206,25 @@ def split_union(sql: str) -> tuple[list[str], str | None]:
         return [text], None
     parts.append(text[cur_start:])
     kind = "all" if all(k == "all" for k in kinds) else "distinct"
-    return [p.strip() for p in parts], kind
+    return [_strip_outer_parens(p) for p in parts], kind
+
+
+def _strip_outer_parens(s: str) -> str:
+    """``(SELECT ...) UNION ALL (SELECT ...)`` is legal SQL — peel each
+    branch's enclosing parens (only when they match each other, so a
+    branch like ``(a) x JOIN (b) y`` is left alone)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # first paren closes early — not enclosing
+        s = s[1:-1].strip()
+    return s
 
 
 def strip_order_by(sql: str) -> str:

@@ -578,6 +578,10 @@ def test_split_union():
     # 'reunion' is not a keyword
     bs6, k6 = split_union("SELECT reunion FROM t")
     assert k6 is None and len(bs6) == 1
+    # parenthesized branches peel their enclosing parens
+    bs7, k7 = split_union(
+        "(SELECT a FROM t) UNION ALL (SELECT b FROM u)")
+    assert k7 == "all" and bs7 == ["SELECT a FROM t", "SELECT b FROM u"]
 
 
 def test_mv_changelog_refresh_join_sources_with_deletes(engine):

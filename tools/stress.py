@@ -502,6 +502,64 @@ def mv_refresh_loop(spark, sf_dir: str, n_refreshes: int = 5):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def union_mv_scale(spark, sf_dir: str, amp: int):
+    """UNION ALL MV refresh at 10×: the incremental refresh after a
+    small append must cost ~the delta, not the table — the per-branch
+    pass scans only the appended snapshot range while the bootstrap
+    FULL refresh pays both branches in full."""
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.plans.mv import INCR_APPEND
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "o_orderkey", "long", True),
+        NestedField(2, "o_totalprice", "double", True),
+        NestedField(3, "o_orderstatus", "string", True))))
+    src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+           .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    reps = spark.range(amp).withColumnRenamed("id", "_r")
+    big = (src.crossJoin(F.broadcast(reps))
+           .withColumn("o_orderkey",
+                       F.col("o_orderkey") + F.col("_r") * 10_000_000)
+           .drop("_r").repartition(32))
+    with tempfile.TemporaryDirectory() as d:
+        cat = FileCatalog(os.path.join(d, "wh"))
+        eng = Engine(spark, cat)
+        t1 = Table.create(cat, "db.u1", schema, PartitionSpec(0, ()))
+        t2 = Table.create(cat, "db.u2", schema, PartitionSpec(0, ()))
+        t1.append(spark, big.filter(F.col("o_orderkey") % 2 == 0))
+        t2.append(spark, big.filter((F.col("o_orderkey") % 2 == 1)
+                                    & (F.col("o_orderkey") % 100 != 1)))
+        eng.create_materialized_view(
+            "db.umv",
+            "SELECT o_orderstatus, o_totalprice FROM db.u1 "
+            "WHERE o_totalprice > 100000 "
+            "UNION ALL "
+            "SELECT o_orderstatus, o_totalprice FROM db.u2 "
+            "WHERE o_totalprice > 100000")
+        t0 = _t.perf_counter()
+        eng.refresh_materialized_view("db.umv")
+        full_s = _t.perf_counter() - t0
+        delta = big.filter(F.col("o_orderkey") % 100 == 1)  # ~1%
+        n_delta = delta.count()
+        t2.refresh().append(spark, delta)
+        t0 = _t.perf_counter()
+        strat = eng.refresh_materialized_view("db.umv")
+        incr_s = _t.perf_counter() - t0
+        assert strat == INCR_APPEND, strat
+        n_mv = eng.sql("SELECT count(*) AS n FROM db.umv").collect()[0][0]
+        print(f"union-mv @ {amp}x: bootstrap(FULL)={full_s:.1f}s, "
+              f"append {n_delta} rows → incremental refresh="
+              f"{incr_s:.1f}s ({strat}), mv_rows={n_mv}")
+
+
 def q21_shape(spark, sf_dir: str, amp: int):
     """q21 rewrite at ``amp``×: the per-order aggregate must scale with
     ONE lineitem shuffle (the old double-EXISTS plan paid three)."""
@@ -546,5 +604,7 @@ if __name__ == "__main__":
     manifest_fetch_latency()
     distributed_plan_latency(spark)
     dv_roundtrip_scale(spark, sf_dir, amp)
+    dv_vs_parquet_default(spark, sf_dir, amp)
     mv_refresh_loop(spark, sf_dir)
+    union_mv_scale(spark, sf_dir, amp)
     q21_shape(spark, sf_dir, amp)
