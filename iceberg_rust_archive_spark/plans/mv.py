@@ -8,15 +8,20 @@ shape (window fns, DISTINCT, outer joins, subqueries, non-incremental
 aggregates) ⇒ FULL overwrite; ORDER BY ⇒ overwrite (storage order is
 meaningless, the reference calls this IncrementalOverwrite); plain
 SELECT-FROM-JOIN-WHERE ⇒ incremental append; + GROUP BY over
-sum/count/min/max ⇒ incremental aggregate merge. Top-level UNION ALL
-of plain SELECT-FROM-JOIN-WHERE branches refreshes incrementally via
-the reference's distribution rule δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ
-(transform.rs:85-100, 287-297): the pass machinery binds per BRANCH —
-each stale source's PosDelta pass re-runs only its own branch's SQL,
-so the other branches' rows are never re-emitted — and the branch
-deltas union into one append. Bare UNION (distinct), aggregate
-branches, or non-append source history still classify FULL
-(dedup/merge across branches is not delta-distributable in general).
+sum/count/min/max ⇒ incremental aggregate merge. UNION ALL refreshes
+incrementally via the reference's distribution rule δ(∪ᵢ Bᵢ) = ∪ᵢ δBᵢ
+(transform.rs:85-100, 287-297) in BOTH positions: a top-level union of
+plain SELECT-FROM-JOIN-WHERE branches appends the union of per-branch
+deltas (`_refresh_union_all_mv`), and an outer aggregate/projection
+over a UNION ALL subquery (`SELECT k, sum(v) FROM (A UNION ALL B) x
+GROUP BY k`) runs the OUTER plan over each branch's delta and re-merges
+through the normal IncrementalAggregate machinery
+(`_union_subquery_plan` — the :107-197 ∘ :85-100 composition). In both
+forms each stale source's pass re-runs only its own branch's SQL, so
+the other branches' rows are never re-emitted. Bare UNION (distinct),
+aggregate BRANCHES inside the union, or non-append source history
+still classify FULL (cross-branch dedup/merge is not
+delta-distributable in general).
 
 PosDelta (transform.rs:27-213): with append-only sources, the delta of a
 multilinear plan (σ, π, ⋈, ∪ all distribute over appends) expands to
@@ -371,6 +376,28 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         else:
             strategy = FULL
 
+    # aggregate/projection over a UNION ALL subquery: FULL by textual
+    # classification (has_subquery), but the Union distribution applies
+    # — δ(outer ∘ ∪ᵢ Bᵢ) = re-merge of outer ∘ δBᵢ — when every branch
+    # is IncrementalAppend-shaped, sources are all append-only valid,
+    # and the OUTER shape (classified via a placeholder relation)
+    # is itself incremental. The per-branch passes below then swap
+    # one branch's text in while the existing aggregate-merge machinery
+    # does the rest unchanged.
+    union_ctx = None
+    if (strategy == FULL and not first_refresh and old_state is not None
+            and all(s.old_snapshot_id is not None for s in sources)
+            and not any(s.invalid for s in sources)):
+        up = _union_subquery_plan(run_sql)
+        if up is not None:
+            synthetic, outer_of, ubranches, ubparses = up
+            synth_parsed = parse_select(synthetic)
+            synth_strategy = classify(synth_parsed)
+            if synth_strategy in (INCR_APPEND, INCR_AGG):
+                strategy = synth_strategy
+                parsed = synth_parsed
+                union_ctx = (outer_of, ubranches, ubparses)
+
     new_state = RefreshState(
         refresh_version_id=mv.current_version_id,
         source_table_states=tuple(
@@ -519,20 +546,46 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     else:
         # --- PosDelta passes ---------------------------------------------
         passes: list[DataFrame] = []
-        for i, src in enumerate(sources):
-            if src.fresh:
-                continue
-            bindings: dict[str, DataFrame] = {}
-            for j, other in enumerate(sources):
-                if other.name == src.name:
-                    bindings[other.name] = other.table.scan(
-                        spark, from_snapshot_id=other.old_snapshot_id)
-                elif j < i:
-                    bindings[other.name] = other.table.scan(spark)  # new
-                else:
-                    bindings[other.name] = other.table.scan(
-                        spark, snapshot_id=other.old_snapshot_id)   # old
-            passes.append(bind_and_run(bindings))
+        if union_ctx is not None:
+            # per-BRANCH passes (δ distributes over the union): each
+            # stale source's pass re-runs the OUTER sql with only ITS
+            # branch inlined, bound to (new…, δ, …old) within that
+            # branch — other branches are never re-emitted
+            outer_of, ubranches, ubparses = union_ctx
+            src_by_name = {s.name.lower(): s for s in sources}
+            for b_sql, pb in zip(ubranches, ubparses):
+                bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
+                for i, src in enumerate(bsrcs):
+                    if src.fresh:
+                        continue
+                    bindings = {}
+                    for j, other in enumerate(bsrcs):
+                        if other.name == src.name:
+                            bindings[other.name] = other.table.scan(
+                                spark,
+                                from_snapshot_id=other.old_snapshot_id)
+                        elif j < i:
+                            bindings[other.name] = other.table.scan(spark)
+                        else:
+                            bindings[other.name] = other.table.scan(
+                                spark, snapshot_id=other.old_snapshot_id)
+                    passes.append(bind_and_run(bindings,
+                                               outer_of(b_sql)))
+        else:
+            for i, src in enumerate(sources):
+                if src.fresh:
+                    continue
+                bindings: dict[str, DataFrame] = {}
+                for j, other in enumerate(sources):
+                    if other.name == src.name:
+                        bindings[other.name] = other.table.scan(
+                            spark, from_snapshot_id=other.old_snapshot_id)
+                    elif j < i:
+                        bindings[other.name] = other.table.scan(spark)
+                    else:
+                        bindings[other.name] = other.table.scan(
+                            spark, snapshot_id=other.old_snapshot_id)
+                passes.append(bind_and_run(bindings))
         assert passes, f"no outdated sources but strategy={strategy}"
         delta = passes[0]
         for p in passes[1:]:
@@ -628,6 +681,89 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     upserts.unpersist()
     _maybe_compact_storage(spark, catalog, mv, branch)
     return strategy
+
+
+_RESERVED_AFTER_SUBQUERY = {"where", "group", "having", "order", "limit",
+                            "union", "join", "on"}
+
+
+def _union_subquery_plan(run_sql: str):
+    """Detect ``SELECT <list> FROM ( B₁ UNION ALL B₂ … ) [AS x] <rest>``
+    with every branch IncrementalAppend-shaped — the aggregate/
+    projection-over-union case of the reference's Union distribution
+    (transform.rs:107-197 composed with :85-100): δ of the OUTER plan
+    is the outer plan applied to each branch's delta, re-merged.
+
+    Returns ``(synthetic_sql, outer_of, branches, branch_parses)`` or
+    None. ``synthetic_sql`` replaces the subquery with the placeholder
+    relation ``__union_src`` so the OUTER shape can be classified
+    without tripping has_subquery; ``outer_of(branch_sql)`` re-inlines
+    one branch into the original text for a delta pass."""
+    text = run_sql.strip().rstrip(";")
+    if not re.match(r"select\b", text, re.IGNORECASE):
+        return None
+    # first depth-0 FROM (string-aware)
+    depth, i, n, in_str, from_at = 0, 0, len(text), None, None
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "fF":
+            prev = text[i - 1] if i else " "
+            if re.match(r"from\b", text[i:], re.IGNORECASE) \
+                    and not (prev.isalnum() or prev == "_"):
+                from_at = i
+                break
+        i += 1
+    if from_at is None:
+        return None
+    j = from_at + 4
+    while j < n and text[j].isspace():
+        j += 1
+    if j >= n or text[j] != "(":
+        return None
+    depth, k, in_str = 0, j, None
+    while k < n:
+        ch = text[k]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        k += 1
+    if k >= n:
+        return None
+    inner, rest = text[j + 1:k], text[k + 1:]
+    branches, kind = split_union(inner)
+    if len(branches) < 2 or kind != "all":
+        return None
+    branch_parses = [parse_select(b) for b in branches]
+    if any(classify(pb) != INCR_APPEND for pb in branch_parses):
+        return None
+    # optional subquery alias (not a clause keyword)
+    am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)", rest, re.IGNORECASE)
+    rest2 = rest
+    if am and am.group(1).lower() not in _RESERVED_AFTER_SUBQUERY:
+        rest2 = rest[am.end():]
+    if re.search(r"\bjoin\b", rest2, re.IGNORECASE):
+        return None  # subquery joined with something else — not pure
+    synthetic = text[:from_at] + "FROM __union_src " + rest2
+    outer_of = (lambda b_sql, _t=text, _j=j, _k=k:
+                _t[:_j + 1] + " " + b_sql + " " + _t[_k:])
+    return synthetic, outer_of, branches, branch_parses
 
 
 def _refresh_union_all_mv(spark: SparkSession, catalog: Catalog,

@@ -540,6 +540,84 @@ def test_union_mv_same_table_both_branches(engine):
     assert summ["added-records"] == "2"
 
 
+def test_union_subquery_aggregate_mv_incremental(engine):
+    """Aggregate over a UNION ALL subquery — the Union distribution
+    composed with the aggregate delta rule (transform.rs:107-197 ∘
+    :85-100): δ passes run the OUTER aggregate over ONE branch's delta
+    each, re-merged by the existing IncrementalAggregate machinery."""
+    from iceberg_rust_archive_spark.plans.mv import INCR_AGG
+
+    engine.sql("CREATE TABLE db.returns (id BIGINT NOT NULL, "
+               "customer_id BIGINT, product_id BIGINT, date DATE, "
+               "quantity INT)")
+    engine.sql("INSERT INTO db.returns VALUES "
+               "(100,1,1,DATE '2020-01-05',5),(101,2,2,DATE '2020-01-06',1)")
+    inner = ("SELECT product_id, quantity FROM db.orders "
+             "WHERE quantity > 0 "
+             "UNION ALL "
+             "SELECT product_id, quantity FROM db.returns")
+    mv_sql = (f"SELECT product_id, count(*) AS n, sum(quantity) AS q "
+              f"FROM ( {inner} ) u GROUP BY product_id")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.uamv AS {mv_sql}")
+
+    def want():
+        return {r[0]: (r[1], r[2]) for r in engine.sql(mv_sql).collect()}
+
+    def got():
+        return {r["product_id"]: (r["n"], r["q"]) for r in
+                engine.sql("SELECT * FROM db.uamv").collect()}
+
+    assert engine.refresh_materialized_view("db.uamv") == FULL
+    assert got() == want()
+
+    # one source grows → one branch pass, aggregate-merged
+    engine.sql("INSERT INTO db.returns VALUES "
+               "(102,3,4,DATE '2020-01-07',4)")  # product 4 = NEW group
+    assert engine.refresh_materialized_view("db.uamv") == INCR_AGG
+    assert got() == want()
+
+    # both sources grow → two branch passes
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,3,DATE '2020-01-03',2)")
+    engine.sql("INSERT INTO db.returns VALUES "
+               "(103,1,1,DATE '2020-01-08',7)")
+    assert engine.refresh_materialized_view("db.uamv") == INCR_AGG
+    assert got() == want()
+    assert engine.refresh_materialized_view("db.uamv") == "Fresh"
+
+    # a source DELETE invalidates the append-only expansion → FULL
+    engine.sql("DELETE FROM db.returns WHERE id = 100")
+    assert engine.refresh_materialized_view("db.uamv") == FULL
+    assert got() == want()
+
+
+def test_union_subquery_projection_mv_incremental(engine):
+    """Outer σ/π over a UNION ALL subquery stays IncrementalAppend."""
+    inner = ("SELECT product_id, quantity FROM db.orders "
+             "WHERE product_id = 1 "
+             "UNION ALL "
+             "SELECT customer_id AS product_id, quantity "
+             "FROM db.orders WHERE product_id <> 1")
+    mv_sql = (f"SELECT product_id, quantity * 2 AS q2 "
+              f"FROM ( {inner} ) u WHERE quantity > 1")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.upmv AS {mv_sql}")
+
+    def multiset(q):
+        return sorted((r[0], r[1]) for r in engine.sql(q).collect())
+
+    engine.refresh_materialized_view("db.upmv")
+    assert multiset("SELECT * FROM db.upmv") == multiset(mv_sql)
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,9,1,DATE '2020-01-03',2),(8,9,2,DATE '2020-01-03',3),"
+               "(9,9,2,DATE '2020-01-03',1)")  # third row filtered out
+    assert engine.refresh_materialized_view("db.upmv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.upmv") == multiset(mv_sql)
+    summ = engine.load_table("db.upmv_storage") \
+        .metadata.current_snapshot().summary
+    assert summ["operation"] == "append"
+    assert summ["added-records"] == "2"
+
+
 def test_union_distinct_mv_stays_full(engine):
     """Bare UNION dedups across branches — δ distribution is unsound
     (an appended row may duplicate one the other branch already
