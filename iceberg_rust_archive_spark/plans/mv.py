@@ -18,10 +18,14 @@ GROUP BY k`) runs the OUTER plan over each branch's delta and re-merges
 through the normal IncrementalAggregate machinery
 (`_union_subquery_plan` — the :107-197 ∘ :85-100 composition). In both
 forms each stale source's pass re-runs only its own branch's SQL, so
-the other branches' rows are never re-emitted. Bare UNION (distinct),
-aggregate BRANCHES inside the union, or non-append source history
-still classify FULL (cross-branch dedup/merge is not
-delta-distributable in general).
+the other branches' rows are never re-emitted. Under source DELETEs a
+sum/count-with-COUNT(*) aggregate over a union stays incremental too:
+the signed changelog weights ride an appended ``__w`` item through the
+branch projection into the outer weighted aggregates (the NegDelta
+analog of :287-297). Bare UNION (distinct), aggregate BRANCHES inside
+the union, or replace history still classify FULL (cross-branch
+dedup/merge is not delta-distributable in general; top-level unions —
+row storage, no multiplicity column — also recompute under deletes).
 
 PosDelta (transform.rs:27-213): with append-only sources, the delta of a
 multilinear plan (σ, π, ⋈, ∪ all distribute over appends) expands to
@@ -267,6 +271,32 @@ def _weighted_sql(parsed: ParsedSelect, run_sql: str, wtot: str) -> str:
             + run_sql[body.end(1):])
 
 
+def _append_weight_item(branch_sql: str, wexpr: str) -> str:
+    """Append ``, (wexpr) AS __w`` to a union BRANCH's select list so
+    the source bindings' weight columns survive the branch projection
+    and reach the outer weighted aggregates. The branch is
+    IncrementalAppend-shaped (no subqueries), so its first depth-0
+    FROM delimits the list."""
+    depth, in_str = 0, None
+    for i, ch in enumerate(branch_sql):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "fF":
+            prev = branch_sql[i - 1] if i else " "
+            if re.match(r"from\b", branch_sql[i:], re.IGNORECASE) \
+                    and not (prev.isalnum() or prev == "_"):
+                return (branch_sql[:i] + f", ({wexpr}) AS __w "
+                        + branch_sql[i:])
+    raise ValueError(f"branch without FROM: {branch_sql!r}")
+
+
 def _expand_view_refs(catalog: Catalog, sql: str, depth: int = 0) -> str:
     """Resolve non-table relations so the refresh machinery only ever
     binds real tables: a plain VIEW inlines as a subquery (its query
@@ -386,15 +416,26 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     # does the rest unchanged.
     union_ctx = None
     if (strategy == FULL and not first_refresh and old_state is not None
-            and all(s.old_snapshot_id is not None for s in sources)
-            and not any(s.invalid for s in sources)):
+            and all(s.old_snapshot_id is not None for s in sources)):
         up = _union_subquery_plan(run_sql)
         if up is not None:
             synthetic, outer_of, ubranches, ubparses = up
             synth_parsed = parse_select(synthetic)
             synth_strategy = classify(synth_parsed)
-            if synth_strategy in (INCR_APPEND, INCR_AGG):
-                strategy = synth_strategy
+            if not any(s.invalid for s in sources):
+                if synth_strategy in (INCR_APPEND, INCR_AGG):
+                    strategy = synth_strategy
+                    parsed = synth_parsed
+                    union_ctx = (outer_of, ubranches, ubparses)
+            elif (synth_strategy == INCR_AGG
+                    and all(s.old_exists and not s.replace_since
+                            for s in sources)
+                    and _changelog_capable(synth_parsed)):
+                # source DELETEs through the union: the NegDelta analog
+                # (transform.rs:287-297) — signed changelog weights ride
+                # an appended __w item through each branch's projection
+                # and fold into the OUTER weighted aggregates
+                strategy = CHANGELOG_AGG
                 parsed = synth_parsed
                 union_ctx = (outer_of, ubranches, ubparses)
 
@@ -506,15 +547,14 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         # the group multiplicity. The merge then ADDS the (possibly
         # negative) deltas onto the stored groups — no FULL recompute
         # even though sources saw DELETEs.
-        cpasses: list[DataFrame] = []
-        for i, src in enumerate(sources):
-            if src.fresh:
-                continue
+        def changelog_bindings(bsrcs, stale_idx):
+            """Bindings for ONE weighted pass: source ``stale_idx``
+            bound to its signed changelog, j<i to new, j>i to old."""
             bindings: dict[str, DataFrame] = {}
             wnames: list[str] = []
-            for j, other in enumerate(sources):
+            for j, other in enumerate(bsrcs):
                 wname = f"__w_{j}"
-                if other.name == src.name:
+                if j == stale_idx:
                     df = other.table.changes(
                         spark, from_snapshot_id=other.old_snapshot_id)
                     df = df.withColumn(
@@ -523,7 +563,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                                F.lit(1)).otherwise(F.lit(-1))) \
                         .drop("_change_type", "_commit_snapshot_id",
                               "_change_ordinal")
-                elif j < i:
+                elif j < stale_idx:
                     df = other.table.scan(spark).withColumn(
                         wname, F.lit(1))
                 else:
@@ -532,8 +572,33 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                     ).withColumn(wname, F.lit(1))
                 bindings[other.name] = df
                 wnames.append(wname)
-            wsql = _weighted_sql(parsed, run_sql, " * ".join(wnames))
-            cpasses.append(bind_and_run(bindings, wsql))
+            return bindings, wnames
+
+        cpasses: list[DataFrame] = []
+        if union_ctx is not None:
+            # NegDelta through the union: one weighted pass per stale
+            # source per branch — the weight product rides an appended
+            # __w item through the branch projection, and the OUTER
+            # select list folds __w into every aggregate
+            outer_of, ubranches, ubparses = union_ctx
+            src_by_name = {s.name.lower(): s for s in sources}
+            for b_sql, pb in zip(ubranches, ubparses):
+                bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
+                for i, src in enumerate(bsrcs):
+                    if src.fresh:
+                        continue
+                    bindings, wnames = changelog_bindings(bsrcs, i)
+                    wb_sql = _append_weight_item(b_sql,
+                                                 " * ".join(wnames))
+                    wsql = _weighted_sql(parsed, outer_of(wb_sql), "__w")
+                    cpasses.append(bind_and_run(bindings, wsql))
+        else:
+            for i, src in enumerate(sources):
+                if src.fresh:
+                    continue
+                bindings, wnames = changelog_bindings(sources, i)
+                wsql = _weighted_sql(parsed, run_sql, " * ".join(wnames))
+                cpasses.append(bind_and_run(bindings, wsql))
         assert cpasses, "no outdated sources but strategy=ChangelogAgg"
         delta = cpasses[0]
         for p in cpasses[1:]:

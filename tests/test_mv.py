@@ -585,9 +585,24 @@ def test_union_subquery_aggregate_mv_incremental(engine):
     assert got() == want()
     assert engine.refresh_materialized_view("db.uamv") == "Fresh"
 
-    # a source DELETE invalidates the append-only expansion → FULL
+    # a source DELETE retracts through the union: signed changelog
+    # weights ride the appended __w item through the branch projection
+    # (the NegDelta analog, transform.rs:287-297) — no full recompute
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
     engine.sql("DELETE FROM db.returns WHERE id = 100")
-    assert engine.refresh_materialized_view("db.uamv") == FULL
+    assert engine.refresh_materialized_view("db.uamv") == CHANGELOG_AGG
+    assert got() == want()
+
+    # deleting a group's LAST row retracts the group entirely
+    engine.sql("DELETE FROM db.returns WHERE product_id = 4")
+    assert engine.refresh_materialized_view("db.uamv") == CHANGELOG_AGG
+    assert got() == want()
+    assert 4 not in got()
+
+    # deletes from BOTH sources in one interval still merge exactly
+    engine.sql("DELETE FROM db.orders WHERE id = 7")
+    engine.sql("DELETE FROM db.returns WHERE id = 103")
+    assert engine.refresh_materialized_view("db.uamv") == CHANGELOG_AGG
     assert got() == want()
 
 
