@@ -166,6 +166,7 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
         {"name": "referenced_data_file", "field-id": 143,
          "type": _opt("string")},
         {"name": "content_offset", "field-id": 144, "type": _opt("long")},
+        {"name": "first_row_id", "field-id": 142, "type": _opt("long")},
         {"name": "content_size_in_bytes", "field-id": 145,
          "type": _opt("long")},
     ]}
@@ -206,6 +207,7 @@ MANIFEST_LIST_SCHEMA = {
                     {"name": "upper_bound", "type": _opt("bytes"),
                      "field-id": 511},
                 ]}})},
+        {"name": "first_row_id", "field-id": 520, "type": _opt("long")},
     ]}
 
 
@@ -251,6 +253,7 @@ def entry_to_avro(e, field_types: dict[int, str]) -> dict:
             "referenced_data_file": df.referenced_data_file,
             "content_offset": df.content_offset,
             "content_size_in_bytes": df.content_size_in_bytes,
+            "first_row_id": df.first_row_id,
         }}
 
 
@@ -292,7 +295,7 @@ def entry_from_avro(d: dict, field_types: dict[int, str]):
         tuple(f["split_offsets"]) if f.get("split_offsets") is not None
         else None,
         f.get("referenced_data_file"), f.get("content_offset"),
-        f.get("content_size_in_bytes"))
+        f.get("content_size_in_bytes"), f.get("first_row_id"))
     return ManifestEntry(d["status"], df, d.get("snapshot_id"),
                          d.get("sequence_number"),
                          d.get("file_sequence_number"))
@@ -322,6 +325,7 @@ def mle_to_avro(m, ptypes: list[str]) -> dict:
         } for p, t in zip(m.partitions,
                           ptypes + ["string"] * len(m.partitions))]
         or None,
+        "first_row_id": m.first_row_id,
     }
 
 
@@ -357,7 +361,8 @@ def mle_from_avro(d: dict, ptypes: list[str]):
         count("deleted_files_count", "deleted_data_files_count"),
         count("added_rows_count", "added_rows_count"),
         count("existing_rows_count", "existing_rows_count"),
-        count("deleted_rows_count", "deleted_rows_count"), summaries)
+        count("deleted_rows_count", "deleted_rows_count"), summaries,
+        d.get("first_row_id"))
 
 
 def field_types_from_schema_json(schema_json: str | None) -> dict[int, str]:

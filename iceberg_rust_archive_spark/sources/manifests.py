@@ -84,7 +84,13 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
         added_files_count=len(added), existing_files_count=len(existing),
         added_rows_count=sum(e.data_file.record_count for e in added),
         existing_rows_count=sum(e.data_file.record_count for e in existing),
-        partitions=tuple(summaries))
+        partitions=tuple(summaries),
+        # v3 row lineage: the manifest's starting row id (files carry
+        # explicit per-file values, which win on read; this is the
+        # manifest-level summary the spec's inheritance rule keys off)
+        first_row_id=min((e.data_file.first_row_id for e in added
+                          if e.data_file.first_row_id is not None),
+                         default=None))
 
 
 def read_manifest(path: str) -> list[ManifestEntry]:

@@ -45,6 +45,11 @@ class DataFile:
     referenced_data_file: str | None = None
     content_offset: int | None = None
     content_size_in_bytes: int | None = None
+    # v3 row lineage: the row id of this data file's FIRST row; row N
+    # of the file has _row_id = first_row_id + N. Assigned at commit
+    # time from table metadata's next-row-id (Transaction.commit), None
+    # on delete files and on files written before the table became v3.
+    first_row_id: int | None = None
 
     def to_json(self) -> dict:
         d = {"content": self.content, "file-path": self.file_path,
@@ -68,6 +73,8 @@ class DataFile:
             d["content-offset"] = self.content_offset
         if self.content_size_in_bytes is not None:
             d["content-size-in-bytes"] = self.content_size_in_bytes
+        if self.first_row_id is not None:
+            d["first-row-id"] = self.first_row_id
         return d
 
     @staticmethod
@@ -83,7 +90,7 @@ class DataFile:
             tuple(d["equality-ids"]) if d.get("equality-ids") is not None else None,
             tuple(d["split-offsets"]) if d.get("split-offsets") is not None else None,
             d.get("referenced-data-file"), d.get("content-offset"),
-            d.get("content-size-in-bytes"),
+            d.get("content-size-in-bytes"), d.get("first-row-id"),
         )
 
 
@@ -156,6 +163,10 @@ class ManifestListEntry:
     existing_rows_count: int = 0
     deleted_rows_count: int = 0
     partitions: tuple[FieldSummary, ...] = field(default_factory=tuple)
+    # v3 row lineage: starting row id for this manifest's added data
+    # files (data manifests of v3 tables only; files carry explicit
+    # per-file values too, which always win on read)
+    first_row_id: int | None = None
 
     def to_json(self) -> dict:
         return {"manifest-path": self.manifest_path,

@@ -16,6 +16,9 @@ class Snapshot:
     summary: dict = field(default_factory=dict)
     parent_snapshot_id: int | None = None
     schema_id: int | None = None
+    # v3 row lineage: the row-id range [first_row_id, first_row_id +
+    # added rows) this snapshot's new data files were assigned from
+    first_row_id: int | None = None
 
     @property
     def operation(self) -> str:
@@ -31,6 +34,8 @@ class Snapshot:
             d["parent-snapshot-id"] = self.parent_snapshot_id
         if self.schema_id is not None:
             d["schema-id"] = self.schema_id
+        if self.first_row_id is not None:
+            d["first-row-id"] = self.first_row_id
         return d
 
     @staticmethod
@@ -38,7 +43,7 @@ class Snapshot:
         return Snapshot(d["snapshot-id"], d.get("sequence-number", 0),
                         d["timestamp-ms"], d["manifest-list"],
                         d.get("summary", {}), d.get("parent-snapshot-id"),
-                        d.get("schema-id"))
+                        d.get("schema-id"), d.get("first-row-id"))
 
 
 @dataclass(frozen=True)

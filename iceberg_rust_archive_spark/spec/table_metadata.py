@@ -55,6 +55,9 @@ class TableMetadata:
     # file-size-in-bytes}; the file is Parquet, one row per partition)
     partition_statistics: tuple = field(default_factory=tuple)
     format_version: int = FORMAT_VERSION
+    # v3 row lineage: next row id to assign; commits adding data files
+    # to a v3 table advance it by the rows they added
+    next_row_id: int = 0
 
     # --- accessors -------------------------------------------------------
     def current_schema(self, branch: str | None = None) -> Schema:
@@ -189,6 +192,11 @@ class TableMetadata:
                if self.statistics else {}),
             **({"partition-statistics": list(self.partition_statistics)}
                if self.partition_statistics else {}),
+            # v3 row lineage: required for v3 documents; omitted below
+            # so v2 documents keep validating against the vendored
+            # v2 JSON Schema byte-for-byte
+            **({"next-row-id": self.next_row_id}
+               if self.format_version >= 3 else {}),
         }
 
     @staticmethod
@@ -236,6 +244,7 @@ class TableMetadata:
             statistics=tuple(d.get("statistics", [])),
             partition_statistics=tuple(d.get("partition-statistics", [])),
             format_version=d.get("format-version", FORMAT_VERSION),
+            next_row_id=d.get("next-row-id", 0),
         )
 
     def dumps(self) -> str:
