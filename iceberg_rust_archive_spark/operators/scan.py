@@ -250,13 +250,21 @@ def scan(spark: SparkSession, md: TableMetadata,
          branch: str | None = None, snapshot_id: int | None = None,
          as_of_ms: int | None = None,
          from_snapshot_id: int | None = None,
-         report: dict | None = None) -> DataFrame:
+         report: dict | None = None,
+         expose_pos: bool = False) -> DataFrame:
     """``report``, when passed, is filled in place with planning
     metrics (the reference's ScanMetrics role): manifest/file counts
     before and after each pruning level, bytes planned, delete-file
     counts, and the plan mode — the numbers that tell an operator
     whether a 100 TB query will touch 40 files or 40,000 BEFORE any
-    Spark job runs."""
+    Spark job runs.
+
+    ``expose_pos`` keeps the ``__fp``/``__pos`` physical-address helper
+    columns (normalized file path + parquet row ordinal) in the output
+    instead of dropping them after the pos-delete anti-join. Used by
+    ``Table.delete_where_pos`` so the hit set is computed over the full
+    merge-on-read resolution — a row already killed by a live equality
+    or position delete can never produce a fresh (path, pos) pair."""
     from iceberg_rust_archive_spark.session import ensure_read_confs
     ensure_read_confs(spark)  # field-id resolution on any caller's session
     preds = filter or []
@@ -316,7 +324,7 @@ def scan(spark: SparkSession, md: TableMetadata,
     # The reference PANICS on this content type (datafusion_iceberg/src/
     # table.rs:422-425); Spark's _metadata.row_index virtual column makes
     # merge-on-read natural, so we support it as a parity superset.
-    has_pos = bool(pos_delete_entries)
+    has_pos = bool(pos_delete_entries) or expose_pos
 
     # tables holding add_files-registered external files (no embedded
     # field ids) carry the name-mapping property → resolve BY NAME
@@ -404,8 +412,8 @@ def scan(spark: SparkSession, md: TableMetadata,
                         for e in pos_delete_entries)
         if del_bytes <= 64 * 1024 * 1024:
             pairs = F.broadcast(pairs)
-        return (d.join(pairs, on=["__fp", "__pos"], how="left_anti")
-                .drop("__fp", "__pos"))
+        d = d.join(pairs, on=["__fp", "__pos"], how="left_anti")
+        return d if expose_pos else d.drop("__fp", "__pos")
 
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
@@ -528,18 +536,23 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     if not parts:
         df = spark.createDataFrame([], spark_schema)
+        if expose_pos:
+            from pyspark.sql.types import LongType, StringType
+            df = (df.withColumn("__fp", F.lit(None).cast(StringType()))
+                    .withColumn("__pos", F.lit(None).cast(LongType())))
     else:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if has_pos:
+        if pos_delete_entries:
             df = apply_pos_deletes(df)
 
     residual = to_spark_filter(preds)
     if residual is not None:
         df = df.filter(residual)
     if columns:
-        df = df.select(*columns)
+        df = df.select(*(list(columns) + ["__fp", "__pos"])
+                       if expose_pos else columns)
 
     # A9→planner: feed harvested manifest statistics into Spark's join
     # planning the way the reference's TableProvider::statistics feeds

@@ -399,10 +399,17 @@ class Table:
         ``_metadata.row_index`` makes the ordinals free at scan time.
         Scale: the hit projection is two skinny columns — the shuffle to
         the single sorted writer carries only (path, long) pairs, never
-        data rows. Idempotent: pairs already present in the table's
-        delete files are anti-joined away, and an all-duplicate call
-        commits nothing."""
+        data rows. Idempotent AND dead-row-proof: the hit set is the
+        full merge-on-read resolution (``operators/scan.py`` with
+        ``expose_pos``), so rows already removed by live EQUALITY
+        deletes (sequence-ordered, strictly-earlier semantics) or by
+        prior position deletes / DVs never produce a pair — a fully
+        shadowed predicate is a no-op commit and ``Table.changes``
+        emits each row's delete exactly once (the round-8 hypothesis
+        property test's counterexample: append → delete_where_equal →
+        delete_where_pos on the same key must not re-kill the row)."""
         from pyspark.sql import functions as F
+        from iceberg_rust_archive_spark.operators.scan import scan
         from iceberg_rust_archive_spark.session import ensure_read_confs
         from iceberg_rust_archive_spark.sources.manifests import (
             read_manifest_list, read_manifests,
@@ -411,63 +418,27 @@ class Table:
             write_position_deletes,
         )
         from iceberg_rust_archive_spark.spec.manifest import (
-            CONTENT_DATA, STATUS_DELETED,
+            CONTENT_POSITION_DELETES, STATUS_DELETED,
         )
-        from iceberg_rust_archive_spark.spec.types import spark_schema_for
         ensure_read_confs(spark)
         md = self.metadata
         snap = md.current_snapshot(branch)
         if snap is None:
             return self
-        from iceberg_rust_archive_spark.spec.manifest import (
-            CONTENT_POSITION_DELETES,
-        )
-        paths, existing_pos, existing_dv = [], [], []
+        existing_dv = []
         mlist_all = read_manifest_list(snap.manifest_list)
         for entries in read_manifests([m.manifest_path for m in mlist_all]):
             for e in entries:
                 if e.status == STATUS_DELETED:
                     continue
-                if e.data_file.content == CONTENT_DATA:
-                    if (e.data_file.file_format or "parquet") \
-                            .lower() != "parquet":
-                        raise ValueError(
-                            "position deletes require parquet data "
-                            "files (Spark exposes _metadata.row_index "
-                            "for parquet only) — use "
-                            "delete_where_equal on ORC tables")
-                    paths.append(e.data_file.file_path)
-                elif e.data_file.content == CONTENT_POSITION_DELETES:
-                    if (e.data_file.file_format or "").lower() == "puffin":
-                        existing_dv.append(e.data_file)
-                    else:
-                        existing_pos.append(e.data_file.file_path)
-        if not paths:
-            return self
-        schema = spark_schema_for(md.current_schema(branch).struct)
-        hits = (spark.read.schema(schema).parquet(*paths)
+                if (e.data_file.content == CONTENT_POSITION_DELETES
+                        and (e.data_file.file_format or "").lower()
+                        == "puffin"):
+                    existing_dv.append(e.data_file)
+        hits = (scan(spark, md, branch=branch, expose_pos=True)
                 .filter(predicate)
-                .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                         "^file:/+", "/").alias("file_path"),
-                        F.col("_metadata.row_index").alias("pos")))
-        priors = []
-        if existing_pos:
-            # rows this table already position-deleted must not be
-            # re-written as fresh pairs on every call — delete files
-            # would grow monotonically under repeated predicates. The
-            # anti-join is on the same skinny (path, long) pairs the
-            # merge-on-read scan broadcasts, so it stays cheap at scale.
-            priors.append(spark.read.parquet(*existing_pos)
-                          .select("file_path", "pos"))
-        if existing_dv:
-            from iceberg_rust_archive_spark.operators.scan import (
-                dv_pairs_df,
-            )
-            priors.append(dv_pairs_df(spark, existing_dv,
-                                      path_col="file_path",
-                                      pos_col="pos"))
-        for prior in priors:
-            hits = hits.join(prior, ["file_path", "pos"], "left_anti")
+                .select(F.col("__fp").alias("file_path"),
+                        F.col("__pos").alias("pos")))
         if use_dv is None:
             use_dv = md.properties.get(
                 "write.delete.format", "parquet").lower() == "dv"
