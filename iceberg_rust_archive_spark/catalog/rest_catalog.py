@@ -362,10 +362,12 @@ class RestCatalog(Catalog):
             "projected-field-ids": report.get("projected_field_ids", []),
             "projected-field-names": report.get("projected_field_names",
                                                 []),
+            # non-metric scalar keys already mapped to top-level fields
+            # above must not leak in as bogus count metrics
             "metrics": {
                 k.replace("_", "-"): {"unit": "count", "value": int(v)}
                 for k, v in report.items()
-                if k != "snapshot_id"
+                if k not in ("snapshot_id", "schema_id")
                 and isinstance(v, (int, float))
                 and not isinstance(v, bool)
             },

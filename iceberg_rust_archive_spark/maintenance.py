@@ -598,7 +598,19 @@ def rewrite_position_deletes(spark: SparkSession, table: Table,
             and new_md.format_version < 3:
         # deletion vectors are a v3 construct — converting parquet
         # position deletes to DVs bumps format-version with the commit
-        # (same gate as Transaction.commit)
+        # (same gate as Transaction.commit, INCLUDING the explicit
+        # 'format-version' pin: maintenance must not convert a
+        # pinned-v2 table behind the user's back)
+        from iceberg_rust_archive_spark.catalog.base import (
+            CommitFailedError,
+        )
+        pin = str(new_md.properties.get("format-version", "")).strip()
+        if pin and int(float(pin)) < 3:
+            raise CommitFailedError(
+                "rewrite_position_deletes to deletion vectors requires "
+                f"format-version 3, but the table pins {pin}; unset "
+                "the 'format-version' property or keep parquet "
+                "position deletes")
         import dataclasses as _dc
         new_md = _dc.replace(new_md, format_version=3)
     table.catalog.update_tabular(table.identifier, new_md,

@@ -185,14 +185,22 @@ def _bounded_cluster_pairs(ids, x, nrm, threshold, cap):
     original cluster is O(m·cap), never O(m²) — the guard that keeps a
     skewed assignment from handing one task an unbounded quadratic.
     Cross-sub-cluster pairs are not scored — the same approximation
-    SemDeDup already makes at cluster boundaries."""
-    out_a, out_b, out_c = [], [], []
+    SemDeDup already makes at cluster boundaries.
 
-    def emit(idx):
+    Iterative worklist, not recursion: a near-degenerate assignment can
+    shrink the largest sub-cluster by only one member per level, so a
+    recursive formulation is O(m) deep and RecursionErrors inside the
+    executor task on a large skewed cluster. The chunk fallback also
+    triggers whenever the largest sub-cluster fails to shrink below
+    90% of its parent, so every worklist item strictly shrinks."""
+    out_a, out_b, out_c = [], [], []
+    stack = [np.arange(len(ids))]
+    while stack:
+        idx = stack.pop()
         m = len(idx)
         if m <= cap:
             if m < 2:
-                return
+                continue
             xs, ns = x[idx], nrm[idx]
             cs = np.round((xs @ xs.T) / np.outer(ns, ns), 4)
             ia, ib = np.triu_indices(m, 1)
@@ -200,19 +208,16 @@ def _bounded_cluster_pairs(ids, x, nrm, threshold, cap):
             out_a.extend(ids[idx[ia[keep]]])
             out_b.extend(ids[idx[ib[keep]]])
             out_c.extend(cs[ia[keep], ib[keep]])
-            return
+            continue
         s = -(-m // cap)  # ⌈m/cap⌉ ≥ 2 sub-centroids
         c = x[idx[:s]]
         c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
                            1e-300)
         a = np.round((x[idx] / nrm[idx, None]) @ c.T, 4).argmax(axis=1)
         subs = [idx[a == j] for j in range(s)]
-        if max(len(sub) for sub in subs) >= m:
+        if max(len(sub) for sub in subs) > 0.9 * m:
             subs = [idx[j::s] for j in range(s)]  # degenerate → chunks
-        for sub in subs:
-            emit(sub)
-
-    emit(np.arange(len(ids)))
+        stack.extend(subs)
     return out_a, out_b, out_c
 
 

@@ -172,12 +172,15 @@ def _deserialize64(data: bytes, off: int = 0,
 def serialize_positions(positions) -> bytes:
     """u64 position iterable → v3 ``deletion-vector-v1`` blob bytes
     (sorted, deduped): u32 BE len(magic+vector) · magic D1 D3 39 64 ·
-    portable-64 roaring vector · u32 BE CRC-32C(magic+vector)."""
+    portable-64 roaring vector · u32 BE CRC-32(magic+vector). The
+    checksum is plain zlib CRC-32 (java.util.zip.CRC32) per the v3
+    Puffin DV layout (byte-compatible with Delta Lake DVs); CRC-32C
+    is accepted on READ only, for blobs this engine wrote in r8."""
     ps = sorted(set(int(p) for p in positions))
     vector = _serialize64(ps)
     body = DV_MAGIC + vector
     return (struct.pack(">I", len(body)) + body
-            + struct.pack(">I", crc32c(body)))
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
 
 
 def deserialize_positions(data: bytes) -> list[int]:

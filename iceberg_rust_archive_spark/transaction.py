@@ -253,6 +253,63 @@ class Transaction:
             md = _dc_replace(md, sort_orders=orders,
                              default_sort_order_id=oid)
 
+        # v3 gate (spec: deletion vectors and column default-values are
+        # format-version-3 constructs): the first commit that writes a DV
+        # (content file with file_format='puffin') or a schema field with
+        # initial-default/write-default bumps format-version to 3 so a
+        # compliant reader interprets the new manifest fields / schema
+        # JSON correctly. A table explicitly pinned below 3 via the
+        # 'format-version' property rejects the construct instead — a v2
+        # reader would try to parse the Puffin blob as parquet delete
+        # rows or silently return NULL where defaults apply. Evaluated
+        # BEFORE manifests are written so v3 row-lineage assignment
+        # below sees the final format version.
+        _candidates = ((self._replacement or [])
+                       + (self._rewrite_added or [])
+                       + self._appended + self._deletes)
+        needs_v3 = any(f.file_format == "puffin" for f in _candidates)
+        if self._new_schema is not None:
+            needs_v3 = needs_v3 or any(
+                getattr(f, "initial_default", None) is not None
+                or getattr(f, "write_default", None) is not None
+                for f in self._new_schema.fields)
+        if needs_v3 and md.format_version < 3:
+            pin = str(md.properties.get("format-version", "")
+                      or self._properties.get("format-version", "")).strip()
+            if pin and int(float(pin)) < 3:
+                raise CommitFailedError(
+                    "deletion vectors / column defaults require "
+                    f"format-version 3, but the table pins {pin}; "
+                    "unset the 'format-version' property or use "
+                    "parquet position deletes / NULL defaults")
+            md = _dc_replace(md, format_version=3)
+
+        # v3 row lineage (spec §Row Lineage): every ADDED data file gets
+        # first-row-id from the table's next-row-id counter, advancing
+        # by its record count; the snapshot records the range start and
+        # the committed metadata advances next-row-id past the range.
+        # Rewritten/compacted files that already carry a first-row-id
+        # (lineage-preserving rewrite) keep it. Delete files never get
+        # row ids. Assignment happens here — before any manifest is
+        # written — so the ids persist in the Avro entries.
+        row_id_start = md.next_row_id
+        _next_rid = [row_id_start]
+        if md.format_version >= 3:
+            def _assign_row_ids(files):
+                out = []
+                for f in files:
+                    if f.content == CONTENT_DATA \
+                            and f.first_row_id is None:
+                        f = _dc_replace(f, first_row_id=_next_rid[0])
+                        _next_rid[0] += f.record_count or 0
+                    out.append(f)
+                return out
+            if self._replacement is not None:
+                self._replacement = _assign_row_ids(self._replacement)
+            if self._rewrite_added is not None:
+                self._rewrite_added = _assign_row_ids(self._rewrite_added)
+            self._appended = _assign_row_ids(self._appended)
+
         old_entries = list(read_manifest_list(parent.manifest_list)) \
             if parent else []
         files_to_delete: list[str] = []
@@ -370,32 +427,6 @@ class Transaction:
                     expected_location=self.base_location)
                 return md
 
-        # v3 gate (spec: deletion vectors and column default-values are
-        # format-version-3 constructs): the first commit that writes a DV
-        # (content file with file_format='puffin') or a schema field with
-        # initial-default/write-default bumps format-version to 3 so a
-        # compliant reader interprets the new manifest fields / schema
-        # JSON correctly. A table explicitly pinned below 3 via the
-        # 'format-version' property rejects the construct instead — a v2
-        # reader would try to parse the Puffin blob as parquet delete
-        # rows or silently return NULL where defaults apply.
-        needs_v3 = any(f.file_format == "puffin" for f in (added or []))
-        if self._new_schema is not None:
-            needs_v3 = needs_v3 or any(
-                getattr(f, "initial_default", None) is not None
-                or getattr(f, "write_default", None) is not None
-                for f in self._new_schema.fields)
-        if needs_v3 and md.format_version < 3:
-            pin = str(md.properties.get("format-version", "")
-                      or self._properties.get("format-version", "")).strip()
-            if pin and int(float(pin)) < 3:
-                raise CommitFailedError(
-                    "deletion vectors / column defaults require "
-                    f"format-version 3, but the table pins {pin}; "
-                    "unset the 'format-version' property or use "
-                    "parquet position deletes / NULL defaults")
-            md = _dc_replace(md, format_version=3)
-
         summary = {"operation": operation,
                    "added-data-files": str(len(added or [])),
                    "added-records": str(sum(f.record_count
@@ -420,8 +451,12 @@ class Transaction:
             timestamp_ms=int(time.time() * 1000),
             manifest_list=manifest_list_path, summary=summary,
             parent_snapshot_id=parent.snapshot_id if parent else None,
-            schema_id=md.current_schema_id)
+            schema_id=md.current_schema_id,
+            first_row_id=(row_id_start
+                          if md.format_version >= 3 else None))
         new_md = md.with_snapshot(snapshot, self.branch)
+        if md.format_version >= 3:
+            new_md = _dc_replace(new_md, next_row_id=_next_rid[0])
         if self._properties:
             props = dict(new_md.properties)
             props.update(self._properties)

@@ -48,11 +48,15 @@ def test_dv_blob_spec_framing():
     """Pin the v3 deletion-vector-v1 blob layout so spec-compliant
     external readers can decode: u32 BE len(magic+vector), magic
     D1 D3 39 64, portable-64 vector (u64 LE bitmap count · u32 LE key ·
-    standard 32-bit page, no byte-length field), u32 BE CRC-32C."""
+    standard 32-bit page, no byte-length field), u32 BE CRC-32
+    (plain zlib/java.util.zip.CRC32 per the v3 Puffin DV layout —
+    NOT CRC-32C, which this engine briefly wrote in r8 and still
+    accepts on read)."""
     import struct
+    import zlib
 
     from iceberg_rust_archive_spark.sources.roaring import (
-        DV_MAGIC, SERIAL_COOKIE_NO_RUN, crc32c,
+        DV_MAGIC, SERIAL_COOKIE_NO_RUN,
     )
     blob = serialize_positions([1, 5, (3 << 32) + 9])
     (body_len,) = struct.unpack_from(">I", blob, 0)
@@ -60,7 +64,7 @@ def test_dv_blob_spec_framing():
     assert len(blob) == 4 + body_len + 4
     body = blob[4:4 + body_len]
     (crc,) = struct.unpack_from(">I", blob, 4 + body_len)
-    assert crc == crc32c(body)
+    assert crc == zlib.crc32(body) & 0xFFFFFFFF
     # vector: 2 bitmaps (high keys 0 and 3), each a standard page
     (n_maps,) = struct.unpack_from("<Q", blob, 8)
     assert n_maps == 2
@@ -76,16 +80,16 @@ def test_crc32c_known_vector():
     assert crc32c(b"") == 0
 
 
-def test_dv_blob_accepts_zlib_crc_and_rejects_garbage():
+def test_dv_blob_accepts_crc32c_fallback_and_rejects_garbage():
     import struct
     import zlib
 
-    from iceberg_rust_archive_spark.sources.roaring import DV_MAGIC
+    from iceberg_rust_archive_spark.sources.roaring import crc32c
     blob = serialize_positions([10, 20, 99999])
     (body_len,) = struct.unpack_from(">I", blob, 0)
     body = blob[4:4 + body_len]
-    # Delta-lineage writers checksum with java.util.zip.CRC32 — accept
-    alt = blob[:4 + body_len] + struct.pack(">I", zlib.crc32(body))
+    # blobs this engine wrote in r8 carried CRC-32C — accept on read
+    alt = blob[:4 + body_len] + struct.pack(">I", crc32c(body))
     assert deserialize_positions(alt) == [10, 20, 99999]
     bad = blob[:4 + body_len] + struct.pack(">I", (zlib.crc32(body) ^ 1))
     with pytest.raises(ValueError, match="checksum"):
@@ -197,6 +201,42 @@ def test_dv_commit_bumps_format_version(spark, catalog):
     assert t.metadata.format_version == 2
     t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)
     assert t.metadata.format_version == 3
+
+
+def test_v3_row_lineage_assignment(spark, catalog):
+    """v3 row lineage: once a table is format-version 3, every commit
+    assigns first-row-id to its ADDED data files from the table's
+    next-row-id counter, records the range start on the snapshot, and
+    advances next-row-id by the added record count (spec §Row Lineage;
+    serialized as manifest field 142 / snapshot first-row-id /
+    metadata next-row-id)."""
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+
+    t = _mk_table(catalog, "orders_rowlineage")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)  # → v3
+    assert t.metadata.format_version == 3
+    base = t.metadata.next_row_id
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    md = t.metadata
+    snap = md.current_snapshot()
+    assert snap.first_row_id == base
+    assert md.next_row_id == base + len(BATCH2)
+    added = [e.data_file
+             for entries in read_manifests(
+                 [m.manifest_path
+                  for m in read_manifest_list(snap.manifest_list)])
+             for e in entries
+             if e.snapshot_id == snap.snapshot_id
+             and e.data_file.content == 0]
+    spans = sorted((f.first_row_id, f.record_count) for f in added)
+    assert spans and spans[0][0] == base
+    assert sum(rc for _, rc in spans) == len(BATCH2)
+    # ranges are contiguous: each file starts where the previous ended
+    for (a, rc), (b, _) in zip(spans, spans[1:]):
+        assert b == a + rc
 
 
 def test_dv_rejected_on_pinned_v2_table(spark, catalog):
