@@ -105,18 +105,6 @@ def _events_windowed_agg(s: SparkSession, d: str) -> DataFrame:
     return b.unionByName(st)
 
 
-def _ann_topk(s: SparkSession, d: str) -> DataFrame:
-    """exact brute-force cosine top-k + IVF approximate top-k, tagged by
-    method — the baseline and the scale path, both oracle-checked."""
-    ex = similarity.ann_cosine_topk(s, d).select(
-        F.lit("exact").alias("method"), "query_id", "neighbor_id",
-        "cosine", "rank")
-    iv = similarity.ann_ivf_topk(s, d).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id",
-        "cosine", "rank")
-    return ex.unionByName(iv)
-
-
 def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
     """quality scoring (per source) + token counting (per lang) + PII
     exposure (per source) + n-gram repetition (per source) — the four
@@ -280,7 +268,21 @@ def _embedding_near_pairs(s: SparkSession, d: str) -> DataFrame:
         F.col("n").alias("id_b"), F.col("centroid_norm").alias("cosine"))
     sd = clustering.semantic_dedup_pairs(s, d, cents=cents).select(
         F.lit("semdedup").alias("method"), "id_a", "id_b", "cosine")
-    return p.unionByName(e).unionByName(km).unionByName(sd)
+    # round 9: exact brute-force + IVF ANN top-k fold in as two more
+    # method labels (query_id->id_a, neighbor_id->id_b; rank is implied
+    # by cosine order within a query) so all operator families fit the
+    # driver's 50-entry cap with a full oracle row — r8's standalone
+    # ann_cosine_topk entry was #51 and permanently unchecked.
+    ax = similarity.ann_cosine_topk(s, d).select(
+        F.lit("annexact").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"), "cosine")
+    iv = similarity.ann_ivf_topk(s, d).select(
+        F.lit("annivf").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"), "cosine")
+    return (p.unionByName(e).unionByName(km).unionByName(sd)
+            .unionByName(ax).unionByName(iv))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -362,7 +364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_pairs": _embedding_near_pairs,
         "dedup_clusters": dedup.dedup_clusters,
-        "ann_cosine_topk": _ann_topk,
     }
 
 
@@ -405,11 +406,6 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'stream' AS mode, w.*
             FROM ({o.pop('events_windowed_agg')}) w
-        """,
-        "ann_cosine_topk": f"""
-            SELECT 'exact' AS method, t.* FROM ({o.pop('ann_cosine_topk')}) t
-            UNION ALL
-            SELECT 'ivf' AS method, t.* FROM ({o.pop('ann_ivf_topk')}) t
         """,
         "text_quality_tokens": f"""
             SELECT 'src:' || source AS grp, n_docs AS c1,
@@ -479,6 +475,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'semdedup', id_a, id_b, cosine
             FROM ({o.pop('semantic_dedup_pairs')})
+            UNION ALL
+            SELECT 'annexact', query_id, neighbor_id, cosine
+            FROM ({o.pop('ann_cosine_topk')})
+            UNION ALL
+            SELECT 'annivf', query_id, neighbor_id, cosine
+            FROM ({o.pop('ann_ivf_topk')})
         """,
         "text_analysis_suite": f"""
             SELECT 'lang' AS branch, lang AS k1, predicted AS k2,
