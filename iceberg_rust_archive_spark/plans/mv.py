@@ -422,22 +422,30 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             synthetic, outer_of, ubranches, ubparses = up
             synth_parsed = parse_select(synthetic)
             synth_strategy = classify(synth_parsed)
+            # relations JOINed after the union subquery (r9: the
+            # reference's Join∘Union transform_down) — the union is
+            # relation 0 of the outer triangular binding, these follow
+            outer_rels = [r for r in synth_parsed.relations
+                          if r.lower() != "__union_src"]
             if not any(s.invalid for s in sources):
                 if synth_strategy in (INCR_APPEND, INCR_AGG):
                     strategy = synth_strategy
                     parsed = synth_parsed
-                    union_ctx = (outer_of, ubranches, ubparses)
-            elif (synth_strategy == INCR_AGG
+                    union_ctx = (outer_of, ubranches, ubparses,
+                                 outer_rels)
+            elif (synth_strategy == INCR_AGG and not outer_rels
                     and all(s.old_exists and not s.replace_since
                             for s in sources)
                     and _changelog_capable(synth_parsed)):
                 # source DELETEs through the union: the NegDelta analog
                 # (transform.rs:287-297) — signed changelog weights ride
                 # an appended __w item through each branch's projection
-                # and fold into the OUTER weighted aggregates
+                # and fold into the OUTER weighted aggregates. (Deletes
+                # through a JOIN-over-union stay FULL: the weighted
+                # passes don't yet bind outer relations.)
                 strategy = CHANGELOG_AGG
                 parsed = synth_parsed
-                union_ctx = (outer_of, ubranches, ubparses)
+                union_ctx = (outer_of, ubranches, ubparses, [])
 
     new_state = RefreshState(
         refresh_version_id=mv.current_version_id,
@@ -580,7 +588,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             # source per branch — the weight product rides an appended
             # __w item through the branch projection, and the OUTER
             # select list folds __w into every aggregate
-            outer_of, ubranches, ubparses = union_ctx
+            outer_of, ubranches, ubparses, _no_outer = union_ctx
             src_by_name = {s.name.lower(): s for s in sources}
             for b_sql, pb in zip(ubranches, ubparses):
                 bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
@@ -615,9 +623,17 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             # per-BRANCH passes (δ distributes over the union): each
             # stale source's pass re-runs the OUTER sql with only ITS
             # branch inlined, bound to (new…, δ, …old) within that
-            # branch — other branches are never re-emitted
-            outer_of, ubranches, ubparses = union_ctx
+            # branch — other branches are never re-emitted. Relations
+            # JOINed after the union (r9, transform.rs:381-479
+            # Join∘Union) treat the union as relation 0 of the outer
+            # triangle: branch δ-passes bind them to their OLD
+            # snapshots; each stale OUTER relation then gets its own
+            # pass over the FULL union text with the union's sources
+            # at NEW, preceding outer relations NEW, following OLD,
+            # and itself bound to its incremental (δ) scan.
+            outer_of, ubranches, ubparses, outer_rels = union_ctx
             src_by_name = {s.name.lower(): s for s in sources}
+            outer_srcs = [src_by_name[r.lower()] for r in outer_rels]
             for b_sql, pb in zip(ubranches, ubparses):
                 bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
                 for i, src in enumerate(bsrcs):
@@ -634,8 +650,30 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                         else:
                             bindings[other.name] = other.table.scan(
                                 spark, snapshot_id=other.old_snapshot_id)
+                    for od in outer_srcs:
+                        bindings[od.name] = od.table.scan(
+                            spark, snapshot_id=od.old_snapshot_id)
                     passes.append(bind_and_run(bindings,
                                                outer_of(b_sql)))
+            union_names = {nm.lower() for pb in ubparses
+                           for nm in pb.relations}
+            for j, src in enumerate(outer_srcs):
+                if src.fresh:
+                    continue
+                bindings = {src_by_name[nm].name:
+                            src_by_name[nm].table.scan(spark)
+                            for nm in union_names}
+                for k, other in enumerate(outer_srcs):
+                    if k == j:
+                        bindings[other.name] = other.table.scan(
+                            spark,
+                            from_snapshot_id=other.old_snapshot_id)
+                    elif k < j:
+                        bindings[other.name] = other.table.scan(spark)
+                    else:
+                        bindings[other.name] = other.table.scan(
+                            spark, snapshot_id=other.old_snapshot_id)
+                passes.append(bind_and_run(bindings))
         else:
             for i, src in enumerate(sources):
                 if src.fresh:
@@ -824,7 +862,21 @@ def _union_subquery_plan(run_sql: str):
     if am and am.group(1).lower() not in _RESERVED_AFTER_SUBQUERY:
         rest2 = rest[am.end():]
     if re.search(r"\bjoin\b", rest2, re.IGNORECASE):
-        return None  # subquery joined with something else — not pure
+        # subquery JOINed with further relations (reference:
+        # transform_down propagates δ through Join∘Union,
+        # delta_queries/transform.rs:381-479). The union acts as ONE
+        # relation in the outer triangular binding — legal as long as
+        # no table appears BOTH inside the union and in the outer
+        # join (bindings are by name, so one name can't carry two
+        # snapshot states in the same pass).
+        from iceberg_rust_archive_spark.plans.sqlparse import (
+            find_relations,
+        )
+        inner_names = {nm.lower() for pb in branch_parses
+                       for nm in pb.relations}
+        if any(r.lower() in inner_names
+               for r in find_relations(rest2)):
+            return None
     synthetic = text[:from_at] + "FROM __union_src " + rest2
     outer_of = (lambda b_sql, _t=text, _j=j, _k=k:
                 _t[:_j + 1] + " " + b_sql + " " + _t[_k:])

@@ -633,6 +633,111 @@ def test_union_subquery_projection_mv_incremental(engine):
     assert summ["added-records"] == "2"
 
 
+def test_union_subquery_join_mv_incremental(engine):
+    """δ through JOIN-over-UNION (the reference's transform_down
+    propagates PosDelta through Join∘Union, delta_queries/
+    transform.rs:381-479): a relation JOINed AFTER the union subquery
+    no longer forces FULL — the union acts as relation 0 of the outer
+    triangular binding (branch δ-passes bind the dim to its OLD
+    snapshot; a stale dim gets its own pass over the full union at
+    NEW with the dim bound to its δ scan)."""
+    engine.sql("CREATE TABLE db.rets (id BIGINT NOT NULL, "
+               "product_id BIGINT, quantity INT)")
+    engine.sql("INSERT INTO db.rets VALUES (100,2,5),(101,3,1)")
+    engine.sql("CREATE TABLE db.dimp (product_id BIGINT NOT NULL, "
+               "pname VARCHAR)")
+    engine.sql("INSERT INTO db.dimp VALUES (1,'alpha'),(2,'beta')")
+    inner = ("SELECT product_id, quantity FROM db.orders "
+             "WHERE quantity > 0 "
+             "UNION ALL "
+             "SELECT product_id, quantity FROM db.rets")
+    mv_sql = (f"SELECT u.product_id, d.pname, u.quantity "
+              f"FROM ( {inner} ) u "
+              f"JOIN db.dimp d ON u.product_id = d.product_id")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.ujmv AS {mv_sql}")
+
+    def multiset(q):
+        return sorted((r[0], r[1], r[2]) for r in engine.sql(q).collect())
+
+    assert engine.refresh_materialized_view("db.ujmv") == FULL
+    assert multiset("SELECT * FROM db.ujmv") == multiset(mv_sql)
+
+    # one union-branch source grows → one branch δ-pass, dim at OLD
+    engine.sql("INSERT INTO db.rets VALUES (102,1,7),(103,9,2)")
+    assert engine.refresh_materialized_view("db.ujmv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.ujmv") == multiset(mv_sql)
+    summ = engine.load_table("db.ujmv_storage") \
+        .metadata.current_snapshot().summary
+    # delta-only: of the two appended rets rows only product 1 joins
+    assert summ["operation"] == "append"
+    assert summ["added-records"] == "1"
+
+    # the OUTER dim grows: its δ-pass joins the full union at NEW
+    # against only the appended dim rows — product 3's fact rows
+    # (2 in orders+rets) appear now that the dim row exists
+    engine.sql("INSERT INTO db.dimp VALUES (3,'gamma')")
+    assert engine.refresh_materialized_view("db.ujmv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.ujmv") == multiset(mv_sql)
+    summ = engine.load_table("db.ujmv_storage") \
+        .metadata.current_snapshot().summary
+    assert summ["operation"] == "append"
+    assert summ["added-records"] == "2"
+
+    # union sources AND dim grow in one interval → branch passes plus
+    # the dim pass, no double counting across the triangle
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,3,DATE '2020-01-03',4)")
+    engine.sql("INSERT INTO db.rets VALUES (104,4,6)")
+    engine.sql("INSERT INTO db.dimp VALUES (4,'delta'),(9,'iota')")
+    assert engine.refresh_materialized_view("db.ujmv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.ujmv") == multiset(mv_sql)
+    assert engine.refresh_materialized_view("db.ujmv") == "Fresh"
+
+    # a DELETE in any source invalidates the append-only expansion:
+    # falls back to FULL and stays exact
+    engine.sql("DELETE FROM db.rets WHERE id = 100")
+    assert engine.refresh_materialized_view("db.ujmv") == FULL
+    assert multiset("SELECT * FROM db.ujmv") == multiset(mv_sql)
+
+
+def test_union_subquery_join_aggregate_mv_incremental(engine):
+    """Aggregate over JOIN-over-UNION: the same triangular passes feed
+    the existing IncrementalAggregate merge."""
+    engine.sql("CREATE TABLE db.dimp2 (product_id BIGINT NOT NULL, "
+               "pname VARCHAR)")
+    engine.sql("INSERT INTO db.dimp2 VALUES (1,'alpha'),(2,'beta'),"
+               "(3,'gamma')")
+    inner = ("SELECT product_id, quantity FROM db.orders "
+             "UNION ALL "
+             "SELECT product_id, quantity * 2 AS quantity "
+             "FROM db.orders WHERE product_id = 2")
+    mv_sql = (f"SELECT d.pname, count(*) AS n, sum(u.quantity) AS q "
+              f"FROM ( {inner} ) u "
+              f"JOIN db.dimp2 d ON u.product_id = d.product_id "
+              f"GROUP BY d.pname")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.ujamv AS {mv_sql}")
+
+    def want():
+        return {r[0]: (r[1], r[2]) for r in engine.sql(mv_sql).collect()}
+
+    def got():
+        return {r["pname"]: (r["n"], r["q"]) for r in
+                engine.sql("SELECT * FROM db.ujamv").collect()}
+
+    assert engine.refresh_materialized_view("db.ujamv") == FULL
+    assert got() == want()
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(8,2,2,DATE '2020-01-04',5)")   # doubles through branch 2
+    assert engine.refresh_materialized_view("db.ujamv") == INCR_AGG
+    assert got() == want()
+    engine.sql("INSERT INTO db.dimp2 VALUES (9,'iota')")  # no fact rows
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(9,1,9,DATE '2020-01-04',1)")   # joins the NEW dim row
+    assert engine.refresh_materialized_view("db.ujamv") == INCR_AGG
+    assert got() == want()
+    assert engine.refresh_materialized_view("db.ujamv") == "Fresh"
+
+
 def test_union_distinct_mv_stays_full(engine):
     """Bare UNION dedups across branches — δ distribution is unsound
     (an appended row may duplicate one the other branch already
