@@ -117,6 +117,46 @@ class Catalog(ABC):
                           expected_old=None)
         return md
 
+    def rename_tabular(self, from_identifier: str,
+                       to_identifier: str) -> None:
+        """Rename = catalog pointer move (Iceberg renameTable; the REST
+        spec's ``v1/{prefix}/tables/rename`` route — reference client:
+        catalogs/iceberg-rest-catalog/src/apis/catalog_api_api.rs). The
+        table's location, UUID, snapshot history, and every data/
+        metadata file stay exactly where they are — only the catalog
+        identifier changes, so a rename is O(1) regardless of table
+        size. Order of operations: the target pointer is created first
+        (CAS: must-not-exist), then the source pointer is removed iff
+        it still holds the value read at the start — a rename racing a
+        commit on the old name fails (and rolls the target back)
+        rather than silently losing that commit."""
+        loc = self.metadata_location(from_identifier)
+        if loc is None:
+            raise NoSuchTableError(from_identifier)
+        if from_identifier.lower() == to_identifier.lower():
+            return
+        if self.table_exists(to_identifier):
+            raise TableAlreadyExistsError(to_identifier)
+        self._set_pointer(to_identifier, loc, expected_old=None)
+        try:
+            self._remove_pointer(from_identifier, expected=loc)
+        except CommitFailedError:
+            import contextlib
+            with contextlib.suppress(Exception):
+                self._remove_pointer(to_identifier, expected=loc)
+            raise
+
+    def _remove_pointer(self, identifier: str, expected: str) -> None:
+        """Remove the catalog pointer iff it still equals ``expected``.
+        Default check-then-drop suits catalogs whose ``drop_tabular``
+        removes only the catalog entry; catalogs that co-locate data
+        under the entry (FileCatalog) or can CAS the delete
+        (SqlCatalog) override."""
+        if self.metadata_location(identifier) != expected:
+            raise CommitFailedError(
+                f"{identifier}: pointer moved during rename")
+        self.drop_tabular(identifier)
+
     def update_tabular(self, identifier: str, new_metadata,
                        expected_location: str | None = None) -> str:
         """Write new metadata doc + CAS the pointer. Returns new location."""

@@ -100,6 +100,28 @@ class FileCatalog(Catalog):
             with contextlib.suppress(OSError, FileNotFoundError):
                 self.store.remove(lock)
 
+    def _remove_pointer(self, identifier: str, expected: str) -> None:
+        """Rename support: remove ONLY ``pointer.json`` (under the same
+        commit lock as _set_pointer). The table's metadata/ and data/
+        may be co-located in this very directory when the table was
+        created with the default location — drop_tabular would delete
+        them, turning a rename into data loss; the renamed table keeps
+        reading them from the unchanged location."""
+        lock = f"{self._tab_dir(identifier)}/.commit.lock"
+        try:
+            self.store.create_exclusive(lock)
+        except FileExistsError:
+            raise CommitFailedError(
+                f"concurrent commit in flight for {identifier}") from None
+        try:
+            if self.metadata_location(identifier) != expected:
+                raise CommitFailedError(
+                    f"{identifier}: pointer moved during rename")
+            self.store.remove(self._pointer_path(identifier))
+        finally:
+            with contextlib.suppress(OSError, FileNotFoundError):
+                self.store.remove(lock)
+
     def drop_tabular(self, identifier: str) -> None:
         d = self._tab_dir(identifier)
         if not self.store.exists(f"{d}/pointer.json"):

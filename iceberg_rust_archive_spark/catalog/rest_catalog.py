@@ -336,6 +336,21 @@ class RestCatalog(Catalog):
         raise NotImplementedError(
             "RestCatalog speaks the spec commit protocol, not pointer CAS")
 
+    def rename_tabular(self, from_identifier: str,
+                       to_identifier: str) -> None:
+        """POST /v1/tables/rename (RenameTableRequest — the reference
+        client's ``v1/{prefix}/tables/rename`` route,
+        catalogs/iceberg-rest-catalog/src/apis/catalog_api_api.rs):
+        the SERVER performs the atomic pointer move; spec answers are
+        404 (source missing → NoSuchTableError) and 409 (destination
+        exists → CommitFailedError via the shared error mapping)."""
+        ns_s, name_s = parse_identifier(from_identifier)
+        ns_d, name_d = parse_identifier(to_identifier)
+        self._request("POST", "tables/rename", {
+            "source": {"namespace": ns_s.split("."), "name": name_s},
+            "destination": {"namespace": ns_d.split("."), "name": name_d},
+        })
+
     def drop_tabular(self, identifier: str) -> None:
         ns, name = parse_identifier(identifier)
         try:

@@ -117,6 +117,19 @@ class SqlCatalog(Catalog):
                 con.execute("ROLLBACK")
                 raise
 
+    def _remove_pointer(self, identifier: str, expected: str) -> None:
+        """Rename support: CAS delete — the row goes only if it still
+        points at the location read when the rename started."""
+        ns, name = parse_identifier(identifier)
+        with self._lock, self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=? AND "
+                "metadata_location=?", (self.name, ns, name, expected))
+            if cur.rowcount != 1:
+                raise CommitFailedError(
+                    f"{identifier}: pointer moved during rename")
+
     def drop_tabular(self, identifier: str) -> None:
         ns, name = parse_identifier(identifier)
         with self._conn() as con:

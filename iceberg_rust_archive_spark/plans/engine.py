@@ -19,7 +19,8 @@ Supported statements::
     DROP TABLE ns.t | DROP VIEW ns.v
     INSERT INTO ns.t VALUES (...), (...) | INSERT INTO ns.t SELECT ...
     ALTER TABLE ns.t ADD COLUMN(S) c TYPE, ... | DROP COLUMN c
-        | RENAME COLUMN a TO b | ADD/DROP PARTITION FIELD <expr>
+        | RENAME COLUMN a TO b | RENAME TO [ns2.]t2
+        | ADD/DROP PARTITION FIELD <expr>
         | SET TBLPROPERTIES ('k'='v', ...)
     MERGE INTO ns.t USING <src> ON t.k = s.k            (general clauses:)
         WHEN [NOT] MATCHED [AND cond] THEN
@@ -718,10 +719,23 @@ class Engine:
             SET TBLPROPERTIES ('k'='v', ...)
         """
         import dataclasses as _dc
+        a = action.strip()
+
+        # ALTER TABLE ns.t RENAME TO [ns2.]t2 — catalog pointer move
+        # (must match before the generic load: renaming never needs the
+        # schema, and RENAME COLUMN is a different action below)
+        m = re.match(r"rename\s+to\s+([\w.]+)\s*$", a, re.IGNORECASE)
+        if m:
+            target = m.group(1)
+            if "." not in target and "." in identifier:
+                # bare target name keeps the source's namespace
+                target = f"{identifier.rsplit('.', 1)[0]}.{target}"
+            self.catalog.rename_tabular(identifier, target)
+            return
+
         t = self.load_table(identifier)
         md = t.metadata
         schema = md.current_schema()
-        a = action.strip()
 
         def _evolve(new_fields):
             new_schema = Schema(schema.schema_id + 1,

@@ -1764,6 +1764,62 @@ def test_call_remove_orphan_files(spark, tmp_path):
     assert eng.sql("SELECT count(*) AS n FROM db.orf").collect()[0].n == 2
 
 
+def test_alter_table_rename(spark, tmp_path):
+    """ALTER TABLE ... RENAME TO (catalog pointer move; REST route
+    v1/{prefix}/tables/rename in the reference client): the old name
+    disappears, the new name carries the SAME uuid and snapshot
+    history, and reads/writes continue against the unchanged
+    location."""
+    from iceberg_rust_archive_spark.catalog.base import NoSuchTableError
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.rn (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.rn VALUES (1,'a'),(2,'b')")
+    t_old = eng.load_table("db.rn")
+    snaps = [sn.snapshot_id for sn in t_old.metadata.snapshots.values()]         if isinstance(t_old.metadata.snapshots, dict)         else [sn.snapshot_id for sn in t_old.metadata.snapshots]
+
+    eng.sql("ALTER TABLE db.rn RENAME TO db.rn2")
+    with pytest.raises(NoSuchTableError):
+        eng.load_table("db.rn")
+    t = eng.load_table("db.rn2")
+    got = [sn.snapshot_id for sn in t.metadata.snapshots.values()]         if isinstance(t.metadata.snapshots, dict)         else [sn.snapshot_id for sn in t.metadata.snapshots]
+    assert got == snaps
+    assert t.metadata.table_uuid == t_old.metadata.table_uuid
+    assert {(r.k, r.v) for r in
+            eng.sql("SELECT * FROM db.rn2").collect()}         == {(1, "a"), (2, "b")}
+    eng.sql("INSERT INTO db.rn2 VALUES (3,'c')")
+    assert eng.sql("SELECT count(*) AS n FROM db.rn2")         .collect()[0].n == 3
+    # bare target keeps the namespace; renaming onto an existing
+    # table refuses
+    eng.sql("ALTER TABLE db.rn2 RENAME TO rn3")
+    assert eng.sql("SELECT count(*) AS n FROM db.rn3")         .collect()[0].n == 3
+    eng.sql("CREATE TABLE db.other (k BIGINT)")
+    from iceberg_rust_archive_spark.catalog.base import (
+        TableAlreadyExistsError,
+    )
+    with pytest.raises(TableAlreadyExistsError):
+        eng.sql("ALTER TABLE db.rn3 RENAME TO db.other")
+
+
+def test_sql_catalog_rename(spark, tmp_path):
+    """SqlCatalog rename: CAS row move — old row gone, new row points
+    at the same metadata location."""
+    from iceberg_rust_archive_spark.catalog.sql_catalog import SqlCatalog
+    from iceberg_rust_archive_spark.table import Table
+
+    cat = SqlCatalog(str(tmp_path / "cat.db"))
+    cat.create_namespace("db")
+    t = Table.create(cat, "db.a", ORDERS_SCHEMA, DAY_SPEC,
+                     location=str(tmp_path / "a"))
+    loc = cat.metadata_location("db.a")
+    cat.rename_tabular("db.a", "db.b")
+    assert cat.metadata_location("db.a") is None
+    assert cat.metadata_location("db.b") == loc
+    assert Table.load(cat, "db.b").metadata.table_uuid         == t.metadata.table_uuid
+
+
 def test_changelog_includes_position_deletes(spark, tmp_path):
     """delete_where_pos commits must surface in the changelog as
     resolved delete rows (else changelog-driven MV refreshes silently

@@ -42,6 +42,7 @@ class _State:
         self.page_size = page_size
         self.list_requests = 0
         self.metrics = []  # (ns, table, ReportMetricsRequest) tuples
+        self.renames = []  # RenameTableRequest bodies, in order
         self.valid_tokens = set()
         self.tokens_minted = 0
 
@@ -189,6 +190,24 @@ def _make_handler(state: _State):
                     self._send(200, {"updated": sorted(ups),
                                      "removed": removed,
                                      "missing": missing})
+                elif p == ["tables", "rename"]:
+                    # spec RenameTableRequest: atomic server-side move
+                    state.renames.append(body)
+                    src = (".".join(body["source"]["namespace"]),
+                           body["source"]["name"])
+                    dst = (".".join(body["destination"]["namespace"]),
+                           body["destination"]["name"])
+                    store = _store("tables", state)
+                    if src not in store:
+                        self._err(404, "source table not found",
+                                  "NoSuchTableException")
+                        return
+                    if dst in store:
+                        self._err(409, "destination exists",
+                                  "AlreadyExistsException")
+                        return
+                    store[dst] = store.pop(src)
+                    self._send(204)
                 elif len(p) == 3 and p[2] == "register":
                     # spec RegisterTableRequest: adopt an existing
                     # metadata document at its current location
@@ -335,6 +354,37 @@ def test_rest_table_crud(rest_server, tmp_path):
 
     cat.drop_tabular("db.t1")
     assert cat.metadata_location("db.t1") is None
+
+
+def test_rest_rename_table(tmp_path):
+    """POST /v1/tables/rename: the client ships the spec
+    RenameTableRequest body and the server performs the move — old
+    identifier 404s, the new one loads the same uuid; a destination
+    collision surfaces the server's 409."""
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    state = _State()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.server_port}")
+        cat.create_namespace("db")
+        t = Table.create(cat, "db.old", _schema(), PartitionSpec(0, ()),
+                         location=str(tmp_path / "t"))
+        cat.rename_tabular("db.old", "db.fresh")
+        assert state.renames == [
+            {"source": {"namespace": ["db"], "name": "old"},
+             "destination": {"namespace": ["db"], "name": "fresh"}}]
+        assert cat.metadata_location("db.old") is None
+        assert cat.load_tabular("db.fresh").table_uuid             == t.metadata.table_uuid
+        Table.create(cat, "db.old2", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "t2"))
+        with pytest.raises(CommitFailedError):
+            cat.rename_tabular("db.old2", "db.fresh")
+    finally:
+        srv.shutdown()
 
 
 def test_rest_commit_conflict_and_retry(rest_server, spark, tmp_path):
