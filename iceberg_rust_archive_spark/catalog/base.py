@@ -166,6 +166,37 @@ class Catalog(ABC):
         self._set_pointer(identifier, loc, expected_old=expected_location)
         return loc
 
+    def commit_transaction(self, changes: list) -> None:
+        """Multi-table atomic commit (the REST spec's
+        ``v1/{prefix}/transactions/commit`` — reference client:
+        catalogs/iceberg-rest-catalog/src/apis/catalog_api_api.rs).
+        ``changes`` = ``[(identifier, new_metadata,
+        expected_location), ...]``.
+
+        Pointer-catalog realization: all metadata documents are
+        written first (content-addressed, so failures orphan bytes —
+        never state), then the pointers CAS in identifier order; a
+        failed CAS rolls every already-moved pointer back to its
+        expected location before re-raising, so concurrent readers
+        never observe a partially-applied transaction for longer than
+        the rollback window. SqlCatalog overrides with a single
+        database transaction (truly atomic); RestCatalog ships the
+        whole batch to the server."""
+        import contextlib
+        staged = [(ident, self._write_metadata_file(md), exp)
+                  for ident, md, exp in changes]
+        staged.sort(key=lambda c: c[0].lower())  # stable lock order
+        done = []
+        try:
+            for ident, new_loc, exp in staged:
+                self._set_pointer(ident, new_loc, expected_old=exp)
+                done.append((ident, new_loc, exp))
+        except CommitFailedError:
+            for ident, new_loc, exp in reversed(done):
+                with contextlib.suppress(Exception):
+                    self._set_pointer(ident, exp, expected_old=new_loc)
+            raise
+
     @staticmethod
     def _write_metadata_file(metadata) -> str:
         if isinstance(metadata, TableMetadata):

@@ -331,6 +331,33 @@ class RestCatalog(Catalog):
         out = self._request("POST", f"namespaces/{ns}/views/{name}", body)
         return out.get("metadata-location", "")
 
+    def commit_transaction(self, changes: list) -> None:
+        """POST /v1/transactions/commit (CommitTransactionRequest — the
+        reference client's ``v1/{prefix}/transactions/commit`` route):
+        one request carrying every table's requirements + updates; the
+        SERVER applies them atomically (any failed requirement → 409
+        and nothing commits)."""
+        from iceberg_rust_archive_spark.object_store import store_for
+        table_changes = []
+        for identifier, new_metadata, expected_location in changes:
+            if not isinstance(new_metadata, TableMetadata):
+                raise TypeError(
+                    "transactions/commit carries tables only")
+            ns, name = parse_identifier(identifier)
+            if expected_location is None:
+                expected_location = self.metadata_location(identifier)
+            base = metadata_from_json(json.loads(
+                store_for(expected_location)
+                .read_bytes(expected_location).decode("utf-8")))
+            table_changes.append({
+                "identifier": {"namespace": ns.split("."), "name": name},
+                "requirements": build_table_requirements(base,
+                                                         new_metadata),
+                "updates": build_table_updates(base, new_metadata),
+            })
+        self._request("POST", "transactions/commit",
+                      {"table-changes": table_changes})
+
     def _set_pointer(self, identifier: str, new_location: str,
                      expected_old: str | None) -> None:
         raise NotImplementedError(

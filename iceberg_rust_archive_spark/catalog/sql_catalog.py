@@ -117,6 +117,32 @@ class SqlCatalog(Catalog):
                 con.execute("ROLLBACK")
                 raise
 
+    def commit_transaction(self, changes: list) -> None:
+        """Truly atomic multi-table commit: every pointer CAS runs in
+        ONE BEGIN IMMEDIATE transaction — all rows move or none do,
+        with no rollback window for readers to observe."""
+        staged = [(ident, self._write_metadata_file(md), exp)
+                  for ident, md, exp in changes]
+        with self._lock, self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                for ident, new_loc, exp in staged:
+                    ns, name = parse_identifier(ident)
+                    cur = con.execute(
+                        "UPDATE iceberg_tables SET metadata_location=?, "
+                        "previous_metadata_location=? WHERE "
+                        "catalog_name=? AND table_namespace=? AND "
+                        "table_name=? AND metadata_location=?",
+                        (new_loc, exp, self.name, ns, name, exp))
+                    if cur.rowcount != 1:
+                        raise CommitFailedError(
+                            f"{ident}: expected pointer {exp} moved "
+                            "(concurrent commit)")
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+
     def _remove_pointer(self, identifier: str, expected: str) -> None:
         """Rename support: CAS delete — the row goes only if it still
         points at the location read when the rename started."""

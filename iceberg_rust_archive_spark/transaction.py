@@ -189,6 +189,30 @@ class Transaction:
 
     # --- commit ----------------------------------------------------------
     def commit(self) -> TableMetadata:
+        """Single-table commit: prepare (write manifests + new metadata
+        document content) then CAS the catalog pointer."""
+        new_md, files_to_delete = self._prepare()
+        if new_md is None:
+            return self.base  # true no-op — nothing to commit
+        self.catalog.update_tabular(self.identifier, new_md,
+                                    expected_location=self.base_location)
+        for path in files_to_delete:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        return new_md
+
+    def _prepare(self):
+        """Build this transaction's next TableMetadata WITHOUT touching
+        the catalog pointer: manifests, manifest list, and snapshot are
+        written (they are content-addressed by snapshot id, so an
+        abandoned prepare leaves only orphans for remove_orphan_files),
+        the pointer swap is left to the caller. Returns ``(new_md,
+        files_to_delete)``; ``(None, [])`` means true no-op. This is
+        the seam MultiTableTransaction uses to commit N tables behind
+        ONE atomic catalog operation (the reference REST route
+        ``v1/{prefix}/transactions/commit``)."""
         md = self.base
         metadata_dir = os.path.join(md.location, "metadata")
         seq = md.last_sequence_number + 1
@@ -414,7 +438,7 @@ class Transaction:
                         and self._new_sort_order is None \
                         and self._statistics is None \
                         and self._partition_statistics is None:
-                    return md  # true no-op
+                    return None, []  # true no-op
                 # metadata-only commit (spec/properties evolution): no
                 # data changed, so no snapshot — just the new document
                 if self._properties:
@@ -422,10 +446,7 @@ class Transaction:
                     props.update(self._properties)
                     md = _dc_replace(md, properties=props)
                 md = self._apply_statistics(md)
-                self.catalog.update_tabular(
-                    self.identifier, md,
-                    expected_location=self.base_location)
-                return md
+                return md, []  # metadata-only: no snapshot, no cleanup
 
         summary = {"operation": operation,
                    "added-data-files": str(len(added or [])),
@@ -467,16 +488,9 @@ class Transaction:
              "metadata-file": self.catalog.metadata_location(
                  self.identifier) or ""},))
 
-        # atomic CAS (iceberg-sql-catalog/src/lib.rs:429-480 semantics)
-        self.catalog.update_tabular(self.identifier, new_md,
-                                    expected_location=self.base_location)
-
-        for path in files_to_delete:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
-        return new_md
+        # caller performs the atomic pointer CAS
+        # (iceberg-sql-catalog/src/lib.rs:429-480 semantics)
+        return new_md, files_to_delete
 
     def commit_with_retry(self, rebuild, attempts: int = 3) -> TableMetadata:
         """Optimistic retry: on CAS failure, reload and re-apply via
@@ -643,3 +657,58 @@ class Transaction:
                                content, snap_id, seq, pf_names, schema_json)
                 for i in range(0, len(entries), chunk)]
         return other + same + news
+
+
+class MultiTableTransaction:
+    """Atomic commit across SEVERAL tables of one catalog — the
+    reference's ``v1/{prefix}/transactions/commit`` REST surface
+    (catalogs/iceberg-rest-catalog/src/apis/catalog_api_api.rs) made
+    available over every catalog:
+
+        mtt = MultiTableTransaction(catalog)
+        mtt.transaction(orders).append_files(f1)
+        mtt.transaction(audit_log).append_files(f2)
+        mtt.commit()   # both snapshots appear, or neither
+
+    Each per-table transaction prepares independently (manifests,
+    manifest list, snapshot, metadata document content — all
+    content-addressed, so an abandoned prepare orphans bytes but never
+    state); the single ``catalog.commit_transaction`` call then swaps
+    every pointer together. SqlCatalog runs one database transaction
+    (truly atomic); pointer catalogs CAS in identifier order and roll
+    back on a lost race; RestCatalog ships the batch to the server.
+    A table may appear at most once per transaction (two Transaction
+    objects on one base would fork its history)."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self._txns: list[Transaction] = []
+
+    def transaction(self, table, branch: str | None = None) -> Transaction:
+        """Open (and register) the per-table transaction; chain the
+        usual append_files/append_delete_files/... calls on it."""
+        if any(t.identifier == table.identifier for t in self._txns):
+            raise ValueError(
+                f"{table.identifier} already participates in this "
+                "multi-table transaction")
+        txn = table.new_transaction(branch)
+        self._txns.append(txn)
+        return txn
+
+    def commit(self) -> None:
+        prepared = []
+        for txn in self._txns:
+            new_md, to_delete = txn._prepare()
+            if new_md is not None:
+                prepared.append((txn, new_md, to_delete))
+        if not prepared:
+            return
+        self.catalog.commit_transaction(
+            [(t.identifier, md, t.base_location)
+             for t, md, _dels in prepared])
+        for _t, _md, dels in prepared:
+            for path in dels:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass

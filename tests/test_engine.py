@@ -1820,6 +1820,83 @@ def test_sql_catalog_rename(spark, tmp_path):
     assert Table.load(cat, "db.b").metadata.table_uuid         == t.metadata.table_uuid
 
 
+def test_multi_table_transaction_atomic(spark, tmp_path):
+    """MultiTableTransaction over a pointer catalog: both snapshots
+    appear together; a stale participant fails the WHOLE batch and
+    already-moved pointers roll back."""
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.table import Table
+    from iceberg_rust_archive_spark.transaction import (
+        MultiTableTransaction,
+    )
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    cat.create_namespace("db")
+    a = _mk_table(cat, "mta")
+    b = _mk_table(cat, "mtb")
+    fa = write_datafiles(spark, a.metadata,
+                         spark.createDataFrame(BATCH1, COLS))
+    fb = write_datafiles(spark, b.metadata,
+                         spark.createDataFrame(BATCH2, COLS))
+    mtt = MultiTableTransaction(cat)
+    mtt.transaction(a).append_files(fa)
+    mtt.transaction(b).append_files(fb)
+    mtt.commit()
+    assert Table.load(cat, "db.mta").scan(spark).count() == len(BATCH1)
+    assert Table.load(cat, "db.mtb").scan(spark).count() == len(BATCH2)
+
+    # stale participant: b advanced after our handle was taken
+    a = Table.load(cat, "db.mta")
+    b_stale = Table.load(cat, "db.mtb")
+    Table.load(cat, "db.mtb").append(
+        spark, spark.createDataFrame(BATCH1, COLS))
+    fa2 = write_datafiles(spark, a.metadata,
+                          spark.createDataFrame(BATCH2, COLS))
+    fb2 = write_datafiles(spark, b_stale.metadata,
+                          spark.createDataFrame(BATCH1, COLS))
+    mtt2 = MultiTableTransaction(cat)
+    mtt2.transaction(a).append_files(fa2)
+    mtt2.transaction(b_stale).append_files(fb2)
+    with pytest.raises(CommitFailedError):
+        mtt2.commit()
+    # nothing landed: a rolled back, b kept only the racer's append
+    assert Table.load(cat, "db.mta").scan(spark).count() == len(BATCH1)
+    assert Table.load(cat, "db.mtb").scan(spark).count()         == len(BATCH2) + len(BATCH1)
+    # same table twice in one batch is rejected up front
+    mtt3 = MultiTableTransaction(cat)
+    mtt3.transaction(Table.load(cat, "db.mta"))
+    with pytest.raises(ValueError, match="already participates"):
+        mtt3.transaction(Table.load(cat, "db.mta"))
+
+
+def test_multi_table_transaction_sql_catalog(spark, tmp_path):
+    """SqlCatalog realizes the batch as ONE database transaction."""
+    from iceberg_rust_archive_spark.catalog.sql_catalog import SqlCatalog
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.table import Table
+    from iceberg_rust_archive_spark.transaction import (
+        MultiTableTransaction,
+    )
+
+    cat = SqlCatalog(str(tmp_path / "cat.db"))
+    cat.create_namespace("db")
+    a = Table.create(cat, "db.sa", ORDERS_SCHEMA, DAY_SPEC,
+                     location=str(tmp_path / "sa"))
+    b = Table.create(cat, "db.sb", ORDERS_SCHEMA, DAY_SPEC,
+                     location=str(tmp_path / "sb"))
+    fa = write_datafiles(spark, a.metadata,
+                         spark.createDataFrame(BATCH1, COLS))
+    fb = write_datafiles(spark, b.metadata,
+                         spark.createDataFrame(BATCH2, COLS))
+    mtt = MultiTableTransaction(cat)
+    mtt.transaction(a).append_files(fa)
+    mtt.transaction(b).append_files(fb)
+    mtt.commit()
+    assert Table.load(cat, "db.sa").scan(spark).count() == len(BATCH1)
+    assert Table.load(cat, "db.sb").scan(spark).count() == len(BATCH2)
+
+
 def test_changelog_includes_position_deletes(spark, tmp_path):
     """delete_where_pos commits must surface in the changelog as
     resolved delete rows (else changelog-driven MV refreshes silently

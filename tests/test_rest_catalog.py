@@ -190,6 +190,33 @@ def _make_handler(state: _State):
                     self._send(200, {"updated": sorted(ups),
                                      "removed": removed,
                                      "missing": missing})
+                elif p == ["transactions", "commit"]:
+                    # spec CommitTransactionRequest: check EVERY
+                    # table's requirements first, then apply all —
+                    # any failure answers 409/404 with nothing applied
+                    store = _store("tables", state)
+                    planned = []
+                    for tc in body.get("table-changes", []):
+                        key = (".".join(tc["identifier"]["namespace"]),
+                               tc["identifier"]["name"])
+                        hit = store.get(key)
+                        if hit is None:
+                            self._err(404, f"{key} not found",
+                                      "NoSuchTableException")
+                            return
+                        reason = check_table_requirements(
+                            tc.get("requirements", []), hit[1])
+                        if reason is not None:
+                            self._err(409, reason,
+                                      "CommitFailedException")
+                            return
+                        planned.append((key, hit[1],
+                                        tc.get("updates", [])))
+                    for key, current, updates in planned:
+                        new_md = apply_table_updates(current, updates)
+                        loc = _CatalogABC._write_metadata_file(new_md)
+                        store[key] = (loc, new_md)
+                    self._send(204)
                 elif p == ["tables", "rename"]:
                     # spec RenameTableRequest: atomic server-side move
                     state.renames.append(body)
@@ -385,6 +412,56 @@ def test_rest_rename_table(tmp_path):
             cat.rename_tabular("db.old2", "db.fresh")
     finally:
         srv.shutdown()
+
+
+def test_rest_transactions_commit_atomic(rest_server, spark, tmp_path):
+    """POST /v1/transactions/commit: both tables' snapshots land in ONE
+    request; a stale assert-ref-snapshot-id on EITHER table 409s and
+    applies NOTHING (all-or-nothing server semantics)."""
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.table import Table
+    from iceberg_rust_archive_spark.transaction import (
+        MultiTableTransaction,
+    )
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("tx")
+    a = Table.create(cat, "tx.a", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "tx_a"))
+    b = Table.create(cat, "tx.b", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "tx_b"))
+
+    fa = write_datafiles(spark, a.metadata, spark.createDataFrame(
+        [(1, "a")], "k long, v string"))
+    fb = write_datafiles(spark, b.metadata, spark.createDataFrame(
+        [(10, "x")], "k long, v string"))
+    mtt = MultiTableTransaction(cat)
+    mtt.transaction(a).append_files(fa)
+    mtt.transaction(b).append_files(fb)
+    mtt.commit()
+    a, b = Table.load(cat, "tx.a"), Table.load(cat, "tx.b")
+    assert [r.k for r in a.scan(spark).collect()] == [1]
+    assert [r.k for r in b.scan(spark).collect()] == [10]
+
+    # stale handle on b (a concurrent append landed after our read):
+    # the whole batch 409s and a's change must NOT land either
+    b_stale = Table.load(cat, "tx.b")
+    Table.load(cat, "tx.b").append(spark, spark.createDataFrame(
+        [(11, "y")], "k long, v string"))
+    fa2 = write_datafiles(spark, a.metadata, spark.createDataFrame(
+        [(2, "b")], "k long, v string"))
+    fb2 = write_datafiles(spark, b_stale.metadata, spark.createDataFrame(
+        [(12, "z")], "k long, v string"))
+    mtt2 = MultiTableTransaction(cat)
+    mtt2.transaction(a).append_files(fa2)
+    mtt2.transaction(b_stale).append_files(fb2)
+    with pytest.raises(CommitFailedError):
+        mtt2.commit()
+    a = Table.load(cat, "tx.a")
+    assert sorted(r.k for r in a.scan(spark).collect()) == [1]  # no 2
+    b = Table.load(cat, "tx.b")
+    assert sorted(r.k for r in b.scan(spark).collect()) == [10, 11]
 
 
 def test_rest_commit_conflict_and_retry(rest_server, spark, tmp_path):
