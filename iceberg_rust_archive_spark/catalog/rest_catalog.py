@@ -370,13 +370,20 @@ class RestCatalog(Catalog):
         catalogs/iceberg-rest-catalog/src/apis/catalog_api_api.rs):
         the SERVER performs the atomic pointer move; spec answers are
         404 (source missing → NoSuchTableError) and 409 (destination
-        exists → CommitFailedError via the shared error mapping)."""
+        exists → CommitFailedError via the shared error mapping).
+        A 404 on the table route retries the spec's ``views/rename``
+        twin so view/MV identifiers rename too (same probing order as
+        load_tabular)."""
         ns_s, name_s = parse_identifier(from_identifier)
         ns_d, name_d = parse_identifier(to_identifier)
-        self._request("POST", "tables/rename", {
+        body = {
             "source": {"namespace": ns_s.split("."), "name": name_s},
             "destination": {"namespace": ns_d.split("."), "name": name_d},
-        })
+        }
+        try:
+            self._request("POST", "tables/rename", body)
+        except NoSuchTableError:
+            self._request("POST", "views/rename", body)
 
     def drop_tabular(self, identifier: str) -> None:
         ns, name = parse_identifier(identifier)

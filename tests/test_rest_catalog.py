@@ -217,16 +217,17 @@ def _make_handler(state: _State):
                         loc = _CatalogABC._write_metadata_file(new_md)
                         store[key] = (loc, new_md)
                     self._send(204)
-                elif p == ["tables", "rename"]:
+                elif len(p) == 2 and p[1] == "rename" \
+                        and p[0] in ("tables", "views"):
                     # spec RenameTableRequest: atomic server-side move
                     state.renames.append(body)
                     src = (".".join(body["source"]["namespace"]),
                            body["source"]["name"])
                     dst = (".".join(body["destination"]["namespace"]),
                            body["destination"]["name"])
-                    store = _store("tables", state)
+                    store = _store(p[0], state)
                     if src not in store:
-                        self._err(404, "source table not found",
+                        self._err(404, f"source {p[0][:-1]} not found",
                                   "NoSuchTableException")
                         return
                     if dst in store:
@@ -517,6 +518,21 @@ def test_rest_engine_roundtrip(rest_server, spark, tmp_path):
     # a second client sees the committed state (read-your-writes)
     t2 = Table.load(RestCatalog(rest_server), "rt.tbl")
     assert t2.scan(spark).count() == 3
+
+
+def test_rest_view_rename(rest_server, tmp_path):
+    """views/rename twin: a view identifier falls through the table
+    route's 404 onto POST /v1/views/rename."""
+    from iceberg_rust_archive_spark.spec.view_metadata import ViewMetadata
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("vr")
+    vm = ViewMetadata.new(str(tmp_path / "vr1"), "SELECT 1 AS one",
+                          _schema())
+    cat.create_tabular("vr.v1", vm)
+    cat.rename_tabular("vr.v1", "vr.v2")
+    assert cat.list_tabulars("vr") == ["vr.v2"]
+    assert cat.load_tabular("vr.v2").sql == "SELECT 1 AS one"
 
 
 def test_rest_view_roundtrip(rest_server, tmp_path):
