@@ -433,19 +433,22 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                     parsed = synth_parsed
                     union_ctx = (outer_of, ubranches, ubparses,
                                  outer_rels)
-            elif (synth_strategy == INCR_AGG and not outer_rels
+            elif (synth_strategy == INCR_AGG
                     and all(s.old_exists and not s.replace_since
                             for s in sources)
                     and _changelog_capable(synth_parsed)):
                 # source DELETEs through the union: the NegDelta analog
                 # (transform.rs:287-297) — signed changelog weights ride
                 # an appended __w item through each branch's projection
-                # and fold into the OUTER weighted aggregates. (Deletes
-                # through a JOIN-over-union stay FULL: the weighted
-                # passes don't yet bind outer relations.)
+                # and fold into the OUTER weighted aggregates. With a
+                # JOIN after the union, outer relations follow the same
+                # triangular rule as the PosDelta case (branch passes
+                # bind them OLD at weight 1; each stale outer relation
+                # gets its own weighted pass over the full union at
+                # NEW).
                 strategy = CHANGELOG_AGG
                 parsed = synth_parsed
-                union_ctx = (outer_of, ubranches, ubparses, [])
+                union_ctx = (outer_of, ubranches, ubparses, outer_rels)
 
     new_state = RefreshState(
         refresh_version_id=mv.current_version_id,
@@ -587,19 +590,42 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             # NegDelta through the union: one weighted pass per stale
             # source per branch — the weight product rides an appended
             # __w item through the branch projection, and the OUTER
-            # select list folds __w into every aggregate
-            outer_of, ubranches, ubparses, _no_outer = union_ctx
+            # select list folds __w into every aggregate. Outer JOINed
+            # relations (r9) follow the PosDelta triangle: branch
+            # passes bind them to their OLD snapshots at implicit
+            # weight 1; each stale outer relation then gets its own
+            # weighted pass over the FULL union text at NEW, with its
+            # signed changelog weight folding into the outer
+            # aggregates directly (it is a top-level relation of
+            # run_sql, so no appended item is needed).
+            outer_of, ubranches, ubparses, outer_rels = union_ctx
             src_by_name = {s.name.lower(): s for s in sources}
+            outer_srcs = [src_by_name[r.lower()] for r in outer_rels]
             for b_sql, pb in zip(ubranches, ubparses):
                 bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
                 for i, src in enumerate(bsrcs):
                     if src.fresh:
                         continue
                     bindings, wnames = changelog_bindings(bsrcs, i)
+                    for od in outer_srcs:
+                        bindings[od.name] = od.table.scan(
+                            spark, snapshot_id=od.old_snapshot_id)
                     wb_sql = _append_weight_item(b_sql,
                                                  " * ".join(wnames))
                     wsql = _weighted_sql(parsed, outer_of(wb_sql), "__w")
                     cpasses.append(bind_and_run(bindings, wsql))
+            union_names = {nm.lower() for pb in ubparses
+                           for nm in pb.relations}
+            for j, src in enumerate(outer_srcs):
+                if src.fresh:
+                    continue
+                bindings, wnames = changelog_bindings(outer_srcs, j)
+                for nm in union_names:
+                    bindings[src_by_name[nm].name] = \
+                        src_by_name[nm].table.scan(spark)
+                wsql = _weighted_sql(parsed, run_sql,
+                                     " * ".join(wnames))
+                cpasses.append(bind_and_run(bindings, wsql))
         else:
             for i, src in enumerate(sources):
                 if src.fresh:

@@ -737,6 +737,24 @@ def test_union_subquery_join_aggregate_mv_incremental(engine):
     assert got() == want()
     assert engine.refresh_materialized_view("db.ujamv") == "Fresh"
 
+    # deletes retract through the JOIN-over-union: signed changelog
+    # weights in the branch passes (dim at OLD) and, for a dim delete,
+    # a weighted pass over the full union at NEW — no full recompute
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
+    engine.sql("DELETE FROM db.orders WHERE id = 8")
+    assert engine.refresh_materialized_view("db.ujamv") == CHANGELOG_AGG
+    assert got() == want()
+    # deleting a dim row retracts its whole group
+    engine.sql("DELETE FROM db.dimp2 WHERE product_id = 9")
+    assert engine.refresh_materialized_view("db.ujamv") == CHANGELOG_AGG
+    assert got() == want()
+    assert "iota" not in got()
+    # fact and dim deletes in ONE interval still merge exactly
+    engine.sql("DELETE FROM db.orders WHERE id = 1")
+    engine.sql("DELETE FROM db.dimp2 WHERE product_id = 3")
+    assert engine.refresh_materialized_view("db.ujamv") == CHANGELOG_AGG
+    assert got() == want()
+
 
 def test_union_distinct_mv_stays_full(engine):
     """Bare UNION dedups across branches — δ distribution is unsound
