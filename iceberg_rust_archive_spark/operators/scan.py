@@ -251,7 +251,8 @@ def scan(spark: SparkSession, md: TableMetadata,
          as_of_ms: int | None = None,
          from_snapshot_id: int | None = None,
          report: dict | None = None,
-         expose_pos: bool = False) -> DataFrame:
+         expose_pos: bool = False,
+         with_row_id: bool = False) -> DataFrame:
     """``report``, when passed, is filled in place with planning
     metrics (the reference's ScanMetrics role): manifest/file counts
     before and after each pruning level, bytes planned, delete-file
@@ -264,7 +265,15 @@ def scan(spark: SparkSession, md: TableMetadata,
     instead of dropping them after the pos-delete anti-join. Used by
     ``Table.delete_where_pos`` so the hit set is computed over the full
     merge-on-read resolution — a row already killed by a live equality
-    or position delete can never produce a fresh (path, pos) pair."""
+    or position delete can never produce a fresh (path, pos) pair.
+
+    ``with_row_id`` materializes the v3 row-lineage ``_row_id`` column
+    (spec §Row Lineage): each data file's assigned first-row-id plus
+    the row's ordinal. Scale shape: a two-column (path, base) relation
+    — one row per planned FILE, not per data row — broadcast-joined on
+    the normalized path, so the add costs one broadcast hash join and
+    zero shuffles. Files with no assigned lineage (written before the
+    table reached v3) yield NULL."""
     from iceberg_rust_archive_spark.session import ensure_read_confs
     ensure_read_confs(spark)  # field-id resolution on any caller's session
     preds = filter or []
@@ -286,6 +295,9 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     if snap is None:
         df = spark.createDataFrame([], spark_schema)
+        if with_row_id:
+            from pyspark.sql.types import LongType
+            df = df.withColumn("_row_id", F.lit(None).cast(LongType()))
         return df.select(*columns) if columns else df
 
     # A2: partition-level pruning over manifest-list rows, each manifest
@@ -324,7 +336,7 @@ def scan(spark: SparkSession, md: TableMetadata,
     # The reference PANICS on this content type (datafusion_iceberg/src/
     # table.rs:422-425); Spark's _metadata.row_index virtual column makes
     # merge-on-read natural, so we support it as a parity superset.
-    has_pos = bool(pos_delete_entries) or expose_pos
+    has_pos = bool(pos_delete_entries) or expose_pos or with_row_id
 
     # tables holding add_files-registered external files (no embedded
     # field ids) carry the name-mapping property → resolve BY NAME
@@ -413,7 +425,8 @@ def scan(spark: SparkSession, md: TableMetadata,
         if del_bytes <= 64 * 1024 * 1024:
             pairs = F.broadcast(pairs)
         d = d.join(pairs, on=["__fp", "__pos"], how="left_anti")
-        return d if expose_pos else d.drop("__fp", "__pos")
+        return d if (expose_pos or with_row_id) \
+            else d.drop("__fp", "__pos")
 
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
@@ -536,7 +549,7 @@ def scan(spark: SparkSession, md: TableMetadata,
 
     if not parts:
         df = spark.createDataFrame([], spark_schema)
-        if expose_pos:
+        if expose_pos or with_row_id:
             from pyspark.sql.types import LongType, StringType
             df = (df.withColumn("__fp", F.lit(None).cast(StringType()))
                     .withColumn("__pos", F.lit(None).cast(LongType())))
@@ -547,12 +560,36 @@ def scan(spark: SparkSession, md: TableMetadata,
         if pos_delete_entries:
             df = apply_pos_deletes(df)
 
+    if with_row_id:
+        # v3 row lineage: one (path, first-row-id) row per planned
+        # file, broadcast onto the data by normalized path — _row_id =
+        # base + ordinal; NULL base (pre-v3 file) propagates to NULL
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        import re as _re
+        base_rows = [(_re.sub(r"^file:/+", "/",
+                              e.data_file.file_path),
+                      e.data_file.first_row_id)
+                     for e in data_entries]
+        base_df = spark.createDataFrame(
+            base_rows, StructType([
+                StructField("__fp", StringType()),
+                StructField("__rid_base", LongType())]))
+        df = (df.join(F.broadcast(base_df), on="__fp", how="left")
+                .withColumn("_row_id",
+                            F.col("__rid_base") + F.col("__pos"))
+                .drop("__rid_base"))
+        if not expose_pos:
+            df = df.drop("__fp", "__pos")
+
     residual = to_spark_filter(preds)
     if residual is not None:
         df = df.filter(residual)
     if columns:
-        df = df.select(*(list(columns) + ["__fp", "__pos"])
-                       if expose_pos else columns)
+        extra = (["__fp", "__pos"] if expose_pos else []) \
+            + (["_row_id"] if with_row_id else [])
+        df = df.select(*(list(columns) + extra) if extra else columns)
 
     # A9→planner: feed harvested manifest statistics into Spark's join
     # planning the way the reference's TableProvider::statistics feeds

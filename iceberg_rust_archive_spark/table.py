@@ -64,10 +64,15 @@ class Table:
              columns: list[str] | None = None, branch: str | None = None,
              snapshot_id: int | None = None, as_of_ms: int | None = None,
              from_snapshot_id: int | None = None,
-             report: dict | None = None) -> DataFrame:
+             report: dict | None = None,
+             with_row_id: bool = False) -> DataFrame:
+        """``with_row_id`` adds the v3 row-lineage ``_row_id`` metadata
+        column (spec §Row Lineage): ``first-row-id + position`` for
+        rows in files whose commit assigned lineage, NULL for files
+        written before the table reached format-version 3."""
         return _scan(spark, self.metadata, filter, columns, branch,
                      snapshot_id, as_of_ms, from_snapshot_id,
-                     report=report)
+                     report=report, with_row_id=with_row_id)
 
     def count(self, spark: SparkSession | None = None,
               filter: list[Pred] | None = None,  # noqa: A002

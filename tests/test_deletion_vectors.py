@@ -238,6 +238,15 @@ def test_v3_row_lineage_assignment(spark, catalog):
     for (a, rc), (b, _) in zip(spans, spans[1:]):
         assert b == a + rc
 
+    # read surface: scan(with_row_id=True) materializes _row_id =
+    # first-row-id + ordinal; pre-v3 files read back NULL
+    rows = t.scan(spark, with_row_id=True).collect()
+    assert len(rows) == len(BATCH1) + len(BATCH2) - 1  # one DV-deleted
+    lineaged = sorted(r._row_id for r in rows if r._row_id is not None)
+    assert lineaged == list(range(base, base + len(BATCH2)))
+    assert sum(1 for r in rows if r._row_id is None) \
+        == len(BATCH1) - 1  # the v2-era files, minus the deleted row
+
 
 def test_dv_rejected_on_pinned_v2_table(spark, catalog):
     from iceberg_rust_archive_spark.catalog.base import CommitFailedError
