@@ -392,6 +392,50 @@ class RestCatalog(Catalog):
         except NoSuchTableError:
             self._request("DELETE", f"namespaces/{ns}/views/{name}")
 
+    def load_credentials(self, identifier: str) -> list[dict]:
+        """GET /v1/namespaces/{ns}/tables/{tbl}/credentials
+        (LoadCredentialsResponse — the reference client's
+        ``load_credentials``, the one route of
+        catalogs/iceberg-rest-catalog/src/apis/catalog_api_api.rs this
+        engine had not yet covered): vended, scoped storage
+        credentials for the table's location. Returns the spec's
+        ``storage-credentials`` list —
+        ``[{"prefix": "s3://…", "config": {"s3.access-key-id": …}}]``.
+        404 means the table is unknown OR the server doesn't vend."""
+        ns, name = parse_identifier(identifier)
+        out = self._request(
+            "GET", f"namespaces/{ns}/tables/{name}/credentials")
+        return (out or {}).get("storage-credentials", [])
+
+    def apply_vended_credentials(self, identifier: str) -> int:
+        """Fetch vended credentials and register a scoped S3 session
+        per credential prefix (``object_store.register_store``), so
+        every subsequent read/write under that prefix — manifests,
+        data, Puffin — uses the vended keys without threading a
+        session through callers. Returns the number of prefixes
+        registered. Non-s3 prefixes are skipped (local/memory stores
+        need no credentials)."""
+        from iceberg_rust_archive_spark.object_store import (
+            S3Store, register_store,
+        )
+        key_map = {"s3.access-key-id": "aws_access_key_id",
+                   "s3.secret-access-key": "aws_secret_access_key",
+                   "s3.session-token": "aws_session_token",
+                   "s3.region": "region_name",
+                   "s3.endpoint": "endpoint_url"}
+        n = 0
+        for cred in self.load_credentials(identifier):
+            prefix = cred.get("prefix", "")
+            if not prefix.startswith("s3://"):
+                continue
+            config = cred.get("config", {})
+            kwargs = {v: config[k] for k, v in key_map.items()
+                      if k in config}
+            import boto3
+            register_store(prefix, S3Store(boto3.client("s3", **kwargs)))
+            n += 1
+        return n
+
     def report_metrics(self, identifier: str, report: dict) -> None:
         """POST /v1/namespaces/{ns}/tables/{tbl}/metrics
         (ReportMetricsRequest): ship a scan report — the dict

@@ -209,9 +209,33 @@ class S3Store(ObjectStore):
 
 _S3_SINGLETON: S3Store | None = None
 
+# location-prefix → dedicated store instance. Credential vending
+# (RestCatalog.apply_vended_credentials) scopes a table's vended
+# session to its storage prefix by registering here; longest prefix
+# wins so a table-scoped credential shadows a bucket-wide one.
+_PREFIX_STORES: dict[str, ObjectStore] = {}
+
+
+def register_store(prefix: str, store: ObjectStore | None) -> None:
+    """Route every path under ``prefix`` to ``store`` (None removes
+    the registration). The hook the REST credentials route uses to
+    make vended, scoped credentials effective without threading a
+    session object through every reader/writer."""
+    key = prefix.rstrip("/")
+    if store is None:
+        _PREFIX_STORES.pop(key, None)
+    else:
+        _PREFIX_STORES[key] = store
+
 
 def store_for(path: str) -> ObjectStore:
-    """Scheme dispatch (object_store/mod.rs:21-57)."""
+    """Scheme dispatch (object_store/mod.rs:21-57); prefix-registered
+    stores (vended credentials) take precedence, longest match
+    first."""
+    if _PREFIX_STORES:
+        for prefix in sorted(_PREFIX_STORES, key=len, reverse=True):
+            if path.startswith(prefix):
+                return _PREFIX_STORES[prefix]
     if path.startswith("memory://"):
         return MemoryStore()
     if path.startswith("s3://"):

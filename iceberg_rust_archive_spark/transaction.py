@@ -316,6 +316,12 @@ class Transaction:
         # (lineage-preserving rewrite) keep it. Delete files never get
         # row ids. Assignment happens here — before any manifest is
         # written — so the ids persist in the Avro entries.
+        # CAVEAT: replace/rewrite commits assign FRESH ranges to their
+        # output files (full lineage preservation requires
+        # materializing _row_id into the rewritten parquet, which this
+        # engine does not do) — consistent with the 'replace' operation
+        # label's existing contract that row-level identity is not
+        # derivable across it and incremental consumers resync.
         row_id_start = md.next_row_id
         _next_rid = [row_id_start]
         if md.format_version >= 3:

@@ -154,6 +154,24 @@ def _make_handler(state: _State):
                                   "NoSuchTableException")
                     else:
                         self._send(200, self._load_result(*hit))
+                elif (len(p) == 5 and p[2] == "tables"
+                        and p[4] == "credentials"):
+                    # spec LoadCredentialsResponse: scoped creds for
+                    # the table's location prefix
+                    hit = _store("tables", state).get((p[1], p[3]))
+                    if hit is None:
+                        self._err(404, f"{p[3]} not found",
+                                  "NoSuchTableException")
+                        return
+                    _, md = hit
+                    self._send(200, {"storage-credentials": [{
+                        "prefix": f"s3://vended/{p[1]}/{p[3]}",
+                        "config": {
+                            "s3.access-key-id": "AKIAVENDED",
+                            "s3.secret-access-key": "vended-secret",
+                            "s3.session-token": "vended-session",
+                            "s3.region": "us-east-1",
+                        }}]})
                 else:
                     self._err(400, "bad path", "BadRequestException")
 
@@ -518,6 +536,45 @@ def test_rest_engine_roundtrip(rest_server, spark, tmp_path):
     # a second client sees the committed state (read-your-writes)
     t2 = Table.load(RestCatalog(rest_server), "rt.tbl")
     assert t2.scan(spark).count() == 3
+
+
+def test_rest_load_credentials_and_scoped_store(rest_server, tmp_path):
+    """GET .../credentials (the reference client's load_credentials):
+    the vended config builds a scoped S3 session registered for the
+    credential's prefix — store_for under that prefix returns the
+    vended client, everything else keeps its default store."""
+    from iceberg_rust_archive_spark.object_store import (
+        LocalStore, S3Store, register_store, store_for,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    cat = RestCatalog(rest_server)
+    cat.create_namespace("cv")
+    Table.create(cat, "cv.t", _schema(), PartitionSpec(0, ()),
+                 location=str(tmp_path / "cv_t"))
+    from iceberg_rust_archive_spark.catalog.base import NoSuchTableError
+    creds = cat.load_credentials("cv.t")
+    assert creds and creds[0]["prefix"] == "s3://vended/cv/t"
+    assert creds[0]["config"]["s3.access-key-id"] == "AKIAVENDED"
+    with pytest.raises(NoSuchTableError):
+        cat.load_credentials("cv.missing")
+
+    try:
+        import boto3  # noqa: F401
+        has_boto = True
+    except ImportError:
+        has_boto = False
+    if has_boto:
+        try:
+            assert cat.apply_vended_credentials("cv.t") == 1
+            scoped = store_for("s3://vended/cv/t/data/x.parquet")
+            assert isinstance(scoped, S3Store)
+            creds_used = scoped.client._request_signer._credentials
+            assert creds_used.access_key == "AKIAVENDED"
+            assert isinstance(store_for(str(tmp_path)), LocalStore)
+        finally:
+            register_store("s3://vended/cv/t", None)
 
 
 def test_rest_view_rename(rest_server, tmp_path):
