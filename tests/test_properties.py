@@ -106,6 +106,71 @@ def test_mv_incremental_equals_full_recompute(spark, tmp_path_factory,
         assert mv == direct, (batches, mv, direct)
 
 
+def _ujmv_op():
+    frows = st.lists(st.tuples(st.integers(0, 5), st.integers(1, 9)),
+                     min_size=1, max_size=3)
+    drows = st.lists(st.integers(0, 5), min_size=1, max_size=2,
+                     unique=True)
+    return st.one_of(
+        st.tuples(st.just("ins_a"), frows),
+        st.tuples(st.just("ins_b"), frows),
+        st.tuples(st.just("ins_dim"), drows),
+        st.tuples(st.just("del_a"), st.integers(0, 5)),
+        st.tuples(st.just("del_dim"), st.integers(0, 5)),
+    )
+
+
+@SLOW
+@given(ops=st.lists(_ujmv_op(), min_size=1, max_size=5))
+def test_union_join_mv_matches_recompute(spark, tmp_path_factory, ops):
+    """r9 invariant: an aggregate MV over (A UNION ALL B) JOIN dim
+    equals a from-scratch recompute after ANY op sequence mixing fact
+    inserts into either branch, dim inserts, and fact/dim deletes —
+    covering the PosDelta triangle (branch passes + outer-dim pass)
+    AND the weighted-changelog retraction through the joined union."""
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(
+        str(tmp_path_factory.mktemp("ujmvprop") / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.fa (k BIGINT, v BIGINT)")
+    eng.sql("CREATE TABLE db.fb (k BIGINT, v BIGINT)")
+    eng.sql("CREATE TABLE db.dim (k BIGINT, name VARCHAR)")
+    eng.sql("INSERT INTO db.fa VALUES (0, 1)")
+    eng.sql("INSERT INTO db.dim VALUES (0, 'n0')")
+    q = ("SELECT d.name, count(*) AS n, sum(u.v) AS sv "
+         "FROM ( SELECT k, v FROM db.fa UNION ALL "
+         "SELECT k, v * 2 AS v FROM db.fb ) u "
+         "JOIN db.dim d ON u.k = d.k GROUP BY d.name")
+    eng.sql(f"CREATE MATERIALIZED VIEW db.ujp AS {q}")
+    eng.refresh_materialized_view("db.ujp")
+
+    next_dim = [1]
+    for op in ops:
+        kind = op[0]
+        if kind in ("ins_a", "ins_b"):
+            tbl = "db.fa" if kind == "ins_a" else "db.fb"
+            vals = ", ".join(f"({k}, {v})" for k, v in op[1])
+            eng.sql(f"INSERT INTO {tbl} VALUES {vals}")
+        elif kind == "ins_dim":
+            rows = [k for k in op[1]]
+            vals = ", ".join(
+                f"({k}, 'n{next_dim[0] + i}')"
+                for i, k in enumerate(rows))
+            next_dim[0] += len(rows)
+            eng.sql(f"INSERT INTO db.dim VALUES {vals}")
+        elif kind == "del_a":
+            eng.sql(f"DELETE FROM db.fa WHERE k = {op[1]}")
+        else:
+            eng.sql(f"DELETE FROM db.dim WHERE k = {op[1]}")
+        eng.refresh_materialized_view("db.ujp")
+        mv = sorted(tuple(r) for r in
+                    eng.sql("SELECT name, n, sv FROM db.ujp").collect())
+        direct = sorted(tuple(r) for r in eng.sql(q).collect())
+        assert mv == direct, (ops, mv, direct)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.integers(1, 12), st.integers(1, 12),
        st.sampled_from([1, 3, 4]), st.integers(0, 2**31 - 1))
