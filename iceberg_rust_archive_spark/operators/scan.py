@@ -297,7 +297,9 @@ def scan(spark: SparkSession, md: TableMetadata,
         df = spark.createDataFrame([], spark_schema)
         if with_row_id:
             from pyspark.sql.types import LongType
-            df = df.withColumn("_row_id", F.lit(None).cast(LongType()))
+            df = (df.withColumn("_row_id", F.lit(None).cast(LongType()))
+                    .withColumn("_last_updated_sequence_number",
+                                F.lit(None).cast(LongType())))
         return df.select(*columns) if columns else df
 
     # A2: partition-level pruning over manifest-list rows, each manifest
@@ -561,24 +563,32 @@ def scan(spark: SparkSession, md: TableMetadata,
             df = apply_pos_deletes(df)
 
     if with_row_id:
-        # v3 row lineage: one (path, first-row-id) row per planned
-        # file, broadcast onto the data by normalized path — _row_id =
-        # base + ordinal; NULL base (pre-v3 file) propagates to NULL
+        # v3 row lineage: one (path, first-row-id, data-sequence) row
+        # per planned file, broadcast onto the data by normalized path
+        # — _row_id = base + ordinal (NULL base → NULL), and
+        # _last_updated_sequence_number is the file's data sequence
+        # number (rows are immutable within a file; row-modifying
+        # operations write NEW files, so the file's sequence IS the
+        # row's last update)
         from pyspark.sql.types import (
             LongType, StringType, StructField, StructType,
         )
         import re as _re
         base_rows = [(_re.sub(r"^file:/+", "/",
                               e.data_file.file_path),
-                      e.data_file.first_row_id)
+                      e.data_file.first_row_id,
+                      e.sequence_number)
                      for e in data_entries]
         base_df = spark.createDataFrame(
             base_rows, StructType([
                 StructField("__fp", StringType()),
-                StructField("__rid_base", LongType())]))
+                StructField("__rid_base", LongType()),
+                StructField("__file_seq", LongType())]))
         df = (df.join(F.broadcast(base_df), on="__fp", how="left")
                 .withColumn("_row_id",
                             F.col("__rid_base") + F.col("__pos"))
+                .withColumnRenamed("__file_seq",
+                                   "_last_updated_sequence_number")
                 .drop("__rid_base"))
         if not expose_pos:
             df = df.drop("__fp", "__pos")
@@ -588,7 +598,8 @@ def scan(spark: SparkSession, md: TableMetadata,
         df = df.filter(residual)
     if columns:
         extra = (["__fp", "__pos"] if expose_pos else []) \
-            + (["_row_id"] if with_row_id else [])
+            + (["_row_id", "_last_updated_sequence_number"]
+               if with_row_id else [])
         df = df.select(*(list(columns) + extra) if extra else columns)
 
     # A9→planner: feed harvested manifest statistics into Spark's join

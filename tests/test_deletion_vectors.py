@@ -246,6 +246,16 @@ def test_v3_row_lineage_assignment(spark, catalog):
     assert lineaged == list(range(base, base + len(BATCH2)))
     assert sum(1 for r in rows if r._row_id is None) \
         == len(BATCH1) - 1  # the v2-era files, minus the deleted row
+    # companion lineage column: every row carries its file's data
+    # sequence — the BATCH2 rows were committed later, so their
+    # sequence is strictly higher than every BATCH1 row's
+    seqs = {r._row_id is not None: set()
+            for r in rows}
+    for r in rows:
+        seqs[r._row_id is not None].add(
+            r._last_updated_sequence_number)
+    assert all(s is not None for vals in seqs.values() for s in vals)
+    assert min(seqs[True]) > max(seqs[False])
 
 
 def test_dv_rejected_on_pinned_v2_table(spark, catalog):
