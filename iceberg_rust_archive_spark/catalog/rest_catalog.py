@@ -414,7 +414,16 @@ class RestCatalog(Catalog):
         data, Puffin — uses the vended keys without threading a
         session through callers. Returns the number of prefixes
         registered. Non-s3 prefixes are skipped (local/memory stores
-        need no credentials)."""
+        need no credentials).
+
+        Scope note: the registry is DRIVER-side module state. That
+        covers all catalog/commit/manifest/Puffin I/O (driver-issued
+        through ``object_store``); bulk data reads go through Spark's
+        Hadoop S3A connector, which carries its own credential chain
+        (set ``spark.hadoop.fs.s3a.*`` from the same vended config).
+        Executor-side ``store_for`` calls (deletion-vector decode,
+        distributed manifest planning) fall back to the ambient boto3
+        chain — vend at the environment level for those paths."""
         from iceberg_rust_archive_spark.object_store import (
             S3Store, register_store,
         )
