@@ -439,6 +439,21 @@ class Engine:
                     [], spark_schema_for(t.metadata.current_schema().struct))
                 t.overwrite(self.spark, empty)
                 return None
+            if (t.metadata.properties.get(
+                    "write.delete.format", "").lower() == "dv"
+                    and not re.search(r"\bselect\b", pred,
+                                      re.IGNORECASE)):
+                # (subquery predicates stay on the eq-delete path —
+                # DataFrame.filter can't host a correlated subquery)
+                # the table opted into deletion vectors — SQL DELETE
+                # routes through the position-delete path (skinny
+                # (path, pos) pairs into per-file bitmaps) instead of
+                # writing the matched rows back out as an equality-
+                # delete file; at 100 TB that is ~1.75 B/row vs a full
+                # row copy, and the scan pays ONE anti-join instead of
+                # a per-sequence eq-delete chain
+                t.delete_where_pos(self.spark, pred, use_dv=True)
+                return None
             rows = self._run_select(f"SELECT * FROM {ident} WHERE {pred}")
             cols = [f.name for f in t.metadata.current_schema().fields]
             t.delete_where_equal(self.spark, rows, cols)

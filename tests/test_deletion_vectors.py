@@ -288,6 +288,44 @@ def test_dv_coexists_with_parquet_and_equality(spark, catalog):
     assert rows == [3]
 
 
+def test_sql_delete_routes_to_dv_on_opted_in_table(spark, tmp_path):
+    """SQL DELETE on a table with write.delete.format=dv writes a
+    deletion vector (content=1, puffin) instead of an equality-delete
+    file — the skinny-pairs path through the SQL shim."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.dvt (k BIGINT, v STRING)")
+    eng.sql("ALTER TABLE db.dvt SET TBLPROPERTIES "
+            "('write.delete.format'='dv')")
+    eng.sql("INSERT INTO db.dvt VALUES (1,'a'),(2,'b'),(3,'c')")
+    eng.sql("DELETE FROM db.dvt WHERE k = 2")
+    t = eng.load_table("db.dvt")
+    assert t.metadata.format_version == 3
+    snap = t.metadata.current_snapshot()
+    deletes = [e.data_file
+               for entries in read_manifests(
+                   [m.manifest_path
+                    for m in read_manifest_list(snap.manifest_list)])
+               for e in entries
+               if e.data_file.content == CONTENT_POSITION_DELETES]
+    assert deletes and all(
+        (d.file_format or "").lower() == "puffin" for d in deletes)
+    assert {r.k for r in eng.sql("SELECT * FROM db.dvt").collect()}         == {1, 3}
+    # changelog still resolves the deleted row
+    ev = [(r.k, r._change_type) for r in t.changes(spark).collect()]
+    assert ev.count((2, "delete")) == 1
+    # subquery predicates fall back to the eq-delete path and still work
+    eng.sql("CREATE TABLE db.keys (k BIGINT)")
+    eng.sql("INSERT INTO db.keys VALUES (3)")
+    eng.sql("DELETE FROM db.dvt WHERE k IN (SELECT k FROM db.keys)")
+    assert {r.k for r in eng.sql("SELECT * FROM db.dvt").collect()}         == {1}
+
+
 def test_rewrite_position_deletes_converts_to_dv(spark, catalog):
     from iceberg_rust_archive_spark.maintenance import (
         rewrite_position_deletes,
