@@ -124,6 +124,122 @@ def rewrite_data_files(spark: SparkSession, table: Table,
     return table.refresh()
 
 
+def rewrite_partition(spark: SparkSession, table: Table,
+                      filter: list,  # noqa: A002
+                      branch: str | None = None) -> Table:
+    """Partition-scoped, DELETE-ABSORBING compaction — the 100 TB
+    maintenance shape between ``rewrite_data_files`` (refuses under
+    live deletes) and ``compact_table`` (rewrites the whole table):
+    rewrite ONLY the partitions selected by ``filter``, resolving
+    merge-on-read and dropping the delete files scoped to them in the
+    SAME commit, while every other partition's files and manifests
+    carry over untouched. Cost is O(selected partitions), so a nightly
+    "compact yesterday" job stays O(day) on a petabyte table.
+
+    Scope rule: ``filter`` selects candidate files via the scan's
+    conservative pruning, then the scope widens to EVERY live data
+    file sharing a selected file's partition tuple — whole partitions
+    move together, and rows are never filtered (the rewrite preserves
+    each in-scope file's post-delete-resolution contents exactly).
+
+    Delete handling:
+    - equality deletes scoped to a rewritten partition are absorbed
+      and dropped; a GLOBAL equality delete raises CommitFailedError
+      (it applies to kept partitions too — dropping it loses deletes
+      there, keeping it loses them here since the rewritten rows'
+      higher sequence escapes it);
+    - deletion vectors referencing a rewritten file are absorbed and
+      dropped (the (puffin, offset) entry; the puffin bytes become
+      orphans for remove_orphan_files);
+    - position-delete parquet files are KEPT — their pairs name the
+      dropped paths, which can never match again (dead weight that
+      ``rewrite_position_deletes`` consolidates later) and may also
+      name out-of-scope files that still need them.
+
+    The transaction layer re-validates resurrection-freedom at commit
+    time against fresh metadata (both directions — kept deletes vs
+    rewritten partitions, absorbed deletes vs kept files), so a
+    concurrent DELETE on the scoped partition fails the CAS retry
+    instead of silently resurrecting rows."""
+    import json as _jsn
+    import math as _math
+
+    from iceberg_rust_archive_spark.operators.scan import scan
+    from iceberg_rust_archive_spark.predicates import prune_datafiles
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_DATA, CONTENT_EQUALITY_DELETES, CONTENT_POSITION_DELETES,
+        STATUS_DELETED,
+    )
+    md = table.metadata
+    snap = md.current_snapshot(branch)
+    if snap is None:
+        return table
+
+    def pkey(df_):
+        return _jsn.dumps(df_.partition, sort_keys=True, default=str)
+
+    schema = md.current_schema(branch)
+    data, eq_dels, dvs = [], [], []
+    mlist = read_manifest_list(snap.manifest_list)
+    for mle, entries in zip(
+            mlist, read_manifests([m.manifest_path for m in mlist])):
+        sp = md.partition_specs.get(mle.partition_spec_id,
+                                    md.default_spec())
+        for e in entries:
+            if e.status == STATUS_DELETED:
+                continue
+            c = e.data_file.content
+            if c == CONTENT_DATA:
+                data.append((e.data_file, sp))
+            elif c == CONTENT_EQUALITY_DELETES:
+                eq_dels.append(e.data_file)
+            elif c == CONTENT_POSITION_DELETES \
+                    and (e.data_file.file_format or "").lower() \
+                    == "puffin":
+                dvs.append(e.data_file)
+
+    scope_tuples = set()
+    for df_, sp in data:
+        if prune_datafiles(filter, schema, [df_], sp):
+            scope_tuples.add(pkey(df_))
+    in_scope = [df_ for df_, _sp in data if pkey(df_) in scope_tuples]
+    if not in_scope:
+        return table
+    in_scope_paths = {f.file_path for f in in_scope}
+
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    absorbed: set = set()
+    for d in eq_dels:
+        if all(v is None for v in d.partition.values()):
+            raise CommitFailedError(
+                "rewrite_partition cannot absorb the GLOBAL equality "
+                f"delete {d.file_path} — it applies outside the scope "
+                "too; compact_table absorbs globals")
+        if pkey(d) in scope_tuples:
+            absorbed.add((d.file_path, d.content_offset))
+    for d in dvs:
+        if d.referenced_data_file in in_scope_paths:
+            absorbed.add((d.file_path, d.content_offset))
+
+    resolved = scan(spark, md, branch=branch,
+                    file_subset=in_scope_paths)
+    target = int(md.properties.get(
+        "write.target-file-size-bytes", 512_000_000))
+    total = sum(f.file_size_in_bytes or 0 for f in in_scope)
+    resolved = resolved.repartition(max(1, _math.ceil(total / target)))
+    files = write_datafiles(spark, md, resolved, branch=branch)
+
+    def build(t):
+        return t.rewrite_files(sorted(in_scope_paths), files,
+                               removed_deletes=absorbed)
+    build(table.new_transaction(branch)).commit_with_retry(build)
+    return table.refresh()
+
+
 ZORDER_BITS = 16  # per-dimension rank resolution (2-4 cols → ≤64-bit z)
 
 

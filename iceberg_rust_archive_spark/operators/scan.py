@@ -252,7 +252,8 @@ def scan(spark: SparkSession, md: TableMetadata,
          from_snapshot_id: int | None = None,
          report: dict | None = None,
          expose_pos: bool = False,
-         with_row_id: bool = False) -> DataFrame:
+         with_row_id: bool = False,
+         file_subset: set | None = None) -> DataFrame:
     """``report``, when passed, is filled in place with planning
     metrics (the reference's ScanMetrics role): manifest/file counts
     before and after each pruning level, bytes planned, delete-file
@@ -317,6 +318,14 @@ def scan(spark: SparkSession, md: TableMetadata,
     planned, delete_entries, pos_delete_entries = plan_manifest_entries(
         spark, md, mlist, preds, schema, start_seq)
     data_entries = [e for e, _sid in planned]
+    if file_subset is not None:
+        # restrict to an explicit file list (maintenance's partition-
+        # scoped compaction reads WHOLE files post-merge-on-read, so no
+        # row-level residual may apply — callers pass no preds); the
+        # full delete set still applies: out-of-scope deletes are
+        # partition-disjoint no-ops, in-scope ones resolve the rows
+        data_entries = [e for e in data_entries
+                        if e.data_file.file_path in file_subset]
 
     if report is not None:
         report.update({

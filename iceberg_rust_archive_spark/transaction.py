@@ -66,6 +66,7 @@ class Transaction:
         self._replacement: list[DataFile] | None = None
         self._rewrite_removed: set[str] | None = None
         self._rewrite_added: list[DataFile] = []
+        self._rewrite_removed_deletes: set | None = None
         self._new_schema: Schema | None = None
         self._new_spec_fields: list | None = None
         self._new_sort_order = None
@@ -101,7 +102,8 @@ class Transaction:
         self._replacement = list(files)
         return self
 
-    def rewrite_files(self, removed_paths, added: list[DataFile]) -> "Transaction":
+    def rewrite_files(self, removed_paths, added: list[DataFile],
+                      removed_deletes=None) -> "Transaction":
         """SELECTIVE rewrite (Iceberg's RewriteDataFiles / bin-pack
         shape): drop exactly ``removed_paths``, add ``added``, leave
         every other file untouched — manifests not naming a removed
@@ -109,14 +111,29 @@ class Transaction:
         with their survivors as STATUS_EXISTING under their ORIGINAL
         sequence numbers.
 
-        Contract: the table must hold no live delete files (the
-        rewritten data's new, higher sequence number would escape
-        existing equality deletes and resurrect rows) — callers run a
-        delete-absorbing compaction first; commit raises otherwise.
-        A removed path that no longer exists raises too (a concurrent
-        rewrite won the race — the caller's retry re-plans)."""
+        ``removed_deletes`` (``{(file_path, content_offset), …}``,
+        offset None for non-DV files) names DELETE files absorbed by
+        this rewrite — the partition-scoped delete-absorbing
+        compaction (``maintenance.rewrite_partition``). When None
+        (default), the table must hold no live delete files at all.
+        Either way commit validates resurrection-freedom BOTH ways
+        against the state it actually commits over:
+
+        - a KEPT equality delete must not be scoped to (or global
+          over) any rewritten file's partition — the rewritten rows'
+          new, higher sequence number would escape it;
+        - a REMOVED equality delete must not still apply to any KEPT
+          data file — dropping it would resurrect that file's dead
+          rows.
+
+        Racing commits that violate either rule fail the CAS-retry
+        loop with CommitFailedError and the caller re-plans. A removed
+        path that no longer exists raises too (a concurrent rewrite
+        won the race)."""
         self._rewrite_removed = set(removed_paths)
         self._rewrite_added = list(added)
+        self._rewrite_removed_deletes = (
+            None if removed_deletes is None else set(removed_deletes))
         return self
 
     def update_schema(self, schema: Schema) -> "Transaction":
@@ -373,29 +390,54 @@ class Transaction:
             added = self._replacement
         elif self._rewrite_removed is not None:
             removed = set(self._rewrite_removed)
-            if any(m.content == 1 for m in old_entries):
+            rm_del = self._rewrite_removed_deletes
+            if rm_del is None and any(m.content == 1
+                                      for m in old_entries):
                 raise CommitFailedError(
                     "selective rewrite with live delete files would "
-                    "resurrect deleted rows — compact first")
+                    "resurrect deleted rows — compact first, or name "
+                    "the absorbed deletes via removed_deletes "
+                    "(maintenance.rewrite_partition)")
+            import json as _jsn
+
+            def _pkey_of(df_):
+                return _jsn.dumps(df_.partition, sort_keys=True,
+                                  default=str)
+
+            def _is_global_del(df_):
+                return all(v is None for v in df_.partition.values())
+
+            manifest_entries = list(zip(
+                old_entries,
+                read_manifests([m.manifest_path
+                                for m in old_entries])))
             found: set[str] = set()
+            found_del: set = set()
+            removed_parts: set[str] = set()   # partitions being rewritten
+            kept_parts: set[str] = set()      # partitions with kept data
+            any_kept_data = False
             new_list = []
-            for mle, entries in zip(
-                    old_entries,
-                    read_manifests([m.manifest_path
-                                    for m in old_entries])):
+            # data manifests first: learn which partitions move
+            for mle, entries in manifest_entries:
+                if mle.content == 1:
+                    continue
                 live = [e for e in entries if e.status != STATUS_DELETED]
                 hit = [e for e in live
                        if e.data_file.file_path in removed]
+                keep = [e for e in live
+                        if e.data_file.file_path not in removed]
+                kept_parts.update(_pkey_of(e.data_file) for e in keep)
+                any_kept_data = any_kept_data or bool(keep)
                 if not hit:
                     new_list.append(mle)  # untouched manifest carries over
                     continue
                 found.update(e.data_file.file_path for e in hit)
+                removed_parts.update(_pkey_of(e.data_file) for e in hit)
                 survivors = [
                     ManifestEntry(STATUS_EXISTING, e.data_file,
                                   e.snapshot_id, e.sequence_number,
                                   e.file_sequence_number)
-                    for e in live
-                    if e.data_file.file_path not in removed]
+                    for e in keep]
                 if survivors:
                     sp = md.partition_specs.get(mle.partition_spec_id,
                                                 spec)
@@ -403,10 +445,78 @@ class Transaction:
                         metadata_dir, survivors, sp.spec_id,
                         CONTENT_DATA, snap_id, seq,
                         [f.name for f in sp.fields], schema_json))
+            # delete manifests: drop absorbed entries, validate the
+            # rest against the partitions that actually move — this
+            # re-runs on every CAS retry against FRESH metadata, so a
+            # delete that landed between plan and commit is caught
+            for mle, entries in manifest_entries:
+                if mle.content != 1:
+                    continue
+                live = [e for e in entries if e.status != STATUS_DELETED]
+                hit_ids = set()
+                for e in live:
+                    key = (e.data_file.file_path,
+                           e.data_file.content_offset)
+                    if rm_del is not None and key in rm_del:
+                        hit_ids.add(id(e))
+                        found_del.add(key)
+                        if e.data_file.content \
+                                == CONTENT_EQUALITY_DELETES:
+                            # removed eq-delete must not still apply
+                            # to any KEPT data file
+                            if _is_global_del(e.data_file):
+                                if any_kept_data:
+                                    raise CommitFailedError(
+                                        "rewrite would resurrect rows:"
+                                        " absorbing the GLOBAL "
+                                        f"equality delete "
+                                        f"{e.data_file.file_path} "
+                                        "while data files remain")
+                            elif _pkey_of(e.data_file) in kept_parts:
+                                raise CommitFailedError(
+                                    "rewrite would resurrect rows: "
+                                    "absorbed equality delete "
+                                    f"{e.data_file.file_path} still "
+                                    "applies to a kept data file")
+                        continue
+                    if removed and e.data_file.content \
+                            == CONTENT_EQUALITY_DELETES:
+                        # kept eq-delete must not cover a rewritten
+                        # partition — the rewritten rows' higher
+                        # sequence number would escape it
+                        if (_is_global_del(e.data_file)
+                                or _pkey_of(e.data_file)
+                                in removed_parts):
+                            raise CommitFailedError(
+                                "rewrite would resurrect rows: live "
+                                "equality delete "
+                                f"{e.data_file.file_path} still "
+                                "applies to a rewritten partition — "
+                                "absorb it or re-plan")
+                if not hit_ids:
+                    new_list.append(mle)
+                    continue
+                survivors = [
+                    ManifestEntry(STATUS_EXISTING, e.data_file,
+                                  e.snapshot_id, e.sequence_number,
+                                  e.file_sequence_number)
+                    for e in live if id(e) not in hit_ids]
+                if survivors:
+                    sp = md.partition_specs.get(mle.partition_spec_id,
+                                                spec)
+                    new_list.append(write_manifest(
+                        metadata_dir, survivors, sp.spec_id, 1,
+                        snap_id, seq, [f.name for f in sp.fields],
+                        schema_json))
             if found != removed:
                 raise CommitFailedError(
                     f"rewrite lost a race: {len(removed - found)} "
                     "removed file(s) are no longer live — re-plan")
+            if rm_del is not None and found_del != rm_del:
+                raise CommitFailedError(
+                    f"rewrite lost a race: {len(rm_del - found_del)} "
+                    "absorbed delete file(s) are no longer live — "
+                    "re-plan")
             if self._rewrite_added:
                 new_list.append(write_manifest(
                     metadata_dir,

@@ -2141,6 +2141,128 @@ def test_rewrite_data_files_selective_binpack(spark, catalog):
         rewrite_data_files(spark, t)
 
 
+def test_rewrite_partition_absorbs_scoped_deletes(spark, catalog):
+    """Partition-scoped delete-absorbing compaction: the selected
+    day's files are rewritten with their equality deletes and DVs
+    resolved AND dropped in one commit; the other day's files and its
+    delete files carry over untouched; a global equality delete
+    refuses."""
+    import datetime as dt2
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    from iceberg_rust_archive_spark.maintenance import rewrite_partition
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+
+    t = _mk_table(catalog, "orders_rwpart")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))  # two days
+    # partition-SCOPED equality delete on the 2020-01-01 day (the
+    # partition source 'date' is among the equality columns)
+    jan1 = dt2.date(2020, 1, 1)
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([(2, jan1)], ["id", "date"]),
+        ["id", "date"])
+    # a DV on the same day's file
+    t = t.delete_where_pos(
+        spark, (F.col("id") == 3) & (F.col("date") == F.lit(jan1)),
+        use_dv=True)
+    # a scoped eq-delete on the OTHER day — must survive the rewrite
+    feb2 = dt2.date(2020, 2, 2)
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([(4, feb2)], ["id", "date"]),
+        ["id", "date"])
+    before = _sums(t, spark)   # id2 (p1,a1), id3 (p1,a3), id4 (p2,a1) gone
+
+    def live(tb):
+        snap = tb.metadata.current_snapshot()
+        data, dels = [], []
+        for entries in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)]):
+            for e in entries:
+                if e.status == 2:
+                    continue
+                (data if e.data_file.content == 0 else dels).append(
+                    e.data_file)
+        return data, dels
+
+    data0, dels0 = live(t)
+    feb_paths_before = {d.file_path for d in data0
+                        if "2020-02-02" in d.file_path
+                        or d.partition.get("date_day") is not None
+                        and "02-02" in str(d.partition)}
+    assert len(dels0) == 3  # 2 scoped eq + 1 DV
+
+    t = rewrite_partition(spark, t, [Pred("date", "=", jan1)])
+    assert _sums(t, spark) == before  # rows identical post-compaction
+    data1, dels1 = live(t)
+    # the selected day's deletes are gone; the other day's eq survives
+    assert len(dels1) == 1
+    assert dels1[0].content == 2  # equality delete for feb
+    # feb data files carried over byte-identical (same paths)
+    feb_after = {d.file_path for d in data1
+                 if d.file_path in {x.file_path for x in data0}}
+    assert feb_after  # at least the untouched day's files persist
+    op = t.metadata.current_snapshot().summary["operation"]
+    assert op == "replace"
+    # a second rewrite of the same scope is a clean no-delete rewrite
+    t = rewrite_partition(spark, t, [Pred("date", "=", jan1)])
+    assert _sums(t, spark) == before
+
+    # GLOBAL equality delete (eq cols exclude the partition source)
+    # → refuse: it applies to kept partitions too
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([(5,)], ["id"]), ["id"])
+    with pytest.raises(CommitFailedError, match="GLOBAL"):
+        rewrite_partition(spark, t, [Pred("date", "=", jan1)])
+
+
+def test_rewrite_partition_race_detected_at_commit(spark, catalog):
+    """A delete landing on the scoped partition BETWEEN plan and
+    commit must fail the rewrite, not silently resurrect rows: the
+    transaction re-validates against fresh metadata on every CAS
+    attempt."""
+    import datetime as dt2
+
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+
+    t = _mk_table(catalog, "orders_rwrace")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    jan1 = dt2.date(2020, 1, 1)
+    # plan a rewrite of the jan partition (no deletes yet)
+    jan_paths = set()
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    snap = t.metadata.current_snapshot()
+    for entries in read_manifests(
+            [m.manifest_path
+             for m in read_manifest_list(snap.manifest_list)]):
+        jan_ord = (jan1 - dt2.date(1970, 1, 1)).days
+        for e in entries:
+            if e.status != 2 \
+                    and e.data_file.partition.get("date_day") == jan_ord:
+                jan_paths.add(e.data_file.file_path)
+    assert jan_paths
+    from iceberg_rust_archive_spark.operators.scan import scan as _scan
+    resolved = _scan(spark, t.metadata, file_subset=jan_paths)
+    files = write_datafiles(spark, t.metadata, resolved)
+    # the race: a scoped eq-delete lands on jan AFTER planning
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([(1, jan1)], ["id", "date"]),
+        ["id", "date"])
+    txn = t.new_transaction().rewrite_files(
+        sorted(jan_paths), files, removed_deletes=set())
+    with pytest.raises(CommitFailedError, match="resurrect"):
+        txn.commit()
+
+
 def test_add_files_registers_without_rewrite(spark, catalog, tmp_path):
     """add_files registers existing parquet files as table data —
     metadata-only (same bytes, same paths), partition tuples derived
