@@ -43,6 +43,7 @@ Supported statements::
         | system.zorder('ns.t', 'c1', ...) | system.expire_snapshots('ns.t', ms)
         | system.rewrite_position_deletes('ns.t')
         | system.rewrite_data_files('ns.t')
+        | system.rewrite_partition('ns.t', "<partition predicate>")
         | system.analyze('ns.t'[, 'col', ...])
         | system.fast_forward('ns.t', 'branch')
         | system.add_files('ns.t', '/path/f.parquet', ...)
@@ -333,6 +334,17 @@ class Engine:
                 mt.rewrite_position_deletes(self.spark, t)
             elif proc == "rewrite_data_files":
                 mt.rewrite_data_files(self.spark, t)
+            elif proc == "rewrite_partition":
+                # CALL system.rewrite_partition('ns.t',
+                #     "date = DATE '2020-01-01' AND region = 'EU'")
+                # partition-scoped delete-absorbing compaction: the
+                # predicate string (simple =/</> conjunctions) selects
+                # the partitions to rewrite
+                raw = (rest or "").strip()
+                if raw[:1] in ("'", '"') and raw[-1:] == raw[:1]:
+                    raw = raw[1:-1]
+                mt.rewrite_partition(self.spark, t,
+                                     _parse_call_preds(raw))
             elif proc == "analyze":
                 from iceberg_rust_archive_spark.table import (
                     analyze_table,
@@ -1098,3 +1110,30 @@ class Engine:
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
         return self.spark.sql(rewrite_relations(sql, mapping))
+
+def _parse_call_preds(raw: str):
+    """Parse the simple predicate string of CALL system
+    procedures — ``col <op> literal [AND …]`` with literals
+    ``DATE 'yyyy-mm-dd'``, ``'string'``, or numbers — into the
+    ``Pred`` list the maintenance/pruning layer consumes."""
+    import datetime as _dt
+
+    from iceberg_rust_archive_spark.predicates import Pred
+    preds = []
+    for term in re.split(r"\s+and\s+", raw.strip(),
+                         flags=re.IGNORECASE):
+        m = re.match(r"\s*([\w.]+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", term)
+        if not m:
+            raise ValueError(f"unparseable predicate term {term!r}")
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        dm = re.match(r"date\s+'([^']+)'", lit, re.IGNORECASE)
+        if dm:
+            val = _dt.date.fromisoformat(dm.group(1))
+        elif lit[:1] == "'":
+            val = lit.strip("'")
+        elif re.fullmatch(r"-?\d+", lit):
+            val = int(lit)
+        else:
+            val = float(lit)
+        preds.append(Pred(col, op, val))
+    return preds

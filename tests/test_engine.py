@@ -2221,6 +2221,38 @@ def test_rewrite_partition_absorbs_scoped_deletes(spark, catalog):
         rewrite_partition(spark, t, [Pred("date", "=", jan1)])
 
 
+def test_call_rewrite_partition(spark, tmp_path):
+    """CALL system.rewrite_partition('ns.t', "<pred>") — the SQL
+    surface over the partition-scoped delete-absorbing compaction."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.cwp (id BIGINT, d DATE, v INT) "
+            "PARTITIONED BY (day(d))")
+    eng.sql("INSERT INTO db.cwp VALUES "
+            "(1, DATE '2021-03-01', 10), (2, DATE '2021-03-01', 20), "
+            "(3, DATE '2021-03-02', 30)")
+    # scoped eq-delete on the 03-01 partition (engine DELETE writes
+    # all-column eq-deletes, which include the partition source)
+    eng.sql("DELETE FROM db.cwp WHERE id = 1")
+    eng.sql("CALL system.rewrite_partition('db.cwp', "
+            "\"d = DATE '2021-03-01'\")")
+    t = eng.load_table("db.cwp")
+    snap = t.metadata.current_snapshot()
+    dels = [e for entries in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)])
+            for e in entries
+            if e.status != 2 and e.data_file.content != 0]
+    assert dels == []  # the scoped delete was absorbed
+    assert {(r.id, r.v) for r in
+            eng.sql("SELECT id, v FROM db.cwp").collect()}         == {(2, 20), (3, 30)}
+
+
 def test_rewrite_partition_race_detected_at_commit(spark, catalog):
     """A delete landing on the scoped partition BETWEEN plan and
     commit must fail the rewrite, not silently resurrect rows: the
