@@ -64,15 +64,24 @@ def _entry_filter(entries, start_seq):
         yield e
 
 
+# DV sets whose total blob bytes fit under this decode driver-side —
+# one local createDataFrame instead of a Python-RDD job per scan. At
+# ~1.75 bytes/position this is ≈150k deleted rows; the result was
+# going to be broadcast into the anti-join anyway, so materializing it
+# on the driver costs nothing extra while saving a full Python worker
+# round-trip on every statement that scans the table.
+DV_DRIVER_DECODE_MAX_BYTES = 256 * 1024
+
+
 def dv_pairs_df(spark: SparkSession, dv_files: list,
                 path_col: str = "__fp", pos_col: str = "__pos"
                 ) -> DataFrame:
     """Decode deletion-vector DataFiles (content=1,
-    file_format='puffin') into a (path, pos) pair DataFrame. Bitmap
-    decode runs EXECUTOR-side — the driver only ships (puffin_path,
-    offset, length, referenced_file) descriptors, one per DV, and the
-    expansion to position rows happens in parallel where the anti-join
-    needs them."""
+    file_format='puffin') into a (path, pos) pair DataFrame. Small DV
+    sets (≤ DV_DRIVER_DECODE_MAX_BYTES of blob bytes) decode DRIVER-
+    side into one local DataFrame; larger sets ship (puffin_path,
+    offset, length, referenced_file) descriptors to executors and
+    expand in parallel where the anti-join needs them."""
     from pyspark.sql.types import (
         LongType, StringType, StructField, StructType,
     )
@@ -82,6 +91,17 @@ def dv_pairs_df(spark: SparkSession, dv_files: list,
                          StructField(pos_col, LongType())])
     if not descs:
         return spark.createDataFrame([], schema)
+    total = sum((sz or 0) for _p, _o, sz, _r in descs)
+    if total <= DV_DRIVER_DECODE_MAX_BYTES:
+        from iceberg_rust_archive_spark.object_store import store_for
+        from iceberg_rust_archive_spark.sources.roaring import (
+            deserialize_positions,
+        )
+        pairs = []
+        for path, off, ln, ref in descs:
+            blob = store_for(path).read_bytes(path)[off:off + ln]
+            pairs.extend((ref, p) for p in deserialize_positions(blob))
+        return spark.createDataFrame(pairs, schema)
 
     def decode(it):
         from iceberg_rust_archive_spark.object_store import store_for

@@ -160,6 +160,22 @@ def test_dv_delete_end_to_end(spark, catalog):
     assert _sums(t, spark) == {1: 6, 2: 1, 3: 3}
 
 
+def test_dv_pairs_df_both_decode_paths(spark, catalog, monkeypatch):
+    """dv_pairs_df decodes driver-side under the byte threshold and
+    via the executor RDD path above it — identical pairs either way."""
+    from iceberg_rust_archive_spark.operators import scan as scan_mod
+
+    t = _mk_table(catalog, "orders_dvpaths")
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.delete_where_pos(spark, F.col("customer_id") == 1, use_dv=True)
+    dvs = [e.data_file for e in _dv_entries(t)]
+    assert dvs
+    fast = sorted(map(tuple, scan_mod.dv_pairs_df(spark, dvs).collect()))
+    monkeypatch.setattr(scan_mod, "DV_DRIVER_DECODE_MAX_BYTES", 0)
+    slow = sorted(map(tuple, scan_mod.dv_pairs_df(spark, dvs).collect()))
+    assert fast == slow and fast
+
+
 def test_dv_merge_and_replace_single_dv_per_file(spark, catalog):
     """v3 invariant: a data file has at most ONE live deletion vector.
     A second DV delete touching an already-DV'd file merges the prior
