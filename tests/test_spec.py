@@ -420,3 +420,37 @@ def test_concurrent_manifest_reads_match_serial(tmp_path):
     # order preserved: entry i carries sequence_number i+1
     for i, entries in enumerate(concurrent):
         assert entries[0].sequence_number == i + 1
+
+
+def test_bulk_relation_matches_varargs(spark, tmp_path):
+    """read_data_files' single-round-trip JVM path handoff (engaged at
+    ≥_BULK_PATHS_MIN leaf paths) builds the identical relation as the
+    public varargs API — same rows, same schema."""
+    import iceberg_rust_archive_spark.sources.readers as rd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()),
+                         StructField("v", LongType())])
+    paths = []
+    for i in range(70):
+        p = str(tmp_path / f"f{i:03d}.parquet")
+        spark.createDataFrame([(i, i * 10)], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(p + ".d")
+        import glob as _g
+        paths.append(_g.glob(p + ".d/part-*.parquet")[0])
+    assert len(paths) >= rd._BULK_PATHS_MIN
+    bulk = rd.read_data_files(
+        spark, schema, [(p, "parquet") for p in paths])
+    rows_bulk = sorted(tuple(r) for r in bulk.collect())
+    old_min = rd._BULK_PATHS_MIN
+    rd._BULK_PATHS_MIN = 10**9  # force varargs
+    try:
+        var = rd.read_data_files(
+            spark, schema, [(p, "parquet") for p in paths])
+        rows_var = sorted(tuple(r) for r in var.collect())
+    finally:
+        rd._BULK_PATHS_MIN = old_min
+    assert rows_bulk == rows_var
+    assert [f.name for f in bulk.schema.fields] \
+        == [f.name for f in var.schema.fields]
+    assert len(rows_bulk) == 70
