@@ -59,6 +59,35 @@ def _bulk_relation(spark: SparkSession, spark_schema, paths: list[str],
                 and getattr(spark, "_jsparkSession", None) is not None
                 and getattr(spark, "_jvm", None) is not None
                 and not any(_PATH_SEP in p for p in paths))
+    # Spark's PARALLEL file-listing job costs one task per leaf path;
+    # at local-FS stat latency (~µs) its scheduling overhead dominates
+    # by ~7× (measured 4.8 s job vs 0.7 s driver listing at 2,405
+    # paths). Remote object stores keep the parallel job — there each
+    # stat is an RTT and the job amortizes it. Conf is restored after
+    # the (eager) InMemoryFileIndex build.
+    _thr_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    _force_local_listing = (
+        len(paths) >= _BULK_PATHS_MIN
+        and all("://" not in p or p.startswith("file:")
+                for p in paths))
+    _prev_thr = None
+    if _force_local_listing:
+        try:
+            _prev_thr = spark.conf.get(_thr_key, "32")
+            spark.conf.set(_thr_key, "1000000000")
+        except Exception:  # noqa: BLE001 — read-only conf: skip
+            _prev_thr = None
+    try:
+        return _build_relation(spark, spark_schema, paths, fmt,
+                               use_bulk)
+    finally:
+        if _prev_thr is not None:
+            spark.conf.set(_thr_key, _prev_thr)
+
+
+def _build_relation(spark: SparkSession, spark_schema,
+                    paths: list[str], fmt: str,
+                    use_bulk: bool) -> DataFrame:
     if use_bulk:
         try:
             jvm = spark._jvm
