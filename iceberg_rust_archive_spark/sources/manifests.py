@@ -93,7 +93,46 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
                          default=None))
 
 
+# Parsed-manifest LRU: manifest files are IMMUTABLE once written (uuid
+# paths, never rewritten in place — a changed manifest is a NEW path),
+# so caching parsed entries by path is always coherent. Repeated scans
+# of the same snapshot — the steady state of an interactive session or
+# a refresh loop — skip re-reading and re-decoding Avro entirely. The
+# budget counts ManifestEntry objects, not manifests, so a 100 TB
+# table's million-file metadata can't pin unbounded driver memory.
+_MANIFEST_CACHE: "dict[str, list[ManifestEntry]]" = {}
+_MANIFEST_CACHE_LOCK = None  # lazily a threading.Lock (thread fetcher)
+_MANIFEST_CACHE_ENTRIES = 0
+MANIFEST_CACHE_MAX_ENTRIES = 500_000
+
+
+def _cache_lock():
+    global _MANIFEST_CACHE_LOCK
+    if _MANIFEST_CACHE_LOCK is None:
+        import threading
+        _MANIFEST_CACHE_LOCK = threading.Lock()
+    return _MANIFEST_CACHE_LOCK
+
+
 def read_manifest(path: str) -> list[ManifestEntry]:
+    global _MANIFEST_CACHE_ENTRIES
+    with _cache_lock():
+        hit = _MANIFEST_CACHE.get(path)
+    if hit is not None:
+        return list(hit)  # shallow copy — callers may slice/extend
+    entries = _read_manifest_uncached(path)
+    with _cache_lock():
+        if path not in _MANIFEST_CACHE:
+            _MANIFEST_CACHE[path] = entries
+            _MANIFEST_CACHE_ENTRIES += len(entries)
+            while _MANIFEST_CACHE_ENTRIES > MANIFEST_CACHE_MAX_ENTRIES \
+                    and _MANIFEST_CACHE:
+                _k = next(iter(_MANIFEST_CACHE))  # FIFO eviction
+                _MANIFEST_CACHE_ENTRIES -= len(_MANIFEST_CACHE.pop(_k))
+    return list(entries)
+
+
+def _read_manifest_uncached(path: str) -> list[ManifestEntry]:
     if path.endswith(".jsonl"):                      # pre-Avro files
         text = store_for(path).read_bytes(path).decode("utf-8")
         return [ManifestEntry.from_json(json.loads(line))
