@@ -67,7 +67,7 @@ def _bulk_relation(spark: SparkSession, spark_schema, paths: list[str],
     # the (eager) InMemoryFileIndex build.
     _thr_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     _force_local_listing = (
-        len(paths) >= _BULK_PATHS_MIN
+        len(paths) > 32  # Spark's default parallel-discovery threshold
         and all("://" not in p or p.startswith("file:")
                 for p in paths))
     _prev_thr = None
