@@ -443,3 +443,48 @@ def test_stream_stream_join_matches_batch(spark):
                              "r_ts <= l_ts + INTERVAL 1 HOUR"))
             .select("l_user", "l_id", "r_id").collect()}
     assert rows == want and len(want) > 0
+
+
+def test_iceberg_stream_source_exactly_once(spark, tmp_path):
+    """The Python-DataSource streaming SOURCE: snapshot ids as offsets
+    → availableNow batches drain exactly the new snapshots, checkpoint
+    recovery replays nothing, an empty delta is a no-op, and a delete
+    file in range refuses loudly (append-only stream contract)."""
+    pytest.importorskip("pyspark.sql.datasource")
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.streaming.source import (
+        IcebergStreamSource,
+    )
+    from iceberg_rust_archive_spark.table import Table
+    from test_engine import BATCH1, BATCH2, COLS, ORDERS_SCHEMA
+
+    spark.dataSource.register(IcebergStreamSource)
+    cat = FileCatalog(str(tmp_path / "wh"))
+    t = Table.create(cat, "db.src", ORDERS_SCHEMA, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        df = (spark.readStream.format("iceberg-archive")
+              .option("catalog_root", cat.root)
+              .option("identifier", "db.src").load())
+        q = (df.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == len(BATCH1)
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) \
+        == sorted(r[0] for r in BATCH1 + BATCH2)
+    run_once()  # no new snapshots → no-op batch
+    assert spark.read.parquet(out).count() == len(BATCH1) + len(BATCH2)
+    # deletes cannot ride an append-only stream
+    t.delete_where_equal(spark, spark.createDataFrame([(1,)], ["id"]),
+                         ["id"])
+    from pyspark.errors.exceptions.base import PySparkException
+    with pytest.raises(Exception, match="delete files"):
+        run_once()
