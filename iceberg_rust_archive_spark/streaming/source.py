@@ -64,15 +64,24 @@ class _FilePartition(InputPartition):
 
 
 def _load_metadata(options):
+    ident = options.get("identifier")
+    if not ident:
+        raise ValueError(
+            "iceberg-archive stream needs an identifier option")
+    db = options.get("sql_catalog_db")
+    if db:
+        from iceberg_rust_archive_spark.catalog.sql_catalog import (
+            SqlCatalog,
+        )
+        return SqlCatalog(db).load_tabular(ident.lower())
+    root = options.get("catalog_root")
+    if not root:
+        raise ValueError(
+            "iceberg-archive stream needs catalog_root (FileCatalog) "
+            "or sql_catalog_db (SqlCatalog)")
     from iceberg_rust_archive_spark.catalog.file_catalog import (
         FileCatalog,
     )
-    root = options.get("catalog_root")
-    ident = options.get("identifier")
-    if not root or not ident:
-        raise ValueError(
-            "iceberg-archive stream needs options catalog_root "
-            "and identifier")
     return FileCatalog(root).load_tabular(ident.lower())
 
 
