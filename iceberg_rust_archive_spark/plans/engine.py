@@ -32,6 +32,7 @@ Supported statements::
     ALTER TABLE ns.t ALTER COLUMN c TYPE <wider>
         | SET IDENTIFIER FIELDS (cols)
         | CREATE/DROP BRANCH|TAG name [AS OF VERSION n]
+    ALTER VIEW ns.v RENAME TO [ns2.]v2
     SHOW TABLES [IN ns] | SHOW SCHEMAS | DESCRIBE [TABLE] ns.t
     SHOW CREATE TABLE ns.t                       (re-runnable DDL)
     SELECT ... FROM ns.t VERSION AS OF <id>|'<branch|tag>'
@@ -475,6 +476,17 @@ class Engine:
                      re.IGNORECASE | re.DOTALL)
         if m:
             self._alter_table_sql(m.group(1), m.group(2))
+            return None
+
+        m = re.match(r"alter\s+view\s+([\w.]+)\s+rename\s+to\s+"
+                     r"([\w.]+)\s*$", s, re.IGNORECASE)
+        if m:
+            # view/MV rename: the same catalog pointer move as tables
+            target = m.group(2)
+            if "." not in target and "." in m.group(1):
+                target = f"{m.group(1).rsplit('.', 1)[0]}.{target}"
+            self.catalog.rename_tabular(m.group(1).lower(),
+                                        target.lower())
             return None
 
         m = re.match(

@@ -1803,6 +1803,34 @@ def test_alter_table_rename(spark, tmp_path):
         eng.sql("ALTER TABLE db.rn3 RENAME TO db.other")
 
 
+def test_alter_view_rename(spark, tmp_path):
+    """ALTER VIEW ... RENAME TO: views and MVs move with the same
+    catalog pointer semantics as tables; an MV keeps refreshing under
+    its new name (the storage-table pointer rides inside its
+    metadata, untouched by the rename)."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.vt (k BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO db.vt VALUES (1, 10), (1, 5), (2, 7)")
+    eng.sql("CREATE VIEW db.v1 AS SELECT k, v * 2 AS v2 FROM db.vt")
+    eng.sql("ALTER VIEW db.v1 RENAME TO v2view")
+    with pytest.raises(Exception, match="v1"):
+        eng.sql("SELECT * FROM db.v1").collect()  # old name is gone
+    assert sorted((r.k, r.v2) for r in
+                  eng.sql("SELECT * FROM db.v2view").collect())         == [(1, 10), (1, 20), (2, 14)]
+    # MV rename keeps incremental refresh working under the new name
+    eng.sql("CREATE MATERIALIZED VIEW db.m1 AS "
+            "SELECT k, sum(v) AS sv FROM db.vt GROUP BY k")
+    eng.refresh_materialized_view("db.m1")
+    eng.sql("ALTER VIEW db.m1 RENAME TO db.m2")
+    eng.sql("INSERT INTO db.vt VALUES (2, 3)")
+    assert eng.refresh_materialized_view("db.m2")         == "IncrementalAggregate"
+    assert {(r.k, r.sv) for r in
+            eng.sql("SELECT * FROM db.m2").collect()}         == {(1, 15), (2, 10)}
+
+
 def test_sql_catalog_rename(spark, tmp_path):
     """SqlCatalog rename: CAS row move — old row gone, new row points
     at the same metadata location."""
