@@ -106,6 +106,96 @@ def test_mv_incremental_equals_full_recompute(spark, tmp_path_factory,
         assert mv == direct, (batches, mv, direct)
 
 
+def _rwp_op():
+    rows = st.lists(st.tuples(st.integers(0, 9), st.integers(0, 1),
+                              st.integers(1, 9)),
+                    min_size=1, max_size=4)
+    keys = st.lists(st.integers(0, 9), min_size=1, max_size=3,
+                    unique=True)
+    return st.one_of(
+        st.tuples(st.just("append"), rows),
+        st.tuples(st.just("del_eq"), keys, st.integers(0, 1)),
+        st.tuples(st.just("del_pos"), keys, st.booleans()),
+        st.tuples(st.just("rewrite"), st.integers(0, 1)),
+    )
+
+
+@SLOW
+@given(ops=st.lists(_rwp_op(), min_size=1, max_size=5))
+def test_rewrite_partition_preserves_state(spark, tmp_path_factory,
+                                           ops):
+    """r9 invariant: partition-scoped delete-absorbing compaction is
+    INVISIBLE to readers — after any op sequence mixing appends,
+    partition-scoped equality deletes, position deletes (parquet and
+    DV), and rewrite_partition calls, the scan equals a pure-Python
+    multiset model (compaction is never observable in query
+    results)."""
+    import datetime as dtm
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.maintenance import rewrite_partition
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionField, PartitionSpec, Schema,
+        StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    days = [dtm.date(2022, 5, 1), dtm.date(2022, 6, 2)]
+    wh = tmp_path_factory.mktemp("rwp-prop")
+    cat = FileCatalog(str(wh / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "d", "date", True),
+        NestedField(3, "v", "long", False))))
+    spec = PartitionSpec(0, (PartitionField(2, 1000, "d_day", "day"),))
+    t = Table.create(cat, "db.rwp", schema, spec)
+
+    state: Counter = Counter()  # multiset of live (k, date, v)
+
+    def check():
+        got = Counter((r.k, r.d, r.v)
+                      for r in t.scan(spark).collect())
+        assert got == state, (ops, got, state)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            rows = [(k, days[di], v) for k, di, v in op[1]]
+            t = t.append(spark, spark.createDataFrame(
+                rows, "k long, d date, v long"))
+            state.update(rows)
+        elif kind == "del_eq":
+            keys, di = op[1], op[2]
+            day = days[di]
+            t = t.delete_where_equal(
+                spark,
+                spark.createDataFrame([(k, day) for k in keys],
+                                      ["k", "d"]),
+                ["k", "d"])
+            removed = Counter({r: n for r, n in state.items()
+                               if r[0] in set(keys) and r[1] == day})
+            state.subtract(removed)
+            state = +state
+        elif kind == "del_pos":
+            keys, use_dv = op[1], op[2]
+            t = t.delete_where_pos(
+                spark, F.col("k").isin([int(x) for x in keys]),
+                use_dv=use_dv)
+            removed = Counter({r: n for r, n in state.items()
+                               if r[0] in set(keys)})
+            state.subtract(removed)
+            state = +state
+        else:  # rewrite one day's partition
+            day = days[op[1]]
+            t = rewrite_partition(spark, t, [Pred("d", "=", day)])
+        t = t.refresh()
+        check()
+
+
 def _ujmv_op():
     frows = st.lists(st.tuples(st.integers(0, 5), st.integers(1, 9)),
                      min_size=1, max_size=3)
