@@ -11,7 +11,7 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
-SLOW = settings(max_examples=6, deadline=None,
+SLOW = settings(max_examples=int(__import__("os").environ.get("PROP_EXAMPLES", "6")), deadline=None,
                 suppress_health_check=list(HealthCheck))
 
 
