@@ -568,14 +568,16 @@ class Table:
                      _json.dumps(e.data_file.partition, sort_keys=True,
                                  default=str),
                      e.data_file.record_count,
-                     e.data_file.file_size_in_bytes, e.sequence_number)
+                     e.data_file.file_size_in_bytes, e.sequence_number,
+                     e.data_file.first_row_id)
                     for es in read_manifests(
                         [m.manifest_path for m in mlist])
                     for e in es if e.status != STATUS_DELETED]
             return spark.createDataFrame(
                 rows, "content int, file_path string, file_format string, "
                       "partition string, record_count long, "
-                      "file_size_in_bytes long, sequence_number long")
+                      "file_size_in_bytes long, sequence_number long, "
+                      "first_row_id long")
         if kind == "entries":
             # Iceberg's `entries` metadata table: the raw manifest rows
             # with status (0 existing / 1 added / 2 deleted) + sequence
