@@ -828,3 +828,26 @@ class MultiTableTransaction:
                     os.remove(path)
                 except OSError:
                     pass
+
+    def commit_with_retry(self, rebuild, attempts: int = 3) -> None:
+        """Optimistic retry for the whole batch: on a lost CAS race,
+        ``rebuild(mtt)`` re-registers every table (freshly loaded) and
+        re-applies its operations on a NEW MultiTableTransaction —
+        the multi-table analog of Transaction.commit_with_retry::
+
+            def build(mtt):
+                mtt.transaction(Table.load(cat, "db.a")).append_files(fa)
+                mtt.transaction(Table.load(cat, "db.b")).append_files(fb)
+            mtt = MultiTableTransaction(cat); build(mtt)
+            mtt.commit_with_retry(build)
+        """
+        last: CommitFailedError | None = None
+        mtt: MultiTableTransaction = self
+        for _ in range(attempts):
+            try:
+                return mtt.commit()
+            except CommitFailedError as e:
+                last = e
+                mtt = MultiTableTransaction(self.catalog)
+                rebuild(mtt)
+        raise last  # type: ignore[misc]

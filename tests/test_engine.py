@@ -1898,6 +1898,41 @@ def test_multi_table_transaction_atomic(spark, tmp_path):
         mtt3.transaction(Table.load(cat, "db.mta"))
 
 
+def test_multi_table_transaction_retry_resolves_race(spark, tmp_path):
+    """commit_with_retry on the batch: a concurrent append on one
+    participant fails the first CAS; the rebuild re-loads both tables
+    and the retry lands BOTH changes plus the racer's."""
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.table import Table
+    from iceberg_rust_archive_spark.transaction import (
+        MultiTableTransaction,
+    )
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    cat.create_namespace("db")
+    a = _mk_table(cat, "rta")
+    b = _mk_table(cat, "rtb")
+    a.append(spark, spark.createDataFrame(BATCH1, COLS))
+    b.append(spark, spark.createDataFrame(BATCH1, COLS))
+
+    def build(mtt):
+        ta = Table.load(cat, "db.rta")
+        tb = Table.load(cat, "db.rtb")
+        mtt.transaction(ta).append_files(write_datafiles(
+            spark, ta.metadata, spark.createDataFrame(BATCH2, COLS)))
+        mtt.transaction(tb).append_files(write_datafiles(
+            spark, tb.metadata, spark.createDataFrame(BATCH2, COLS)))
+
+    mtt = MultiTableTransaction(cat)
+    build(mtt)
+    # the race: b advances AFTER the batch was built
+    Table.load(cat, "db.rtb").append(
+        spark, spark.createDataFrame(BATCH1, COLS))
+    mtt.commit_with_retry(build)
+    assert Table.load(cat, "db.rta").scan(spark).count()         == len(BATCH1) + len(BATCH2)
+    assert Table.load(cat, "db.rtb").scan(spark).count()         == 2 * len(BATCH1) + len(BATCH2)
+
+
 def test_multi_table_transaction_sql_catalog(spark, tmp_path):
     """SqlCatalog realizes the batch as ONE database transaction."""
     from iceberg_rust_archive_spark.catalog.sql_catalog import SqlCatalog
