@@ -296,3 +296,201 @@ def file_fully_matches(preds: list[Pred], schema: Schema,
         if not ok:
             return False
     return True
+
+
+# --- best-effort predicate extraction (DML pruning) ------------------------
+
+def _parse_literal_token(tok: str):
+    """One literal token of either surface syntax → python value.
+    ``DATE '…'`` / ``TIMESTAMP '…'`` keep the reference's typed-literal
+    shape; bare ISO-looking tokens (how pyspark 4 reprs date literals)
+    stay strings — stats bounds normalize dates to ISO strings anyway
+    (``_norm_literal``), so string comparison is the pruning order."""
+    t = tok.strip()
+    m = __import__("re").match(r"(?i)(?:date|timestamp)\s+'([^']*)'$", t)
+    if m:
+        return m.group(1)
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    low = t.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    import re as _re
+    if _re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if _re.fullmatch(r"-?\d+\.\d*(?:[eE][+-]?\d+)?", t):
+        return float(t)
+    if _re.fullmatch(r"[0-9][\w:.\- ]*", t):
+        return t  # bare date/timestamp repr (pyspark Column literals)
+    return _UNPARSEABLE
+
+
+_UNPARSEABLE = object()
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren depth 0, respecting '…' quotes."""
+    parts, depth, inq, cur, i = [], 0, False, [], 0
+    up, n = s.upper(), len(sep)
+    while i < len(s):
+        ch = s[i]
+        if inq:
+            if ch == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                cur.append("''")  # escaped quote — stay in string
+                i += 2
+                continue
+            cur.append(ch)
+            inq = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            inq = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up[i:i + n] == sep:
+            parts.append("".join(cur))
+            cur = []
+            i += n
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s
+        s = s[1:-1].strip()
+    return s
+
+
+def _parse_sql_term(term: str) -> Pred | None:
+    import re as _re
+    t = _strip_parens(term)
+    m = _re.match(r"(?i)^([\w.]+)\s+is\s+not\s+null$", t)
+    if m:
+        return Pred(m.group(1), "not_null")
+    m = _re.match(r"(?i)^([\w.]+)\s+is\s+null$", t)
+    if m:
+        return Pred(m.group(1), "is_null")
+    m = _re.match(r"(?i)^([\w.]+)\s+in\s*\((.*)\)$", t, _re.DOTALL)
+    if m:
+        vals = [_parse_literal_token(v)
+                for v in _split_top(m.group(2), ",")]
+        if any(v is _UNPARSEABLE for v in vals):
+            return None
+        return Pred(m.group(1), "in", tuple(vals))
+    m = _re.match(r"^([\w.]+)\s*(<=|>=|<>|!=|=|<|>)\s*(.+?)\s*$", t,
+                  _re.DOTALL)
+    if not m:
+        return None
+    op = {"<>": "!="}.get(m.group(2), m.group(2))
+    val = _parse_literal_token(m.group(3))
+    if val is _UNPARSEABLE:
+        return None
+    return Pred(m.group(1), op, val)
+
+
+def _parse_prefix(expr: str) -> list[Pred] | None:
+    """pyspark 4 ``Column`` repr is prefix notation — ``and(<=(a, 2),
+    =(d, 2020-01-02))`` / ``isNull(x)`` / ``not(=(id, 1))``."""
+    import re as _re
+    e = expr.strip()
+    m = _re.match(r"^([\w<>=!]+|<=|>=|=|<|>)\((.*)\)$", e, _re.DOTALL)
+    if not m:
+        return None
+    head, body = m.group(1), m.group(2)
+    if head == "!":
+        head = "not"
+    argv = [a.strip() for a in _split_top(body, ",")]
+    if head == "and":
+        out = []
+        for a in argv:
+            sub = _parse_prefix(a)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+    if head == "not" and len(argv) == 1:
+        m2 = _re.match(r"^=\((.*)\)$", argv[0], _re.DOTALL)
+        if not m2:
+            return None
+        inner = [a.strip() for a in _split_top(m2.group(1), ",")]
+        if len(inner) != 2:
+            return None
+        val = _parse_literal_token(inner[1])
+        if val is _UNPARSEABLE or not _re.fullmatch(r"[\w.]+", inner[0]):
+            return None
+        return [Pred(inner[0], "!=", val)]
+    if head in ("isNull", "isnull") and len(argv) == 1 \
+            and _re.fullmatch(r"[\w.]+", argv[0]):
+        return [Pred(argv[0], "is_null")]
+    if head in ("isNotNull", "isnotnull") and len(argv) == 1 \
+            and _re.fullmatch(r"[\w.]+", argv[0]):
+        return [Pred(argv[0], "not_null")]
+    if head == "in" and len(argv) >= 2 \
+            and _re.fullmatch(r"[\w.]+", argv[0]):
+        vals = [_parse_literal_token(v) for v in argv[1:]]
+        if any(v is _UNPARSEABLE for v in vals):
+            return None
+        return [Pred(argv[0], "in", tuple(vals))]
+    if head in ("=", "<=", ">=", "<", ">", "==") and len(argv) == 2 \
+            and _re.fullmatch(r"[\w.]+", argv[0]):
+        val = _parse_literal_token(argv[1])
+        if val is _UNPARSEABLE:
+            return None
+        return [Pred(argv[0], {"==": "="}.get(head, head), val)]
+    return None
+
+
+def try_parse_preds(predicate) -> list[Pred] | None:
+    """Best-effort conversion of a DML predicate — a SQL string or a
+    pyspark ``Column`` — into pruning ``Pred``s, or ``None`` when the
+    shape is outside the conjunction-of-(col op literal) fragment.
+
+    Callers use the result ONLY for metadata pruning and always
+    re-apply the original predicate as the residual filter, so a
+    ``None`` (or a partial parse we refuse) costs performance, never
+    correctness — the same inexact-filter contract as the scan
+    (table.rs:253-261). This is how ``Table.delete_where_pos`` bounds
+    a point DELETE's hit scan to candidate files instead of planning
+    the whole table (the reference's two-level pruning feeds every
+    scan, datafusion_iceberg/src/table.rs:337-427)."""
+    import re as _re
+    if isinstance(predicate, str):
+        text = predicate
+        terms = _split_top(text, " AND ")
+        preds = []
+        for t in terms:
+            t = _strip_parens(t)
+            p = _parse_sql_term(t)
+            if p is None:
+                return None
+            preds.append(p)
+        return preds or None
+    if isinstance(predicate, Column):
+        s = repr(predicate)
+        m = _re.match(r"^Column<'(.*)'>$", s, _re.DOTALL)
+        if not m or "\\" in m.group(1):
+            # backslash-escaped quotes would mis-tokenize to a WRONG
+            # literal — pruning with a wrong value could drop matching
+            # files, so refuse (costs pruning, never correctness)
+            return None
+        try:
+            return _parse_prefix(m.group(1))
+        except ValueError:
+            return None
+    return None

@@ -30,10 +30,17 @@ Scale shape: planning is driver-side manifest pruning (sequence-range
 A4 semantics — one manifest-list read plus the new manifests only);
 each data FILE becomes one ``InputPartition`` and executors read it
 with pyarrow, yielding Arrow RecordBatches straight into Spark's
-columnar ingestion — no per-row Python loop. Incremental ranges that
-contain delete files or a replace commit FAIL loudly (rows could not
-be attributed exactly-once); consumers resync from a fresh stream, the
-same contract the batch incremental read enforces.
+columnar ingestion — no per-row Python loop.
+
+The INITIAL batch (default ``starting_snapshot_id=-1``) is a full
+snapshot read of the CURRENT manifest list: historical replace
+commits (compaction, TRUNCATE, full MV refresh) don't matter because
+replaced files no longer appear there, and live delete files are
+resolved merge-on-read driver-side (per-file position masks +
+equality rows shipped inside the partitions). INCREMENTAL ranges that
+contain delete files or span a replace commit FAIL loudly (rows could
+not be attributed exactly-once); consumers resync from a fresh
+stream, the same contract the batch incremental read enforces.
 """
 
 from __future__ import annotations
@@ -58,9 +65,64 @@ except ImportError:  # pragma: no cover — pyspark < 4
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, fmt: str):
+    """One data file per Spark InputPartition. For the INITIAL batch of
+    a table with live deletes, the driver resolves merge-on-read
+    per-file and ships the result along: ``deleted_pos`` (sorted row
+    ordinals killed by position deletes / DVs referencing this file)
+    and ``eq_deletes`` (tuples of (column-names, frozenset-of-row-
+    tuples) from equality-delete files with a strictly newer sequence
+    — tuple equality is null-safe, matching the batch scan's
+    eqNullSafe anti-join). Delete sets are bounded by the same ≤64 MB
+    contract the batch scan's broadcast path assumes."""
+
+    def __init__(self, path: str, fmt: str, deleted_pos=None,
+                 eq_deletes=None):
         self.path = path
         self.fmt = fmt
+        self.deleted_pos = deleted_pos
+        self.eq_deletes = eq_deletes
+
+
+def _read_arrow(path: str, fmt: str | None, columns: list[str]):
+    """Driver-side Arrow read of one (small) delete file through the
+    object-store abstraction, so memory:// and s3:// table locations
+    work the same as local paths."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.object_store import store_for
+    buf = io.BytesIO(store_for(path).read_bytes(path))
+    if (fmt or "parquet").lower() == "orc":
+        from pyarrow import orc as _orc
+        return _orc.ORCFile(buf).read(columns=columns)
+    return pq.read_table(buf, columns=columns)
+
+
+def _apply_deletes(batch, offset: int, partition):
+    """Mask one Arrow batch with the partition's resolved deletes:
+    position ordinals via a numpy range intersection (no Python loop),
+    equality rows via tuple-set membership (tuple equality is
+    null-safe, mirroring the batch scan's eqNullSafe anti-join).
+    No-op (and zero-cost) for ordinary append-only increments."""
+    if partition.deleted_pos is None and partition.eq_deletes is None:
+        return batch
+    import numpy as np
+    import pyarrow as pa
+    keep = np.ones(batch.num_rows, dtype=bool)
+    if partition.deleted_pos:
+        dpos = np.asarray(partition.deleted_pos, dtype=np.int64)
+        local = dpos[(dpos >= offset) & (dpos < offset + batch.num_rows)]
+        keep[local - offset] = False
+    for names, rows in (partition.eq_deletes or ()):
+        cols = [batch.column(batch.schema.get_field_index(n)).to_pylist()
+                for n in names]
+        for i, key in enumerate(zip(*cols)):
+            if keep[i] and key in rows:
+                keep[i] = False
+    if keep.all():
+        return batch
+    return batch.filter(pa.array(keep))
 
 
 def _load_metadata(options):
@@ -139,20 +201,29 @@ class _IcebergStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"offset snapshot {end_id} no longer exists "
                 "(expired?) — restart the stream from scratch")
-        start_seq = -1
-        if start_id != -1:
-            s0 = md.snapshot_by_id(start_id)
-            if s0 is None:
-                raise ValueError(
-                    f"checkpointed start snapshot {start_id} has been "
-                    "expired from table history — the stream cannot "
-                    "prove exactly-once; restart from scratch")
-            start_seq = s0.sequence_number
+        if start_id == -1:
+            # INITIAL batch: replans only the END snapshot's CURRENT
+            # manifest list — replaced files no longer appear there, so
+            # no replace-ancestry walk and no attribution problem (a
+            # compacted/TRUNCATEd table streams from scratch fine); any
+            # live delete files are resolved merge-on-read driver-side
+            # and shipped per partition.
+            return self._initial_partitions(md, snap)
+        s0 = md.snapshot_by_id(start_id)
+        if s0 is None:
+            raise ValueError(
+                f"checkpointed start snapshot {start_id} has been "
+                "expired from table history — the stream cannot "
+                "prove exactly-once; restart from scratch")
+        start_seq = s0.sequence_number
         # a replace commit rewrites ALL rows at one new sequence — an
         # incremental stream would re-emit the table; refuse (same
-        # contract as the batch incremental scan, operators/scan.py)
+        # contract as the batch incremental scan, operators/scan.py).
+        # The walk is bounded by the CHECKPOINTED sequence: history at
+        # or before start_seq was already consumed and cannot taint
+        # this range.
         s_ = snap
-        while s_ is not None and s_.sequence_number > max(start_seq, 0):
+        while s_ is not None and s_.sequence_number > start_seq:
             if (s_.summary or {}).get("operation") == "replace":
                 raise ValueError(
                     f"stream range spans a replace commit (snapshot "
@@ -181,19 +252,116 @@ class _IcebergStreamReader(DataSourceStreamReader):
                     (e.data_file.file_format or "parquet").lower()))
         return parts
 
+    def _initial_partitions(self, md, snap):
+        """Full-snapshot plan for a fresh stream, equal to
+        ``Table.scan()`` at that snapshot: data files become
+        partitions and live deletes are resolved PER FILE on the
+        driver — DV/pos-delete ordinals attach as ``deleted_pos``,
+        equality-delete rows (strictly-newer sequence, the batch
+        chain's ordering, operators/scan.py build_chain) attach as
+        ``eq_deletes``. Subsequent increments keep the append-only
+        contract."""
+        import re as _re
+
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest_list, read_manifests,
+        )
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_DATA, CONTENT_EQUALITY_DELETES,
+            CONTENT_POSITION_DELETES, STATUS_DELETED,
+        )
+
+        def norm(p):
+            return _re.sub(r"^file:/+", "/", p)
+
+        mlist = read_manifest_list(snap.manifest_list)
+        data, eq_files, pos_files, dv_files = [], [], [], []
+        for entries in read_manifests([m.manifest_path for m in mlist]):
+            for e in entries:
+                if e.status == STATUS_DELETED:
+                    continue
+                c = e.data_file.content
+                if c == CONTENT_DATA:
+                    data.append((e.data_file, e.sequence_number or 0))
+                elif c == CONTENT_EQUALITY_DELETES:
+                    eq_files.append((e.data_file, e.sequence_number or 0))
+                elif c == CONTENT_POSITION_DELETES:
+                    if (e.data_file.file_format or "").lower() \
+                            == "puffin":
+                        dv_files.append(e.data_file)
+                    else:
+                        pos_files.append(e.data_file)
+        if not (eq_files or pos_files or dv_files):
+            return [_FilePartition(
+                f.file_path, (f.file_format or "parquet").lower())
+                for f, _s in data]
+
+        # positions per referenced data file (normalized path)
+        from collections import defaultdict
+        pos_by_file: dict[str, set] = defaultdict(set)
+        for d in dv_files:
+            from iceberg_rust_archive_spark.object_store import store_for
+            from iceberg_rust_archive_spark.sources.roaring import (
+                deserialize_positions,
+            )
+            blob = store_for(d.file_path).read_bytes(d.file_path)[
+                d.content_offset:d.content_offset
+                + d.content_size_in_bytes]
+            pos_by_file[norm(d.referenced_data_file)].update(
+                deserialize_positions(blob))
+        for d in pos_files:
+            tbl = _read_arrow(d.file_path, d.file_format,
+                              ["file_path", "pos"])
+            for fp, p in zip(tbl.column("file_path").to_pylist(),
+                             tbl.column("pos").to_pylist()):
+                pos_by_file[norm(fp)].add(p)
+
+        # equality-delete rows, grouped by (sequence, column set)
+        schema = md.schemas[md.current_schema_id]
+        eq_sets = []   # (seq, tuple(names), frozenset(row tuples))
+        for d, seq in eq_files:
+            names = tuple(
+                f.name for f in (schema.field_by_id(i)
+                                 for i in (d.equality_ids or ()))
+                if f is not None)
+            if not names:
+                continue
+            tbl = _read_arrow(d.file_path, d.file_format, list(names))
+            rows = frozenset(zip(*[tbl.column(n).to_pylist()
+                                   for n in names])) \
+                if tbl.num_rows else frozenset()
+            eq_sets.append((seq, names, rows))
+
+        parts = []
+        for f, dseq in data:
+            dpos = sorted(pos_by_file.get(norm(f.file_path), ()))
+            eqs = tuple((names, rows) for seq, names, rows in eq_sets
+                        if seq > dseq and rows)
+            parts.append(_FilePartition(
+                f.file_path, (f.file_format or "parquet").lower(),
+                deleted_pos=tuple(dpos) or None,
+                eq_deletes=eqs or None))
+        return parts
+
     # --- execution (executors) -------------------------------------------
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
         if partition.fmt == "parquet":
             pf = pq.ParquetFile(partition.path)
+            offset = 0
             for batch in pf.iter_batches(columns=self.columns):
-                yield batch.select(self.columns)
+                out = _apply_deletes(batch.select(self.columns),
+                                     offset, partition)
+                offset += batch.num_rows
+                yield out
         elif partition.fmt == "orc":
             from pyarrow import orc as _orc
             table = _orc.ORCFile(partition.path).read(
                 columns=self.columns)
+            offset = 0
             for batch in table.select(self.columns).to_batches():
-                yield batch
+                yield _apply_deletes(batch, offset, partition)
+                offset += batch.num_rows
         else:  # pragma: no cover
             raise ValueError(f"unsupported format {partition.fmt!r}")
 

@@ -387,7 +387,8 @@ class Table:
 
     def delete_where_pos(self, spark: SparkSession, predicate,
                          branch: str | None = None,
-                         use_dv: bool | None = None) -> "Table":
+                         use_dv: bool | None = None,
+                         report: dict | None = None) -> "Table":
         """Position-delete write (content=1): scan the current data files
         with Spark's ``_metadata`` virtual columns, project the matching
         (file_path, pos) pairs, write a sorted delete file, commit.
@@ -440,7 +441,19 @@ class Table:
                         and (e.data_file.file_format or "").lower()
                         == "puffin"):
                     existing_dv.append(e.data_file)
-        hits = (scan(spark, md, branch=branch, expose_pos=True)
+        # Bound the hit plan to CANDIDATE files: parse the predicate
+        # into pruning Preds so manifest + file bounds cut the file
+        # list (two-level pruning feeds every reference scan,
+        # datafusion_iceberg/src/table.rs:337-427). Pruning is
+        # conservative and the original predicate re-applies below, so
+        # an unparseable predicate only costs the optimization — a
+        # point DELETE on a 100 TB table must not plan every file.
+        from iceberg_rust_archive_spark.predicates import (
+            try_parse_preds,
+        )
+        prune_preds = try_parse_preds(predicate)
+        hits = (scan(spark, md, branch=branch, expose_pos=True,
+                     filter=prune_preds, report=report)
                 .filter(predicate)
                 .select(F.col("__fp").alias("file_path"),
                         F.col("__pos").alias("pos")))

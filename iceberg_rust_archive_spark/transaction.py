@@ -44,6 +44,21 @@ from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
 from iceberg_rust_archive_spark.spec.view_metadata import REFRESH_STATE_KEY
 
 
+def _remove_physical(paths) -> None:
+    """Best-effort physical cleanup of replaced data files after a
+    committed rewrite, through the object-store abstraction so
+    memory:// and s3:// table locations are cleaned like local ones
+    (a plain os.remove silently orphans them until
+    remove_orphan_files). Failures are swallowed — the commit already
+    happened; leftovers are orphans, not state."""
+    from iceberg_rust_archive_spark.object_store import store_for
+    for path in paths:
+        try:
+            store_for(path).remove(path)
+        except Exception:  # noqa: BLE001 — cleanup is advisory
+            pass
+
+
 def new_snapshot_id() -> int:
     return random.getrandbits(62) | 1
 
@@ -213,11 +228,7 @@ class Transaction:
             return self.base  # true no-op — nothing to commit
         self.catalog.update_tabular(self.identifier, new_md,
                                     expected_location=self.base_location)
-        for path in files_to_delete:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+        _remove_physical(files_to_delete)
         return new_md
 
     def _prepare(self):
@@ -823,11 +834,7 @@ class MultiTableTransaction:
             [(t.identifier, md, t.base_location)
              for t, md, _dels in prepared])
         for _t, _md, dels in prepared:
-            for path in dels:
-                try:
-                    os.remove(path)
-                except OSError:
-                    pass
+            _remove_physical(dels)
 
     def commit_with_retry(self, rebuild, attempts: int = 3) -> None:
         """Optimistic retry for the whole batch: on a lost CAS race,

