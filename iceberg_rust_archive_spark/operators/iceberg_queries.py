@@ -443,8 +443,11 @@ def iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference exposes deletes only through its API (README.md:20-56
     lists equality deletes as a format capability, no SQL DML); this
-    entry proves the same eq-delete writer (A16) + merge-on-read scan
-    (A5) compose into the full DML triple: DELETE = eq-delete file,
+    entry proves the same delete writers (A16) + merge-on-read scan
+    (A5) compose into the full DML triple: DELETE = **deletion
+    vectors** (the table opts in via ``write.delete.format=dv``, so
+    the SQL DELETE routes through the position-delete path — r9;
+    DVs and equality deletes then coexist in one scan chain),
     UPDATE = eq-delete + re-insert in one commit, MERGE = Table.upsert
     (key-scoped eq-delete + data files at one sequence number). The
     oracle replays the three statements as set algebra over the source
@@ -455,7 +458,8 @@ def iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         eng = Engine(spark, cat)
         t = Table.create(cat, "db.orders_dml", ORDERS_SCHEMA,
-                         PartitionSpec(0, ()))
+                         PartitionSpec(0, ()),
+                         properties={"write.delete.format": "dv"})
         src = _orders(spark, sf_dir)
         t.append(spark, src)
         eng.sql("DELETE FROM db.orders_dml "
