@@ -425,25 +425,42 @@ class RestCatalog(Catalog):
         distributed manifest planning) fall back to the ambient boto3
         chain — vend at the environment level for those paths."""
         from iceberg_rust_archive_spark.object_store import (
-            S3Store, register_store,
+            ExpiringStore, register_store,
         )
-        key_map = {"s3.access-key-id": "aws_access_key_id",
-                   "s3.secret-access-key": "aws_secret_access_key",
-                   "s3.session-token": "aws_session_token",
-                   "s3.region": "region_name",
-                   "s3.endpoint": "endpoint_url"}
         n = 0
         for cred in self.load_credentials(identifier):
             prefix = cred.get("prefix", "")
             if not prefix.startswith("s3://"):
                 continue
-            config = cred.get("config", {})
-            kwargs = {v: config[k] for k, v in key_map.items()
-                      if k in config}
-            import boto3
-            register_store(prefix, S3Store(boto3.client("s3", **kwargs)))
+            store, expires = _vended_s3_store(cred.get("config", {}))
+            if expires is not None:
+                # the vend carries an expiry (spec
+                # s3.session-token-expires-at-ms): wrap so operations
+                # past it re-fetch scoped credentials instead of
+                # failing with opaque S3 errors mid-scan
+                store = ExpiringStore(
+                    store, expires,
+                    self._credential_refresher(identifier, prefix))
+            register_store(prefix, store)
             n += 1
         return n
+
+    def _credential_refresher(self, identifier: str, prefix: str):
+        """Refresh callback for ExpiringStore: re-vend and rebuild the
+        scoped session for ONE prefix; raises loudly when the catalog
+        no longer vends for it."""
+        def refresh():
+            for cred in self.load_credentials(identifier):
+                if cred.get("prefix", "") == prefix:
+                    store, expires = _vended_s3_store(
+                        cred.get("config", {}))
+                    return store, (float("inf") if expires is None
+                                   else expires)
+            raise RuntimeError(
+                f"vended credentials for {identifier!r} expired and "
+                f"the catalog no longer vends for prefix {prefix!r} — "
+                "cannot refresh the scoped session")
+        return refresh
 
     def report_metrics(self, identifier: str, report: dict) -> None:
         """POST /v1/namespaces/{ns}/tables/{tbl}/metrics
@@ -479,3 +496,24 @@ class RestCatalog(Catalog):
                           f"namespaces/{ns}/tables/{name}/metrics", body)
         except Exception:  # noqa: BLE001 — metrics are best-effort
             pass
+
+
+_CRED_KEY_MAP = {"s3.access-key-id": "aws_access_key_id",
+                 "s3.secret-access-key": "aws_secret_access_key",
+                 "s3.session-token": "aws_session_token",
+                 "s3.region": "region_name",
+                 "s3.endpoint": "endpoint_url"}
+
+
+def _vended_s3_store(config: dict):
+    """One vended storage-credential config → (scoped S3Store,
+    expires_at_ms | None). Expiry comes from the spec's
+    ``s3.session-token-expires-at-ms`` property."""
+    import boto3
+
+    from iceberg_rust_archive_spark.object_store import S3Store
+    kwargs = {v: config[k] for k, v in _CRED_KEY_MAP.items()
+              if k in config}
+    exp = config.get("s3.session-token-expires-at-ms")
+    return (S3Store(boto3.client("s3", **kwargs)),
+            int(exp) if exp is not None else None)

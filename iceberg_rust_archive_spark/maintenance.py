@@ -126,7 +126,8 @@ def rewrite_data_files(spark: SparkSession, table: Table,
 
 def rewrite_partition(spark: SparkSession, table: Table,
                       filter: list,  # noqa: A002
-                      branch: str | None = None) -> Table:
+                      branch: str | None = None,
+                      _replans: int = 2) -> Table:
     """Partition-scoped, DELETE-ABSORBING compaction — the 100 TB
     maintenance shape between ``rewrite_data_files`` (refuses under
     live deletes) and ``compact_table`` (rewrites the whole table):
@@ -151,10 +152,14 @@ def rewrite_partition(spark: SparkSession, table: Table,
     - deletion vectors referencing a rewritten file are absorbed and
       dropped (the (puffin, offset) entry; the puffin bytes become
       orphans for remove_orphan_files);
-    - position-delete parquet files are KEPT — their pairs name the
-      dropped paths, which can never match again (dead weight that
-      ``rewrite_position_deletes`` consolidates later) and may also
-      name out-of-scope files that still need them.
+    - position-delete parquet files SEEN at plan time are KEPT — their
+      pairs name the dropped paths, which can never match again (dead
+      weight that ``rewrite_position_deletes`` consolidates later) and
+      may also name out-of-scope files that still need them. A
+      position delete / DV that lands BETWEEN plan and commit and
+      references a rewritten file fails the commit (the output was
+      planned pre-delete), and this function re-plans from fresh
+      metadata (bounded by ``_replans``).
 
     The transaction layer re-validates resurrection-freedom at commit
     time against fresh metadata (both directions — kept deletes vs
@@ -184,6 +189,7 @@ def rewrite_partition(spark: SparkSession, table: Table,
 
     schema = md.current_schema(branch)
     data, eq_dels, dvs = [], [], []
+    seen_deletes: set = set()   # every delete entry live at PLAN time
     mlist = read_manifest_list(snap.manifest_list)
     for mle, entries in zip(
             mlist, read_manifests([m.manifest_path for m in mlist])):
@@ -193,6 +199,9 @@ def rewrite_partition(spark: SparkSession, table: Table,
             if e.status == STATUS_DELETED:
                 continue
             c = e.data_file.content
+            if c != CONTENT_DATA:
+                seen_deletes.add((e.data_file.file_path,
+                                  e.data_file.content_offset))
             if c == CONTENT_DATA:
                 data.append((e.data_file, sp))
             elif c == CONTENT_EQUALITY_DELETES:
@@ -235,8 +244,18 @@ def rewrite_partition(spark: SparkSession, table: Table,
 
     def build(t):
         return t.rewrite_files(sorted(in_scope_paths), files,
-                               removed_deletes=absorbed)
-    build(table.new_transaction(branch)).commit_with_retry(build)
+                               removed_deletes=absorbed,
+                               seen_deletes=seen_deletes)
+    try:
+        build(table.new_transaction(branch)).commit_with_retry(build)
+    except CommitFailedError:
+        # a delete (or another rewrite) landed between plan and commit
+        # in a way the stale plan cannot absorb — RE-PLAN from fresh
+        # metadata; the rewrite is idempotent over the current state
+        if _replans <= 0:
+            raise
+        return rewrite_partition(spark, table.refresh(), filter,
+                                 branch, _replans=_replans - 1)
     return table.refresh()
 
 

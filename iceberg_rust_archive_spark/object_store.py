@@ -212,6 +212,56 @@ _S3_SINGLETON: S3Store | None = None
 # location-prefix → dedicated store instance. Credential vending
 # (RestCatalog.apply_vended_credentials) scopes a table's vended
 # session to its storage prefix by registering here; longest prefix
+class ExpiringStore(ObjectStore):
+    """Vended-credential lifecycle wrapper: delegates every operation
+    to an inner store until the vend's ``expires_at_ms`` (minus a
+    clock-skew margin), then calls ``refresh() -> (inner,
+    expires_at_ms)`` to re-fetch scoped credentials and swaps the
+    delegate — so a long-lived session re-vends instead of failing
+    mid-scan with opaque S3 AccessDenied errors. A refresh that fails
+    (vend revoked, prefix no longer covered) raises loudly at the
+    call site."""
+
+    def __init__(self, inner: ObjectStore, expires_at_ms: float,
+                 refresh, skew_ms: int = 30_000):
+        self._inner = inner
+        self._expires_at_ms = expires_at_ms
+        self._refresh = refresh
+        self._skew_ms = skew_ms
+
+    def _delegate(self) -> ObjectStore:
+        import time
+        if time.time() * 1000 >= self._expires_at_ms - self._skew_ms:
+            self._inner, self._expires_at_ms = self._refresh()
+        return self._inner
+
+    def read_bytes(self, path: str) -> bytes:
+        return self._delegate().read_bytes(path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._delegate().write_bytes(path, data)
+
+    def exists(self, path: str) -> bool:
+        return self._delegate().exists(path)
+
+    def remove(self, path: str) -> None:
+        self._delegate().remove(path)
+
+    def size(self, path: str) -> int:
+        return self._delegate().size(path)
+
+    def list(self, prefix: str) -> list[str]:
+        return self._delegate().list(prefix)
+
+    def create_exclusive(self, path: str, data: bytes = b"") -> None:
+        self._delegate().create_exclusive(path, data)
+
+    def __getattr__(self, name):
+        # convenience passthrough (e.g. .client introspection); private
+        # attrs resolve normally via __init__ assignments
+        return getattr(self._inner, name)
+
+
 # wins so a table-scoped credential shadows a bucket-wide one.
 _PREFIX_STORES: dict[str, ObjectStore] = {}
 
@@ -234,7 +284,11 @@ def store_for(path: str) -> ObjectStore:
     first."""
     if _PREFIX_STORES:
         for prefix in sorted(_PREFIX_STORES, key=len, reverse=True):
-            if path.startswith(prefix):
+            # whole-segment match only: a store registered for
+            # s3://bucket/tab must NOT capture s3://bucket/tab2/...,
+            # which would route a sibling table's I/O through another
+            # table's scoped credentials
+            if path == prefix or path.startswith(prefix + "/"):
                 return _PREFIX_STORES[prefix]
     if path.startswith("memory://"):
         return MemoryStore()

@@ -35,7 +35,8 @@ from iceberg_rust_archive_spark.sources.manifests import (
     write_manifest_list,
 )
 from iceberg_rust_archive_spark.spec.manifest import (
-    CONTENT_DATA, CONTENT_EQUALITY_DELETES, DataFile, ManifestEntry,
+    CONTENT_DATA, CONTENT_EQUALITY_DELETES, CONTENT_POSITION_DELETES,
+    DataFile, ManifestEntry,
     STATUS_ADDED, STATUS_DELETED, STATUS_EXISTING,
 )
 from iceberg_rust_archive_spark.spec.schema import Schema
@@ -82,6 +83,7 @@ class Transaction:
         self._rewrite_removed: set[str] | None = None
         self._rewrite_added: list[DataFile] = []
         self._rewrite_removed_deletes: set | None = None
+        self._rewrite_seen_deletes: set | None = None
         self._new_schema: Schema | None = None
         self._new_spec_fields: list | None = None
         self._new_sort_order = None
@@ -118,7 +120,8 @@ class Transaction:
         return self
 
     def rewrite_files(self, removed_paths, added: list[DataFile],
-                      removed_deletes=None) -> "Transaction":
+                      removed_deletes=None,
+                      seen_deletes=None) -> "Transaction":
         """SELECTIVE rewrite (Iceberg's RewriteDataFiles / bin-pack
         shape): drop exactly ``removed_paths``, add ``added``, leave
         every other file untouched — manifests not naming a removed
@@ -141,6 +144,21 @@ class Transaction:
           data file — dropping it would resurrect that file's dead
           rows.
 
+        ``seen_deletes`` (same key shape) names ALL delete entries that
+        were live when the rewrite was PLANNED. Kept position deletes /
+        DVs in that set are safe — the planner's merge-on-read scan
+        already resolved them into the rewritten output, and a stale
+        reference to a dropped path never matches again. A kept
+        position delete or DV NOT in the set landed between plan and
+        commit: if it references a removed data file, the rewritten
+        output (planned pre-delete) would resurrect its rows, so
+        commit raises CommitFailedError and the caller must RE-PLAN
+        (a CAS retry that reuses the stale plan keeps failing by
+        design). DV references come from the manifest; a race-landed
+        parquet position delete's referenced paths are read from the
+        (small) file itself, so deletes scoped to untouched files
+        never force a re-plan.
+
         Racing commits that violate either rule fail the CAS-retry
         loop with CommitFailedError and the caller re-plans. A removed
         path that no longer exists raises too (a concurrent rewrite
@@ -149,6 +167,8 @@ class Transaction:
         self._rewrite_added = list(added)
         self._rewrite_removed_deletes = (
             None if removed_deletes is None else set(removed_deletes))
+        self._rewrite_seen_deletes = (
+            None if seen_deletes is None else set(seen_deletes))
         return self
 
     def update_schema(self, schema: Schema) -> "Transaction":
@@ -410,6 +430,7 @@ class Transaction:
                     "the absorbed deletes via removed_deletes "
                     "(maintenance.rewrite_partition)")
             import json as _jsn
+            import re as _re
 
             def _pkey_of(df_):
                 return _jsn.dumps(df_.partition, sort_keys=True,
@@ -417,6 +438,32 @@ class Transaction:
 
             def _is_global_del(df_):
                 return all(v is None for v in df_.partition.values())
+
+            def _norm_path(p):
+                return _re.sub(r"^file:/+", "/", p)
+
+            removed_norm = {_norm_path(p) for p in removed}
+
+            def _pos_delete_refs(df_):
+                """Data paths a position delete / DV references — the
+                manifest field for DVs, the (small) file's own
+                file_path column for parquet pairs."""
+                if df_.referenced_data_file is not None:
+                    return {_norm_path(df_.referenced_data_file)}
+                if (df_.file_format or "").lower() == "puffin":
+                    return set()  # defensive: DV sans reference
+                import io
+
+                import pyarrow.parquet as pq
+
+                from iceberg_rust_archive_spark.object_store import (
+                    store_for,
+                )
+                buf = io.BytesIO(
+                    store_for(df_.file_path).read_bytes(df_.file_path))
+                col = pq.read_table(buf, columns=["file_path"])
+                return {_norm_path(p)
+                        for p in set(col.column("file_path").to_pylist())}
 
             manifest_entries = list(zip(
                 old_entries,
@@ -504,6 +551,24 @@ class Transaction:
                                 f"{e.data_file.file_path} still "
                                 "applies to a rewritten partition — "
                                 "absorb it or re-plan")
+                    if removed and e.data_file.content \
+                            == CONTENT_POSITION_DELETES:
+                        # a kept position delete / DV the planner never
+                        # SAW (it landed between plan and commit) that
+                        # references a removed file would be silently
+                        # voided — the rewritten output was planned
+                        # pre-delete, so its rows would resurrect
+                        seen = self._rewrite_seen_deletes
+                        if (seen is None or key not in seen) \
+                                and _pos_delete_refs(e.data_file) \
+                                & removed_norm:
+                            raise CommitFailedError(
+                                "rewrite would resurrect rows: "
+                                "position delete "
+                                f"{e.data_file.file_path} landed "
+                                "after the rewrite plan and "
+                                "references a rewritten data file — "
+                                "re-plan")
                 if not hit_ids:
                     new_list.append(mle)
                     continue

@@ -3138,3 +3138,118 @@ def test_delete_where_pos_prunes_hit_scan(spark, catalog):
         spark, (F.col("id") == 5) | (F.col("id") == 4), report=rep3)
     assert rep3["data_files_planned"] == full["data_files_planned"]
     assert _sums(t, spark) == {3: 3}
+
+
+def _plan_jan_rewrite(spark, t):
+    """Plan-time artifacts for a rewrite of the 2020-01-01 partition:
+    (jan file paths, replacement DataFiles written from the CURRENT
+    merge-on-read resolution)."""
+    import datetime as dt2
+
+    from iceberg_rust_archive_spark.operators.scan import scan as _scan
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    jan_ord = (dt2.date(2020, 1, 1) - dt2.date(1970, 1, 1)).days
+    jan_paths = set()
+    snap = t.metadata.current_snapshot()
+    for entries in read_manifests(
+            [m.manifest_path
+             for m in read_manifest_list(snap.manifest_list)]):
+        for e in entries:
+            if e.status != 2 and e.data_file.content == 0 \
+                    and e.data_file.partition.get("date_day") == jan_ord:
+                jan_paths.add(e.data_file.file_path)
+    assert jan_paths
+    resolved = _scan(spark, t.metadata, file_subset=jan_paths)
+    return jan_paths, write_datafiles(spark, t.metadata, resolved)
+
+
+def test_rewrite_commit_rejects_race_landed_pos_delete(spark, catalog):
+    """ADVICE r9 (high): a position delete / DV committed BETWEEN a
+    rewrite's plan and its commit, referencing a rewritten data file,
+    must fail the commit — the output was planned pre-delete, so
+    dropping the file while keeping the (now pointless) delete would
+    silently resurrect its rows. Deletes referencing only UNTOUCHED
+    files commit fine, and plan-time-SEEN deletes stay exempt."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+
+    # race 1: a DV lands on a jan file after planning
+    t = _mk_table(catalog, "orders_rwrace_dv")
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    jan_paths, files = _plan_jan_rewrite(spark, t)
+    t = t.delete_where_pos(spark, F.col("id") == 1, use_dv=True)
+    txn = t.new_transaction().rewrite_files(
+        sorted(jan_paths), files, removed_deletes=set(),
+        seen_deletes=set())
+    with pytest.raises(CommitFailedError, match="landed after"):
+        txn.commit()
+
+    # race 2: a parquet position delete naming a jan file
+    t2 = _mk_table(catalog, "orders_rwrace_pq")
+    t2 = t2.append(spark, spark.createDataFrame(BATCH1, COLS))
+    jan_paths2, files2 = _plan_jan_rewrite(spark, t2)
+    t2 = t2.delete_where_pos(spark, F.col("id") == 2)
+    txn2 = t2.new_transaction().rewrite_files(
+        sorted(jan_paths2), files2, removed_deletes=set(),
+        seen_deletes=set())
+    with pytest.raises(CommitFailedError, match="landed after"):
+        txn2.commit()
+
+    # no race: the landed delete references only an UNTOUCHED (feb)
+    # file — the kept delete still applies there, commit succeeds
+    t3 = _mk_table(catalog, "orders_rwrace_ok")
+    t3 = t3.append(spark, spark.createDataFrame(BATCH1, COLS))
+    jan_paths3, files3 = _plan_jan_rewrite(spark, t3)
+    t3 = t3.delete_where_pos(spark, F.col("id") == 5)   # feb row
+    t3.new_transaction().rewrite_files(
+        sorted(jan_paths3), files3, removed_deletes=set(),
+        seen_deletes=set()).commit()
+    t3 = t3.refresh()
+    assert sorted(r.id for r in t3.scan(spark).collect()) \
+        == [1, 2, 3, 4, 6]
+
+
+def test_rewrite_partition_replans_after_race_landed_dv(
+        spark, catalog, monkeypatch):
+    """End-to-end: rewrite_partition hits the race (a DV lands between
+    its plan and its commit), fails the stale-plan retries, RE-PLANS
+    from fresh metadata, absorbs the DV, and commits — no resurrected
+    rows, no lost deletes."""
+    import datetime as dt2
+
+    import iceberg_rust_archive_spark.sources.write as write_mod
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.maintenance import rewrite_partition
+    from iceberg_rust_archive_spark.predicates import Pred
+
+    t = _mk_table(catalog, "orders_rwreplan")
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    real = write_mod.write_datafiles
+    state = {"fired": False}
+
+    def racing(spark_, md, df, *a, **kw):
+        files = real(spark_, md, df, *a, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            Table.load(catalog, "db.orders_rwreplan").delete_where_pos(
+                spark_, F.col("id") == 1, use_dv=True)
+        return files
+
+    monkeypatch.setattr(write_mod, "write_datafiles", racing)
+    t2 = rewrite_partition(
+        spark, t, [Pred("date", "=", dt2.date(2020, 1, 1))])
+    assert state["fired"]
+    assert sorted(r.id for r in t2.scan(spark).collect()) \
+        == [2, 3, 4, 5, 6]
+    # the DV was absorbed by the re-plan: no delete files remain
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list,
+    )
+    snap = t2.metadata.current_snapshot()
+    assert all(m.content == 0
+               for m in read_manifest_list(snap.manifest_list))

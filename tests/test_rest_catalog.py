@@ -45,6 +45,8 @@ class _State:
         self.renames = []  # RenameTableRequest bodies, in order
         self.valid_tokens = set()
         self.tokens_minted = 0
+        self.credential_vends = 0        # times /credentials was served
+        self.credential_ttl_ms = None    # vend expiry horizon (None = ∞)
 
 
 def _store(kind, state):
@@ -164,14 +166,21 @@ def _make_handler(state: _State):
                                   "NoSuchTableException")
                         return
                     _, md = hit
+                    state.credential_vends += 1
+                    config = {
+                        "s3.access-key-id": "AKIAVENDED",
+                        "s3.secret-access-key": "vended-secret",
+                        "s3.session-token":
+                            f"vended-session-{state.credential_vends}",
+                        "s3.region": "us-east-1",
+                    }
+                    if state.credential_ttl_ms is not None:
+                        import time as _time
+                        config["s3.session-token-expires-at-ms"] = int(
+                            _time.time() * 1000) + state.credential_ttl_ms
                     self._send(200, {"storage-credentials": [{
                         "prefix": f"s3://vended/{p[1]}/{p[3]}",
-                        "config": {
-                            "s3.access-key-id": "AKIAVENDED",
-                            "s3.secret-access-key": "vended-secret",
-                            "s3.session-token": "vended-session",
-                            "s3.region": "us-east-1",
-                        }}]})
+                        "config": config}]})
                 else:
                     self._err(400, "bad path", "BadRequestException")
 
@@ -816,3 +825,50 @@ def test_rest_report_metrics(paged_rest_server, spark, tmp_path):
     # route; simulate absence with a bogus table/namespace → 404) is
     # swallowed: metrics never raise
     cat.report_metrics("nope.missing", report)
+
+
+def test_rest_vended_credential_expiry_refetches(tmp_path):
+    """VERDICT r9 next #7: a vend carrying the spec's
+    ``s3.session-token-expires-at-ms`` registers an ExpiringStore —
+    an operation past expiry re-fetches scoped credentials from the
+    catalog (fresh session token) instead of failing with opaque S3
+    errors; when the catalog stops vending for the prefix, the
+    refresh raises loudly."""
+    pytest.importorskip("boto3")
+    from iceberg_rust_archive_spark.object_store import (
+        ExpiringStore, register_store, store_for,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    state = _State()
+    state.credential_ttl_ms = -1000     # vends arrive pre-expired
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cat = RestCatalog(f"http://127.0.0.1:{srv.server_port}")
+        cat.create_namespace("ce")
+        Table.create(cat, "ce.t", _schema(), PartitionSpec(0, ()),
+                     location=str(tmp_path / "ce_t"))
+        try:
+            assert cat.apply_vended_credentials("ce.t") == 1
+            scoped = store_for("s3://vended/ce/t/data/x.parquet")
+            assert isinstance(scoped, ExpiringStore)
+
+            def token_of(st):
+                return (st._delegate().client._request_signer
+                        ._credentials.token)
+            t1 = token_of(scoped)
+            t2 = token_of(scoped)
+            assert t1 != t2                      # each expiry re-vends
+            assert t2.startswith("vended-session-")
+            assert state.credential_vends >= 3   # apply + two refreshes
+            # catalog stops vending → loud failure, not opaque S3 errors
+            cat.drop_tabular("ce.t")
+            with pytest.raises(Exception,
+                               match="not found|no longer vends"):
+                token_of(scoped)
+        finally:
+            register_store("s3://vended/ce/t", None)
+    finally:
+        srv.shutdown()
