@@ -70,18 +70,17 @@ def main():
               file=sys.stderr)
 
     total = round(sum(mins.values()), 3)
-    # Full per-query maps first (may exceed the driver's 2000-char tail
-    # capture), then the compact headline as the LAST stdout line so the
-    # driver's tail parse always finds a valid JSON object (r7 verdict #2:
-    # BENCH_r05/r07 recorded "parsed": null because the single fat line
-    # outgrew the capture window).
+    # The means map goes on an EARLIER line (it may exceed the driver's
+    # 2000-char tail capture); the LAST stdout line carries the headline
+    # with the COMPLETE min map so cross-round min-vs-min comparison
+    # parses from the tail alone (r7 verdict #2 fixed the
+    # truncated-single-line problem; r9 verdict #8 asks for the full min
+    # map, not a top-5, on that last line — ~50 queries ≈ 1.6 KB fits).
     print(json.dumps({"metric": "total_query_time_detail", "value": total,
-                      "unit": "sec", "queries": mins,
-                      "queries_mean": means, "reps": REPS,
+                      "unit": "sec", "queries_mean": means, "reps": REPS,
                       "sf": float(sf)}))
-    top5 = dict(sorted(mins.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({"metric": "total_query_time", "value": total,
-                      "unit": "sec", "queries": top5, "reps": REPS,
+                      "unit": "sec", "queries": mins, "reps": REPS,
                       "sf": float(sf)}))
 
 

@@ -165,7 +165,12 @@ def rewrite_partition(spark: SparkSession, table: Table,
     time against fresh metadata (both directions — kept deletes vs
     rewritten partitions, absorbed deletes vs kept files), so a
     concurrent DELETE on the scoped partition fails the CAS retry
-    instead of silently resurrecting rows."""
+    instead of silently resurrecting rows.
+
+    v3 row-lineage caveat: rewritten files get FRESH ``_row_id``
+    ranges (see ``Table.scan(with_row_id=True)``) — row VALUES are
+    preserved exactly, row IDENTITY is not; ``scan(with_row_id)``
+    consumers must not correlate ids across this commit."""
     import json as _jsn
     import math as _math
 

@@ -69,7 +69,16 @@ class Table:
         """``with_row_id`` adds the v3 row-lineage ``_row_id`` metadata
         column (spec §Row Lineage): ``first-row-id + position`` for
         rows in files whose commit assigned lineage, NULL for files
-        written before the table reached format-version 3."""
+        written before the table reached format-version 3.
+
+        Lineage caveat: replace/rewrite commits (compaction,
+        ``rewrite_partition``, full MV refresh) assign FRESH row-id
+        ranges to their output files — full preservation would require
+        materializing ``_row_id`` into the rewritten parquet, which
+        this engine does not do — so ``_row_id`` is stable only
+        between replace commits. Consumers needing identity across a
+        rewrite must key on table columns (consistent with the
+        'replace' operation label's resync contract)."""
         return _scan(spark, self.metadata, filter, columns, branch,
                      snapshot_id, as_of_ms, from_snapshot_id,
                      report=report, with_row_id=with_row_id)
@@ -388,7 +397,8 @@ class Table:
     def delete_where_pos(self, spark: SparkSession, predicate,
                          branch: str | None = None,
                          use_dv: bool | None = None,
-                         report: dict | None = None) -> "Table":
+                         report: dict | None = None,
+                         _replans: int = 2) -> "Table":
         """Position-delete write (content=1): scan the current data files
         with Spark's ``_metadata`` virtual columns, project the matching
         (file_path, pos) pairs, write a sorted delete file, commit.
@@ -480,12 +490,27 @@ class Table:
             return self  # nothing newly deleted — don't commit a snapshot
 
         def build(t):
-            t.append_delete_files(files)
+            # valid_since pins the hit set to the planning snapshot's
+            # file layout: a replace commit (compaction / rewrite)
+            # landing before our CAS makes the (path, pos) pairs
+            # silent no-ops, so commit refuses and we RE-PLAN below
+            t.append_delete_files(files, valid_since=snap.snapshot_id)
             if superseded:
                 t.supersede_delete_files(superseded)
             return t
 
-        build(self.new_transaction(branch)).commit_with_retry(build)
+        from iceberg_rust_archive_spark.catalog.base import (
+            CommitFailedError,
+        )
+        try:
+            build(self.new_transaction(branch)).commit_with_retry(build)
+        except CommitFailedError:
+            if _replans <= 0:
+                raise
+            # recompute positions against the rewritten file layout
+            return self.refresh().delete_where_pos(
+                spark, predicate, branch, use_dv=use_dv, report=report,
+                _replans=_replans - 1)
         return self.refresh()
 
     def inspect(self, spark: SparkSession, kind: str) -> DataFrame:

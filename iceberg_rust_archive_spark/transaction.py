@@ -84,6 +84,7 @@ class Transaction:
         self._rewrite_added: list[DataFile] = []
         self._rewrite_removed_deletes: set | None = None
         self._rewrite_seen_deletes: set | None = None
+        self._deletes_valid_since: int | None = None
         self._new_schema: Schema | None = None
         self._new_spec_fields: list | None = None
         self._new_sort_order = None
@@ -98,8 +99,25 @@ class Transaction:
         self._appended.extend(files)
         return self
 
-    def append_delete_files(self, files: list[DataFile]) -> "Transaction":
+    def append_delete_files(self, files: list[DataFile],
+                            valid_since: int | None = None
+                            ) -> "Transaction":
+        """``valid_since`` (a snapshot id) marks POSITION-based delete
+        content (parquet pairs / DVs) as planned against that
+        snapshot's file layout. Positions are path-bound: if a replace
+        commit (compaction, rewrite_partition, TRUNCATE) lands between
+        that snapshot and this commit, the referenced files may no
+        longer exist and the pairs would be silent no-ops — the
+        deletion would be LOST. Commit walks the ancestry back to
+        ``valid_since`` and raises CommitFailedError on any replace in
+        between (or if the snapshot expired), forcing the caller to
+        re-plan the hit set against the rewritten layout
+        (``Table.delete_where_pos`` does so automatically). Equality
+        deletes match by VALUE at a new sequence number and survive
+        replaces, so they don't need this."""
         self._deletes.extend(files)
+        if valid_since is not None:
+            self._deletes_valid_since = valid_since
         return self
 
     def supersede_delete_files(self,
@@ -270,6 +288,33 @@ class Transaction:
             or md.current_snapshot(MAIN_BRANCH)
         spec = md.default_spec()
         pf_names = [f.name for f in spec.fields]
+
+        if self._deletes_valid_since is not None \
+                and parent is not None \
+                and parent.snapshot_id != self._deletes_valid_since:
+            # position-based delete content planned at an older
+            # snapshot: any replace commit since then may have
+            # rewritten the referenced files, turning the (path, pos)
+            # pairs into silent no-ops — the deletion would be LOST.
+            # Walk back to the planning snapshot; raise on a replace
+            # in between (or if history no longer reaches it).
+            s_ = parent
+            while s_ is not None \
+                    and s_.snapshot_id != self._deletes_valid_since:
+                if (s_.summary or {}).get("operation") == "replace":
+                    raise CommitFailedError(
+                        "position deletes were planned at snapshot "
+                        f"{self._deletes_valid_since} but a replace "
+                        f"commit (snapshot {s_.snapshot_id}) rewrote "
+                        "files since — the (path, pos) hit set is "
+                        "stale; re-plan the delete")
+                s_ = (md.snapshots.get(s_.parent_snapshot_id)
+                      if s_.parent_snapshot_id is not None else None)
+            if s_ is None:
+                raise CommitFailedError(
+                    "position deletes were planned at snapshot "
+                    f"{self._deletes_valid_since}, which is no longer "
+                    "in this branch's history — re-plan the delete")
 
         if self._new_schema is not None:
             schemas = dict(md.schemas)
@@ -870,7 +915,17 @@ class MultiTableTransaction:
     (truly atomic); pointer catalogs CAS in identifier order and roll
     back on a lost race; RestCatalog ships the batch to the server.
     A table may appear at most once per transaction (two Transaction
-    objects on one base would fork its history)."""
+    objects on one base would fork its history).
+
+    Atomicity caveat (pointer catalogs only): FileCatalog's batch is
+    optimistic-atomic, not crash-atomic — a process crash BETWEEN two
+    pointer CASes (or a rollback CAS that itself loses a race) leaves
+    the batch partially applied with no journal to recover from; the
+    'both or neither' contract holds against concurrent committers,
+    not against a crashed coordinator. SqlCatalog (one DB transaction)
+    and RestCatalog (one server-side ``transactions/commit``) are
+    atomic under crashes too — use those where the guarantee must
+    survive a dying driver."""
 
     def __init__(self, catalog: Catalog):
         self.catalog = catalog

@@ -3253,3 +3253,65 @@ def test_rewrite_partition_replans_after_race_landed_dv(
     snap = t2.metadata.current_snapshot()
     assert all(m.content == 0
                for m in read_manifest_list(snap.manifest_list))
+
+
+def test_pos_delete_commit_refuses_stale_hit_set(spark, catalog):
+    """The mirror race of the rewrite guard: position-delete content
+    planned BEFORE a replace commit (compaction) references rewritten
+    paths — appending it afterwards would be a silent no-op and the
+    deletion would be lost. valid_since makes the commit refuse."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog.base import CommitFailedError
+    from iceberg_rust_archive_spark.maintenance import compact_table
+    from iceberg_rust_archive_spark.operators.scan import scan as _scan
+    from iceberg_rust_archive_spark.sources.write import (
+        write_position_deletes,
+    )
+
+    t = _mk_table(catalog, "orders_staledel")
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    planned_at = t.metadata.current_snapshot().snapshot_id
+    hits = (_scan(spark, t.metadata, expose_pos=True)
+            .filter(F.col("id") == 1)
+            .select(F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos")))
+    files = write_position_deletes(spark, t.metadata, hits)
+    t = compact_table(spark, t)     # the race: replace lands first
+    txn = t.new_transaction().append_delete_files(
+        files, valid_since=planned_at)
+    with pytest.raises(CommitFailedError, match="stale|no longer"):
+        txn.commit()
+    # without valid_since the old (unsafe) behavior is unchanged
+    t.new_transaction().append_delete_files(files).commit()
+
+
+def test_delete_where_pos_replans_after_racing_compaction(
+        spark, catalog, monkeypatch):
+    """End-to-end: a compaction lands between delete_where_pos's hit
+    scan and its commit; the commit refuses the stale hit set and the
+    delete RE-PLANS against the rewritten layout — the row is deleted,
+    not silently lost."""
+    import iceberg_rust_archive_spark.sources.write as write_mod
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.maintenance import compact_table
+
+    t = _mk_table(catalog, "orders_delreplan")
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    real = write_mod.write_position_deletes
+    state = {"fired": False}
+
+    def racing(spark_, md, hits):
+        files = real(spark_, md, hits)
+        if not state["fired"]:
+            state["fired"] = True
+            compact_table(spark_,
+                          Table.load(catalog, "db.orders_delreplan"))
+        return files
+
+    monkeypatch.setattr(write_mod, "write_position_deletes", racing)
+    t2 = t.delete_where_pos(spark, F.col("id") == 1)
+    assert state["fired"]
+    assert sorted(r.id for r in t2.scan(spark).collect()) \
+        == [2, 3, 4, 5, 6]
