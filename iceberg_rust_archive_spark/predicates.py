@@ -65,6 +65,54 @@ def _lit_for_transform(v, iceberg_type: str):
     return v
 
 
+def _lit_type_ok(v, iceberg_type: str) -> bool:
+    """True iff the literal's Python type can represent a value of the
+    Iceberg column type — the gate that keeps a PARSER-GUESSED literal
+    from being transformed as the wrong type. pyspark Column reprs
+    don't quote strings, so ``F.col("zip") == "01234"`` round-trips
+    through ``try_parse_preds`` as the int 1234; ``bucket_value(1234,
+    n, "string")`` then hashes ``"1234"`` ≠ ``"01234"`` and transform
+    pruning would drop the very files holding the matching rows (the
+    reference never guesses — pruning literals are typed ``Value``s,
+    pruning_statistics.rs:285-350). On mismatch callers SKIP transform
+    pruning for that predicate: conservative keep, residual filter
+    preserves correctness."""
+    if isinstance(v, bool):
+        return iceberg_type == "boolean"
+    if isinstance(v, int):
+        return iceberg_type in ("int", "long") \
+            or iceberg_type.startswith("decimal")
+    if isinstance(v, float):
+        return iceberg_type in ("float", "double") \
+            or iceberg_type.startswith("decimal")
+    if isinstance(v, _dt.datetime):
+        return iceberg_type in ("timestamp", "timestamptz", "date")
+    if isinstance(v, _dt.date):
+        return iceberg_type == "date"
+    if isinstance(v, str):
+        if iceberg_type in ("string", "uuid", "binary"):
+            return True
+        if iceberg_type == "date":
+            import re as _re
+            return bool(_re.fullmatch(r"\d{4}-\d{2}-\d{2}.*", v))
+        if iceberg_type in ("timestamp", "timestamptz"):
+            try:
+                _dt.datetime.fromisoformat(v)
+                return True
+            except ValueError:
+                return False
+        return False
+    return False
+
+
+def _pred_lit_ok(p: Pred, iceberg_type: str) -> bool:
+    if p.op in ("is_null", "not_null"):
+        return True
+    if p.op == "in":
+        return all(_lit_type_ok(v, iceberg_type) for v in p.value)
+    return _lit_type_ok(p.value, iceberg_type)
+
+
 def to_spark_filter(preds: list[Pred]) -> Column | None:
     """Residual re-evaluation filter (A7 inexact semantics)."""
     col = None
@@ -147,12 +195,21 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                         and pf.transform not in _MONOTONIC
                         and not pf.transform.startswith("truncate")):
                     continue
-                lit = _lit_for_transform(p.value, src.field_type)
-                if p.op == "in":
-                    tlit = [transform_value(pf.transform, v, src.field_type)
-                            for v in lit]
-                else:
-                    tlit = transform_value(pf.transform, lit, src.field_type)
+                if not _pred_lit_ok(p, src.field_type):
+                    continue  # type-skewed parsed literal → no pruning
+                try:
+                    if p.op == "in":
+                        tlit = [transform_value(
+                            pf.transform,
+                            _lit_for_transform(v, src.field_type),
+                            src.field_type) for v in p.value]
+                    else:
+                        tlit = transform_value(
+                            pf.transform,
+                            _lit_for_transform(p.value, src.field_type),
+                            src.field_type)
+                except (TypeError, ValueError):
+                    continue  # un-transformable literal → keep
                 if not _range_overlaps(p.op, tlit, summary.lower_bound,
                                        summary.upper_bound,
                                        summary.contains_null):
@@ -194,6 +251,8 @@ def _partition_value_excludes(preds: list[Pred], spec: PartitionSpec,
         for p in preds:
             if p.column != src.name or p.op not in ("=", "in"):
                 continue
+            if not _pred_lit_ok(p, src.field_type):
+                continue  # type-skewed parsed literal → keep the file
             try:
                 if p.op == "=":
                     lit = _lit_for_transform(p.value, src.field_type)
@@ -300,12 +359,20 @@ def file_fully_matches(preds: list[Pred], schema: Schema,
 
 # --- best-effort predicate extraction (DML pruning) ------------------------
 
-def _parse_literal_token(tok: str):
+def _parse_literal_token(tok: str, allow_spaces: bool = True):
     """One literal token of either surface syntax → python value.
     ``DATE '…'`` / ``TIMESTAMP '…'`` keep the reference's typed-literal
     shape; bare ISO-looking tokens (how pyspark 4 reprs date literals)
     stay strings — stats bounds normalize dates to ISO strings anyway
-    (``_norm_literal``), so string comparison is the pruning order."""
+    (``_norm_literal``), so string comparison is the pruning order.
+
+    ``allow_spaces=False`` (the SQL-string surface) rejects bare
+    tokens containing spaces: in SQL text a space after a literal can
+    only be trailing clause text (e.g. ``1 OR flag IS NULL`` swallowed
+    whole by the comparison regex), and accepting it would build a
+    Pred with a WRONG literal and prune matching files. Only the
+    pyspark-Column repr path needs spacey bare tokens (timestamp
+    reprs like ``2020-01-02 03:04:05``)."""
     t = tok.strip()
     m = __import__("re").match(r"(?i)(?:date|timestamp)\s+'([^']*)'$", t)
     if m:
@@ -322,7 +389,8 @@ def _parse_literal_token(tok: str):
         return int(t)
     if _re.fullmatch(r"-?\d+\.\d*(?:[eE][+-]?\d+)?", t):
         return float(t)
-    if _re.fullmatch(r"[0-9][\w:.\- ]*", t):
+    body = r"[0-9][\w:.\- ]*" if allow_spaces else r"[0-9][\w:.\-]*"
+    if _re.fullmatch(body, t):
         return t  # bare date/timestamp repr (pyspark Column literals)
     return _UNPARSEABLE
 
@@ -380,6 +448,8 @@ def _strip_parens(s: str) -> str:
 def _parse_sql_term(term: str) -> Pred | None:
     import re as _re
     t = _strip_parens(term)
+    if len(_split_top(t, " OR ")) > 1:
+        return None  # disjunction — outside the conjunctive fragment
     m = _re.match(r"(?i)^([\w.]+)\s+is\s+not\s+null$", t)
     if m:
         return Pred(m.group(1), "not_null")
@@ -388,7 +458,7 @@ def _parse_sql_term(term: str) -> Pred | None:
         return Pred(m.group(1), "is_null")
     m = _re.match(r"(?i)^([\w.]+)\s+in\s*\((.*)\)$", t, _re.DOTALL)
     if m:
-        vals = [_parse_literal_token(v)
+        vals = [_parse_literal_token(v, allow_spaces=False)
                 for v in _split_top(m.group(2), ",")]
         if any(v is _UNPARSEABLE for v in vals):
             return None
@@ -398,7 +468,7 @@ def _parse_sql_term(term: str) -> Pred | None:
     if not m:
         return None
     op = {"<>": "!="}.get(m.group(2), m.group(2))
-    val = _parse_literal_token(m.group(3))
+    val = _parse_literal_token(m.group(3), allow_spaces=False)
     if val is _UNPARSEABLE:
         return None
     return Pred(m.group(1), op, val)
@@ -472,6 +542,12 @@ def try_parse_preds(predicate) -> list[Pred] | None:
     import re as _re
     if isinstance(predicate, str):
         text = predicate
+        if len(_split_top(text, " OR ")) > 1:
+            # a top-level disjunction cannot be pruned as a
+            # conjunction — e.g. "id = 1 OR flag IS NULL AND d = X"
+            # must NOT prune on d alone (that drops files matching
+            # only via the id=1 branch)
+            return None
         terms = _split_top(text, " AND ")
         preds = []
         for t in terms:

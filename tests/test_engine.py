@@ -3140,6 +3140,73 @@ def test_delete_where_pos_prunes_hit_scan(spark, catalog):
     assert _sums(t, spark) == {3: 3}
 
 
+def test_delete_prune_type_skewed_literal(spark, catalog):
+    """A numeric-looking STRING literal arriving through the Column API
+    must never mis-prune a transform-partitioned hit scan. pyspark
+    Column reprs don't quote strings, so ``F.col("zip") == "01234"``
+    parses to ``Pred("zip", "=", 1234)``; hashing/truncating the int
+    against a string column picks the wrong bucket and the DELETE
+    would commit having deleted nothing (silent corruption). The type
+    gate (predicates._lit_type_ok) skips transform pruning on the
+    mismatch — conservative full plan, residual filter deletes the
+    rows. The reference types its pruning literals and never guesses
+    (pruning_statistics.rs:285-350)."""
+    from pyspark.sql import functions as F
+
+    zip_schema = Schema(0, StructTypeSpec((
+        NestedField(1, "id", "long", True),
+        NestedField(2, "zip", "string", True),
+        NestedField(3, "amount", "int", True),
+    )))
+    rows = [(1, "01234", 10), (2, "01234", 20), (3, "99999", 30),
+            (4, "1234", 40)]
+    cols = ["id", "zip", "amount"]
+
+    # bucket[16](zip): mis-typed literal hashes to the wrong bucket
+    spec_b = PartitionSpec(0, (PartitionField(2, 1000, "zb", "bucket[16]"),))
+    t = Table.create(catalog, "db.zip_bucket", zip_schema, spec_b)
+    t = t.append(spark, spark.createDataFrame(rows, cols))
+    t = t.delete_where_pos(spark, F.col("zip") == "01234")
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == [3, 4]
+    # zip "1234" (reprs identically to int 1234) still deletable
+    t = t.delete_where_pos(spark, F.col("zip") == "1234")
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == [3]
+
+    # truncate[2](zip): the int literal raised TypeError inside
+    # prune_manifests before the guard — must not crash, must delete
+    spec_t = PartitionSpec(0, (PartitionField(2, 1000, "zt", "truncate[2]"),))
+    t2 = Table.create(catalog, "db.zip_trunc", zip_schema, spec_t)
+    t2 = t2.append(spark, spark.createDataFrame(rows, cols))
+    t2 = t2.delete_where_pos(spark, F.col("zip") == "01234")
+    assert sorted(r["id"] for r in t2.scan(spark).collect()) == [3, 4]
+
+    # a correctly-typed string via a SQL predicate still PRUNES
+    rep = {}
+    t2 = t2.delete_where_pos(spark, "zip = '99999'", report=rep)
+    assert sorted(r["id"] for r in t2.scan(spark).collect()) == [4]
+
+
+def test_sql_predicate_or_refuses_parse():
+    """ADVICE r10 (high): the bare-literal regex accepted spaces, so
+    ``id = 1 OR flag IS NULL AND d = DATE '2020-01-01'`` parsed as a
+    CONJUNCTION [Pred(id,=,'1 OR flag IS NULL'), Pred(d,=,…)] — the
+    d-pred then pruned files matching only via the id=1 branch and
+    the engine's SQL DELETE silently skipped rows. Disjunctions must
+    refuse to parse (None → full plan, residual correct)."""
+    from iceberg_rust_archive_spark.predicates import try_parse_preds
+
+    assert try_parse_preds(
+        "id = 1 OR flag IS NULL AND d = DATE '2020-01-01'") is None
+    assert try_parse_preds("(a = 1 OR b = 2)") is None
+    assert try_parse_preds("a = 1 AND (b = 2 OR c = 3)") is None
+    # a quoted literal containing ' OR ' is NOT a disjunction
+    got = try_parse_preds("note = 'cats OR dogs' AND id = 7")
+    assert got == [Pred("note", "=", "cats OR dogs"), Pred("id", "=", 7)]
+    # conjunctions with typed literals still parse
+    got = try_parse_preds("d = DATE '2020-01-01' AND id <= 5")
+    assert got == [Pred("d", "=", "2020-01-01"), Pred("id", "<=", 5)]
+
+
 def _plan_jan_rewrite(spark, t):
     """Plan-time artifacts for a rewrite of the 2020-01-01 partition:
     (jan file paths, replacement DataFiles written from the CURRENT
