@@ -230,6 +230,11 @@ class ExpiringStore(ObjectStore):
         self._skew_ms = skew_ms
 
     def _delegate(self) -> ObjectStore:
+        # racing refreshes are benign: both the old and the new
+        # delegate hold valid (if differently-scoped-in-time)
+        # credentials, and the two attribute assignments are each
+        # atomic under the GIL — a concurrent reader sees either a
+        # consistent old or a consistent new store, never a torn one
         import time
         if time.time() * 1000 >= self._expires_at_ms - self._skew_ms:
             self._inner, self._expires_at_ms = self._refresh()
@@ -257,8 +262,13 @@ class ExpiringStore(ObjectStore):
         self._delegate().create_exclusive(path, data)
 
     def __getattr__(self, name):
-        # convenience passthrough (e.g. .client introspection); private
-        # attrs resolve normally via __init__ assignments
+        # convenience passthrough (e.g. .client introspection). Never
+        # delegate dunder/private lookups: pickle/copy probe
+        # __setstate__/__reduce_ex__ via getattr BEFORE __init__ has
+        # set _inner, and delegating '_inner' itself would recurse
+        # infinitely on a half-constructed instance
+        if name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self._inner, name)
 
 

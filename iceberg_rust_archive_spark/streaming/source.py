@@ -25,6 +25,11 @@ Options:
 - ``starting_snapshot_id`` — EXCLUSIVE lower bound for the first
   batch; default ``-1`` streams the full table history first.
   Pass the current snapshot id for a "new data only" stream.
+- ``initial_delete_gate_bytes`` — plan-time cap on the total delete-
+  file bytes the initial merge-on-read batch may materialize on the
+  driver (default 64 MB, the batch scan's broadcast bound); an
+  oversize set fails loudly with a resync-via-``Table.scan`` message
+  instead of OOMing the driver.
 
 Scale shape: planning is driver-side manifest pruning (sequence-range
 A4 semantics — one manifest-list read plus the new manifests only);
@@ -64,6 +69,15 @@ except ImportError:  # pragma: no cover — pyspark < 4
         pass
 
 
+# Total delete-file bytes the INITIAL batch will materialize on the
+# driver — the same ≤64 MB bound the batch scan uses to decide a
+# delete set is broadcastable (operators/scan.py apply_pos_deletes /
+# apply_eq_deletes). ENFORCED at plan time: above it the stream
+# refuses loudly instead of OOMing the driver and shipping GB-scale
+# row sets inside every serialized partition.
+_INITIAL_DELETE_GATE_BYTES = 64 * 1024 * 1024
+
+
 class _FilePartition(InputPartition):
     """One data file per Spark InputPartition. For the INITIAL batch of
     a table with live deletes, the driver resolves merge-on-read
@@ -72,8 +86,8 @@ class _FilePartition(InputPartition):
     and ``eq_deletes`` (tuples of (column-names, frozenset-of-row-
     tuples) from equality-delete files with a strictly newer sequence
     — tuple equality is null-safe, matching the batch scan's
-    eqNullSafe anti-join). Delete sets are bounded by the same ≤64 MB
-    contract the batch scan's broadcast path assumes."""
+    eqNullSafe anti-join). Delete sets are bounded by the
+    ``_INITIAL_DELETE_GATE_BYTES`` plan-time gate."""
 
     def __init__(self, path: str, fmt: str, deleted_pos=None,
                  eq_deletes=None):
@@ -101,10 +115,12 @@ def _read_arrow(path: str, fmt: str | None, columns: list[str]):
 
 def _apply_deletes(batch, offset: int, partition):
     """Mask one Arrow batch with the partition's resolved deletes:
-    position ordinals via a numpy range intersection (no Python loop),
-    equality rows via tuple-set membership (tuple equality is
-    null-safe, mirroring the batch scan's eqNullSafe anti-join).
-    No-op (and zero-cost) for ordinary append-only increments."""
+    position ordinals via a numpy range intersection, equality rows
+    via a vectorized pandas hash-join — object-dtype merge keys are
+    compared as Python values where ``None`` matches ``None``, so the
+    mask is null-safe like the batch scan's eqNullSafe anti-join, with
+    no per-row Python loop in either path. No-op (and zero-cost) for
+    ordinary append-only increments."""
     if partition.deleted_pos is None and partition.eq_deletes is None:
         return batch
     import numpy as np
@@ -115,11 +131,14 @@ def _apply_deletes(batch, offset: int, partition):
         local = dpos[(dpos >= offset) & (dpos < offset + batch.num_rows)]
         keep[local - offset] = False
     for names, rows in (partition.eq_deletes or ()):
-        cols = [batch.column(batch.schema.get_field_index(n)).to_pylist()
-                for n in names]
-        for i, key in enumerate(zip(*cols)):
-            if keep[i] and key in rows:
-                keep[i] = False
+        import pandas as pd
+        sub = pd.DataFrame(
+            {n: batch.column(batch.schema.get_field_index(n)).to_pylist()
+             for n in names}, dtype=object)
+        dels = pd.DataFrame(list(rows), columns=list(names), dtype=object)
+        merged = sub.merge(dels, on=list(names), how="left",
+                           indicator="__hit__")
+        keep &= (merged["__hit__"].to_numpy() != "both")
     if keep.all():
         return batch
     return batch.filter(pa.array(keep))
@@ -169,6 +188,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.options = dict(options)
         self.columns = list(columns)
         self._md = None
+        self._gate_bytes = int(self.options.get(
+            "initial_delete_gate_bytes", _INITIAL_DELETE_GATE_BYTES))
 
     # --- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -259,8 +280,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
         driver — DV/pos-delete ordinals attach as ``deleted_pos``,
         equality-delete rows (strictly-newer sequence, the batch
         chain's ordering, operators/scan.py build_chain) attach as
-        ``eq_deletes``. Subsequent increments keep the append-only
-        contract."""
+        ``eq_deletes``, scoped to the delete file's partition unless
+        the delete is global (all-null partition tuple — the batch
+        scan's ``_is_global`` rule). Total delete bytes are gated at
+        plan time (``_INITIAL_DELETE_GATE_BYTES``); an oversize set
+        refuses loudly instead of OOMing the driver. Subsequent
+        increments keep the append-only contract."""
+        import json as _json
         import re as _re
 
         from iceberg_rust_archive_spark.sources.manifests import (
@@ -273,6 +299,12 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
         def norm(p):
             return _re.sub(r"^file:/+", "/", p)
+
+        def pkey(f):
+            return _json.dumps(f.partition, sort_keys=True, default=str)
+
+        def is_global(f):
+            return all(v is None for v in f.partition.values())
 
         mlist = read_manifest_list(snap.manifest_list)
         data, eq_files, pos_files, dv_files = [], [], [], []
@@ -296,6 +328,20 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 f.file_path, (f.file_format or "parquet").lower())
                 for f, _s in data]
 
+        del_bytes = (
+            sum(d.file_size_in_bytes or 0 for d, _s in eq_files)
+            + sum(d.file_size_in_bytes or 0 for d in pos_files)
+            + sum(d.content_size_in_bytes or d.file_size_in_bytes or 0
+                  for d in dv_files))
+        if del_bytes > self._gate_bytes:
+            raise ValueError(
+                f"initial stream batch would materialize {del_bytes} "
+                f"bytes of live delete files on the driver (gate: "
+                f"{self._gate_bytes}) — compact the table or "
+                "consume the current state via Table.scan first, then "
+                "stream new commits with "
+                "starting_snapshot_id=<current snapshot id>")
+
         # positions per referenced data file (normalized path)
         from collections import defaultdict
         pos_by_file: dict[str, set] = defaultdict(set)
@@ -316,9 +362,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
                              tbl.column("pos").to_pylist()):
                 pos_by_file[norm(fp)].add(p)
 
-        # equality-delete rows, grouped by (sequence, column set)
+        # equality-delete rows, grouped by (sequence, column set),
+        # partition-scoped like the batch chain (operators/scan.py
+        # build_chain groups): a delete written for partition P only
+        # kills rows in P's data files; an all-null partition tuple
+        # means the delete is global
         schema = md.schemas[md.current_schema_id]
-        eq_sets = []   # (seq, tuple(names), frozenset(row tuples))
+        eq_sets = []   # (seq, pkey-or-None, tuple(names), frozenset)
         for d, seq in eq_files:
             names = tuple(
                 f.name for f in (schema.field_by_id(i)
@@ -330,13 +380,17 @@ class _IcebergStreamReader(DataSourceStreamReader):
             rows = frozenset(zip(*[tbl.column(n).to_pylist()
                                    for n in names])) \
                 if tbl.num_rows else frozenset()
-            eq_sets.append((seq, names, rows))
+            eq_sets.append((seq, None if is_global(d) else pkey(d),
+                            names, rows))
 
         parts = []
         for f, dseq in data:
             dpos = sorted(pos_by_file.get(norm(f.file_path), ()))
-            eqs = tuple((names, rows) for seq, names, rows in eq_sets
-                        if seq > dseq and rows)
+            fkey = pkey(f)
+            eqs = tuple((names, rows)
+                        for seq, dk, names, rows in eq_sets
+                        if seq > dseq and rows
+                        and (dk is None or dk == fkey))
             parts.append(_FilePartition(
                 f.file_path, (f.file_format or "parquet").lower(),
                 deleted_pos=tuple(dpos) or None,

@@ -186,3 +186,27 @@ def test_replaced_file_cleanup_uses_object_store():
     assert ms.exists("memory://wh/t/data/f2.parquet")
     _remove_physical(["memory://wh/t/data/f2.parquet"])
     assert not ms.exists("memory://wh/t/data/f2.parquet")
+
+
+def test_expiring_store_copy_pickle_no_recursion():
+    """ADVICE r10 (low): copy/pickle probe ``__reduce_ex__`` /
+    ``__setstate__`` via getattr before ``__init__`` runs on the new
+    instance; an unconditional ``__getattr__`` delegation recursed
+    infinitely on ``_inner``. Private lookups now raise
+    AttributeError instead of delegating."""
+    import copy
+
+    from iceberg_rust_archive_spark.object_store import (
+        ExpiringStore, MemoryStore,
+    )
+
+    s = ExpiringStore(MemoryStore(), expires_at_ms=float("inf"),
+                      refresh=lambda: (_ for _ in ()).throw(
+                          AssertionError("no refresh")))
+    c = copy.copy(s)  # recursed before the guard
+    s.write_bytes("memory://exp/a", b"x")
+    assert c.read_bytes("memory://exp/a") == b"x"
+    # public passthrough still works
+    assert s.list("memory://exp") == ["memory://exp/a"]
+    with pytest.raises(AttributeError):
+        s._no_such_private  # noqa: B018
