@@ -787,11 +787,30 @@ def rollback_to_snapshot(table: Table, snapshot_id: int,
     return table.refresh()
 
 
+def _orphan_norm(p: str) -> str:
+    """Canonical form for referenced-vs-listed path comparison: scheme
+    paths (memory://, s3://, …) compare verbatim; local paths drop a
+    ``file:`` prefix and absolutize."""
+    import re
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", p):
+        return p
+    return os.path.abspath(p.replace("file:", ""))
+
+
 def remove_orphan_files(table: Table, older_than_ms: int | None = None,
                         spark: SparkSession | None = None) -> list[str]:
     """Delete unreferenced files under ``<location>/data``; returns the
     deleted paths. Files with mtime >= older_than_ms (default: 3h ago)
-    are kept — they may belong to an uncommitted in-flight write."""
+    are kept — they may belong to an uncommitted in-flight write.
+
+    Listing and deletion route through the object-store layer
+    (``store_for``), so a table located on memory:// or s3:// sweeps
+    the same as a local one — the reference streams both through its
+    generic object store (iceberg-rust/src/table/mod.rs:374-408). A
+    store that cannot report mtime keeps the file (never deletes on
+    unknown age). Local tables keep the Spark-parallelized directory
+    walk for very wide layouts."""
+    from iceberg_rust_archive_spark.object_store import store_for
     from iceberg_rust_archive_spark.sources.manifests import (
         read_manifest_list, read_manifests,
     )
@@ -808,44 +827,60 @@ def remove_orphan_files(table: Table, older_than_ms: int | None = None,
                 [m.manifest_path
                  for m in read_manifest_list(snap.manifest_list)]):
             for e in entries:
-                referenced.add(os.path.abspath(
-                    e.data_file.file_path.replace("file:", "")))
-    data_dir = os.path.join(md.location, "data")
+                referenced.add(_orphan_norm(e.data_file.file_path))
+    remote = bool(__import__("re").match(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://", md.location)) \
+        and not md.location.startswith("file:")
     candidates: list[str] = []
-    dirs = [d for d, _, _ in os.walk(data_dir)] if os.path.isdir(data_dir) \
-        else []
-    if spark is not None and len(dirs) > PARALLEL_LIST_THRESHOLD:
-        listed = (spark.sparkContext.parallelize(dirs, min(len(dirs), 256))
-                  .flatMap(lambda d: [os.path.join(d, f)
-                                      for f in os.listdir(d)
-                                      if os.path.isfile(os.path.join(d, f))])
-                  .collect())
-        candidates = listed
+    if remote:
+        data_dir = md.location.rstrip("/") + "/data"
+        candidates = store_for(data_dir).list(data_dir)
     else:
-        for d in dirs:
-            for f in os.listdir(d):
-                p = os.path.join(d, f)
-                if os.path.isfile(p):
-                    candidates.append(p)
+        data_dir = os.path.join(md.location.replace("file:", ""), "data")
+        dirs = [d for d, _, _ in os.walk(data_dir)] \
+            if os.path.isdir(data_dir) else []
+        if spark is not None and len(dirs) > PARALLEL_LIST_THRESHOLD:
+            candidates = (
+                spark.sparkContext.parallelize(dirs, min(len(dirs), 256))
+                .flatMap(lambda d: [os.path.join(d, f)
+                                    for f in os.listdir(d)
+                                    if os.path.isfile(os.path.join(d, f))])
+                .collect())
+        else:
+            for d in dirs:
+                for f in os.listdir(d):
+                    p = os.path.join(d, f)
+                    if os.path.isfile(p):
+                        candidates.append(p)
     removed = []
     for p in candidates:
-        ap = os.path.abspath(p)
+        ap = _orphan_norm(p)
         if ap in referenced:
             continue
-        if os.path.getmtime(ap) * 1000 >= older_than_ms:
-            continue
+        try:
+            if store_for(ap).mtime_ms(ap) >= older_than_ms:
+                continue
+        except NotImplementedError:
+            continue  # unknown age → conservative keep
+        except FileNotFoundError:
+            continue  # raced away — already gone
         removed.append(ap)
     # concurrent deletes above a handful (the reference streams deletes
     # concurrently too, table/mod.rs:374-408): on object storage each
     # DELETE is an ~10ms round-trip — a 100k-orphan cleanup must not be
     # a 17-minute serial driver loop
+    def _rm(ap):
+        try:
+            store_for(ap).remove(ap)
+        except FileNotFoundError:
+            pass
     if len(removed) > 64:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=32) as ex:
-            list(ex.map(os.remove, removed))
+            list(ex.map(_rm, removed))
     else:
         for ap in removed:
-            os.remove(ap)
+            _rm(ap)
     return removed
 
 

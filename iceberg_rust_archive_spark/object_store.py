@@ -59,6 +59,13 @@ class ObjectStore(ABC):
         """Create iff absent; raise FileExistsError otherwise (the
         primitive behind the file catalog's commit lock)."""
 
+    def mtime_ms(self, path: str) -> float:
+        """Last-modified wall-clock milliseconds — the orphan sweep's
+        in-flight-write safety margin. Stores that cannot answer raise
+        NotImplementedError and the sweep conservatively KEEPS the
+        file (never deletes on unknown age)."""
+        raise NotImplementedError
+
 
 class LocalStore(ObjectStore):
     def read_bytes(self, path: str) -> bytes:
@@ -95,6 +102,9 @@ class LocalStore(ObjectStore):
         finally:
             os.close(fd)
 
+    def mtime_ms(self, path: str) -> float:
+        return os.path.getmtime(path) * 1000
+
 
 class MemoryStore(ObjectStore):
     """One shared in-process namespace (like the reference's
@@ -102,6 +112,7 @@ class MemoryStore(ObjectStore):
     catalog and a transaction built independently agree on state."""
 
     _objects: dict[str, bytes] = {}
+    _mtimes: dict[str, float] = {}
     _lock = threading.Lock()
 
     def read_bytes(self, path: str) -> bytes:
@@ -111,8 +122,10 @@ class MemoryStore(ObjectStore):
             raise FileNotFoundError(path) from None
 
     def write_bytes(self, path: str, data: bytes) -> None:
+        import time
         with self._lock:
             self._objects[path] = bytes(data)
+            self._mtimes[path] = time.time() * 1000
 
     def exists(self, path: str) -> bool:
         return path in self._objects
@@ -132,16 +145,27 @@ class MemoryStore(ObjectStore):
                       if k.startswith(p) or k == prefix)
 
     def create_exclusive(self, path: str, data: bytes = b"") -> None:
+        import time
         with self._lock:
             if path in self._objects:
                 raise FileExistsError(path)
             self._objects[path] = bytes(data)
+            self._mtimes[path] = time.time() * 1000
+
+    def mtime_ms(self, path: str) -> float:
+        try:
+            return self._mtimes[path]
+        except KeyError:
+            if path in self._objects:
+                return 0.0  # pre-tracking object: treat as old
+            raise FileNotFoundError(path) from None
 
     @classmethod
     def wipe(cls) -> None:
         """Test hook: drop every object."""
         with cls._lock:
             cls._objects.clear()
+            cls._mtimes.clear()
 
 
 class S3Store(ObjectStore):
@@ -196,6 +220,11 @@ class S3Store(ObjectStore):
             out.extend(f"s3://{b}/{o['Key']}"
                        for o in page.get("Contents", []))
         return sorted(out)
+
+    def mtime_ms(self, path: str) -> float:
+        b, k = self._parse(path)
+        lm = self.client.head_object(Bucket=b, Key=k)["LastModified"]
+        return lm.timestamp() * 1000
 
     def create_exclusive(self, path: str, data: bytes = b"") -> None:
         b, k = self._parse(path)
@@ -260,6 +289,9 @@ class ExpiringStore(ObjectStore):
 
     def create_exclusive(self, path: str, data: bytes = b"") -> None:
         self._delegate().create_exclusive(path, data)
+
+    def mtime_ms(self, path: str) -> float:
+        return self._delegate().mtime_ms(path)
 
     def __getattr__(self, name):
         # convenience passthrough (e.g. .client introspection). Never
