@@ -97,11 +97,11 @@ def dv_pairs_df(spark: SparkSession, dv_files: list,
         from iceberg_rust_archive_spark.sources.roaring import (
             deserialize_positions,
         )
-        pairs = []
+        pairs = set()
         for path, off, ln, ref in descs:
             blob = store_for(path).read_bytes(path)[off:off + ln]
-            pairs.extend((ref, p) for p in deserialize_positions(blob))
-        return spark.createDataFrame(pairs, schema)
+            pairs.update((ref, p) for p in deserialize_positions(blob))
+        return spark.createDataFrame(sorted(pairs), schema)
 
     def decode(it):
         from iceberg_rust_archive_spark.object_store import store_for
@@ -367,7 +367,15 @@ def scan(spark: SparkSession, md: TableMetadata,
     # The reference PANICS on this content type (datafusion_iceberg/src/
     # table.rs:422-425); Spark's _metadata.row_index virtual column makes
     # merge-on-read natural, so we support it as a parity superset.
-    has_pos = bool(pos_delete_entries) or expose_pos or with_row_id
+    # __fp/__pos also carry the equality-delete sequence tags (the
+    # per-file broadcast attach below joins on the normalized path);
+    # ORC files have no _metadata.row_index, so mixed/ORC tables tag
+    # sequence groups with literals instead
+    eq_tags_via_fp = bool(delete_entries) and all(
+        (e.data_file.file_format or "parquet").lower() == "parquet"
+        for e in data_entries)
+    has_pos = bool(pos_delete_entries) or expose_pos or with_row_id \
+        or eq_tags_via_fp
 
     # tables holding add_files-registered external files (no embedded
     # field ids) carry the name-mapping property → resolve BY NAME
@@ -450,133 +458,164 @@ def scan(spark: SparkSession, md: TableMetadata,
         pairs = parts[0]
         for p in parts[1:]:
             pairs = pairs.unionByName(p)
-        pairs = pairs.dropDuplicates(["__fp", "__pos"])
         del_bytes = sum(e.data_file.file_size_in_bytes or 0
                         for e in pos_delete_entries)
         if del_bytes <= 64 * 1024 * 1024:
+            # no dedup on the broadcast path: an anti-join's result is
+            # unaffected by duplicate build rows, and the dropDuplicates
+            # aggregate costs a shuffle that Catalyst REPLICATES into
+            # every union branch when it pushes the anti-join down
+            # (measured 3× per multi-stratum MoR scan). Overlap bloat
+            # is bounded by the ≤64 MB gate.
             pairs = F.broadcast(pairs)
+        else:
+            # large sets shuffle-anti-join; dedup first so the shuffle
+            # carries each killed (file, pos) once
+            pairs = pairs.dropDuplicates(["__fp", "__pos"])
         d = d.join(pairs, on=["__fp", "__pos"], how="left_anti")
         return d if (expose_pos or with_row_id) \
             else d.drop("__fp", "__pos")
 
+    # A5: equality-delete merge-on-read as ONE sequence-tagged pass.
+    # (Formerly a union of per-stratum join chains: plan size was
+    # O(strata × partitions), so a table carrying 100 DML commits of
+    # delete debt built a 100-branch join-laden union. Now it plans 2
+    # union branches — files old enough to be affected, files newer
+    # than every delete — plus ONE anti-join per distinct
+    # equality-column set, whatever the commit history.)
+    #
+    # Semantics preserved exactly (table.rs:498-531): an equality
+    # delete at sequence s kills rows of data files with sequence < s
+    # (strictly earlier), scoped to the delete file's partition tuple
+    # unless that tuple is all-NULL. NOTE the all-None tuple: the Avro
+    # manifest's r102 record is typed from the table spec, so a
+    # partition-LESS delete file ({} at write time) reads back as
+    # {field: None, ...} — treat it as global; the writer
+    # (sources/write.py) only scopes a delete when the partition
+    # source is among the equality columns, so an all-None scoped
+    # delete would restrict to null-source rows via the null-safe
+    # join anyway, and global application is the same row set.
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
 
-    def apply_eq_deletes(acc: DataFrame, deletes: list) -> DataFrame:
-        """Anti-join a batch of same-sequence equality-delete files onto
-        ``acc`` — ONE join per distinct equality-id set (a bulk delete
-        spanning thousands of files is one multi-path parquet relation,
-        not thousands of join nodes).
-
-        Iceberg semantics: equality deletes compare with *null-safe*
-        equality (a NULL in the delete row matches a NULL in the data
-        row), so the join condition is built from ``eqNullSafe`` — a
-        plain ``on=names`` anti-join would silently keep any matched
-        row containing a NULL (e.g. rows whose ALTER-TABLE-added
-        column is NULL when UPDATE deletes on all columns).
-        ``<=>`` is still an equi-join key for Spark, so broadcast /
-        shuffled hash joins apply unchanged."""
-        by_eq: dict[tuple, list] = defaultdict(list)
-        for de in deletes:
-            by_eq[tuple(de.data_file.equality_ids or ())].append(de)
-        for eq_ids, des in by_eq.items():
-            eq_fields = [schema.field_by_id(i) for i in eq_ids]
-            eq_names = [f.name for f in eq_fields if f is not None]
-            if not eq_names:
-                continue
-            del_schema = spark_schema_for(
-                schema.project(list(eq_ids)).struct)
-            del_df = (read_data_files(
-                          spark, del_schema,
-                          [(d.data_file.file_path, d.data_file.file_format)
-                           for d in des])
-                      .select(*[F.col(c).alias(f"__del_{c}")
-                                for c in eq_names]))
-            # broadcast only provably-small delete sets (the reference
-            # forces CollectLeft likewise, table.rs:631-641); a bulk
-            # delete falls back to a shuffle anti-join that scales
-            # with the delete set
-            if sum(d.data_file.file_size_in_bytes or 0
-                   for d in des) <= 64 * 1024 * 1024:
-                del_df = F.broadcast(del_df)
-            cond = None
-            for c in eq_names:
-                term = F.col(c).eqNullSafe(F.col(f"__del_{c}"))
-                cond = term if cond is None else (cond & term)
-            acc = acc.join(del_df, on=cond, how="left_anti")
-        return acc
-
-    def build_chain(by_seq: dict[int, dict[str, list]]) -> DataFrame | None:
-        """Sequence-ordered merge-on-read chain: deletes at seq s apply
-        to strictly-earlier data (table.rs:498-531)."""
-        acc: DataFrame | None = None
-        for seq in sorted(by_seq):
-            batch = by_seq[seq]
-            if acc is not None and batch["delete"]:
-                acc = apply_eq_deletes(acc, batch["delete"])
-            if batch["data"]:
-                d = read_data(batch["data"])
-                acc = d if acc is None else acc.unionByName(d)
-        return acc
-
-    # Deletes whose file carries NO partition tuple (the equality
-    # columns don't cover the partition source) apply GLOBALLY.  They
-    # are applied ONCE above a sequence-stratified union of all
-    # non-part-deleted data — plan size O(#global-strata), NOT
-    # O(partitions × deletes) as a per-partition fan-out would be
-    # (one MERGE on a non-partition key of a 10k-partition table must
-    # not build a 10k-branch plan).  Per-partition chains are kept
-    # only for partitions actually named by partition-scoped deletes;
-    # those chains interleave the globals by sequence as before.
-    # NOTE the all-None tuple: the Avro manifest's r102 record is typed
-    # from the table spec, so a partition-LESS delete file ({} at write
-    # time) reads back as {field: None, ...}.  Treat it as global too —
-    # the writer (sources/write.py) only scopes a delete when the
-    # partition source is among the equality columns, so an all-None
-    # scoped delete would mean every delete row has a null source value
-    # and the null-safe equality condition already restricts matches to
-    # those rows; applying it globally is the same row set.
     def _is_global(e):
         return all(v is None for v in e.data_file.partition.values())
 
-    global_deletes = [e for e in delete_entries if _is_global(e)]
-    part_deletes = [e for e in delete_entries if not _is_global(e)]
-    part_deleted = {pkey(e) for e in part_deletes}
-    plain_entries = [e for e in data_entries if pkey(e) not in part_deleted]
-
     parts: list[DataFrame] = []
-    if not global_deletes:
-        if plain_entries:
-            parts.append(read_data(plain_entries))
+    if not delete_entries:
+        if data_entries:
+            parts.append(read_data(data_entries))
     else:
-        # single stratified chain over all partition-less-delete data
-        strata: dict[int, dict[str, list]] = defaultdict(
-            lambda: {"data": [], "delete": []})
-        for e in plain_entries:
-            strata[e.sequence_number or 0]["data"].append(e)
-        for e in global_deletes:
-            strata[e.sequence_number or 0]["delete"].append(e)
-        acc = build_chain(strata)
-        if acc is not None:
-            parts.append(acc)
+        import re as _re2
+        max_del_seq = max(e.sequence_number or 0 for e in delete_entries)
+        affected = [e for e in data_entries
+                    if (e.sequence_number or 0) < max_del_seq]
+        clear = [e for e in data_entries
+                 if (e.sequence_number or 0) >= max_del_seq]
+        any_scoped = any(not _is_global(e) for e in delete_entries)
+        if affected:
+            if eq_tags_via_fp:
+                d = read_data(affected)
+                # per-file (sequence, partition-key) tags via ONE
+                # broadcast hash join on the normalized path — one row
+                # per planned FILE, never per data row (the same shape
+                # as the v3 row-lineage attach below). Bounded by the
+                # planned-file count under live delete debt, which
+                # compaction keeps far below broadcast limits.
+                from pyspark.sql.types import (
+                    LongType, StringType, StructField, StructType,
+                )
+                tag_fields = [StructField("__fp", StringType()),
+                              StructField("__dseq", LongType())]
+                if any_scoped:
+                    tag_fields.append(StructField("__pk", StringType()))
+                tag_rows = []
+                for e in affected:
+                    row = [_re2.sub(r"^file:/+", "/",
+                                    e.data_file.file_path),
+                           e.sequence_number or 0]
+                    if any_scoped:
+                        row.append(pkey(e))
+                    tag_rows.append(tuple(row))
+                tags = spark.createDataFrame(tag_rows,
+                                             StructType(tag_fields))
+                d = d.join(F.broadcast(tags), on="__fp", how="inner")
+            else:
+                # ORC/mixed formats: one lit-tagged relation per
+                # distinct (sequence, partition) group — branch count
+                # bounded by distinct delete-relevant groups
+                grp: dict[tuple, list] = defaultdict(list)
+                for e in affected:
+                    grp[((e.sequence_number or 0),
+                         pkey(e) if any_scoped else None)].append(e)
+                subparts = []
+                for (dseq, pk), es in grp.items():
+                    r = read_data(es).withColumn("__dseq", F.lit(dseq))
+                    if any_scoped:
+                        r = r.withColumn("__pk",
+                                         F.lit(pk).cast("string"))
+                    subparts.append(r)
+                d = subparts[0]
+                for r in subparts[1:]:
+                    d = d.unionByName(r)
 
-    # A5: per-partition sequence-ordered equality-delete merge-on-read
-    # (partition-scoped deletes only; globals interleaved per chain)
-    groups: dict[str, dict[int, dict[str, list]]] = defaultdict(
-        lambda: defaultdict(lambda: {"data": [], "delete": []}))
-    for e in data_entries:
-        if pkey(e) in part_deleted:
-            groups[pkey(e)][e.sequence_number or 0]["data"].append(e)
-    for e in part_deletes:
-        groups[pkey(e)][e.sequence_number or 0]["delete"].append(e)
-    for e in global_deletes:
-        for pk in part_deleted:
-            groups[pk][e.sequence_number or 0]["delete"].append(e)
-
-    for _key, by_seq in groups.items():
-        acc = build_chain(by_seq)
-        if acc is not None:
-            parts.append(acc)
+            # one anti-join per distinct equality-id set: the build
+            # side unions that set's delete files, each tagged with
+            # its own (sequence, scope). eqNullSafe keys keep it an
+            # equi hash join — Iceberg equality deletes compare with
+            # *null-safe* equality (a NULL in the delete row matches a
+            # NULL in the data row), so a plain ``on=names`` anti-join
+            # would silently keep matched rows containing NULLs — and
+            # the sequence/scope comparisons ride along as residual
+            # join conditions. Broadcast only provably-small delete
+            # sets (the reference forces CollectLeft likewise,
+            # table.rs:631-641); a bulk delete falls back to a shuffle
+            # anti-join that scales with the delete set.
+            by_eq: dict[tuple, list] = defaultdict(list)
+            for de in delete_entries:
+                by_eq[tuple(de.data_file.equality_ids or ())].append(de)
+            for eq_ids, des in by_eq.items():
+                eq_fields = [schema.field_by_id(i) for i in eq_ids]
+                eq_names = [f.name for f in eq_fields if f is not None]
+                if not eq_names:
+                    continue
+                del_schema = spark_schema_for(
+                    schema.project(list(eq_ids)).struct)
+                del_groups: dict[tuple, list] = defaultdict(list)
+                for de in des:
+                    scope = None if _is_global(de) else pkey(de)
+                    del_groups[(de.sequence_number or 0, scope)].append(de)
+                rels = []
+                for (dseq, scope), dgrp in del_groups.items():
+                    r = read_data_files(
+                        spark, del_schema,
+                        [(g.data_file.file_path, g.data_file.file_format)
+                         for g in dgrp]
+                    ).select(*[F.col(c).alias(f"__del_{c}")
+                               for c in eq_names])
+                    r = r.withColumn("__del_seq", F.lit(dseq))
+                    if any_scoped:
+                        r = r.withColumn("__del_pk",
+                                         F.lit(scope).cast("string"))
+                    rels.append(r)
+                del_df = rels[0]
+                for r in rels[1:]:
+                    del_df = del_df.unionByName(r)
+                if sum(g.data_file.file_size_in_bytes or 0
+                       for g in des) <= 64 * 1024 * 1024:
+                    del_df = F.broadcast(del_df)
+                cond = F.col("__dseq") < F.col("__del_seq")
+                if any_scoped:
+                    cond = cond & (F.col("__del_pk").isNull()
+                                   | (F.col("__del_pk") == F.col("__pk")))
+                for c in eq_names:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+                d = d.join(del_df, on=cond, how="left_anti")
+            d = d.drop("__dseq", "__pk") if any_scoped \
+                else d.drop("__dseq")
+            parts.append(d)
+        if clear:
+            parts.append(read_data(clear))
 
     if not parts:
         df = spark.createDataFrame([], spark_schema)
@@ -590,6 +629,9 @@ def scan(spark: SparkSession, md: TableMetadata,
             df = df.unionByName(p)
         if pos_delete_entries:
             df = apply_pos_deletes(df)
+        elif has_pos and not (expose_pos or with_row_id):
+            # __fp/__pos existed only to carry the sequence tags
+            df = df.drop("__fp", "__pos")
 
     if with_row_id:
         # v3 row lineage: one (path, first-row-id, data-sequence) row

@@ -79,6 +79,12 @@ from iceberg_rust_archive_spark.spec.view_metadata import (
 )
 from iceberg_rust_archive_spark.table import Table
 
+# MERGE caches its target's merge-on-read resolution only below this
+# many rows (snapshot-summary total-records): small targets pay one
+# materialization instead of one chain replay per consumer, while a
+# large table never attempts a whole-table cache.
+_MERGE_TARGET_CACHE_MAX_ROWS = 20_000_000
+
 _TYPE_MAP = {
     "bigint": "long", "long": "long", "int": "int", "integer": "int",
     "smallint": "int", "tinyint": "int", "string": "string",
@@ -593,11 +599,21 @@ class Engine:
             salias = (parts[-1] if len(parts) > 1
                       and parts[-1].lower() != "as" else "s")
         # the target is consumed TWICE (matched join + NOT MATCHED
-        # anti-join) and by this point in a DML session its scan may be
-        # a multi-stratum merge-on-read chain — cache one materialized
-        # pass for the statement's duration instead of replaying the
-        # chain per consumer
-        tgt = self._run_select(f"SELECT * FROM {identifier}").cache()
+        # anti-join) and by this point in a DML session its scan may
+        # be a multi-stratum merge-on-read chain. Cache ONE
+        # materialized pass only while the table provably fits
+        # (total-records from the snapshot summary — the A9 stats
+        # surface); at scale the target is the whole table and
+        # caching 100 TB is not a plan, so large targets replay the
+        # chain per consumer instead (the NOT MATCHED replay is
+        # key-projected so column pruning reaches every scan)
+        snap = t.metadata.current_snapshot()
+        total_rows = int(((snap.summary if snap else None) or {})
+                         .get("total-records", 1 << 62))
+        cache_tgt = total_rows <= _MERGE_TARGET_CACHE_MAX_ROWS
+        tgt = self._run_select(f"SELECT * FROM {identifier}")
+        if cache_tgt:
+            tgt = tgt.cache()
         tgt.createOrReplaceTempView("__merge_tgt")
         sdf.createOrReplaceTempView("__merge_src")
 
@@ -713,9 +729,14 @@ class Engine:
             proj = ", ".join(
                 "CASE " + " ".join(col_cases[c])
                 + " ELSE NULL END AS " + c for c in cols)
+            # NOT MATCHED existence test needs only the target's join
+            # keys — against the cache that's free, and on the
+            # uncached (large-table) path it lets column pruning
+            # reach every scan of the chain replay
+            tgt.select(*keys).createOrReplaceTempView("__merge_tgt_keys")
             inserts = self.spark.sql(
                 f"SELECT {act} AS __act, {proj} FROM __merge_src {salias} "
-                f"LEFT ANTI JOIN __merge_tgt {talias} ON {on}"
+                f"LEFT ANTI JOIN __merge_tgt_keys {talias} ON {on}"
             ).filter(F.col("__act") >= 0).select(*cols)
             data_parts.append(inserts)
 
@@ -745,7 +766,8 @@ class Engine:
             txn.commit_with_retry(
                 lambda x: x.append_delete_files(del_files)
                 .append_files(data_files))
-        tgt.unpersist()
+        if cache_tgt:
+            tgt.unpersist()
 
     def _alter_table_sql(self, identifier: str, action: str) -> None:
         """ALTER TABLE surface over the evolution transactions
