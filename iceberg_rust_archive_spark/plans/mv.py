@@ -601,12 +601,16 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             outer_of, ubranches, ubparses, outer_rels = union_ctx
             src_by_name = {s.name.lower(): s for s in sources}
             outer_srcs = [src_by_name[r.lower()] for r in outer_rels]
-            for b_sql, pb in zip(ubranches, ubparses):
+            amap, ub_aliased = _union_name_split(ubranches, ubparses,
+                                                 outer_rels)
+            for b_sql, pb in zip(ub_aliased, ubparses):
                 bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
                 for i, src in enumerate(bsrcs):
                     if src.fresh:
                         continue
                     bindings, wnames = changelog_bindings(bsrcs, i)
+                    bindings = {amap.get(k.lower(), k): v
+                                for k, v in bindings.items()}
                     for od in outer_srcs:
                         bindings[od.name] = od.table.scan(
                             spark, snapshot_id=od.old_snapshot_id)
@@ -616,14 +620,16 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                     cpasses.append(bind_and_run(bindings, wsql))
             union_names = {nm.lower() for pb in ubparses
                            for nm in pb.relations}
+            outer_sql = outer_of(" UNION ALL ".join(ub_aliased)) \
+                if amap else run_sql
             for j, src in enumerate(outer_srcs):
                 if src.fresh:
                     continue
                 bindings, wnames = changelog_bindings(outer_srcs, j)
                 for nm in union_names:
-                    bindings[src_by_name[nm].name] = \
+                    bindings[amap.get(nm, src_by_name[nm].name)] = \
                         src_by_name[nm].table.scan(spark)
-                wsql = _weighted_sql(parsed, run_sql,
+                wsql = _weighted_sql(parsed, outer_sql,
                                      " * ".join(wnames))
                 cpasses.append(bind_and_run(bindings, wsql))
         else:
@@ -660,21 +666,24 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             outer_of, ubranches, ubparses, outer_rels = union_ctx
             src_by_name = {s.name.lower(): s for s in sources}
             outer_srcs = [src_by_name[r.lower()] for r in outer_rels]
-            for b_sql, pb in zip(ubranches, ubparses):
+            amap, ub_aliased = _union_name_split(ubranches, ubparses,
+                                                 outer_rels)
+            for b_sql, pb in zip(ub_aliased, ubparses):
                 bsrcs = [src_by_name[nm.lower()] for nm in pb.relations]
                 for i, src in enumerate(bsrcs):
                     if src.fresh:
                         continue
                     bindings = {}
                     for j, other in enumerate(bsrcs):
+                        key = amap.get(other.name.lower(), other.name)
                         if other.name == src.name:
-                            bindings[other.name] = other.table.scan(
+                            bindings[key] = other.table.scan(
                                 spark,
                                 from_snapshot_id=other.old_snapshot_id)
                         elif j < i:
-                            bindings[other.name] = other.table.scan(spark)
+                            bindings[key] = other.table.scan(spark)
                         else:
-                            bindings[other.name] = other.table.scan(
+                            bindings[key] = other.table.scan(
                                 spark, snapshot_id=other.old_snapshot_id)
                     for od in outer_srcs:
                         bindings[od.name] = od.table.scan(
@@ -683,10 +692,12 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                                                outer_of(b_sql)))
             union_names = {nm.lower() for pb in ubparses
                            for nm in pb.relations}
+            outer_sql = outer_of(" UNION ALL ".join(ub_aliased)) \
+                if amap else None
             for j, src in enumerate(outer_srcs):
                 if src.fresh:
                     continue
-                bindings = {src_by_name[nm].name:
+                bindings = {amap.get(nm, src_by_name[nm].name):
                             src_by_name[nm].table.scan(spark)
                             for nm in union_names}
                 for k, other in enumerate(outer_srcs):
@@ -699,7 +710,7 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                     else:
                         bindings[other.name] = other.table.scan(
                             spark, snapshot_id=other.old_snapshot_id)
-                passes.append(bind_and_run(bindings))
+                passes.append(bind_and_run(bindings, outer_sql))
         else:
             for i, src in enumerate(sources):
                 if src.fresh:
@@ -812,6 +823,23 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     return strategy
 
 
+def _union_name_split(ubranches, ubparses, outer_rels):
+    """Alias union-internal occurrences of tables that ALSO appear in
+    the outer join (the reference's transform_down rebinds each
+    occurrence independently, delta_queries/transform.rs:381-479):
+    pass bindings are by name, so without the split one name would
+    have to carry two snapshot states in a single pass — e.g. the
+    branch δ-pass needs the inner occurrence at δ while the outer
+    occurrence stays OLD. Returns ``(alias_map, aliased_branches)``;
+    the map is empty (branches unchanged) when there is no overlap."""
+    inner = {nm.lower() for pb in ubparses for nm in pb.relations}
+    overlap = inner & {r.lower() for r in outer_rels}
+    if not overlap:
+        return {}, list(ubranches)
+    amap = {nm: "__usplit_" + re.sub(r"\W", "_", nm) for nm in overlap}
+    return amap, [rewrite_relations(b, amap) for b in ubranches]
+
+
 _RESERVED_AFTER_SUBQUERY = {"where", "group", "having", "order", "limit",
                             "union", "join", "on"}
 
@@ -887,22 +915,13 @@ def _union_subquery_plan(run_sql: str):
     rest2 = rest
     if am and am.group(1).lower() not in _RESERVED_AFTER_SUBQUERY:
         rest2 = rest[am.end():]
-    if re.search(r"\bjoin\b", rest2, re.IGNORECASE):
-        # subquery JOINed with further relations (reference:
-        # transform_down propagates δ through Join∘Union,
-        # delta_queries/transform.rs:381-479). The union acts as ONE
-        # relation in the outer triangular binding — legal as long as
-        # no table appears BOTH inside the union and in the outer
-        # join (bindings are by name, so one name can't carry two
-        # snapshot states in the same pass).
-        from iceberg_rust_archive_spark.plans.sqlparse import (
-            find_relations,
-        )
-        inner_names = {nm.lower() for pb in branch_parses
-                       for nm in pb.relations}
-        if any(r.lower() in inner_names
-               for r in find_relations(rest2)):
-            return None
+    # subquery JOINed with further relations (reference: transform_down
+    # propagates δ through Join∘Union, delta_queries/transform.rs:
+    # 381-479). The union acts as ONE relation in the outer triangular
+    # binding; a table appearing BOTH inside the union and in the
+    # outer join is handled by the pass machinery's name-split (the
+    # union-internal occurrence is aliased per pass so one name never
+    # carries two snapshot states).
     synthetic = text[:from_at] + "FROM __union_src " + rest2
     outer_of = (lambda b_sql, _t=text, _j=j, _k=k:
                 _t[:_j + 1] + " " + b_sql + " " + _t[_k:])

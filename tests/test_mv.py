@@ -1124,3 +1124,71 @@ def test_sql_count_star_metadata_route(engine):
     engine.sql("CREATE VIEW db.ov AS SELECT * FROM db.orders")
     assert engine.sql(
         "SELECT count(*) FROM db.ov").collect()[0][0] == 2
+
+
+def test_union_subquery_join_overlapping_table_incremental(engine):
+    """A table appearing BOTH inside a union branch AND in the outer
+    join — formerly a documented FULL-recompute guard. The per-pass
+    name-split (plans/mv.py _union_name_split) aliases the
+    union-internal occurrence so one name never carries two snapshot
+    states in a single pass, matching the reference's transform_down
+    which rebinds each occurrence independently
+    (delta_queries/transform.rs:381-479)."""
+    engine.sql("CREATE TABLE db.facts0 (k BIGINT NOT NULL, v INT)")
+    engine.sql("INSERT INTO db.facts0 VALUES (1,10),(2,20)")
+    engine.sql("CREATE TABLE db.dimo (k BIGINT NOT NULL, grp VARCHAR, "
+               "v INT)")
+    engine.sql("INSERT INTO db.dimo VALUES (1,'a',1),(2,'b',2)")
+    inner = ("SELECT k, v FROM db.facts0 "
+             "UNION ALL SELECT k, v FROM db.dimo")
+    mv_sql = (f"SELECT u.k, d.grp, u.v FROM ( {inner} ) u "
+              f"JOIN db.dimo d ON u.k = d.k")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.olmv AS {mv_sql}")
+
+    def multiset(q):
+        return sorted(tuple(r) for r in engine.sql(q).collect())
+
+    assert engine.refresh_materialized_view("db.olmv") == FULL
+    assert multiset("SELECT * FROM db.olmv") == multiset(mv_sql)
+
+    # both a plain branch source and the overlapping table grow: the
+    # branch delta-passes need the INNER dimo occurrence at delta/old
+    # while the OUTER occurrence stays per-triangle, and the outer
+    # pass joins the full union at NEW against dimo's delta only
+    engine.sql("INSERT INTO db.facts0 VALUES (3,30)")
+    engine.sql("INSERT INTO db.dimo VALUES (3,'c',3)")
+    assert engine.refresh_materialized_view("db.olmv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.olmv") == multiset(mv_sql)
+
+    # only the overlapping table grows
+    engine.sql("INSERT INTO db.dimo VALUES (4,'d',4)")
+    assert engine.refresh_materialized_view("db.olmv") == INCR_APPEND
+    assert multiset("SELECT * FROM db.olmv") == multiset(mv_sql)
+    assert engine.refresh_materialized_view("db.olmv") == "Fresh"
+
+    # aggregate form, including retraction through the overlap
+    from iceberg_rust_archive_spark.plans.mv import CHANGELOG_AGG
+    mv2 = (f"SELECT d.grp, count(*) AS n, sum(u.v) AS sv "
+           f"FROM ( {inner} ) u JOIN db.dimo d ON u.k = d.k "
+           f"GROUP BY d.grp")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.olamv AS {mv2}")
+
+    def agg_got():
+        return {r["grp"]: (r["n"], r["sv"]) for r in
+                engine.sql("SELECT * FROM db.olamv").collect()}
+
+    def agg_want():
+        return {r[0]: (r[1], r[2]) for r in engine.sql(mv2).collect()}
+
+    assert engine.refresh_materialized_view("db.olamv") == FULL
+    assert agg_got() == agg_want()
+    engine.sql("INSERT INTO db.dimo VALUES (5,'e',5)")
+    engine.sql("INSERT INTO db.facts0 VALUES (5,50)")
+    assert engine.refresh_materialized_view("db.olamv") == INCR_AGG
+    assert agg_got() == agg_want()
+    # a DELETE of the overlapping table retracts through BOTH
+    # occurrences (signed changelog weights per pass)
+    engine.sql("DELETE FROM db.dimo WHERE k = 1")
+    assert engine.refresh_materialized_view("db.olamv") == CHANGELOG_AGG
+    assert agg_got() == agg_want()
+    assert "a" not in agg_got()
