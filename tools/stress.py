@@ -610,6 +610,7 @@ if __name__ == "__main__":
     q21_shape(spark, sf_dir, amp)
     rewrite_partition_scale(spark, sf_dir, amp)
     multi_table_txn_scale(spark, sf_dir, amp)
+    stream_initial_mor_scale(spark, sf_dir, amp)
 
 
 def rewrite_partition_scale(spark, sf_dir: str, amp: int):
@@ -733,3 +734,82 @@ def multi_table_txn_scale(spark, sf_dir: str, amp: int):
     assert n_rows == 5000 + 500 + 500 + 500 + 100, n_rows
     print(f"multi-table conflict-retry ({n_tables} tables, 1 racing "
           f"append): {retry:.2f}s, no lost commits")
+
+
+def stream_initial_mor_scale(spark, sf_dir: str, amp: int):
+    """Streaming initial-batch probe (r10 verdict next #6): a table at
+    amp× with a proportionally large equality-delete set. Measures
+    (a) driver wall time to resolve the initial merge-on-read plan
+    (_initial_partitions — reads every live delete file), (b) the
+    summed pickled partition payload, i.e. what rides to executors
+    (each affected file's partition carries the eq row set), and
+    (c) that the plan-time byte gate refuses an oversize set loudly.
+    The 100 TB property: resolution cost is O(delete bytes) on the
+    driver and payload is O(files × delete rows) — bounded because
+    the gate caps delete bytes at the batch scan's broadcast bound."""
+    import pickle
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.streaming.source import (
+        _IcebergStreamReader,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "o_orderkey", "long", True),
+        NestedField(2, "o_totalprice", "double", True))))
+    with tempfile.TemporaryDirectory() as d:
+        cat = FileCatalog(d)
+        t = Table.create(cat, "db.sim", schema, PartitionSpec(0, ()))
+        src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+               .select("o_orderkey", "o_totalprice"))
+        reps = spark.range(amp).withColumnRenamed("id", "_r")
+        big = (src.crossJoin(F.broadcast(reps))
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.col("_r") * 10_000_000)
+               .drop("_r").repartition(32))
+        t.append(spark, big)
+        n = big.count()
+        # ~5% equality-deleted — delete bytes scale with amp
+        dels = big.filter(F.col("o_orderkey") % 20 == 3) \
+            .select("o_orderkey")
+        t = t.delete_where_equal(spark, dels, ["o_orderkey"])
+        n_del = dels.count()
+
+        opts = {"catalog_root": d, "identifier": "db.sim"}
+        reader = _IcebergStreamReader(opts,
+                                      ["o_orderkey", "o_totalprice"])
+        end = reader.latestOffset()
+        t0 = _t.perf_counter()
+        parts = reader.partitions(reader.initialOffset(), end)
+        plan_s = _t.perf_counter() - t0
+        payload = sum(len(pickle.dumps(p)) for p in parts)
+        del_bytes = sum(
+            e.data_file.file_size_in_bytes or 0
+            for m in __import__(
+                "iceberg_rust_archive_spark.sources.manifests",
+                fromlist=["read_manifest_list"]).read_manifest_list(
+                t.metadata.current_snapshot().manifest_list)
+            for e in __import__(
+                "iceberg_rust_archive_spark.sources.manifests",
+                fromlist=["read_manifest"]).read_manifest(m.manifest_path)
+            if e.data_file.content == 2)
+
+        gated = _IcebergStreamReader(
+            {**opts, "initial_delete_gate_bytes": "1024"},
+            ["o_orderkey", "o_totalprice"])
+        gated.latestOffset()
+        try:
+            gated.partitions(gated.initialOffset(), end)
+            gate = "DID NOT TRIGGER (BUG)"
+        except ValueError as e:
+            gate = "refused: " + str(e)[:60]
+        print(f"stream_initial_mor @ {amp}x: {n} rows, {n_del} deleted "
+              f"({del_bytes} delete bytes) → {len(parts)} partitions, "
+              f"plan={plan_s:.2f}s payload={payload / 1e6:.1f} MB; "
+              f"1KB gate {gate}")
