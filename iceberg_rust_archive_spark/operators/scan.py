@@ -4,10 +4,14 @@ Pipeline (mirrors datafusion_iceberg/src/table.rs:265-728):
 1. resolve snapshot (branch / snapshot-id / as-of-timestamp / seq range),
 2. read the manifest list; partition-level pruning on FieldSummary bounds,
 3. read surviving manifests; file-level pruning on column min/max + nulls,
-4. split data vs equality-delete files; partitions **without** deletes
+4. split data vs equality-delete files; files newer than every delete
    become one bulk ``spark.read.parquet(*files)`` (the delete-free
-   FileScanConfig, table.rs:694-727), partitions with deletes build a
-   sequence-ordered anti-join chain (A5, join at table.rs:631-641),
+   FileScanConfig, table.rs:694-727), older files take ONE
+   sequence-tagged pass — per-file (sequence, partition) tags via a
+   broadcast path join, then one anti-join per distinct
+   equality-column set with the sequence/scope comparisons as
+   residual join conditions (A5 semantics of table.rs:498-531,631-641
+   with plan size O(#column-sets), not O(strata × partitions)),
 5. residual filter re-applied above the scan (inexact semantics, A7) and
    projection pushed into Spark (A6 — Catalyst prunes parquet columns).
 
@@ -513,15 +517,27 @@ def scan(spark: SparkSession, md: TableMetadata,
         clear = [e for e in data_entries
                  if (e.sequence_number or 0) >= max_del_seq]
         any_scoped = any(not _is_global(e) for e in delete_entries)
+        # per-file (sequence, partition-key) tags keyed by normalized
+        # path; a path planned twice with CONFLICTING tags (same file
+        # registered under two entries) would fan rows out through the
+        # tag join, so that degenerate case takes the lit-tag branch
+        tag_map: dict[str, tuple] = {}
+        tag_conflict = False
+        for e in affected:
+            fp = _re2.sub(r"^file:/+", "/", e.data_file.file_path)
+            val = (e.sequence_number or 0,
+                   pkey(e) if any_scoped else None)
+            if tag_map.setdefault(fp, val) != val:
+                tag_conflict = True
         if affected:
-            if eq_tags_via_fp:
+            if eq_tags_via_fp and not tag_conflict:
                 d = read_data(affected)
-                # per-file (sequence, partition-key) tags via ONE
-                # broadcast hash join on the normalized path — one row
-                # per planned FILE, never per data row (the same shape
-                # as the v3 row-lineage attach below). Bounded by the
-                # planned-file count under live delete debt, which
-                # compaction keeps far below broadcast limits.
+                # tags attach via ONE broadcast hash join on the
+                # normalized path — one row per planned FILE, never
+                # per data row (the same shape as the v3 row-lineage
+                # attach below). Bounded by the planned-file count
+                # under live delete debt, which compaction keeps far
+                # below broadcast limits.
                 from pyspark.sql.types import (
                     LongType, StringType, StructField, StructType,
                 )
@@ -529,14 +545,9 @@ def scan(spark: SparkSession, md: TableMetadata,
                               StructField("__dseq", LongType())]
                 if any_scoped:
                     tag_fields.append(StructField("__pk", StringType()))
-                tag_rows = []
-                for e in affected:
-                    row = [_re2.sub(r"^file:/+", "/",
-                                    e.data_file.file_path),
-                           e.sequence_number or 0]
-                    if any_scoped:
-                        row.append(pkey(e))
-                    tag_rows.append(tuple(row))
+                tag_rows = [
+                    (fp, seq, pk) if any_scoped else (fp, seq)
+                    for fp, (seq, pk) in tag_map.items()]
                 tags = spark.createDataFrame(tag_rows,
                                              StructType(tag_fields))
                 d = d.join(F.broadcast(tags), on="__fp", how="inner")
