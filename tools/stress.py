@@ -611,6 +611,7 @@ if __name__ == "__main__":
     rewrite_partition_scale(spark, sf_dir, amp)
     multi_table_txn_scale(spark, sf_dir, amp)
     stream_initial_mor_scale(spark, sf_dir, amp)
+    mor_commit_depth(spark, sf_dir)
 
 
 def rewrite_partition_scale(spark, sf_dir: str, amp: int):
@@ -813,3 +814,46 @@ def stream_initial_mor_scale(spark, sf_dir: str, amp: int):
               f"({del_bytes} delete bytes) → {len(parts)} partitions, "
               f"plan={plan_s:.2f}s payload={payload / 1e6:.1f} MB; "
               f"1KB gate {gate}")
+
+
+def mor_commit_depth(spark, sf_dir: str, n_commits: int = 24):
+    """r11 probe for the single-pass merge-on-read rewrite: as DML
+    commit history deepens (append + equality-delete per round), the
+    scan plan must stay O(#distinct equality-column sets) — the former
+    per-stratum chain built one join-laden union branch per commit.
+    Reports the optimized plan's LeftAnti join count and scan wall
+    time at depth n_commits."""
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", True))))
+    with tempfile.TemporaryDirectory() as d:
+        cat = FileCatalog(d)
+        t = Table.create(cat, "db.depth", schema, PartitionSpec(0, ()))
+        for i in range(n_commits):
+            rows = [(i * 100 + j, j) for j in range(50)]
+            t = t.append(spark, spark.createDataFrame(rows, ["k", "v"]))
+            dels = spark.createDataFrame([(i * 100 + j,)
+                                          for j in range(0, 50, 7)],
+                                         ["k"])
+            t = t.delete_where_equal(spark, dels, ["k"])
+        df = t.scan(spark)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        anti = plan.count("LeftAnti")
+        unions = plan.count("Union")
+        t0 = _t.perf_counter()
+        n = df.count()
+        scan_s = _t.perf_counter() - t0
+        expect = n_commits * 50 - n_commits * len(range(0, 50, 7))
+        assert n == expect, (n, expect)
+        print(f"mor_commit_depth @ {n_commits} commits: "
+              f"{anti} anti-joins, {unions} union nodes in the "
+              f"optimized plan, scan={scan_s:.2f}s, {n} rows")
