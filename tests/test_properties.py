@@ -598,3 +598,144 @@ def test_changelog_matches_model(spark, tmp_path_factory, ops):
     got_rows = Counter((r["k"], r["v"])
                        for r in t.scan(spark).collect())
     assert got_rows == state
+
+
+# --- pruning soundness (r11: parsed-literal type gate) ---------------------
+
+_PRUNE_COLS = [("s", 1, "string"), ("i", 2, "long")]
+
+
+def _prune_lit():
+    # literals INCLUDING the parser-skew shapes: numeric-looking
+    # strings and ints against either column
+    return st.one_of(
+        st.integers(-5, 20005),
+        st.text(alphabet="0123456789ab", min_size=1, max_size=5),
+    )
+
+
+def _prune_pred():
+    return st.tuples(st.sampled_from(["s", "i"]),
+                     st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+                     st.lists(_prune_lit(), min_size=1, max_size=3))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    files=st.lists(st.lists(st.tuples(
+        st.one_of(st.none(), st.text(alphabet="0123456789ab",
+                                     min_size=1, max_size=5)),
+        st.one_of(st.none(), st.integers(-5, 20005))),
+        min_size=1, max_size=5), min_size=1, max_size=4),
+    preds=st.lists(_prune_pred(), min_size=1, max_size=3),
+    transform=st.sampled_from(["identity", "bucket[8]", "truncate[2]"]),
+)
+def test_pruning_soundness_vs_row_eval(files, preds, transform):
+    """Pruning may never drop a file that CONTAINS a matching row —
+    for any mix of literal types (including the pyspark-Column parser
+    skew of r11: int literals against string columns and vice versa),
+    bounds pruning, exact-partition-value pruning, and manifest
+    FieldSummary pruning must all keep every file holding a row that
+    satisfies the conjunction. Matching follows SQL comparison
+    semantics (incomparable types / NULLs never match)."""
+    from iceberg_rust_archive_spark.functions.transforms import (
+        transform_value,
+    )
+    from iceberg_rust_archive_spark.predicates import (
+        Pred, prune_datafiles, prune_manifests,
+    )
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionField, PartitionSpec, Schema,
+        StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import (
+        DataFile, FieldSummary, ManifestListEntry,
+    )
+
+    schema = Schema(0, StructTypeSpec(tuple(
+        NestedField(fid, name, typ, True)
+        for name, fid, typ in _PRUNE_COLS)))
+    # partition on the string column under the drawn transform
+    spec = PartitionSpec(0, (PartitionField(1, 1000, "p", transform),))
+
+    plist = []
+    for rows in files:
+        svals = [r[0] for r in rows]
+        ivals = [r[1] for r in rows]
+        sv = [v for v in svals if v is not None]
+        iv = [v for v in ivals if v is not None]
+        # single-partition files: every row's transformed s must agree
+        # for the partition tuple to exist — emulate by taking the
+        # FIRST row's transform (files whose rows straddle partitions
+        # don't occur in real layouts; pruning only sees the tuple)
+        try:
+            pv = transform_value(transform, sv[0], "string") if sv \
+                else None
+        except (TypeError, ValueError):
+            pv = None
+        plist.append(DataFile(
+            0, f"/f{len(plist)}.parquet", "parquet", {"p": pv},
+            len(rows), 1,
+            value_counts={1: len(rows), 2: len(rows)},
+            null_value_counts={1: len(svals) - len(sv),
+                               2: len(ivals) - len(iv)},
+            lower_bounds={**({1: min(sv)} if sv else {}),
+                          **({2: min(iv)} if iv else {})},
+            upper_bounds={**({1: max(sv)} if sv else {}),
+                          **({2: max(iv)} if iv else {})}))
+
+    pred_objs = []
+    for col, op, lits in preds:
+        if op == "in":
+            pred_objs.append(Pred(col, "in", tuple(lits)))
+        else:
+            pred_objs.append(Pred(col, op, lits[0]))
+
+    def row_matches(row):
+        vals = {"s": row[0], "i": row[1]}
+        for p in pred_objs:
+            v = vals[p.column]
+            if v is None:
+                return False
+            try:
+                if p.op == "=":
+                    ok = v == p.value
+                elif p.op == "in":
+                    ok = any(v == x for x in p.value)
+                elif p.op == "<":
+                    ok = v < p.value
+                elif p.op == "<=":
+                    ok = v <= p.value
+                elif p.op == ">":
+                    ok = v > p.value
+                else:
+                    ok = v >= p.value
+            except TypeError:
+                return False  # SQL: cross-type comparison never matches
+            if not ok:
+                return False
+        return True
+
+    must_keep = {f.file_path for f, rows in zip(plist, files)
+                 if any(row_matches(r) for r in rows)}
+
+    kept = {f.file_path
+            for f in prune_datafiles(pred_objs, schema, plist, spec)}
+    assert must_keep <= kept, (must_keep - kept, pred_objs, files)
+
+    # manifest-level: ONE manifest whose FieldSummary covers all files
+    pvs = [f.partition["p"] for f in plist if f.partition["p"] is not None]
+    comparable = pvs and all(type(v) is type(pvs[0]) for v in pvs)
+    summary = FieldSummary(
+        contains_null=any(f.partition["p"] is None for f in plist),
+        contains_nan=False,
+        lower_bound=min(pvs) if comparable else None,
+        upper_bound=max(pvs) if comparable else None)
+    mle = ManifestListEntry(
+        "m.avro", 1, 0, 0, 1, 0, 1,
+        added_files_count=len(plist),
+        added_rows_count=sum(f.record_count for f in plist),
+        partitions=(summary,))
+    surviving = prune_manifests(pred_objs, spec, schema, [mle])
+    if must_keep:
+        assert surviving, (pred_objs, files)
