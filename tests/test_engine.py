@@ -3382,3 +3382,33 @@ def test_delete_where_pos_replans_after_racing_compaction(
     assert state["fired"]
     assert sorted(r.id for r in t2.scan(spark).collect()) \
         == [2, 3, 4, 5, 6]
+
+
+def test_merge_general_uncached_large_target_path(spark, catalog,
+                                                  monkeypatch):
+    """r11: general MERGE caches the target's MoR resolution only
+    below _MERGE_TARGET_CACHE_MAX_ROWS (snapshot-summary
+    total-records) — above it the NOT MATCHED anti-join replays a
+    key-projected chain instead of attempting a whole-table cache.
+    Force the gate to 0 and pin that the uncached path produces the
+    identical MERGE result (all three clause kinds)."""
+    from iceberg_rust_archive_spark.plans import engine as eng_mod
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    monkeypatch.setattr(eng_mod, "_MERGE_TARGET_CACHE_MAX_ROWS", 0)
+    eng = Engine(spark, catalog)
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.mu (k BIGINT, v BIGINT)")
+    eng.sql("INSERT INTO db.mu VALUES (1,10),(2,20),(3,30)")
+    spark.createDataFrame([(2, 5), (3, 100), (4, 40), (5, 1)],
+                          "k long, v long") \
+        .createOrReplaceTempView("mu_src")
+    eng.sql("""
+        MERGE INTO db.mu t USING mu_src s ON t.k = s.k
+        WHEN MATCHED AND s.v < 10 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        WHEN NOT MATCHED AND s.v >= 10 THEN INSERT *
+    """)
+    got = {r.k: r.v for r in eng.sql("SELECT k, v FROM db.mu").collect()}
+    # k=2 deleted (5<10); k=3 updated 30+100; k=4 inserted; k=5 skipped
+    assert got == {1: 10, 3: 130, 4: 40}
