@@ -1122,7 +1122,20 @@ class Engine:
             _meta, sql, flags=re.IGNORECASE)
 
         mapping = {}
-        for name in find_relations(sql):
+        rels = find_relations(sql)
+        # pushdown only for a statement with exactly ONE relation
+        # MENTION: a self-join (`FROM t a JOIN t b`) registers one
+        # shared view, so pruning it by one alias's predicate would
+        # filter BOTH sides; a comma-list (`FROM t, v`) hides its
+        # second relation from the FROM/JOIN regex entirely. Count raw
+        # mentions and refuse comma-lists — refusal only costs pruning.
+        raw_rels = re.findall(r"\b(?:from|join)\s+[A-Za-z_][\w.]*",
+                              sql, re.IGNORECASE)
+        comma_from = re.search(
+            r"\bfrom\s+[A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?\s*,",
+            sql, re.IGNORECASE)
+        single_rel = len(raw_rels) == 1 and not comma_from
+        for name in rels:
             try:
                 md = self.catalog.load_tabular(name.lower())
             except Exception:  # noqa: BLE001 — not a catalog table
@@ -1138,12 +1151,102 @@ class Engine:
             elif isinstance(md, ViewMetadata):
                 df = self._run_select(md.sql)  # view replay (A20)
             elif isinstance(md, TableMetadata):
-                df = Table(self.catalog, name, md).scan(self.spark)
+                # A7 through the SQL surface: the statement's top-level
+                # WHERE conjuncts push into the scan as pruning Preds
+                # (single-relation statements only — per-table
+                # attribution is then unambiguous). Sound by the
+                # inexact-filter contract: pruning with a SUBSET of
+                # conjuncts keeps a superset of matching files, and the
+                # full WHERE still applies in the delegated spark.sql.
+                # Without this, an Engine `SELECT ... WHERE day = X`
+                # planned EVERY file at metadata level — at 100 TB the
+                # pruning layer, not parquet row-group skipping, is
+                # what bounds the scan.
+                preds = (_table_preds_from_where(
+                    sql, md.current_schema()) if single_rel else None)
+                df = Table(self.catalog, name, md).scan(
+                    self.spark, filter=preds)
             else:
                 continue
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
         return self.spark.sql(rewrite_relations(sql, mapping))
+
+def _extract_top_where(sql: str) -> str | None:
+    """The text of the statement's TOP-LEVEL WHERE clause (depth 0,
+    outside string literals), up to the next top-level GROUP/ORDER/
+    HAVING/LIMIT/UNION — or None. Subquery WHEREs sit inside parens
+    and are never matched."""
+    depth, i, n, in_str = 0, 0, len(sql), None
+    start = None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if start is None and ch in "wW" \
+                    and re.match(r"where\b", sql[i:], re.IGNORECASE) \
+                    and not (i and (sql[i - 1].isalnum()
+                                    or sql[i - 1] == "_")):
+                start = i + 5
+                i += 5
+                continue
+            if start is not None \
+                    and re.match(r"(group\s+by|order\s+by|having|limit"
+                                 r"|union)\b", sql[i:], re.IGNORECASE) \
+                    and not (i and (sql[i - 1].isalnum()
+                                    or sql[i - 1] == "_")):
+                return sql[start:i].strip() or None
+        i += 1
+    return sql[start:].strip().rstrip(";").strip() if start is not None \
+        else None
+
+
+def _table_preds_from_where(sql: str, schema):
+    """Best-effort pruning Preds from the statement's top-level WHERE:
+    each depth-0 AND conjunct that parses in the conjunctive fragment
+    AND names a schema column (alias qualifiers stripped) becomes a
+    Pred; everything else is simply not pushed. Callers rely on the
+    scan's inexact-filter contract — the full WHERE still evaluates in
+    Spark SQL above — so partial extraction only ever costs pruning,
+    never correctness."""
+    from iceberg_rust_archive_spark.predicates import (
+        Pred, _split_top, try_parse_preds,
+    )
+    wtext = _extract_top_where(sql)
+    if not wtext:
+        return None
+    if len(_split_top(wtext, " OR ")) > 1:
+        # OR binds looser than AND: ``a OR b AND c`` is a DISJUNCTION
+        # (a OR (b AND c)), so pushing ANY conjunct — even one that
+        # parses cleanly, like c — prunes files matching only via the
+        # ``a`` branch. A top-level OR anywhere in the WHERE text means
+        # no term is a true conjunct of the whole clause; refuse to
+        # push (costs pruning, never correctness). Parenthesized ORs
+        # sit at depth>0 and still allow the sibling conjuncts through.
+        return None
+    out = []
+    for term in _split_top(wtext, " AND "):
+        got = try_parse_preds(term.strip())
+        if not got:
+            continue
+        for p in got:
+            col = p.column
+            if schema.field_by_name(col) is None:
+                tail = col.split(".")[-1]
+                if "." not in col or schema.field_by_name(tail) is None:
+                    continue  # unknown column (or not this table's)
+                p = Pred(tail, p.op, p.value)
+            out.append(p)
+    return out or None
+
 
 def _parse_call_preds(raw: str):
     """Parse the simple predicate string of CALL system
