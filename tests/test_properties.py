@@ -658,31 +658,36 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
     # partition on the string column under the drawn transform
     spec = PartitionSpec(0, (PartitionField(1, 1000, "p", transform),))
 
-    plist = []
+    # a partitioned WRITE splits rows by transformed partition value —
+    # one file per (drawn file × partition value) group — so every
+    # file's rows agree with its partition tuple. (A straddling file
+    # can't occur in a real layout, and partition-value pruning is
+    # entitled to assume the invariant: an earlier fixture that stamped
+    # the FIRST row's transform over a mixed file produced exactly the
+    # invalid shape and flagged sound pruning as a false positive.)
+    plist, file_rows = [], []
     for rows in files:
-        svals = [r[0] for r in rows]
-        ivals = [r[1] for r in rows]
-        sv = [v for v in svals if v is not None]
-        iv = [v for v in ivals if v is not None]
-        # single-partition files: every row's transformed s must agree
-        # for the partition tuple to exist — emulate by taking the
-        # FIRST row's transform (files whose rows straddle partitions
-        # don't occur in real layouts; pruning only sees the tuple)
-        try:
-            pv = transform_value(transform, sv[0], "string") if sv \
-                else None
-        except (TypeError, ValueError):
-            pv = None
-        plist.append(DataFile(
-            0, f"/f{len(plist)}.parquet", "parquet", {"p": pv},
-            len(rows), 1,
-            value_counts={1: len(rows), 2: len(rows)},
-            null_value_counts={1: len(svals) - len(sv),
-                               2: len(ivals) - len(iv)},
-            lower_bounds={**({1: min(sv)} if sv else {}),
-                          **({2: min(iv)} if iv else {})},
-            upper_bounds={**({1: max(sv)} if sv else {}),
-                          **({2: max(iv)} if iv else {})}))
+        groups: dict = {}
+        for r in rows:
+            pv = transform_value(transform, r[0], "string") \
+                if r[0] is not None else None
+            groups.setdefault(pv, []).append(r)
+        for pv, grp in groups.items():
+            svals = [r[0] for r in grp]
+            ivals = [r[1] for r in grp]
+            sv = [v for v in svals if v is not None]
+            iv = [v for v in ivals if v is not None]
+            plist.append(DataFile(
+                0, f"/f{len(plist)}.parquet", "parquet", {"p": pv},
+                len(grp), 1,
+                value_counts={1: len(grp), 2: len(grp)},
+                null_value_counts={1: len(svals) - len(sv),
+                                   2: len(ivals) - len(iv)},
+                lower_bounds={**({1: min(sv)} if sv else {}),
+                              **({2: min(iv)} if iv else {})},
+                upper_bounds={**({1: max(sv)} if sv else {}),
+                              **({2: max(iv)} if iv else {})}))
+            file_rows.append(grp)
 
     pred_objs = []
     for col, op, lits in preds:
@@ -716,7 +721,7 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
                 return False
         return True
 
-    must_keep = {f.file_path for f, rows in zip(plist, files)
+    must_keep = {f.file_path for f, rows in zip(plist, file_rows)
                  if any(row_matches(r) for r in rows)}
 
     kept = {f.file_path
