@@ -600,6 +600,108 @@ def test_changelog_matches_model(spark, tmp_path_factory, ops):
     assert got_rows == state
 
 
+# --- partition-scoped merge-on-read (r11 single-pass rewrite) ---------------
+
+def _pmor_op():
+    rows = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 6)),
+                    min_size=1, max_size=4)
+    ks = st.lists(st.integers(0, 3), min_size=1, max_size=2, unique=True)
+    vs = st.lists(st.integers(0, 6), min_size=1, max_size=2, unique=True)
+    return st.one_of(
+        st.tuples(st.just("append"), rows),
+        st.tuples(st.just("del_k"), ks),      # partition-SCOPED eq delete
+        st.tuples(st.just("del_v"), vs),      # GLOBAL eq delete
+        st.tuples(st.just("del_pos"), ks, st.booleans()),
+        st.tuples(st.just("upsert"), rows),
+    )
+
+
+@SLOW
+@given(ops=st.lists(_pmor_op(), min_size=2, max_size=5))
+def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
+    """Scan of an identity(k)-partitioned table vs a Python multiset
+    model over random commit sequences. Each sequence mixes the shapes
+    the r11 single-pass merge-on-read resolves with ONE sequence-tagged
+    relation: partition-SCOPED equality deletes (eq columns include the
+    partition source, so the writer stamps each delete file with its
+    partition tuple and the scan must apply it only inside that
+    partition), GLOBAL equality deletes (eq columns exclude k — all-null
+    partition tuple applies table-wide), position deletes / deletion
+    vectors, and upserts; appends after deletes populate the
+    newer-than-every-delete 'clear' branch. The batch chain this
+    replaced was per-(stratum × partition); equivalence here pins the
+    rewrite's residual-condition join (operators/scan.py:583-626)."""
+    from collections import Counter
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionField, PartitionSpec, Schema,
+        StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    wh = tmp_path_factory.mktemp("pmor-prop")
+    cat = FileCatalog(str(wh / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    spec = PartitionSpec(0, (PartitionField(1, 1000, "k", "identity"),))
+    t = Table.create(cat, "db.pmor", schema, spec,
+                     properties={"identifier-fields": "k"})
+
+    state: Counter = Counter()  # multiset of live (k, v) rows
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            rows = list(op[1])
+            t.append(spark, spark.createDataFrame(rows, "k long, v long"))
+            state.update(rows)
+        elif kind == "del_k":
+            keys = set(op[1])
+            t.delete_where_equal(
+                spark,
+                spark.createDataFrame([(k,) for k in sorted(keys)], ["k"]),
+                ["k"])
+            state = +Counter({r: n for r, n in state.items()
+                              if r[0] not in keys})
+        elif kind == "del_v":
+            vals = set(op[1])
+            t.delete_where_equal(
+                spark,
+                spark.createDataFrame([(v,) for v in sorted(vals)], ["v"]),
+                ["v"])
+            state = +Counter({r: n for r, n in state.items()
+                              if r[1] not in vals})
+        elif kind == "del_pos":
+            keys, use_dv = set(op[1]), op[2]
+            t.delete_where_pos(
+                spark, F.col("k").isin([int(x) for x in sorted(keys)]),
+                use_dv=use_dv)
+            state = +Counter({r: n for r, n in state.items()
+                              if r[0] not in keys})
+        else:  # upsert on key k
+            latest = {}
+            for k, v in op[1]:
+                latest[k] = v
+            rows = sorted(latest.items())
+            t.upsert(spark, spark.createDataFrame(rows, "k long, v long"),
+                     keys=["k"])
+            state = +Counter({r: n for r, n in state.items()
+                              if r[0] not in latest})
+            state.update(rows)
+        t = t.refresh()
+
+    got = Counter((r["k"], r["v"]) for r in t.scan(spark).collect())
+    assert got == state, (ops,)
+    # point-scan with a partition predicate resolves the same state
+    # through the pruned plan (scoped deletes must still apply)
+    from iceberg_rust_archive_spark.predicates import Pred
+    got0 = Counter((r["k"], r["v"])
+                   for r in t.scan(spark, filter=[Pred("k", "=", 0)])
+                   .collect())
+    assert got0 == Counter({r: n for r, n in state.items() if r[0] == 0})
+
+
 # --- pruning soundness (r11: parsed-literal type gate) ---------------------
 
 _PRUNE_COLS = [("s", 1, "string"), ("i", 2, "long")]
