@@ -417,17 +417,12 @@ class Engine:
                 f"({assigns[c.lower()]}) AS {c}" if c.lower() in assigns
                 else c for c in cols])
             from iceberg_rust_archive_spark.sources.write import (
-                write_datafiles,
-            )
-            from iceberg_rust_archive_spark.spec.manifest import (
-                CONTENT_EQUALITY_DELETES,
+                write_delete_and_data,
             )
             schema = t.metadata.current_schema()
             eq_ids = tuple(schema.field_by_name(c).field_id for c in cols)
-            del_files = write_datafiles(
-                self.spark, t.metadata, old,
-                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
-            data_files = write_datafiles(self.spark, t.metadata, new)
+            del_files, data_files = write_delete_and_data(
+                self.spark, t.metadata, old, eq_ids, new)
             txn = (t.new_transaction().append_delete_files(del_files)
                    .append_files(data_files))
             txn.commit_with_retry(
@@ -699,20 +694,22 @@ class Engine:
                 f"SELECT {act} AS __act, {oldk}, {proj} "
                 f"FROM __merge_tgt {talias} JOIN __merge_src {salias} "
                 f"ON {on}").filter(F.col("__act") >= 0).cache()
-            # ambiguity guard (Iceberg/Delta semantics): a target row
-            # matched by >1 source row has no well-defined result —
-            # fail loudly instead of silently writing duplicates. One
-            # small aggregate over the touched keys only.
-            dup = (affected
-                   .groupBy(*[F.col(f"__old_{k}") for k in keys])
-                   .count().filter(F.col("count") > 1).limit(1).collect())
+            # ONE aggregation serves both the ambiguity guard
+            # (Iceberg/Delta semantics: a target row matched by >1
+            # source row has no well-defined result — fail loudly
+            # instead of silently writing duplicates) and the delete
+            # side's distinct key set; the grouped frame is one row
+            # per touched key, so caching it is O(matched keys).
+            keyed = (affected
+                     .groupBy(*[F.col(f"__old_{k}").alias(k)
+                                for k in keys])
+                     .agg(F.count(F.lit(1)).alias("__n")).cache())
+            dup = keyed.filter(F.col("__n") > 1).limit(1).collect()
             if dup:
                 raise ValueError(
                     "MERGE source matches a target row more than once "
                     f"(e.g. key {tuple(dup[0])[:-1]})")
-            del_rows = affected.select(
-                *[F.col(f"__old_{k}").alias(k) for k in keys]
-            ).dropDuplicates()
+            del_rows = keyed.drop("__n")
             if update_idx:
                 data_parts.append(
                     affected.filter(F.col("__act").isin(update_idx))
@@ -744,21 +741,32 @@ class Engine:
         schema = t.metadata.current_schema()
         target = spark_schema_for(schema.struct)
         del_files, data_files = [], []
+        dk = data = None
+        eq_ids = ()
         if del_rows is not None:
             eq_ids = tuple(schema.field_by_name(k).field_id for k in keys)
             key_schema = spark_schema_for(schema.project(list(eq_ids)).struct)
             dk = del_rows
             for f in key_schema.fields:
                 dk = dk.withColumn(f.name, F.col(f.name).cast(f.dataType))
-            del_files = write_datafiles(
-                self.spark, t.metadata, dk,
-                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
         if data_parts:
             data = data_parts[0]
             for p in data_parts[1:]:
                 data = data.unionByName(p)
             for f in target.fields:
                 data = data.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        if dk is not None and data is not None:
+            # both sides of the commit pair → overlap the two writes
+            from iceberg_rust_archive_spark.sources.write import (
+                write_delete_and_data,
+            )
+            del_files, data_files = write_delete_and_data(
+                self.spark, t.metadata, dk, eq_ids, data)
+        elif dk is not None:
+            del_files = write_datafiles(
+                self.spark, t.metadata, dk,
+                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
+        elif data is not None:
             data_files = write_datafiles(self.spark, t.metadata, data)
         if del_files or data_files:
             txn = (t.new_transaction().append_delete_files(del_files)
@@ -766,6 +774,9 @@ class Engine:
             txn.commit_with_retry(
                 lambda x: x.append_delete_files(del_files)
                 .append_files(data_files))
+        if matched:
+            keyed.unpersist()
+            affected.unpersist()
         if cache_tgt:
             tgt.unpersist()
 

@@ -368,6 +368,30 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     return [f for f in harvested if f.record_count > 0]
 
 
+def write_delete_and_data(spark: SparkSession, md: TableMetadata,
+                          delete_df: DataFrame,
+                          equality_ids: tuple[int, ...],
+                          data_df: DataFrame,
+                          branch: str | None = None):
+    """Write an equality-delete file set and a data file set
+    CONCURRENTLY — the upsert/UPDATE/MERGE commit shape is always this
+    pair at one sequence number, and the two writes are independent
+    (disjoint staging dirs, no shared state beyond the benign width
+    cache). Two driver threads submit both Spark jobs at once; the
+    scheduler interleaves their stages, so the pair costs
+    max(delete, data) wall-clock instead of the sum. Returns
+    ``(delete_files, data_files)``; an exception in either write
+    propagates (files already staged are unreferenced and fall to the
+    orphan sweep, same as a sequential failure before commit)."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fd = ex.submit(write_datafiles, spark, md, delete_df,
+                       CONTENT_EQUALITY_DELETES, equality_ids, branch)
+        fda = ex.submit(write_datafiles, spark, md, data_df,
+                        CONTENT_DATA, None, branch)
+        return fd.result(), fda.result()
+
+
 # Iceberg spec v2 reserved field ids for position-delete file columns.
 POS_DELETE_PATH_FID = 2147483546
 POS_DELETE_POS_FID = 2147483545

@@ -786,12 +786,12 @@ class Table:
                     "on the schema")
             keys = [schema.field_by_id(i).name for i in ids]
         eq_ids = tuple(schema.field_by_name(c).field_id for c in keys)
-        del_files = write_datafiles(
+        from iceberg_rust_archive_spark.sources.write import (
+            write_delete_and_data,
+        )
+        del_files, data_files = write_delete_and_data(
             spark, self.metadata, df.select(*keys).dropDuplicates(),
-            content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids,
-            branch=branch)
-        data_files = write_datafiles(spark, self.metadata, df,
-                                     branch=branch)
+            eq_ids, df, branch=branch)
         txn = (self.new_transaction(branch)
                .append_delete_files(del_files).append_files(data_files))
         txn.commit_with_retry(lambda t: t.append_delete_files(del_files)
