@@ -262,22 +262,37 @@ def _embedding_near_pairs(s: SparkSession, d: str) -> DataFrame:
                  F.col("vec_b").alias("id_b"), "cosine"))
     cents = clustering._init_centroids(
         similarity._vectors(s, d), clustering.KMEANS_K)
-    km = clustering.kmeans_summary(s, d, cents=cents).select(
+    # The four remaining branches each do bounded DRIVER-side work
+    # before returning their lazy frame (kmeans' one-Lloyd-step
+    # partials collect; the exact/IVF query+centroid collects) — all
+    # independent once ``cents`` exists, so build them on four threads
+    # and pay max() instead of the sum of those small Spark jobs.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_km = ex.submit(clustering.kmeans_summary, s, d, cents=cents)
+        f_sd = ex.submit(clustering.semantic_dedup_pairs, s, d,
+                         cents=cents)
+        # round 9: exact brute-force + IVF ANN top-k fold in as two
+        # more method labels (query_id->id_a, neighbor_id->id_b; rank
+        # is implied by cosine order within a query) so all operator
+        # families fit the driver's 50-entry cap with a full oracle
+        # row — r8's standalone ann_cosine_topk entry was #51 and
+        # permanently unchecked.
+        f_ax = ex.submit(similarity.ann_cosine_topk, s, d)
+        f_iv = ex.submit(similarity.ann_ivf_topk, s, d)
+        km_df, sd_df = f_km.result(), f_sd.result()
+        ax_df, iv_df = f_ax.result(), f_iv.result()
+    km = km_df.select(
         F.lit("kmeans").alias("method"),
         F.col("cid").cast("long").alias("id_a"),
         F.col("n").alias("id_b"), F.col("centroid_norm").alias("cosine"))
-    sd = clustering.semantic_dedup_pairs(s, d, cents=cents).select(
+    sd = sd_df.select(
         F.lit("semdedup").alias("method"), "id_a", "id_b", "cosine")
-    # round 9: exact brute-force + IVF ANN top-k fold in as two more
-    # method labels (query_id->id_a, neighbor_id->id_b; rank is implied
-    # by cosine order within a query) so all operator families fit the
-    # driver's 50-entry cap with a full oracle row — r8's standalone
-    # ann_cosine_topk entry was #51 and permanently unchecked.
-    ax = similarity.ann_cosine_topk(s, d).select(
+    ax = ax_df.select(
         F.lit("annexact").alias("method"),
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"), "cosine")
-    iv = similarity.ann_ivf_topk(s, d).select(
+    iv = iv_df.select(
         F.lit("annivf").alias("method"),
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"), "cosine")
