@@ -41,13 +41,25 @@ def _rounded(df: DataFrame, cols: dict[str, int]) -> DataFrame:
 # two full result sets, tagged by a label column), nothing is dropped.
 # ---------------------------------------------------------------------------
 
+def _two_scenarios(s, d, fn_a, fn_b):
+    """Run two INDEPENDENT write-then-read scenarios (each builds its
+    own tmp catalog and materializes before teardown) on two driver
+    threads — the pair costs max() instead of the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa, fb = ex.submit(fn_a, s, d), ex.submit(fn_b, s, d)
+        return fa.result(), fb.result()
+
+
 def _iceberg_transform_pruned(s: SparkSession, d: str) -> DataFrame:
     """bucket[16] + truncate[100] partition pruning (A11/A2), one entry."""
-    b = iceberg_queries.iceberg_bucket_pruned(s, d).select(
+    bdf, tdf = _two_scenarios(s, d, iceberg_queries.iceberg_bucket_pruned,
+                              iceberg_queries.iceberg_truncate_pruned)
+    b = bdf.select(
         F.lit("bucket").alias("transform"),
         F.col("o_custkey").alias("key"), "n_orders",
         F.col("total").cast("double").alias("total"))
-    t = iceberg_queries.iceberg_truncate_pruned(s, d).select(
+    t = tdf.select(
         F.lit("truncate").alias("transform"),
         F.col("ckey_mod").alias("key"), "n_orders",
         F.lit(None).cast("double").alias("total"))
@@ -56,10 +68,12 @@ def _iceberg_transform_pruned(s: SparkSession, d: str) -> DataFrame:
 
 def _iceberg_snapshot_reads(s: SparkSession, d: str) -> DataFrame:
     """time travel (A35) + incremental seq-range read (A4), one entry."""
-    tt = iceberg_queries.iceberg_time_travel(s, d).select(
+    ttdf, incdf = _two_scenarios(s, d, iceberg_queries.iceberg_time_travel,
+                                 iceberg_queries.iceberg_incremental_read)
+    tt = ttdf.select(
         F.lit("as_of").alias("mode"), "o_orderstatus", "n_orders",
         F.col("total").cast("double").alias("total"))
-    inc = iceberg_queries.iceberg_incremental_read(s, d).select(
+    inc = incdf.select(
         F.lit("incremental").alias("mode"), "o_orderstatus", "n_orders",
         F.lit(None).cast("double").alias("total"))
     return tt.unionByName(inc)
