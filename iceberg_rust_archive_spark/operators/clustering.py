@@ -366,11 +366,16 @@ def cluster_topics(spark: SparkSession, sf_dir: str,
     words = (tagged.withColumn("ws", F.expr(_WORDS))
              .select("cid", F.explode("ws").alias("w")))
     tf = words.groupBy("cid", "w").agg(F.count(F.lit(1)).alias("tf"))
-    n_clusters = tagged.select("cid").distinct().count()
+    # the IDF denominator rides the SAME lazy DAG as a broadcast
+    # one-row scalar instead of a separate eager .count() job — the
+    # whole operator then materializes in one action
+    ncl = tagged.select(
+        F.countDistinct("cid").cast("double").alias("__n_clusters"))
     dfc = tf.groupBy("w").agg(F.countDistinct("cid").alias("n_c"))
     scored = (tf.join(dfc, "w")
+              .crossJoin(F.broadcast(ncl))
               .withColumn("tfidf", F.round(
-                  F.col("tf") * F.log(F.lit(float(n_clusters))
+                  F.col("tf") * F.log(F.col("__n_clusters")
                                       / F.col("n_c")), 6)))
     win = Window.partitionBy("cid").orderBy(
         F.col("tfidf").desc(), F.col("w"))
