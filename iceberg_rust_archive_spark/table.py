@@ -337,6 +337,51 @@ class Table:
                 for pp in pair_parts[1:]:
                     pairs = pairs.unionByName(pp)
                 pairs = pairs.dropDuplicates()
+                if dv_pos and s.parent_snapshot_id is not None:
+                    # the v3 one-DV-per-file invariant makes a DV
+                    # commit MERGE-and-replace: the new blob re-encodes
+                    # every position already dead before this commit,
+                    # so decoding it re-emits prior commits' deletes
+                    # (double retraction — an incremental aggregate
+                    # replaying the feed would subtract those rows
+                    # twice). Subtract the PARENT snapshot's live
+                    # delete pairs so each row's delete surfaces
+                    # exactly once, at the commit that killed it.
+                    parent = md.snapshots.get(s.parent_snapshot_id)
+                    prior_pq, prior_dv = [], []
+                    if parent is not None:
+                        for entries in read_manifests(
+                                [m.manifest_path for m in
+                                 read_manifest_list(
+                                     parent.manifest_list)]):
+                            for pe in entries:
+                                if pe.status == STATUS_DELETED \
+                                        or pe.data_file.content \
+                                        != CONTENT_POSITION_DELETES:
+                                    continue
+                                if (pe.data_file.file_format
+                                        or "").lower() == "puffin":
+                                    prior_dv.append(pe.data_file)
+                                else:
+                                    prior_pq.append(pe.data_file)
+                    prior_parts = []
+                    if prior_pq:
+                        prior_parts.append(
+                            spark.read.schema(pd_schema).parquet(
+                                *[f.file_path for f in prior_pq])
+                            .select(F.regexp_replace(
+                                "file_path", "^file:/+", "/")
+                                .alias("__fp"),
+                                F.col("pos").alias("__pos")))
+                    if prior_dv:
+                        prior_parts.append(dv_pairs_df(spark, prior_dv))
+                    if prior_parts:
+                        prior = prior_parts[0]
+                        for pp in prior_parts[1:]:
+                            prior = prior.unionByName(pp)
+                        pairs = pairs.join(prior.dropDuplicates(),
+                                           ["__fp", "__pos"],
+                                           "left_anti")
                 targets = [r["__fp"] for r in
                            pairs.select("__fp").distinct().collect()]
                 if targets:

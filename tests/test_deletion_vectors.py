@@ -409,3 +409,39 @@ def test_changelog_resolves_dv_deletes(spark, catalog):
     ins = {r["id"] for r in ch if r["_change_type"] == "insert"}
     assert ins == {1, 2, 3, 4, 5, 6}
     assert dels == {1, 4, 5}  # the customer-1 rows
+
+
+def test_changelog_merged_dv_emits_each_delete_once(spark, catalog):
+    """A second DV commit on the same data file MERGES the prior bitmap
+    (v3 one-DV-per-file invariant), so its blob re-encodes positions
+    already dead. ``changes()`` must subtract the parent snapshot's
+    live pairs — each row's delete surfaces exactly once, at the commit
+    that killed it (a CDC consumer replaying a double retraction would
+    corrupt an incremental aggregate)."""
+    from collections import Counter
+
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(catalog, "db.dv_merge_cdc", schema,
+                     PartitionSpec(0, ()))
+    # ONE data file so the second delete's DV must merge the first's
+    t.append(spark, spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "k long, v long").coalesce(1))
+    t = t.refresh()
+    t.delete_where_pos(spark, F.col("k") == 0, use_dv=True)
+    t = t.refresh()
+    t.delete_where_pos(spark, F.col("k") == 1, use_dv=True)
+    t = t.refresh()
+    ev = t.changes(spark).collect()
+    dels = Counter((r["k"], r["_change_ordinal"]) for r in ev
+                   if r["_change_type"] == "delete")
+    assert dels == Counter({(0, 2): 1, (1, 3): 1}), dels
+    # replay from empty reproduces the final state
+    net = Counter()
+    for r in ev:
+        net[r["k"]] += 1 if r["_change_type"] == "insert" else -1
+    assert sorted(k for k, n in net.items() if n > 0) == [2, 3, 4, 5]

@@ -522,7 +522,11 @@ def test_changelog_matches_model(spark, tmp_path_factory, ops):
         before = snap_count()
         if kind == "append":
             rows = list(op[1])
-            t.append(spark, spark.createDataFrame(rows, "k long, v long"))
+            # ONE file per append: successive del_pos commits then hit
+            # the SAME file and must DV-merge (the r11 double-
+            # retraction regression is unreachable with per-row files)
+            t.append(spark, spark.createDataFrame(
+                rows, "k long, v long").coalesce(1))
             state.update(rows)
             expected.append((Counter(rows), Counter()))
         elif kind == "del_eq":
