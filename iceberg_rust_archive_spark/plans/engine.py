@@ -408,6 +408,19 @@ class Engine:
             for part in re.split(r",(?![^()]*\))", sets):
                 name, _, expr = part.partition("=")
                 assigns[name.strip().lower()] = expr.strip()
+            if (t.metadata.properties.get(
+                    "write.delete.format", "").lower() == "dv"
+                    and not re.search(r"\bselect\b", sets + " " + pred,
+                                      re.IGNORECASE)):
+                # DV-opted-in table: the UPDATE's delete side rides the
+                # position-delete path (per-file roaring bitmaps,
+                # ~1.75 B/row) instead of an all-column equality-delete
+                # copy — at 100 TB the delete bytes AND the extra scan
+                # join both shrink. (Subquery SETs/WHEREs stay on the
+                # eq path — DataFrame filter/selectExpr can't host a
+                # correlated subquery.)
+                t.update_where_pos(self.spark, pred, assigns)
+                return None
             # ONE scan of the matched rows feeds both the delete side
             # and the re-insert side (cached across the two writes —
             # the merge-on-read scan under it can be expensive)

@@ -558,6 +558,130 @@ class Table:
                 _replans=_replans - 1)
         return self.refresh()
 
+    # cache the matched frame only while snapshot stats prove the table
+    # small (the same gate the engine's general MERGE uses) — above it
+    # the pairs pass and the re-insert pass replay the scan chain with
+    # column pruning instead of attempting a whole-table cache
+    UPDATE_CACHE_MAX_ROWS = 20_000_000
+
+    def update_where_pos(self, spark: SparkSession, predicate,
+                         set_exprs: dict[str, str],
+                         branch: str | None = None,
+                         _replans: int = 2) -> "Table":
+        """UPDATE routed through **deletion vectors**: matched rows'
+        physical (path, pos) addresses become per-file roaring bitmaps
+        (v3 shape — at most one live DV per data file, so prior bitmaps
+        merge-and-replace exactly like ``delete_where_pos``) and the
+        post-SET rows land as new data files IN THE SAME COMMIT — the
+        atomic delete+insert coupling ``upsert`` uses.
+
+        vs the equality-delete UPDATE shape (engine UPDATE default):
+        the delete side is ~1.75 bytes/row instead of a full row copy,
+        and every later scan pays the ONE position anti-join it already
+        pays for any DV instead of an extra all-column equality join.
+        The hit set comes from the full merge-on-read resolution
+        (``expose_pos``), so rows already dead never re-delete; parsed
+        predicate pruning bounds the hit plan to candidate files. A
+        racing replace commit invalidates the planned positions —
+        ``valid_since`` makes the commit refuse and the statement
+        re-plans against the rewritten layout (bounded by
+        ``_replans``), the same protocol as ``delete_where_pos``.
+
+        ``set_exprs`` maps lower-cased column names to SQL expressions
+        evaluated over the matched rows (``{"price": "price * 1.1"}``).
+        """
+        from pyspark.sql import functions as F
+
+        from iceberg_rust_archive_spark.operators.scan import scan
+        from iceberg_rust_archive_spark.predicates import try_parse_preds
+        from iceberg_rust_archive_spark.session import ensure_read_confs
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest_list, read_manifests,
+        )
+        from iceberg_rust_archive_spark.sources.write import (
+            write_datafiles, write_deletion_vectors,
+        )
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_POSITION_DELETES, STATUS_DELETED,
+        )
+        ensure_read_confs(spark)
+        md = self.metadata
+        snap = md.current_snapshot(branch)
+        if snap is None:
+            return self
+        existing_dv = []
+        for entries in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)]):
+            for e in entries:
+                if e.status == STATUS_DELETED:
+                    continue
+                if (e.data_file.content == CONTENT_POSITION_DELETES
+                        and (e.data_file.file_format or "").lower()
+                        == "puffin"):
+                    existing_dv.append(e.data_file)
+        cols = [f.name for f in md.current_schema(branch).fields]
+        sets = {k.lower(): v for k, v in set_exprs.items()}
+        matched = (scan(spark, md, branch=branch, expose_pos=True,
+                        filter=try_parse_preds(predicate))
+                   .filter(predicate))
+        total_rows = int(((snap.summary or {}))
+                         .get("total-records", 1 << 62))
+        cached = total_rows <= self.UPDATE_CACHE_MAX_ROWS
+        if cached:
+            matched = matched.cache()
+        hits = matched.select(F.col("__fp").alias("file_path"),
+                              F.col("__pos").alias("pos"))
+        new = matched.selectExpr(*[
+            f"({sets[c.lower()]}) AS {c}" if c.lower() in sets else c
+            for c in cols])
+        # the DV encode and the data write are independent consumers of
+        # the matched frame — overlap them on two threads (the pair
+        # costs max(), not the sum; concurrent first-touch of the cache
+        # is serialized by Spark's cache lock)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_dv = ex.submit(write_deletion_vectors, spark, md, hits,
+                             existing_dv)
+            f_da = ex.submit(write_datafiles, spark, md, new,
+                             branch=branch)
+            dv_files, data_files = f_dv.result(), f_da.result()
+        if cached:
+            matched.unpersist()
+        if not dv_files and not data_files:
+            return self  # nothing matched — don't commit a snapshot
+
+        touched = {f.referenced_data_file for f in dv_files}
+        superseded = {(d.file_path, d.content_offset)
+                      for d in existing_dv
+                      if d.referenced_data_file in touched}
+
+        def build(t):
+            t.append_delete_files(dv_files,
+                                  valid_since=snap.snapshot_id)
+            if superseded:
+                t.supersede_delete_files(superseded)
+            return t.append_files(data_files)
+
+        from iceberg_rust_archive_spark.catalog.base import (
+            CommitFailedError,
+        )
+        try:
+            build(self.new_transaction(branch)).commit_with_retry(build)
+        except CommitFailedError:
+            if _replans <= 0:
+                raise
+            from iceberg_rust_archive_spark.object_store import store_for
+            for f in dv_files + data_files:
+                try:  # staged files are unreferenced — clean them up
+                    store_for(f.file_path).remove(f.file_path)
+                except FileNotFoundError:
+                    pass
+            return self.refresh().update_where_pos(
+                spark, predicate, set_exprs, branch,
+                _replans=_replans - 1)
+        return self.refresh()
+
     def inspect(self, spark: SparkSession, kind: str) -> DataFrame:
         """Metadata tables (Iceberg's ``t.snapshots`` / ``t.files`` /
         ``t.manifests`` / ``t.history`` introspection surface; driver-

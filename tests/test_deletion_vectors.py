@@ -411,6 +411,90 @@ def test_changelog_resolves_dv_deletes(spark, catalog):
     assert dels == {1, 4, 5}  # the customer-1 rows
 
 
+def test_update_where_pos_dv_roundtrip(spark, catalog):
+    """DV-routed UPDATE: matched rows' positions become merged deletion
+    vectors and post-SET rows land as new files in ONE commit; the scan
+    sees the rewritten values, a prior DV on the same file merges
+    (one-DV-per-file invariant), and the changelog emits the
+    delete(old)+insert(new) retraction pair exactly once."""
+    from collections import Counter
+
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(catalog, "db.dv_upd", schema, PartitionSpec(0, ()),
+                     properties={"write.delete.format": "dv"})
+    t.append(spark, spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "k long, v long").coalesce(1))
+    t = t.refresh()
+    # a prior DV on the same file — the UPDATE's vector must merge it
+    t.delete_where_pos(spark, F.col("k") == 5, use_dv=True)
+    t = t.refresh()
+    t = t.update_where_pos(spark, "k >= 2 AND k <= 3",
+                           {"v": "v + 1000"})
+    got = {r["k"]: r["v"] for r in t.scan(spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 1020, 3: 1030, 4: 40}
+    # one-DV-per-file invariant: the update superseded the k=5 vector
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import STATUS_DELETED
+    snap = t.metadata.current_snapshot()
+    live_dvs = [e.data_file for entries in read_manifests(
+                    [m.manifest_path
+                     for m in read_manifest_list(snap.manifest_list)])
+                for e in entries if e.status != STATUS_DELETED
+                and e.data_file.content == CONTENT_POSITION_DELETES]
+    assert len({d.referenced_data_file for d in live_dvs}) \
+        == len(live_dvs) == 1
+    ev = t.changes(spark).collect()
+    dels = Counter((r["k"], r["_change_ordinal"]) for r in ev
+                   if r["_change_type"] == "delete")
+    assert dels == Counter({(5, 2): 1, (2, 3): 1, (3, 3): 1}), dels
+    ins3 = sorted(r["k"] for r in ev if r["_change_type"] == "insert"
+                  and r["_change_ordinal"] == 3)
+    assert ins3 == [2, 3]
+
+
+def test_engine_update_routes_to_dv_on_opted_in_table(spark, tmp_path):
+    """Engine SQL UPDATE on a write.delete.format=dv table writes DV
+    position deletes (no equality-delete files), and the table state
+    matches the eq-path twin."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_EQUALITY_DELETES,
+    )
+    cat = FileCatalog(str(tmp_path / "wh"))
+    eng = Engine(spark, cat)
+    for name, props in (("db.u_dv", {"write.delete.format": "dv"}),
+                        ("db.u_eq", {})):
+        t = _mk_table_named(cat, name, props)
+        t.append(spark, spark.createDataFrame(BATCH1, COLS))
+        eng.sql(f"UPDATE {name} SET amount = amount * 2 "
+                f"WHERE customer_id = 1")
+    dv_rows = sorted((r["id"], r["amount"]) for r in
+                     eng.sql("SELECT id, amount FROM db.u_dv").collect())
+    eq_rows = sorted((r["id"], r["amount"]) for r in
+                     eng.sql("SELECT id, amount FROM db.u_eq").collect())
+    assert dv_rows == eq_rows
+    t = Table.load(cat, "db.u_dv")
+    files = t.inspect(spark, "files").collect()
+    assert any(r["content"] == CONTENT_POSITION_DELETES
+               and (r["file_format"] or "").lower() == "puffin"
+               for r in files)
+    assert not any(r["content"] == CONTENT_EQUALITY_DELETES
+                   for r in files)
+
+
+def _mk_table_named(cat, name, props):
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    return Table.create(cat, name, ORDERS_SCHEMA, PartitionSpec(0, ()),
+                        properties=props)
+
+
 def test_changelog_merged_dv_emits_each_delete_once(spark, catalog):
     """A second DV commit on the same data file MERGES the prior bitmap
     (v3 one-DV-per-file invariant), so its blob re-encodes positions
