@@ -612,6 +612,7 @@ if __name__ == "__main__":
     multi_table_txn_scale(spark, sf_dir, amp)
     stream_initial_mor_scale(spark, sf_dir, amp)
     mor_commit_depth(spark, sf_dir)
+    update_via_dv_scale(spark, sf_dir, amp)
 
 
 def rewrite_partition_scale(spark, sf_dir: str, amp: int):
@@ -857,3 +858,65 @@ def mor_commit_depth(spark, sf_dir: str, n_commits: int = 24):
         print(f"mor_commit_depth @ {n_commits} commits: "
               f"{anti} anti-joins, {unions} union nodes in the "
               f"optimized plan, scan={scan_s:.2f}s, {n} rows")
+
+
+def update_via_dv_scale(spark, sf_dir: str, amp: int):
+    """r11: the DV-routed UPDATE's delete side must be O(matched rows ×
+    ~2 B) where the eq path writes full row copies, and the post-UPDATE
+    scan must not pay an extra equality join. amp×-amplified orders,
+    UPDATE ~1/16 of rows, DV twin vs eq twin."""
+    import shutil
+    import tempfile
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.operators.iceberg_queries import (
+        ORDERS_SCHEMA,
+    )
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_DATA, STATUS_DELETED,
+    )
+    from iceberg_rust_archive_spark.table import Table
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    reps = spark.range(amp).withColumnRenamed("id", "_rep")
+    big = (src.crossJoin(F.broadcast(reps))
+           .withColumn("o_orderkey",
+                       F.col("o_orderkey") + F.col("_rep") * 10_000_000)
+           .drop("_rep"))
+    d = tempfile.mkdtemp(prefix="stress-dvupd-")
+    try:
+        cat = FileCatalog(os.path.join(d, "wh"))
+        eng = Engine(spark, cat)
+        for mode, props in (("dv", {"write.delete.format": "dv"}),
+                            ("eq", {})):
+            t = Table.create(cat, f"db.o_{mode}", ORDERS_SCHEMA,
+                             PartitionSpec(0, ()), properties=props)
+            t.append(spark, big)
+            t0 = time.perf_counter()
+            eng.sql(f"UPDATE db.o_{mode} SET o_totalprice = "
+                    f"o_totalprice + 1.0 WHERE o_orderkey % 16 = 3")
+            upd_s = time.perf_counter() - t0
+            t = t.refresh()
+            snap = t.metadata.current_snapshot()
+            del_bytes = 0
+            for entries in read_manifests(
+                    [m.manifest_path
+                     for m in read_manifest_list(snap.manifest_list)]):
+                for e in entries:
+                    if e.status == STATUS_DELETED \
+                            or e.data_file.content == CONTENT_DATA:
+                        continue
+                    del_bytes += (e.data_file.content_size_in_bytes
+                                  or e.data_file.file_size_in_bytes or 0)
+            t0 = time.perf_counter()
+            n = t.scan(spark).count()
+            scan_s = time.perf_counter() - t0
+            print(f"update_via_dv_scale[{mode}] @ {amp}x: "
+                  f"update {upd_s:.1f}s, live delete bytes {del_bytes}, "
+                  f"post-scan {scan_s:.1f}s rows={n}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
