@@ -255,11 +255,18 @@ def _resolve_entries(md: TableMetadata, branch, snapshot_id, as_of_ms,
             s_ = snap
             while s_ is not None and s_.sequence_number > start_seq:
                 if (s_.summary or {}).get("operation") == "replace":
-                    raise ValueError(
-                        f"incremental read range spans a replace "
-                        f"commit (snapshot {s_.snapshot_id}); rows "
-                        "cannot be attributed — resync from a full "
-                        "scan")
+                    from iceberg_rust_archive_spark.sources.manifests \
+                        import replace_touches_data
+                    if replace_touches_data(s_):
+                        raise ValueError(
+                            f"incremental read range spans a replace "
+                            f"commit (snapshot {s_.snapshot_id}); rows "
+                            "cannot be attributed — resync from a full "
+                            "scan")
+                    # delete-file-only rewrite: data files carry over
+                    # as EXISTING entries at their ORIGINAL sequence
+                    # numbers, so the seq-range filter below still
+                    # yields exactly the appended rows — safe to span
                 s_ = (md.snapshots.get(s_.parent_snapshot_id)
                       if s_.parent_snapshot_id is not None else None)
     mlist = read_manifest_list(snap.manifest_list)

@@ -153,14 +153,23 @@ class SourceState:
             for s in table.metadata.snapshots.values():
                 if s.sequence_number > old.sequence_number:
                     op = s.summary.get("operation")
-                    if op != "append":
-                        non_append_since = True
                     if op == "replace":
+                        from iceberg_rust_archive_spark.sources.\
+                            manifests import replace_touches_data
+                        if not replace_touches_data(s):
+                            # delete-file-only maintenance (parquet
+                            # pos-deletes → DVs): row multiset is
+                            # unchanged, the interval's data delta is
+                            # still exactly the appended files — no
+                            # strategy needs to bow out
+                            continue
                         # full rewrite: the changelog of this interval
                         # is table-sized (see Table.changes) — a
                         # recompute is strictly cheaper, so the
                         # changelog strategies bow out
                         replace_since = True
+                    if op != "append":
+                        non_append_since = True
         self.invalid = (old_snapshot_id is not None
                         and (old is None or non_append_since))
         self.replace_since = replace_since

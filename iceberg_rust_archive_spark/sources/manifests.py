@@ -216,3 +216,29 @@ def read_manifests(paths: list[str]) -> list[list[ManifestEntry]]:
     with ThreadPoolExecutor(
             max_workers=min(MANIFEST_READ_THREADS, len(paths))) as ex:
         return list(ex.map(read_manifest, paths))
+
+
+def replace_touches_data(snapshot) -> bool:
+    """True iff this 'replace' snapshot added or tombstoned DATA files
+    — i.e. it rewrote table data (compaction / truncate / overwrite)
+    and row-level history across it is not derivable. False means a
+    DELETE-FILE-ONLY rewrite (rewrite_position_deletes converting
+    parquet pairs → DVs): every data file carries over as an EXISTING
+    entry at its original sequence, so the row multiset is unchanged
+    and changelog / incremental consumers may skip the commit. An
+    empty replace (truncate-to-empty) counts as touching data."""
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_DATA, STATUS_DELETED,
+    )
+    has_data = False
+    for entries in read_manifests(
+            [m.manifest_path
+             for m in read_manifest_list(snapshot.manifest_list)]):
+        for e in entries:
+            if e.data_file.content != CONTENT_DATA:
+                continue
+            has_data = True
+            if e.status == STATUS_DELETED \
+                    or e.sequence_number == snapshot.sequence_number:
+                return True
+    return not has_data

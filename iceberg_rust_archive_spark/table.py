@@ -238,13 +238,24 @@ class Table:
             if not (lo < s.sequence_number <= hi):
                 continue
             if (s.summary or {}).get("operation") == "replace":
-                # full rewrite (compaction / truncate / overwrite):
-                # delete files can't express it, and the replaced data
-                # files are physically removed post-commit, so the
-                # parent state is no longer reconstructable. Refuse
-                # loudly — the same contract as Iceberg's changelog
-                # scan on non-expressible snapshots. (The MV refresh
-                # driver detects this case up front and recomputes.)
+                # Two shapes share the label. A DELETE-FILE-ONLY
+                # rewrite (rewrite_position_deletes converting parquet
+                # pairs → DVs) carries every data file over untouched —
+                # row-level state is unchanged by construction, so the
+                # changelog emits NOTHING for the commit and the feed
+                # survives routine delete maintenance. A data rewrite
+                # (compaction / truncate / overwrite) physically
+                # replaces files, the parent state is no longer
+                # reconstructable, and we refuse loudly — the same
+                # contract as Iceberg's changelog scan on
+                # non-expressible snapshots. Discriminate by manifest
+                # shape: any data file added at this sequence or
+                # tombstoned ⇒ data rewrite.
+                from iceberg_rust_archive_spark.sources.manifests import (
+                    replace_touches_data,
+                )
+                if not replace_touches_data(s):
+                    continue  # delete-format maintenance — state unchanged
                 raise ValueError(
                     f"changelog range spans a replace commit "
                     f"(snapshot {s.snapshot_id}); row-level changes "

@@ -411,6 +411,49 @@ def test_changelog_resolves_dv_deletes(spark, catalog):
     assert dels == {1, 4, 5}  # the customer-1 rows
 
 
+@pytest.mark.parametrize("to_dv", [False, True])
+def test_changelog_survives_pos_delete_rewrite(spark, catalog, to_dv):
+    """A rewrite_position_deletes commit touches only DELETE files
+    (data files carry over untouched), so row-level state is unchanged
+    — the changelog must emit NOTHING for it instead of refusing the
+    whole range, and every pre-rewrite delete keeps its original
+    ordinal. A data rewrite (compact) must still refuse."""
+    from collections import Counter
+
+    from iceberg_rust_archive_spark.maintenance import (
+        compact_table, rewrite_position_deletes,
+    )
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(catalog, f"db.rpd_cdc_{int(to_dv)}", schema,
+                     PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "k long, v long").coalesce(1))
+    t = t.refresh()
+    t.delete_where_pos(spark, F.col("k") == 0)
+    t = t.refresh()
+    t.delete_where_pos(spark, F.col("k") == 1)
+    t = t.refresh()
+    t = rewrite_position_deletes(spark, t, to_dv=to_dv)
+    ev = t.changes(spark).collect()
+    dels = Counter((r["k"], r["_change_ordinal"]) for r in ev
+                   if r["_change_type"] == "delete")
+    assert dels == Counter({(0, 2): 1, (1, 3): 1}), dels
+    assert sorted(r["k"] for r in t.scan(spark).collect()) \
+        == [2, 3, 4, 5]
+    pre_compact = t.metadata.current_snapshot().snapshot_id
+    t = compact_table(spark, t)
+    with pytest.raises(ValueError, match="replace commit"):
+        # range holding ONLY the compact commit: a data rewrite must
+        # still refuse (the full-history read additionally fails on
+        # physically-removed files — compaction deletes them)
+        t.changes(spark, from_snapshot_id=pre_compact).collect()
+
+
 def test_update_where_pos_dv_roundtrip(spark, catalog):
     """DV-routed UPDATE: matched rows' positions become merged deletion
     vectors and post-SET rows land as new files in ONE commit; the scan
