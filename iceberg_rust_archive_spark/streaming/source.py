@@ -237,19 +237,36 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 "expired from table history — the stream cannot "
                 "prove exactly-once; restart from scratch")
         start_seq = s0.sequence_number
-        # a replace commit rewrites ALL rows at one new sequence — an
-        # incremental stream would re-emit the table; refuse (same
-        # contract as the batch incremental scan, operators/scan.py).
-        # The walk is bounded by the CHECKPOINTED sequence: history at
-        # or before start_seq was already consumed and cannot taint
-        # this range.
+        # a DATA-rewriting replace commit rewrites rows at one new
+        # sequence — an incremental stream would re-emit the table;
+        # refuse (same contract as the batch incremental scan,
+        # operators/scan.py). A DELETE-FILE-ONLY replace
+        # (rewrite_position_deletes) is spannable, but ONLY when no
+        # row-deleting commit landed inside the range: the rewrite
+        # absorbs prior delete files into one merged file at ITS
+        # sequence, so an in-range delete commit's retractions would
+        # otherwise vanish from the manifest list unnoticed. The walk
+        # is bounded by the CHECKPOINTED sequence: history at or
+        # before start_seq was already consumed and cannot taint this
+        # range.
+        from iceberg_rust_archive_spark.sources.manifests import (
+            replace_touches_data,
+        )
+        spannable_replaces: set[int] = set()
+        row_deletes_in_range = False
         s_ = snap
         while s_ is not None and s_.sequence_number > start_seq:
-            if (s_.summary or {}).get("operation") == "replace":
-                raise ValueError(
-                    f"stream range spans a replace commit (snapshot "
-                    f"{s_.snapshot_id}) — rows cannot be attributed; "
-                    "restart the stream from scratch")
+            op = (s_.summary or {}).get("operation")
+            if op == "replace":
+                if replace_touches_data(s_):
+                    raise ValueError(
+                        f"stream range spans a replace commit "
+                        f"(snapshot {s_.snapshot_id}) — rows cannot "
+                        "be attributed; restart the stream from "
+                        "scratch")
+                spannable_replaces.add(s_.snapshot_id)
+            elif op != "append":
+                row_deletes_in_range = True
             s_ = (md.snapshots.get(s_.parent_snapshot_id)
                   if s_.parent_snapshot_id is not None else None)
         mlist = [m for m in read_manifest_list(snap.manifest_list)
@@ -263,6 +280,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 if (e.sequence_number or 0) <= start_seq:
                     continue
                 if e.data_file.content != CONTENT_DATA:
+                    if e.snapshot_id in spannable_replaces \
+                            and not row_deletes_in_range:
+                        # the merged delete file re-encodes only
+                        # PRE-checkpoint deletions (no delete commit
+                        # in range) — already reflected in what the
+                        # consumer read; skip it
+                        continue
                     raise ValueError(
                         "stream range contains delete files — "
                         "row-level retractions cannot ride an "

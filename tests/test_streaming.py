@@ -533,6 +533,64 @@ def test_iceberg_stream_source_fresh_start_after_compaction(spark, tmp_path):
         run_once()
 
 
+def test_iceberg_stream_source_spans_delete_only_rewrite(spark, tmp_path):
+    """A mid-stream rewrite_position_deletes commit touches only delete
+    files; when no row-deleting commit landed in the range, the
+    increment may span it (the merged delete file re-encodes only
+    pre-checkpoint deletions the consumer already observed). A delete
+    commit followed by the rewrite still refuses — the rewrite absorbs
+    that commit's delete files, so skipping would lose retractions."""
+    pytest.importorskip("pyspark.sql.datasource")
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.maintenance import (
+        rewrite_position_deletes,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.streaming.source import (
+        IcebergStreamSource,
+    )
+    from iceberg_rust_archive_spark.table import Table
+    from test_engine import BATCH1, BATCH2, COLS, ORDERS_SCHEMA
+
+    spark.dataSource.register(IcebergStreamSource)
+    cat = FileCatalog(str(tmp_path / "wh"))
+    t = Table.create(cat, "db.srcr", ORDERS_SCHEMA, PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    # two pre-stream pos-delete commits so a rewrite has work to merge
+    t = t.delete_where_pos(spark, F.col("id") == 1)
+    t = t.delete_where_pos(spark, F.col("id") == 2)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        df = (spark.readStream.format("iceberg-archive")
+              .option("catalog_root", cat.root)
+              .option("identifier", "db.srcr").load())
+        q = (df.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()  # initial MoR batch: rows minus the two deletes
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) \
+        == [r[0] for r in BATCH1 if r[0] not in (1, 2)]
+    # delete-only rewrite + append → the increment spans the rewrite
+    # and emits exactly the appended rows
+    t = rewrite_position_deletes(spark, t.refresh())
+    t = t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) \
+        == sorted([r[0] for r in BATCH1 if r[0] not in (1, 2)]
+                  + [r[0] for r in BATCH2])
+    # a row-deleting commit inside the range followed by a rewrite
+    # must refuse: the rewrite hides that commit's delete files
+    t = t.delete_where_pos(spark, F.col("id") == 3)
+    t = rewrite_position_deletes(spark, t.refresh())
+    with pytest.raises(Exception, match="delete files|replace commit"):
+        run_once()
+
+
 def test_iceberg_stream_source_initial_mor_batch(spark, tmp_path):
     """A table with live delete files (equality, parquet position, AND
     a deletion vector) streams an INITIAL batch equal to the batch
