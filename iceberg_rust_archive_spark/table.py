@@ -284,8 +284,53 @@ class Table:
                     in md.properties)
                 piece = _tag(ins, "insert", s)
             if added_deletes and s.parent_snapshot_id is not None:
-                prior = self.scan(spark,
-                                  snapshot_id=s.parent_snapshot_id)
+                import json as _json
+                import re as _re
+
+                def _dpk(d):
+                    return _json.dumps(d.partition, sort_keys=True,
+                                       default=str)
+
+                def _dglobal(d):
+                    return all(v is None for v in d.partition.values())
+
+                # partition SCOPE parity with the scan (A5): a delete
+                # file carrying a partition tuple kills rows only in
+                # that partition's data files; resolving by key alone
+                # would emit phantom deletes for matching rows in
+                # OTHER partitions (the shape a foreign writer
+                # produces — eq columns excluding the partition
+                # source). Scoped resolution tags the parent state's
+                # rows with their file's partition key via the same
+                # one-row-per-FILE broadcast join the scan uses.
+                any_scoped = any(not _dglobal(de.data_file)
+                                 for de in added_deletes)
+                if any_scoped:
+                    prior = _scan(spark, md,
+                                  snapshot_id=s.parent_snapshot_id,
+                                  expose_pos=True)
+                    parent_snap = md.snapshots[s.parent_snapshot_id]
+                    from pyspark.sql.types import (
+                        StringType, StructField, StructType,
+                    )
+                    tag_rows = [
+                        (_re.sub(r"^file:/+", "/", e.data_file.file_path),
+                         _dpk(e.data_file))
+                        for entries in read_manifests(
+                            [m.manifest_path for m in read_manifest_list(
+                                parent_snap.manifest_list)])
+                        for e in entries
+                        if e.status != STATUS_DELETED
+                        and e.data_file.content == CONTENT_DATA]
+                    tags = spark.createDataFrame(
+                        tag_rows, StructType([
+                            StructField("__fp", StringType()),
+                            StructField("__pk", StringType())]))
+                    prior = prior.join(F.broadcast(tags), on="__fp",
+                                       how="left")
+                else:
+                    prior = self.scan(spark,
+                                      snapshot_id=s.parent_snapshot_id)
                 from collections import defaultdict
                 by_eq = defaultdict(list)
                 for de in added_deletes:
@@ -297,16 +342,32 @@ class Table:
                         continue
                     dsch = spark_schema_for(
                         schema.project(list(eq_ids)).struct)
-                    keys = (read_data_files(
-                        spark, dsch,
-                        [(d.data_file.file_path, d.data_file.file_format)
-                         for d in des])
-                        .select(*[F.col(c).alias(f"__k_{c}")
-                                  for c in names]).dropDuplicates())
+                    krels = []
+                    for de in des:
+                        k = (read_data_files(
+                            spark, dsch,
+                            [(de.data_file.file_path,
+                              de.data_file.file_format)])
+                            .select(*[F.col(c).alias(f"__k_{c}")
+                                      for c in names]))
+                        if any_scoped:
+                            scope = None if _dglobal(de.data_file) \
+                                else _dpk(de.data_file)
+                            k = k.withColumn(
+                                "__del_pk", F.lit(scope).cast("string"))
+                        krels.append(k)
+                    keys = krels[0]
+                    for k in krels[1:]:
+                        keys = keys.unionByName(k)
+                    keys = keys.dropDuplicates()
                     cond = None
                     for c in names:
                         term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
                         cond = term if cond is None else cond & term
+                    if any_scoped:
+                        cond = cond & (F.col("__del_pk").isNull()
+                                       | (F.col("__del_pk")
+                                          == F.col("__pk")))
                     removed = prior.join(keys, on=cond, how="left_semi")
                     tagged = _tag(removed, "delete", s)
                     piece = tagged if piece is None \

@@ -411,6 +411,50 @@ def test_changelog_resolves_dv_deletes(spark, catalog):
     assert dels == {1, 4, 5}  # the customer-1 rows
 
 
+def test_changelog_respects_eq_delete_partition_scope(spark, catalog):
+    """An equality-delete file scoped to ONE partition (eq columns
+    excluding the partition source — the foreign-writer shape of the
+    r10 streaming ADVICE) must emit deletes only for that partition's
+    rows. Key-only resolution emitted a phantom delete for the
+    matching row in the OTHER partition even though the scan keeps it
+    (r11 fix: the parent state carries its file's partition key via
+    the scan's broadcast tag join, and each delete file's scope rides
+    the key relation)."""
+    import dataclasses
+    import datetime as dt
+
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_EQUALITY_DELETES,
+    )
+    from test_engine import BATCH1, COLS, DAY_SPEC, ORDERS_SCHEMA
+
+    t = Table.create(catalog, "db.chg_scope", ORDERS_SCHEMA, DAY_SPEC)
+    t = t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    files = write_datafiles(
+        spark, t.metadata, spark.createDataFrame([(1,), (4,)], ["id"]),
+        content=CONTENT_EQUALITY_DELETES, equality_ids=(1,))
+    jan1 = (dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days
+    scoped = [dataclasses.replace(f, partition={"date_day": jan1})
+              for f in files]
+    txn = t.new_transaction().append_delete_files(scoped)
+    txn.commit_with_retry(lambda x: x.append_delete_files(scoped))
+    t = t.refresh()
+    assert sorted(r.id for r in t.scan(spark).collect()) \
+        == [2, 3, 4, 5, 6]  # id 4 lives in 2020-02-02: out of scope
+    dels = sorted(r["id"] for r in t.changes(spark).collect()
+                  if r["_change_type"] == "delete")
+    assert dels == [1], dels
+    # a global delete in a later commit still resolves table-wide
+    t.delete_where_equal(spark, spark.createDataFrame([(4,)], ["id"]),
+                         ["id"])
+    t = t.refresh()
+    dels = sorted((r["id"], r["_change_ordinal"])
+                  for r in t.changes(spark).collect()
+                  if r["_change_type"] == "delete")
+    assert dels == [(1, 2), (4, 3)], dels
+
+
 @pytest.mark.parametrize("to_dv", [False, True])
 def test_changelog_survives_pos_delete_rewrite(spark, catalog, to_dv):
     """A rewrite_position_deletes commit touches only DELETE files

@@ -704,6 +704,14 @@ def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
                    for r in t.scan(spark, filter=[Pred("k", "=", 0)])
                    .collect())
     assert got0 == Counter({r: n for r, n in state.items() if r[0] == 0})
+    # changelog replay from empty reproduces the same state — the
+    # partition-SCOPED eq resolution and merged-DV dedup must hold
+    # through the CDC surface too (r11 fixes)
+    replay: Counter = Counter()
+    for e in t.changes(spark).collect():
+        replay[(e["k"], e["v"])] += (1 if e["_change_type"] == "insert"
+                                     else -1)
+    assert +replay == state, (ops,)
 
 
 # --- pruning soundness (r11: parsed-literal type gate) ---------------------
