@@ -283,6 +283,20 @@ class Table:
                     by_name="schema.name-mapping.default"
                     in md.properties)
                 piece = _tag(ins, "insert", s)
+            if (added_deletes
+                    or any((e.data_file.file_format or "").lower()
+                           == "puffin" for e in added_pos)) \
+                    and s.parent_snapshot_id is not None \
+                    and s.parent_snapshot_id not in md.snapshots:
+                # delete events resolve against the PARENT state
+                # (eq semi-join / merged-DV subtraction); an expired
+                # parent would silently yield wrong events (empty
+                # prior ⇒ no deletes; no DV subtraction ⇒ re-emitted
+                # deletes) — refuse loudly instead
+                raise ValueError(
+                    f"snapshot {s.snapshot_id}'s parent has been "
+                    "expired; its delete events cannot be resolved — "
+                    "pass from_snapshot_id within retained history")
             if added_deletes and s.parent_snapshot_id is not None:
                 import json as _json
                 import re as _re

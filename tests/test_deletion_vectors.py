@@ -411,6 +411,32 @@ def test_changelog_resolves_dv_deletes(spark, catalog):
     assert dels == {1, 4, 5}  # the customer-1 rows
 
 
+def test_changelog_refuses_expired_parent_on_delete_commit(spark,
+                                                           catalog):
+    """Delete events resolve against the PARENT state; when expiry
+    removed the parent, resolution would silently yield wrong events
+    (empty prior ⇒ dropped deletes) — changes() must refuse loudly."""
+    import time as _time
+
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(catalog, "db.exp_cdc", schema, PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(
+        [(i, i) for i in range(4)], "k long, v long").coalesce(1))
+    t = t.delete_where_equal(spark,
+                             spark.createDataFrame([(1,)], ["k"]), ["k"])
+    t = expire_snapshots(
+        t, older_than_ms=int(_time.time() * 1000) + 10_000)
+    assert len(t.metadata.snapshots) == 1
+    with pytest.raises(ValueError, match="expired"):
+        t.changes(spark).collect()
+
+
 def test_changelog_respects_eq_delete_partition_scope(spark, catalog):
     """An equality-delete file scoped to ONE partition (eq columns
     excluding the partition source — the foreign-writer shape of the
