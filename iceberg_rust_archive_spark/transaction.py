@@ -316,6 +316,41 @@ class Transaction:
                     f"{self._deletes_valid_since}, which is no longer "
                     "in this branch's history — re-plan the delete")
 
+        # v3 one-DV-per-file invariant under WRITER races: two
+        # concurrent DV writers both merge from the same prior vector
+        # set, so the later commit would land a SECOND live DV for a
+        # data file (the union of pairs keeps OUR scan correct, but
+        # spec-compliant foreign readers may resolve only one vector —
+        # silent divergence). When this commit adds DVs and the parent
+        # moved past the planning snapshot, verify no un-superseded
+        # live DV references the same data files; conflict ⇒ re-plan
+        # (the refreshed plan merges the racing vector).
+        new_dv_refs = {f.referenced_data_file for f in self._deletes
+                       if (f.file_format or "").lower() == "puffin"
+                       and f.referenced_data_file is not None}
+        if new_dv_refs and parent is not None \
+                and self._deletes_valid_since is not None \
+                and parent.snapshot_id != self._deletes_valid_since:
+            from iceberg_rust_archive_spark.sources.manifests import (
+                read_manifest_list as _rml, read_manifests as _rms,
+            )
+            for entries in _rms([m.manifest_path
+                                 for m in _rml(parent.manifest_list)]):
+                for e in entries:
+                    df_ = e.data_file
+                    if e.status == STATUS_DELETED \
+                            or df_.content != CONTENT_POSITION_DELETES \
+                            or (df_.file_format or "").lower() != "puffin":
+                        continue
+                    if df_.referenced_data_file in new_dv_refs \
+                            and (df_.file_path, df_.content_offset) \
+                            not in self._superseded_dvs:
+                        raise CommitFailedError(
+                            "a concurrent commit added a deletion "
+                            f"vector for {df_.referenced_data_file}; "
+                            "re-plan to merge (one live DV per data "
+                            "file)")
+
         if self._new_schema is not None:
             schemas = dict(md.schemas)
             schemas[self._new_schema.schema_id] = self._new_schema

@@ -411,6 +411,44 @@ def test_changelog_resolves_dv_deletes(spark, catalog):
     assert dels == {1, 4, 5}  # the customer-1 rows
 
 
+def test_concurrent_dv_writers_merge_not_accumulate(spark, catalog):
+    """Two DV writers planning from the SAME snapshot both merge from
+    the same prior vector set; without a commit-time guard the later
+    commit lands a SECOND live DV for the data file (our scan unions
+    pairs so results stay right, but spec readers may resolve only one
+    vector). The commit now refuses the conflicting set and the
+    statement re-plans, merging the racing vector — afterwards exactly
+    ONE live DV references the file and both deletes apply."""
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list, read_manifests,
+    )
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import STATUS_DELETED
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(catalog, "db.dv_race", schema, PartitionSpec(0, ()))
+    t = t.append(spark, spark.createDataFrame(
+        [(i, i) for i in range(6)], "k long, v long").coalesce(1))
+    stale = Table.load(catalog, "db.dv_race")  # snapshot BEFORE writer A
+    t.delete_where_pos(spark, F.col("k") == 0, use_dv=True)  # writer A
+    # writer B plans from the stale snapshot — must replan and merge
+    stale.delete_where_pos(spark, F.col("k") == 1, use_dv=True)
+    t = t.refresh()
+    assert sorted(r["k"] for r in t.scan(spark).collect()) \
+        == [2, 3, 4, 5]
+    snap = t.metadata.current_snapshot()
+    live = [e.data_file for entries in read_manifests(
+                [m.manifest_path
+                 for m in read_manifest_list(snap.manifest_list)])
+            for e in entries if e.status != STATUS_DELETED
+            and e.data_file.content == CONTENT_POSITION_DELETES]
+    refs = [d.referenced_data_file for d in live]
+    assert len(refs) == len(set(refs)) == 1, refs
+
+
 def test_changelog_refuses_expired_parent_on_delete_commit(spark,
                                                            catalog):
     """Delete events resolve against the PARENT state; when expiry
