@@ -617,6 +617,7 @@ def _pmor_op():
         st.tuples(st.just("del_v"), vs),      # GLOBAL eq delete
         st.tuples(st.just("del_pos"), ks, st.booleans()),
         st.tuples(st.just("upsert"), rows),
+        st.tuples(st.just("update"), ks),     # DV-routed UPDATE (r11)
     )
 
 
@@ -683,7 +684,7 @@ def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
                 use_dv=use_dv)
             state = +Counter({r: n for r, n in state.items()
                               if r[0] not in keys})
-        else:  # upsert on key k
+        elif kind == "upsert":  # upsert on key k
             latest = {}
             for k, v in op[1]:
                 latest[k] = v
@@ -693,6 +694,14 @@ def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
             state = +Counter({r: n for r, n in state.items()
                               if r[0] not in latest})
             state.update(rows)
+        else:  # DV-routed UPDATE: v += 100 where k ∈ ks
+            keys = set(op[1])
+            pred = "k IN (" + ",".join(str(k) for k in sorted(keys)) + ")"
+            t.update_where_pos(spark, pred, {"v": "v + 100"})
+            nxt: Counter = Counter()
+            for (k, v), n in state.items():
+                nxt[(k, v + 100) if k in keys else (k, v)] += n
+            state = nxt
         t = t.refresh()
 
     got = Counter((r["k"], r["v"]) for r in t.scan(spark).collect())
