@@ -503,21 +503,17 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
         scoped = base.join(touched, cond, "left_semi")
         recomputed = bind_and_run({src.name: scoped}).cache()
         try:
-            files = _write(spark, storage, recomputed)
             schema = storage.metadata.current_schema()
             keys_ = [i.out_name for i in kitems]
             eq_ids = tuple(schema.field_by_name(k).field_id for k in keys_)
             from iceberg_rust_archive_spark.sources.write import (
-                write_datafiles,
-            )
-            from iceberg_rust_archive_spark.spec.manifest import (
-                CONTENT_EQUALITY_DELETES,
+                write_delete_and_data,
             )
             retract = touched.select(
                 *[F.col(f"__t_{k}").alias(k) for k in keys_])
-            del_files = write_datafiles(
-                spark, storage.metadata, retract,
-                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
+            # both sides consume cached frames — overlap the writes
+            del_files, files = write_delete_and_data(
+                spark, storage.metadata, retract, eq_ids, recomputed)
             txn = storage.new_transaction(branch).append_files(files) \
                 .append_delete_files(del_files) \
                 .set_refresh_state(new_state.to_json_str())
@@ -804,21 +800,21 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     # stored-table merge-on-read scan + join.
     upserts = upserts.cache()
 
-    files = _write(spark, storage, upserts)
     # NegDelta: retract stale group rows via equality delete on keys
-    # (transform.rs:214-360 → equality-delete files, A16)
+    # (transform.rs:214-360 → equality-delete files, A16). Both sides
+    # of the commit pair consume the cached delta — overlap the two
+    # writes on two threads (max(), not the sum)
     if keys:
         schema = storage.metadata.current_schema()
         eq_ids = tuple(schema.field_by_name(k).field_id for k in keys)
-        from iceberg_rust_archive_spark.sources.write import write_datafiles
-        from iceberg_rust_archive_spark.spec.manifest import (
-            CONTENT_EQUALITY_DELETES,
+        from iceberg_rust_archive_spark.sources.write import (
+            write_delete_and_data,
         )
         retract_keys = delta_agg.select(*keys)
-        del_files = write_datafiles(spark, storage.metadata, retract_keys,
-                                    content=CONTENT_EQUALITY_DELETES,
-                                    equality_ids=eq_ids)
+        del_files, files = write_delete_and_data(
+            spark, storage.metadata, retract_keys, eq_ids, upserts)
     else:
+        files = _write(spark, storage, upserts)
         del_files = []
     txn = storage.new_transaction(branch).append_files(files) \
         .append_delete_files(del_files) \
