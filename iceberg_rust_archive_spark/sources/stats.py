@@ -152,6 +152,16 @@ def harvest_one(path: str, field_ids: dict[str, int],
     null_counts: dict[int, int] = {}
     lowers: dict[int, object] = {}
     uppers: dict[int, object] = {}
+    # A row group whose stat can't be represented (±inf, NaN, undecodable
+    # bytes, failed lazy cast) poisons that column's FILE-level bound:
+    # silently falling back to another row group's value would record a
+    # bound that doesn't bound this group's rows, and prune_datafiles
+    # would then wrongly drop the file for e.g. ``x > 100`` when the
+    # skipped group holds +inf. Directional exception: st.min == +inf
+    # (all values inf) is safely skipped for the LOWER bound — any other
+    # group's lower still bounds it — and st.max == -inf symmetrically.
+    no_lower: set[int] = set()
+    no_upper: set[int] = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for i in range(n_cols):
@@ -172,17 +182,29 @@ def harvest_one(path: str, field_ids: dict[str, int],
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
             if st.has_min_max:
                 try:  # the min/max CAST is lazy and can be unsupported
-                    lo, hi = _norm_bound(st.min), _norm_bound(st.max)
+                    raw_lo, raw_hi = st.min, st.max
+                    lo, hi = _norm_bound(raw_lo), _norm_bound(raw_hi)
                 except Exception:  # noqa: BLE001
+                    no_lower.add(fid)
+                    no_upper.add(fid)
                     continue
-                if lo is not None and (fid not in lowers or lo < lowers[fid]):
+                if lo is None:
+                    if not (isinstance(raw_lo, float)
+                            and raw_lo == math.inf):
+                        no_lower.add(fid)
+                elif fid not in lowers or lo < lowers[fid]:
                     lowers[fid] = lo
-                if hi is not None and (fid not in uppers or hi > uppers[fid]):
+                if hi is None:
+                    if not (isinstance(raw_hi, float)
+                            and raw_hi == -math.inf):
+                        no_upper.add(fid)
+                elif fid not in uppers or hi > uppers[fid]:
                     uppers[fid] = hi
 
-    lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()}
+    lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()
+              if fid not in no_lower}
     uppers = {fid: u for fid, v in uppers.items()
-              if (u := _trunc_upper(v)) is not None}
+              if fid not in no_upper and (u := _trunc_upper(v)) is not None}
 
     return DataFile(
         content=content, file_path=path, file_format="parquet",

@@ -454,3 +454,56 @@ def test_bulk_relation_matches_varargs(spark, tmp_path):
     assert [f.name for f in bulk.schema.fields] \
         == [f.name for f in var.schema.fields]
     assert len(rows_bulk) == 70
+
+
+def _write_two_rowgroup_parquet(path, rg1, rg2):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("x", pa.float64())])
+    w = pq.ParquetWriter(path, schema)
+    w.write_table(pa.table({"x": pa.array(rg1, pa.float64())}))
+    w.write_table(pa.table({"x": pa.array(rg2, pa.float64())}))
+    w.close()
+
+
+def test_inf_rowgroup_poisons_file_upper_bound(tmp_path):
+    """A row group whose max is +inf must not let another row group's
+    finite max become the file's upper bound — pruning on ``x > 100``
+    would drop the file and lose the inf rows (bounds must bound EVERY
+    row; only NaN is spec-exempt)."""
+    from iceberg_rust_archive_spark.sources.stats import harvest_one
+
+    p = str(tmp_path / "inf_hi.parquet")
+    _write_two_rowgroup_parquet(p, [float("inf")], [1.0, 5.0])
+    df = harvest_one(p, {"x": 1})
+    assert 1 not in df.upper_bounds, \
+        f"upper bound {df.upper_bounds.get(1)} does not bound +inf"
+    # min over [inf] is +inf: skipping it for the LOWER bound is sound
+    # (the other group's 1.0 still lower-bounds everything).
+    assert df.lower_bounds.get(1) == 1.0
+
+
+def test_neg_inf_rowgroup_poisons_file_lower_bound(tmp_path):
+    from iceberg_rust_archive_spark.sources.stats import harvest_one
+
+    p = str(tmp_path / "inf_lo.parquet")
+    _write_two_rowgroup_parquet(p, [float("-inf")], [2.0, 3.0])
+    df = harvest_one(p, {"x": 1})
+    assert 1 not in df.lower_bounds, \
+        f"lower bound {df.lower_bounds.get(1)} does not bound -inf"
+    assert df.upper_bounds.get(1) == 3.0
+
+
+def test_inf_file_is_not_pruned_by_range_predicate(tmp_path):
+    """End-to-end: prune_datafiles must keep a mixed-rowgroup inf file
+    for ``x > 100`` (the inf row matches)."""
+    from iceberg_rust_archive_spark.predicates import Pred, prune_datafiles
+    from iceberg_rust_archive_spark.sources.stats import harvest_one
+
+    p = str(tmp_path / "inf_mix.parquet")
+    _write_two_rowgroup_parquet(p, [float("inf")], [1.0, 5.0])
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "x", "double", True),)))
+    f = harvest_one(p, {"x": 1})
+    kept = prune_datafiles([Pred("x", ">", 100.0)], schema, [f])
+    assert kept == [f]
