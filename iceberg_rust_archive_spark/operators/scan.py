@@ -22,6 +22,7 @@ list and applies its own pushdown/row-group pruning on top.
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import json
 from collections import defaultdict
 
@@ -40,7 +41,9 @@ from iceberg_rust_archive_spark.spec.manifest import (
     STATUS_DELETED,
 )
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
-from iceberg_rust_archive_spark.spec.types import spark_schema_for
+from iceberg_rust_archive_spark.spec.types import (
+    StructTypeSpec, spark_schema_for,
+)
 
 # concurrent fetch (sources/manifests.py) shared with commit-rebuild and
 # maintenance paths; old private name kept for existing callers/tests
@@ -392,6 +395,37 @@ def scan(spark: SparkSession, md: TableMetadata,
     # field ids) carry the name-mapping property → resolve BY NAME
     by_name = "schema.name-mapping.default" in md.properties
 
+    # Equality-delete ids DROPPED from the scan schema: a dropped
+    # column must not un-apply a delete (silent row resurrection), and
+    # resolving only the still-present subset of a delete's eq set
+    # would over-delete. Recover each missing field from the newest
+    # historical schema still carrying it (metadata retains every
+    # schema) and read it back as a hidden ``__hist_<fid>`` column —
+    # parquet field-id resolution matches it in files written before
+    # the drop; later files yield NULL, which the sequence residual
+    # (data seq < delete seq) already excludes.
+    hist_fields: dict[int, object] = {}
+    if delete_entries:
+        present = {f.field_id for f in schema.fields}
+        missing: set[int] = set()
+        for _de in delete_entries:
+            missing |= set(_de.data_file.equality_ids or ()) - present
+        for fid in sorted(missing):
+            for s_ in sorted(md.schemas.values(),
+                             key=lambda s: -s.schema_id):
+                f_ = s_.field_by_id(fid)
+                if f_ is not None:
+                    hist_fields[fid] = _dc.replace(
+                        f_, name=f"__hist_{fid}", required=False)
+                    break
+            else:
+                raise ValueError(
+                    f"equality delete references field id {fid} not "
+                    f"found in any schema of the table metadata")
+    if hist_fields:
+        spark_schema = spark_schema_for(StructTypeSpec(
+            tuple(schema.fields) + tuple(hist_fields.values())))
+
     # v3 initial-defaults: fields added with DEFAULT fill rows from
     # files that PREDATE the column. A file "has" the field iff its
     # harvested per-column stats know the field id (our writer records
@@ -593,12 +627,15 @@ def scan(spark: SparkSession, md: TableMetadata,
             for de in delete_entries:
                 by_eq[tuple(de.data_file.equality_ids or ())].append(de)
             for eq_ids, des in by_eq.items():
-                eq_fields = [schema.field_by_id(i) for i in eq_ids]
-                eq_names = [f.name for f in eq_fields if f is not None]
+                # present fields keep their scan-schema name; dropped
+                # ones resolve to the __hist_<fid> helper read above
+                eq_fields = [schema.field_by_id(i) or hist_fields[i]
+                             for i in eq_ids]
+                eq_names = [f.name for f in eq_fields]
                 if not eq_names:
                     continue
                 del_schema = spark_schema_for(
-                    schema.project(list(eq_ids)).struct)
+                    StructTypeSpec(tuple(eq_fields)))
                 del_groups: dict[tuple, list] = defaultdict(list)
                 for de in des:
                     scope = None if _is_global(de) else pkey(de)
@@ -650,6 +687,8 @@ def scan(spark: SparkSession, md: TableMetadata,
         elif has_pos and not (expose_pos or with_row_id):
             # __fp/__pos existed only to carry the sequence tags
             df = df.drop("__fp", "__pos")
+    if hist_fields:
+        df = df.drop(*[f.name for f in hist_fields.values()])
 
     if with_row_id:
         # v3 row lineage: one (path, first-row-id, data-sequence) row

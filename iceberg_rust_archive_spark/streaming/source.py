@@ -113,6 +113,78 @@ def _read_arrow(path: str, fmt: str | None, columns: list[str]):
     return pq.read_table(buf, columns=columns)
 
 
+def _fid_map(arrow_schema) -> dict[int, str]:
+    """Iceberg field id → PHYSICAL column name, from the parquet
+    field-id metadata our writer embeds. Files without ids (ORC,
+    add_files imports) yield an empty map → name fallback."""
+    out: dict[int, str] = {}
+    for f in arrow_schema:
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                out[int(v)] = f.name
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
+def _read_arrow_fid(path: str, fmt: str | None, fids, out_names):
+    """Driver-side Arrow read of one (small) delete file resolving
+    columns by FIELD ID from the file's own schema — rename/drop-safe
+    like the batch scan's field-id reads; falls back to the requested
+    name for files without embedded ids."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.object_store import store_for
+    buf = io.BytesIO(store_for(path).read_bytes(path))
+    if (fmt or "parquet").lower() == "orc":
+        from pyarrow import orc as _orc
+        return _orc.ORCFile(buf).read(columns=list(out_names))
+    schema = pq.read_schema(buf)
+    fmap = _fid_map(schema)
+    phys = []
+    for fid, name in zip(fids, out_names):
+        p = fmap.get(fid)
+        if p is None and name in schema.names:
+            p = name
+        if p is None:
+            raise ValueError(
+                f"delete file {path} carries no column for field id "
+                f"{fid}")
+        phys.append(p)
+    buf.seek(0)
+    tbl = pq.read_table(buf, columns=list(dict.fromkeys(phys)))
+    return pa.table({n: tbl.column(p)
+                     for n, p in zip(out_names, phys)})
+
+
+def _arrow_null_type(iceberg_type):
+    """Arrow type for null-filling a column absent from a data file
+    (added to the schema after the file was written). Nested types
+    return None — callers fall back to an untyped null column."""
+    import pyarrow as pa
+    if not isinstance(iceberg_type, str):
+        return None
+    m = {"boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+         "float": pa.float32(), "double": pa.float64(),
+         "date": pa.date32(), "time": pa.int64(),
+         "timestamp": pa.timestamp("us"),
+         "timestamptz": pa.timestamp("us", tz="UTC"),
+         "string": pa.string(), "uuid": pa.string(),
+         "binary": pa.binary()}
+    if iceberg_type in m:
+        return m[iceberg_type]
+    if iceberg_type.startswith("decimal"):
+        import re as _re
+        g = _re.match(r"decimal\((\d+),\s*(\d+)\)", iceberg_type)
+        if g:
+            return pa.decimal128(int(g.group(1)), int(g.group(2)))
+    return None
+
+
 def _apply_deletes(batch, offset: int, partition):
     """Mask one Arrow batch with the partition's resolved deletes:
     position ordinals via a numpy range intersection, equality rows
@@ -130,7 +202,7 @@ def _apply_deletes(batch, offset: int, partition):
         dpos = np.asarray(partition.deleted_pos, dtype=np.int64)
         local = dpos[(dpos >= offset) & (dpos < offset + batch.num_rows)]
         keep[local - offset] = False
-    for names, rows in (partition.eq_deletes or ()):
+    for names, _fids, rows in (partition.eq_deletes or ()):
         import pandas as pd
         sub = pd.DataFrame(
             {n: batch.column(batch.schema.get_field_index(n)).to_pylist()
@@ -190,6 +262,18 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self._md = None
         self._gate_bytes = int(self.options.get(
             "initial_delete_gate_bytes", _INITIAL_DELETE_GATE_BYTES))
+        # field ids + null-fill arrow types per output column: executor
+        # reads resolve each column by id from the FILE's own schema,
+        # so files written before a rename still resolve and files
+        # written before an ADD COLUMN null-fill instead of crashing
+        sch = _load_metadata(self.options).current_schema()
+        self._fids, self._null_types = [], []
+        for c in self.columns:
+            f = sch.field_by_name(c)
+            self._fids.append(f.field_id if f is not None else None)
+            self._null_types.append(
+                _arrow_null_type(f.field_type) if f is not None
+                else None)
 
     # --- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -392,27 +476,37 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # kills rows in P's data files; an all-null partition tuple
         # means the delete is global
         schema = md.schemas[md.current_schema_id]
-        eq_sets = []   # (seq, pkey-or-None, tuple(names), frozenset)
+        eq_sets = []   # (seq, pkey-or-None, names, fids, frozenset)
         for d, seq in eq_files:
-            names = tuple(
-                f.name for f in (schema.field_by_id(i)
-                                 for i in (d.equality_ids or ()))
-                if f is not None)
+            names, fids = [], []
+            for i in (d.equality_ids or ()):
+                f = schema.field_by_id(i)
+                if f is None:
+                    # column dropped since the delete was written: a
+                    # dropped column must not un-apply a delete — name
+                    # the key __hist_<fid> and resolve it by field id
+                    # in both the delete file and the data files (the
+                    # batch scan's rule, operators/scan.py)
+                    names.append(f"__hist_{i}")
+                else:
+                    names.append(f.name)
+                fids.append(i)
             if not names:
                 continue
-            tbl = _read_arrow(d.file_path, d.file_format, list(names))
+            tbl = _read_arrow_fid(d.file_path, d.file_format, fids,
+                                  names)
             rows = frozenset(zip(*[tbl.column(n).to_pylist()
                                    for n in names])) \
                 if tbl.num_rows else frozenset()
             eq_sets.append((seq, None if is_global(d) else pkey(d),
-                            names, rows))
+                            tuple(names), tuple(fids), rows))
 
         parts = []
         for f, dseq in data:
             dpos = sorted(pos_by_file.get(norm(f.file_path), ()))
             fkey = pkey(f)
-            eqs = tuple((names, rows)
-                        for seq, dk, names, rows in eq_sets
+            eqs = tuple((names, fids, rows)
+                        for seq, dk, names, fids, rows in eq_sets
                         if seq > dseq and rows
                         and (dk is None or dk == fkey))
             parts.append(_FilePartition(
@@ -422,24 +516,74 @@ class _IcebergStreamReader(DataSourceStreamReader):
         return parts
 
     # --- execution (executors) -------------------------------------------
+    def _column_plan(self, file_schema, partition):
+        """(out_name, physical-or-None, null_type) per column: output
+        columns first, then any __hist_* equality-delete keys not in
+        the output. Physical names resolve by field id from the file's
+        own schema (rename-safe), by name for id-less files, and None
+        null-fills (file predates an ADD COLUMN)."""
+        fmap = _fid_map(file_schema)
+        in_file = set(file_schema.names)
+        plan = []
+        for name, fid, ntype in zip(self.columns, self._fids,
+                                    self._null_types):
+            phys = fmap.get(fid) if fid is not None else None
+            if phys is None and name in in_file:
+                phys = name
+            plan.append((name, phys, ntype))
+        seen_extra = set()
+        for names, fids, _rows in (partition.eq_deletes or ()):
+            for n, fi in zip(names, fids):
+                if n in self.columns or n in seen_extra:
+                    continue
+                seen_extra.add(n)
+                phys = fmap.get(fi)
+                if phys is None and n in in_file:
+                    phys = n
+                plan.append((n, phys, None))
+        return plan
+
+    @staticmethod
+    def _assemble(batch, plan):
+        import pyarrow as pa
+        arrays = []
+        for _name, phys, ntype in plan:
+            if phys is not None:
+                arrays.append(batch.column(
+                    batch.schema.get_field_index(phys)))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=ntype))
+        return pa.RecordBatch.from_arrays(
+            arrays, names=[p[0] for p in plan])
+
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
         if partition.fmt == "parquet":
             pf = pq.ParquetFile(partition.path)
+            plan = self._column_plan(pf.schema_arrow, partition)
+            read_cols = list(dict.fromkeys(
+                p for _n, p, _t in plan if p is not None))
+            trim = len(plan) > len(self.columns)
             offset = 0
-            for batch in pf.iter_batches(columns=self.columns):
-                out = _apply_deletes(batch.select(self.columns),
+            for batch in pf.iter_batches(columns=read_cols):
+                out = _apply_deletes(self._assemble(batch, plan),
                                      offset, partition)
                 offset += batch.num_rows
-                yield out
+                yield out.select(self.columns) if trim else out
         elif partition.fmt == "orc":
             from pyarrow import orc as _orc
-            table = _orc.ORCFile(partition.path).read(
-                columns=self.columns)
+            f = _orc.ORCFile(partition.path)
+            plan = self._column_plan(f.schema, partition)
+            read_cols = list(dict.fromkeys(
+                p for _n, p, _t in plan if p is not None))
+            trim = len(plan) > len(self.columns)
+            table = f.read(columns=read_cols)
             offset = 0
-            for batch in table.select(self.columns).to_batches():
-                yield _apply_deletes(batch, offset, partition)
+            for batch in table.to_batches():
+                out = _apply_deletes(self._assemble(batch, plan),
+                                     offset, partition)
                 offset += batch.num_rows
+                yield out.select(self.columns) if trim else out
         else:  # pragma: no cover
             raise ValueError(f"unsupported format {partition.fmt!r}")
 

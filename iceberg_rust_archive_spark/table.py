@@ -17,7 +17,29 @@ from iceberg_rust_archive_spark.spec.sort import SortOrder
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
 from iceberg_rust_archive_spark.sources.readers import read_data_files
 from iceberg_rust_archive_spark.sources.write import write_datafiles
+from iceberg_rust_archive_spark.spec.types import (
+    StructTypeSpec, iceberg_to_spark_type,
+)
 from iceberg_rust_archive_spark.transaction import Transaction
+
+
+def _project_by_id(d: DataFrame, from_schema: Schema,
+                   to_schema: Schema) -> DataFrame:
+    """Field-id layout projection: select ``to_schema``'s columns out of
+    a DataFrame laid out per ``from_schema`` — renamed fields map by id,
+    fields absent from ``from_schema`` fill with their v3
+    ``initial_default`` (NULL when unset). Helper columns not in either
+    schema are dropped."""
+    from pyspark.sql import functions as F
+    cols = []
+    for f in to_schema.fields:
+        src = from_schema.field_by_id(f.field_id)
+        if src is not None:
+            cols.append(F.col(src.name).alias(f.name))
+        else:
+            cols.append(F.lit(f.initial_default).cast(
+                iceberg_to_spark_type(f.field_type)).alias(f.name))
+    return d.select(*cols)
 
 
 class Table:
@@ -274,14 +296,24 @@ class Table:
                         added_deletes.append(e)
                     elif e.data_file.content == CONTENT_POSITION_DELETES:
                         added_pos.append(e)
+            # the schema the commit was WRITTEN under: eq-delete ids and
+            # file columns resolve against it, and its rows project to
+            # the current layout by field id (rename-safe; fields added
+            # since fill with their v3 initial_default)
+            cs = md.schemas.get(s.schema_id, schema)
+            evolved = cs.schema_id != schema.schema_id
             piece = None
             if added_data:
                 ins = read_data_files(
-                    spark, spark_schema,
+                    spark,
+                    spark_schema_for(cs.struct) if evolved
+                    else spark_schema,
                     [(e.data_file.file_path, e.data_file.file_format)
                      for e in added_data],
                     by_name="schema.name-mapping.default"
                     in md.properties)
+                if evolved:
+                    ins = _project_by_id(ins, cs, schema)
                 piece = _tag(ins, "insert", s)
             if (added_deletes
                     or any((e.data_file.file_format or "").lower()
@@ -345,17 +377,37 @@ class Table:
                 else:
                     prior = self.scan(spark,
                                       snapshot_id=s.parent_snapshot_id)
+                # prior is in the PARENT snapshot's layout; delete keys
+                # are in the commit schema's layout. Join data-side by
+                # the parent-layout name for each eq field id (a field
+                # added between parent and commit joins against its
+                # initial_default), then project the victims to the
+                # current layout for the uniform changelog schema.
+                ps = md.schemas.get(
+                    md.snapshots[s.parent_snapshot_id].schema_id, cs)
                 from collections import defaultdict
                 by_eq = defaultdict(list)
                 for de in added_deletes:
                     by_eq[tuple(de.data_file.equality_ids or ())].append(de)
                 for eq_ids, des in by_eq.items():
-                    names = [schema.field_by_id(i).name for i in eq_ids
-                             if schema.field_by_id(i) is not None]
+                    dfields = []
+                    for i in eq_ids:
+                        f = cs.field_by_id(i)
+                        if f is None:  # defensive: walk schema history
+                            for s2 in sorted(md.schemas.values(),
+                                             key=lambda x: -x.schema_id):
+                                f = s2.field_by_id(i)
+                                if f is not None:
+                                    break
+                        if f is None:
+                            raise ValueError(
+                                f"equality delete references field id "
+                                f"{i} not found in any table schema")
+                        dfields.append(f)
+                    names = [f.name for f in dfields]
                     if not names:
                         continue
-                    dsch = spark_schema_for(
-                        schema.project(list(eq_ids)).struct)
+                    dsch = spark_schema_for(StructTypeSpec(tuple(dfields)))
                     krels = []
                     for de in des:
                         k = (read_data_files(
@@ -375,14 +427,20 @@ class Table:
                         keys = keys.unionByName(k)
                     keys = keys.dropDuplicates()
                     cond = None
-                    for c in names:
-                        term = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                    for f in dfields:
+                        pf_ = ps.field_by_id(f.field_id)
+                        data_e = F.col(pf_.name) if pf_ is not None \
+                            else F.lit(f.initial_default).cast(
+                                iceberg_to_spark_type(f.field_type))
+                        term = data_e.eqNullSafe(F.col(f"__k_{f.name}"))
                         cond = term if cond is None else cond & term
                     if any_scoped:
                         cond = cond & (F.col("__del_pk").isNull()
                                        | (F.col("__del_pk")
                                           == F.col("__pk")))
                     removed = prior.join(keys, on=cond, how="left_semi")
+                    if ps.schema_id != schema.schema_id:
+                        removed = _project_by_id(removed, ps, schema)
                     tagged = _tag(removed, "delete", s)
                     piece = tagged if piece is None \
                         else piece.unionByName(tagged)
