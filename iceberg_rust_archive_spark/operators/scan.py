@@ -79,6 +79,16 @@ def _entry_filter(entries, start_seq):
 # round-trip on every statement that scans the table.
 DV_DRIVER_DECODE_MAX_BYTES = 256 * 1024
 
+# Decoded driver-side DV pair DataFrames, keyed by the exact blob
+# descriptor set. Puffin blobs are immutable (a DV rewrite lands a NEW
+# path/offset), so the same descriptors always decode to the same
+# pairs — and a DML session scans the table once per STATEMENT, paying
+# blob read + roaring decode + Arrow ship each time without this.
+from collections import OrderedDict as _ODict  # noqa: E402
+
+_DV_PAIRS_CACHE: "_ODict[tuple, tuple]" = _ODict()
+_DV_PAIRS_CACHE_MAX = 8
+
 
 def dv_pairs_df(spark: SparkSession, dv_files: list,
                 path_col: str = "__fp", pos_col: str = "__pos"
@@ -100,6 +110,12 @@ def dv_pairs_df(spark: SparkSession, dv_files: list,
         return spark.createDataFrame([], schema)
     total = sum((sz or 0) for _p, _o, sz, _r in descs)
     if total <= DV_DRIVER_DECODE_MAX_BYTES:
+        import weakref
+        key = (tuple(descs), path_col, pos_col)
+        ent = _DV_PAIRS_CACHE.get(key)
+        if ent is not None and ent[0]() is spark:
+            _DV_PAIRS_CACHE.move_to_end(key)
+            return ent[1]
         from iceberg_rust_archive_spark.object_store import store_for
         from iceberg_rust_archive_spark.sources.roaring import (
             deserialize_positions,
@@ -108,7 +124,20 @@ def dv_pairs_df(spark: SparkSession, dv_files: list,
         for path, off, ln, ref in descs:
             blob = store_for(path).read_bytes(path)[off:off + ln]
             pairs.update((ref, p) for p in deserialize_positions(blob))
-        return spark.createDataFrame(sorted(pairs), schema)
+        # Arrow-path createDataFrame: a row-list pays per-row schema
+        # verification + py4j pickling (~0.6s per 34k pairs, ON EVERY
+        # statement that scans the table); a pandas frame ships one
+        # Arrow batch
+        import pandas as pd
+        rows = sorted(pairs)
+        pdf = pd.DataFrame({
+            path_col: pd.array([r[0] for r in rows], dtype=object),
+            pos_col: pd.array([r[1] for r in rows], dtype="int64")})
+        df = spark.createDataFrame(pdf, schema)
+        _DV_PAIRS_CACHE[key] = (weakref.ref(spark), df)
+        while len(_DV_PAIRS_CACHE) > _DV_PAIRS_CACHE_MAX:
+            _DV_PAIRS_CACHE.popitem(last=False)
+        return df
 
     def decode(it):
         from iceberg_rust_archive_spark.object_store import store_for

@@ -173,3 +173,136 @@ def test_stream_initial_batch_after_evolution(spark, tmp_path,
                  spark.sql(f"SELECT * FROM {name}").collect())
     want = sorted(tuple(r) for r in t.scan(spark).collect())
     assert got == want
+
+
+# --- randomized interleavings (hypothesis) ----------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SLOW = settings(
+    max_examples=int(__import__("os").environ.get("PROP_EXAMPLES", "6")),
+    deadline=None, suppress_health_check=list(HealthCheck))
+
+_NAME_POOL = ("v", "w", "x")
+
+
+def _evo_op():
+    rows = st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)),
+                    min_size=1, max_size=3)
+    return st.one_of(
+        st.tuples(st.just("append"), rows),
+        st.tuples(st.just("add"), st.sampled_from(_NAME_POOL)),
+        st.tuples(st.just("rename"), st.sampled_from(_NAME_POOL)),
+        st.tuples(st.just("drop"), st.just(None)),
+        st.tuples(st.just("del_val"), st.integers(0, 9)),
+        st.tuples(st.just("del_pos"), st.lists(
+            st.integers(0, 4), min_size=1, max_size=2, unique=True)),
+        st.tuples(st.just("compact"), st.just(None)),
+    )
+
+
+@SLOW
+@given(ops=st.lists(_evo_op(), min_size=3, max_size=6))
+def test_evolution_mor_matches_model(spark, tmp_path_factory, ops):
+    """Random interleavings of schema evolution (ADD with name reuse,
+    RENAME, DROP) with appends, equality deletes on the evolving value
+    column, position deletes, and compaction — the scan must equal a
+    Python model projected to the live fields at every step's end.
+    Field ids are the only stable identity; any name-based resolution
+    slip (a reused name matching an old file's physical column, a
+    dropped eq column resurrecting rows, a rename orphaning a delete)
+    breaks the equality."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.maintenance import compact_table
+
+    wh = tmp_path_factory.mktemp("evo-mor")
+    cat = FileCatalog(str(wh / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.evo", schema, PartitionSpec(0, ()))
+
+    live = [(1, "k"), (2, "v")]   # (fid, name), k permanent
+    next_fid = 3
+    model: list[dict] = []        # rows as {fid: value}
+    compacted = False
+
+    def val_field():
+        return live[1] if len(live) > 1 else None
+
+    for op in ops:
+        kind, arg = op[0], op[1]
+        cur = t.metadata.current_schema()
+        if kind == "append":
+            names = [n for _f, n in live]
+            ddl = ", ".join(f"{n} long" for n in names)
+            rows = [tuple([k] + [x] * (len(live) - 1))
+                    for k, x in arg]
+            t.append(spark, spark.createDataFrame(rows, ddl))
+            t = t.refresh()
+            for k, x in arg:
+                model.append({f: (k if f == 1 else x)
+                              for f, _n in live})
+        elif kind == "add":
+            if any(n == arg for _f, n in live):
+                continue  # name currently taken
+            fields = tuple(cur.fields) + (
+                NestedField(next_fid, arg, "long", False),)
+            t = _evolve(t, fields)
+            live.append((next_fid, arg))
+            next_fid += 1
+        elif kind == "rename":
+            vf = val_field()
+            if vf is None or any(n == arg for _f, n in live):
+                continue
+            fields = [NestedField(f.field_id,
+                                  arg if f.field_id == vf[0] else f.name,
+                                  f.field_type, f.required)
+                      for f in cur.fields]
+            t = _evolve(t, fields)
+            live[1] = (vf[0], arg)
+        elif kind == "drop":
+            if len(live) < 3:   # keep at least one value column
+                continue
+            fid, name = live.pop(1)
+            t = _evolve(t, [f for f in cur.fields
+                            if f.field_id != fid])
+        elif kind == "del_val":
+            vf = val_field()
+            if vf is None:
+                continue
+            fid, name = vf
+            t.delete_where_equal(
+                spark, spark.createDataFrame([(arg,)], f"{name} long"),
+                [name])
+            t = t.refresh()
+            model = [r for r in model if r.get(fid) != arg]
+        elif kind == "del_pos":
+            ks = set(arg)
+            t.delete_where_pos(
+                spark, F.col("k").isin([int(x) for x in sorted(ks)]))
+            t = t.refresh()
+            model = [r for r in model if r[1] not in ks]
+        else:  # compact
+            compact_table(spark, t)
+            t = t.refresh()
+            compacted = True
+
+    names = [n for _f, n in live]
+    got = Counter(tuple(row[n] for n in names)
+                  for row in t.scan(spark).collect())
+    want = Counter(tuple(r.get(f) for f, _n in live) for r in model)
+    assert got == want, (ops,)
+
+    if not compacted:
+        # changelog replay from empty reproduces the final state in the
+        # CURRENT layout (evolution-spanning CDC)
+        replay: Counter = Counter()
+        for e in t.changes(spark).collect():
+            key = tuple(e[n] for n in names)
+            replay[key] += 1 if e["_change_type"] == "insert" else -1
+        assert +replay == want, (ops,)
