@@ -14,6 +14,7 @@ string, datetime → epoch micros, so comparisons are plain Python ``<``/``>``.
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 from dataclasses import dataclass
 
 from pyspark.sql import Column
@@ -167,6 +168,23 @@ def _range_overlaps(op: str, lit, lo, hi, contains_null=False) -> bool:
     return True
 
 
+def _nan_blind(op: str, lit, ftype) -> bool:
+    """True when a float/double column's BOUNDS cannot refute the
+    predicate: NaN values are excluded from parquet min/max (spec-
+    sanctioned), and Spark orders NaN LARGEST — NaN > lit, NaN >= lit,
+    and NaN == NaN (eqNullSafe/comparison) are all TRUE. So a hidden
+    NaN row can satisfy ``>``/``>=`` in a file whose upper bound says
+    otherwise, and a NaN literal can match where ``lo <= NaN`` is
+    plain-Python False. Without harvested nan_value_counts the only
+    sound move is to keep the file."""
+    if ftype not in ("float", "double"):
+        return False
+    if op in (">", ">="):
+        return True
+    vals = lit if isinstance(lit, (list, tuple)) else [lit]
+    return any(isinstance(v, float) and _math.isnan(v) for v in vals)
+
+
 def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                     manifest_entries):
     """Partition-level pruning (A2): rewrite each conjunct into partition
@@ -177,6 +195,14 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
         return list(manifest_entries)
     out = []
     for mle in manifest_entries:
+        # Delete manifests (content=1) prune ONLY when the summary
+        # proves every delete inside is scoped to excluded partitions:
+        # a GLOBAL delete (all-null partition tuple) rides a summary
+        # with contains_null=True, and dropping its manifest would
+        # resurrect rows the predicate selects (every delete must
+        # apply — A5). Data-predicate range checks therefore skip any
+        # field whose summary admits nulls on delete manifests.
+        is_delete_manifest = getattr(mle, "content", 0) != 0
         keep = True
         for idx, pf in enumerate(spec.fields):
             if idx >= len(mle.partitions):
@@ -185,6 +211,8 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
             if src is None:
                 continue
             summary = mle.partitions[idx]
+            if is_delete_manifest and summary.contains_null:
+                continue  # may hold global deletes — cannot prune on k
             for p in preds:
                 if p.column != src.name or p.op in ("is_null", "not_null",
                                                     "!="):
@@ -210,6 +238,8 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                             src.field_type)
                 except (TypeError, ValueError):
                     continue  # un-transformable literal → keep
+                if _nan_blind(p.op, tlit, src.field_type):
+                    continue  # hidden NaN could satisfy the predicate
                 if not _range_overlaps(p.op, tlit, summary.lower_bound,
                                        summary.upper_bound,
                                        summary.contains_null):
@@ -254,15 +284,21 @@ def _partition_value_excludes(preds: list[Pred], spec: PartitionSpec,
             if not _pred_lit_ok(p, src.field_type):
                 continue  # type-skewed parsed literal → keep the file
             try:
+                def _is_nan(v):
+                    return isinstance(v, float) and _math.isnan(v)
                 if p.op == "=":
                     lit = _lit_for_transform(p.value, src.field_type)
                     tv = transform_value(pf.transform, lit, src.field_type)
+                    if _is_nan(tv) or _is_nan(pv):
+                        continue  # NaN != NaN in Python; Spark says =
                     if same_kind(tv, pv) and tv != pv:
                         return True
                 else:
                     lits = [transform_value(
                         pf.transform, _lit_for_transform(v, src.field_type),
                         src.field_type) for v in p.value]
+                    if any(_is_nan(t) for t in lits) or _is_nan(pv):
+                        continue
                     if all(same_kind(t, pv) for t in lits) \
                             and pv not in lits:
                         return True
@@ -299,6 +335,8 @@ def prune_datafiles(preds: list[Pred], schema: Schema,
                 break
             lit = _norm_literal(p.value, fld.field_type) if p.op != "in" else \
                 [_norm_literal(v, fld.field_type) for v in p.value]
+            if _nan_blind(p.op, lit, fld.field_type):
+                continue  # hidden NaN could satisfy the predicate
             contains_null = bool(nulls)
             if not _range_overlaps(p.op, lit, lo, hi, contains_null):
                 keep = False
@@ -336,6 +374,13 @@ def file_fully_matches(preds: list[Pred], schema: Schema,
             return False
         if p.op == "not_null":
             continue
+        if fld.field_type in ("float", "double") \
+                and p.op in ("=", "<", "<=", "in"):
+            # a NaN row is invisible to bounds yet FAILS these under
+            # Spark's NaN-largest order — full match is unprovable
+            # without nan counts ('>', '>=', '!=' stay provable: a
+            # hidden NaN satisfies them anyway)
+            return False
         if lo is None or hi is None:
             return False
         lit = _norm_literal(p.value, fld.field_type) if p.op != "in" \

@@ -306,3 +306,89 @@ def test_evolution_mor_matches_model(spark, tmp_path_factory, ops):
             key = tuple(e[n] for n in names)
             replay[key] += 1 if e["_change_type"] == "insert" else -1
         assert +replay == want, (ops,)
+
+
+# --- NaN vs bounds pruning (Spark orders NaN largest) -----------------------
+
+def test_nan_rows_survive_bounds_pruning(spark, tmp_path):
+    """A NaN row shares a file with small values: bounds say max=5.0
+    (NaN is spec-exempt from bounds), but Spark's NaN-largest order
+    makes ``x > 10`` TRUE for the NaN row — the file must not be
+    pruned, and the metadata-only count must agree with the scan."""
+    from iceberg_rust_archive_spark.predicates import Pred
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "x", "double", False))))
+    t = Table.create(cat, "db.nan", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, 1.0), (2, 5.0), (3, float("nan"))],
+        "k long, x double").coalesce(1))
+    t = t.refresh()
+    for op, lit, want in [(">", 10.0, 1), (">=", 10.0, 1),
+                          ("<", 2.0, 1), ("=", 5.0, 1),
+                          ("=", float("nan"), 1), ("!=", 5.0, 2)]:
+        preds = [Pred("x", op, lit)]
+        got_scan = t.scan(spark, filter=preds).count()
+        got_meta = t.count(spark, filter=preds)
+        assert got_scan == want, (op, lit, got_scan)
+        assert got_meta == want, (op, lit, got_meta)
+
+
+def test_nan_blind_pruning_unit():
+    """prune_datafiles keeps a bounds-refuted file for float >/>= and
+    NaN literals, still prunes where NaN cannot help."""
+    from iceberg_rust_archive_spark.predicates import (
+        Pred, prune_datafiles,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import DataFile
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "x", "double", False),
+        NestedField(2, "i", "long", False))))
+    f = DataFile(content=0, file_path="/f.parquet",
+                 file_format="parquet", partition={}, record_count=3,
+                 file_size_in_bytes=10,
+                 value_counts={1: 3, 2: 3},
+                 null_value_counts={1: 0, 2: 0},
+                 lower_bounds={1: 1.0, 2: 1}, upper_bounds={1: 5.0, 2: 5})
+    keep = lambda preds: prune_datafiles(preds, schema, [f]) == [f]
+    assert keep([Pred("x", ">", 10.0)])          # hidden NaN matches
+    assert keep([Pred("x", ">=", 10.0)])
+    assert keep([Pred("x", "=", float("nan"))])
+    assert keep([Pred("x", "in", (float("nan"), 0.5))])
+    assert not keep([Pred("x", "<", 0.5)])       # NaN can't satisfy <
+    assert not keep([Pred("x", "=", 9.0)])       # NaN != finite
+    assert not keep([Pred("i", ">", 10)])        # ints have no NaN
+
+
+def test_filtered_scan_keeps_global_delete_in_mixed_manifest(spark,
+                                                             tmp_path):
+    """Manifest-list pruning must not drop a DELETES manifest whose
+    summary admits null partition values: a partition-scoped delete
+    (k=1) and a GLOBAL delete (all-null tuple) share one manifest, so
+    its k-summary is [1,1] + contains_null — a k=0 point scan used to
+    prune the manifest and resurrect the globally-deleted row
+    (hypothesis counterexample, r11)."""
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.spec import PartitionField
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    spec = PartitionSpec(0, (PartitionField(1, 1000, "k", "identity"),))
+    t = Table.create(cat, "db.pmor1", schema, spec,
+                     properties={"identifier-fields": "k"})
+    t.delete_where_equal(spark, spark.createDataFrame([(1,)], ["k"]),
+                         ["k"])     # scoped to partition k=1
+    t = t.refresh()
+    t.append(spark, spark.createDataFrame([(0, 0)], "k long, v long"))
+    t = t.refresh()
+    t.delete_where_equal(spark, spark.createDataFrame([(0,)], ["v"]),
+                         ["v"])     # GLOBAL (v is not a partition source)
+    t = t.refresh()
+    assert t.scan(spark).count() == 0
+    assert t.scan(spark, filter=[Pred("k", "=", 0)]).count() == 0
+    assert t.count(spark, filter=[Pred("k", "=", 0)]) == 0
