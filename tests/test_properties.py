@@ -725,7 +725,10 @@ def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
 
 # --- pruning soundness (r11: parsed-literal type gate) ---------------------
 
-_PRUNE_COLS = [("s", 1, "string"), ("i", 2, "long")]
+_PRUNE_COLS = [("s", 1, "string"), ("i", 2, "long"),
+               ("x", 3, "double")]
+
+_FLOAT_SPECIALS = (float("nan"), float("inf"), float("-inf"))
 
 
 def _prune_lit():
@@ -737,10 +740,20 @@ def _prune_lit():
     )
 
 
+def _float_lit():
+    return st.one_of(st.floats(-10, 10, allow_nan=False),
+                     st.sampled_from(_FLOAT_SPECIALS))
+
+
 def _prune_pred():
-    return st.tuples(st.sampled_from(["s", "i"]),
-                     st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
-                     st.lists(_prune_lit(), min_size=1, max_size=3))
+    return st.one_of(
+        st.tuples(st.sampled_from(["s", "i"]),
+                  st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+                  st.lists(_prune_lit(), min_size=1, max_size=3)),
+        st.tuples(st.just("x"),
+                  st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+                  st.lists(_float_lit(), min_size=1, max_size=3)),
+    )
 
 
 @settings(max_examples=300, deadline=None)
@@ -748,7 +761,9 @@ def _prune_pred():
     files=st.lists(st.lists(st.tuples(
         st.one_of(st.none(), st.text(alphabet="0123456789ab",
                                      min_size=1, max_size=5)),
-        st.one_of(st.none(), st.integers(-5, 20005))),
+        st.one_of(st.none(), st.integers(-5, 20005)),
+        st.one_of(st.none(), st.floats(-10, 10, allow_nan=False),
+                  st.sampled_from(_FLOAT_SPECIALS))),
         min_size=1, max_size=5), min_size=1, max_size=4),
     preds=st.lists(_prune_pred(), min_size=1, max_size=3),
     transform=st.sampled_from(["identity", "bucket[8]", "truncate[2]"]),
@@ -796,20 +811,30 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
                 if r[0] is not None else None
             groups.setdefault(pv, []).append(r)
         for pv, grp in groups.items():
+            import math as _m
             svals = [r[0] for r in grp]
             ivals = [r[1] for r in grp]
+            xvals = [r[2] for r in grp]
             sv = [v for v in svals if v is not None]
             iv = [v for v in ivals if v is not None]
+            # the harvested float bounds mirror sources/stats.py: NaN
+            # never enters min/max (parquet skips it) and an ±inf
+            # extreme drops the bound in its unrepresentable direction
+            xv = [v for v in xvals if v is not None and not _m.isnan(v)]
+            xlo = {3: min(xv)} if xv and min(xv) != float("-inf") else {}
+            xhi = {3: max(xv)} if xv and max(xv) != float("inf") else {}
             plist.append(DataFile(
                 0, f"/f{len(plist)}.parquet", "parquet", {"p": pv},
                 len(grp), 1,
-                value_counts={1: len(grp), 2: len(grp)},
-                null_value_counts={1: len(svals) - len(sv),
-                                   2: len(ivals) - len(iv)},
+                value_counts={1: len(grp), 2: len(grp), 3: len(grp)},
+                null_value_counts={
+                    1: len(svals) - len(sv),
+                    2: len(ivals) - len(iv),
+                    3: sum(1 for v in xvals if v is None)},
                 lower_bounds={**({1: min(sv)} if sv else {}),
-                              **({2: min(iv)} if iv else {})},
+                              **({2: min(iv)} if iv else {}), **xlo},
                 upper_bounds={**({1: max(sv)} if sv else {}),
-                              **({2: max(iv)} if iv else {})}))
+                              **({2: max(iv)} if iv else {}), **xhi}))
             file_rows.append(grp)
 
     pred_objs = []
@@ -819,25 +844,38 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
         else:
             pred_objs.append(Pred(col, op, lits[0]))
 
+    import math as _m
+
+    def _fkey(v):
+        # Spark total order for floating point: NaN sorts LARGEST and
+        # NaN = NaN is true
+        return (1, 0.0) if _m.isnan(v) else (0, v)
+
     def row_matches(row):
-        vals = {"s": row[0], "i": row[1]}
+        vals = {"s": row[0], "i": row[1], "x": row[2]}
         for p in pred_objs:
             v = vals[p.column]
             if v is None:
                 return False
+            use_f = p.column == "x" and isinstance(v, float)
             try:
+                k = _fkey(v) if use_f else v
+
+                def _lit(x):
+                    return _fkey(x) if use_f and isinstance(x, float) \
+                        else x
                 if p.op == "=":
-                    ok = v == p.value
+                    ok = k == _lit(p.value)
                 elif p.op == "in":
-                    ok = any(v == x for x in p.value)
+                    ok = any(k == _lit(x) for x in p.value)
                 elif p.op == "<":
-                    ok = v < p.value
+                    ok = k < _lit(p.value)
                 elif p.op == "<=":
-                    ok = v <= p.value
+                    ok = k <= _lit(p.value)
                 elif p.op == ">":
-                    ok = v > p.value
+                    ok = k > _lit(p.value)
                 else:
-                    ok = v >= p.value
+                    ok = k >= _lit(p.value)
             except TypeError:
                 return False  # SQL: cross-type comparison never matches
             if not ok:
