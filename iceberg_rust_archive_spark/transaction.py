@@ -64,6 +64,52 @@ def new_snapshot_id() -> int:
     return random.getrandbits(62) | 1
 
 
+# legal primitive type promotions (Iceberg spec §Schema Evolution:
+# readers must widen, so old files stay readable under the new type)
+_TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def _validate_schema_evolution(old: Schema, new: Schema) -> None:
+    """Refuse schema updates the spec forbids — they would corrupt
+    reads silently rather than fail them (an int column re-typed to
+    string reads garbage/NULL from every existing file; a field made
+    REQUIRED lies about rows that already hold NULL). Field ids are
+    the identity: ids never recycle, new fields take fresh ids, and a
+    surviving id may only widen (int→long, float→double, decimal
+    precision growth at the same scale)."""
+
+    def _dec(t):
+        import re as _re
+        m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t) \
+            if isinstance(t, str) else None
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    old_ids = {f.field_id for f in old.fields}
+    for f in new.fields:
+        prev = old.field_by_id(f.field_id)
+        if prev is None:
+            if f.field_id in old_ids:
+                continue
+            if f.required and getattr(f, "initial_default", None) is None:
+                raise ValueError(
+                    f"cannot add REQUIRED column {f.name!r} without a "
+                    "default: existing rows have no value for it")
+            continue
+        if f.required and not prev.required:
+            raise ValueError(
+                f"cannot make column {f.name!r} required: existing "
+                "rows may hold NULL")
+        ot, nt = prev.field_type, f.field_type
+        if ot == nt or (ot, nt) in _TYPE_PROMOTIONS:
+            continue
+        od, nd = _dec(ot), _dec(nt)
+        if od and nd and od[1] == nd[1] and nd[0] >= od[0]:
+            continue  # decimal precision widening, same scale
+        raise ValueError(
+            f"illegal type change for column {f.name!r} "
+            f"(field id {f.field_id}): {ot} -> {nt}")
+
+
 class Transaction:
     def __init__(self, catalog: Catalog, identifier: str,
                  metadata: TableMetadata, branch: str | None = None,
@@ -352,6 +398,8 @@ class Transaction:
                             "file)")
 
         if self._new_schema is not None:
+            _validate_schema_evolution(md.current_schema(),
+                                       self._new_schema)
             schemas = dict(md.schemas)
             schemas[self._new_schema.schema_id] = self._new_schema
             md = _dc_replace(md, schemas=schemas,

@@ -392,3 +392,59 @@ def test_filtered_scan_keeps_global_delete_in_mixed_manifest(spark,
     assert t.scan(spark).count() == 0
     assert t.scan(spark, filter=[Pred("k", "=", 0)]).count() == 0
     assert t.count(spark, filter=[Pred("k", "=", 0)]) == 0
+
+
+# --- type promotion + evolution validation ----------------------------------
+
+def test_type_promotion_reads_old_files(spark, tmp_path):
+    """int→long / float→double widening: files written under the old
+    types read back under the new (Iceberg spec promotions; Spark's
+    parquet reader widens INT32/FLOAT leaves)."""
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "int", False),
+        NestedField(3, "f", "float", False))))
+    t = Table.create(cat, "db.promo", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k long, v int, f float"))
+    t = t.refresh()
+    t = _evolve(t, [
+        NestedField(f.field_id, f.name,
+                    {"int": "long", "float": "double"}.get(
+                        f.field_type, f.field_type), f.required)
+        for f in t.metadata.current_schema().fields])
+    got = t.scan(spark)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "bigint",
+                                "f": "double"}
+    assert sorted((r.k, r.v, r.f) for r in got.collect()) \
+        == [(1, 10, 1.5), (2, 20, 2.5)]
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda fs: [NestedField(f.field_id, f.name,
+                             "string" if f.name == "v" else f.field_type,
+                             f.required) for f in fs],
+     "illegal type change"),
+    (lambda fs: [NestedField(f.field_id, f.name, f.field_type,
+                             True) for f in fs],
+     "required"),
+    (lambda fs: list(fs) + [NestedField(9, "r", "long", True)],
+     "REQUIRED column"),
+])
+def test_illegal_schema_evolution_refused(spark, tmp_path, mutate, msg):
+    """Narrowing/re-typing a surviving field id, optional→required,
+    and adding a REQUIRED column without a default are refused at
+    commit time — each would corrupt existing rows silently."""
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.bad", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(1, 10)], "k long, v long"))
+    t = t.refresh()
+    fields = t.metadata.current_schema().fields
+    ns = Schema(1, StructTypeSpec(tuple(mutate(fields))))
+    with pytest.raises(ValueError, match=msg):
+        t.new_transaction().update_schema(ns).commit_with_retry(
+            lambda x: x.update_schema(ns))
