@@ -230,6 +230,10 @@ def test_evolution_mor_matches_model(spark, tmp_path_factory, ops):
     next_fid = 3
     model: list[dict] = []        # rows as {fid: value}
     compacted = False
+    # (snapshot_id, live-fields, model-multiset) after each ROW-CHANGING
+    # op — time travel must reproduce each state under the schema the
+    # snapshot recorded
+    history: list[tuple] = []
 
     def val_field():
         return live[1] if len(live) > 1 else None
@@ -291,12 +295,31 @@ def test_evolution_mor_matches_model(spark, tmp_path_factory, ops):
             compact_table(spark, t)
             t = t.refresh()
             compacted = True
+        snap = t.metadata.current_snapshot()
+        if snap is not None:
+            history.append((
+                snap.snapshot_id, list(live),
+                Counter(tuple(r.get(f) for f, _n in live)
+                        for r in model)))
 
     names = [n for _f, n in live]
     got = Counter(tuple(row[n] for n in names)
                   for row in t.scan(spark).collect())
     want = Counter(tuple(r.get(f) for f, _n in live) for r in model)
     assert got == want, (ops,)
+
+    # time travel: each recorded snapshot reproduces its state under
+    # the schema THAT snapshot pinned (historical MoR + evolution)
+    seen = set()
+    for sid, live_at, want_at in history:
+        if sid in seen:
+            continue
+        seen.add(sid)
+        names_at = [n for _f, n in live_at]
+        got_at = Counter(
+            tuple(row[n] for n in names_at)
+            for row in t.scan(spark, snapshot_id=sid).collect())
+        assert got_at == want_at, (ops, sid)
 
     if not compacted:
         # changelog replay from empty reproduces the final state in the
@@ -448,3 +471,101 @@ def test_illegal_schema_evolution_refused(spark, tmp_path, mutate, msg):
     with pytest.raises(ValueError, match=msg):
         t.new_transaction().update_schema(ns).commit_with_retry(
             lambda x: x.update_schema(ns))
+
+
+# --- branch / WAP property model ---------------------------------------------
+
+def _branch_op():
+    rows = st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)),
+                    min_size=1, max_size=3)
+    ref = st.sampled_from(["main", "audit", "dev"])
+    return st.one_of(
+        st.tuples(st.just("append"), ref, rows),
+        st.tuples(st.just("branch"), st.sampled_from(["audit", "dev"])),
+        st.tuples(st.just("tag"), st.sampled_from(["t1", "t2"]),
+                  ref),
+        st.tuples(st.just("publish"), st.sampled_from(["audit", "dev"])),
+        st.tuples(st.just("del_val"), ref, st.integers(0, 9)),
+    )
+
+
+@SLOW
+@given(ops=st.lists(_branch_op(), min_size=3, max_size=7))
+def test_branch_wap_matches_model(spark, tmp_path_factory, ops):
+    """Per-ref state under random branch writes, eq-deletes on a
+    branch, tags, and fast-forward publishes (the WAP pattern) — every
+    ref's scan must equal its model, tags stay frozen at their pinned
+    state, and a diverged fast-forward must refuse instead of dropping
+    commits."""
+    from collections import Counter
+
+    from iceberg_rust_archive_spark.maintenance import fast_forward
+
+    wh = tmp_path_factory.mktemp("wap-prop")
+    cat = FileCatalog(str(wh / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.wap", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(0, 0)], "k long, v long"))
+    t = t.refresh()
+
+    state = {"main": Counter([(0, 0)])}   # ref -> multiset
+    tags: dict[str, Counter] = {}
+    from iceberg_rust_archive_spark.table import create_branch, create_tag
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            ref, rows = op[1], list(op[2])
+            if ref != "main" and ref not in state:
+                continue
+            t.append(spark, spark.createDataFrame(
+                rows, "k long, v long"),
+                branch=None if ref == "main" else ref)
+            t = t.refresh()
+            state[ref].update(rows)
+        elif kind == "branch":
+            name = op[1]
+            if name in state:
+                continue
+            t = create_branch(t, name)   # branches from main's head
+            state[name] = Counter(state["main"])
+        elif kind == "tag":
+            name, ref = op[1], op[2]
+            if name in tags or (ref != "main" and ref not in state):
+                continue
+            sid = t.metadata.refs[ref].snapshot_id
+            t = create_tag(t, name, snapshot_id=sid)
+            tags[name] = Counter(state[ref])
+        elif kind == "publish":
+            src = op[1]
+            if src not in state:
+                continue
+            try:
+                t = fast_forward(t, src)
+            except ValueError:
+                # diverged: main advanced past the branch point — the
+                # guard must refuse; model state stays untouched
+                continue
+            state["main"] = Counter(state[src])
+        else:  # del_val on a ref
+            ref, val = op[1], op[2]
+            if ref != "main" and ref not in state:
+                continue
+            t.delete_where_equal(
+                spark, spark.createDataFrame([(val,)], ["v"]), ["v"],
+                branch=None if ref == "main" else ref)
+            t = t.refresh()
+            state[ref] = +Counter({r: n for r, n in state[ref].items()
+                                   if r[1] != val})
+
+    for ref, want in state.items():
+        got = Counter(
+            (r["k"], r["v"]) for r in t.scan(
+                spark, branch=None if ref == "main" else ref).collect())
+        assert got == want, (ops, ref)
+    for name, want in tags.items():
+        got = Counter((r["k"], r["v"])
+                      for r in t.scan(spark, branch=name).collect())
+        assert got == want, (ops, name)
