@@ -613,6 +613,7 @@ if __name__ == "__main__":
     stream_initial_mor_scale(spark, sf_dir, amp)
     mor_commit_depth(spark, sf_dir)
     update_via_dv_scale(spark, sf_dir, amp)
+    hist_delete_scale(spark, sf_dir, amp)
 
 
 def rewrite_partition_scale(spark, sf_dir: str, amp: int):
@@ -920,3 +921,50 @@ def update_via_dv_scale(spark, sf_dir: str, amp: int):
                   f"post-scan {scan_s:.1f}s rows={n}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def hist_delete_scale(spark, sf_dir: str, amp: int):
+    """r11 session-3 probe: equality-delete resolution AFTER the eq
+    column is DROPPED (hidden ``__hist_<fid>`` field-id read) must cost
+    the same order as the pre-drop scan — the helper column rides the
+    existing data read (one extra projected leaf on affected files
+    only) and is dropped before return, so the post-drop plan adds no
+    join, no shuffle, and no extra pass."""
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    n = 20_000 * amp
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", True))))
+    with tempfile.TemporaryDirectory() as d:
+        cat = FileCatalog(d)
+        t = Table.create(cat, "db.hist", schema, PartitionSpec(0, ()))
+        src = (spark.range(n).withColumnRenamed("id", "k")
+               .withColumn("v", F.col("k") % 1000))
+        t = t.append(spark, src)
+        dels = spark.createDataFrame(
+            [(x,) for x in range(0, 1000, 10)], "v long")
+        t = t.delete_where_equal(spark, dels, ["v"])
+        t0 = _t.perf_counter()
+        before = t.scan(spark).count()
+        pre_s = _t.perf_counter() - t0
+        old = t.metadata.current_schema()
+        new = Schema(old.schema_id + 1, StructTypeSpec(tuple(
+            f for f in old.fields if f.name != "v")))
+        t.new_transaction().update_schema(new).commit_with_retry(
+            lambda x: x.update_schema(new))
+        t = t.refresh()
+        t0 = _t.perf_counter()
+        after = t.scan(spark).count()
+        post_s = _t.perf_counter() - t0
+        assert before == after == n - n // 10, (before, after, n)
+        print(f"hist_delete_scale @ {amp}x ({n} rows, 10% eq-deleted, "
+              f"eq column dropped): pre-drop scan {pre_s:.2f}s, "
+              f"post-drop hist-resolved scan {post_s:.2f}s")
