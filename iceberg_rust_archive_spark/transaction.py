@@ -69,7 +69,8 @@ def new_snapshot_id() -> int:
 _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
 
 
-def _validate_schema_evolution(old: Schema, new: Schema) -> None:
+def _validate_schema_evolution(old: Schema, new: Schema,
+                               properties: dict | None = None) -> None:
     """Refuse schema updates the spec forbids — they would corrupt
     reads silently rather than fail them (an int column re-typed to
     string reads garbage/NULL from every existing file; a field made
@@ -87,6 +88,20 @@ def _validate_schema_evolution(old: Schema, new: Schema) -> None:
     old_ids = {f.field_id for f in old.fields}
     for f in new.fields:
         prev = old.field_by_id(f.field_id)
+        if prev is not None and prev.name != f.name \
+                and "schema.name-mapping.default" in (properties or {}):
+            # add_files-registered external files carry NO embedded
+            # field ids — this table's scans resolve columns BY NAME,
+            # so a rename would silently read NULL from every
+            # registered file. Refuse loudly (the documented caveat in
+            # maintenance.add_files): rewrite the registered files
+            # first (CALL system.rewrite_data_files / compact embeds
+            # ids), then drop the name-mapping property and rename.
+            raise ValueError(
+                f"cannot rename column {prev.name!r} -> {f.name!r}: "
+                "this table carries schema.name-mapping.default "
+                "(add_files-registered files resolve by NAME); rewrite "
+                "the registered files first, then drop the property")
         if prev is None:
             if f.field_id in old_ids:
                 continue
@@ -399,7 +414,7 @@ class Transaction:
 
         if self._new_schema is not None:
             _validate_schema_evolution(md.current_schema(),
-                                       self._new_schema)
+                                       self._new_schema, md.properties)
             schemas = dict(md.schemas)
             schemas[self._new_schema.schema_id] = self._new_schema
             md = _dc_replace(md, schemas=schemas,

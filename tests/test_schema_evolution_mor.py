@@ -569,3 +569,33 @@ def test_branch_wap_matches_model(spark, tmp_path_factory, ops):
         got = Counter((r["k"], r["v"])
                       for r in t.scan(spark, branch=name).collect())
         assert got == want, (ops, name)
+
+
+def test_rename_refused_on_name_mapping_table(spark, tmp_path):
+    """A table carrying schema.name-mapping.default (add_files-
+    registered external files, no embedded field ids) resolves columns
+    BY NAME — renaming would silently read NULL from every registered
+    file, so the commit refuses loudly instead."""
+    import json as _json
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(
+        cat, "db.nm", schema, PartitionSpec(0, ()),
+        properties={"schema.name-mapping.default": _json.dumps(
+            [{"field-id": 1, "names": ["k"]},
+             {"field-id": 2, "names": ["v"]}])})
+    t.append(spark, spark.createDataFrame([(1, 10)], "k long, v long"))
+    t = t.refresh()
+    renamed = Schema(1, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "w", "long", False))))
+    with pytest.raises(ValueError, match="name-mapping"):
+        t.new_transaction().update_schema(renamed).commit_with_retry(
+            lambda x: x.update_schema(renamed))
+    # non-rename evolutions stay allowed (add a column)
+    t = _evolve(t, tuple(t.metadata.current_schema().fields)
+                + (NestedField(3, "c", "long", False),))
+    assert "c" in t.scan(spark).columns
