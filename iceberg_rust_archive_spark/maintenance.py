@@ -4,8 +4,12 @@
 target-sized data files and commit as a Replace. The scan applies
 pending equality deletes, so compaction also *absorbs* delete files
 (merge-on-read debt becomes zero) — after it, reads are pure data-file
-scans again. Old files are physically removed post-commit, matching the
-reference's Replace behavior (transaction/mod.rs:377-379 →
+scans again. Replaced files STAY on disk by default (the parent
+snapshot still references them, so time travel and branch reads keep
+working until ``expire_snapshots`` + ``remove_orphan_files`` reclaim
+the bytes — Iceberg's contract); set
+``write.replace.purge-replaced-files=true`` for the reference's
+eager post-commit purge (transaction/mod.rs:377-379 →
 table/mod.rs:359-411; it has no explicit compaction API, but a
 100 TB deployment of this engine needs one: the streaming sink commits
 one snapshot per micro-batch, and small files otherwise accumulate
@@ -604,6 +608,36 @@ def expire_snapshots(table: Table, older_than_ms: int,
                 store_for(p).remove(p)
             except FileNotFoundError:
                 pass
+    # Physically delete files referenced ONLY by the dropped snapshots
+    # (Apache expire semantics — replaced files survive compaction for
+    # time travel, so expiry is where their bytes are finally
+    # reclaimed). Exact diff, no mtime guard needed: a file referenced
+    # by any KEPT snapshot is provably still readable.
+    dropped = [s for sid, s in md.snapshots.items() if sid not in kept]
+    if dropped:
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest_list, read_manifests,
+        )
+        from iceberg_rust_archive_spark.transaction import (
+            _remove_physical,
+        )
+
+        def _files_of(snaps):
+            out: set[str] = set()
+            seen: set[str] = set()
+            for s in snaps:
+                if s.manifest_list in seen:
+                    continue
+                seen.add(s.manifest_list)
+                for entries in read_manifests(
+                        [m.manifest_path for m in
+                         read_manifest_list(s.manifest_list)]):
+                    out |= {e.data_file.file_path for e in entries}
+            return out
+
+        dead = _files_of(dropped) - _files_of(kept.values())
+        if dead:
+            _remove_physical(sorted(dead))
     return table.refresh()
 
 

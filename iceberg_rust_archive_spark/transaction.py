@@ -125,6 +125,62 @@ def _validate_schema_evolution(old: Schema, new: Schema,
             f"(field id {f.field_id}): {ot} -> {nt}")
 
 
+def _check_orc_evolution(md, new: Schema) -> None:
+    """ORC files have no Spark-side field-id resolution (the parquet
+    reader matches ``parquet.field.id`` metadata; ORC reads are
+    name-based), so on a table holding LIVE ORC files a column RENAME
+    silently reads NULL from every ORC file written under the old
+    name, and DROPPING a column referenced by live equality-delete
+    files breaks the hidden __hist_<fid> recovery for ORC data. Both
+    refuse loudly; rewrite the ORC files to parquet first
+    (write.format.default + rewrite_data_files). Cost: one cached
+    manifest sweep, only on rename/drop commits, short-circuited at
+    the first ORC file."""
+    old = md.current_schema()
+    renamed = [f for f in new.fields
+               if (p := old.field_by_id(f.field_id)) is not None
+               and p.name != f.name]
+    new_ids = {f.field_id for f in new.fields}
+    dropped = {f.field_id for f in old.fields} - new_ids
+    if not renamed and not dropped:
+        return
+    snap = md.current_snapshot()
+    if snap is None:
+        return
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_EQUALITY_DELETES, STATUS_DELETED,
+    )
+    any_orc = False
+    eq_refs: set[int] = set()
+    for entries in read_manifests(
+            [m.manifest_path for m in read_manifest_list(
+                snap.manifest_list)]):
+        for e in entries:
+            if e.status == STATUS_DELETED:
+                continue
+            if (e.data_file.file_format or "").lower() == "orc":
+                any_orc = True
+            if e.data_file.content == CONTENT_EQUALITY_DELETES:
+                eq_refs |= set(e.data_file.equality_ids or ())
+        if any_orc and renamed:
+            break
+    if not any_orc:
+        return
+    if renamed:
+        raise ValueError(
+            f"cannot rename column(s) {[f.name for f in renamed]!r}: "
+            "the table holds live ORC files, which Spark resolves by "
+            "NAME (no field-id metadata) — rewrite them to parquet "
+            "first (rewrite_data_files)")
+    broken = dropped & eq_refs
+    if broken:
+        raise ValueError(
+            f"cannot drop column(s) with field id(s) {sorted(broken)}: "
+            "live equality-delete files reference them and the table "
+            "holds ORC files, which cannot resolve the dropped column "
+            "by field id — compact the merge-on-read debt first")
+
+
 class Transaction:
     def __init__(self, catalog: Catalog, identifier: str,
                  metadata: TableMetadata, branch: str | None = None,
@@ -415,6 +471,7 @@ class Transaction:
         if self._new_schema is not None:
             _validate_schema_evolution(md.current_schema(),
                                        self._new_schema, md.properties)
+            _check_orc_evolution(md, self._new_schema)
             schemas = dict(md.schemas)
             schemas[self._new_schema.schema_id] = self._new_schema
             md = _dc_replace(md, schemas=schemas,
@@ -540,13 +597,23 @@ class Transaction:
         schema_json = _json.dumps(
             md.schemas[md.current_schema_id].to_json())
 
+        # Replaced files are NOT deleted by default: the parent snapshot
+        # still references them, so time travel / branch reads / a
+        # pre-compaction incremental consumer must keep working until
+        # expire_snapshots drops the snapshots and remove_orphan_files
+        # reclaims the bytes (Iceberg's contract). The reference purges
+        # immediately (transaction/mod.rs:377-379 → table/mod.rs:359-411)
+        # — opt back into that with write.replace.purge-replaced-files
+        # for eager space reclaim at the cost of readable history.
+        purge = str(md.properties.get(
+            "write.replace.purge-replaced-files", "false")).lower() == "true"
+
         if self._replacement is not None:
-            # physical delete of replaced files happens post-commit
-            # (transaction/mod.rs:377-379 → table/mod.rs:359-411)
-            for entries in read_manifests(
-                    [m.manifest_path for m in old_entries]):
-                for e in entries:
-                    files_to_delete.append(e.data_file.file_path)
+            if purge:
+                for entries in read_manifests(
+                        [m.manifest_path for m in old_entries]):
+                    for e in entries:
+                        files_to_delete.append(e.data_file.file_path)
             new_list = []
             if self._replacement:
                 new_list.append(write_manifest(
@@ -743,7 +810,8 @@ class Transaction:
                      for f in self._rewrite_added],
                     spec.spec_id, CONTENT_DATA, snap_id, seq, pf_names,
                     schema_json))
-            files_to_delete.extend(sorted(removed))
+            if purge:
+                files_to_delete.extend(sorted(removed))
             # same label as full replace: row-level changes across a
             # rewrite are not derivable, incremental readers resync
             operation = "replace"

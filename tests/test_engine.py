@@ -156,12 +156,16 @@ def test_time_travel_and_incremental(spark, catalog):
 
 
 def test_overwrite_and_branches(spark, catalog):
-    t = _mk_table(catalog, "orders_ow")
+    t = Table.create(catalog, "db.orders_ow", ORDERS_SCHEMA, DAY_SPEC,
+                     properties={
+                         "write.replace.purge-replaced-files": "true"})
     t.append(spark, spark.createDataFrame(BATCH1, COLS))
     old_files = set(t.scan(spark).inputFiles())
     t.overwrite(spark, spark.createDataFrame(BATCH2, COLS))
     assert _sums(t, spark) == {1: 2, 2: 1, 3: 1}
-    # replaced files physically removed (table/mod.rs:359-411)
+    # with the eager-purge property, replaced files go immediately
+    # (the reference's default, table/mod.rs:359-411); WITHOUT it they
+    # stay readable for time travel until expire + orphan cleanup
     assert all(not os.path.exists(p.replace("file:", "")) for p in old_files)
     # branch writes fork from main and stay isolated from it
     t.append(spark, spark.createDataFrame(BATCH1, COLS), branch="dev")
@@ -2165,7 +2169,9 @@ def test_rewrite_data_files_selective_binpack(spark, catalog):
     # unpartitioned + tiny appends → a tail of small files
     from iceberg_rust_archive_spark.spec import PartitionSpec
     t = Table.create(catalog, "db.orders_binpack", ORDERS_SCHEMA,
-                     PartitionSpec(0, ()))
+                     PartitionSpec(0, ()),
+                     properties={
+                         "write.replace.purge-replaced-files": "true"})
     for row in BATCH1:
         t.append(spark, spark.createDataFrame([row], COLS))
     t = t.refresh()

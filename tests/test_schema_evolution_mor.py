@@ -599,3 +599,102 @@ def test_rename_refused_on_name_mapping_table(spark, tmp_path):
     t = _evolve(t, tuple(t.metadata.current_schema().fields)
                 + (NestedField(3, "c", "long", False),))
     assert "c" in t.scan(spark).columns
+
+
+def test_orc_table_refuses_rename_and_eq_ref_drop(spark, tmp_path):
+    """ORC files resolve columns by NAME (Spark has no ORC field-id
+    matching): a rename would silently NULL the column in every live
+    ORC file and a drop of an eq-delete-referenced column breaks the
+    __hist recovery — both must refuse; widening promotion stays
+    allowed (ORC upcasts int32 leaves)."""
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False),
+        NestedField(3, "f", "int", False))))
+    t = Table.create(cat, "db.orc", schema, PartitionSpec(0, ()),
+                     properties={"write.format.default": "orc"})
+    t.append(spark, spark.createDataFrame(
+        [(1, 10, 5), (2, 20, 6)], "k long, v long, f int"))
+    t = t.refresh()
+    fields = t.metadata.current_schema().fields
+    renamed = Schema(1, StructTypeSpec(tuple(
+        NestedField(f.field_id, "w" if f.name == "v" else f.name,
+                    f.field_type, f.required) for f in fields)))
+    with pytest.raises(ValueError, match="ORC"):
+        t.new_transaction().update_schema(renamed).commit_with_retry(
+            lambda x: x.update_schema(renamed))
+    # eq-delete on v, then drop v -> refused while ORC files live
+    t.delete_where_equal(spark, spark.createDataFrame([(20,)], ["v"]),
+                         ["v"])
+    t = t.refresh()
+    dropped = Schema(1, StructTypeSpec(tuple(
+        f for f in fields if f.name != "v")))
+    with pytest.raises(ValueError, match="ORC"):
+        t.new_transaction().update_schema(dropped).commit_with_retry(
+            lambda x: x.update_schema(dropped))
+    # promotion is fine on ORC
+    t = _evolve(t, [NestedField(f.field_id, f.name,
+                                "long" if f.name == "f" else f.field_type,
+                                f.required)
+                    for f in t.metadata.current_schema().fields])
+    assert sorted((r.k, r.v, r.f) for r in t.scan(spark).collect()) \
+        == [(1, 10, 5)]
+
+
+def test_time_travel_survives_compaction(spark, tmp_path):
+    """Replaced files stay on disk until expire_snapshots +
+    remove_orphan_files: time travel to the pre-compaction snapshot
+    keeps working (the reference purges immediately — opt into that
+    with write.replace.purge-replaced-files)."""
+    from iceberg_rust_archive_spark.maintenance import compact_table
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.tt", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(1, 10)], "k long, v long"))
+    t = t.refresh()
+    s1 = t.metadata.current_snapshot().snapshot_id
+    t.append(spark, spark.createDataFrame([(2, 20)], "k long, v long"))
+    t = t.refresh()
+    s2 = t.metadata.current_snapshot().snapshot_id
+    compact_table(spark, t)
+    t = t.refresh()
+    assert sorted(r.k for r in
+                  t.scan(spark, snapshot_id=s1).collect()) == [1]
+    assert sorted(r.k for r in
+                  t.scan(spark, snapshot_id=s2).collect()) == [1, 2]
+    assert t.scan(spark).count() == 2
+
+
+def test_expire_reclaims_compaction_replaced_files(spark, tmp_path):
+    """The full lifecycle: compact defers physical deletion (time
+    travel keeps working), expire_snapshots then reclaims exactly the
+    files referenced ONLY by the dropped snapshots — files shared with
+    kept snapshots survive."""
+    import os as _os
+
+    from iceberg_rust_archive_spark.maintenance import (
+        compact_table, expire_snapshots,
+    )
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.exp", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(1, 10)], "k long, v long"))
+    t = t.refresh()
+    old_files = [p.replace("file:", "")
+                 for p in t.scan(spark).inputFiles()]
+    compact_table(spark, t)
+    t = t.refresh()
+    new_files = [p.replace("file:", "")
+                 for p in t.scan(spark).inputFiles()]
+    assert all(_os.path.exists(p) for p in old_files)   # deferred
+    t = expire_snapshots(t, older_than_ms=int(1e18))    # expire all old
+    assert sorted(r.k for r in t.scan(spark).collect()) == [1]
+    assert all(not _os.path.exists(p) for p in old_files)  # reclaimed
+    assert all(_os.path.exists(p) for p in new_files)      # current kept
