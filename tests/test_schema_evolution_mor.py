@@ -486,6 +486,7 @@ def _branch_op():
                   ref),
         st.tuples(st.just("publish"), st.sampled_from(["audit", "dev"])),
         st.tuples(st.just("del_val"), ref, st.integers(0, 9)),
+        st.tuples(st.just("expire"), st.just(None)),
     )
 
 
@@ -549,6 +550,15 @@ def test_branch_wap_matches_model(spark, tmp_path_factory, ops):
                 # guard must refuse; model state stays untouched
                 continue
             state["main"] = Counter(state[src])
+        elif kind == "expire":
+            # expiry must never change ANY ref's visible state: every
+            # branch/tag head is in keep_ids, and the physical
+            # reclamation may only touch files unreachable from kept
+            # snapshots (ref-reachable files must survive)
+            from iceberg_rust_archive_spark.maintenance import (
+                expire_snapshots,
+            )
+            t = expire_snapshots(t, older_than_ms=int(1e18))
         else:  # del_val on a ref
             ref, val = op[1], op[2]
             if ref != "main" and ref not in state:
