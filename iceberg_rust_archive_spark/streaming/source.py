@@ -185,6 +185,12 @@ def _arrow_null_type(iceberg_type):
     return None
 
 
+# distinct merge-key sentinels for SQL NULL vs float NaN (identity-
+# unique objects: they can never collide with real column values)
+_NULL_KEY = ("\x00", "sql-null")
+_NAN_KEY = ("\x00", "float-nan")
+
+
 def _apply_deletes(batch, offset: int, partition):
     """Mask one Arrow batch with the partition's resolved deletes:
     position ordinals via a numpy range intersection, equality rows
@@ -203,11 +209,26 @@ def _apply_deletes(batch, offset: int, partition):
         local = dpos[(dpos >= offset) & (dpos < offset + batch.num_rows)]
         keep[local - offset] = False
     for names, _fids, rows in (partition.eq_deletes or ()):
+        import math as _m
+
         import pandas as pd
+
+        # pandas object-dtype merges conflate None and NaN as one
+        # "missing" key, but Spark's eqNullSafe keeps NULL ≠ NaN (and
+        # NULL = NULL, NaN = NaN each TRUE) — canonicalize both sides
+        # to distinct sentinels so the mask matches the batch scan
+        def _canon(x):
+            if x is None:
+                return _NULL_KEY
+            if isinstance(x, float) and _m.isnan(x):
+                return _NAN_KEY
+            return x
         sub = pd.DataFrame(
-            {n: batch.column(batch.schema.get_field_index(n)).to_pylist()
+            {n: [_canon(v) for v in batch.column(
+                batch.schema.get_field_index(n)).to_pylist()]
              for n in names}, dtype=object)
-        dels = pd.DataFrame(list(rows), columns=list(names), dtype=object)
+        dels = pd.DataFrame([tuple(_canon(v) for v in r) for r in rows],
+                            columns=list(names), dtype=object)
         merged = sub.merge(dels, on=list(names), how="left",
                            indicator="__hit__")
         keep &= (merged["__hit__"].to_numpy() != "both")

@@ -708,3 +708,44 @@ def test_expire_reclaims_compaction_replaced_files(spark, tmp_path):
     assert sorted(r.k for r in t.scan(spark).collect()) == [1]
     assert all(not _os.path.exists(p) for p in old_files)  # reclaimed
     assert all(_os.path.exists(p) for p in new_files)      # current kept
+
+
+def test_stream_initial_batch_null_vs_nan_eq_delete(spark, tmp_path):
+    """The streaming eq-delete mask must keep NULL ≠ NaN (Spark's
+    eqNullSafe): a NaN delete key kills only the NaN row, never the
+    NULL row — pandas object-dtype merges conflate the two without
+    sentinel canonicalization."""
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "x", "double", False))))
+    t = Table.create(cat, "db.nn", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, None), (2, float("nan")), (3, 1.0)],
+        "k long, x double").coalesce(1))
+    t = t.refresh()
+    t.delete_where_equal(
+        spark, spark.createDataFrame([(float("nan"),)], "x double"),
+        ["x"])
+    t = t.refresh()
+    want = sorted(tuple(r) for r in t.scan(spark).collect())
+    assert sorted(r[0] for r in want) == [1, 3]  # batch scan baseline
+
+    from iceberg_rust_archive_spark.streaming.source import (
+        IcebergStreamSource,
+    )
+    spark.dataSource.register(IcebergStreamSource)
+    import tempfile
+    ckpt = tempfile.mkdtemp(dir=str(tmp_path))
+    df = (spark.readStream.format("iceberg-archive")
+          .option("catalog_root", str(tmp_path / "wh"))
+          .option("identifier", "db.nn").load())
+    q = (df.writeStream.format("memory").queryName("nn_stream")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM nn_stream").collect())
+    assert got == want
