@@ -414,9 +414,23 @@ def scan(spark: SparkSession, md: TableMetadata,
     # per-file broadcast attach below joins on the normalized path);
     # ORC files have no _metadata.row_index, so mixed/ORC tables tag
     # sequence groups with literals instead
-    eq_tags_via_fp = bool(delete_entries) and all(
-        (e.data_file.file_format or "parquet").lower() == "parquet"
-        for e in data_entries)
+    # Single-stratum fast path (the common post-compaction state,
+    # reference's simple case table.rs:631-641): every delete file
+    # shares ONE sequence number and none is partition-scoped. Then
+    # every affected data file (seq < that number, by construction)
+    # satisfies the sequence residual vacuously and no scope residual
+    # exists — the whole tag machinery (per-file __dseq attach, pk
+    # literals, residual join conditions) collapses to a plain
+    # null-safe left_anti per equality-column set, and the scan never
+    # needs _metadata.row_index for tag-carrying purposes.
+    eq_single_stratum = bool(delete_entries) and len(
+        {e.sequence_number or 0 for e in delete_entries}) == 1 \
+        and all(all(v is None for v in e.data_file.partition.values())
+                for e in delete_entries)
+    eq_tags_via_fp = bool(delete_entries) and not eq_single_stratum \
+        and all(
+            (e.data_file.file_format or "parquet").lower() == "parquet"
+            for e in data_entries)
     has_pos = bool(pos_delete_entries) or expose_pos or with_row_id \
         or eq_tags_via_fp
 
@@ -587,6 +601,41 @@ def scan(spark: SparkSession, md: TableMetadata,
         clear = [e for e in data_entries
                  if (e.sequence_number or 0) >= max_del_seq]
         any_scoped = any(not _is_global(e) for e in delete_entries)
+        if affected and eq_single_stratum:
+            # fast path: one distinct delete sequence, all global —
+            # the sequence residual (data seq < delete seq) is TRUE
+            # for every affected file and there is no scope residual,
+            # so each equality-column set applies as one plain
+            # null-safe anti-join with no tag columns at all.
+            d = read_data(affected)
+            by_eq: dict[tuple, list] = defaultdict(list)
+            for de in delete_entries:
+                by_eq[tuple(de.data_file.equality_ids or ())].append(de)
+            for eq_ids, des in by_eq.items():
+                eq_fields = [schema.field_by_id(i) or hist_fields[i]
+                             for i in eq_ids]
+                eq_names = [f.name for f in eq_fields]
+                if not eq_names:
+                    continue
+                del_schema = spark_schema_for(
+                    StructTypeSpec(tuple(eq_fields)))
+                del_df = read_data_files(
+                    spark, del_schema,
+                    [(g.data_file.file_path, g.data_file.file_format)
+                     for g in des]
+                ).select(*[F.col(c).alias(f"__del_{c}")
+                           for c in eq_names])
+                if sum(g.data_file.file_size_in_bytes or 0
+                       for g in des) <= 64 * 1024 * 1024:
+                    del_df = F.broadcast(del_df)
+                cond = F.col(eq_names[0]).eqNullSafe(
+                    F.col(f"__del_{eq_names[0]}"))
+                for c in eq_names[1:]:
+                    cond = cond & F.col(c).eqNullSafe(
+                        F.col(f"__del_{c}"))
+                d = d.join(del_df, on=cond, how="left_anti")
+            parts.append(d)
+            affected = []  # handled; fall through to `clear` below
         # per-file (sequence, partition-key) tags keyed by normalized
         # path; a path planned twice with CONFLICTING tags (same file
         # registered under two entries) would fan rows out through the
