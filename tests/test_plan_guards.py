@@ -75,3 +75,56 @@ def test_single_scan_entries_have_one_shuffle(entries):
                            r"rangepartitioning|SinglePartition)", plan))
         # q1 sorts its 4-row result (one extra range exchange is fine)
         assert n <= 2, f"{name}: {n} shuffles"
+
+
+def test_single_stratum_eq_delete_fast_path(spark):
+    """A table whose equality-delete debt is one commit (single
+    sequence number, globally scoped) must plan the MoR scan WITHOUT
+    the sequence-tag join: no __dseq column, no _metadata.row_index
+    read, exactly one LeftAnti — the post-compaction common case
+    (reference simple case, datafusion_iceberg/src/table.rs:631-641).
+    A second delete commit (a second stratum) must flip back to the
+    tagged pass and still return correct rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.operators.iceberg_queries import (
+        ORDERS_SCHEMA, _orders, _tmp_catalog,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.o_fast", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, SF_DIR)
+        t.append(spark, src)
+        t.delete_where_equal(
+            spark, src.filter(F.col("o_custkey") % 10 == 3),
+            ["o_orderkey"])
+        df = t.scan(spark)
+        plan = _plan(df)
+        assert "__dseq" not in plan
+        assert "row_index" not in plan
+        assert plan.count("LeftAnti") == 1
+        expect = src.join(
+            src.filter(F.col("o_custkey") % 10 == 3).select("o_orderkey"),
+            on="o_orderkey", how="left_anti").count()
+        assert df.count() == expect
+
+        # second stratum → tagged pass, still correct
+        t.delete_where_equal(
+            spark, src.filter(F.col("o_custkey") % 10 == 7),
+            ["o_orderkey"])
+        df2 = t.scan(spark)
+        assert "__dseq" in _plan(df2)
+        expect2 = src.join(
+            src.filter((F.col("o_custkey") % 10 == 3)
+                       | (F.col("o_custkey") % 10 == 7))
+            .select("o_orderkey"),
+            on="o_orderkey", how="left_anti").count()
+        assert df2.count() == expect2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
