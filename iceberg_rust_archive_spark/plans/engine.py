@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_rust_archive_spark.catalog.base import Catalog
 from iceberg_rust_archive_spark.plans import mv as mv_mod
+from iceberg_rust_archive_spark.predicates import _split_top
 from iceberg_rust_archive_spark.plans.sqlparse import (
     find_relations, rewrite_relations,
 )
@@ -268,7 +269,7 @@ class Engine:
             rows = self._run_select(m.group(3))
             schema = schema_from_df(rows)
             part_by = [p.strip() for p in
-                       re.split(r",(?![^()]*\))", m.group(2) or "")
+                       _split_top(m.group(2) or "", ",")
                        if p.strip()]
             t = self.create_table(m.group(1), schema, part_by or None)
             t.append(self.spark, rows)
@@ -405,7 +406,7 @@ class Engine:
             t = self.load_table(ident)
             cols = [f.name for f in t.metadata.current_schema().fields]
             assigns = {}
-            for part in re.split(r",(?![^()]*\))", sets):
+            for part in _split_top(sets, ","):
                 name, _, expr = part.partition("=")
                 assigns[name.strip().lower()] = expr.strip()
             if (t.metadata.properties.get(
@@ -596,6 +597,13 @@ class Engine:
         cols = [f.name for f in t.metadata.current_schema().fields]
         talias = talias or "t"
 
+        # accept fully-qualified target references (db.t.col) in the ON
+        # and WHEN expressions by normalizing them to the target alias —
+        # the spliced SQL below only exposes the two aliases
+        qual = re.compile(rf"\b{re.escape(identifier)}\.", re.IGNORECASE)
+        on = qual.sub(f"{talias}.", on)
+        whens = qual.sub(f"{talias}.", whens)
+
         using = using.strip()
         m = re.match(r"\((.*)\)\s*(?:as\s+)?(\w+)?\s*$", using,
                      re.IGNORECASE | re.DOTALL)
@@ -652,7 +660,7 @@ class Engine:
             if sets_sql == "*":
                 return {c.lower(): f"{salias}.{c}" for c in cols}
             out = {}
-            for part in re.split(r",(?![^()]*\))", sets_sql):
+            for part in _split_top(sets_sql, ","):
                 name, _, expr = part.partition("=")
                 name = name.strip().split(".")[-1].lower()
                 out[name] = expr.strip()
@@ -667,7 +675,7 @@ class Engine:
                 raise ValueError(f"cannot parse INSERT clause: {action!r}")
             names = [n.strip().split(".")[-1].lower()
                      for n in m2.group(1).split(",")]
-            exprs = re.split(r",(?![^()]*\))", m2.group(2))
+            exprs = _split_top(m2.group(2), ",")
             if len(names) != len(exprs):
                 raise ValueError("INSERT column/value count mismatch")
             return dict(zip(names, (e.strip() for e in exprs)))
@@ -834,7 +842,7 @@ class Engine:
         if m:
             next_id = md.last_column_id
             added = []
-            for part in re.split(r",(?![^()]*\))", m.group(1)):
+            for part in _split_top(m.group(1), ","):
                 part = part.strip()
                 # v3 default values: ADD COLUMN c TYPE DEFAULT <lit>
                 # sets BOTH initial-default (readers fill rows from
@@ -1007,8 +1015,8 @@ class Engine:
     # --- helpers ----------------------------------------------------------
     def _create_table_sql(self, identifier, cols_sql, part_sql):
         fields = []
-        for i, col in enumerate([c for c in re.split(r",(?![^()]*\))",
-                                                     cols_sql) if c.strip()]):
+        for i, col in enumerate([c for c in _split_top(cols_sql, ",")
+                                 if c.strip()]):
             parts = col.strip().split(None, 1)
             name, sqltype = parts[0], parts[1]
             required = bool(re.search(r"not\s+null", sqltype, re.IGNORECASE))
@@ -1034,7 +1042,7 @@ class Engine:
                                       write_default=default))
         schema = Schema(0, StructTypeSpec(tuple(fields)))
         part_by = [p.strip() for p in
-                   re.split(r",(?![^()]*\))", part_sql or "") if p.strip()]
+                   _split_top(part_sql or "", ",") if p.strip()]
         self.create_table(identifier, schema, part_by or None)
         return None
 
