@@ -69,15 +69,44 @@ def new_snapshot_id() -> int:
 _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
 
 
+def _walk_fields(t, out: dict) -> dict:
+    """All (field_id -> (name, type)) pairs of a type, recursively —
+    list element and map key/value ids count as fields (they occupy
+    the same id space; spec 'Schemas and Data Types')."""
+    from iceberg_rust_archive_spark.spec.types import (
+        ListTypeSpec, MapTypeSpec, StructTypeSpec,
+    )
+    if isinstance(t, StructTypeSpec):
+        for f in t.fields:
+            out[f.field_id] = (f.name, f.field_type)
+            _walk_fields(f.field_type, out)
+    elif isinstance(t, ListTypeSpec):
+        out[t.element_id] = ("element", t.element)
+        _walk_fields(t.element, out)
+    elif isinstance(t, MapTypeSpec):
+        out[t.key_id] = ("key", t.key)
+        out[t.value_id] = ("value", t.value)
+        _walk_fields(t.key, out)
+        _walk_fields(t.value, out)
+    return out
+
+
 def _validate_schema_evolution(old: Schema, new: Schema,
-                               properties: dict | None = None) -> None:
+                               properties: dict | None = None,
+                               md=None) -> None:
     """Refuse schema updates the spec forbids — they would corrupt
     reads silently rather than fail them (an int column re-typed to
     string reads garbage/NULL from every existing file; a field made
     REQUIRED lies about rows that already hold NULL). Field ids are
-    the identity: ids never recycle, new fields take fresh ids, and a
-    surviving id may only widen (int→long, float→double, decimal
-    precision growth at the same scale)."""
+    the identity: ids never recycle (enforced against every historical
+    schema and last_column_id when ``md`` is given), new fields take
+    fresh ids, and a surviving id may only widen (int→long,
+    float→double, decimal precision growth at the same scale) — at ANY
+    nesting depth: struct members, list elements, and map keys/values
+    validate per nested field id under the same promotion rules."""
+    from iceberg_rust_archive_spark.spec.types import (
+        ListTypeSpec, MapTypeSpec, StructTypeSpec,
+    )
 
     def _dec(t):
         import re as _re
@@ -85,44 +114,110 @@ def _validate_schema_evolution(old: Schema, new: Schema,
             if isinstance(t, str) else None
         return (int(m.group(1)), int(m.group(2))) if m else None
 
-    old_ids = {f.field_id for f in old.fields}
-    for f in new.fields:
-        prev = old.field_by_id(f.field_id)
-        if prev is not None and prev.name != f.name \
-                and "schema.name-mapping.default" in (properties or {}):
-            # add_files-registered external files carry NO embedded
-            # field ids — this table's scans resolve columns BY NAME,
-            # so a rename would silently read NULL from every
-            # registered file. Refuse loudly (the documented caveat in
-            # maintenance.add_files): rewrite the registered files
-            # first (CALL system.rewrite_data_files / compact embeds
-            # ids), then drop the name-mapping property and rename.
+    # field-id recycling guard: a NEW field (id absent from the current
+    # schema) reusing an id from any historical schema would resurrect
+    # the dropped column's values via parquet field-id resolution in
+    # old files. Allow only an exact re-add (same name AND type — an
+    # intentional undrop, where that resurrection is the semantics).
+    hist_by_id: dict[int, tuple] = {}
+    max_hist_id = 0
+    if md is not None:
+        for s_ in md.schemas.values():
+            _walk_fields(s_.struct, hist_by_id)
+        max_hist_id = max([md.last_column_id, *hist_by_id], default=0)
+
+    def _check_new_field(f, path):
+        if f.required and getattr(f, "initial_default", None) is None:
             raise ValueError(
-                f"cannot rename column {prev.name!r} -> {f.name!r}: "
-                "this table carries schema.name-mapping.default "
-                "(add_files-registered files resolve by NAME); rewrite "
-                "the registered files first, then drop the property")
-        if prev is None:
-            if f.field_id in old_ids:
-                continue
-            if f.required and getattr(f, "initial_default", None) is None:
+                f"cannot add REQUIRED column {path!r} without a "
+                "default: existing rows have no value for it")
+        if md is None:
+            return
+        # the new field's own id AND every id nested inside its type
+        # must be fresh (or an exact historical match — an undrop)
+        new_ids = {f.field_id: (f.name, f.field_type)}
+        _walk_fields(f.field_type, new_ids)
+        for fid, (nm, ft) in new_ids.items():
+            prior = hist_by_id.get(fid)
+            if prior is not None and (prior[0] != nm or prior[1] != ft):
                 raise ValueError(
-                    f"cannot add REQUIRED column {f.name!r} without a "
-                    "default: existing rows have no value for it")
-            continue
-        if f.required and not prev.required:
-            raise ValueError(
-                f"cannot make column {f.name!r} required: existing "
-                "rows may hold NULL")
-        ot, nt = prev.field_type, f.field_type
-        if ot == nt or (ot, nt) in _TYPE_PROMOTIONS:
-            continue
-        od, nd = _dec(ot), _dec(nt)
-        if od and nd and od[1] == nd[1] and nd[0] >= od[0]:
-            continue  # decimal precision widening, same scale
+                    f"cannot add column {path!r} with recycled field id "
+                    f"{fid}: a historical schema used that id for "
+                    f"{prior[0]!r} ({prior[1]}); old files would "
+                    "resurrect its values under the new column — use a "
+                    "fresh id")
+            if prior is None and fid <= max_hist_id:
+                raise ValueError(
+                    f"cannot add column {path!r} with field id "
+                    f"{fid} <= last assigned id {max_hist_id}: "
+                    "ids never recycle — use a fresh id")
+
+    def _promote(ot, nt, path, fid):
+        if ot == nt:
+            return
+        if isinstance(ot, str) and isinstance(nt, str):
+            if (ot, nt) in _TYPE_PROMOTIONS:
+                return
+            od, nd = _dec(ot), _dec(nt)
+            if od and nd and od[1] == nd[1] and nd[0] >= od[0]:
+                return  # decimal precision widening, same scale
+        elif isinstance(ot, StructTypeSpec) \
+                and isinstance(nt, StructTypeSpec):
+            _struct(ot, nt, path)
+            return
+        elif isinstance(ot, ListTypeSpec) and isinstance(nt, ListTypeSpec) \
+                and ot.element_id == nt.element_id:
+            if nt.element_required and not ot.element_required:
+                raise ValueError(
+                    f"cannot make list element of {path!r} required: "
+                    "existing rows may hold NULL")
+            _promote(ot.element, nt.element, f"{path}.element",
+                     nt.element_id)
+            return
+        elif isinstance(ot, MapTypeSpec) and isinstance(nt, MapTypeSpec) \
+                and ot.key_id == nt.key_id and ot.value_id == nt.value_id:
+            if nt.value_required and not ot.value_required:
+                raise ValueError(
+                    f"cannot make map value of {path!r} required: "
+                    "existing rows may hold NULL")
+            _promote(ot.key, nt.key, f"{path}.key", nt.key_id)
+            _promote(ot.value, nt.value, f"{path}.value", nt.value_id)
+            return
         raise ValueError(
-            f"illegal type change for column {f.name!r} "
-            f"(field id {f.field_id}): {ot} -> {nt}")
+            f"illegal type change for column {path!r} "
+            f"(field id {fid}): {ot} -> {nt}")
+
+    def _struct(os_, ns_, path):
+        for f in ns_.fields:
+            prev = os_.field_by_id(f.field_id)
+            fpath = f"{path}.{f.name}" if path else f.name
+            if prev is not None and prev.name != f.name and path == "" \
+                    and "schema.name-mapping.default" in (properties or {}):
+                # add_files-registered external files carry NO embedded
+                # field ids — this table's scans resolve columns BY
+                # NAME, so a rename would silently read NULL from every
+                # registered file. Refuse loudly (the documented caveat
+                # in maintenance.add_files): rewrite the registered
+                # files first (CALL system.rewrite_data_files / compact
+                # embeds ids), then drop the name-mapping property and
+                # rename.
+                raise ValueError(
+                    f"cannot rename column {prev.name!r} -> {f.name!r}: "
+                    "this table carries schema.name-mapping.default "
+                    "(add_files-registered files resolve by NAME); "
+                    "rewrite the registered files first, then drop the "
+                    "property")
+            if prev is None:
+                _check_new_field(f, fpath)
+                continue
+            if f.required and not prev.required:
+                raise ValueError(
+                    f"cannot make column {fpath!r} required: existing "
+                    "rows may hold NULL")
+            _promote(prev.field_type, f.field_type, fpath, f.field_id)
+
+    _struct(StructTypeSpec(tuple(old.fields)),
+            StructTypeSpec(tuple(new.fields)), "")
 
 
 def _check_orc_evolution(md, new: Schema) -> None:
@@ -470,7 +565,8 @@ class Transaction:
 
         if self._new_schema is not None:
             _validate_schema_evolution(md.current_schema(),
-                                       self._new_schema, md.properties)
+                                       self._new_schema, md.properties,
+                                       md=md)
             _check_orc_evolution(md, self._new_schema)
             schemas = dict(md.schemas)
             schemas[self._new_schema.schema_id] = self._new_schema

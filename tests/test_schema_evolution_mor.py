@@ -749,3 +749,111 @@ def test_stream_initial_batch_null_vs_nan_eq_delete(spark, tmp_path):
     got = sorted(tuple(r) for r in
                  spark.sql("SELECT * FROM nn_stream").collect())
     assert got == want
+
+
+def test_nested_schema_evolution_legal_and_illegal(spark, tmp_path):
+    """Nested evolution validates per nested field id: adding an
+    optional struct member and widening int→long inside struct/list/
+    map are LEGAL; narrowing a nested type or tightening a list
+    element to required refuse at commit."""
+    from iceberg_rust_archive_spark.spec.types import (
+        ListTypeSpec, MapTypeSpec,
+    )
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "s", StructTypeSpec((
+            NestedField(3, "a", "int", False),)), False),
+        NestedField(4, "xs", ListTypeSpec(5, "int", False), False),
+        NestedField(6, "m", MapTypeSpec(7, "string", 8, "float"),
+                    False))))
+    t = Table.create(cat, "db.nested_evo", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, (10,), [1, 2], {"x": 1.5})],
+        "k long, s struct<a:int>, xs array<int>, m map<string,float>"))
+    t = t.refresh()
+
+    # legal: widen s.a int→long, add optional s.b, widen list element
+    # and map value
+    good = Schema(1, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "s", StructTypeSpec((
+            NestedField(3, "a", "long", False),
+            NestedField(9, "b", "string", False))), False),
+        NestedField(4, "xs", ListTypeSpec(5, "long", False), False),
+        NestedField(6, "m", MapTypeSpec(7, "string", 8, "double"),
+                    False))))
+    t = _evolve(t, good.fields)
+    row = t.scan(spark).collect()[0]
+    assert row.s.a == 10 and row.s.b is None
+    assert row.xs == [1, 2] and row.m == {"x": 1.5}
+
+    # illegal: narrow nested long→int
+    bad_narrow = Schema(2, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "s", StructTypeSpec((
+            NestedField(3, "a", "int", False),
+            NestedField(9, "b", "string", False))), False),
+        NestedField(4, "xs", ListTypeSpec(5, "long", False), False),
+        NestedField(6, "m", MapTypeSpec(7, "string", 8, "double"),
+                    False))))
+    with pytest.raises(ValueError, match="illegal type change"):
+        t.new_transaction().update_schema(bad_narrow).commit_with_retry(
+            lambda x: x.update_schema(bad_narrow))
+
+    # illegal: tighten the list element to required
+    bad_req = Schema(2, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "s", StructTypeSpec((
+            NestedField(3, "a", "long", False),
+            NestedField(9, "b", "string", False))), False),
+        NestedField(4, "xs", ListTypeSpec(5, "long", True), False),
+        NestedField(6, "m", MapTypeSpec(7, "string", 8, "double"),
+                    False))))
+    with pytest.raises(ValueError, match="required"):
+        t.new_transaction().update_schema(bad_req).commit_with_retry(
+            lambda x: x.update_schema(bad_req))
+
+
+def test_field_id_recycling_refused(spark, tmp_path):
+    """A new column reusing a historically dropped field id would
+    resurrect the dropped column's values from old files via parquet
+    field-id resolution — refused unless it is an exact re-add (same
+    name and type, an intentional undrop)."""
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t = Table.create(cat, "db.recycle", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame([(1, 10)], "k long, v long"))
+    t = t.refresh()
+    t = _evolve(t, [NestedField(1, "k", "long", True)])   # drop v
+
+    # recycled id under a NEW name/type: refused
+    bad = Schema(2, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "w", "string", False))))
+    with pytest.raises(ValueError, match="recycled field id"):
+        t.new_transaction().update_schema(bad).commit_with_retry(
+            lambda x: x.update_schema(bad))
+
+    # stale id below last_column_id that no schema ever used: refused
+    t2 = _evolve(t, [NestedField(1, "k", "long", True),
+                     NestedField(5, "z", "long", False)])
+    bad2 = Schema(10, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(5, "z", "long", False),
+        NestedField(3, "q", "long", False))))
+    with pytest.raises(ValueError, match="never recycle"):
+        t2.new_transaction().update_schema(bad2).commit_with_retry(
+            lambda x: x.update_schema(bad2))
+
+    # exact re-add (undrop): allowed, resurrects the old values
+    undrop = Schema(3, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", False))))
+    t3 = t.refresh()
+    t3.new_transaction().update_schema(undrop).commit_with_retry(
+        lambda x: x.update_schema(undrop))
+    t3 = t3.refresh()
+    assert [(r.k, r.v) for r in t3.scan(spark).collect()] == [(1, 10)]
