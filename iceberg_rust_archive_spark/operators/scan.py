@@ -465,6 +465,20 @@ def scan(spark: SparkSession, md: TableMetadata,
                 raise ValueError(
                     f"equality delete references field id {fid} not "
                     f"found in any schema of the table metadata")
+    if hist_fields and by_name:
+        # name-mapping tables resolve columns BY NAME (add_files-
+        # registered files carry no embedded field ids), so the
+        # __hist_<fid> helper column can never match any file — the
+        # delete would silently stop applying and rows would
+        # resurrect. Refuse loudly (commit-side _check_orc_evolution
+        # blocks creating this state; this guards tables that already
+        # carry it).
+        raise ValueError(
+            f"cannot scan: equality delete(s) reference dropped field "
+            f"id(s) {sorted(hist_fields)} but this table carries "
+            "schema.name-mapping.default (reads resolve by NAME, so "
+            "the dropped column cannot be recovered by field id) — "
+            "compact the merge-on-read debt first")
     if hist_fields:
         spark_schema = spark_schema_for(StructTypeSpec(
             tuple(schema.fields) + tuple(hist_fields.values())))

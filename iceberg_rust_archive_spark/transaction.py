@@ -226,11 +226,14 @@ def _check_orc_evolution(md, new: Schema) -> None:
     name-based), so on a table holding LIVE ORC files a column RENAME
     silently reads NULL from every ORC file written under the old
     name, and DROPPING a column referenced by live equality-delete
-    files breaks the hidden __hist_<fid> recovery for ORC data. Both
-    refuse loudly; rewrite the ORC files to parquet first
-    (write.format.default + rewrite_data_files). Cost: one cached
-    manifest sweep, only on rename/drop commits, short-circuited at
-    the first ORC file."""
+    files breaks the hidden __hist_<fid> recovery for ORC data. The
+    same drop hazard applies to NAME-MAPPING tables (add_files-
+    registered files carry no embedded field ids, so reads resolve by
+    name and __hist_<fid> can never match). All refuse loudly; rewrite
+    the files to id-carrying parquet first (write.format.default +
+    rewrite_data_files). Cost: one cached manifest sweep, only on
+    rename/drop commits, short-circuited at the first ORC file."""
+    name_mapped = "schema.name-mapping.default" in md.properties
     old = md.current_schema()
     renamed = [f for f in new.fields
                if (p := old.field_by_id(f.field_id)) is not None
@@ -259,6 +262,14 @@ def _check_orc_evolution(md, new: Schema) -> None:
                 eq_refs |= set(e.data_file.equality_ids or ())
         if any_orc and renamed:
             break
+    if name_mapped and (dropped & eq_refs):
+        raise ValueError(
+            f"cannot drop column(s) with field id(s) "
+            f"{sorted(dropped & eq_refs)}: live equality-delete files "
+            "reference them and this table carries "
+            "schema.name-mapping.default (reads resolve by NAME, so "
+            "the dropped column cannot be recovered by field id) — "
+            "compact the merge-on-read debt first")
     if not any_orc:
         return
     if renamed:

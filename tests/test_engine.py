@@ -3517,3 +3517,47 @@ def test_sql_comma_split_respects_nested_parens_and_quotes(spark, tmp_path):
            eng.sql("SELECT * FROM db.t").collect()}
     assert got[2] == (7, "b,c,m")
     assert got[3] == (3, "n,ew")
+
+
+def test_name_mapping_refuses_drop_of_eq_referenced_column(
+        spark, catalog, tmp_path):
+    """On a name-mapping table (add_files-registered external files,
+    no embedded field ids), dropping a column referenced by live
+    equality-delete files must refuse at commit: the scan's
+    __hist_<fid> recovery resolves by parquet field id, which by-name
+    reads can never match, so the delete would silently un-apply
+    (row resurrection)."""
+    from iceberg_rust_archive_spark.maintenance import add_files
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+
+    src = str(tmp_path / "ext3")
+    (spark.createDataFrame(BATCH1, COLS)
+     .selectExpr("cast(id as long) id",
+                 "cast(customer_id as long) customer_id",
+                 "cast(product_id as long) product_id",
+                 "date", "cast(amount as int) amount")
+     .coalesce(1).write.parquet(src))
+    import os as _os
+    f = [_os.path.join(src, x) for x in _os.listdir(src)
+         if x.endswith(".parquet")]
+    t = Table.create(catalog, "db.orders_nm_drop", ORDERS_SCHEMA,
+                     PartitionSpec(0, ()))
+    t = add_files(spark, t, f)
+    t.delete_where_equal(spark, spark.createDataFrame([(3,)], ["id"]),
+                         ["id"])
+    t = t.refresh()
+    assert t.scan(spark).count() == 5
+
+    dropped = Schema(1, StructTypeSpec(tuple(
+        fd for fd in ORDERS_SCHEMA.fields if fd.name != "id")))
+    with pytest.raises(ValueError, match="name-mapping"):
+        t.new_transaction().update_schema(dropped).commit_with_retry(
+            lambda x: x.update_schema(dropped))
+    # a non-referenced column still drops fine
+    ok = Schema(1, StructTypeSpec(tuple(
+        fd for fd in ORDERS_SCHEMA.fields if fd.name != "amount")))
+    t.new_transaction().update_schema(ok).commit_with_retry(
+        lambda x: x.update_schema(ok))
+    t = t.refresh()
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == \
+        [1, 2, 4, 5, 6]
