@@ -83,11 +83,13 @@ class _FilePartition(InputPartition):
     a table with live deletes, the driver resolves merge-on-read
     per-file and ships the result along: ``deleted_pos`` (sorted row
     ordinals killed by position deletes / DVs referencing this file)
-    and ``eq_deletes`` (tuples of (column-names, frozenset-of-row-
-    tuples) from equality-delete files with a strictly newer sequence
-    — tuple equality is null-safe, matching the batch scan's
-    eqNullSafe anti-join). Delete sets are bounded by the
-    ``_INITIAL_DELETE_GATE_BYTES`` plan-time gate."""
+    and ``eq_deletes`` (tuples of (column-names, field-ids,
+    frozenset-of-row-tuples, iceberg-type-strings) from
+    equality-delete files with a strictly newer sequence — applied
+    with null-safe equality at the CURRENT schema's types, matching
+    the batch scan's eqNullSafe anti-join over promoted columns).
+    Delete sets are bounded by the ``_INITIAL_DELETE_GATE_BYTES``
+    plan-time gate."""
 
     def __init__(self, path: str, fmt: str, deleted_pos=None,
                  eq_deletes=None):
@@ -185,20 +187,20 @@ def _arrow_null_type(iceberg_type):
     return None
 
 
-# distinct merge-key sentinels for SQL NULL vs float NaN (identity-
-# unique objects: they can never collide with real column values)
-_NULL_KEY = ("\x00", "sql-null")
-_NAN_KEY = ("\x00", "float-nan")
-
-
 def _apply_deletes(batch, offset: int, partition):
     """Mask one Arrow batch with the partition's resolved deletes:
     position ordinals via a numpy range intersection, equality rows
-    via a vectorized pandas hash-join — object-dtype merge keys are
-    compared as Python values where ``None`` matches ``None``, so the
-    mask is null-safe like the batch scan's eqNullSafe anti-join, with
-    no per-row Python loop in either path. No-op (and zero-cost) for
-    ordinary append-only increments."""
+    via an arrow-backed pandas hash-join. Merge keys stay columnar
+    end-to-end — each side wraps its Arrow array in an
+    ``ArrowExtensionArray`` (zero-copy), whose merge semantics equal
+    the batch scan's eqNullSafe: NULL = NULL and NaN = NaN match,
+    NULL ≠ NaN, int64 exact. No per-row Python conversion in either
+    path. Both sides cast to the CURRENT schema's arrow type first, so
+    a float→double (or int→long) promotion after the delete was
+    written cannot desync a float32-written key from float64 data —
+    the widening cast is value-exact on both sides, mirroring the
+    batch scan's Spark-side casts. No-op (and zero-cost) for ordinary
+    append-only increments."""
     if partition.deleted_pos is None and partition.eq_deletes is None:
         return batch
     import numpy as np
@@ -208,29 +210,26 @@ def _apply_deletes(batch, offset: int, partition):
         dpos = np.asarray(partition.deleted_pos, dtype=np.int64)
         local = dpos[(dpos >= offset) & (dpos < offset + batch.num_rows)]
         keep[local - offset] = False
-    for names, _fids, rows in (partition.eq_deletes or ()):
-        import math as _m
-
+    for names, _fids, rows, types in (partition.eq_deletes or ()):
         import pandas as pd
-
-        # pandas object-dtype merges conflate None and NaN as one
-        # "missing" key, but Spark's eqNullSafe keeps NULL ≠ NaN (and
-        # NULL = NULL, NaN = NaN each TRUE) — canonicalize both sides
-        # to distinct sentinels so the mask matches the batch scan
-        def _canon(x):
-            if x is None:
-                return _NULL_KEY
-            if isinstance(x, float) and _m.isnan(x):
-                return _NAN_KEY
-            return x
-        sub = pd.DataFrame(
-            {n: [_canon(v) for v in batch.column(
-                batch.schema.get_field_index(n)).to_pylist()]
-             for n in names}, dtype=object)
-        dels = pd.DataFrame([tuple(_canon(v) for v in r) for r in rows],
-                            columns=list(names), dtype=object)
-        merged = sub.merge(dels, on=list(names), how="left",
-                           indicator="__hit__")
+        sub_cols, del_cols = {}, {}
+        for i, (n, it) in enumerate(zip(names, types)):
+            arr = batch.column(batch.schema.get_field_index(n))
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            tgt = _arrow_null_type(it) if it else None
+            if tgt is not None and arr.type != tgt:
+                arr = arr.cast(tgt)
+            # the delete-side values were cast to the current schema's
+            # type driver-side (arrow cast, value-exact) before
+            # shipping; rebuild at the same type here
+            del_arr = pa.array([r[i] for r in rows],
+                               type=tgt if tgt is not None else arr.type)
+            sub_cols[n] = pd.arrays.ArrowExtensionArray(arr)
+            del_cols[n] = pd.arrays.ArrowExtensionArray(del_arr)
+        merged = pd.DataFrame(sub_cols).merge(
+            pd.DataFrame(del_cols), on=list(names), how="left",
+            indicator="__hit__")
         keep &= (merged["__hit__"].to_numpy() != "both")
     if keep.all():
         return batch
@@ -497,9 +496,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # kills rows in P's data files; an all-null partition tuple
         # means the delete is global
         schema = md.schemas[md.current_schema_id]
-        eq_sets = []   # (seq, pkey-or-None, names, fids, frozenset)
+        eq_sets = []   # (seq, pkey-or-None, names, fids, rows, types)
         for d, seq in eq_files:
-            names, fids = [], []
+            names, fids, types = [], [], []
             for i in (d.equality_ids or ()):
                 f = schema.field_by_id(i)
                 if f is None:
@@ -507,27 +506,48 @@ class _IcebergStreamReader(DataSourceStreamReader):
                     # dropped column must not un-apply a delete — name
                     # the key __hist_<fid> and resolve it by field id
                     # in both the delete file and the data files (the
-                    # batch scan's rule, operators/scan.py)
+                    # batch scan's rule, operators/scan.py); its type
+                    # is the newest historical schema's
                     names.append(f"__hist_{i}")
+                    for s_ in sorted(md.schemas.values(),
+                                     key=lambda s: -s.schema_id):
+                        fh = s_.field_by_id(i)
+                        if fh is not None:
+                            types.append(fh.field_type)
+                            break
+                    else:
+                        types.append(None)
                 else:
                     names.append(f.name)
+                    types.append(f.field_type)
                 fids.append(i)
             if not names:
                 continue
             tbl = _read_arrow_fid(d.file_path, d.file_format, fids,
                                   names)
-            rows = frozenset(zip(*[tbl.column(n).to_pylist()
-                                   for n in names])) \
-                if tbl.num_rows else frozenset()
+            # cast each key column to the CURRENT schema's arrow type
+            # arrow-side (value-exact widening) so keys written before
+            # an int→long / float→double promotion still equal the
+            # promoted data values — to_pylist on the native type
+            # would ship float32 repr noise instead
+            cols = []
+            for n, it in zip(names, types):
+                col = tbl.column(n)
+                tgt = _arrow_null_type(it) if it else None
+                if tgt is not None and col.type != tgt:
+                    col = col.cast(tgt)
+                cols.append(col.to_pylist())
+            rows = frozenset(zip(*cols)) if tbl.num_rows else frozenset()
             eq_sets.append((seq, None if is_global(d) else pkey(d),
-                            tuple(names), tuple(fids), rows))
+                            tuple(names), tuple(fids), rows,
+                            tuple(types)))
 
         parts = []
         for f, dseq in data:
             dpos = sorted(pos_by_file.get(norm(f.file_path), ()))
             fkey = pkey(f)
-            eqs = tuple((names, fids, rows)
-                        for seq, dk, names, fids, rows in eq_sets
+            eqs = tuple((names, fids, rows, types)
+                        for seq, dk, names, fids, rows, types in eq_sets
                         if seq > dseq and rows
                         and (dk is None or dk == fkey))
             parts.append(_FilePartition(
@@ -553,7 +573,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 phys = name
             plan.append((name, phys, ntype))
         seen_extra = set()
-        for names, fids, _rows in (partition.eq_deletes or ()):
+        for names, fids, _rows, _types in (partition.eq_deletes or ()):
             for n, fi in zip(names, fids):
                 if n in self.columns or n in seen_extra:
                     continue
@@ -570,8 +590,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
         arrays = []
         for _name, phys, ntype in plan:
             if phys is not None:
-                arrays.append(batch.column(
-                    batch.schema.get_field_index(phys)))
+                arr = batch.column(batch.schema.get_field_index(phys))
+                # files written before a type promotion carry the OLD
+                # physical type (int32/float32); the stream's declared
+                # schema is the CURRENT one, so widen here — Spark's
+                # ArrowColumnVector does not coerce
+                if ntype is not None and arr.type != ntype:
+                    arr = arr.cast(ntype)
+                arrays.append(arr)
             else:
                 arrays.append(pa.nulls(batch.num_rows, type=ntype))
         return pa.RecordBatch.from_arrays(

@@ -857,3 +857,55 @@ def test_field_id_recycling_refused(spark, tmp_path):
         lambda x: x.update_schema(undrop))
     t3 = t3.refresh()
     assert [(r.k, r.v) for r in t3.scan(spark).collect()] == [(1, 10)]
+
+
+def test_stream_initial_batch_eq_delete_after_type_promotion(
+        spark, tmp_path):
+    """A float→double (and int→long) promotion between the delete
+    commit and the stream start must not un-apply the delete: both
+    the float32-written delete keys and the float32 data values cast
+    to the current schema's arrow types (value-exact widening) before
+    the mask join, mirroring the batch scan's Spark-side casts."""
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "int", True),
+        NestedField(2, "x", "float", False))))
+    t = Table.create(cat, "db.promo_s", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (3, 0.3)], "k int, x float").coalesce(1))
+    t = t.refresh()
+    # delete written at the FLOAT/INT types
+    t.delete_where_equal(
+        spark, spark.createDataFrame([(2,)], "k int"), ["k"])
+    t = t.refresh()
+    t.delete_where_equal(
+        spark,
+        spark.createDataFrame([(0.3,)], "x double")
+        .selectExpr("cast(x as float) x"),
+        ["x"])
+    t = t.refresh()
+    # promote int→long, float→double
+    t = _evolve(t, [
+        NestedField(1, "k", "long", True),
+        NestedField(2, "x", "double", False)])
+    want = sorted(tuple(r) for r in t.scan(spark).collect())
+    assert [r[0] for r in want] == [1]  # batch scan baseline
+
+    from iceberg_rust_archive_spark.streaming.source import (
+        IcebergStreamSource,
+    )
+    spark.dataSource.register(IcebergStreamSource)
+    import tempfile
+    ckpt = tempfile.mkdtemp(dir=str(tmp_path))
+    df = (spark.readStream.format("iceberg-archive")
+          .option("catalog_root", str(tmp_path / "wh"))
+          .option("identifier", "db.promo_s").load())
+    q = (df.writeStream.format("memory").queryName("promo_stream")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM promo_stream").collect())
+    assert got == want
