@@ -622,20 +622,36 @@ def expire_snapshots(table: Table, older_than_ms: int,
             _remove_physical,
         )
 
-        def _files_of(snaps):
+        def _files_of(snaps, strict):
+            # the metadata CAS already committed, so nothing here may
+            # fail the expiry. DROPPED snapshots read best-effort: a
+            # missing/already-cleaned manifest list just means its
+            # files stay behind as orphans for remove_orphan_files.
+            # KEPT snapshots read strict — an unreadable kept list
+            # means we cannot PROVE a file is still referenced, so the
+            # caller skips physical deletion entirely rather than risk
+            # deleting live data.
             out: set[str] = set()
             seen: set[str] = set()
             for s in snaps:
                 if s.manifest_list in seen:
                     continue
                 seen.add(s.manifest_list)
-                for entries in read_manifests(
-                        [m.manifest_path for m in
-                         read_manifest_list(s.manifest_list)]):
-                    out |= {e.data_file.file_path for e in entries}
+                try:
+                    for entries in read_manifests(
+                            [m.manifest_path for m in
+                             read_manifest_list(s.manifest_list)]):
+                        out |= {e.data_file.file_path for e in entries}
+                except Exception:  # noqa: BLE001 — see above
+                    if strict:
+                        raise
             return out
 
-        dead = _files_of(dropped) - _files_of(kept.values())
+        try:
+            dead = _files_of(dropped, strict=False) \
+                - _files_of(kept.values(), strict=True)
+        except Exception:  # noqa: BLE001 — keep conservatively
+            dead = set()
         if dead:
             _remove_physical(sorted(dead))
     return table.refresh()

@@ -3561,3 +3561,28 @@ def test_name_mapping_refuses_drop_of_eq_referenced_column(
     t = t.refresh()
     assert sorted(r["id"] for r in t.scan(spark).collect()) == \
         [1, 2, 4, 5, 6]
+
+
+def test_expire_snapshots_tolerates_missing_dropped_manifest_list(
+        spark, catalog):
+    """expire_snapshots' post-commit physical reclaim reads dropped
+    snapshots best-effort: a manifest list already cleaned by an
+    earlier partial expiry must not fail the call AFTER the metadata
+    CAS committed — the skipped snapshot's files just stay behind as
+    orphans for remove_orphan_files."""
+    import os as _os
+
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+
+    t = _mk_table(catalog, "orders_expire_tol", PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t = t.refresh()
+    first = t.metadata.current_snapshot()
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    t = t.refresh()
+    # simulate a prior partial cleanup: the to-be-dropped snapshot's
+    # manifest list is already gone
+    _os.remove(first.manifest_list.replace("file://", ""))
+    t = expire_snapshots(t, older_than_ms=int(1e18))
+    assert len(t.metadata.snapshots) == 1
+    assert t.scan(spark).count() == len(BATCH1) + len(BATCH2)
