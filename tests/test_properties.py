@@ -470,8 +470,14 @@ def _chg_op():
                     min_size=1, max_size=4)
     keys = st.lists(st.integers(0, 5), min_size=1, max_size=3,
                     unique=True)
+    # files-per-commit 1..4: the merged-DV double-retraction bug hid
+    # for ten rounds because every append drew coalesce(1) — the model
+    # must draw BOTH shared-file shapes (several del_pos commits
+    # DV-merging against one file) and multi-file shapes (one delete
+    # spanning file boundaries)
+    nfiles = st.integers(1, 4)
     return st.one_of(
-        st.tuples(st.just("append"), rows),
+        st.tuples(st.just("append"), rows, nfiles),
         st.tuples(st.just("del_eq"), keys),
         st.tuples(st.just("del_pos"), keys, st.booleans()),  # use_dv
         st.tuples(st.just("upsert"), rows),
@@ -522,11 +528,13 @@ def test_changelog_matches_model(spark, tmp_path_factory, ops):
         before = snap_count()
         if kind == "append":
             rows = list(op[1])
-            # ONE file per append: successive del_pos commits then hit
-            # the SAME file and must DV-merge (the r11 double-
-            # retraction regression is unreachable with per-row files)
+            # drawn files-per-commit: nf=1 keeps successive del_pos
+            # commits hitting the SAME file (they must DV-merge — the
+            # r11 double-retraction shape), nf>1 spreads rows so one
+            # delete spans file boundaries
+            nf = min(op[2], len(rows))
             t.append(spark, spark.createDataFrame(
-                rows, "k long, v long").coalesce(1))
+                rows, "k long, v long").repartition(nf))
             state.update(rows)
             expected.append((Counter(rows), Counter()))
         elif kind == "del_eq":
