@@ -50,6 +50,23 @@ def main():
     warm = warm.repartition(spark.sparkContext.defaultParallelism)
     warm.mapInPandas(lambda it: it, schema=warm.schema).count()
 
+    def entry_boundary():
+        # isolate entries: clearCache drops persisted frames, dropping
+        # temp views releases the plan references that keep dead
+        # broadcasts alive, and one explicit GC lets Spark's
+        # ContextCleaner actually reclaim those broadcast/shuffle
+        # blocks — otherwise 50 entries × 3 reps of engine scenarios
+        # accrete heap pressure and late entries (the dedup family)
+        # measure eviction thrash instead of plan cost
+        spark.catalog.clearCache()
+        try:
+            for v in spark.catalog.listTables():
+                if v.isTemporary:
+                    spark.catalog.dropTempView(v.name)
+        except Exception:  # noqa: BLE001 — hygiene only
+            pass
+        spark.sparkContext._jvm.System.gc()
+
     mins, means = {}, {}
     for name, fn in qs.items():
         reps = []
@@ -62,6 +79,7 @@ def main():
             # up and evict the NEXT run's own caches mid-run, so late
             # runs measure recompute thrash instead of plan cost
             spark.catalog.clearCache()
+        entry_boundary()
         mins[name] = round(min(reps), 3)
         warm_reps = reps[1:] or reps
         means[name] = round(sum(warm_reps) / len(warm_reps), 3)

@@ -968,3 +968,60 @@ def hist_delete_scale(spark, sf_dir: str, amp: int):
         print(f"hist_delete_scale @ {amp}x ({n} rows, 10% eq-deleted, "
               f"eq column dropped): pre-drop scan {pre_s:.2f}s, "
               f"post-drop hist-resolved scan {post_s:.2f}s")
+
+
+def expire_history_scale(spark, sf_dir: str, amp: int,
+                         n_commits: int = 200):
+    """r12 probe for the deferred-replace reclaim path: expire on a
+    LONG history computes files(dropped) − files(kept), an exact
+    manifest diff whose driver cost grows with snapshots × manifests.
+    Builds ~n_commits snapshots (appends with a compaction every 40
+    commits so replaced files exist to reclaim), then measures the
+    expire_snapshots driver seconds and peak traced memory."""
+    import tempfile
+    import time as _t
+    import tracemalloc
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.maintenance import (
+        compact_table, expire_snapshots,
+    )
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", True))))
+    with tempfile.TemporaryDirectory() as d:
+        cat = FileCatalog(d)
+        t = Table.create(cat, "db.hist", schema, PartitionSpec(0, ()))
+        rows_per = 50 * amp
+        t0 = _t.perf_counter()
+        for i in range(n_commits):
+            rows = [(i * rows_per + j, j) for j in range(rows_per)]
+            t = t.append(spark, spark.createDataFrame(
+                rows, ["k", "v"]).coalesce(2))
+            if i % 40 == 39:
+                t = compact_table(spark, t)
+        build_s = _t.perf_counter() - t0
+        n_snaps = len(t.metadata.snapshots)
+        live_rows = t.count()
+
+        tracemalloc.start()
+        t1 = _t.perf_counter()
+        t = expire_snapshots(t, older_than_ms=int(1e18))
+        expire_s = _t.perf_counter() - t1
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+
+        assert len(t.metadata.snapshots) == 1
+        assert t.count() == live_rows
+        # everything the kept snapshot references must still read
+        assert t.scan(spark).count() == live_rows
+        print(f"expire_history_scale @ {n_snaps} snapshots "
+              f"({n_commits} commits, {rows_per} rows each, build "
+              f"{build_s:.1f}s): expire driver {expire_s:.2f}s, "
+              f"peak traced mem {peak / 1e6:.1f} MB, "
+              f"{live_rows} rows intact")
