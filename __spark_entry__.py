@@ -216,7 +216,17 @@ def _dedup_exact_decontam(s: SparkSession, d: str) -> DataFrame:
         F.lit("decontam").alias("method"), "source", "n_docs",
         F.col("n_clean").alias("n_keep"),
         F.col("n_contaminated").alias("n_flag"))
-    return e.unionByName(c)
+    # ExactSubstr (Lee et al. 2021) span dedup: flag counts + integer
+    # span-coverage sums; one cached per-source rollup feeds both rows
+    ss = dedup.substring_dup_spans(s, d).cache()
+    s1 = ss.select(F.lit("substr").alias("method"), "source",
+                   "n_docs", F.col("n_clean").alias("n_keep"),
+                   F.col("n_flagged").alias("n_flag"))
+    s2 = ss.select(F.lit("substr_cov").alias("method"), "source",
+                   F.col("n_flagged").alias("n_docs"),
+                   F.col("covered_chars").alias("n_keep"),
+                   F.col("flagged_chars").alias("n_flag"))
+    return e.unionByName(c).unionByName(s1).unionByName(s2)
 
 
 def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
@@ -469,6 +479,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'decontam', source, n_docs, n_clean, n_contaminated
             FROM ({o.pop('decontaminate')})
+            UNION ALL
+            SELECT 'substr', source, n_docs, n_clean, n_flagged
+            FROM ({o['substring_dup_spans']})
+            UNION ALL
+            SELECT 'substr_cov', source, n_flagged, covered_chars,
+                   flagged_chars
+            FROM ({o.pop('substring_dup_spans')})
         """,
         "set_membership_ops": f"""
             SELECT 'distinct_custkey' AS op,

@@ -146,6 +146,122 @@ def decontaminate(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             .orderBy("source"))
 
 
+SUBSTR_WIN = 40  # window length L: a span must be ≥ L chars to be seen
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str,
+                        win: int = SUBSTR_WIN) -> DataFrame:
+    """Exact substring-span dedup (the ExactSubstr operator of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    2021; coverage accounting as in AI2's BFF): fingerprint the
+    length-``win`` character window starting at every WORD start, mark
+    a window duplicated when its content appears in more than one
+    document, merge each document's duplicated windows into maximal
+    character spans, and report per-source how many docs carry a
+    cross-document duplicated span and how many characters those spans
+    cover.
+
+    Unlike shingle/MinHash dedup (whole-document similarity) this finds
+    verbatim PARTIAL overlap — boilerplate headers, quoted paragraphs,
+    licence blocks — the dominant duplication mode in web corpora.
+
+    Word starts are CONTENT-DEFINED anchors: two documents sharing a
+    span sample identical window contents regardless of where the span
+    sits in each document (a fixed-stride grid would only match when
+    the offsets happen to align mod the stride). Guarantee: any shared
+    span that contains a word start with ≥ ``win`` characters of the
+    span remaining after it is detected.
+
+    Scale shape (100 TB): one words-explode + per-doc cumulative-sum
+    window computes the anchor offsets (shuffle on doc_id, rows =
+    corpus words — the same order as the shingle pipelines); the
+    duplicate test is ONE groupBy on the content-derived window key
+    (map-side combine collapses repeats); the join back is equi on that
+    key against a one-row-per-key build side (no fan-out); the interval
+    merge is a per-doc window function over HIT rows only — rows scale
+    with duplicated content, not corpus size.
+
+    Output: one row per source — docs considered (≥ win chars), docs
+    clean, docs flagged, covered span chars, flagged docs' total chars.
+    All integers, so the DuckDB oracle hash-matches exactly.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    # single-space split on BOTH engines (not \s+): empty tokens keep
+    # the running offset exact (each consumed separator is one char).
+    # Anchor offsets are computed ARRAY-side (one prefix-sum pass per
+    # doc, no shuffle) — a posexplode + per-doc window would pay a full
+    # sort shuffle of every corpus word just to number them.
+    base = (d.withColumn("dlen", F.length("text"))
+            .filter(F.col("dlen") >= win)
+            .withColumn("ws", F.split("text", " ", -1))
+            .withColumn(
+                "anchors",
+                F.aggregate(
+                        "ws",
+                        F.struct(F.lit(0).cast("long").alias("off"),
+                                 F.array().cast("array<long>")
+                                 .alias("ps")),
+                        lambda acc, w: F.struct(
+                            (acc["off"] + F.length(w) + 1).alias("off"),
+                            F.when(
+                                (F.length(w) > 0)
+                                & (acc["off"]
+                                   <= F.col("dlen") - win),
+                                F.array_append(acc["ps"], acc["off"]))
+                            .otherwise(acc["ps"]).alias("ps")),
+                        lambda acc: acc["ps"])))
+    wins = (base.select(
+                "doc_id", "source", "dlen", "text",
+                F.explode("anchors").alias("pos"))
+            .select("doc_id", "source", "dlen", "pos",
+                    F.conv(F.substring(F.md5(
+                        F.expr(f"substring(text, pos + 1, {win})")),
+                        1, 15), 16, 10).cast("long").alias("h")))
+    # windows whose content crosses documents; one output row per key,
+    # so the join back cannot fan out. Keys are 60-bit md5 prefixes —
+    # the shuffle carries 8 bytes per window, not the 40-char content;
+    # the oracle hashes identically, so even a collision (≈2^-60 per
+    # pair) stays bit-identical across engines.
+    dupw = (wins.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1).select("h"))
+    # one row per (doc, anchor) by construction — no distinct needed
+    hits = wins.join(dupw, "h").select("doc_id", "dlen", "pos")
+    # classic interval merge: a window opens a new span iff it starts
+    # past every earlier window's end (running max over pos+win)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + win).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    g = (hits.withColumn(
+            "f", (F.col("pos") > F.coalesce(prev_end, F.lit(-1)))
+            .cast("long"))
+         .withColumn("grp", F.sum("f").over(wdoc)))
+    cov = (g.groupBy("doc_id", "grp")
+           .agg(F.min("pos").alias("s"),
+                (F.max("pos") + win).alias("e"))
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("e") - F.col("s")).alias("covered")))
+    # docs considered = docs with at least one anchor — read off `base`
+    # directly instead of a distinct over the exploded window rows
+    per_doc = (base.filter(F.size("anchors") > 0)
+               .select("doc_id", "source", "dlen")
+               .join(cov, "doc_id", "left"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("covered").isNull()).cast("long"))
+                  .alias("n_clean"),
+                 F.sum((F.col("covered").isNotNull()).cast("long"))
+                  .alias("n_flagged"),
+                 F.sum(F.coalesce("covered", F.lit(0)))
+                  .alias("covered_chars"),
+                 F.sum(F.when(F.col("covered").isNotNull(),
+                              F.col("dlen")).otherwise(0))
+                  .alias("flagged_chars"))
+            .orderBy("source"))
+
+
 def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
     """Candidate pairs from the inverted shingle index with df cap.
     Shared-shingle counts come from the self equi-join on the shingle;
@@ -488,6 +604,56 @@ def _embedding_oracle() -> str:
 
 
 ORACLE_SQL["dedup_embedding_cosine"] = _embedding_oracle()
+
+ORACLE_SQL["substring_dup_spans"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, length(text) AS dlen, text,
+             string_split(text, ' ') AS ws,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+      FROM documents WHERE length(text) >= {SUBSTR_WIN}
+    ),
+    offs AS (
+      SELECT doc_id, source, dlen, text, i, ws[i] AS wd,
+             coalesce(sum(length(ws[i]) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS pos
+      FROM toks
+    ),
+    w2 AS (SELECT doc_id, source, dlen, CAST(pos AS BIGINT) AS pos,
+                  ('0x' || md5(substr(text, CAST(pos AS BIGINT) + 1,
+                         CAST({SUBSTR_WIN} AS BIGINT)))[1:15])::BIGINT
+                    AS h
+           FROM offs
+           WHERE length(wd) > 0 AND pos <= dlen - {SUBSTR_WIN}),
+    dupw AS (SELECT h FROM w2 GROUP BY h
+             HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT doc_id, pos FROM w2 JOIN dupw USING (h)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos > coalesce(max(pos + {SUBSTR_WIN}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS f
+          FROM hits),
+    g AS (SELECT doc_id, pos,
+                 sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_WIN} AS e
+              FROM g GROUP BY doc_id, grp),
+    cov AS (SELECT doc_id, sum(e - s) AS covered
+            FROM spans GROUP BY doc_id),
+    per_doc AS (SELECT DISTINCT doc_id, source, dlen FROM w2)
+    SELECT p.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.covered IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN c.covered IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(coalesce(c.covered, 0)) AS BIGINT) AS covered_chars,
+           CAST(sum(CASE WHEN c.covered IS NOT NULL THEN p.dlen
+                    ELSE 0 END) AS BIGINT) AS flagged_chars
+    FROM per_doc p LEFT JOIN cov c USING (doc_id)
+    GROUP BY p.source
+"""
 
 ORACLE_SQL["decontaminate"] = f"""
     WITH ss AS (

@@ -802,3 +802,47 @@ def test_semantic_decontaminate_flags_paraphrase_leakage(spark):
     empty = semantic_decontaminate(corpus, bench.limit(0))
     assert empty.columns == ["vec_id", "max_cosine"]
     assert empty.count() == 0
+
+
+def test_substring_dup_spans_offset_invariant(spark, tmp_path):
+    """ExactSubstr span dedup: a verbatim span shared by two docs at
+    DIFFERENT character offsets must be detected (word-start anchors
+    are content-defined, unlike a fixed-stride grid), its merged span
+    coverage must be exact, and a doc repeating its own content must
+    NOT be flagged (duplication is cross-document)."""
+    shared = ("the quick brown fox jumps over the lazy dog near "
+              "the quiet river bank today")  # 75 chars, > win=40
+    assert len(shared) == 75
+    docs = [
+        # span at offset 10 in a, offset 23 in b — grids don't align
+        (0, "padding10 " + shared + " tail of doc a unique words here",
+         "en", "s0", 0),
+        (1, "other padding of len23 " + shared + " unique suffix b",
+         "en", "s0", 0),
+        # self-repetition only: must stay clean
+        (2, ("repeat me " * 12).strip() + " unique ending two", "en",
+         "s0", 0),
+        # no overlap at all
+        (3, "completely different text with no forty char overlap "
+            "anywhere in this sentence at all", "en", "s1", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.source: r for r in
+           dedup.substring_dup_spans(spark, str(tmp_path)).collect()}
+    s0 = out["s0"]
+    assert s0.n_docs == 3 and s0.n_flagged == 2 and s0.n_clean == 1
+    assert out["s1"].n_flagged == 0
+
+    # exact coverage: every word start in `shared` with >= 40 chars of
+    # the span remaining anchors a duplicated window; merged span runs
+    # from the first such anchor to the last + 40. Both docs place the
+    # span after a word boundary, so anchors are the span's own word
+    # starts -> identical coverage in both docs.
+    word_starts = [0] + [i + 1 for i, ch in enumerate(shared)
+                         if ch == " "]
+    anchors = [p for p in word_starts if p <= len(shared) - 40]
+    expected_one_doc = (anchors[-1] + 40) - anchors[0]
+    assert s0.covered_chars == 2 * expected_one_doc
