@@ -913,3 +913,58 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
     surviving = prune_manifests(pred_objs, spec, schema, [mle])
     if must_keep:
         assert surviving, (pred_objs, files)
+
+
+# --- SQL shim top-level splitter (r12: replaced the comma regex at all
+# seven engine sites — this model pins the primitive itself) -----------
+
+def _sql_expr(depth=3):
+    """Expressions with NO top-level comma: atoms, quoted strings
+    (commas, parens, '' escapes inside), f(a, b) calls, (a + b) parens."""
+    atoms = st.one_of(
+        st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True),
+        st.integers(-999, 999).map(str),
+        # quoted literal: any printable junk incl. commas/parens;
+        # single quotes arrive pre-doubled (the SQL escape)
+        st.text(alphabet="ab,()' %", min_size=0, max_size=8).map(
+            lambda t: "'" + t.replace("'", "''") + "'"),
+    )
+    if depth <= 0:
+        return atoms
+    sub = st.deferred(lambda: _sql_expr(depth - 1))
+    return st.one_of(
+        atoms,
+        st.tuples(sub, sub).map(lambda p: f"f({p[0]}, {p[1]})"),
+        st.tuples(sub, sub).map(lambda p: f"({p[0]} + {p[1]})"),
+        st.tuples(sub, sub).map(lambda p: f"g(({p[0]}), {p[1]})"),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_sql_expr(), min_size=1, max_size=6))
+def test_split_top_inverts_comma_join(exprs):
+    from iceberg_rust_archive_spark.predicates import _split_top
+
+    joined = ",".join(exprs)
+    assert _split_top(joined, ",") == exprs
+    # lossless: concatenating the parts with the separator restores
+    # the input even when parts are empty or whitespace
+    parts = _split_top(joined, ",")
+    assert ",".join(parts) == joined
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_sql_expr(2), min_size=2, max_size=4),
+       st.sampled_from([" OR ", " AND "]))
+def test_split_top_word_separator_respects_quotes(exprs, sep):
+    """Word separators (the predicate parser's ' OR ' refusal) must not
+    match inside quoted strings or parens."""
+    from iceberg_rust_archive_spark.predicates import _split_top
+
+    # embed the separator text INSIDE a quoted atom of each expr: it
+    # must never produce an extra split
+    decoys = [f"'{sep.strip().lower()},{sep}'" for _ in exprs]
+    joined = sep.join(f"h({d}, {e})" for d, e in zip(decoys, exprs))
+    parts = _split_top(joined, sep)
+    assert len(parts) == len(exprs)
+    assert sep.join(parts) == joined
