@@ -185,8 +185,6 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str,
     clean, docs flagged, covered span chars, flagged docs' total chars.
     All integers, so the DuckDB oracle hash-matches exactly.
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     # single-space split on BOTH engines (not \s+): empty tokens keep
     # the running offset exact (each consumed separator is one char).
@@ -212,13 +210,18 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str,
                                 F.array_append(acc["ps"], acc["off"]))
                             .otherwise(acc["ps"]).alias("ps")),
                         lambda acc: acc["ps"])))
+    # one corpus scan total: the window rows are cached at the fork
+    # (ForkNode pattern, A25) because BOTH the duplicate test and the
+    # per-doc rollup consume them — without the cache the scan + HOF
+    # prefix-sum would run twice
     wins = (base.select(
                 "doc_id", "source", "dlen", "text",
                 F.explode("anchors").alias("pos"))
             .select("doc_id", "source", "dlen", "pos",
                     F.conv(F.substring(F.md5(
                         F.expr(f"substring(text, pos + 1, {win})")),
-                        1, 15), 16, 10).cast("long").alias("h")))
+                        1, 15), 16, 10).cast("long").alias("h"))
+            .cache())
     # windows whose content crosses documents; one output row per key,
     # so the join back cannot fan out. Keys are 60-bit md5 prefixes —
     # the shuffle carries 8 bytes per window, not the 40-char content;
@@ -226,37 +229,38 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str,
     # pair) stays bit-identical across engines.
     dupw = (wins.groupBy("h")
             .agg(F.count_distinct("doc_id").alias("nd"))
-            .filter(F.col("nd") > 1).select("h"))
-    # one row per (doc, anchor) by construction — no distinct needed
-    hits = wins.join(dupw, "h").select("doc_id", "dlen", "pos")
-    # classic interval merge: a window opens a new span iff it starts
-    # past every earlier window's end (running max over pos+win)
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + win).over(
-        wdoc.rowsBetween(Window.unboundedPreceding, -1))
-    g = (hits.withColumn(
-            "f", (F.col("pos") > F.coalesce(prev_end, F.lit(-1)))
-            .cast("long"))
-         .withColumn("grp", F.sum("f").over(wdoc)))
-    cov = (g.groupBy("doc_id", "grp")
-           .agg(F.min("pos").alias("s"),
-                (F.max("pos") + win).alias("e"))
-           .groupBy("doc_id")
-           .agg(F.sum(F.col("e") - F.col("s")).alias("covered")))
-    # docs considered = docs with at least one anchor — read off `base`
-    # directly instead of a distinct over the exploded window rows
-    per_doc = (base.filter(F.size("anchors") > 0)
-               .select("doc_id", "source", "dlen")
-               .join(cov, "doc_id", "left"))
+            .filter(F.col("nd") > 1)
+            .select("h", F.lit(1).alias("__dup")))
+    # interval merge happens ARRAY-side per doc (positions are sorted;
+    # every interval is [p, p+win) with p nondecreasing, so the running
+    # exclusive end E satisfies E <= p+win and each hit contributes
+    # win if p >= E else p+win-E) — no window functions, one groupBy
+    cover = F.aggregate(
+        F.sort_array(F.col("hit_ps")),
+        F.struct(F.lit(-1).cast("long").alias("e"),
+                 F.lit(0).cast("long").alias("c")),
+        lambda acc, p: F.struct(
+            (p + win).alias("e"),
+            (acc["c"] + F.when(p >= acc["e"], F.lit(win))
+             .otherwise(p + win - acc["e"])).alias("c")),
+        lambda acc: acc["c"])
+    # dup-window count grows with the corpus — NOT broadcastable by
+    # construction; AQE picks broadcast while it measures small
+    per_doc = (wins.join(dupw, "h", "left")
+               .groupBy("doc_id")
+               .agg(F.first("source").alias("source"),
+                    F.first("dlen").alias("dlen"),
+                    F.collect_list(F.when(F.col("__dup") == 1,
+                                          F.col("pos"))).alias("hit_ps"))
+               .withColumn("covered", cover))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum((F.col("covered").isNull()).cast("long"))
+                 F.sum((F.col("covered") == 0).cast("long"))
                   .alias("n_clean"),
-                 F.sum((F.col("covered").isNotNull()).cast("long"))
+                 F.sum((F.col("covered") > 0).cast("long"))
                   .alias("n_flagged"),
-                 F.sum(F.coalesce("covered", F.lit(0)))
-                  .alias("covered_chars"),
-                 F.sum(F.when(F.col("covered").isNotNull(),
+                 F.sum("covered").alias("covered_chars"),
+                 F.sum(F.when(F.col("covered") > 0,
                               F.col("dlen")).otherwise(0))
                   .alias("flagged_chars"))
             .orderBy("source"))
