@@ -128,3 +128,29 @@ def test_single_stratum_eq_delete_fast_path(spark):
         assert df2.count() == expect2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fast_path_resolves_dropped_eq_column(spark, tmp_path):
+    """Fast-path (single-stratum, global) equality deletes must still
+    resolve a LATER-DROPPED equality column through the hidden
+    __hist_<fid> field-id read — and must not leak the helper column
+    or the tag join into the plan. NULL delete keys match null-safely
+    (row 4's NULL v is deleted by the NULL delete row)."""
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t_fastdrop (k BIGINT, v STRING, x BIGINT)")
+    eng.sql("INSERT INTO db.t_fastdrop VALUES "
+            "(1,'a',10),(2,'b',20),(3,'c',30),(4,NULL,40)")
+    t = eng.load_table("db.t_fastdrop")
+    t.delete_where_equal(
+        spark, spark.createDataFrame([("b",), (None,)], "v string"),
+        ["v"])
+    eng.sql("ALTER TABLE db.t_fastdrop DROP COLUMN v")
+    df = eng.sql("SELECT * FROM db.t_fastdrop")
+    assert df.columns == ["k", "x"]
+    plan = _plan(df)
+    assert "__dseq" not in plan          # still the fast path
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 10), (3, 30)]
