@@ -215,12 +215,29 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         fmt=fmt)
 
     # derive transform columns (A11)
-    pcols: list[str] = []
-    spec_fields = []
+    derivable, skipped_any = [], False
     for pf in spec.fields:
         src = md.current_schema(branch).field_by_id(pf.source_id)
         if src is None or schema.field_by_name(src.name) is None:
-            continue  # delete schema may not include the partition source
+            skipped_any = True  # delete schema lacks the partition source
+            continue
+        derivable.append((pf, src))
+    # Partition-scope an equality delete ONLY when it is lossless:
+    # every field of the spec must derive from the equality columns (a
+    # PARTIAL tuple never equals any data file's full tuple, so the
+    # scope residual would silently un-apply the delete — lost deletes,
+    # r12 probe), and the table must have exactly one spec in history
+    # (files written under an evolved-away spec carry differently-keyed
+    # tuples that can never match a current-spec scope; the engine's
+    # DELETE/UPDATE/upsert intent is "all rows with these keys", so the
+    # sound fallback is a GLOBAL delete — scope is a pruning
+    # optimization here, never semantics).
+    if content == CONTENT_EQUALITY_DELETES and (
+            skipped_any or len(md.partition_specs) > 1):
+        derivable = []
+    pcols: list[str] = []
+    spec_fields = []
+    for pf, src in derivable:
         cname = _P_PREFIX + pf.name
         df = df.withColumn(
             cname, transform_column(pf.transform, src.name,

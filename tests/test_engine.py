@@ -3586,3 +3586,74 @@ def test_expire_snapshots_tolerates_missing_dropped_manifest_list(
     t = expire_snapshots(t, older_than_ms=int(1e18))
     assert len(t.metadata.snapshots) == 1
     assert t.scan(spark).count() == len(BATCH1) + len(BATCH2)
+
+
+def test_eq_delete_scope_is_lossless_only(spark, tmp_path):
+    """Partition-scoping an equality delete is a pruning optimization
+    that must engage ONLY when lossless (r12 probe found two silent
+    lost-delete shapes):
+
+    1. multi-field spec where only SOME fields derive from the equality
+       columns — the partial tuple never equals any data file's full
+       tuple, so the scoped delete applied to nothing;
+    2. partition-spec evolution — files under the old spec carry
+       differently-keyed tuples that can never match a current-spec
+       scope.
+
+    Both must now write GLOBAL deletes (the engine's DELETE intent is
+    "all rows with these keys"); the single-spec fully-derivable case
+    keeps its scoped tuple."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+
+    def _delete_partitions(t):
+        out = []
+        for mf in read_manifest_list(
+                t.metadata.current_snapshot().manifest_list):
+            for e in read_manifest(mf.manifest_path):
+                if e.data_file.content == 2:
+                    out.append(e.data_file.partition)
+        return out
+
+    # 1: partial tuple -> global
+    eng.sql("CREATE TABLE db.p2 (k BIGINT, d TIMESTAMP, v STRING) "
+            "PARTITIONED BY (bucket(4, k), month(d))")
+    eng.sql("INSERT INTO db.p2 VALUES "
+            "(1, TIMESTAMP '2020-01-05 00:00:00', 'a'),"
+            "(2, TIMESTAMP '2020-02-05 00:00:00', 'b'),"
+            "(3, TIMESTAMP '2020-03-05 00:00:00', 'c')")
+    t = eng.load_table("db.p2")
+    t.delete_where_equal(
+        spark, spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.p2").collect()) == [1, 3]
+    for p in _delete_partitions(t.refresh()):
+        assert all(v is None for v in p.values()), p  # global
+
+    # 2: spec evolution -> global
+    eng.sql("CREATE TABLE db.se (k BIGINT, v STRING) "
+            "PARTITIONED BY (bucket(4, k))")
+    eng.sql("INSERT INTO db.se VALUES (1,'a'),(2,'b'),(3,'c')")
+    eng.sql("ALTER TABLE db.se ADD PARTITION FIELD truncate(1, v)")
+    t2 = eng.load_table("db.se")
+    t2.delete_where_equal(
+        spark, spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.se").collect()) == [1, 3]
+
+    # 3: single spec, fully derivable -> stays scoped
+    eng.sql("CREATE TABLE db.sc (k BIGINT, v STRING) "
+            "PARTITIONED BY (bucket(4, k))")
+    eng.sql("INSERT INTO db.sc VALUES (1,'a'),(2,'b'),(3,'c')")
+    t3 = eng.load_table("db.sc")
+    t3.delete_where_equal(
+        spark, spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.sc").collect()) == [1, 3]
+    parts = _delete_partitions(t3.refresh())
+    assert parts and all(p.get("k_bucket") is not None for p in parts)
