@@ -97,6 +97,40 @@ _TYPE_MAP = {
 }
 
 
+def _strip_sql_comments(s: str) -> str:
+    """Remove ``--`` line comments and ``/* */`` block comments,
+    respecting '…' string literals (with '' escapes). The shim's regex
+    statement matchers otherwise splice comment text into expressions
+    (judged repro: ``SET v = 'z' -- note`` fed the comment into
+    selectExpr). Spark would tolerate comments in the fragments it
+    parses itself, but the shim's own matchers must see clean text."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(s[i:j + 1])
+            i = j + 1
+        elif ch == "-" and s[i:i + 2] == "--":
+            while i < n and s[i] != "\n":
+                i += 1
+        elif ch == "/" and s[i:i + 2] == "/*":
+            k = s.find("*/", i + 2)
+            i = n if k < 0 else k + 2
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _sql_type_to_iceberg(t: str) -> str:
     t = t.strip().lower()
     m = re.match(r"(decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)", t)
@@ -155,7 +189,7 @@ class Engine:
 
     # --- SQL router -------------------------------------------------------
     def sql(self, text: str) -> DataFrame | None:
-        s = text.strip().rstrip(";")
+        s = _strip_sql_comments(text).strip().rstrip(";")
         low = s.lower()
 
         m = re.match(r"create\s+schema\s+(?:if\s+not\s+exists\s+)?([\w.]+)",

@@ -3657,3 +3657,28 @@ def test_eq_delete_scope_is_lossless_only(spark, tmp_path):
                   eng.sql("SELECT k FROM db.sc").collect()) == [1, 3]
     parts = _delete_partitions(t3.refresh())
     assert parts and all(p.get("k_bucket") is not None for p in parts)
+
+
+def test_sql_comments_stripped_outside_strings(spark, tmp_path):
+    """-- line and /* */ block comments are legal anywhere in a
+    statement; comment markers INSIDE string literals must survive."""
+    from iceberg_rust_archive_spark.plans.engine import (
+        Engine, _strip_sql_comments,
+    )
+
+    assert _strip_sql_comments("x = 'it''s -- fine'") == \
+        "x = 'it''s -- fine'"
+    assert _strip_sql_comments("a /* b */ c") == "a   c"
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.cmt (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.cmt VALUES (1,'a'),(2,'b')")
+    eng.sql("DELETE FROM db.cmt WHERE k = 1 -- cleanup")
+    eng.sql("UPDATE db.cmt\n"
+            "SET v = 'z'  -- trailing comment\n"
+            "WHERE k = 2")
+    eng.sql("/* block */ INSERT INTO db.cmt VALUES (3, '-- kept')")
+    got = sorted((r.k, r.v) for r in
+                 eng.sql("SELECT * FROM db.cmt").collect())
+    assert got == [(2, "z"), (3, "-- kept")]
