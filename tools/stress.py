@@ -1025,3 +1025,43 @@ def expire_history_scale(spark, sf_dir: str, amp: int,
               f"{build_s:.1f}s): expire driver {expire_s:.2f}s, "
               f"peak traced mem {peak / 1e6:.1f} MB, "
               f"{live_rows} rows intact")
+
+
+def substring_dedup_scale(spark, sf_dir: str, amp: int):
+    """r12: ExactSubstr span dedup at amp× documents. Each replica
+    prefixes every word with a replica tag (content-derived keys shift,
+    so window/dup cardinalities scale with the data instead of every
+    replica colliding into one giant duplicate class)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # per-replica character permutation rewrites EVERY window's
+    # content, so window/dup cardinalities scale with the data (a mere
+    # prefix salt leaves all later windows colliding across replicas)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    reps = [docs.withColumn("doc_id",
+                            F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn("text", F.translate(
+                F.col("text"), alpha, alpha[i:] + alpha[:i]))
+            for i in range(amp)]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    import tempfile, shutil
+    d = tempfile.mkdtemp()
+    big.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    try:
+        dedup.substring_dup_spans(spark, d).collect()  # warm codegen
+        t0 = _t.perf_counter()
+        rows = dedup.substring_dup_spans(spark, d).collect()
+        dt = _t.perf_counter() - t0
+        n_flag = sum(r.n_flagged for r in rows)
+        n_docs = sum(r.n_docs for r in rows)
+        print(f"substring_dedup_scale @ {amp}x ({n_docs} docs): "
+              f"{dt:.2f}s, {n_flag} flagged")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
