@@ -94,6 +94,7 @@ _TYPE_MAP = {
     "boolean": "boolean", "bool": "boolean", "date": "date",
     "timestamp": "timestamp", "timestamptz": "timestamptz",
     "binary": "binary", "bytea": "binary",
+    "variant": "variant",
 }
 
 
@@ -285,10 +286,12 @@ class Engine:
         m = re.match(
             r"create\s+(?:external\s+)?table\s+([\w.]+)\s*\((.*?)\)\s*"
             r"(?:using\s+iceberg|stored\s+as\s+iceberg)?\s*"
-            r"(?:partitioned\s+by\s*\((.*?)\))?\s*$",
+            r"(?:partitioned\s+by\s*\((.*?)\))?\s*"
+            r"(?:tblproperties\s*\((.*?)\))?\s*$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
-            return self._create_table_sql(m.group(1), m.group(2), m.group(3))
+            return self._create_table_sql(m.group(1), m.group(2),
+                                          m.group(3), m.group(4))
 
         m = re.match(
             r"create\s+table\s+([\w.]+)\s*"
@@ -443,10 +446,27 @@ class Engine:
             for part in _split_top(sets, ","):
                 name, _, expr = part.partition("=")
                 assigns[name.strip().lower()] = expr.strip()
-            if (t.metadata.properties.get(
-                    "write.delete.format", "").lower() == "dv"
+            from iceberg_rust_archive_spark.spec.types import (
+                contains_variant,
+            )
+            has_variant = any(
+                contains_variant(f.field_type)
+                for f in t.metadata.current_schema().fields)
+            if has_variant and re.search(r"\bselect\b", sets + " " + pred,
+                                         re.IGNORECASE):
+                raise ValueError(
+                    "UPDATE with a subquery is not supported on tables "
+                    "with variant columns (the equality-delete fallback "
+                    "cannot key on variant values)")
+            if ((has_variant or t.metadata.properties.get(
+                    "write.delete.format", "").lower() == "dv")
                     and not re.search(r"\bselect\b", sets + " " + pred,
                                       re.IGNORECASE)):
+                # variant tables ALWAYS take this path: an equality
+                # delete over all columns cannot key on a variant
+                # (no equality semantics) — position addressing is
+                # exact regardless of column types, and the table is
+                # already format-version 3 by construction
                 # DV-opted-in table: the UPDATE's delete side rides the
                 # position-delete path (per-file roaring bitmaps,
                 # ~1.75 B/row) instead of an all-column equality-delete
@@ -501,10 +521,24 @@ class Engine:
                     [], spark_schema_for(t.metadata.current_schema().struct))
                 t.overwrite(self.spark, empty)
                 return None
-            if (t.metadata.properties.get(
-                    "write.delete.format", "").lower() == "dv"
+            from iceberg_rust_archive_spark.spec.types import (
+                contains_variant,
+            )
+            has_variant = any(
+                contains_variant(f.field_type)
+                for f in t.metadata.current_schema().fields)
+            if has_variant and re.search(r"\bselect\b", pred,
+                                         re.IGNORECASE):
+                raise ValueError(
+                    "DELETE with a subquery is not supported on tables "
+                    "with variant columns (the equality-delete fallback "
+                    "cannot key on variant values)")
+            if ((has_variant or t.metadata.properties.get(
+                    "write.delete.format", "").lower() == "dv")
                     and not re.search(r"\bselect\b", pred,
                                       re.IGNORECASE)):
+                # variant tables ALWAYS route positionally — equality
+                # deletes cannot key on a variant column
                 # (subquery predicates stay on the eq-delete path —
                 # DataFrame.filter can't host a correlated subquery)
                 # the table opted into deletion vectors — SQL DELETE
@@ -1047,7 +1081,8 @@ class Engine:
         raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
 
     # --- helpers ----------------------------------------------------------
-    def _create_table_sql(self, identifier, cols_sql, part_sql):
+    def _create_table_sql(self, identifier, cols_sql, part_sql,
+                          props_sql=None):
         fields = []
         for i, col in enumerate([c for c in _split_top(cols_sql, ",")
                                  if c.strip()]):
@@ -1077,7 +1112,10 @@ class Engine:
         schema = Schema(0, StructTypeSpec(tuple(fields)))
         part_by = [p.strip() for p in
                    _split_top(part_sql or "", ",") if p.strip()]
-        self.create_table(identifier, schema, part_by or None)
+        props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'",
+                                props_sql)) if props_sql else None
+        self.create_table(identifier, schema, part_by or None,
+                          properties=props)
         return None
 
     def _insert_sql(self, identifier: str, rest: str) -> None:
@@ -1099,6 +1137,11 @@ class Engine:
             df = self._run_select(rest)
             if cols:
                 df = df.toDF(*cols)
+            elif len(df.columns) == len(target.fields):
+                # standard SQL: INSERT INTO t SELECT maps by ORDINAL,
+                # not by name — unaliased expressions insert fine and
+                # same-named-but-reordered outputs keep SQL semantics
+                df = df.toDF(*[f.name for f in target.fields])
         if cols:
             # name-mapped projection; unnamed columns take the field's
             # write-default (v3) when one is set, else NULL

@@ -129,6 +129,109 @@ def _harvest_one_orc(path: str, field_ids: dict[str, int],
         upper_bounds=uppers, equality_ids=equality_ids)
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Read FileMetaData.num_rows (field 3, i64) straight from the
+    parquet footer with a minimal Thrift compact-protocol walker —
+    used when pyarrow's footer parser predates a logical type in the
+    file (e.g. Spark's v3 VARIANT annotation). Unknown fields are
+    skipped structurally, so new annotations can never break it."""
+    with open(path, "rb") as f:
+        f.seek(-8, os.SEEK_END)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"not a parquet file: {path}")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(-(8 + flen), os.SEEK_END)
+        buf = f.read(flen)
+
+    pos = 0
+
+    def _uvarint():
+        nonlocal pos
+        out = shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def _skip(ftype, in_container=False):
+        nonlocal pos
+        if ftype in (1, 2):        # BOOLEAN_TRUE / BOOLEAN_FALSE
+            if in_container:       # container bools are one byte each
+                pos += 1
+            return
+        if ftype == 3:             # BYTE
+            pos += 1
+        elif ftype in (4, 5, 6):   # I16 / I32 / I64 (zigzag varints)
+            _uvarint()
+        elif ftype == 7:           # DOUBLE
+            pos += 8
+        elif ftype == 8:           # BINARY/STRING
+            # NOTE: `pos += _uvarint()` would read the OLD pos before
+            # the varint read advances it — evaluate the length first
+            blen = _uvarint()
+            pos += blen
+        elif ftype in (9, 10):     # LIST / SET
+            head = buf[pos]
+            pos += 1
+            size, etype = head >> 4, head & 0x0F
+            if size == 15:
+                size = _uvarint()
+            for _ in range(size):
+                _skip(etype, in_container=True)
+        elif ftype == 11:          # MAP
+            size = _uvarint()
+            if size:
+                types = buf[pos]
+                pos += 1
+                kt, vt = types >> 4, types & 0x0F
+                for _ in range(size):
+                    _skip(kt, in_container=True)
+                    _skip(vt, in_container=True)
+        elif ftype == 12:          # STRUCT
+            _skip_struct()
+        else:
+            raise ValueError(f"bad thrift compact type {ftype}")
+
+    def _skip_struct():
+        nonlocal pos
+        fid = 0
+        while True:
+            head = buf[pos]
+            pos += 1
+            if head == 0:          # STOP
+                return
+            delta, ftype = head >> 4, head & 0x0F
+            if delta:
+                fid += delta
+            else:
+                z = _uvarint()
+                fid = (z >> 1) ^ -(z & 1)
+            _skip(ftype)
+
+    # walk the top-level FileMetaData struct looking for field 3 (I64)
+    fid = 0
+    while pos < len(buf):
+        head = buf[pos]
+        pos += 1
+        if head == 0:
+            break
+        delta, ftype = head >> 4, head & 0x0F
+        if delta:
+            fid += delta
+        else:
+            z = _uvarint()
+            fid = (z >> 1) ^ -(z & 1)
+        if fid == 3 and ftype == 6:
+            z = _uvarint()
+            return (z >> 1) ^ -(z & 1)
+        _skip(ftype)
+    raise ValueError(f"num_rows not found in parquet footer: {path}")
+
+
 def harvest_one(path: str, field_ids: dict[str, int],
                 partition: dict | None = None,
                 content: int = CONTENT_DATA,
@@ -141,7 +244,26 @@ def harvest_one(path: str, field_ids: dict[str, int],
                                 equality_ids)
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    try:
+        pf = pq.ParquetFile(path)
+    except OSError as e:
+        if "LogicalType" in str(e):
+            # pyarrow predates a logical type in the footer (Spark
+            # writes the v3 VARIANT annotation; pyarrow 16 can't parse
+            # it) — degrade to a stats-less DataFile with the exact
+            # record count parsed straight from the footer thrift
+            # (_parquet_num_rows, dependency-free so it runs on
+            # executors too). No bounds/value-counts means pruning and
+            # the metadata-count fast path simply don't engage for
+            # this file; correctness is unaffected (residual filters
+            # always re-apply).
+            return DataFile(
+                content=content, file_path=path, file_format="parquet",
+                partition=partition or {},
+                record_count=_parquet_num_rows(path),
+                file_size_in_bytes=os.path.getsize(path),
+                equality_ids=equality_ids)
+        raise
     meta = pf.metadata
     n_cols = meta.num_columns
     names = [meta.row_group(0).column(i).path_in_schema if meta.num_row_groups

@@ -202,6 +202,13 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"unsupported write.format.default {fmt!r} "
                          "(parquet, orc)")
+    if fmt == "orc":
+        from iceberg_rust_archive_spark.spec.types import contains_variant
+        if any(contains_variant(f.field_type) for f in schema.fields):
+            raise ValueError(
+                "variant columns require parquet data files (the spec "
+                "defines variant physical encoding for parquet only); "
+                "unset write.format.default=orc for this table")
     codec = md.properties.get(
         f"write.{fmt}.compression-codec", "zstd")
     # measure row width BEFORE the partition shuffle (the sample limit

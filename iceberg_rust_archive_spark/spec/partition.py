@@ -104,5 +104,11 @@ class PartitionSpec:
         f = schema.field_by_name(col)
         if f is None:
             raise KeyError(f"partition source column {col!r} not in schema")
+        if f.field_type == "variant":
+            # spec §Partitioning: variant has no defined sort/transform
+            # semantics — a hash of the binary encoding would split
+            # equal values across partitions
+            raise ValueError(
+                f"variant column {col!r} cannot be a partition source")
         name = col if transform == "identity" else f"{col}_{transform.split('[')[0]}"
         return PartitionField(f.field_id, next_field_id(), name, transform)

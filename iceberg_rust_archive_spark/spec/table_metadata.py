@@ -105,17 +105,22 @@ class TableMetadata:
         # the creator explicitly pins an older version via property.
         fmt = FORMAT_VERSION
         pin = str((properties or {}).get("format-version", "")).strip()
+        from iceberg_rust_archive_spark.spec.types import contains_variant
         has_defaults = any(
             getattr(f, "initial_default", None) is not None
             or getattr(f, "write_default", None) is not None
             for f in schema.fields)
+        has_variant = any(contains_variant(f.field_type)
+                          for f in schema.fields)
         if pin:
             fmt = int(float(pin))
-        if has_defaults:
+        if has_defaults or has_variant:
             if fmt < 3:
+                construct = ("column DEFAULTs" if has_defaults
+                             else "variant columns")
                 if pin:
                     raise ValueError(
-                        "column DEFAULTs require format-version 3, but "
+                        f"{construct} require format-version 3, but "
                         f"the table pins {pin}")
                 fmt = 3
         return TableMetadata(

@@ -21,6 +21,10 @@ from pyspark.sql import types as T
 PRIMITIVES = {
     "boolean", "int", "long", "float", "double", "date", "time",
     "timestamp", "timestamptz", "string", "uuid", "binary",
+    # v3: semi-structured values with per-value types (spec §Variant);
+    # maps to Spark's VariantType — parquet carries the binary
+    # metadata/value pair (Spark may additionally shred typed_value)
+    "variant",
 }
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
 _FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
@@ -101,6 +105,19 @@ def is_primitive(t: IcebergType) -> bool:
     return isinstance(t, str)
 
 
+def contains_variant(t: IcebergType) -> bool:
+    """True when ``t`` is or nests a v3 ``variant`` (format-version gate)."""
+    if isinstance(t, str):
+        return t == "variant"
+    if isinstance(t, StructTypeSpec):
+        return any(contains_variant(f.field_type) for f in t.fields)
+    if isinstance(t, ListTypeSpec):
+        return contains_variant(t.element)
+    if isinstance(t, MapTypeSpec):
+        return contains_variant(t.key) or contains_variant(t.value)
+    return False
+
+
 def validate_primitive(t: str) -> None:
     if t in PRIMITIVES or _DECIMAL_RE.match(t) or _FIXED_RE.match(t):
         return
@@ -161,6 +178,7 @@ def iceberg_to_spark_type(t: IcebergType) -> T.DataType:
             "timestamp": T.TimestampNTZType(), "timestamptz": T.TimestampType(),
             "string": T.StringType(), "uuid": T.StringType(),
             "binary": T.BinaryType(),
+            "variant": T.VariantType(),
         }[t]
     if isinstance(t, StructTypeSpec):
         return T.StructType([
@@ -203,6 +221,8 @@ def spark_to_iceberg_type(t: T.DataType, next_id) -> IcebergType:
         return "string"
     if isinstance(t, T.BinaryType):
         return "binary"
+    if isinstance(t, T.VariantType):
+        return "variant"
     if isinstance(t, T.StructType):
         fields = []
         for f in t.fields:

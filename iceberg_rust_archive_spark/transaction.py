@@ -648,9 +648,13 @@ class Transaction:
                        + self._appended + self._deletes)
         needs_v3 = any(f.file_format == "puffin" for f in _candidates)
         if self._new_schema is not None:
+            from iceberg_rust_archive_spark.spec.types import (
+                contains_variant,
+            )
             needs_v3 = needs_v3 or any(
                 getattr(f, "initial_default", None) is not None
                 or getattr(f, "write_default", None) is not None
+                or contains_variant(f.field_type)
                 for f in self._new_schema.fields)
         if needs_v3 and md.format_version < 3:
             pin = str(md.properties.get("format-version", "")

@@ -1,0 +1,133 @@
+"""Iceberg v3 ``variant`` columns (spec §Variant; Spark VariantType).
+
+The engine stores variant values through Spark's native parquet variant
+encoding (binary metadata/value, optionally shredded). pyarrow 16 cannot
+parse footers carrying the VARIANT logical type, so stats harvesting
+degrades to a stats-less DataFile whose record count comes from
+``_parquet_num_rows`` — a dependency-free thrift-compact footer walker
+(also covered here against pyarrow on ordinary files).
+"""
+
+import glob
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+from iceberg_rust_archive_spark.plans.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    e.sql("CREATE SCHEMA db")
+    return e
+
+
+def test_parquet_num_rows_matches_pyarrow():
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.sources.stats import _parquet_num_rows
+
+    paths = sorted(glob.glob(f"{SF_DIR}/*.parquet"))
+    assert paths
+    for p in paths:
+        assert _parquet_num_rows(p) == pq.ParquetFile(p).metadata.num_rows
+
+
+def test_variant_roundtrip_and_v3_gate(eng):
+    eng.sql("CREATE TABLE db.vt (k BIGINT, payload VARIANT)")
+    t = eng.load_table("db.vt")
+    assert t.metadata.format_version == 3  # variant is a v3 construct
+    assert t.metadata.current_schema().field_by_name(
+        "payload").field_type == "variant"
+
+    eng.sql("INSERT INTO db.vt SELECT 1, "
+            "parse_json('{\"a\": 1, \"tags\": [\"x\",\"y\"]}')")
+    eng.sql("INSERT INTO db.vt SELECT 2, parse_json('{\"a\": 5}')")
+    got = {r.k: (r.a, r.t0) for r in eng.sql(
+        "SELECT k, variant_get(payload, '$.a', 'int') AS a, "
+        "variant_get(payload, '$.tags[0]', 'string') AS t0 "
+        "FROM db.vt").collect()}
+    assert got == {1: (1, "x"), 2: (5, None)}
+    # predicates over variant_get + count(*) (stats-less files still
+    # count correctly through the thrift num_rows fallback)
+    assert [r.k for r in eng.sql(
+        "SELECT k FROM db.vt "
+        "WHERE variant_get(payload, '$.a', 'int') > 2").collect()] == [2]
+    assert eng.sql("SELECT count(*) AS n FROM db.vt").collect()[0].n == 2
+
+
+def test_variant_dml_routes_positionally(eng):
+    """Equality deletes cannot key on a variant column — DELETE and
+    UPDATE on variant-carrying tables ride the position-delete path
+    and stay exact; time travel to the pre-DML snapshot still works."""
+    eng.sql("CREATE TABLE db.vd (k BIGINT, p VARIANT)")
+    for i, j in [(1, 1), (2, 5), (3, 9)]:
+        eng.sql(f"INSERT INTO db.vd SELECT {i}, parse_json('{{\"a\": {j}}}')")
+    pre = eng.load_table("db.vd").metadata.current_snapshot().snapshot_id
+    eng.sql("DELETE FROM db.vd WHERE variant_get(p, '$.a', 'int') = 5")
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.vd").collect()) == [1, 3]
+    eng.sql("UPDATE db.vd SET p = parse_json('{\"a\": 99}') WHERE k = 3")
+    got = {r.k: r.a for r in eng.sql(
+        "SELECT k, variant_get(p,'$.a','int') AS a FROM db.vd").collect()}
+    assert got == {1: 1, 3: 99}
+    n = eng.sql(f"SELECT count(*) AS n FROM db.vd "
+                f"VERSION AS OF {pre}").collect()[0].n
+    assert n == 3
+    # subquery DML refuses loudly instead of falling back to an
+    # equality delete it cannot express
+    with pytest.raises(ValueError, match="variant"):
+        eng.sql("DELETE FROM db.vd "
+                "WHERE k IN (SELECT k FROM db.vd WHERE k = 1)")
+
+
+def test_variant_add_column_and_old_files_null_fill(eng):
+    eng.sql("CREATE TABLE db.v2 (k BIGINT)")
+    eng.sql("INSERT INTO db.v2 VALUES (1)")
+    assert eng.load_table("db.v2").metadata.format_version == 2
+    eng.sql("ALTER TABLE db.v2 ADD COLUMNS (p VARIANT)")
+    assert eng.load_table("db.v2").metadata.format_version == 3
+    eng.sql("INSERT INTO db.v2 SELECT 2, parse_json('3.14')")
+    got = {r.k: r.d for r in eng.sql(
+        "SELECT k, cast(variant_get(p,'$','double') AS DOUBLE) AS d "
+        "FROM db.v2").collect()}
+    assert got == {1: None, 2: 3.14}
+
+
+def test_variant_refusals(eng):
+    # pinned v2 refuses at CREATE with a clear message
+    with pytest.raises(ValueError, match="format-version 3"):
+        eng.sql("CREATE TABLE db.pin (k BIGINT, p VARIANT) "
+                "TBLPROPERTIES ('format-version'='2')")
+    # variant cannot be a partition source
+    with pytest.raises(ValueError, match="partition source"):
+        eng.sql("CREATE TABLE db.pv (k BIGINT, p VARIANT) "
+                "PARTITIONED BY (p)")
+    # ORC data format cannot hold variant
+    eng.sql("CREATE TABLE db.vo (k BIGINT, p VARIANT) "
+            "TBLPROPERTIES ('write.format.default'='orc')")
+    with pytest.raises(ValueError, match="parquet"):
+        eng.sql("INSERT INTO db.vo SELECT 1, parse_json('1')")
+
+
+def test_create_table_tblproperties(eng):
+    eng.sql("CREATE TABLE db.tp (k BIGINT) "
+            "TBLPROPERTIES ('write.delete.format'='dv', 'a.b'='c')")
+    props = eng.load_table("db.tp").metadata.properties
+    assert props.get("write.delete.format") == "dv"
+    assert props.get("a.b") == "c"
+
+
+def test_insert_select_maps_by_ordinal(eng):
+    """Standard SQL: INSERT INTO t SELECT maps by ordinal — unaliased
+    expressions insert, and same-named-but-reordered outputs keep
+    positional semantics."""
+    eng.sql("CREATE TABLE db.po (a BIGINT, b BIGINT)")
+    eng.sql("INSERT INTO db.po SELECT 1 + 1, 10")          # unaliased
+    eng.sql("INSERT INTO db.po SELECT b, a FROM (SELECT 99 AS a, 3 AS b)")
+    got = sorted((r.a, r.b) for r in
+                 eng.sql("SELECT * FROM db.po").collect())
+    assert got == [(2, 10), (3, 99)]
