@@ -827,9 +827,19 @@ def _component_oracles() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "iceberg_schema_evolution": """
-            SELECT o_orderstatus, count(*) AS n_orders,
+            SELECT 'rename' AS mode, o_orderstatus, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'variant', o_orderstatus, count(*),
+                   round(sum(cents) / 100.0, 2)
+            FROM (
+              SELECT o_orderstatus,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders WHERE o_orderkey % 5 = 2
+            )
             GROUP BY o_orderstatus
         """,
         "iceberg_bucket_pruned": """

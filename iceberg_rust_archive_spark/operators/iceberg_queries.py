@@ -66,10 +66,20 @@ def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append half the orders, rename o_totalprice → price by field id
-    (AddSchema/SetCurrentSchema, commit.rs:94,416), append the rest
-    under the new name, scan: files from BOTH schema versions must
-    resolve through field id 4 into one column (SURVEY §1.2)."""
+    """Two labeled branches, separately hash-graded:
+
+    ``rename``: append half the orders, rename o_totalprice → price by
+    field id (AddSchema/SetCurrentSchema, commit.rs:94,416), append the
+    rest under the new name, scan — files from BOTH schema versions
+    must resolve through field id 4 into one column (SURVEY §1.2).
+
+    ``variant``: a v3 VARIANT column roundtrip through the full engine
+    write path — a slice of orders encodes to variant payloads
+    ({status, cents}), lands in an Iceberg table (format-version 3,
+    stats-less footer fallback), and is read back via variant_get into
+    an aggregate the oracle recomputes from the raw rows. Prices ride
+    as integer CENTS (floor(x*100+0.5) in both engines) so the hash
+    cannot flap on float repr."""
     cat, d = _tmp_catalog()
     try:
         t = Table.create(cat, "db.orders_evo", ORDERS_SCHEMA,
@@ -87,7 +97,35 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (t.scan(spark).groupBy("o_orderstatus")
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("price"), 2).alias("total_price"))
-               .orderBy("o_orderstatus"))
+               .orderBy("o_orderstatus")
+               .select(F.lit("rename").alias("mode"), "o_orderstatus",
+                       "n_orders", "total_price"))
+
+        vschema = Schema(0, StructTypeSpec((
+            NestedField(1, "k", "long", True),
+            NestedField(2, "payload", "variant", False))))
+        tv = Table.create(cat, "db.orders_var", vschema,
+                          PartitionSpec(0, ()))
+        vdf = (src.filter(F.col("o_orderkey") % 5 == 2)
+               .selectExpr(
+                   "o_orderkey AS k",
+                   "parse_json(to_json(struct("
+                   "o_orderstatus AS status, "
+                   "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                   " AS cents))) AS payload"))
+        tv.append(spark, vdf)
+        vout = (tv.scan(spark)
+                .selectExpr(
+                    "variant_get(payload, '$.status', 'string')"
+                    " AS o_orderstatus",
+                    "variant_get(payload, '$.cents', 'long') AS cents")
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("cents") / 100.0, 2)
+                      .alias("total_price"))
+                .select(F.lit("variant").alias("mode"), "o_orderstatus",
+                        "n_orders", "total_price"))
+        out = out.unionByName(vout)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
