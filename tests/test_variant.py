@@ -131,3 +131,35 @@ def test_insert_select_maps_by_ordinal(eng):
     got = sorted((r.a, r.b) for r in
                  eng.sql("SELECT * FROM db.po").collect())
     assert got == [(2, 10), (3, 99)]
+
+
+def test_variant_maintenance_and_changelog(eng, spark):
+    """Variant tables through the lifecycle surfaces: positional DELETE,
+    compaction (absorbs the DV debt, rewrites variant files), changelog
+    resolution of the deleted row, and snapshot expiry."""
+    from iceberg_rust_archive_spark.maintenance import expire_snapshots
+
+    eng.sql("CREATE TABLE db.vm (k BIGINT, p VARIANT)")
+    for i in range(4):
+        eng.sql(f"INSERT INTO db.vm SELECT {i}, "
+                f"parse_json('{{\"n\": {i * 10}}}')")
+    first = sorted(eng.load_table("db.vm").metadata.snapshots.values(),
+                   key=lambda s: s.sequence_number)[0].snapshot_id
+    eng.sql("DELETE FROM db.vm WHERE k = 1")
+    t = eng.load_table("db.vm")
+    pre_compact = t.metadata.current_snapshot().snapshot_id
+
+    events = sorted((r._change_type, r.k) for r in t.changes(
+        spark, first, pre_compact).select("_change_type", "k").collect())
+    assert events == [("delete", 1), ("insert", 1), ("insert", 2),
+                      ("insert", 3)]
+
+    eng.sql("CALL system.compact('db.vm')")
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.vm").collect()) == [0, 2, 3]
+    t = expire_snapshots(eng.load_table("db.vm"),
+                         older_than_ms=int(1e18))
+    assert len(t.metadata.snapshots) == 1
+    got = {r.k: r.n for r in eng.sql(
+        "SELECT k, variant_get(p,'$.n','int') AS n FROM db.vm").collect()}
+    assert got == {0: 0, 2: 20, 3: 30}
