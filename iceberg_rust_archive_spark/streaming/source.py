@@ -287,6 +287,17 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # so files written before a rename still resolve and files
         # written before an ADD COLUMN null-fill instead of crashing
         sch = _load_metadata(self.options).current_schema()
+        from iceberg_rust_archive_spark.spec.types import contains_variant
+        if any(contains_variant(f.field_type) for f in sch.fields):
+            # executor reads go through pyarrow, whose footer parser
+            # (16.x) predates the VARIANT logical type — it would fail
+            # mid-batch with an opaque thrift error; refuse at stream
+            # construction instead
+            raise ValueError(
+                "streaming reads of tables with variant columns are "
+                "not supported on this pyarrow version (footer parser "
+                "predates the VARIANT logical type) — use batch "
+                "Table.scan")
         self._fids, self._null_types = [], []
         for c in self.columns:
             f = sch.field_by_name(c)
