@@ -626,6 +626,12 @@ def _pmor_op():
         st.tuples(st.just("del_pos"), ks, st.booleans()),
         st.tuples(st.just("upsert"), rows),
         st.tuples(st.just("update"), ks),     # DV-routed UPDATE (r11)
+        # r12: partition-spec evolution mid-sequence — deletes written
+        # AFTER it must still hit rows in old-spec files (the writer
+        # falls back to GLOBAL deletes once the tuple is no longer
+        # lossless; the r12 lossless-only rule exists because exactly
+        # this sequence silently lost deletes before)
+        st.tuples(st.just("evolve"), st.just(None)),
     )
 
 
@@ -702,7 +708,7 @@ def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
             state = +Counter({r: n for r, n in state.items()
                               if r[0] not in latest})
             state.update(rows)
-        else:  # DV-routed UPDATE: v += 100 where k ∈ ks
+        elif kind == "update":  # DV-routed UPDATE: v += 100 where k ∈ ks
             keys = set(op[1])
             pred = "k IN (" + ",".join(str(k) for k in sorted(keys)) + ")"
             t.update_where_pos(spark, pred, {"v": "v + 100"})
@@ -710,6 +716,15 @@ def test_partitioned_mor_matches_model(spark, tmp_path_factory, ops):
             for (k, v), n in state.items():
                 nxt[(k, v + 100) if k in keys else (k, v)] += n
             state = nxt
+        else:  # evolve: add truncate(2, v) to the partition spec — a
+            # metadata-only commit; rows are unchanged but every LATER
+            # eq delete must go global (lossless-only scoping) and
+            # still hit old-spec files
+            if len(t.metadata.partition_specs) == 1:
+                t.new_transaction().update_spec([
+                    *t.metadata.default_spec().fields,
+                    PartitionField(2, 0, "v_trunc", "truncate[2]"),
+                ]).commit()
         t = t.refresh()
 
     got = Counter((r["k"], r["v"]) for r in t.scan(spark).collect())
