@@ -909,3 +909,45 @@ def test_stream_initial_batch_eq_delete_after_type_promotion(
     got = sorted(tuple(r) for r in
                  spark.sql("SELECT * FROM promo_stream").collect())
     assert got == want
+
+
+def test_eq_delete_across_decimal_precision_widening(spark, tmp_path):
+    """r11 legalized decimal precision widening at the same scale; an
+    equality delete written at the OLD precision must keep matching
+    after the widen, and a NEW-precision delete must kill rows in
+    old-precision files (both sides cast through the current schema)."""
+    from decimal import Decimal
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    cat = FileCatalog(str(tmp_path / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "amt", "decimal(10,2)", False))))
+    t = Table.create(cat, "db.dec", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, Decimal("1.50")), (2, Decimal("2.50")),
+         (3, Decimal("3.50"))], "k long, amt decimal(10,2)"))
+    t = t.refresh()
+    t.delete_where_equal(spark, spark.createDataFrame(
+        [(Decimal("2.50"),)], "amt decimal(10,2)"), ["amt"])
+    t = t.refresh()
+    widened = Schema(1, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "amt", "decimal(14,2)", False))))
+    t.new_transaction().update_schema(widened).commit()
+    t = t.refresh()
+    assert sorted((r.k, str(r.amt)) for r in t.scan(spark).collect()) \
+        == [(1, "1.50"), (3, "3.50")]
+    t.append(spark, spark.createDataFrame(
+        [(4, Decimal("4.50"))], "k long, amt decimal(14,2)"))
+    t = t.refresh()
+    t.delete_where_equal(spark, spark.createDataFrame(
+        [(Decimal("1.50"),)], "amt decimal(14,2)"), ["amt"])
+    t = t.refresh()
+    assert sorted((r.k, str(r.amt)) for r in t.scan(spark).collect()) \
+        == [(3, "3.50"), (4, "4.50")]
