@@ -154,3 +154,18 @@ def test_fast_path_resolves_dropped_eq_column(spark, tmp_path):
     plan = _plan(df)
     assert "__dseq" not in plan          # still the fast path
     assert sorted(tuple(r) for r in df.collect()) == [(1, 10), (3, 30)]
+
+
+def test_substring_dedup_plan_shape(spark):
+    """ExactSubstr span dedup plans with no cartesian, no window
+    functions (the interval merge is an array aggregate), and the
+    window rows cached at the fork (one corpus scan)."""
+    from iceberg_rust_archive_spark.operators import dedup
+
+    df = dedup.substring_dup_spans(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 0
+    assert "InMemoryTableScan" in plan
