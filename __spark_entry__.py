@@ -205,9 +205,11 @@ def _events_pivot_approx(s: SparkSession, d: str) -> DataFrame:
 
 
 def _dedup_exact_decontam(s: SparkSession, d: str) -> DataFrame:
-    """exact-dedup summary + benchmark n-gram decontamination, one
-    entry: both are per-source keep/flag rollups of the documents
-    table (method labels keep the branches separately hashed)."""
+    """exact-dedup summary + benchmark n-gram decontamination +
+    ExactSubstr span dedup (r12), one entry: all are per-source
+    keep/flag rollups of the documents table (method labels keep the
+    branches separately hashed; `substr_cov` carries the integer
+    span-coverage sums so the interval merge itself is hash-graded)."""
     e = dedup.dedup_exact(s, d).select(
         F.lit("exact").alias("method"), "source", "n_docs",
         F.col("n_unique").alias("n_keep"),
