@@ -257,11 +257,21 @@ def harvest_one(path: str, field_ids: dict[str, int],
             # the metadata-count fast path simply don't engage for
             # this file; correctness is unaffected (residual filters
             # always re-apply).
+            nrows = _parquet_num_rows(path)
+            # value_counts MUST still record which fields the file has:
+            # the v3 initial-default fill detects pre-column files by a
+            # field id being ABSENT from the harvested stats — an empty
+            # map would read as "every column predates nothing" and
+            # rows from files older than an ADD COLUMN ... DEFAULT
+            # would silently null-fill (r12 probe). The spec's
+            # value_count includes nulls, so record_count per written
+            # top-level field is exact.
             return DataFile(
                 content=content, file_path=path, file_format="parquet",
                 partition=partition or {},
-                record_count=_parquet_num_rows(path),
+                record_count=nrows,
                 file_size_in_bytes=os.path.getsize(path),
+                value_counts={fid: nrows for fid in field_ids.values()},
                 equality_ids=equality_ids)
         raise
     meta = pf.metadata

@@ -163,3 +163,18 @@ def test_variant_maintenance_and_changelog(eng, spark):
     got = {r.k: r.n for r in eng.sql(
         "SELECT k, variant_get(p,'$.n','int') AS n FROM db.vm").collect()}
     assert got == {0: 0, 2: 20, 3: 30}
+
+
+def test_variant_table_add_column_default_fills_old_files(eng):
+    """The stats-less footer fallback must still record value_counts
+    per written field: the v3 initial-default fill detects pre-column
+    files by a field id ABSENT from harvested stats, so an empty map
+    would silently null-fill rows that should read the DEFAULT."""
+    eng.sql("CREATE TABLE db.vdf (k BIGINT, p VARIANT)")
+    eng.sql("INSERT INTO db.vdf SELECT 1, parse_json('1')")  # pre-add
+    eng.sql("ALTER TABLE db.vdf ADD COLUMNS (x BIGINT DEFAULT 7)")
+    eng.sql("INSERT INTO db.vdf SELECT 2, parse_json('2'), NULL")
+    eng.sql("INSERT INTO db.vdf SELECT 3, parse_json('3'), 11")
+    rows = sorted((r.k, r.x) for r in
+                  eng.sql("SELECT k, x FROM db.vdf").collect())
+    assert rows == [(1, 7), (2, None), (3, 11)]
