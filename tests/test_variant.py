@@ -178,3 +178,23 @@ def test_variant_table_add_column_default_fills_old_files(eng):
     rows = sorted((r.k, r.x) for r in
                   eng.sql("SELECT k, x FROM db.vdf").collect())
     assert rows == [(1, 7), (2, None), (3, 11)]
+
+
+def test_show_create_roundtrip_variant_props_default(eng):
+    """SHOW CREATE TABLE emits re-runnable DDL for the r12 surface:
+    VARIANT columns, DEFAULT values, and TBLPROPERTIES all survive a
+    create → SHOW CREATE → create roundtrip."""
+    eng.sql("CREATE TABLE db.src (id BIGINT NOT NULL, p VARIANT, "
+            "x BIGINT DEFAULT 7) PARTITIONED BY (bucket(4, id)) "
+            "TBLPROPERTIES ('write.delete.format'='dv')")
+    ddl = eng.sql("SHOW CREATE TABLE db.src").collect()[0][0]
+    assert "p VARIANT" in ddl and "DEFAULT 7" in ddl \
+        and "'write.delete.format'='dv'" in ddl
+    eng.sql(ddl.replace("db.src", "db.clone"))
+    a = [tuple(r) for r in eng.sql("DESCRIBE db.src").collect()]
+    b = [tuple(r) for r in eng.sql("DESCRIBE db.clone").collect()]
+    assert a == b
+    clone = eng.load_table("db.clone").metadata
+    assert clone.properties.get("write.delete.format") == "dv"
+    assert clone.current_schema().field_by_name("x").initial_default == 7
+    assert clone.format_version == 3
