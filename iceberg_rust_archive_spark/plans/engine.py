@@ -86,6 +86,8 @@ from iceberg_rust_archive_spark.table import Table
 # large table never attempts a whole-table cache.
 _MERGE_TARGET_CACHE_MAX_ROWS = 20_000_000
 
+_MERGE_AMBIG_MARK = "__MERGE_AMBIGUOUS__"
+
 _TYPE_MAP = {
     "bigint": "long", "long": "long", "int": "int", "integer": "int",
     "smallint": "int", "tinyint": "int", "string": "string",
@@ -792,13 +794,21 @@ class Engine:
             keyed = (affected
                      .groupBy(*[F.col(f"__old_{k}").alias(k)
                                 for k in keys])
-                     .agg(F.count(F.lit(1)).alias("__n")).cache())
-            dup = keyed.filter(F.col("__n") > 1).limit(1).collect()
-            if dup:
-                raise ValueError(
-                    "MERGE source matches a target row more than once "
-                    f"(e.g. key {tuple(dup[0])[:-1]})")
-            del_rows = keyed.drop("__n")
+                     .agg(F.count(F.lit(1)).alias("__n")))
+            # the guard evaluates INSIDE the delete-file write instead
+            # of as a separate pre-write action: assert_true fails the
+            # write job on the first over-matched key, the staged files
+            # fall to the orphan sweep, and _merge_ambiguity_msg
+            # rethrows it as the same ValueError. One pass over the
+            # matched set instead of two — at 100 TB the matched-key
+            # aggregation is the expensive part of the statement.
+            del_rows = keyed.filter(
+                F.assert_true(
+                    F.col("__n") == 1,
+                    F.concat(
+                        F.lit(_MERGE_AMBIG_MARK + " key="),
+                        F.to_json(F.struct(*keys)))).isNull()
+            ).select(*keys)
             if update_idx:
                 data_parts.append(
                     affected.filter(F.col("__act").isin(update_idx))
@@ -844,19 +854,29 @@ class Engine:
                 data = data.unionByName(p)
             for f in target.fields:
                 data = data.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        if dk is not None and data is not None:
-            # both sides of the commit pair → overlap the two writes
-            from iceberg_rust_archive_spark.sources.write import (
-                write_delete_and_data,
-            )
-            del_files, data_files = write_delete_and_data(
-                self.spark, t.metadata, dk, eq_ids, data)
-        elif dk is not None:
-            del_files = write_datafiles(
-                self.spark, t.metadata, dk,
-                content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
-        elif data is not None:
-            data_files = write_datafiles(self.spark, t.metadata, data)
+        try:
+            if dk is not None and data is not None:
+                # both sides of the commit pair → overlap the two writes
+                from iceberg_rust_archive_spark.sources.write import (
+                    write_delete_and_data,
+                )
+                del_files, data_files = write_delete_and_data(
+                    self.spark, t.metadata, dk, eq_ids, data)
+            elif dk is not None:
+                del_files = write_datafiles(
+                    self.spark, t.metadata, dk,
+                    content=CONTENT_EQUALITY_DELETES, equality_ids=eq_ids)
+            elif data is not None:
+                data_files = write_datafiles(self.spark, t.metadata, data)
+        except Exception as e:  # noqa: BLE001 — translate the guard
+            if _MERGE_AMBIG_MARK in str(e):
+                detail = (str(e).split(_MERGE_AMBIG_MARK, 1)[1]
+                          .split("\n", 1)[0].split(" SQLSTATE", 1)[0]
+                          .strip("'\" )"))
+                raise ValueError(
+                    "MERGE source matches a target row more than once "
+                    + detail) from None
+            raise
         if del_files or data_files:
             txn = (t.new_transaction().append_delete_files(del_files)
                    .append_files(data_files))
@@ -864,7 +884,6 @@ class Engine:
                 lambda x: x.append_delete_files(del_files)
                 .append_files(data_files))
         if matched:
-            keyed.unpersist()
             affected.unpersist()
         if cache_tgt:
             tgt.unpersist()
