@@ -1065,3 +1065,52 @@ def substring_dedup_scale(spark, sf_dir: str, amp: int):
               f"{dt:.2f}s, {n_flag} flagged")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def general_merge_scale(spark, sf_dir: str, amp: int):
+    """r12: general-clause MERGE at amp× orders — the ambiguity guard
+    now rides the delete-file write (one pass over the matched-key
+    aggregation instead of a guard action + write)."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.operators.iceberg_queries import (
+        ORDERS_SCHEMA, _orders, _tmp_catalog,
+    )
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+    from iceberg_rust_archive_spark.table import Table
+
+    cat, d = _tmp_catalog()
+    try:
+        eng = Engine(spark, cat)
+        t = Table.create(cat, "db.mscale", ORDERS_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        reps = [src.withColumn("o_orderkey",
+                               F.col("o_orderkey") + F.lit(i * 10_000_000))
+                for i in range(amp)]
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        t.append(spark, big)
+        msrc = (big.filter(F.col("o_orderkey") % 10 == 3)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+        msrc.createOrReplaceTempView("merge_scale_src")
+        n_src = msrc.count()
+        t0 = _t.perf_counter()
+        eng.sql("MERGE INTO db.mscale t USING merge_scale_src m "
+                "ON t.o_orderkey = m.o_orderkey "
+                "WHEN MATCHED AND t.o_totalprice < 1000 THEN DELETE "
+                "WHEN MATCHED THEN UPDATE SET "
+                "o_totalprice = m.o_totalprice "
+                "WHEN NOT MATCHED THEN INSERT *")
+        dt = _t.perf_counter() - t0
+        n = eng.sql("SELECT count(*) AS n FROM db.mscale").collect()[0].n
+        print(f"general_merge_scale @ {amp}x "
+              f"({big.count()} target rows, {n_src} source rows): "
+              f"MERGE {dt:.2f}s, {n} rows after")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
