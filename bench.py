@@ -42,6 +42,15 @@ def main():
 
     spark = get_spark("bench")
     qs = entrymod.queries()
+    # optional positional filter: `python bench.py q1 dedup_exact …`
+    # runs only the named entries — the PLANS.md solo-protocol rows
+    # (judge cross-measured headline subset) are recorded this way
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        missing = [a for a in only if a not in qs]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        qs = {k: qs[k] for k in only}
 
     # warm up the JVM + parquet footer caches with a trivial action,
     # and spin up the reusable Python workers (Arrow/pandas import cost)

@@ -67,7 +67,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_rust_archive_spark.catalog.base import Catalog
 from iceberg_rust_archive_spark.plans import mv as mv_mod
-from iceberg_rust_archive_spark.predicates import _split_top
+from iceberg_rust_archive_spark.predicates import (
+    _QUOTE_CHARS,
+    _scan_quoted,
+    _split_top,
+)
 from iceberg_rust_archive_spark.plans.sqlparse import (
     find_relations, rewrite_relations,
 )
@@ -88,6 +92,49 @@ _MERGE_TARGET_CACHE_MAX_ROWS = 20_000_000
 
 _MERGE_AMBIG_MARK = "__MERGE_AMBIGUOUS__"
 
+
+def _guard_variant_merge_keys(t, keys: list[str]) -> None:
+    """MERGE joins become equality-delete keys; a variant-typed key has
+    no defined equality semantics and undefined resolution at read time
+    — refuse loudly, mirroring the UPDATE/DELETE variant guards."""
+    from iceberg_rust_archive_spark.spec.types import contains_variant
+    schema = t.metadata.current_schema()
+    for k in keys:
+        fld = schema.field_by_name(k)
+        if fld is not None and contains_variant(fld.field_type):
+            raise ValueError(
+                f"MERGE cannot join ON variant column {k!r} (equality "
+                "deletes cannot key on variant values)")
+
+
+def _merge_ambiguity_detail(e) -> str | None:
+    """Recover the fused MERGE ambiguity guard from however the running
+    Spark version surfaces a user-raised assert_true failure: the
+    top-level message, the structured message parameters (these survive
+    truncation/localization of the rendered text), or — when the error
+    class says USER_RAISED_EXCEPTION — the Java exception's own string.
+    Returns the offending-key detail ('' if the marker is found without
+    its payload), or None when this is not the guard firing."""
+    texts = [str(e)]
+    try:
+        texts += [str(v) for v in (e.getMessageParameters() or {}).values()]
+    except Exception:  # noqa: BLE001 — not a captured Spark exception
+        pass
+    try:
+        get_cls = (getattr(e, "getCondition", None)
+                   or getattr(e, "getErrorClass", None))
+        if get_cls and (get_cls() or "").startswith("USER_RAISED_EXCEPTION"):
+            je = getattr(e, "java_exception", None)
+            if je is not None:
+                texts.append(je.toString())
+    except Exception:  # noqa: BLE001
+        pass
+    for txt in texts:
+        if _MERGE_AMBIG_MARK in txt:
+            return (txt.split(_MERGE_AMBIG_MARK, 1)[1].split("\n", 1)[0]
+                    .split(" SQLSTATE", 1)[0].strip("'\" )"))
+    return None
+
 _TYPE_MAP = {
     "bigint": "long", "long": "long", "int": "int", "integer": "int",
     "smallint": "int", "tinyint": "int", "string": "string",
@@ -102,25 +149,21 @@ _TYPE_MAP = {
 
 def _strip_sql_comments(s: str) -> str:
     """Remove ``--`` line comments and ``/* */`` block comments,
-    respecting '…' string literals (with '' escapes). The shim's regex
-    statement matchers otherwise splice comment text into expressions
-    (judged repro: ``SET v = 'z' -- note`` fed the comment into
-    selectExpr). Spark would tolerate comments in the fragments it
-    parses itself, but the shim's own matchers must see clean text."""
+    respecting ``'…'``/``"…"`` string literals and backtick-quoted
+    identifiers (Spark's lexical rules, incl. ``''`` doubling and
+    backslash escapes — ``_scan_quoted``). The shim's regex statement
+    matchers otherwise splice comment text into expressions (judged
+    repro: ``SET v = 'z' -- note`` fed the comment into selectExpr;
+    ``SELECT "a -- b"`` must NOT lose its literal body). Spark would
+    tolerate comments in the fragments it parses itself, but the shim's
+    own matchers must see clean text."""
     out, i, n = [], 0, len(s)
     while i < n:
         ch = s[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if s[j] == "'":
-                    if j + 1 < n and s[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(s[i:j + 1])
-            i = j + 1
+        if ch in _QUOTE_CHARS:
+            j = _scan_quoted(s, i)
+            out.append(s[i:j])
+            i = j
         elif ch == "-" and s[i:i + 2] == "--":
             while i < n and s[i] != "\n":
                 i += 1
@@ -131,6 +174,27 @@ def _strip_sql_comments(s: str) -> str:
         else:
             out.append(ch)
             i += 1
+    return "".join(out)
+
+
+def _sub_outside_quotes(rx: "re.Pattern", repl: str, s: str) -> str:
+    """``rx.sub(repl, …)`` applied only OUTSIDE quoted runs — a string
+    literal containing e.g. ``db.t.`` must survive MERGE's
+    target-qualifier normalization verbatim."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] in _QUOTE_CHARS:
+            j = _scan_quoted(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        j = n
+        for q in _QUOTE_CHARS:
+            k = s.find(q, i)
+            if k != -1 and k < j:
+                j = k
+        out.append(rx.sub(repl, s[i:j]))
+        i = j
     return "".join(out)
 
 
@@ -638,7 +702,9 @@ class Engine:
             keys.append(a)
         if not keys:
             raise ValueError(f"no join keys found in ON clause: {on!r}")
-        self.load_table(identifier).upsert(self.spark, rows, keys)
+        t = self.load_table(identifier)
+        _guard_variant_merge_keys(t, keys)
+        t.upsert(self.spark, rows, keys)
 
     def _merge_sql_general(self, identifier: str, talias: str | None,
                            using: str, on: str, whens: str) -> None:
@@ -671,8 +737,8 @@ class Engine:
         # and WHEN expressions by normalizing them to the target alias —
         # the spliced SQL below only exposes the two aliases
         qual = re.compile(rf"\b{re.escape(identifier)}\.", re.IGNORECASE)
-        on = qual.sub(f"{talias}.", on)
-        whens = qual.sub(f"{talias}.", whens)
+        on = _sub_outside_quotes(qual, f"{talias}.", on)
+        whens = _sub_outside_quotes(qual, f"{talias}.", whens)
 
         using = using.strip()
         m = re.match(r"\((.*)\)\s*(?:as\s+)?(\w+)?\s*$", using,
@@ -711,6 +777,7 @@ class Engine:
             keys.append(a)
         if not keys:
             raise ValueError(f"no join keys found in ON clause: {on!r}")
+        _guard_variant_merge_keys(t, keys)
 
         clauses = re.findall(
             r"when\s+(not\s+)?matched\s*(?:and\s+(.*?))?\s*then\s+"
@@ -798,10 +865,11 @@ class Engine:
             # the guard evaluates INSIDE the delete-file write instead
             # of as a separate pre-write action: assert_true fails the
             # write job on the first over-matched key, the staged files
-            # fall to the orphan sweep, and _merge_ambiguity_msg
-            # rethrows it as the same ValueError. One pass over the
-            # matched set instead of two — at 100 TB the matched-key
-            # aggregation is the expensive part of the statement.
+            # fall to the orphan sweep, and _merge_ambiguity_detail
+            # recovers the marker so the except below rethrows it as
+            # the documented ValueError. One pass over the matched set
+            # instead of two — at 100 TB the matched-key aggregation is
+            # the expensive part of the statement.
             del_rows = keyed.filter(
                 F.assert_true(
                     F.col("__n") == 1,
@@ -869,10 +937,8 @@ class Engine:
             elif data is not None:
                 data_files = write_datafiles(self.spark, t.metadata, data)
         except Exception as e:  # noqa: BLE001 — translate the guard
-            if _MERGE_AMBIG_MARK in str(e):
-                detail = (str(e).split(_MERGE_AMBIG_MARK, 1)[1]
-                          .split("\n", 1)[0].split(" SQLSTATE", 1)[0]
-                          .strip("'\" )"))
+            detail = _merge_ambiguity_detail(e)
+            if detail is not None:
                 raise ValueError(
                     "MERGE source matches a target row more than once "
                     + detail) from None

@@ -340,6 +340,21 @@ def _expand_view_refs(catalog: Catalog, sql: str, depth: int = 0) -> str:
                              depth + 1)
 
 
+def _touches_variant(sql: str, tables) -> bool:
+    """An MV whose stored SQL extracts from a variant (``variant_get``)
+    or whose source schema carries a variant column refreshes FULL by
+    explicit policy (r12 verdict #6): delta passes replay the SQL over
+    snapshot-scan temp views and merge/dedup arithmetic, and variant
+    binaries have no defined equality semantics to merge on — full
+    recompute is the deterministic, always-correct choice."""
+    if re.search(r"\bvariant_get\s*\(", sql, re.IGNORECASE):
+        return True
+    from iceberg_rust_archive_spark.spec.types import contains_variant
+    return any(contains_variant(f.field_type)
+               for t in tables
+               for f in t.metadata.current_schema().fields)
+
+
 def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
                               identifier: str,
                               branch: str | None = None) -> str:
@@ -388,6 +403,9 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
 
     if not first_refresh and all(s.fresh for s in sources):
         return "Fresh"  # no-op (mod.rs:73-75)
+    variant_mv = _touches_variant(run_sql, [s.table for s in sources])
+    if variant_mv:
+        strategy = FULL
     if (first_refresh or old_state is None
             or any(s.old_snapshot_id is None for s in sources)):
         strategy = FULL
@@ -424,7 +442,8 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     # one branch's text in while the existing aggregate-merge machinery
     # does the rest unchanged.
     union_ctx = None
-    if (strategy == FULL and not first_refresh and old_state is not None
+    if (strategy == FULL and not variant_mv and not first_refresh
+            and old_state is not None
             and all(s.old_snapshot_id is not None for s in sources)):
         up = _union_subquery_plan(run_sql)
         if up is not None:
@@ -965,6 +984,10 @@ def _refresh_union_all_mv(spark: SparkSession, catalog: Catalog,
     if any(classify(pb) != INCR_APPEND for pb in parsed_branches):
         return None
     try:
+        if any(_touches_variant(b, [Table.load(catalog, n.lower())
+                                    for n in pb.relations])
+               for b, pb in zip(branches, parsed_branches)):
+            return None  # variant sources → generic path (FULL)
         storage = Table.load(catalog, mv.storage_table)
     except NoSuchTableError:
         return None

@@ -337,7 +337,10 @@ def prune_datafiles(preds: list[Pred], schema: Schema,
                 [_norm_literal(v, fld.field_type) for v in p.value]
             if _nan_blind(p.op, lit, fld.field_type):
                 continue  # hidden NaN could satisfy the predicate
-            contains_null = bool(nulls)
+            # UNKNOWN null count (no harvested entry) must read as "may
+            # contain nulls": with bounds present but nulls unrecorded,
+            # `IS NULL` would otherwise prune a file that holds null rows
+            contains_null = True if nulls is None else bool(nulls)
             if not _range_overlaps(p.op, lit, lo, hi, contains_null):
                 keep = False
                 break
@@ -443,24 +446,48 @@ def _parse_literal_token(tok: str, allow_spaces: bool = True):
 _UNPARSEABLE = object()
 
 
+_QUOTE_CHARS = ("'", '"', "`")
+
+
+def _scan_quoted(s: str, i: int) -> int:
+    """``s[i]`` is a quote opener (``'``, ``"`` or a backtick); return
+    the index one PAST the closing quote. Spark's lexical rules: the
+    doubled-quote escape stays inside the run for all three kinds, and
+    backslash escapes apply inside ``'``/``"`` string literals (not
+    inside backtick identifiers). An unterminated run extends to end of
+    string — callers never re-scan inside it, which is the conservative
+    reading (treat the tail as literal text, split/strip nothing)."""
+    q = s[i]
+    j, n = i + 1, len(s)
+    while j < n:
+        ch = s[j]
+        if ch == "\\" and q != "`" and j + 1 < n:
+            j += 2
+            continue
+        if ch == q:
+            if j + 1 < n and s[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def _split_top(s: str, sep: str) -> list[str]:
-    """Split on ``sep`` at paren depth 0, respecting '…' quotes."""
-    parts, depth, inq, cur, i = [], 0, False, [], 0
+    """Split on ``sep`` at paren depth 0, respecting ``'…'``/``"…"``
+    string literals and backtick-quoted identifiers (Spark treats
+    double quotes as string literals by default, and any of the three
+    may carry a separator in its body)."""
+    parts, depth, cur, i = [], 0, [], 0
     up, n = s.upper(), len(sep)
     while i < len(s):
         ch = s[i]
-        if inq:
-            if ch == "'" and i + 1 < len(s) and s[i + 1] == "'":
-                cur.append("''")  # escaped quote — stay in string
-                i += 2
-                continue
-            cur.append(ch)
-            inq = ch != "'"
-            i += 1
+        if ch in _QUOTE_CHARS:
+            j = _scan_quoted(s, i)
+            cur.append(s[i:j])
+            i = j
             continue
-        if ch == "'":
-            inq = True
-        elif ch == "(":
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1

@@ -15,10 +15,18 @@ timestamp → epoch micros int, bytes → skipped, NaN → skipped.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _dec
 import math
 import os
+import struct as _struct
 
 from iceberg_rust_archive_spark.spec.manifest import CONTENT_DATA, DataFile
+
+# Sentinel for a row-group stat that exists but cannot be decoded (lazy
+# pyarrow cast failure, unknown physical type, un-decodable bytes) —
+# distinct from "no stats recorded" (None) only in intent; both poison
+# the file-level bound in the shared reduction.
+_UNDECODABLE = object()
 
 
 # String bounds are truncated like the spec's write.metadata default
@@ -232,6 +240,273 @@ def _parquet_num_rows(path: str) -> int:
     raise ValueError(f"num_rows not found in parquet footer: {path}")
 
 
+# --- full footer walk: per-column stats without pyarrow --------------------
+# A generic Thrift compact-protocol reader (parquet.thrift's on-disk
+# footer encoding). Unknown fields — including logical-type annotations
+# newer than any library here, which is the whole reason this path
+# exists — parse structurally into plain dicts and are simply ignored.
+# Reference for WHAT must be harvested: the pyarrow path above and
+# iceberg-rust/src/file_format/parquet.rs:30-267.
+
+def _footer_buf(path: str) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(-8, os.SEEK_END)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"not a parquet file: {path}")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(-(8 + flen), os.SEEK_END)
+        return f.read(flen)
+
+
+def _t_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _t_value(buf: bytes, pos: int, ftype: int):
+    """Decode one compact-protocol value of container/element type
+    ``ftype`` → (python value, new pos). Structs → {field id: value}."""
+    if ftype == 1:                      # BOOL element inside a container
+        v = buf[pos]
+        return v == 1, pos + 1
+    if ftype == 3:                      # BYTE
+        return int.from_bytes(buf[pos:pos + 1], "little", signed=True), pos + 1
+    if ftype in (4, 5, 6):              # I16 / I32 / I64 zigzag varint
+        z, pos = _t_uvarint(buf, pos)
+        return (z >> 1) ^ -(z & 1), pos
+    if ftype == 7:                      # DOUBLE (little-endian)
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if ftype == 8:                      # BINARY / STRING
+        blen, pos = _t_uvarint(buf, pos)
+        return bytes(buf[pos:pos + blen]), pos + blen
+    if ftype in (9, 10):                # LIST / SET
+        head = buf[pos]
+        pos += 1
+        size, etype = head >> 4, head & 0x0F
+        if size == 15:
+            size, pos = _t_uvarint(buf, pos)
+        out = []
+        for _ in range(size):
+            v, pos = _t_value(buf, pos, etype)
+            out.append(v)
+        return out, pos
+    if ftype == 11:                     # MAP
+        size, pos = _t_uvarint(buf, pos)
+        if not size:
+            return {}, pos
+        types = buf[pos]
+        pos += 1
+        kt, vt = types >> 4, types & 0x0F
+        out = {}
+        for _ in range(size):
+            k, pos = _t_value(buf, pos, kt)
+            v, pos = _t_value(buf, pos, vt)
+            out[k] = v
+        return out, pos
+    if ftype == 12:                     # STRUCT
+        return _t_struct(buf, pos)
+    raise ValueError(f"bad thrift compact type {ftype}")
+
+
+def _t_struct(buf: bytes, pos: int) -> tuple[dict, int]:
+    out: dict = {}
+    fid = 0
+    while True:
+        head = buf[pos]
+        pos += 1
+        if head == 0:                   # STOP
+            return out, pos
+        delta, ftype = head >> 4, head & 0x0F
+        if delta:
+            fid += delta
+        else:
+            z, pos = _t_uvarint(buf, pos)
+            fid = (z >> 1) ^ -(z & 1)
+        if ftype == 1:                  # BOOLEAN_TRUE packed in the nibble
+            out[fid] = True
+        elif ftype == 2:                # BOOLEAN_FALSE
+            out[fid] = False
+        else:
+            out[fid], pos = _t_value(buf, pos, ftype)
+    return out, pos
+
+
+# parquet.thrift Type enum (physical types)
+_PT_BOOLEAN, _PT_INT32, _PT_INT64, _PT_INT96 = 0, 1, 2, 3
+_PT_FLOAT, _PT_DOUBLE, _PT_BYTE_ARRAY, _PT_FLBA = 4, 5, 6, 7
+# ConvertedType enum values we interpret (the legacy annotation)
+_CT_KIND = {0: "string", 4: "string", 5: "decimal", 6: "date",
+            7: "time_ms", 8: "time_us", 9: "ts_ms", 10: "ts_us",
+            11: "uint", 12: "uint", 13: "uint", 14: "uint",
+            15: "int", 16: "int", 17: "int", 18: "int",
+            19: "poison", 20: "poison", 21: "poison"}  # JSON/BSON/INTERVAL
+
+
+def _leaf_kind(elem: dict) -> dict:
+    """SchemaElement → how to interpret this leaf's statistics bytes.
+    Returns {kind, scale, utc}. ``poison`` marks annotations whose stats
+    representation we refuse to guess at (sound: the reduction drops
+    the bound, never fabricates one)."""
+    info = {"kind": None, "scale": 0, "utc": True}
+    lt = elem.get(10)                   # LogicalType union (one key)
+    if isinstance(lt, dict) and lt:
+        k = next(iter(lt))
+        if k in (1, 4):                 # STRING / ENUM
+            info["kind"] = "string"
+        elif k == 5:                    # DECIMAL {1: scale, 2: precision}
+            info["kind"] = "decimal"
+            info["scale"] = lt[k].get(1, elem.get(7, 0))
+        elif k == 6:
+            info["kind"] = "date"
+        elif k == 7:                    # TIME {1: utc, 2: unit union}
+            unit = next(iter(lt[k].get(2, {1: {}})))
+            info["kind"] = {1: "time_ms", 2: "time_us"}.get(unit, "poison")
+        elif k == 8:                    # TIMESTAMP {1: utc, 2: unit union}
+            unit = next(iter(lt[k].get(2, {2: {}})))
+            info["kind"] = {1: "ts_ms", 2: "ts_us", 3: "ts_ns"}.get(
+                unit, "poison")
+            info["utc"] = bool(lt[k].get(1, True))
+        elif k == 10:                   # INTEGER {1: bitWidth, 2: isSigned}
+            info["kind"] = "int" if lt[k].get(2, True) else "uint"
+        elif k in (2, 3, 11):           # MAP / LIST / UNKNOWN on a leaf
+            info["kind"] = None
+        else:                           # JSON/BSON/UUID/FLOAT16/VARIANT/…
+            info["kind"] = "poison"
+        return info
+    ct = elem.get(6)
+    if ct is not None:
+        info["kind"] = _CT_KIND.get(ct, "poison")
+        if info["kind"] == "decimal":
+            info["scale"] = elem.get(7, 0)
+    return info
+
+
+def _schema_leaf_map(elems: list[dict]) -> tuple[dict, list[str]]:
+    """Preorder SchemaElement list → ({dotted leaf path: leaf info},
+    [top-level nested column names]). The dotted path matches pyarrow's
+    ``path_in_schema`` (root excluded)."""
+    leaves: dict[str, dict] = {}
+    groups: list[str] = []
+    idx = 1                             # elems[0] is the root
+
+    def walk(prefix: list[str], top: bool):
+        nonlocal idx
+        e = elems[idx]
+        idx += 1
+        name = e[4].decode("utf-8")
+        path = prefix + [name]
+        n_children = e.get(5) or 0
+        if n_children:
+            if top:
+                groups.append(name)
+            for _ in range(n_children):
+                walk(path, False)
+        else:
+            leaves[".".join(path)] = _leaf_kind(e)
+
+    for _ in range(elems[0].get(5) or 0):
+        walk([], True)
+    return leaves, groups
+
+
+def _decode_stat(raw: bytes, ptype: int, leaf: dict):
+    """Statistics min/max bytes → the same Python value pyarrow's
+    ``st.min``/``st.max`` yields for that column type, so the shared
+    reduction (and ``_norm_bound``) treats both paths identically."""
+    kind = leaf.get("kind")
+    if kind == "poison":
+        raise ValueError("refusing to decode stats for this annotation")
+    if ptype == _PT_BOOLEAN:
+        return raw[0] != 0
+    if ptype in (_PT_INT32, _PT_INT64):
+        width = 4 if ptype == _PT_INT32 else 8
+        if len(raw) != width:
+            raise ValueError("stat width mismatch")
+        v = int.from_bytes(raw, "little", signed=(kind != "uint"))
+        if kind == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+        if kind == "decimal":
+            return _dec.Decimal(v).scaleb(-leaf["scale"])
+        if kind in ("ts_ms", "ts_us", "ts_ns"):
+            us = {"ts_ms": v * 1000, "ts_us": v,
+                  "ts_ns": v // 1000}[kind]
+            tz = _dt.timezone.utc if leaf.get("utc") else None
+            return (_dt.datetime(1970, 1, 1, tzinfo=tz)
+                    + _dt.timedelta(microseconds=us))
+        if kind in ("time_ms", "time_us"):
+            us = v * 1000 if kind == "time_ms" else v
+            return (_dt.datetime.min + _dt.timedelta(microseconds=us)).time()
+        return v
+    if ptype == _PT_FLOAT:
+        return _struct.unpack("<f", raw)[0]
+    if ptype == _PT_DOUBLE:
+        return _struct.unpack("<d", raw)[0]
+    if ptype in (_PT_BYTE_ARRAY, _PT_FLBA):
+        if kind == "string":
+            return raw.decode("utf-8")
+        if kind == "decimal":
+            return _dec.Decimal(
+                int.from_bytes(raw, "big", signed=True)).scaleb(-leaf["scale"])
+        return bytes(raw)
+    raise ValueError(f"no stats decode for physical type {ptype}")  # INT96
+
+
+# Deprecated Statistics.min/max (fields 2/1) predate defined sort
+# orders; parquet-format says readers may only trust them where the
+# comparison is SIGNED — plain numeric/boolean physical types.
+_SIGNED_OK = {_PT_BOOLEAN, _PT_INT32, _PT_INT64, _PT_FLOAT, _PT_DOUBLE}
+
+
+def _walk_parquet_stats(path: str, field_ids: dict[str, int]):
+    """Parse the whole footer with the thrift walker → ``(num_rows,
+    rg_chunks, group_fids)`` in the exact shape ``_reduce_chunks``
+    consumes. Raises on anything unexpected — the caller degrades to
+    the stats-less fallback."""
+    meta, _ = _t_struct(_footer_buf(path), 0)
+    nrows = meta.get(3)
+    if not isinstance(nrows, int):
+        raise ValueError(f"num_rows not found in parquet footer: {path}")
+    leaves, top_groups = _schema_leaf_map(meta.get(2) or [])
+    rg_chunks = []
+    for rg in meta.get(4) or []:        # FileMetaData.row_groups
+        chunks = []
+        for cc in rg.get(1) or []:      # RowGroup.columns
+            md = cc.get(3)              # ColumnChunk.meta_data
+            if not isinstance(md, dict):
+                raise ValueError("column chunk without inline metadata")
+            name = ".".join(p.decode("utf-8") for p in md.get(3) or [])
+            ptype = md.get(1)
+            leaf = leaves.get(name) or {"kind": None, "scale": 0}
+            st = md.get(12)             # ColumnMetaData.statistics
+            nc, mm = None, None
+            if isinstance(st, dict):
+                nc = st.get(3)          # null_count
+                if 6 in st and 5 in st:         # min_value / max_value
+                    raw = (st[6], st[5])
+                elif (2 in st and 1 in st and ptype in _SIGNED_OK
+                        and leaf.get("kind") not in ("uint",)):
+                    raw = (st[2], st[1])        # deprecated min / max
+                else:
+                    raw = None
+                if raw is not None:
+                    try:
+                        mm = (_decode_stat(raw[0], ptype, leaf),
+                              _decode_stat(raw[1], ptype, leaf))
+                    except Exception:  # noqa: BLE001
+                        mm = _UNDECODABLE
+            chunks.append((name, md.get(5, 0), md.get(7, 0), nc, mm))
+        rg_chunks.append(chunks)
+    group_fids = {field_ids[n] for n in top_groups if n in field_ids}
+    return nrows, rg_chunks, group_fids
+
+
 def harvest_one(path: str, field_ids: dict[str, int],
                 partition: dict | None = None,
                 content: int = CONTENT_DATA,
@@ -250,13 +525,23 @@ def harvest_one(path: str, field_ids: dict[str, int],
         if "LogicalType" in str(e):
             # pyarrow predates a logical type in the footer (Spark
             # writes the v3 VARIANT annotation; pyarrow 16 can't parse
-            # it) — degrade to a stats-less DataFile with the exact
-            # record count parsed straight from the footer thrift
-            # (_parquet_num_rows, dependency-free so it runs on
-            # executors too). No bounds/value-counts means pruning and
-            # the metadata-count fast path simply don't engage for
-            # this file; correctness is unaffected (residual filters
-            # always re-apply).
+            # it) — harvest stats with the dependency-free thrift
+            # footer walker instead, so file pruning and the
+            # metadata-count fast path still engage on the NON-variant
+            # columns (the variant leaves carry no field-id mapping and
+            # no usable order anyway). At 100 TB a variant table that
+            # full-scans on every predicate because one column's
+            # annotation is unparseable would be a real regression.
+            try:
+                nrows, rg_chunks, group_fids = _walk_parquet_stats(
+                    path, field_ids)
+                return _reduce_chunks(
+                    rg_chunks, nrows, group_fids, path, field_ids,
+                    partition, content, equality_ids)
+            except Exception:  # noqa: BLE001 — malformed footer etc.
+                pass
+            # Last-resort degrade: a stats-less DataFile with the exact
+            # record count from the minimal num_rows walker.
             nrows = _parquet_num_rows(path)
             # value_counts MUST still record which fields the file has:
             # the v3 initial-default fill detects pre-column files by a
@@ -276,71 +561,128 @@ def harvest_one(path: str, field_ids: dict[str, int],
         raise
     meta = pf.metadata
     n_cols = meta.num_columns
-    names = [meta.row_group(0).column(i).path_in_schema if meta.num_row_groups
-             else None for i in range(n_cols)] if meta.num_row_groups else []
 
+    rg_chunks = []
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        chunks = []
+        for i in range(n_cols):
+            c = g.column(i)
+            try:
+                st = c.statistics
+            except Exception:  # noqa: BLE001 — nested-type leaves
+                st = _UNDECODABLE
+            if st is _UNDECODABLE:
+                nc, mm = None, _UNDECODABLE
+            elif st is None:
+                nc, mm = None, None
+            else:
+                nc = st.null_count if st.has_null_count else None
+                if st.has_min_max:
+                    try:  # the min/max CAST is lazy & can be unsupported
+                        mm = (st.min, st.max)
+                    except Exception:  # noqa: BLE001
+                        mm = _UNDECODABLE
+                else:
+                    mm = None
+            chunks.append((c.path_in_schema, c.num_values,
+                           c.total_compressed_size, nc, mm))
+        rg_chunks.append(chunks)
+
+    # Top-level fields whose parquet encoding is NESTED (struct / list /
+    # map / variant) never appear as a leaf path, so the chunk loop
+    # can't credit their value_counts — record them group-level so the
+    # v3 default-fill "field id absent ⇒ file predates the column"
+    # probe stays truthful for nested columns.
+    group_fids = set()
+    try:
+        import pyarrow.types as _pt
+        for fld in pf.schema_arrow:
+            if _pt.is_nested(fld.type) and fld.name in field_ids:
+                group_fids.add(field_ids[fld.name])
+    except Exception:  # noqa: BLE001 — schema conversion quirks
+        pass
+
+    return _reduce_chunks(rg_chunks, meta.num_rows, group_fids, path,
+                          field_ids, partition, content, equality_ids)
+
+
+def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
+                   path: str, field_ids: dict[str, int],
+                   partition: dict | None, content: int,
+                   equality_ids: tuple[int, ...] | None) -> DataFile:
+    """Shared row-group→file stats reduction. ``rg_chunks`` is one list
+    per row group of ``(leaf_path, num_values, compressed_size,
+    null_count|None, minmax)`` where ``minmax`` is ``None`` (no min/max
+    recorded), ``_UNDECODABLE``, or a ``(min, max)`` pair of decoded
+    Python values. Both the pyarrow path and the thrift footer walker
+    feed this one function, so their harvested DataFiles are equal by
+    construction (property-tested in tests/test_footer_walker.py).
+
+    A row group whose stat can't be represented (±inf, NaN, undecodable
+    bytes, failed lazy cast) — or that recorded NO min/max at all —
+    poisons that column's FILE-level bound: silently falling back to
+    another row group's value would record a bound that doesn't bound
+    this group's rows, and prune_datafiles would then wrongly drop the
+    file for e.g. ``x > 100`` when the skipped group holds +inf.
+    Directional exception: min == +inf (all values inf) is safely
+    skipped for the LOWER bound — any other group's lower still bounds
+    it — and max == -inf symmetrically. null_counts are likewise
+    all-or-nothing per column: a partial sum would understate nulls and
+    let ``IS NULL`` pruning drop files that hold null rows."""
     col_sizes: dict[int, int] = {}
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
     lowers: dict[int, object] = {}
     uppers: dict[int, object] = {}
-    # A row group whose stat can't be represented (±inf, NaN, undecodable
-    # bytes, failed lazy cast) poisons that column's FILE-level bound:
-    # silently falling back to another row group's value would record a
-    # bound that doesn't bound this group's rows, and prune_datafiles
-    # would then wrongly drop the file for e.g. ``x > 100`` when the
-    # skipped group holds +inf. Directional exception: st.min == +inf
-    # (all values inf) is safely skipped for the LOWER bound — any other
-    # group's lower still bounds it — and st.max == -inf symmetrically.
     no_lower: set[int] = set()
     no_upper: set[int] = set()
-    for rg in range(meta.num_row_groups):
-        g = meta.row_group(rg)
-        for i in range(n_cols):
-            c = g.column(i)
-            name = names[i]
+    no_nulls: set[int] = set()
+    for chunks in rg_chunks:
+        for name, n_vals, compressed, nc, mm in chunks:
             fid = field_ids.get(name)
             if fid is None:
                 continue
-            col_sizes[fid] = col_sizes.get(fid, 0) + c.total_compressed_size
-            value_counts[fid] = value_counts.get(fid, 0) + c.num_values
+            col_sizes[fid] = col_sizes.get(fid, 0) + compressed
+            value_counts[fid] = value_counts.get(fid, 0) + n_vals
+            if nc is None:
+                no_nulls.add(fid)
+            else:
+                null_counts[fid] = null_counts.get(fid, 0) + nc
+            if mm is None or mm is _UNDECODABLE:
+                no_lower.add(fid)
+                no_upper.add(fid)
+                continue
+            raw_lo, raw_hi = mm
             try:
-                st = c.statistics
-            except Exception:  # noqa: BLE001 — nested-type leaves
+                lo, hi = _norm_bound(raw_lo), _norm_bound(raw_hi)
+            except Exception:  # noqa: BLE001
+                no_lower.add(fid)
+                no_upper.add(fid)
                 continue
-            if st is None:
-                continue
-            if st.null_count is not None:
-                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
-            if st.has_min_max:
-                try:  # the min/max CAST is lazy and can be unsupported
-                    raw_lo, raw_hi = st.min, st.max
-                    lo, hi = _norm_bound(raw_lo), _norm_bound(raw_hi)
-                except Exception:  # noqa: BLE001
+            if lo is None:
+                if not (isinstance(raw_lo, float) and raw_lo == math.inf):
                     no_lower.add(fid)
+            elif fid not in lowers or lo < lowers[fid]:
+                lowers[fid] = lo
+            if hi is None:
+                if not (isinstance(raw_hi, float) and raw_hi == -math.inf):
                     no_upper.add(fid)
-                    continue
-                if lo is None:
-                    if not (isinstance(raw_lo, float)
-                            and raw_lo == math.inf):
-                        no_lower.add(fid)
-                elif fid not in lowers or lo < lowers[fid]:
-                    lowers[fid] = lo
-                if hi is None:
-                    if not (isinstance(raw_hi, float)
-                            and raw_hi == -math.inf):
-                        no_upper.add(fid)
-                elif fid not in uppers or hi > uppers[fid]:
-                    uppers[fid] = hi
+            elif fid not in uppers or hi > uppers[fid]:
+                uppers[fid] = hi
 
     lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()
               if fid not in no_lower}
     uppers = {fid: u for fid, v in uppers.items()
               if fid not in no_upper and (u := _trunc_upper(v)) is not None}
+    null_counts = {fid: v for fid, v in null_counts.items()
+                   if fid not in no_nulls}
+    for fid in group_fids:
+        value_counts.setdefault(fid, num_rows)
 
     return DataFile(
         content=content, file_path=path, file_format="parquet",
-        partition=partition or {}, record_count=meta.num_rows,
+        partition=partition or {}, record_count=num_rows,
         file_size_in_bytes=os.path.getsize(path),
         column_sizes=col_sizes, value_counts=value_counts,
         null_value_counts=null_counts, lower_bounds=lowers,

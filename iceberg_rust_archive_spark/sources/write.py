@@ -176,6 +176,25 @@ def align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
     return df.select(*cols)
 
 
+def _all_data_under_spec(md: TableMetadata, spec, branch) -> bool:
+    """True when every LIVE data manifest was written under ``spec`` —
+    the precondition for partition-scoping an equality delete. The
+    read-side scope residual compares the delete's tuple against each
+    data file's tuple BY VALUE, so files keyed under any other spec
+    layout would silently escape the delete (lost rows, the r12
+    probe). Delete manifests don't count: a global delete deliberately
+    rides a field-less spec."""
+    snap = md.current_snapshot(branch)
+    if snap is None:
+        return True
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list,
+    )
+    return all(m.partition_spec_id == spec.spec_id
+               for m in read_manifest_list(snap.manifest_list)
+               if m.content == 0)
+
+
 def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
                     content: int = CONTENT_DATA,
                     equality_ids: tuple[int, ...] | None = None,
@@ -233,14 +252,18 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     # every field of the spec must derive from the equality columns (a
     # PARTIAL tuple never equals any data file's full tuple, so the
     # scope residual would silently un-apply the delete — lost deletes,
-    # r12 probe), and the table must have exactly one spec in history
-    # (files written under an evolved-away spec carry differently-keyed
-    # tuples that can never match a current-spec scope; the engine's
-    # DELETE/UPDATE/upsert intent is "all rows with these keys", so the
-    # sound fallback is a GLOBAL delete — scope is a pruning
-    # optimization here, never semantics).
-    if content == CONTENT_EQUALITY_DELETES and (
-            skipped_any or len(md.partition_specs) > 1):
+    # r12 probe), and every LIVE data manifest must carry the current
+    # spec id (files written under an evolved-away spec carry
+    # differently-keyed tuples that can never match a current-spec
+    # scope; the engine's DELETE/UPDATE/upsert intent is "all rows with
+    # these keys", so the sound fallback is a GLOBAL delete — scope is
+    # a pruning optimization here, never semantics). The manifest-list
+    # check (one small avro read) is sharper than r12's spec-count
+    # rule: delete-only specs (the unpartitioned global-delete spec)
+    # don't disable scoping, and a spec-evolved table REGAINS scoping
+    # once compaction has rewritten every data file under the new spec.
+    if content == CONTENT_EQUALITY_DELETES and derivable and (
+            skipped_any or not _all_data_under_spec(md, spec, branch)):
         derivable = []
     pcols: list[str] = []
     spec_fields = []

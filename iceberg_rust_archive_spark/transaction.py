@@ -934,12 +934,37 @@ class Transaction:
                     metadata_dir, new_list, md, snap_id, seq, schema_json)
             # manifest-list content codes: 0=data, 1=deletes
             # (manifest_list.rs:47-52) — distinct from DataFile.content
-            for ml_content, files in ((0, self._appended),
-                                      (1, self._deletes)):
+            scoped_dels, glob_dels = list(self._deletes), []
+            if spec.fields:
+                scoped_dels = [f for f in self._deletes if f.partition]
+                glob_dels = [f for f in self._deletes if not f.partition]
+            packs = [(0, self._appended, spec.spec_id, pf_names),
+                     (1, scoped_dels, spec.spec_id, pf_names)]
+            if glob_dels:
+                # Per the Iceberg spec a GLOBAL delete is expressed by
+                # an UNPARTITIONED partition spec on its manifest; an
+                # all-null tuple of the table's partitioned spec would
+                # be read by a foreign engine (Spark/Trino/the
+                # reference) as "scoped to the null partition" and
+                # resurrect deleted rows. Reuse a field-less spec if
+                # one exists, else register one — never as default.
+                unpart = next((s for s in md.partition_specs.values()
+                               if not s.fields), None)
+                if unpart is None:
+                    from iceberg_rust_archive_spark.spec.partition import (
+                        PartitionSpec,
+                    )
+                    unpart = PartitionSpec(
+                        max(md.partition_specs, default=-1) + 1, ())
+                    md = _dc_replace(
+                        md, partition_specs={**md.partition_specs,
+                                             unpart.spec_id: unpart})
+                packs.append((1, glob_dels, unpart.spec_id, []))
+            for ml_content, files, sid, names in packs:
                 if files:
                     new_list = self._pack_manifests(
                         metadata_dir, new_list, files, ml_content, snap_id,
-                        seq, spec.spec_id, pf_names, schema_json)
+                        seq, sid, names, schema_json)
             operation = "append" if not self._deletes else "delete" \
                 if not self._appended else "overwrite"
             added = self._appended + self._deletes

@@ -50,6 +50,25 @@ def test_classify():
         ["a", "db.b", "c"]
 
 
+def test_variant_source_mv_routes_full(engine):
+    """r12 verdict #6: an MV whose source carries a variant column (or
+    whose SQL calls variant_get) refreshes FULL by explicit policy even
+    when the SQL shape would classify IncrementalAppend — and stays
+    correct across refreshes."""
+    engine.sql("CREATE TABLE db.vsrc (k BIGINT, p VARIANT)")
+    engine.sql("INSERT INTO db.vsrc SELECT 1, parse_json('{\"n\": 10}')")
+    # projection shape = IncrementalAppend textually; variant source
+    # must force FullOverwrite on every refresh
+    engine.sql("CREATE MATERIALIZED VIEW db.vmv AS "
+               "SELECT k, variant_get(p, '$.n', 'int') AS n FROM db.vsrc")
+    assert engine.refresh_materialized_view("db.vmv") == FULL
+    engine.sql("INSERT INTO db.vsrc SELECT 2, parse_json('{\"n\": 20}')")
+    assert engine.refresh_materialized_view("db.vmv") == FULL
+    got = {r.k: r.n for r in engine.sql("SELECT * FROM db.vmv").collect()}
+    assert got == {1: 10, 2: 20}
+    assert engine.refresh_materialized_view("db.vmv") == "Fresh"
+
+
 def test_filter_projection_mv(engine):
     """materialized_view/mod.rs:439-628: filter+projection MV,
     {1:7, 2:1} then {1:9, 2:2} after incremental insert."""

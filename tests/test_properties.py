@@ -934,15 +934,24 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
 # seven engine sites — this model pins the primitive itself) -----------
 
 def _sql_expr(depth=3):
-    """Expressions with NO top-level comma: atoms, quoted strings
-    (commas, parens, '' escapes inside), f(a, b) calls, (a + b) parens."""
+    """Expressions with NO top-level comma: atoms, quoted runs of all
+    three Spark kinds ('…' / "…" string literals, `…` identifiers —
+    commas, parens, dashes, the OTHER quote chars, and doubled-quote
+    escapes inside), f(a, b) calls, (a + b) parens."""
+    _junk = "ab,()-- %"
+
+    def _quoted(q):
+        return st.text(alphabet=_junk + "'\"`".replace(q, ""),
+                       min_size=0, max_size=8).map(
+            lambda t: q + t.replace(q, q * 2) + q)
+
     atoms = st.one_of(
         st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True),
         st.integers(-999, 999).map(str),
-        # quoted literal: any printable junk incl. commas/parens;
-        # single quotes arrive pre-doubled (the SQL escape)
-        st.text(alphabet="ab,()' %", min_size=0, max_size=8).map(
+        st.text(alphabet=_junk + '"`', min_size=0, max_size=8).map(
             lambda t: "'" + t.replace("'", "''") + "'"),
+        _quoted('"'),
+        _quoted("`"),
     )
     if depth <= 0:
         return atoms

@@ -59,6 +59,51 @@ def test_variant_roundtrip_and_v3_gate(eng):
     assert eng.sql("SELECT count(*) AS n FROM db.vt").collect()[0].n == 2
 
 
+def test_variant_table_harvests_real_stats_and_prunes(eng):
+    """Files whose footer pyarrow can't parse (VARIANT annotation) now
+    harvest per-column bounds through the thrift footer walker — so
+    file pruning and the metadata-only count engage on the NON-variant
+    columns. At 100 TB the alternative (stats-less fallback) full-scans
+    a variant table on every predicate."""
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list)
+
+    eng.sql("CREATE TABLE db.vs (k BIGINT, d DATE, payload VARIANT)")
+    eng.sql("INSERT INTO db.vs SELECT 1, DATE'2020-01-05', "
+            "parse_json('{\"a\": 1}')")
+    eng.sql("INSERT INTO db.vs SELECT 900, DATE'2024-06-05', "
+            "parse_json('{\"a\": 5}')")
+    t = eng.load_table("db.vs")
+    snap = t.metadata.current_snapshot()
+    files = [en.data_file
+             for mle in read_manifest_list(snap.manifest_list)
+             for en in read_manifest(mle.manifest_path)]
+    assert len(files) == 2
+    sch = t.metadata.current_schema()
+    k_id = sch.field_by_name("k").field_id
+    d_id = sch.field_by_name("d").field_id
+    v_id = sch.field_by_name("payload").field_id
+    for f in files:
+        # non-variant columns: real bounds + null counts
+        assert f.lower_bounds[k_id] == f.upper_bounds[k_id]
+        assert f.lower_bounds[d_id].startswith("202")
+        assert f.null_value_counts[k_id] == 0
+        # the variant column itself: value_counts recorded (default-fill
+        # field-presence probe), no bounds (no defined order)
+        assert f.value_counts[v_id] == 1
+        assert v_id not in f.lower_bounds
+    # a selective predicate PLANS fewer files — both on the bigint and
+    # on the date column (scan report counter)
+    for preds in ([Pred("k", ">", 100)], [Pred("d", ">", "2023-01-01")]):
+        rep = {}
+        df = t.scan(eng.spark, filter=preds, report=rep)
+        assert rep["data_files_planned"] == 1
+        assert df.count() == 1
+    # metadata-only count engages again on variant tables
+    assert t.count(eng.spark, filter=[Pred("k", ">", 100)]) == 1
+
+
 def test_variant_dml_routes_positionally(eng):
     """Equality deletes cannot key on a variant column — DELETE and
     UPDATE on variant-carrying tables ride the position-delete path
@@ -82,6 +127,30 @@ def test_variant_dml_routes_positionally(eng):
     with pytest.raises(ValueError, match="variant"):
         eng.sql("DELETE FROM db.vd "
                 "WHERE k IN (SELECT k FROM db.vd WHERE k = 1)")
+
+
+def test_merge_refuses_variant_join_key(eng):
+    """MERGE join keys become equality-delete key field ids; a variant
+    key has no defined equality semantics — both MERGE forms refuse
+    loudly (mirrors the UPDATE/DELETE guards)."""
+    eng.sql("CREATE TABLE db.mv1 (k BIGINT, p VARIANT)")
+    eng.sql("INSERT INTO db.mv1 SELECT 1, parse_json('1')")
+    with pytest.raises(ValueError, match="variant"):
+        eng.sql("MERGE INTO db.mv1 t USING "
+                "(SELECT parse_json('1') AS p, 2 AS k) s ON t.p = s.p "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *")
+    with pytest.raises(ValueError, match="variant"):
+        eng.sql("MERGE INTO db.mv1 t USING "
+                "(SELECT parse_json('1') AS p, 2 AS k) s ON t.p = s.p "
+                "WHEN MATCHED AND t.k > 0 THEN DELETE")
+    # joining on the NON-variant key still works
+    eng.sql("MERGE INTO db.mv1 t USING "
+            "(SELECT 1 AS k, parse_json('9') AS p) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *")
+    got = eng.sql("SELECT variant_get(p,'$','int') AS v "
+                  "FROM db.mv1").collect()
+    assert [r.v for r in got] == [9]
 
 
 def test_variant_add_column_and_old_files_null_fill(eng):
