@@ -38,6 +38,11 @@ _DEFAULT_CONFS = {
     # events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long nanos and convert explicitly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark's parquet default is legacy INT96 timestamps; the Iceberg
+    # spec's parquet appendix requires INT64 micros, AND footer readers
+    # (pyarrow included) expose NO column statistics for INT96 — a
+    # timestamp predicate would never prune a file (r13).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # InferFiltersFromGenerate synthesizes `size(<generator input>) > 0`
     # filters; predicate pushdown then re-inlines the full generator
@@ -84,6 +89,11 @@ _RUNTIME_READ_CONFS = {
     # reads nulls for files written under the other name.
     "spark.sql.parquet.fieldId.write.enabled": "true",
     "spark.sql.parquet.fieldId.read.enabled": "true",
+    # Iceberg parquet data files store timestamps as INT64 micros, never
+    # INT96 (spec appendix); INT96 also harvests zero column statistics.
+    # write_datafiles calls this on every caller session, so externally
+    # built sessions (the driver's) write spec-conformant files too.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

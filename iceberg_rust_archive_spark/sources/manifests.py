@@ -188,14 +188,42 @@ def write_manifest_list(metadata_dir: str, snapshot_id: int,
     return path
 
 
+# Manifest LISTS are immutable too (snap-<id>-<uuid> paths, one per
+# committed snapshot), and every metadata consumer starts from one —
+# scan planning, commit prepare (old_entries), maintenance sweeps, the
+# changelog, and the eq-delete lossless-scoping check all re-read the
+# SAME current list within a DML session. Entries are frozen
+# dataclasses, so sharing cached objects is safe; the cache is bounded
+# by total entry count like the manifest cache below.
+_MLIST_CACHE: "dict[str, list[ManifestListEntry]]" = {}
+_MLIST_CACHE_ENTRIES = 0
+MLIST_CACHE_MAX_ENTRIES = 100_000
+
+
 def read_manifest_list(path: str) -> list[ManifestListEntry]:
+    global _MLIST_CACHE_ENTRIES
+    with _cache_lock():
+        hit = _MLIST_CACHE.get(path)
+    if hit is not None:
+        return list(hit)
     if path.endswith(".jsonl"):                      # pre-Avro files
         text = store_for(path).read_bytes(path).decode("utf-8")
-        return [ManifestListEntry.from_json(json.loads(line))
-                for line in text.splitlines() if line.strip()]
-    _schema, records = read_ocf(path)
-    ptypes = json.loads(_ocf_metadata(path).get("partition-types", "[]"))
-    return [mavro.mle_from_avro(r, ptypes) for r in records]
+        out = [ManifestListEntry.from_json(json.loads(line))
+               for line in text.splitlines() if line.strip()]
+    else:
+        _schema, records = read_ocf(path)
+        ptypes = json.loads(
+            _ocf_metadata(path).get("partition-types", "[]"))
+        out = [mavro.mle_from_avro(r, ptypes) for r in records]
+    with _cache_lock():
+        if path not in _MLIST_CACHE:
+            while (_MLIST_CACHE_ENTRIES + len(out) > MLIST_CACHE_MAX_ENTRIES
+                   and _MLIST_CACHE):
+                _, old = _MLIST_CACHE.popitem()
+                _MLIST_CACHE_ENTRIES -= len(old)
+            _MLIST_CACHE[path] = out
+            _MLIST_CACHE_ENTRIES += len(out)
+    return list(out)
 
 
 # Manifest fetch concurrency (the reference reads manifests as a

@@ -616,8 +616,11 @@ def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
     null_count|None, minmax)`` where ``minmax`` is ``None`` (no min/max
     recorded), ``_UNDECODABLE``, or a ``(min, max)`` pair of decoded
     Python values. Both the pyarrow path and the thrift footer walker
-    feed this one function, so their harvested DataFiles are equal by
-    construction (property-tested in tests/test_footer_walker.py).
+    feed this one function, so their harvested DataFiles agree on every
+    stat pyarrow can decode (property-tested equal on pyarrow-written
+    files in tests/test_footer_walker.py); the walker may additionally
+    harvest what pyarrow's statistics API drops (INT32/INT64-backed
+    decimal bounds, INT96 null counts).
 
     A row group whose stat can't be represented (±inf, NaN, undecodable
     bytes, failed lazy cast) — or that recorded NO min/max at all —

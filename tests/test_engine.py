@@ -1693,6 +1693,48 @@ def test_delete_with_subquery_predicate(spark, tmp_path):
     assert {r.k for r in eng.sql("SELECT k FROM db.t1").collect()} == {2}
 
 
+def test_timestamp_columns_write_int64_micros_and_prune(spark, tmp_path):
+    """r13: Spark's parquet default writes timestamps as legacy INT96 —
+    non-conformant for Iceberg data files (spec requires INT64 micros)
+    AND statless (footer readers expose no INT96 stats), so a
+    time-range predicate never pruned. The engine session forces
+    TIMESTAMP_MICROS; bounds must harvest and pruning must engage."""
+    import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.tsb (k BIGINT, ts TIMESTAMP)")
+    eng.sql("INSERT INTO db.tsb VALUES (1, timestamp'2020-01-01 00:00:00')")
+    eng.sql("INSERT INTO db.tsb VALUES (2, timestamp'2024-06-01 12:00:00')")
+    t = eng.load_table("db.tsb")
+    sch = t.metadata.current_schema()
+    ts_id = sch.field_by_name("ts").field_id
+    files = [en.data_file
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)]
+    assert len(files) == 2
+    for f in files:
+        # physical type is INT64 (spec appendix), not INT96
+        pf = pq.ParquetFile(f.file_path)
+        ptypes = {pf.metadata.row_group(0).column(i).path_in_schema:
+                  pf.metadata.row_group(0).column(i).physical_type
+                  for i in range(pf.metadata.num_columns)}
+        assert ptypes["ts"] == "INT64"
+        # bounds harvested as epoch-micros ints
+        assert isinstance(f.lower_bounds[ts_id], int)
+    rep = {}
+    out = t.scan(spark, filter=[Pred("ts", ">", "2023-11-14 00:00:00")],
+                 report=rep)
+    assert rep["data_files_planned"] == 1 and out.count() == 1
+
+
 def test_global_eq_delete_rides_unpartitioned_spec(spark, tmp_path):
     """Spec conformance (r12 advice): a GLOBAL equality delete on a
     partitioned table is expressed via an UNPARTITIONED partition spec
@@ -1743,6 +1785,49 @@ def test_global_eq_delete_rides_unpartitioned_spec(spark, tmp_path):
     got = sorted((r.k, r.g, r.v) for r in
                  eng.sql("SELECT * FROM db.pt").collect())
     assert got == [(8, "a", 88), (9, "b", 99)]
+
+
+def test_eq_delete_scoping_regained_after_compaction(spark, tmp_path):
+    """r13 sharpened lossless rule: spec evolution forces GLOBAL
+    deletes only while data files written under the old spec are LIVE.
+    Once compaction rewrites every data file under the current spec,
+    partition-derivable deletes scope again (r12's spec-count rule
+    disabled scoping forever). Deletes stay exact throughout."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.ev (k BIGINT, v BIGINT) "
+            "PARTITIONED BY (bucket(2, k))")
+    eng.sql("INSERT INTO db.ev VALUES (1,10),(2,20),(3,30)")
+    eng.sql("ALTER TABLE db.ev DROP PARTITION FIELD k_bucket")
+    eng.sql("ALTER TABLE db.ev ADD PARTITION FIELD bucket(4, k)")
+    eng.sql("INSERT INTO db.ev VALUES (4,40),(5,50)")
+    # old-spec data files live → delete must go GLOBAL despite being
+    # keyed on the partition source
+    eng.sql("DELETE FROM db.ev WHERE k = 1")
+    md = eng.load_table("db.ev").metadata
+
+    def del_specs(md_):
+        return {m.partition_spec_id for m in read_manifest_list(
+            md_.current_snapshot().manifest_list) if m.content == 1}
+
+    unpart = {s.spec_id for s in md.partition_specs.values()
+              if not s.fields}
+    assert del_specs(md) <= unpart
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.ev").collect()) == [2, 3, 4, 5]
+    # compaction rewrites every data file under the CURRENT spec …
+    eng.sql("CALL system.compact('db.ev')")
+    # … so a partition-derivable delete SCOPES again
+    eng.sql("DELETE FROM db.ev WHERE k = 4")
+    md2 = eng.load_table("db.ev").metadata
+    assert md2.default_spec_id in del_specs(md2)
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.ev").collect()) == [2, 3, 5]
 
 
 def test_merge_literal_containing_target_qualifier(spark, tmp_path):

@@ -96,6 +96,76 @@ def test_walker_harvest_equals_pyarrow(tmp_path_factory, spec):
     os.remove(path)
 
 
+def test_walker_harvest_equals_pyarrow_on_testdata():
+    """Differential sweep over the driver-generated tables — real
+    files, not hypothesis-shaped ones (timestamps incl. NANOS-as-int64,
+    list<float> embeddings, long text columns with truncated stats)."""
+    import glob
+
+    from tests.conftest import SF_DIR
+
+    paths = sorted(glob.glob(f"{SF_DIR}/*.parquet"))
+    assert paths
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        fids = {f.name: i + 1 for i, f in enumerate(pf.schema_arrow)}
+        nrows, rg_chunks, group_fids = _walk_parquet_stats(p, fids)
+        assert _reduce_chunks(rg_chunks, nrows, group_fids, p, fids,
+                              None, 0, None) == harvest_one(p, fids)
+
+
+def test_walker_harvest_superset_of_pyarrow_on_spark_written_file(
+        spark, tmp_path):
+    """Spark writes through parquet-mr, whose footer encoder (field
+    order, deprecated min/max alongside min_value/max_value, zstd,
+    decimals as INT64 below precision 19) differs from pyarrow's. The
+    walker must agree with pyarrow on every stat pyarrow exposes, and
+    may additionally harvest what pyarrow drops (int-backed decimal
+    bounds — pyarrow only decodes FLBA decimal statistics). Timestamp
+    bounds must be present: the engine forces TIMESTAMP_MICROS on
+    write precisely so time-range predicates prune (INT96 harvests
+    nothing)."""
+    out = str(tmp_path / "sparkfile")
+    df = spark.range(0, 50_000).selectExpr(
+        "id", "cast(id % 7 as int) AS i32",
+        "cast(id AS double) / 3 AS d",
+        "concat('v', id) AS s",
+        "date_add(date'2020-01-01', cast(id % 900 AS int)) AS dt",
+        "timestamp'2021-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id) "
+        "AS ts",
+        "cast(cast(id AS decimal(12,2)) / 100 AS decimal(12,2)) AS dec",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE id END AS maybe_null")
+    (df.coalesce(1).write.mode("overwrite")
+       .option("parquet.block.size", str(64 * 1024))
+       .option("compression", "zstd").parquet(out))
+    import glob as _g
+    files = _g.glob(out + "/*.parquet")
+    assert files
+    names = dict(enumerate(df.columns, start=1))
+    for p in files:
+        pf = pq.ParquetFile(p)
+        assert pf.metadata.num_row_groups > 1  # multi-RG reduction real
+        fids = {f.name: i + 1 for i, f in enumerate(pf.schema_arrow)}
+        via_pyarrow = harvest_one(p, fids)
+        nrows, rg_chunks, group_fids = _walk_parquet_stats(p, fids)
+        via_walker = _reduce_chunks(rg_chunks, nrows, group_fids, p,
+                                    fids, None, 0, None)
+        assert _parquet_num_rows(p) == pf.metadata.num_rows
+        assert via_walker.record_count == via_pyarrow.record_count
+        assert via_walker.value_counts == via_pyarrow.value_counts
+        assert via_walker.column_sizes == via_pyarrow.column_sizes
+        for attr in ("null_value_counts", "lower_bounds", "upper_bounds"):
+            a, b = getattr(via_pyarrow, attr), getattr(via_walker, attr)
+            for fid, v in a.items():
+                assert b[fid] == v, (attr, names[fid])
+        # engine-critical richness: micros timestamp + int64-decimal
+        # bounds present from the walker
+        ts_id, dec_id = fids["ts"], fids["dec"]
+        assert via_walker.lower_bounds[ts_id] == 1622548800000000
+        assert isinstance(via_walker.lower_bounds[dec_id],
+                          __import__("decimal").Decimal)
+
+
 def test_walker_rejects_non_parquet(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"\x00" * 64)

@@ -992,3 +992,29 @@ def test_split_top_word_separator_respects_quotes(exprs, sep):
     parts = _split_top(joined, sep)
     assert len(parts) == len(exprs)
     assert sep.join(parts) == joined
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_sql_expr(2), min_size=1, max_size=4))
+def test_sub_outside_quotes_preserves_literals(exprs):
+    """MERGE's target-qualifier normalization must rewrite ONLY outside
+    quoted runs: splice `db.t.` decoys into quoted atoms of every kind
+    around real qualifier references — the quoted occurrences survive
+    verbatim, the bare ones rewrite, and stripping the substitution
+    target from both sides leaves identical text."""
+    import re
+
+    from iceberg_rust_archive_spark.plans.engine import _sub_outside_quotes
+
+    rx = re.compile(r"\bdb\.t\.", re.IGNORECASE)
+    decoys = ["'see db.t.k'", '"db.t. in a string"', "`db.t.weird`"]
+    joined = " + ".join(f"{decoys[i % 3]} + db.t.c{i} + {e}"
+                        for i, e in enumerate(exprs))
+    out = _sub_outside_quotes(rx, "t.", joined)
+    # every quoted decoy survives verbatim
+    for d in decoys[:min(len(exprs), 3)]:
+        assert d in out
+    # every bare qualifier is rewritten
+    for i in range(len(exprs)):
+        assert f" t.c{i} " in out + " "
+        assert f" db.t.c{i}" not in out

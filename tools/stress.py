@@ -1114,3 +1114,75 @@ def general_merge_scale(spark, sf_dir: str, amp: int):
               f"MERGE {dt:.2f}s, {n} rows after")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def variant_stats_scale(spark, sf_dir: str, amp: int):
+    """r13 probe: variant-table files harvest real column stats through
+    the thrift footer walker (pyarrow can't parse VARIANT footers), so
+    file pruning and the metadata-only count engage. Measures (a) the
+    planned-file fraction for a selective date predicate at amp×, (b)
+    the metadata-count fast path, and (c) walker harvest latency per
+    footer (it is pure-Python parsing — must stay at footer-read cost,
+    not data-read cost)."""
+    import glob as _g
+    import shutil
+    import tempfile
+    import time as _t
+
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.stats import (
+        _reduce_chunks, _walk_parquet_stats,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        eng = Engine(spark, FileCatalog(d + "/wh"))
+        eng.sql("CREATE SCHEMA db")
+        eng.sql("CREATE TABLE db.vscale (o_orderkey BIGINT, "
+                "o_orderdate DATE, o_totalprice DOUBLE, payload VARIANT)")
+        src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        reps = spark.range(amp).withColumnRenamed("id", "_rep")
+        big = (src.crossJoin(F.broadcast(reps))
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.col("_rep") * 10_000_000))
+        big.createOrReplaceTempView("vscale_src")
+        t0 = _t.perf_counter()
+        for yr in range(1995, 2002):   # one commit per year → many files
+            eng.sql(
+                "INSERT INTO db.vscale SELECT o_orderkey, "
+                "cast(o_orderdate AS DATE), o_totalprice, "
+                "parse_json(concat('{\"p\":', o_totalprice, '}')) "
+                f"FROM vscale_src WHERE year(o_orderdate) = {yr}")
+        t_write = _t.perf_counter() - t0
+        t = eng.load_table("db.vscale")
+        rep = {}
+        t0 = _t.perf_counter()
+        n_sel = t.scan(spark, filter=[Pred("o_orderdate", ">",
+                                           "2000-12-31")],
+                       report=rep).count()
+        t_scan = _t.perf_counter() - t0
+        total_files = rep["data_files_planned"]
+        rep2 = {}
+        t.scan(spark, report=rep2)
+        t0 = _t.perf_counter()
+        n_all = t.count(spark)
+        t_cnt = _t.perf_counter() - t0
+        paths = _g.glob(d + "/wh/**/data/**/*.parquet", recursive=True)
+        fids = {f.name: f.field_id
+                for f in t.metadata.current_schema().fields}
+        t0 = _t.perf_counter()
+        for p in paths:
+            nrows, chunks, gfids = _walk_parquet_stats(p, fids)
+            _reduce_chunks(chunks, nrows, gfids, p, fids, None, 0, None)
+        per_footer_ms = (_t.perf_counter() - t0) / max(len(paths), 1) * 1e3
+        print(f"variant_stats_scale @ {amp}x ({n_all} rows, "
+              f"{rep2['data_files_planned']} files, write {t_write:.1f}s): "
+              f"date-pred plans {total_files}/"
+              f"{rep2['data_files_planned']} files, {n_sel} rows in "
+              f"{t_scan:.2f}s; metadata count {t_cnt*1e3:.0f}ms; "
+              f"walker harvest {per_footer_ms:.1f}ms/footer "
+              f"over {len(paths)} footers")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
