@@ -768,9 +768,15 @@ def _component_oracles() -> dict[str, str]:
             GROUP BY o_orderstatus
         """,
         "iceberg_equality_delete": """
-            SELECT o_orderstatus, count(*) AS n_orders
+            SELECT 'flat' AS branch, o_orderstatus, count(*) AS n_orders
             FROM orders
             WHERE o_custkey % 10 <> 3
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'part_global' AS branch, o_orderstatus,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey % 10 <> 7
             GROUP BY o_orderstatus
         """,
         "iceberg_position_delete": """

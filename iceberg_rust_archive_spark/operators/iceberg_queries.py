@@ -132,21 +132,53 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Append all orders, equality-delete customers with
-    ``o_custkey % 10 == 3`` (A16+A5), aggregate the survivors."""
+    """Two equality-delete shapes, branch-labeled (A16+A5):
+
+    - ``flat``: unpartitioned table, delete customers with
+      ``o_custkey % 10 == 3`` keyed on o_orderkey.
+    - ``part_global`` (r13): bucket(4, o_orderkey)-partitioned table,
+      delete keyed on o_custkey — NOT derivable from the partition
+      source, so the delete file is GLOBAL and must ride an
+      UNPARTITIONED spec on its manifest (Iceberg spec; an all-null
+      tuple of the partitioned spec would scope it to the null
+      partition in a foreign reader and resurrect rows —
+      manifest_list.rs:88 partition summaries). The DuckDB oracle
+      hash-grades the post-delete table state, so the spec-routing is
+      value-checked end-to-end."""
     cat, d = _tmp_catalog()
     try:
+        src = _orders(spark, sf_dir)
+
         t = Table.create(cat, "db.orders_del", ORDERS_SCHEMA,
                          PartitionSpec(0, ()))
-        src = _orders(spark, sf_dir)
         t.append(spark, src)
         t.delete_where_equal(spark, src.filter(F.col("o_custkey") % 10 == 3),
                              ["o_orderkey"])
-        out = (t.scan(spark).groupBy("o_orderstatus")
-               .agg(F.count(F.lit(1)).alias("n_orders"))
-               .orderBy("o_orderstatus"))
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
+        flat = (t.scan(spark).groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .withColumn("branch", F.lit("flat")))
+
+        okey_bucket_spec = PartitionSpec(
+            0, (PartitionField(1, 1000, "o_orderkey_bucket", "bucket[4]"),))
+        tp = Table.create(cat, "db.orders_del_part", ORDERS_SCHEMA,
+                          okey_bucket_spec)
+        tp.append(spark, src)
+        tp = tp.delete_where_equal(
+            spark,
+            src.filter(F.col("o_custkey") % 10 == 7)
+               .select("o_custkey").distinct(),
+            ["o_custkey"])
+        assert any(not s.fields
+                   for s in tp.metadata.partition_specs.values()), \
+            "global delete must register the unpartitioned spec"
+        part = (tp.scan(spark).groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .withColumn("branch", F.lit("part_global")))
+
+        out = (flat.unionByName(part)
+               .select("branch", "o_orderstatus", "n_orders")
+               .orderBy("branch", "o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -1787,6 +1787,48 @@ def test_global_eq_delete_rides_unpartitioned_spec(spark, tmp_path):
     assert got == [(8, "a", 88), (9, "b", 99)]
 
 
+def test_unpartitioned_delete_spec_survives_commit_race(spark, tmp_path):
+    """Two transactions built from the SAME base each register the
+    global-delete spec; the loser's retry rebuild must REUSE the
+    winner's registered field-less spec instead of stacking a second
+    one, and both deletes must apply."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.spec.manifest import (
+        CONTENT_EQUALITY_DELETES,
+    )
+    from iceberg_rust_archive_spark.sources.write import write_datafiles
+    from iceberg_rust_archive_spark.table import Table
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.rc (k BIGINT, g STRING) "
+            "PARTITIONED BY (bucket(4, k))")
+    eng.sql("INSERT INTO db.rc VALUES (1,'a'),(2,'b'),(3,'c')")
+    base = eng.load_table("db.rc")     # one base, two deletes from it
+    sch = base.metadata.current_schema()
+    g_id = (sch.field_by_name("g").field_id,)
+
+    def stage(val):
+        return write_datafiles(
+            spark, base.metadata,
+            spark.createDataFrame([(val,)], "g string"),
+            content=CONTENT_EQUALITY_DELETES, equality_ids=g_id)
+
+    fa, fb = stage("a"), stage("b")
+    base.new_transaction().append_delete_files(fa).commit_with_retry(
+        lambda t: t.append_delete_files(fa))
+    # second txn still starts from the STALE base → CAS retry path
+    base.new_transaction().append_delete_files(fb).commit_with_retry(
+        lambda t: t.append_delete_files(fb))
+    t = Table.load(eng.catalog, "db.rc")
+    unpart = [s for s in t.metadata.partition_specs.values()
+              if not s.fields]
+    assert len(unpart) == 1            # reused, not stacked
+    assert t.metadata.default_spec_id != unpart[0].spec_id
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.rc").collect()) == [3]
+
+
 def test_eq_delete_scoping_regained_after_compaction(spark, tmp_path):
     """r13 sharpened lossless rule: spec evolution forces GLOBAL
     deletes only while data files written under the old spec are LIVE.
