@@ -168,8 +168,16 @@ def _strip_sql_comments(s: str) -> str:
             while i < n and s[i] != "\n":
                 i += 1
         elif ch == "/" and s[i:i + 2] == "/*":
-            k = s.find("*/", i + 2)
-            i = n if k < 0 else k + 2
+            # Spark 3+ bracketed comments NEST — stopping at the first
+            # */ would leave the outer comment's tail in the statement
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if s[i:i + 2] == "/*":
+                    depth, i = depth + 1, i + 2
+                elif s[i:i + 2] == "*/":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
             out.append(" ")
         else:
             out.append(ch)

@@ -454,13 +454,23 @@ def _scan_quoted(s: str, i: int) -> int:
     the index one PAST the closing quote. Spark's lexical rules: the
     doubled-quote escape stays inside the run for all three kinds, and
     backslash escapes apply inside ``'``/``"`` string literals (not
-    inside backtick identifiers). An unterminated run extends to end of
+    inside backtick identifiers). A raw literal (``r'…'``/``R"…"`` —
+    the quote directly preceded by a bare r/R) processes NO escapes at
+    all: it closes at the first same-quote (Spark lexes ``r'a''b'`` as
+    two adjacent literals). An unterminated run extends to end of
     string — callers never re-scan inside it, which is the conservative
     reading (treat the tail as literal text, split/strip nothing)."""
     q = s[i]
+    raw = (q != "`" and i >= 1 and s[i - 1] in "rR"
+           and (i == 1 or not (s[i - 2].isalnum() or s[i - 2] == "_")))
     j, n = i + 1, len(s)
     while j < n:
         ch = s[j]
+        if raw:
+            if ch == q:
+                return j + 1
+            j += 1
+            continue
         if ch == "\\" and q != "`" and j + 1 < n:
             j += 2
             continue

@@ -3901,6 +3901,11 @@ def test_sql_comments_respect_all_three_quote_kinds(spark, tmp_path):
     assert _strip_sql_comments("`i--d` /* x */ 'l--l'") == "`i--d`   'l--l'"
     # backslash escapes inside string literals (Spark default syntax)
     assert _strip_sql_comments(r"'it\'s -- kept'") == r"'it\'s -- kept'"
+    # raw literals (r'…'): NO escapes — a trailing backslash does not
+    # swallow the closing quote, so the real comment after it strips
+    assert _strip_sql_comments(r"SELECT r'a\' -- c") == r"SELECT r'a\' "
+    # nested bracketed comments (Spark 3+) strip as ONE unit
+    assert _strip_sql_comments("a /* x /* y */ z */ b") == "a   b"
 
     eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
     eng.sql("CREATE SCHEMA db")
@@ -3926,11 +3931,19 @@ def test_comment_stripper_agrees_with_spark(spark, data):
 
     body = data.draw(st.text(alphabet="ab -/*'\"`", max_size=8))
     q = data.draw(st.sampled_from(["'", '"']))
-    lit = q + body.replace(q, q * 2) + q
+    raw = data.draw(st.booleans())
+    if raw:
+        # raw literal: no escapes at all; body may hold backslashes
+        # and comment markers but not the quote itself
+        rbody = data.draw(st.text(alphabet="ab -/*\\", max_size=8))
+        lit = "r" + q + rbody + q
+    else:
+        lit = q + body.replace(q, q * 2) + q
     ident = "`" + data.draw(
         st.text(alphabet="ab-/* ", min_size=1, max_size=6)
     ).replace("`", "``") + "`"
-    block = data.draw(st.sampled_from(["", " /* x -- y */ "]))
+    block = data.draw(st.sampled_from(
+        ["", " /* x -- y */ ", " /* a /* -- b */ c */ "]))
     tail = data.draw(st.sampled_from(["", " -- t\n", " -- t"]))
     stmt = f"SELECT {lit} AS {ident}{block}, 1 AS n{tail}"
     a = spark.sql(stmt)
