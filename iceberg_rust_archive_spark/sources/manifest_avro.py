@@ -17,18 +17,30 @@ Single-value bound encoding by Iceberg type:
   for timestamps is already epoch micros),
 - date → 4-byte LE days since 1970-01-01 (in-memory bound is an ISO
   string; converted on encode, restored on decode),
-- anything else (e.g. decimal-as-string) → UTF-8 of ``str(value)``,
-  a documented deviation (the spec wants unscaled big-endian ints for
-  decimals; the testdata schemas carry none).
+- decimal(P,S) → minimum-length two's-complement BIG-endian unscaled
+  int, exactly the spec's Appendix D encoding (r13 — decimal bounds
+  only became harvestable with the walker-first footer parse). The
+  per-file ``bound-types`` metadata tags these ``decimal-binary(P,S)``
+  so pre-r13 manifests — which encoded decimals as UTF-8 ``str(value)``
+  under the plain ``decimal(P,S)`` tag — keep decoding on their legacy
+  path (manifests are immutable; the tag travels with the file),
+- anything else → UTF-8 of ``str(value)``.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _dec
 import json
+import re as _re
 import struct
 
 _EPOCH = _dt.date(1970, 1, 1)
+
+
+def _decimal_scale(t: str) -> int:
+    m = _re.search(r"\((\d+)\s*,\s*(\d+)\)", t)
+    return int(m.group(2)) if m else 0
 
 
 # ---------------------------------------------------------------------------
@@ -55,6 +67,16 @@ def encode_bound(value, ice_type: str | None) -> bytes:
         return struct.pack("<i", int(value))
     if t == "string":
         return str(value).encode("utf-8")
+    if t.startswith("decimal-binary"):
+        scale = _decimal_scale(t)
+        unscaled = _dec.Decimal(str(value)).scaleb(scale)
+        n = int(unscaled)
+        if n != unscaled:
+            raise ValueError(
+                f"decimal bound {value!r} not representable at scale "
+                f"{scale} — rounding a bound would un-bound it")
+        length = max(1, (n.bit_length() + 8) // 8)
+        return n.to_bytes(length, "big", signed=True)
     # value-typed fallback (no schema context / exotic type)
     if isinstance(value, bool):
         return b"\x01" if value else b"\x00"
@@ -82,6 +104,17 @@ def decode_bound(data: bytes, ice_type: str | None):
     if t == "date":
         return (_EPOCH + _dt.timedelta(
             days=struct.unpack("<i", data)[0])).isoformat()
+    if t.startswith("decimal-binary"):
+        return _dec.Decimal(
+            int.from_bytes(data, "big", signed=True)
+        ).scaleb(-_decimal_scale(t))
+    if t.startswith("decimal"):
+        # pre-r13 manifests: UTF-8 str(value) — parse back to a typed
+        # Decimal so old tables' decimal bounds prune too
+        try:
+            return _dec.Decimal(data.decode("utf-8"))
+        except (UnicodeDecodeError, _dec.InvalidOperation):
+            return data.decode("utf-8", errors="replace")
     return data.decode("utf-8")
 
 

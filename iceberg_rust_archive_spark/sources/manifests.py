@@ -46,6 +46,13 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
     pfields = mavro.partition_avro_fields(partition_field_names, partitions)
     schema = mavro.manifest_entry_schema(pfields)
     ftypes = dict(mavro.field_types_from_schema_json(schema_json))
+    # NEW manifests encode decimal bounds per the spec's Appendix D
+    # (minimal big-endian unscaled int); the tag in this file's own
+    # bound-types metadata says so, keeping pre-r13 str-encoded
+    # manifests on their legacy decode path (manifests are immutable)
+    ftypes = {fid: ("decimal-binary" + t[len("decimal"):]
+                    if t.startswith("decimal(") else t)
+              for fid, t in ftypes.items()}
     # bound fields the schema doesn't cover (schema-less callers, dropped
     # columns): infer the encoding from the value and record it in the
     # container metadata so decode stays symmetric

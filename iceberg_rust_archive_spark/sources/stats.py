@@ -511,37 +511,45 @@ def harvest_one(path: str, field_ids: dict[str, int],
                 partition: dict | None = None,
                 content: int = CONTENT_DATA,
                 equality_ids: tuple[int, ...] | None = None) -> DataFile:
-    """Read one footer with pyarrow; aggregate row-group stats per column.
+    """Read one footer and aggregate row-group stats per column.
     ``field_ids`` maps column name → iceberg field id. ORC files (by
-    extension) route to the Arrow-reduction harvester."""
+    extension) route to the Arrow-reduction harvester.
+
+    Parquet footers parse WALKER-FIRST (r13): the thrift compact-
+    protocol walker decodes strictly more than pyarrow's statistics
+    API — INT32/INT64-backed decimal bounds (how Spark writes every
+    decimal at precision ≤ 18; pyarrow only decodes FLBA decimal
+    stats, so engine decimal columns harvested NO bounds and a price
+    predicate never pruned a file), INT96 null counts, and footers
+    carrying annotations pyarrow can't open at all (v3 VARIANT).
+    Equality with pyarrow on its decodable surface is property-tested
+    per round (tests/test_footer_walker.py); pyarrow remains the
+    fallback for anything the walker refuses (and for non-local paths,
+    where ``open()`` can't reach the bytes)."""
     if path.endswith(".orc"):
         return _harvest_one_orc(path, field_ids, partition, content,
                                 equality_ids)
+    if "://" not in path or path.startswith("file:"):
+        try:
+            nrows, rg_chunks, group_fids = _walk_parquet_stats(
+                path, field_ids)
+            return _reduce_chunks(
+                rg_chunks, nrows, group_fids, path, field_ids,
+                partition, content, equality_ids)
+        except Exception:  # noqa: BLE001 — malformed/exotic footer
+            pass
     import pyarrow.parquet as pq
 
     try:
         pf = pq.ParquetFile(path)
     except OSError as e:
         if "LogicalType" in str(e):
-            # pyarrow predates a logical type in the footer (Spark
-            # writes the v3 VARIANT annotation; pyarrow 16 can't parse
-            # it) — harvest stats with the dependency-free thrift
-            # footer walker instead, so file pruning and the
-            # metadata-count fast path still engage on the NON-variant
-            # columns (the variant leaves carry no field-id mapping and
-            # no usable order anyway). At 100 TB a variant table that
-            # full-scans on every predicate because one column's
-            # annotation is unparseable would be a real regression.
-            try:
-                nrows, rg_chunks, group_fids = _walk_parquet_stats(
-                    path, field_ids)
-                return _reduce_chunks(
-                    rg_chunks, nrows, group_fids, path, field_ids,
-                    partition, content, equality_ids)
-            except Exception:  # noqa: BLE001 — malformed footer etc.
-                pass
-            # Last-resort degrade: a stats-less DataFile with the exact
-            # record count from the minimal num_rows walker.
+            # pyarrow predates a logical type in the footer AND the
+            # walker above already refused — last-resort degrade: a
+            # stats-less DataFile with the exact record count from the
+            # minimal num_rows walker. No bounds means pruning and the
+            # metadata-count fast path don't engage for this file;
+            # correctness is unaffected (residual filters re-apply).
             nrows = _parquet_num_rows(path)
             # value_counts MUST still record which fields the file has:
             # the v3 initial-default fill detects pre-column files by a

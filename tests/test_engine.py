@@ -1735,6 +1735,59 @@ def test_timestamp_columns_write_int64_micros_and_prune(spark, tmp_path):
     assert rep["data_files_planned"] == 1 and out.count() == 1
 
 
+def test_decimal_bounds_harvest_roundtrip_and_prune(spark, tmp_path):
+    """r13: Spark writes decimal(P≤18) as INT64-backed parquet, whose
+    statistics pyarrow's API drops — decimal columns harvested NO
+    bounds and a price predicate never pruned. The walker-first harvest
+    decodes them; manifests now encode decimal bounds per the spec's
+    Appendix D (minimal big-endian unscaled int, tagged decimal-binary
+    in the file's own bound-types so legacy str-encoded manifests keep
+    decoding); pruning and the metadata-only count engage."""
+    import decimal
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.sources.manifest_avro import (
+        decode_bound, encode_bound,
+    )
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    # codec units: spec encoding incl. negatives; legacy str decode
+    assert encode_bound(decimal.Decimal("10.50"),
+                        "decimal-binary(12,2)") == b"\x04\x1a"
+    assert encode_bound(decimal.Decimal("-5.75"),
+                        "decimal-binary(12,2)") == b"\xfd\xc1"
+    assert decode_bound(b"\x04\x1a", "decimal-binary(12,2)") \
+        == decimal.Decimal("10.50")
+    # pre-r13 manifests carried str(value) under the plain decimal tag
+    assert decode_bound(b"10.50", "decimal(12,2)") \
+        == decimal.Decimal("10.50")
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.dec (k BIGINT, price DECIMAL(12,2))")
+    for k, p in [(1, "10.50"), (2, "99.25"), (3, "-5.75")]:
+        eng.sql(f"INSERT INTO db.dec VALUES ({k}, {p})")
+    t = eng.load_table("db.dec")
+    p_id = t.metadata.current_schema().field_by_name("price").field_id
+    files = [en.data_file
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)]
+    assert {str(f.lower_bounds[p_id]) for f in files} \
+        == {"10.50", "99.25", "-5.75"}
+    assert all(isinstance(f.lower_bounds[p_id], decimal.Decimal)
+               for f in files)
+    for pred, rows in [(Pred("price", ">", 50), 1),
+                       (Pred("price", "<", 0), 1)]:
+        rep = {}
+        assert t.scan(spark, filter=[pred], report=rep).count() == rows
+        assert rep["data_files_planned"] == 1
+        assert t.count(spark, filter=[pred]) == rows
+
+
 def test_global_eq_delete_rides_unpartitioned_spec(spark, tmp_path):
     """Spec conformance (r12 advice): a GLOBAL equality delete on a
     partitioned table is expressed via an UNPARTITIONED partition spec

@@ -74,16 +74,25 @@ def _tables(draw):
     tbl = pa.table(dict(zip([f.name for f in fields], arrays)))
     rg_size = draw(st.integers(1, 9))
     comp = draw(st.sampled_from(["NONE", "SNAPPY", "ZSTD"]))
-    return tbl, rg_size, comp
+    # sometimes suppress statistics for a column subset — exercises the
+    # poison-on-missing-min/max and all-or-nothing null_count rules in
+    # the shared reduction (a file with stats on SOME columns only)
+    if draw(st.booleans()):
+        stats_cols = [f.name for f in fields
+                      if draw(st.booleans())] or True
+    else:
+        stats_cols = True
+    return tbl, rg_size, comp, stats_cols
 
 
 @settings(max_examples=120, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_tables())
 def test_walker_harvest_equals_pyarrow(tmp_path_factory, spec):
-    tbl, rg_size, comp = spec
+    tbl, rg_size, comp, stats_cols = spec
     path = str(tmp_path_factory.mktemp("fw") / "f.parquet")
-    pq.write_table(tbl, path, row_group_size=rg_size, compression=comp)
+    pq.write_table(tbl, path, row_group_size=rg_size, compression=comp,
+                   write_statistics=stats_cols)
     fids = {name: i + 1 for i, name in enumerate(tbl.column_names)}
 
     via_pyarrow = harvest_one(path, fids)
