@@ -14,6 +14,7 @@ string, datetime → epoch micros, so comparisons are plain Python ``<``/``>``.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math as _math
 from dataclasses import dataclass
 
@@ -166,6 +167,23 @@ def _range_overlaps(op: str, lit, lo, hi, contains_null=False) -> bool:
     except TypeError:
         return True  # incomparable types → keep
     return True
+
+
+def _align_decimal_bounds(lit, lo, hi):
+    """FLOAT literal vs DECIMAL bounds: Python compares the pair
+    exactly (float expands to its binary rational), but Spark promotes
+    the decimal column to DOUBLE — so a boundary literal like ``0.57``
+    (binary ≈ 0.56999…) matches rows Python's exact order says it
+    shouldn't, and an exact-space prune would drop their file. Compare
+    in double space instead: ``float(Decimal)`` rounds monotonically,
+    so the converted bounds still bound every row's double cast."""
+    vals = lit if isinstance(lit, (list, tuple)) else [lit]
+    if any(isinstance(v, float) for v in vals):
+        if isinstance(lo, _decimal.Decimal):
+            lo = float(lo)
+        if isinstance(hi, _decimal.Decimal):
+            hi = float(hi)
+    return lo, hi
 
 
 def _nan_blind(op: str, lit, ftype) -> bool:
@@ -341,6 +359,7 @@ def prune_datafiles(preds: list[Pred], schema: Schema,
             # contain nulls": with bounds present but nulls unrecorded,
             # `IS NULL` would otherwise prune a file that holds null rows
             contains_null = True if nulls is None else bool(nulls)
+            lo, hi = _align_decimal_bounds(lit, lo, hi)
             if not _range_overlaps(p.op, lit, lo, hi, contains_null):
                 keep = False
                 break
@@ -388,6 +407,7 @@ def file_fully_matches(preds: list[Pred], schema: Schema,
             return False
         lit = _norm_literal(p.value, fld.field_type) if p.op != "in" \
             else [_norm_literal(v, fld.field_type) for v in p.value]
+        lo, hi = _align_decimal_bounds(lit, lo, hi)
         try:
             ok = {
                 "=": lambda: lo == hi == lit,

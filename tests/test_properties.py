@@ -1028,7 +1028,7 @@ def test_sub_outside_quotes_preserves_literals(exprs):
                            st.integers(0, 1500)),
                  min_size=1, max_size=6),
         min_size=1, max_size=3),
-    col=st.sampled_from(["k", "d"]),
+    col=st.sampled_from(["k", "d", "price"]),
     op=st.sampled_from(["=", "<", "<=", ">", ">=", "is_null", "not_null"]),
     lit=st.integers(-40, 1400),
 )
@@ -1037,11 +1037,14 @@ def test_variant_table_pruning_soundness_e2e(spark, tmp_path_factory,
     """End-to-end soundness of file pruning over WALKER-harvested stats
     (r13): variant-table footers are unreadable to pyarrow, so every
     bound/null count these scans prune on came from the thrift footer
-    walker. For random multi-file tables (nullable bigint + date +
-    variant) and random predicates, the pruned scan must return exactly
-    the rows a full scan + Spark filter returns, and the metadata-only
-    count must agree."""
+    walker — including the DECIMAL column (int64-backed, whose stats
+    only the walker decodes; bounds round-trip Appendix-D-encoded
+    through the manifest). For random multi-file tables and random
+    predicates, the pruned scan must return exactly the rows a full
+    scan + Spark filter returns, and the metadata-only count must
+    agree."""
     import datetime as dtm
+    import decimal as dec
 
     from iceberg_rust_archive_spark.catalog import FileCatalog
     from iceberg_rust_archive_spark.plans.engine import Engine
@@ -1050,36 +1053,49 @@ def test_variant_table_pruning_soundness_e2e(spark, tmp_path_factory,
     eng = Engine(spark, FileCatalog(
         str(tmp_path_factory.mktemp("vprune") / "wh")))
     eng.sql("CREATE SCHEMA db")
-    eng.sql("CREATE TABLE db.vp (k BIGINT, d DATE, p VARIANT)")
+    eng.sql("CREATE TABLE db.vp (k BIGINT, d DATE, "
+            "price DECIMAL(10,2), p VARIANT)")
     rows = []
     for chunk in chunks:
         vals = ", ".join(
             ("(NULL, " if k is None else f"({k}, ")
             + f"date_add(date'2020-01-01', {dd}), "
+            + f"cast({dd - 700} as decimal(10,2)) / 100, "
             + f"parse_json('{dd}'))" for k, dd in chunk)
         eng.sql("INSERT INTO db.vp VALUES " + vals
                 .replace("(NULL, ", "(CAST(NULL AS BIGINT), "))
         rows += chunk
     t = eng.load_table("db.vp")
 
-    if col == "k":
-        pv = lit
-        py = lambda r: r[0]  # noqa: E731
-    else:
+    def key(r):
+        if col == "k":
+            return r[0]
+        if col == "d":
+            return r[1]
+        return dec.Decimal(r[1] - 700) / 100  # price, exact 2-dec
+
+    if col == "d":
         pv = (dtm.date(2020, 1, 1) + dtm.timedelta(days=lit)).isoformat()
-        py = lambda r: r[1]  # noqa: E731
+        plit = lit  # compare in day-offset space (same order)
+        cmp_key = lambda r: r[1]  # noqa: E731
+    elif col == "price":
+        pv = float(lit) / 100
+        plit = dec.Decimal(lit) / 100
+        cmp_key = key
+    else:
+        pv = plit = lit
+        cmp_key = key
 
     if op == "is_null":
-        want = sum(1 for r in rows if py(r) is None)
+        want = sum(1 for r in rows if key(r) is None)
     elif op == "not_null":
-        want = sum(1 for r in rows if py(r) is not None)
+        want = sum(1 for r in rows if key(r) is not None)
     else:
         import operator as _op
         f = {"=": _op.eq, "<": _op.lt, "<=": _op.le,
              ">": _op.gt, ">=": _op.ge}[op]
-        key = (lambda r: r[0]) if col == "k" else (lambda r: r[1])
         want = sum(1 for r in rows
-                   if key(r) is not None and f(key(r), lit))
+                   if cmp_key(r) is not None and f(cmp_key(r), plit))
 
     pred = Pred(col, op, pv if op not in ("is_null", "not_null") else None)
     got = t.scan(spark, filter=[pred]).count()

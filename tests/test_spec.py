@@ -507,3 +507,31 @@ def test_inf_file_is_not_pruned_by_range_predicate(tmp_path):
     f = harvest_one(p, {"x": 1})
     kept = prune_datafiles([Pred("x", ">", 100.0)], schema, [f])
     assert kept == [f]
+
+
+def test_decimal_bounds_float_literal_boundary_not_pruned():
+    """r13: a FLOAT literal against DECIMAL bounds must compare in
+    DOUBLE space (Spark promotes the decimal column to double). The
+    literal 0.57 is binary ~0.56999…; an exact-space compare would say
+    Decimal('0.57') > 0.57 and PRUNE the file whose only row Spark's
+    `price = 0.57` actually matches."""
+    import decimal
+
+    from iceberg_rust_archive_spark.predicates import (
+        Pred, file_fully_matches, prune_datafiles,
+    )
+    from iceberg_rust_archive_spark.spec.manifest import DataFile
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "price", "decimal(10,2)", True),)))
+    d = decimal.Decimal("0.57")
+    f = DataFile(0, "f.parquet", "parquet", {}, 1, 100,
+                 value_counts={1: 1}, null_value_counts={1: 0},
+                 lower_bounds={1: d}, upper_bounds={1: d})
+    for op in ("=", "<=", ">="):
+        assert prune_datafiles([Pred("price", op, 0.57)], schema,
+                               [f]) == [f], op
+        # the metadata-count containment proof agrees with Spark too
+        assert file_fully_matches([Pred("price", op, 0.57)], schema, f), op
+    # exact-typed literals keep exact semantics
+    assert prune_datafiles([Pred("price", "=", d)], schema, [f]) == [f]
