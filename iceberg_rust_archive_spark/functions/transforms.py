@@ -134,8 +134,14 @@ def truncate_value(value, width: int, iceberg_type: str):
     if iceberg_type == "string":
         return value[:width]
     if iceberg_type.startswith("decimal"):
-        unscaled_mod = value % width
-        return value - unscaled_mod
+        # spec: truncate applies to the UNSCALED value (transform.rs /
+        # Iceberg spec Appendix B) — truncate[10] of 12.34 is 12.30
+        # (unscaled 1234 → 1230), NOT 10 (r13 conformance fix; a
+        # foreign reader computing the spec transform for pruning
+        # literals would otherwise mismatch our stored tuples)
+        scale = int(iceberg_type.split(",")[1].rstrip(")").strip())
+        unscaled = int(Decimal(str(value)).scaleb(scale))
+        return Decimal(unscaled - unscaled % width).scaleb(-scale)
     raise TypeError(f"truncate on {iceberg_type!r}")
 
 
@@ -218,6 +224,12 @@ def transform_column(transform: str, col: Column | str,
         w = int(m.group(1))
         if iceberg_type == "string":
             return F.substring(c, 1, w)
+        if iceberg_type.startswith("decimal"):
+            # unscaled-space truncate expressed in value space: step is
+            # W·10^-scale, keeping the decimal type (spec tuple value)
+            scale = int(iceberg_type.split(",")[1].rstrip(")").strip())
+            step = F.lit(Decimal(w).scaleb(-scale))
+            return c - F.pmod(c, step)
         return (c - F.pmod(c, F.lit(w))).cast("long")
     if transform == "year":
         return (F.year(c) - F.lit(1970)).cast("int")

@@ -143,15 +143,7 @@ def _parquet_num_rows(path: str) -> int:
     used when pyarrow's footer parser predates a logical type in the
     file (e.g. Spark's v3 VARIANT annotation). Unknown fields are
     skipped structurally, so new annotations can never break it."""
-    with open(path, "rb") as f:
-        f.seek(-8, os.SEEK_END)
-        tail = f.read(8)
-        if tail[4:] != b"PAR1":
-            raise ValueError(f"not a parquet file: {path}")
-        flen = int.from_bytes(tail[:4], "little")
-        f.seek(-(8 + flen), os.SEEK_END)
-        buf = f.read(flen)
-
+    buf = _footer_buf(path)
     pos = 0
 
     def _uvarint():
@@ -249,6 +241,9 @@ def _parquet_num_rows(path: str) -> int:
 # iceberg-rust/src/file_format/parquet.rs:30-267.
 
 def _footer_buf(path: str) -> bytes:
+    if path.startswith("file:"):
+        import re as _re
+        path = _re.sub(r"^file:/+", "/", path)
     with open(path, "rb") as f:
         f.seek(-8, os.SEEK_END)
         tail = f.read(8)

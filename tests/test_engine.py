@@ -1735,6 +1735,48 @@ def test_timestamp_columns_write_int64_micros_and_prune(spark, tmp_path):
     assert rep["data_files_planned"] == 1 and out.count() == 1
 
 
+def test_decimal_truncate_partitions_spec_conformant(spark, tmp_path):
+    """r13: the spec's truncate[W] on decimal applies to the UNSCALED
+    value — truncate[10] of 12.34 is 12.30 (and of -0.05 is -0.10),
+    not the value-space 10/0 the old cast-to-long computed. A foreign
+    reader computing the spec transform for pruning literals must
+    match our stored tuples or it prunes files that hold matching
+    rows. Both the Spark write expression and the driver-side literal
+    transform agree."""
+    import decimal
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        truncate_value,
+    )
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest, read_manifest_list,
+    )
+
+    assert truncate_value(decimal.Decimal("12.34"), 10,
+                          "decimal(10,2)") == decimal.Decimal("12.30")
+    assert truncate_value(decimal.Decimal("-0.05"), 10,
+                          "decimal(10,2)") == decimal.Decimal("-0.10")
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.tp (k BIGINT, price DECIMAL(10,2)) "
+            "PARTITIONED BY (truncate(10, price))")
+    eng.sql("INSERT INTO db.tp VALUES (1, 12.34), (2, 7.00), (3, -0.05)")
+    t = eng.load_table("db.tp")
+    parts = {en.data_file.partition["price_truncate"]
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)}
+    assert parts == {"12.30", "7.00", "-0.10"}
+    assert sorted((r.k, str(r.price)) for r in
+                  eng.sql("SELECT * FROM db.tp").collect()) \
+        == [(1, "12.34"), (2, "7.00"), (3, "-0.05")]
+    eng.sql("DELETE FROM db.tp WHERE k = 2")
+    assert sorted(r.k for r in
+                  eng.sql("SELECT k FROM db.tp").collect()) == [1, 3]
+
+
 def test_decimal_bounds_harvest_roundtrip_and_prune(spark, tmp_path):
     """r13: Spark writes decimal(P≤18) as INT64-backed parquet, whose
     statistics pyarrow's API drops — decimal columns harvested NO

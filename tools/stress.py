@@ -594,28 +594,6 @@ def q21_shape(spark, sf_dir: str, amp: int):
           f"({_t.perf_counter()-t0:.1f}s, one fact shuffle)")
 
 
-if __name__ == "__main__":
-    main()
-    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from iceberg_rust_archive_spark.session import get_spark
-    spark = get_spark("stress")
-    lsh_occupancy(spark, sf_dir, amp)
-    manifest_fetch_latency()
-    distributed_plan_latency(spark)
-    dv_roundtrip_scale(spark, sf_dir, amp)
-    dv_vs_parquet_default(spark, sf_dir, amp)
-    mv_refresh_loop(spark, sf_dir)
-    union_mv_scale(spark, sf_dir, amp)
-    q21_shape(spark, sf_dir, amp)
-    rewrite_partition_scale(spark, sf_dir, amp)
-    multi_table_txn_scale(spark, sf_dir, amp)
-    stream_initial_mor_scale(spark, sf_dir, amp)
-    mor_commit_depth(spark, sf_dir)
-    update_via_dv_scale(spark, sf_dir, amp)
-    hist_delete_scale(spark, sf_dir, amp)
-
-
 def rewrite_partition_scale(spark, sf_dir: str, amp: int):
     """VERDICT r9 next #6a: prove rewrite_partition is O(selected
     partitions), not O(table) — rewrite ONE month of an amp×-amplified
@@ -1186,3 +1164,29 @@ def variant_stats_scale(spark, sf_dir: str, amp: int):
               f"over {len(paths)} footers")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_rust_archive_spark.session import get_spark
+    spark = get_spark("stress")
+    lsh_occupancy(spark, sf_dir, amp)
+    manifest_fetch_latency()
+    distributed_plan_latency(spark)
+    dv_roundtrip_scale(spark, sf_dir, amp)
+    dv_vs_parquet_default(spark, sf_dir, amp)
+    mv_refresh_loop(spark, sf_dir)
+    union_mv_scale(spark, sf_dir, amp)
+    q21_shape(spark, sf_dir, amp)
+    rewrite_partition_scale(spark, sf_dir, amp)
+    multi_table_txn_scale(spark, sf_dir, amp)
+    stream_initial_mor_scale(spark, sf_dir, amp)
+    mor_commit_depth(spark, sf_dir)
+    update_via_dv_scale(spark, sf_dir, amp)
+    hist_delete_scale(spark, sf_dir, amp)
+    expire_history_scale(spark, sf_dir, amp)
+    substring_dedup_scale(spark, sf_dir, amp)
+    general_merge_scale(spark, sf_dir, amp)
+    variant_stats_scale(spark, sf_dir, amp)
