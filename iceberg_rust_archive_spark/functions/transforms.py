@@ -45,6 +45,17 @@ from iceberg_rust_archive_spark.spec.partition import (
 _EPOCH = _dt.date(1970, 1, 1)
 
 
+def _utc_naive(value):
+    """tz-aware datetime → naive UTC. The spec defines every time
+    transform on the UTC datetime of the instant (values.rs:836-924 goes
+    through epoch micros); a tz-aware literal carrying any other offset
+    must be normalized before field extraction, and ``replace(tzinfo=…)``
+    on an aware value would silently discard its offset."""
+    if isinstance(value, _dt.datetime) and value.tzinfo is not None:
+        return value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return value
+
+
 # --- murmur3_x86_32, seed 0 (matches Iceberg spec appendix B) -------------
 
 def murmur3_32(data: bytes, seed: int = 0) -> int:
@@ -102,6 +113,7 @@ def _single_value_bytes(value, iceberg_type: str) -> bytes:
         return struct.pack("<i", int(value))
     if t in ("time", "timestamp", "timestamptz"):
         if isinstance(value, _dt.datetime):
+            value = _utc_naive(value)
             value = int(value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
         return struct.pack("<q", int(value))
     if t == "string":
@@ -162,6 +174,7 @@ def transform_value(transform: str, value, iceberg_type: str):
     partition tuples of literals."""
     if value is None:
         return None
+    value = _utc_naive(value)
     if transform == "identity":
         if isinstance(value, _dt.datetime):
             return value.isoformat()
@@ -231,6 +244,28 @@ def transform_column(transform: str, col: Column | str,
             step = F.lit(Decimal(w).scaleb(-scale))
             return c - F.pmod(c, step)
         return (c - F.pmod(c, F.lit(w))).cast("long")
+    if iceberg_type == "timestamptz" and transform in (
+            "year", "month", "day", "hour"):
+        # Spec: time transforms on timestamptz apply to the UTC datetime
+        # of the instant (values.rs:836-924 goes through epoch micros).
+        # F.year/F.month/F.to_date extract SESSION-timezone fields from
+        # a TimestampType instant, so a non-UTC session would write
+        # non-conformant partition tuples (probed: 2023-01-01T02:00Z in
+        # an America/New_York session yields year=2022, month=12).
+        # Epoch arithmetic is timezone-free and DST-exact; date_add on
+        # the day ordinal recovers calendar fields for year/month.
+        micros = F.unix_micros(c)
+        if transform == "hour":
+            return F.floor(micros / F.lit(3_600_000_000)).cast("int")
+        days = F.floor(micros / F.lit(86_400_000_000)).cast("int")
+        if transform == "day":
+            return days
+        utc_date = F.date_add(F.lit(_EPOCH), days)
+        if transform == "year":
+            return (F.year(utc_date) - F.lit(1970)).cast("int")
+        # month: reference semantics, no -1 (transform.rs:122-124)
+        return ((F.year(utc_date) - F.lit(1970)) * 12
+                + F.month(utc_date)).cast("int")
     if transform == "year":
         return (F.year(c) - F.lit(1970)).cast("int")
     if transform == "month":
@@ -239,5 +274,8 @@ def transform_column(transform: str, col: Column | str,
     if transform == "day":
         return F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("int")
     if transform == "hour":
-        return F.floor(F.unix_timestamp(c) / 3600).cast("int")
+        # field arithmetic, not unix_timestamp: TIMESTAMP_NTZ fields are
+        # the spec's local datetime and never consult a timezone.
+        return (F.datediff(F.to_date(c), F.lit("1970-01-01")) * 24
+                + F.hour(c)).cast("int")
     raise ValueError(f"unknown transform {transform!r}")

@@ -978,10 +978,15 @@ def add_files(spark: SparkSession, table: Table, paths: list[str],
         aggs = []
         for pf in spec.fields:
             src = schema.field_by_id(pf.source_id)
-            c = transform_column(
-                pf.transform, src.name,
-                src.field_type if isinstance(src.field_type, str)
-                else "string")
+            ftype = (src.field_type if isinstance(src.field_type, str)
+                     else "string")
+            if pf.transform == "identity" and ftype == "timestamptz":
+                # collect() renders TimestampType in the session zone;
+                # the internal tuple repr for timestamps is epoch micros
+                # (timezone-free) — compute it executor-side.
+                c = F.unix_micros(F.col(src.name))
+            else:
+                c = transform_column(pf.transform, src.name, ftype)
             aggs += [F.countDistinct(c).alias(f"__n_{pf.name}"),
                      F.first(c).alias(f"__v_{pf.name}")]
         rows = d.groupBy("__fp").agg(*aggs).collect()

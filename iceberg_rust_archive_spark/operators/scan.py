@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_rust_archive_spark.predicates import (
-    Pred, prune_datafiles, prune_manifests, to_spark_filter,
+    Pred, localize_naive_tstz, prune_datafiles, prune_manifests,
+    to_spark_filter,
 )
 from iceberg_rust_archive_spark.sources.manifests import (
     read_manifest_list, read_manifests,
@@ -347,6 +348,13 @@ def scan(spark: SparkSession, md: TableMetadata,
         if schema_id is not None else md.schemas[md.current_schema_id]
     spark_schema = spark_schema_for(schema.struct)
     spec = md.default_spec()
+    # Naive timestamp literals on timestamptz columns mean SESSION-zone
+    # wall time (Spark's own parser semantics); localize them to UTC
+    # instants once so pruning and the residual agree with Spark under
+    # any session timezone (see localize_naive_tstz).
+    preds = localize_naive_tstz(
+        preds, schema,
+        spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
 
     if report is not None:
         report.clear()

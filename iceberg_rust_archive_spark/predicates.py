@@ -43,10 +43,14 @@ class Pred:
 
 def _norm_literal(v, iceberg_type: str):
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # normalize the INSTANT to naive-UTC first; subtracting an
+            # epoch stamped with the literal's own tzinfo (the previous
+            # code) shifted the result by that zone's offset
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         if iceberg_type == "date":
             return v.date().isoformat()
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, str) and iceberg_type in ("timestamp", "timestamptz"):
@@ -113,6 +117,48 @@ def _pred_lit_ok(p: Pred, iceberg_type: str) -> bool:
     if p.op == "in":
         return all(_lit_type_ok(v, iceberg_type) for v in p.value)
     return _lit_type_ok(p.value, iceberg_type)
+
+
+def localize_naive_tstz(preds: list[Pred], schema, tz_name: str) -> list[Pred]:
+    """Interpret NAIVE timestamp literals on ``timestamptz`` columns in
+    the session timezone — exactly what Spark's parser does with
+    ``TIMESTAMP '…'`` against a TimestampType column — converting them
+    to aware-UTC instants once at plan entry. File bounds for
+    timestamptz are UTC-instant micros, so pruning a naive literal AS
+    UTC under a non-UTC session disagrees with the engine's own filter
+    evaluation: for ``<=`` in a session east of UTC the UTC-read
+    literal falls short of Spark's instant and pruning can drop files
+    holding rows the filter accepts (lost rows). NTZ ``timestamp``
+    columns keep naive literals — their fields ARE the value."""
+    if not preds:
+        return preds
+    try:
+        import zoneinfo
+        tz = zoneinfo.ZoneInfo(tz_name)
+    except Exception:
+        tz = _dt.timezone.utc
+
+    def loc(v):
+        if isinstance(v, str):
+            try:
+                v = _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return v
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
+        return v
+
+    out = []
+    for p in preds:
+        f = schema.field_by_name(p.column) if schema is not None else None
+        if getattr(f, "field_type", None) != "timestamptz" \
+                or p.op in ("is_null", "not_null"):
+            out.append(p)
+        elif p.op == "in" and isinstance(p.value, (list, tuple)):
+            out.append(Pred(p.column, p.op, tuple(loc(v) for v in p.value)))
+        else:
+            out.append(Pred(p.column, p.op, loc(p.value)))
+    return out
 
 
 def to_spark_filter(preds: list[Pred]) -> Column | None:
@@ -186,16 +232,21 @@ def _align_decimal_bounds(lit, lo, hi):
     return lo, hi
 
 
-def _nan_blind(op: str, lit, ftype) -> bool:
+def _nan_blind(op: str, lit, ftype, nan_count=None) -> bool:
     """True when a float/double column's BOUNDS cannot refute the
     predicate: NaN values are excluded from parquet min/max (spec-
     sanctioned), and Spark orders NaN LARGEST — NaN > lit, NaN >= lit,
     and NaN == NaN (eqNullSafe/comparison) are all TRUE. So a hidden
     NaN row can satisfy ``>``/``>=`` in a file whose upper bound says
     otherwise, and a NaN literal can match where ``lo <= NaN`` is
-    plain-Python False. Without harvested nan_value_counts the only
-    sound move is to keep the file."""
+    plain-Python False. Without nan counts the only sound move is to
+    keep the file; a recorded count of exactly ZERO (manifests written
+    by Iceberg-java harvest nan_value_counts / FieldSummary
+    contains_nan) proves there is no hidden NaN and bounds regain
+    their full refuting power."""
     if ftype not in ("float", "double"):
+        return False
+    if nan_count == 0:
         return False
     if op in (">", ">="):
         return True
@@ -256,7 +307,8 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                             src.field_type)
                 except (TypeError, ValueError):
                     continue  # un-transformable literal → keep
-                if _nan_blind(p.op, tlit, src.field_type):
+                if _nan_blind(p.op, tlit, src.field_type,
+                              0 if summary.contains_nan is False else None):
                     continue  # hidden NaN could satisfy the predicate
                 if not _range_overlaps(p.op, tlit, summary.lower_bound,
                                        summary.upper_bound,
@@ -353,7 +405,8 @@ def prune_datafiles(preds: list[Pred], schema: Schema,
                 break
             lit = _norm_literal(p.value, fld.field_type) if p.op != "in" else \
                 [_norm_literal(v, fld.field_type) for v in p.value]
-            if _nan_blind(p.op, lit, fld.field_type):
+            if _nan_blind(p.op, lit, fld.field_type,
+                          f.nan_value_counts.get(fld.field_id)):
                 continue  # hidden NaN could satisfy the predicate
             # UNKNOWN null count (no harvested entry) must read as "may
             # contain nulls": with bounds present but nulls unrecorded,
@@ -397,11 +450,12 @@ def file_fully_matches(preds: list[Pred], schema: Schema,
         if p.op == "not_null":
             continue
         if fld.field_type in ("float", "double") \
-                and p.op in ("=", "<", "<=", "in"):
+                and p.op in ("=", "<", "<=", "in") \
+                and f.nan_value_counts.get(fld.field_id) != 0:
             # a NaN row is invisible to bounds yet FAILS these under
             # Spark's NaN-largest order — full match is unprovable
-            # without nan counts ('>', '>=', '!=' stay provable: a
-            # hidden NaN satisfies them anyway)
+            # unless a harvested nan count proves ZERO NaNs ('>', '>=',
+            # '!=' stay provable: a hidden NaN satisfies them anyway)
             return False
         if lo is None or hi is None:
             return False

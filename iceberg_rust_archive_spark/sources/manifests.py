@@ -21,6 +21,7 @@ partition ranges survive manifest-list pruning.
 from __future__ import annotations
 
 import json
+import math
 import os
 import uuid
 
@@ -74,10 +75,20 @@ def write_manifest(metadata_dir: str, entries: list[ManifestEntry],
         values = [e.data_file.partition.get(name) for e in entries
                   if e.status != 2]
         non_null = [v for v in values if v is not None]
+        # NaN float partition values: excluded from bounds (a NaN in
+        # min()/max() poisons the comparison chain) and recorded in
+        # contains_nan per the spec, which also lets the NaN-blind
+        # pruning rule refute ``>``/``>=`` when provably NaN-free
+        is_float = any(isinstance(v, float) for v in non_null)
+        nan_seen = any(isinstance(v, float) and math.isnan(v)
+                       for v in non_null)
+        ordered = [v for v in non_null
+                   if not (isinstance(v, float) and math.isnan(v))]
         summaries.append(FieldSummary(
             contains_null=any(v is None for v in values),
-            lower_bound=min(non_null) if non_null else None,
-            upper_bound=max(non_null) if non_null else None))
+            contains_nan=(nan_seen if is_float else None),
+            lower_bound=min(ordered) if ordered else None,
+            upper_bound=max(ordered) if ordered else None))
 
     added = [e for e in entries if e.status == 1]
     existing = [e for e in entries if e.status == 0]

@@ -102,6 +102,7 @@ def _harvest_one_orc(path: str, field_ids: dict[str, int],
     col_sizes: dict[int, int] = {}
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
+    nan_counts: dict[int, int] = {}
     lowers: dict[int, object] = {}
     uppers: dict[int, object] = {}
     mem_total = max(1, tbl.nbytes)
@@ -113,6 +114,12 @@ def _harvest_one_orc(path: str, field_ids: dict[str, int],
         value_counts[fid] = len(col)
         null_counts[fid] = col.null_count
         col_sizes[fid] = max(1, fsize * col.nbytes // mem_total)
+        import pyarrow.types as _pt
+        if _pt.is_floating(col.type):
+            # the data is in hand — exact NaN counts are free here
+            # (writer-independent, unlike the parquet footer inference)
+            nan_counts[fid] = int(pc.sum(
+                pc.is_nan(col).cast("int64"), min_count=0).as_py() or 0)
         if len(col) == col.null_count:
             continue
         try:
@@ -133,8 +140,9 @@ def _harvest_one_orc(path: str, field_ids: dict[str, int],
         partition=partition or {}, record_count=f.nrows,
         file_size_in_bytes=fsize,
         column_sizes=col_sizes, value_counts=value_counts,
-        null_value_counts=null_counts, lower_bounds=lowers,
-        upper_bounds=uppers, equality_ids=equality_ids)
+        null_value_counts=null_counts, nan_value_counts=nan_counts,
+        lower_bounds=lowers, upper_bounds=uppers,
+        equality_ids=equality_ids)
 
 
 def _parquet_num_rows(path: str) -> int:
@@ -502,10 +510,49 @@ def _walk_parquet_stats(path: str, field_ids: dict[str, int]):
     return nrows, rg_chunks, group_fids
 
 
+_NAN_IN_MAX: bool | None = None
+
+
+def writer_nan_in_max(spark) -> bool:
+    """Does THIS session's parquet writer include NaN in the max stat
+    (parquet-mr's Double.compare order puts NaN above everything, so
+    any NaN in a chunk surfaces as ``max = NaN``)? If yes, a decoded
+    NaN-free max PROVES the chunk holds no NaNs and
+    ``nan_value_counts = 0`` becomes a free harvest from the footer —
+    re-enabling ``>``/``>=`` pruning on float/double columns that the
+    NaN-blind rule must otherwise keep (Iceberg-java records nan counts
+    in its writer for exactly this reason). pyarrow's C++ writer SKIPS
+    NaNs when computing stats, so the inference is writer-specific:
+    probed ONCE per process against the actual writer, never assumed
+    from version strings, and applied only to files this engine just
+    wrote (never to add_files registrations of foreign parquet)."""
+    global _NAN_IN_MAX
+    if _NAN_IN_MAX is None:
+        import glob
+        import shutil
+        import tempfile
+        d = tempfile.mkdtemp(prefix="nan-stats-probe-")
+        try:
+            (spark.createDataFrame([(float("nan"),), (1.0,)], "v double")
+             .coalesce(1).write.mode("overwrite").parquet(d))
+            f = glob.glob(os.path.join(d, "*.parquet"))[0]
+            _, rg_chunks, _ = _walk_parquet_stats(f, {"v": 1})
+            mm = rg_chunks[0][0][4]
+            _NAN_IN_MAX = bool(
+                mm is not None and mm is not _UNDECODABLE
+                and isinstance(mm[1], float) and math.isnan(mm[1]))
+        except Exception:  # noqa: BLE001 — probe failure → no inference
+            _NAN_IN_MAX = False
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return _NAN_IN_MAX
+
+
 def harvest_one(path: str, field_ids: dict[str, int],
                 partition: dict | None = None,
                 content: int = CONTENT_DATA,
-                equality_ids: tuple[int, ...] | None = None) -> DataFile:
+                equality_ids: tuple[int, ...] | None = None,
+                nan_zero_ok: bool = False) -> DataFile:
     """Read one footer and aggregate row-group stats per column.
     ``field_ids`` maps column name → iceberg field id. ORC files (by
     extension) route to the Arrow-reduction harvester.
@@ -530,7 +577,7 @@ def harvest_one(path: str, field_ids: dict[str, int],
                 path, field_ids)
             return _reduce_chunks(
                 rg_chunks, nrows, group_fids, path, field_ids,
-                partition, content, equality_ids)
+                partition, content, equality_ids, nan_zero_ok)
         except Exception:  # noqa: BLE001 — malformed/exotic footer
             pass
     import pyarrow.parquet as pq
@@ -607,13 +654,15 @@ def harvest_one(path: str, field_ids: dict[str, int],
         pass
 
     return _reduce_chunks(rg_chunks, meta.num_rows, group_fids, path,
-                          field_ids, partition, content, equality_ids)
+                          field_ids, partition, content, equality_ids,
+                          nan_zero_ok)
 
 
 def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
                    path: str, field_ids: dict[str, int],
                    partition: dict | None, content: int,
-                   equality_ids: tuple[int, ...] | None) -> DataFile:
+                   equality_ids: tuple[int, ...] | None,
+                   nan_zero_ok: bool = False) -> DataFile:
     """Shared row-group→file stats reduction. ``rg_chunks`` is one list
     per row group of ``(leaf_path, num_values, compressed_size,
     null_count|None, minmax)`` where ``minmax`` is ``None`` (no min/max
@@ -635,7 +684,15 @@ def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
     skipped for the LOWER bound — any other group's lower still bounds
     it — and max == -inf symmetrically. null_counts are likewise
     all-or-nothing per column: a partial sum would understate nulls and
-    let ``IS NULL`` pruning drop files that hold null rows."""
+    let ``IS NULL`` pruning drop files that hold null rows.
+
+    ``nan_zero_ok`` (set only for files THIS engine just wrote, after
+    ``writer_nan_in_max`` probed the session's writer): a float/double
+    column whose every chunk carries decodable, NaN-free min/max under
+    a NaN-in-max writer provably holds zero NaNs — record
+    ``nan_value_counts[fid] = 0`` so the NaN-blind pruning rule
+    (predicates._nan_blind) regains ``>``/``>=`` refutation and
+    ``Table.count`` regains ``<``/``<=``/``=`` full-match proofs."""
     col_sizes: dict[int, int] = {}
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
@@ -644,6 +701,8 @@ def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
     no_lower: set[int] = set()
     no_upper: set[int] = set()
     no_nulls: set[int] = set()
+    float_fids: set[int] = set()   # saw a float-decoded stat
+    nan_tainted: set[int] = set()  # a chunk missing stats or showing NaN
     for chunks in rg_chunks:
         for name, n_vals, compressed, nc, mm in chunks:
             fid = field_ids.get(name)
@@ -656,10 +715,18 @@ def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
             else:
                 null_counts[fid] = null_counts.get(fid, 0) + nc
             if mm is None or mm is _UNDECODABLE:
+                # all-null chunks record no min/max yet hold no NaNs
+                if nc is None or nc != n_vals:
+                    nan_tainted.add(fid)
                 no_lower.add(fid)
                 no_upper.add(fid)
                 continue
             raw_lo, raw_hi = mm
+            if isinstance(raw_lo, float) or isinstance(raw_hi, float):
+                float_fids.add(fid)
+                if any(isinstance(v, float) and math.isnan(v)
+                       for v in (raw_lo, raw_hi)):
+                    nan_tainted.add(fid)
             try:
                 lo, hi = _norm_bound(raw_lo), _norm_bound(raw_hi)
             except Exception:  # noqa: BLE001
@@ -685,20 +752,24 @@ def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
                    if fid not in no_nulls}
     for fid in group_fids:
         value_counts.setdefault(fid, num_rows)
+    nan_counts = {fid: 0 for fid in float_fids - nan_tainted} \
+        if nan_zero_ok else {}
 
     return DataFile(
         content=content, file_path=path, file_format="parquet",
         partition=partition or {}, record_count=num_rows,
         file_size_in_bytes=os.path.getsize(path),
         column_sizes=col_sizes, value_counts=value_counts,
-        null_value_counts=null_counts, lower_bounds=lowers,
-        upper_bounds=uppers, equality_ids=equality_ids)
+        null_value_counts=null_counts, nan_value_counts=nan_counts,
+        lower_bounds=lowers, upper_bounds=uppers,
+        equality_ids=equality_ids)
 
 
 def harvest_files(spark, paths_with_partitions: list[tuple[str, dict]],
                   field_ids: dict[str, int], content: int = CONTENT_DATA,
                   equality_ids: tuple[int, ...] | None = None,
-                  distributed_threshold: int = 512) -> list[DataFile]:
+                  distributed_threshold: int = 512,
+                  nan_zero_ok: bool = False) -> list[DataFile]:
     """Harvest many footers; distributes to executors above the threshold.
     Below it, a driver-side thread pool is faster than a Spark job —
     footer reads are I/O + C parsing and release the GIL; the job
@@ -709,12 +780,13 @@ def harvest_files(spark, paths_with_partitions: list[tuple[str, dict]],
         with ThreadPoolExecutor(max_workers=min(16, max(len(items), 1))) as ex:
             return list(ex.map(
                 lambda it: harvest_one(it[0], field_ids, it[1], content,
-                                       equality_ids), items))
+                                       equality_ids, nan_zero_ok), items))
     sc = spark.sparkContext
     n_slices = min(len(items), 256)
 
     def _do(batch):
-        return [harvest_one(p, field_ids, part, content, equality_ids).to_json()
+        return [harvest_one(p, field_ids, part, content, equality_ids,
+                            nan_zero_ok).to_json()
                 for p, part in batch]
 
     jsons = sc.parallelize(items, n_slices).mapPartitions(

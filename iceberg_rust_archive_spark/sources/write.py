@@ -35,7 +35,9 @@ from iceberg_rust_archive_spark.spec.manifest import (
 from iceberg_rust_archive_spark.spec.schema import Schema
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
 from iceberg_rust_archive_spark.spec.types import spark_schema_for
-from iceberg_rust_archive_spark.sources.stats import harvest_files
+from iceberg_rust_archive_spark.sources.stats import (
+    harvest_files, writer_nan_in_max,
+)
 
 _P_PREFIX = "_p_"
 
@@ -143,6 +145,10 @@ def _partition_value_from_str(s: str, transform: str, source_type: str):
     if source_type == "boolean":
         return s.lower() == "true"
     if source_type in ("timestamp", "timestamptz"):
+        try:
+            return int(s)  # epoch-micros carrier (identity timestamptz)
+        except ValueError:
+            pass
         import datetime as _dt
         dt = _dt.datetime.fromisoformat(s.replace(" ", "T"))
         return int((dt.replace(tzinfo=None)
@@ -269,10 +275,18 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     spec_fields = []
     for pf, src in derivable:
         cname = _P_PREFIX + pf.name
-        df = df.withColumn(
-            cname, transform_column(pf.transform, src.name,
-                                    src.field_type if
-                                    isinstance(src.field_type, str) else "string"))
+        ftype = (src.field_type if isinstance(src.field_type, str)
+                 else "string")
+        if pf.transform == "identity" and ftype == "timestamptz":
+            # partitionBy renders a TimestampType directory value in the
+            # SESSION timezone; carry epoch micros instead so the dir
+            # string — and the tuple parsed back from it — is
+            # timezone-free (the internal tuple repr for timestamps IS
+            # epoch micros, see _partition_value_from_str).
+            pcol = F.unix_micros(F.col(src.name))
+        else:
+            pcol = transform_column(pf.transform, src.name, ftype)
+        df = df.withColumn(cname, pcol)
         pcols.append(cname)
         spec_fields.append((pf, src))
 
@@ -401,8 +415,14 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
         items = moved
 
     field_ids = {f.name: f.field_id for f in schema.fields}
+    # Footer-derived zero-NaN proofs apply only to files WE just wrote
+    # (the inference is writer-specific — see writer_nan_in_max); probe
+    # the session's writer once, and only when a float column exists.
+    nan_ok = fmt == "parquet" and any(
+        f.field_type in ("float", "double") for f in schema.fields
+        if isinstance(f.field_type, str)) and writer_nan_in_max(spark)
     harvested = harvest_files(spark, items, field_ids, content,
-                              equality_ids)
+                              equality_ids, nan_zero_ok=nan_ok)
     # Spark's writer can emit a zero-row file for an empty leading task
     # (seen with unrepartitioned skinny delete sets); committing it
     # would add a dead path to every merge-on-read relation forever.

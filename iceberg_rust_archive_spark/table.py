@@ -135,6 +135,14 @@ class Table:
         if snap is None:
             return 0
         spec = md.default_spec()
+        if preds:
+            from iceberg_rust_archive_spark.predicates import (
+                localize_naive_tstz,
+            )
+            preds = localize_naive_tstz(
+                preds, schema,
+                (spark.conf.get("spark.sql.session.timeZone", "UTC")
+                 if spark is not None else "UTC") or "UTC")
         mlist = [m for m in read_manifest_list(snap.manifest_list)
                  if m in prune_manifests(
                      preds, md.partition_specs.get(

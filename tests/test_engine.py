@@ -4045,3 +4045,182 @@ def test_comment_stripper_agrees_with_spark(spark, data):
     b = spark.sql(_strip_sql_comments(stmt))
     assert a.schema == b.schema
     assert a.collect() == b.collect()
+
+
+# --- timestamptz transforms: session-timezone independence (r13) ----------
+
+TSTZ_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "id", "long", True),
+    NestedField(2, "ts", "timestamptz", True),
+    NestedField(3, "amount", "int", True),
+)))
+
+_TZ_INSTANTS = [
+    dt.datetime(2023, 1, 1, 2, 0, tzinfo=dt.timezone.utc),     # NY: 2022-12-31
+    dt.datetime(1969, 12, 31, 23, 30, tzinfo=dt.timezone.utc),  # pre-epoch
+    dt.datetime(2020, 7, 4, 3, 59, 59, tzinfo=dt.timezone.utc),  # NY DST
+]
+
+
+def test_timestamptz_transforms_tz_independent(spark):
+    """Spec: time transforms on timestamptz apply to the UTC datetime
+    (values.rs:836-924 goes through epoch micros). F.year/F.month/
+    F.to_date extract SESSION-zone fields from an instant, so before the
+    epoch-arithmetic rewrite a non-UTC session computed 2023-01-01T02:00Z
+    as year=2022/month=12 — non-conformant tuples AND wrong pruning."""
+    from iceberg_rust_archive_spark.functions.transforms import (
+        transform_column, transform_value,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_TZ_INSTANTS)], "i int, ts timestamp")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            results[tz] = (df.select("i", *[
+                transform_column(tr, "ts", "timestamptz").alias(tr)
+                for tr in ("year", "month", "day", "hour")])
+                .orderBy("i").collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert results["UTC"] == results["America/New_York"] \
+        == results["Asia/Kathmandu"]
+    for row, v in zip(results["UTC"], _TZ_INSTANTS):
+        for tr in ("year", "month", "day", "hour"):
+            assert row[tr] == transform_value(tr, v, "timestamptz"), (tr, v)
+
+
+def test_timestamptz_partitioned_write_non_utc_session(spark, catalog):
+    """End-to-end: a month(timestamptz) table written from an
+    America/New_York session must carry the UTC month ordinals in its
+    partition tuples, prune by them, and read back the exact instants."""
+    spec = PartitionSpec(0, (PartitionField(2, 1000, "ts_month", "month"),))
+    t = Table.create(catalog, "db.tzmonth", TSTZ_SCHEMA, spec)
+    rows = [(1, dt.datetime(2023, 1, 1, 2, 0, tzinfo=dt.timezone.utc), 10),
+            (2, dt.datetime(2022, 12, 31, 21, 0, tzinfo=dt.timezone.utc), 20)]
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t.append(spark, spark.createDataFrame(rows, ["id", "ts", "amount"]))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+    parts = {en.data_file.partition["ts_month"]
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)}
+    # reference month semantics (no -1): 2023-01 → 637, 2022-12 → 636
+    assert parts == {636, 637}
+    # pruning engages on the UTC ordinal: only the 2023-01 file planned
+    report = {}
+    got = t.scan(spark, filter=[Pred(
+        "ts", ">=", dt.datetime(2023, 1, 1, tzinfo=dt.timezone.utc))],
+        report=report).collect()
+    assert [r.id for r in got] == [1]
+    assert report["data_files_planned"] == 1
+    # full read returns the exact instants (value-preserving round trip)
+    utc = {r.id: r.ts.replace(tzinfo=dt.timezone.utc)
+           if r.ts.tzinfo is None else r.ts.astimezone(dt.timezone.utc)
+           for r in t.scan(spark).collect()}
+    assert utc == {1: rows[0][1], 2: rows[1][1]}
+
+
+def test_timestamptz_identity_partition_tuple_is_micros(spark, catalog):
+    """identity(timestamptz) partition values must be timezone-free:
+    partitionBy renders TimestampType dirs in the session zone, so the
+    write path carries epoch micros instead (the internal tuple repr)."""
+    spec = PartitionSpec(0, (PartitionField(2, 1000, "ts", "identity"),))
+    t = Table.create(catalog, "db.tzident", TSTZ_SCHEMA, spec)
+    inst = dt.datetime(2023, 6, 1, 12, 30, tzinfo=dt.timezone.utc)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t.append(spark, spark.createDataFrame([(1, inst, 5)],
+                                              ["id", "ts", "amount"]))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+    parts = {en.data_file.partition["ts"]
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)}
+    assert parts == {int(inst.timestamp() * 1_000_000)}
+    got = t.scan(spark).collect()
+    assert len(got) == 1 and got[0].amount == 5
+
+
+def test_timestamptz_naive_literal_session_semantics(spark, catalog):
+    """A NAIVE timestamp literal on a timestamptz column means the
+    SESSION-zone wall time (Spark parser semantics). Pruning must use
+    the same instant: reading '2022-12-31 20:00:00' as UTC in an
+    America/New_York session (-05) would prune the 2023-01 partition
+    whose 00:30Z row Spark's own filter accepts — lost rows."""
+    spec = PartitionSpec(0, (PartitionField(2, 1000, "ts_month", "month"),))
+    t = Table.create(catalog, "db.tznaive", TSTZ_SCHEMA, spec)
+    utc = dt.timezone.utc
+    rows = [(1, dt.datetime(2022, 12, 15, 12, 0, tzinfo=utc), 1),
+            (2, dt.datetime(2023, 1, 1, 0, 30, tzinfo=utc), 2),   # in range
+            (3, dt.datetime(2023, 1, 2, 12, 0, tzinfo=utc), 3)]   # out
+    t.append(spark, spark.createDataFrame(rows, ["id", "ts", "amount"]))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        lit = "2022-12-31 20:00:00"  # NY wall time == 2023-01-01T01:00Z
+        got = sorted(r.id for r in t.scan(
+            spark, filter=[Pred("ts", "<=", lit)]).collect())
+        # Spark's own evaluation of the same naive literal is the oracle
+        # (SQL TIMESTAMP '…' — Catalyst parses it in the session zone;
+        # note F.lit(python datetime) would be a THIRD interpretation,
+        # the Python process zone, which is why preds carry instants
+        # after localize_naive_tstz)
+        import pyspark.sql.functions as F
+        want = sorted(r.id for r in t.scan(spark).where(
+            F.expr(f"ts <= TIMESTAMP '{lit}'")).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert got == want == [1, 2]
+
+
+def test_nan_zero_counts_enable_float_pruning(spark, catalog):
+    """Float/double bounds can't refute ``>``/``>=`` while a hidden NaN
+    may lurk (Spark orders NaN largest). Spark's parquet-mr writer puts
+    NaN in the max stat, so a NaN-free decoded max PROVES zero NaNs —
+    harvested as nan_value_counts=0 (probed per process, applied only
+    to engine-written files) and consumed by the NaN-blind rule."""
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+    from iceberg_rust_archive_spark.sources.stats import writer_nan_in_max
+    assert writer_nan_in_max(spark) is True
+
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "id", "long", True),
+        NestedField(2, "v", "double", True))))
+    t = Table.create(catalog, "db.nanz", schema, PartitionSpec(0, ()))
+    t.append(spark, spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], ["id", "v"]).coalesce(1))
+    t.append(spark, spark.createDataFrame(
+        [(3, float("nan")), (4, 2.0)], ["id", "v"]).coalesce(1))
+    files = [en.data_file
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)]
+    assert len(files) == 2
+    clean = next(f for f in files if f.upper_bounds.get(2) == 2.5)
+    nanf = next(f for f in files if f is not clean)
+    # avro-roundtripped: zero-NaN proof on the clean file only
+    assert clean.nan_value_counts.get(2) == 0
+    assert 2 not in nanf.nan_value_counts
+    # NaN poisons the max stat → upper bound dropped; min stays valid
+    assert 2 not in nanf.upper_bounds and nanf.lower_bounds.get(2) == 2.0
+    # `v > 100` can now refute the clean file; the NaN file must stay
+    # planned (its hidden NaN satisfies NaN-largest `>`)
+    report = {}
+    got = t.scan(spark, filter=[Pred("v", ">", 100.0)],
+                 report=report).collect()
+    assert [r.id for r in got] == [3]
+    assert report["data_files_planned"] == 1
+    # metadata-count full-match proof re-enabled for `<` on the clean
+    # file; the NaN file still needs the residual read (row 3 fails)
+    assert t.count(spark, filter=[Pred("v", "<", 100.0)]) == 3
