@@ -52,9 +52,16 @@ def _two_scenarios(s, d, fn_a, fn_b):
 
 
 def _iceberg_transform_pruned(s: SparkSession, d: str) -> DataFrame:
-    """bucket[16] + truncate[100] partition pruning (A11/A2), one entry."""
+    """bucket[16] + truncate[100] partition pruning (A11/A2), plus the
+    r13 conformance branches: day(timestamptz) written/scanned under a
+    NON-UTC session (UTC-epoch transform proof) and zero-NaN footer
+    proofs pruning a float ``>`` predicate. Four labeled branches, one
+    entry. The tz branch mutates the session zone inside its own
+    window, so it pairs with the timestamp-free NaN branch."""
     bdf, tdf = _two_scenarios(s, d, iceberg_queries.iceberg_bucket_pruned,
                               iceberg_queries.iceberg_truncate_pruned)
+    zdf, ndf = _two_scenarios(s, d, iceberg_queries.iceberg_tz_day_pruned,
+                              iceberg_queries.iceberg_nan_pruned)
     b = bdf.select(
         F.lit("bucket").alias("transform"),
         F.col("o_custkey").alias("key"), "n_orders",
@@ -63,7 +70,9 @@ def _iceberg_transform_pruned(s: SparkSession, d: str) -> DataFrame:
         F.lit("truncate").alias("transform"),
         F.col("ckey_mod").alias("key"), "n_orders",
         F.lit(None).cast("double").alias("total"))
-    return b.unionByName(t)
+    z = zdf.select(
+        F.lit("tz_day").alias("transform"), "key", "n_orders", "total")
+    return b.unionByName(t).unionByName(z).unionByName(ndf)
 
 
 def _iceberg_snapshot_reads(s: SparkSession, d: str) -> DataFrame:
@@ -423,6 +432,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'truncate', ckey_mod, n_orders, CAST(NULL AS DOUBLE)
             FROM ({o.pop('iceberg_truncate_pruned')})
+            UNION ALL
+            -- tz_day: the engine wrote/scanned under America/New_York;
+            -- matching this UTC-calendar oracle proves the transforms
+            -- never consulted the session zone
+            SELECT 'tz_day',
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT),
+                   count(*), round(sum(value), 2)
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+            GROUP BY 2
+            UNION ALL
+            -- nan_gt: NaN orders above every number in BOTH engines,
+            -- so the NaN group must survive the > filter while the
+            -- capped clean rows drop out
+            SELECT CASE WHEN nn THEN 'nan_gt:nan' ELSE 'nan_gt:num' END,
+                   CAST(NULL AS BIGINT), count(*),
+                   CASE WHEN nn THEN CAST(NULL AS DOUBLE)
+                        ELSE round(sum(value), 2) END
+            FROM (
+                SELECT isnan(value) AS nn, value FROM (
+                    SELECT CASE
+                        WHEN event_id % 2 = 0 THEN least(value, 100.0)
+                        WHEN event_id % 97 = 3 THEN CAST('NaN' AS DOUBLE)
+                        ELSE value END AS value
+                    FROM events)
+                WHERE value > 150.0)
+            GROUP BY nn
         """,
         "iceberg_snapshot_reads": f"""
             SELECT 'as_of' AS mode, o_orderstatus, n_orders,

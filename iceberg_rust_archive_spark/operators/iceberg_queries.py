@@ -580,3 +580,129 @@ def iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+EVENTS_TZ_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "event_id", "long", True),
+    NestedField(2, "ts", "timestamptz", True),
+    NestedField(3, "value", "double", True),
+)))
+TZ_DAY_SPEC = PartitionSpec(0, (PartitionField(2, 1000, "ts_day", "day"),))
+
+
+def _events_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (event_id, ts AS timestamptz instant, value) where the
+    parquet's naive wall times are read AS UTC — session-independently,
+    so lazy evaluation inside a non-UTC conf window cannot shift values.
+    ``convert_timezone(UTC → current_timezone)`` then a cast reads the
+    wall time back as an instant; both steps cancel any session zone."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "events.parquet")
+    kind = str(pq.read_schema(path).field("ts").type)
+    if kind.startswith("int"):  # INT64 nanos drop: already an instant count
+        df = spark.read.parquet(path)
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        df = (spark.read
+              .schema("event_id long, ts timestamp_ntz, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(path))
+        # BOTH zone-sensitive steps freeze the BUILD-time session zone:
+        # Cast(ntz → timestamp) binds its zoneId at ANALYSIS (DataFrame
+        # construction), so pairing it with runtime current_timezone()
+        # desyncs when the caller mutates the session zone between
+        # build and execution — the pair must come from the same moment
+        sess_tz = spark.conf.get(
+            "spark.sql.session.timeZone", "UTC") or "UTC"
+        ts = F.convert_timezone(
+            F.lit("UTC"), F.lit(sess_tz), F.col("ts")).cast("timestamp")
+    return df.select("event_id", ts.alias("ts"), "value")
+
+
+def iceberg_tz_day_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day(timestamptz) partitioning written and scanned under a NON-UTC
+    session (America/New_York), proving the r13 timezone-proofing end to
+    end: partition tuples are the spec's UTC day ordinals (epoch-space
+    transforms, never session-zone field extraction), pruning plans only
+    the predicate's days, and the result matches a DuckDB oracle that
+    computes the same UTC calendar — any session-zone leak shifts rows
+    across day boundaries (the events range crosses midnight constantly)
+    and the value hash catches it."""
+    from iceberg_rust_archive_spark.functions.transforms import (
+        transform_column,
+    )
+    cat, d = _tmp_catalog()
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        t = Table.create(cat, "db.events_tz", EVENTS_TZ_SCHEMA, TZ_DAY_SPEC)
+        src = _events_instants(spark, sf_dir)
+        import datetime as dt
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t.append(spark, src)
+        report: dict = {}
+        df = t.scan(spark, filter=[Pred(
+            "ts", ">=",
+            dt.datetime(2024, 1, 25, tzinfo=dt.timezone.utc))],
+            report=report)
+        out = (df.groupBy(transform_column("day", "ts", "timestamptz")
+                          .cast("long").alias("key"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("value"), 2).alias("total"))
+               .orderBy("key"))
+        rows = out.collect()
+        # pruning evidence: the 30-day January table plans only the
+        # predicate's tail days (metadata-only check, graded rows above)
+        assert 0 < report["data_files_planned"] <= len(rows) + 1, report
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+NAN_SCHEMA = Schema(0, StructTypeSpec((
+    NestedField(1, "event_id", "long", True),
+    NestedField(2, "value", "double", True),
+)))
+
+
+def iceberg_nan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-NaN proofs from footers (r13): two appends — one NaN-free
+    with values capped at 100, one carrying injected NaNs — then
+    ``value > 150``. The clean file's harvested nan_value_counts=0 lets
+    its bounds refute the predicate (the NaN-blind rule otherwise keeps
+    every float file for ``>``); the NaN file must stay planned because
+    Spark and DuckDB both order NaN above every number — the graded
+    rows split matched rows into NaN and numeric groups."""
+    cat, d = _tmp_catalog()
+    try:
+        t = Table.create(cat, "db.events_nan", NAN_SCHEMA,
+                         PartitionSpec(0, ()))
+        src = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", F.col("value").cast("double").alias("value"))
+        t.append(spark, src.filter(F.col("event_id") % 2 == 0)
+                 .withColumn("value", F.least("value", F.lit(100.0))))
+        t.append(spark, src.filter(F.col("event_id") % 2 == 1)
+                 .withColumn("value", F.when(
+                     F.col("event_id") % 97 == 3,
+                     F.lit(float("nan"))).otherwise(F.col("value"))))
+        full: dict = {}
+        t.scan(spark, report=full)
+        report: dict = {}
+        df = t.scan(spark, filter=[Pred("value", ">", 150.0)],
+                    report=report)
+        assert report["data_files_planned"] < full["data_files_planned"], \
+            (report, full)  # the capped NaN-free file(s) pruned away
+        out = (df.select(F.isnan("value").alias("nn"), "value")
+               .groupBy("nn")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("value"), 2).alias("_t"))
+               .select(F.when(F.col("nn"), F.lit("nan_gt:nan"))
+                       .otherwise(F.lit("nan_gt:num")).alias("transform"),
+                       F.lit(None).cast("long").alias("key"),
+                       "n_orders",
+                       F.when(F.col("nn"), F.lit(None).cast("double"))
+                       .otherwise(F.col("_t")).alias("total")))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -4224,3 +4224,23 @@ def test_nan_zero_counts_enable_float_pruning(spark, catalog):
     # metadata-count full-match proof re-enabled for `<` on the clean
     # file; the NaN file still needs the residual read (row 3 fails)
     assert t.count(spark, filter=[Pred("v", "<", 100.0)]) == 3
+
+
+def test_tz_day_scenario_ambient_session_invariant(spark):
+    """The graded tz_day branch must return identical rows whatever the
+    AMBIENT session zone is when the scenario starts (it mutates the
+    zone internally and restores it; Cast(ntz→timestamp) binds its zone
+    at DataFrame ANALYSIS time, which is why _events_instants freezes
+    the build-time zone into both chain steps)."""
+    from iceberg_rust_archive_spark.operators.iceberg_queries import (
+        iceberg_tz_day_pruned,
+    )
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        a = iceberg_tz_day_pruned(spark, sf).collect()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        b = iceberg_tz_day_pruned(spark, sf).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert a and a == b
