@@ -1101,3 +1101,47 @@ def test_variant_table_pruning_soundness_e2e(spark, tmp_path_factory,
     got = t.scan(spark, filter=[pred]).count()
     assert got == want, (chunks, col, op, lit, got, want)
     assert t.count(spark, filter=[pred]) == want
+
+
+# --- timestamptz transforms: zone independence (r13) -----------------------
+
+_TZ_ZONES = ("UTC", "America/New_York", "Asia/Kathmandu",  # +05:45
+             "Australia/Lord_Howe",  # +10:30 with a 30-min DST shift
+             "Pacific/Kiritimati")   # +14, the extreme east
+
+
+@settings(max_examples=int(
+    __import__("os").environ.get("PROP_EXAMPLES_TZ", "8")), deadline=None)
+@given(
+    micros=st.lists(st.integers(-2_000_000_000_000_000,   # ~1906
+                                4_000_000_000_000_000),   # ~2096
+                    min_size=1, max_size=6),
+    zone=st.sampled_from(_TZ_ZONES),
+    transform=st.sampled_from(["year", "month", "day", "hour"]),
+)
+def test_tstz_transform_column_zone_independent(spark, micros, zone,
+                                                transform):
+    """transform_column on timestamptz must equal the driver-side
+    transform_value (the spec's UTC-epoch semantics) under EVERY session
+    zone — including sub-hour offsets (+05:45) and half-hour DST shifts,
+    where an hour-granular leak would still cancel out. Catches any
+    future reintroduction of session-zone field extraction."""
+    import datetime as dt
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        transform_column, transform_value,
+    )
+    insts = [dt.datetime.fromtimestamp(m / 1e6, tz=dt.timezone.utc)
+             for m in micros]
+    want = [transform_value(transform, v, "timestamptz") for v in insts]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(insts)], "i int, ts timestamp")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        got = [r.t for r in df.select(
+            "i", transform_column(transform, "ts", "timestamptz")
+            .alias("t")).orderBy("i").collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert got == want, (zone, transform, micros)
