@@ -533,14 +533,18 @@ def writer_nan_in_max(spark) -> bool:
         import tempfile
         d = tempfile.mkdtemp(prefix="nan-stats-probe-")
         try:
-            (spark.createDataFrame([(float("nan"),), (1.0,)], "v double")
+            (spark.createDataFrame(
+                [(float("nan"), float("nan")), (1.0, 1.0)],
+                "v double, w float")
              .coalesce(1).write.mode("overwrite").parquet(d))
             f = glob.glob(os.path.join(d, "*.parquet"))[0]
-            _, rg_chunks, _ = _walk_parquet_stats(f, {"v": 1})
-            mm = rg_chunks[0][0][4]
-            _NAN_IN_MAX = bool(
+            _, rg_chunks, _ = _walk_parquet_stats(f, {"v": 1, "w": 2})
+            # BOTH widths must show NaN in max — FloatStatistics and
+            # DoubleStatistics are separate comparators in parquet-mr
+            _NAN_IN_MAX = all(
                 mm is not None and mm is not _UNDECODABLE
-                and isinstance(mm[1], float) and math.isnan(mm[1]))
+                and isinstance(mm[1], float) and math.isnan(mm[1])
+                for mm in (c[4] for c in rg_chunks[0]))
         except Exception:  # noqa: BLE001 — probe failure → no inference
             _NAN_IN_MAX = False
         finally:
