@@ -185,6 +185,29 @@ def _strip_sql_comments(s: str) -> str:
     return "".join(out)
 
 
+def _mask_quoted(s: str) -> str:
+    """Length-preserving copy of ``s`` with every quoted run's INTERIOR
+    blanked to spaces (delimiters kept) — for structural regexes that
+    must never see literal content. Same-length means match SPANS on
+    the masked text slice the ORIGINAL text exactly, so extracted
+    fragments keep their literals verbatim."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in _QUOTE_CHARS:
+            j = _scan_quoted(s, i)
+            seg = s[i:j]
+            if len(seg) >= 2 and seg[-1] == seg[0]:
+                out.append(seg[0] + " " * (len(seg) - 2) + seg[-1])
+            else:  # unterminated run: blank to end of string
+                out.append(seg[0] + " " * (len(seg) - 1))
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _sub_outside_quotes(rx: "re.Pattern", repl: str, s: str) -> str:
     """``rx.sub(repl, …)`` applied only OUTSIDE quoted runs — a string
     literal containing e.g. ``db.t.`` must survive MERGE's
@@ -787,10 +810,19 @@ class Engine:
             raise ValueError(f"no join keys found in ON clause: {on!r}")
         _guard_variant_merge_keys(t, keys)
 
-        clauses = re.findall(
+        # clause boundaries come from the literal-MASKED text (a string
+        # literal containing 'when matched then delete' must never open
+        # a clause) — spans then slice the ORIGINAL so extracted guard
+        # and action fragments keep their literals verbatim
+        clause_rx = re.compile(
             r"when\s+(not\s+)?matched\s*(?:and\s+(.*?))?\s*then\s+"
             r"(update\s+set\s+.*?|insert\s+.*?|delete)\s*(?=when\s|$)",
-            whens, re.IGNORECASE | re.DOTALL)
+            re.IGNORECASE | re.DOTALL)
+        clauses = [
+            (m.group(1),
+             whens[m.start(2):m.end(2)] if m.group(2) is not None else None,
+             whens[m.start(3):m.end(3)])
+            for m in clause_rx.finditer(_mask_quoted(whens))]
         if not clauses:
             raise ValueError(f"no WHEN clauses parsed from: {whens!r}")
         matched, not_matched = [], []

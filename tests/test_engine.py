@@ -4244,3 +4244,29 @@ def test_tz_day_scenario_ambient_session_invariant(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     assert a and a == b
+
+
+def test_merge_literal_containing_when_clause_text(spark, tmp_path):
+    """The general-MERGE clause splitter takes its boundaries from a
+    literal-MASKED copy of the WHEN text: a string literal containing
+    'when matched then delete' (or any clause-shaped text) must ride
+    through as data, never open a clause (same family as the r12
+    quote bugs — the raw findall split inside the literal and either
+    corrupted the projection SQL or rejected valid statements)."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v STRING, n BIGINT)")
+    eng.sql("INSERT INTO db.t VALUES (1, 'old', 0)")
+    eng.sql("MERGE INTO db.t t USING (SELECT 1 AS k, 5 AS n UNION ALL "
+            "SELECT 2 AS k, 6 AS n) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET "
+            "v = 'when matched then delete x', n = s.n "
+            "WHEN NOT MATCHED AND s.n != 0 THEN INSERT (k, v, n) "
+            "VALUES (s.k, 'when not matched and true then insert *', s.n)")
+    got = sorted((r.k, r.v, r.n) for r in
+                 eng.sql("SELECT * FROM db.t").collect())
+    assert got == [
+        (1, "when matched then delete x", 5),
+        (2, "when not matched and true then insert *", 6)], got
