@@ -208,6 +208,19 @@ def _mask_quoted(s: str) -> str:
     return "".join(out)
 
 
+def _masked_groups(rx: "re.Pattern", s: str) -> list | None:
+    """``rx.match`` evaluated over the literal-masked copy of ``s``;
+    returns the groups sliced from the ORIGINAL text (literals
+    verbatim), or None. For router regexes whose lazy splits (``\\s+on
+    \\s+``, ``\\s+where\\s+``, ``when\\s``) must never bind inside a
+    string literal or quoted identifier."""
+    m = rx.match(_mask_quoted(s))
+    if m is None:
+        return None
+    return [s[m.start(i):m.end(i)] if m.start(i) != -1 else None
+            for i in range(m.re.groups + 1)]
+
+
 def _sub_outside_quotes(rx: "re.Pattern", repl: str, s: str) -> str:
     """``rx.sub(repl, …)`` applied only OUTSIDE quoted runs — a string
     literal containing e.g. ``db.t.`` must survive MERGE's
@@ -527,16 +540,16 @@ class Engine:
                 raise ValueError(f"unknown procedure {proc!r}")
             return None
 
-        m = re.match(
-            r"update\s+([\w.]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", s,
-            re.IGNORECASE | re.DOTALL)
+        m = _masked_groups(re.compile(
+            r"update\s+([\w.]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+            re.IGNORECASE | re.DOTALL), s)
         if m:
             # DML UPDATE: matched rows become an equality delete over
             # ALL columns + re-insert with the SET expressions applied,
             # one atomic commit — the UPDATE half of the MERGE shape.
             # No WHERE → every row updates.
-            ident, sets = m.group(1), m.group(2)
-            pred = m.group(3) or "true"
+            ident, sets = m[1], m[2]
+            pred = m[3] or "true"
             t = self.load_table(ident)
             cols = [f.name for f in t.metadata.current_schema().fields]
             assigns = {}
@@ -549,7 +562,8 @@ class Engine:
             has_variant = any(
                 contains_variant(f.field_type)
                 for f in t.metadata.current_schema().fields)
-            if has_variant and re.search(r"\bselect\b", sets + " " + pred,
+            if has_variant and re.search(r"\bselect\b",
+                                         _mask_quoted(sets + " " + pred),
                                          re.IGNORECASE):
                 raise ValueError(
                     "UPDATE with a subquery is not supported on tables "
@@ -557,7 +571,8 @@ class Engine:
                     "cannot key on variant values)")
             if ((has_variant or t.metadata.properties.get(
                     "write.delete.format", "").lower() == "dv")
-                    and not re.search(r"\bselect\b", sets + " " + pred,
+                    and not re.search(r"\bselect\b",
+                                      _mask_quoted(sets + " " + pred),
                                       re.IGNORECASE)):
                 # variant tables ALWAYS take this path: an equality
                 # delete over all columns cannot key on a variant
@@ -624,7 +639,7 @@ class Engine:
             has_variant = any(
                 contains_variant(f.field_type)
                 for f in t.metadata.current_schema().fields)
-            if has_variant and re.search(r"\bselect\b", pred,
+            if has_variant and re.search(r"\bselect\b", _mask_quoted(pred),
                                          re.IGNORECASE):
                 raise ValueError(
                     "DELETE with a subquery is not supported on tables "
@@ -632,7 +647,7 @@ class Engine:
                     "cannot key on variant values)")
             if ((has_variant or t.metadata.properties.get(
                     "write.delete.format", "").lower() == "dv")
-                    and not re.search(r"\bselect\b", pred,
+                    and not re.search(r"\bselect\b", _mask_quoted(pred),
                                       re.IGNORECASE)):
                 # variant tables ALWAYS route positionally — equality
                 # deletes cannot key on a variant column
@@ -669,24 +684,23 @@ class Engine:
                                         target.lower())
             return None
 
-        m = re.match(
+        m = _masked_groups(re.compile(
             r"merge\s+into\s+([\w.]+)(?:\s+as\s+\w+|\s+\w+)?\s+"
             r"using\s+(.*?)\s+on\s+(.*?)\s+"
             r"when\s+matched\s+then\s+update\s+set\s+\*\s+"
             r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
-            s, re.IGNORECASE | re.DOTALL)
+            re.IGNORECASE | re.DOTALL), s)
         if m:
-            self._merge_sql(m.group(1), m.group(2), m.group(3))
+            self._merge_sql(m[1], m[2], m[3])
             return None
 
-        m = re.match(
+        m = _masked_groups(re.compile(
             r"merge\s+into\s+([\w.]+)(?:\s+as\s+(\w+)|\s+(\w+))?\s+"
             r"using\s+(.*?)\s+on\s+(.*?)\s+(when\s+.*)$",
-            s, re.IGNORECASE | re.DOTALL)
+            re.IGNORECASE | re.DOTALL), s)
         if m:
-            talias = m.group(2) or m.group(3)
-            self._merge_sql_general(m.group(1), talias, m.group(4),
-                                    m.group(5), m.group(6))
+            talias = m[2] or m[3]
+            self._merge_sql_general(m[1], talias, m[4], m[5], m[6])
             return None
 
         m = re.match(
@@ -726,7 +740,8 @@ class Engine:
             src_tbl = using.split()[0]
             rows = self._run_select(f"SELECT * FROM {src_tbl}")
         keys = []
-        for a, b in re.findall(r"\w+\.(\w+)\s*=\s*\w+\.(\w+)", on):
+        for a, b in re.findall(r"\w+\.(\w+)\s*=\s*\w+\.(\w+)",
+                                _mask_quoted(on)):
             if a.lower() != b.lower():
                 raise ValueError(
                     f"MERGE ON must equate same-named columns, got {a}={b}")
@@ -801,7 +816,8 @@ class Engine:
         sdf.createOrReplaceTempView("__merge_src")
 
         keys = []
-        for a, b in re.findall(r"\w+\.(\w+)\s*=\s*\w+\.(\w+)", on):
+        for a, b in re.findall(r"\w+\.(\w+)\s*=\s*\w+\.(\w+)",
+                                _mask_quoted(on)):
             if a.lower() != b.lower():
                 raise ValueError(
                     f"MERGE ON must equate same-named columns, got {a}={b}")

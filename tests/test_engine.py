@@ -4270,3 +4270,32 @@ def test_merge_literal_containing_when_clause_text(spark, tmp_path):
     assert got == [
         (1, "when matched then delete x", 5),
         (2, "when not matched and true then insert *", 6)], got
+
+
+def test_dml_router_splits_outside_literals(spark, tmp_path):
+    """The UPDATE SET/WHERE split and the MERGE router's USING/ON/WHEN
+    splits take their boundaries from literal-masked text: ' where ',
+    ' on ', ' when ' inside string literals are data, not syntax."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.t VALUES (1, 'old'), (2, 'keep')")
+    eng.sql("UPDATE db.t SET v = 'a where b' WHERE k = 1")
+    got = sorted((r.k, r.v) for r in eng.sql("SELECT * FROM db.t").collect())
+    assert got == [(1, "a where b"), (2, "keep")], got
+    eng.sql("MERGE INTO db.t t USING (SELECT 3 AS k, ' on x when y ' AS v) "
+            "s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = sorted((r.k, r.v) for r in eng.sql("SELECT * FROM db.t").collect())
+    assert got == [(1, "a where b"), (2, "keep"), (3, " on x when y ")], got
+    # ON-key extraction ignores equation-shaped text inside literals:
+    # a bogus "x.v = y.v" in a guard literal must not add v as a key
+    eng.sql("MERGE INTO db.t t USING (SELECT 1 AS k, 'x.v = y.v' AS v) s "
+            "ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *")
+    got = sorted((r.k, r.v) for r in eng.sql("SELECT * FROM db.t").collect())
+    assert got == [(1, "x.v = y.v"), (2, "keep"), (3, " on x when y ")], got
