@@ -69,6 +69,7 @@ from iceberg_rust_archive_spark.catalog.base import Catalog
 from iceberg_rust_archive_spark.plans import mv as mv_mod
 from iceberg_rust_archive_spark.predicates import (
     _QUOTE_CHARS,
+    _mask_quoted,
     _scan_quoted,
     _split_top,
 )
@@ -182,29 +183,6 @@ def _strip_sql_comments(s: str) -> str:
         else:
             out.append(ch)
             i += 1
-    return "".join(out)
-
-
-def _mask_quoted(s: str) -> str:
-    """Length-preserving copy of ``s`` with every quoted run's INTERIOR
-    blanked to spaces (delimiters kept) — for structural regexes that
-    must never see literal content. Same-length means match SPANS on
-    the masked text slice the ORIGINAL text exactly, so extracted
-    fragments keep their literals verbatim."""
-    out, i, n = [], 0, len(s)
-    while i < n:
-        ch = s[i]
-        if ch in _QUOTE_CHARS:
-            j = _scan_quoted(s, i)
-            seg = s[i:j]
-            if len(seg) >= 2 and seg[-1] == seg[0]:
-                out.append(seg[0] + " " * (len(seg) - 2) + seg[-1])
-            else:  # unterminated run: blank to end of string
-                out.append(seg[0] + " " * (len(seg) - 1))
-            i = j
-            continue
-        out.append(ch)
-        i += 1
     return "".join(out)
 
 

@@ -13,6 +13,10 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from iceberg_rust_archive_spark.predicates import (
+    _mask_quoted, _scan_quoted, _split_top,
+)
+
 _AGG_RE = re.compile(r"^(sum|count|min|max|avg)\s*\((.*)\)$",
                      re.IGNORECASE | re.DOTALL)
 _RELATION_RE = re.compile(r"\b(?:from|join)\s+([A-Za-z_][\w.]*)",
@@ -21,9 +25,12 @@ _RELATION_RE = re.compile(r"\b(?:from|join)\s+([A-Za-z_][\w.]*)",
 
 def find_relations(sql: str) -> list[str]:
     """Source tables of a query (sql.rs:12-21). Subqueries contribute their
-    own FROM/JOIN matches; duplicates removed, order preserved."""
+    own FROM/JOIN matches; duplicates removed, order preserved. Scans the
+    literal-MASKED text so 'from x' inside a string literal never adds a
+    phantom relation (identifiers live outside quotes, so matches read
+    the same either way)."""
     seen, out = set(), []
-    for m in _RELATION_RE.finditer(sql):
+    for m in _RELATION_RE.finditer(_mask_quoted(sql)):
         name = m.group(1)
         if name.lower() not in seen:
             seen.add(name.lower())
@@ -32,31 +39,10 @@ def find_relations(sql: str) -> list[str]:
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
-    out, depth, cur, in_str = [], 0, [], None
-    for ch in s:
-        if in_str:
-            cur.append(ch)
-            if ch == in_str:
-                in_str = None
-            continue
-        if ch in ("'", '"'):
-            in_str = ch
-            cur.append(ch)
-        elif ch == "(":
-            depth += 1
-            cur.append(ch)
-        elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == sep and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    tail = "".join(cur).strip()
-    if tail:
-        out.append(tail)
-    return out
+    """Depth-0 split via the engine's quote-complete splitter (doubled
+    quotes, backticks, raw strings, backslash escapes — the naive
+    in_str tracker this replaces desynced on every one of those)."""
+    return [p for p in (x.strip() for x in _split_top(s, sep)) if p]
 
 
 @dataclass
@@ -120,25 +106,31 @@ _ALIAS_RE = re.compile(r"^(.*?)\s+as\s+([A-Za-z_]\w*)$",
 def parse_select(sql: str) -> ParsedSelect:
     text = sql.strip().rstrip(";")
     p = ParsedSelect(relations=find_relations(text))
-    low = text.lower()
+    # structure is read from the literal-MASKED text (spans slice the
+    # original): 'order by' / 'group by' / 'from' INSIDE a string
+    # literal is data — binding on it either misclassified the MV
+    # (conservative) or extracted garbage group-by keys (not)
+    masked = _mask_quoted(text)
+    low = masked.lower()
     p.has_order_by = bool(re.search(r"\border\s+by\b", low))
     p.has_window = bool(re.search(r"\bover\s*\(", low))
     p.has_distinct = bool(re.search(r"\bselect\s+distinct\b", low))
     p.has_outer_join = bool(re.search(r"\b(left|right|full)\s+(outer\s+)?join\b",
                                       low))
     mentions = [m.group(1).lower()
-                for m in _RELATION_RE.finditer(text)]
+                for m in _RELATION_RE.finditer(masked)]
     p.has_repeated_relation = len(mentions) != len(set(mentions))
     fm = re.search(r"\bfrom\s+(.*?)(?:\bwhere\b|\bgroup\s+by\b|"
                    r"\border\s+by\b|\bhaving\b|\blimit\b|$)",
-                   text, re.IGNORECASE | re.DOTALL)
+                   masked, re.IGNORECASE | re.DOTALL)
     if fm:
-        p.has_comma_from = len(split_top_level(fm.group(1))) > 1
-    body = re.search(r"select\s+(.*?)\s+from\s", text,
+        p.has_comma_from = len(split_top_level(
+            text[fm.start(1):fm.end(1)])) > 1
+    body = re.search(r"select\s+(.*?)\s+from\s", masked,
                      re.IGNORECASE | re.DOTALL)
     if body:
-        p.has_subquery = "select" in text[body.end():].lower()
-        for raw in split_top_level(body.group(1)):
+        p.has_subquery = "select" in masked[body.end():].lower()
+        for raw in split_top_level(text[body.start(1):body.end(1)]):
             alias = None
             m = _ALIAS_RE.match(raw)
             expr = raw
@@ -153,9 +145,9 @@ def parse_select(sql: str) -> ParsedSelect:
     p.has_having = bool(re.search(r"\bhaving\b", low))
     p.has_limit = bool(re.search(r"\blimit\s+\d", low))
     g = re.search(r"\bgroup\s+by\s+(.*?)(\bhaving\b|\border\s+by\b"
-                  r"|\blimit\b|$)", text, re.IGNORECASE | re.DOTALL)
+                  r"|\blimit\b|$)", masked, re.IGNORECASE | re.DOTALL)
     if g:
-        p.group_by = split_top_level(g.group(1).strip())
+        p.group_by = split_top_level(text[g.start(1):g.end(1)].strip())
     return p
 
 
@@ -172,17 +164,12 @@ def split_union(sql: str) -> tuple[list[str], str | None]:
     parts: list[str] = []
     kinds: list[str] = []
     depth, i, n, cur_start = 0, 0, len(text), 0
-    in_str: str | None = None
     while i < n:
         ch = text[i]
-        if in_str:
-            if ch == in_str:
-                in_str = None
-            i += 1
-            continue
-        if ch in ("'", '"'):
-            in_str = ch
-            i += 1
+        if ch in ("'", '"', "`"):
+            # quote-complete jump (doubled quotes, raw strings,
+            # backslash escapes, backtick identifiers)
+            i = _scan_quoted(text, i)
             continue
         if ch == "(":
             depth += 1
@@ -228,14 +215,32 @@ def _strip_outer_parens(s: str) -> str:
 
 
 def strip_order_by(sql: str) -> str:
-    return re.sub(r"\border\s+by\b.*$", "", sql.strip().rstrip(";"),
-                  flags=re.IGNORECASE | re.DOTALL).strip()
+    """Drop the query's TOP-LEVEL ORDER BY tail. Masked scan: 'order by'
+    inside a string literal must not truncate the query from mid-
+    literal; depth gate: an ORDER BY inside a parenthesized subquery
+    belongs to that scope (parens inside literals are masked away, so
+    the depth count is literal-proof too)."""
+    text = sql.strip().rstrip(";")
+    masked = _mask_quoted(text)
+    for m in re.finditer(r"\border\s+by\b", masked, re.IGNORECASE):
+        prefix = masked[:m.start()]
+        if prefix.count("(") == prefix.count(")"):
+            return text[:m.start()].strip()
+    return text
 
 
 def rewrite_relations(sql: str, mapping: dict[str, str]) -> str:
-    """Replace table identifiers after FROM/JOIN with view names."""
-    def sub(m):
-        kw, name = m.group(1), m.group(2)
-        return f"{kw} {mapping.get(name.lower(), name)}"
-    return re.sub(r"\b(from|join)\s+([A-Za-z_][\w.]*)", sub, sql,
-                  flags=re.IGNORECASE)
+    """Replace table identifiers after FROM/JOIN with view names —
+    matched on the literal-MASKED text so 'from x' inside a string
+    literal survives verbatim."""
+    masked = _mask_quoted(sql)
+    out, last = [], 0
+    for m in re.finditer(r"\b(from|join)\s+([A-Za-z_][\w.]*)", masked,
+                         re.IGNORECASE):
+        kw = sql[m.start(1):m.end(1)]
+        name = sql[m.start(2):m.end(2)]
+        out.append(sql[last:m.start()])
+        out.append(f"{kw} {mapping.get(name.lower(), name)}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)

@@ -557,6 +557,29 @@ def _scan_quoted(s: str, i: int) -> int:
     return n
 
 
+def _mask_quoted(s: str) -> str:
+    """Length-preserving copy of ``s`` with every quoted run's INTERIOR
+    blanked to spaces (delimiters kept) — for structural regexes that
+    must never see literal content. Same-length means match SPANS on
+    the masked text slice the ORIGINAL text exactly, so extracted
+    fragments keep their literals verbatim."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in _QUOTE_CHARS:
+            j = _scan_quoted(s, i)
+            seg = s[i:j]
+            if len(seg) >= 2 and seg[-1] == seg[0]:
+                out.append(seg[0] + " " * (len(seg) - 2) + seg[-1])
+            else:  # unterminated run: blank to end of string
+                out.append(seg[0] + " " * (len(seg) - 1))
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on ``sep`` at paren depth 0, respecting ``'…'``/``"…"``
     string literals and backtick-quoted identifiers (Spark treats

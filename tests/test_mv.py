@@ -1274,3 +1274,33 @@ def test_incremental_read_spans_pos_delete_rewrite(engine, spark):
     t = compact_table(spark, t)
     with _pytest.raises(ValueError, match="replace commit"):
         t.scan(spark, from_snapshot_id=base).collect()
+
+
+def test_sql_analysis_ignores_literal_content(spark):
+    """Every structural scan in sqlparse reads literal-MASKED text:
+    clause keywords, relation mentions, and union connectors inside
+    string literals are data (same family as the engine-router fixes)."""
+    from iceberg_rust_archive_spark.plans import sqlparse as sp
+
+    assert sp.find_relations(
+        "SELECT 'from phantom' FROM real_t JOIN b ON x") == ["real_t", "b"]
+    # literal 'order by' survives; top-level ORDER BY stripped;
+    # subquery ORDER BY left in its own scope
+    assert sp.strip_order_by(
+        "SELECT 'order by x' AS a FROM t ORDER BY a") \
+        == "SELECT 'order by x' AS a FROM t"
+    assert sp.strip_order_by(
+        "SELECT * FROM (SELECT a FROM t ORDER BY a) q") \
+        == "SELECT * FROM (SELECT a FROM t ORDER BY a) q"
+    assert sp.rewrite_relations(
+        "SELECT ' from t ' FROM t", {"t": "v9"}) \
+        == "SELECT ' from t ' FROM v9"
+    parts, kind = sp.split_union(
+        "SELECT 'a union all b' FROM t UNION ALL SELECT r'x' FROM u")
+    assert parts == ["SELECT 'a union all b' FROM t",
+                     "SELECT r'x' FROM u"] and kind == "all"
+    # a group-by-shaped literal must not invent aggregate keys
+    p = sp.parse_select("SELECT k, ' group by v ' AS s FROM t GROUP BY k")
+    assert p.group_by == ["k"]
+    p2 = sp.parse_select("SELECT k, ' group by v ' AS s FROM t")
+    assert p2.group_by == []
