@@ -56,6 +56,9 @@ from pyspark.sql import functions as F
 from iceberg_rust_archive_spark.catalog.base import (
     Catalog, NoSuchTableError,
 )
+from iceberg_rust_archive_spark.predicates import (
+    _mask_quoted, _scan_quoted,
+)
 from iceberg_rust_archive_spark.plans.sqlparse import (
     ParsedSelect, parse_select, rewrite_relations, split_union,
     strip_order_by,
@@ -202,7 +205,7 @@ def _changelog_capable(parsed: ParsedSelect) -> bool:
 
 
 def _replace_select_list(run_sql: str, items: list[str]) -> str:
-    body = re.search(r"select\s+(.*?)\s+from\s", run_sql,
+    body = re.search(r"select\s+(.*?)\s+from\s", _mask_quoted(run_sql),
                      re.IGNORECASE | re.DOTALL)
     return (run_sql[:body.start(1)] + ", ".join(items)
             + run_sql[body.end(1):])
@@ -274,7 +277,7 @@ def _weighted_sql(parsed: ParsedSelect, run_sql: str, wtot: str) -> str:
             items.append(
                 f"CAST(sum(CASE WHEN ({i.agg_inner}) IS NOT NULL "
                 f"THEN {wtot} ELSE 0 END) AS BIGINT) AS {i.alias}")
-    body = re.search(r"select\s+(.*?)\s+from\s", run_sql,
+    body = re.search(r"select\s+(.*?)\s+from\s", _mask_quoted(run_sql),
                      re.IGNORECASE | re.DOTALL)
     return (run_sql[:body.start(1)] + ", ".join(items)
             + run_sql[body.end(1):])
@@ -286,14 +289,13 @@ def _append_weight_item(branch_sql: str, wexpr: str) -> str:
     and reach the outer weighted aggregates. The branch is
     IncrementalAppend-shaped (no subqueries), so its first depth-0
     FROM delimits the list."""
-    depth, in_str = 0, None
-    for i, ch in enumerate(branch_sql):
-        if in_str:
-            if ch == in_str:
-                in_str = None
-        elif ch in ("'", '"'):
-            in_str = ch
-        elif ch == "(":
+    depth, i, n = 0, 0, len(branch_sql)
+    while i < n:
+        ch = branch_sql[i]
+        if ch in ("'", '"', "`"):
+            i = _scan_quoted(branch_sql, i)  # quote-complete jump
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -303,6 +305,7 @@ def _append_weight_item(branch_sql: str, wexpr: str) -> str:
                     and not (prev.isalnum() or prev == "_"):
                 return (branch_sql[:i] + f", ({wexpr}) AS __w "
                         + branch_sql[i:])
+        i += 1
     raise ValueError(f"branch without FROM: {branch_sql!r}")
 
 
@@ -347,7 +350,8 @@ def _touches_variant(sql: str, tables) -> bool:
     snapshot-scan temp views and merge/dedup arithmetic, and variant
     binaries have no defined equality semantics to merge on — full
     recompute is the deterministic, always-correct choice."""
-    if re.search(r"\bvariant_get\s*\(", sql, re.IGNORECASE):
+    if re.search(r"\bvariant_get\s*\(", _mask_quoted(sql),
+                 re.IGNORECASE):
         return True
     from iceberg_rust_archive_spark.spec.types import contains_variant
     return any(contains_variant(f.field_type)
@@ -883,16 +887,14 @@ def _union_subquery_plan(run_sql: str):
     text = run_sql.strip().rstrip(";")
     if not re.match(r"select\b", text, re.IGNORECASE):
         return None
-    # first depth-0 FROM (string-aware)
-    depth, i, n, in_str, from_at = 0, 0, len(text), None, None
+    # first depth-0 FROM (quote-complete scan)
+    depth, i, n, from_at = 0, 0, len(text), None
     while i < n:
         ch = text[i]
-        if in_str:
-            if ch == in_str:
-                in_str = None
-        elif ch in ("'", '"'):
-            in_str = ch
-        elif ch == "(":
+        if ch in ("'", '"', "`"):
+            i = _scan_quoted(text, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -910,15 +912,13 @@ def _union_subquery_plan(run_sql: str):
         j += 1
     if j >= n or text[j] != "(":
         return None
-    depth, k, in_str = 0, j, None
+    depth, k = 0, j
     while k < n:
         ch = text[k]
-        if in_str:
-            if ch == in_str:
-                in_str = None
-        elif ch in ("'", '"'):
-            in_str = ch
-        elif ch == "(":
+        if ch in ("'", '"', "`"):
+            k = _scan_quoted(text, k)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1

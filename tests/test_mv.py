@@ -1304,3 +1304,30 @@ def test_sql_analysis_ignores_literal_content(spark):
     assert p.group_by == ["k"]
     p2 = sp.parse_select("SELECT k, ' group by v ' AS s FROM t")
     assert p2.group_by == []
+
+
+def test_mv_literal_keywords_survive_refresh(engine):
+    """MV SQL whose literals contain ' from ' / 'order by' keeps its
+    literals verbatim through the storage-plan rewrite (avg
+    decomposition replaces the select list by masked spans) and still
+    classifies + refreshes incrementally."""
+    from iceberg_rust_archive_spark.plans.mv import INCR_AGG as IA
+
+    sql = ("SELECT product_id, ' from x order by y' AS tag, "
+           "count(*) AS n, avg(quantity) AS aq "
+           "FROM db.orders GROUP BY product_id, ' from x order by y'")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.litmv AS {sql}")
+    assert engine.refresh_materialized_view("db.litmv") == FULL
+
+    def mv_rows():
+        return {r.product_id: (r.tag, r.n, r.aq) for r in
+                engine.sql("SELECT * FROM db.litmv").collect()}
+    def want():
+        return {r.product_id: (r.tag, r.n, r.aq)
+                for r in engine.sql(sql).collect()}
+    assert mv_rows() == want()
+    assert all(v[0] == " from x order by y" for v in mv_rows().values())
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(97, 2, 1, DATE '2020-03-02', 9)")
+    assert engine.refresh_materialized_view("db.litmv") == IA
+    assert mv_rows() == want()
