@@ -1328,10 +1328,9 @@ class Engine:
             df.createOrReplaceTempView(vn)
             tt_mapping[ident] = vn
             return vn
-        sql = re.sub(
+        sql = _sub_outside_quotes(re.compile(
             r"([\w.]+)\s+(version\s+as\s+of|timestamp\s+as\s+of)\s+"
-            r"('[^']*'|\d+)",
-            _pin, sql, flags=re.IGNORECASE)
+            r"('[^']*'|\d+)", re.IGNORECASE), _pin, sql)
 
         def _meta(m):
             # ns.t.snapshots/files/manifests/history → metadata table
@@ -1344,10 +1343,9 @@ class Engine:
             vn = f"ice_meta_{safe}_{kind}"
             df.createOrReplaceTempView(vn)
             return vn
-        sql = re.sub(
+        sql = _sub_outside_quotes(re.compile(
             r"([\w.]+)\.(snapshots|files|manifests|history|refs"
-            r"|partitions|entries)\b",
-            _meta, sql, flags=re.IGNORECASE)
+            r"|partitions|entries)\b", re.IGNORECASE), _meta, sql)
 
         mapping = {}
         rels = find_relations(sql)
@@ -1357,11 +1355,12 @@ class Engine:
         # filter BOTH sides; a comma-list (`FROM t, v`) hides its
         # second relation from the FROM/JOIN regex entirely. Count raw
         # mentions and refuse comma-lists — refusal only costs pruning.
+        masked_sql = _mask_quoted(sql)
         raw_rels = re.findall(r"\b(?:from|join)\s+[A-Za-z_][\w.]*",
-                              sql, re.IGNORECASE)
+                              masked_sql, re.IGNORECASE)
         comma_from = re.search(
             r"\bfrom\s+[A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?\s*,",
-            sql, re.IGNORECASE)
+            masked_sql, re.IGNORECASE)
         single_rel = len(raw_rels) == 1 and not comma_from
         for name in rels:
             try:

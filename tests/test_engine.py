@@ -4299,3 +4299,19 @@ def test_dml_router_splits_outside_literals(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT *")
     got = sorted((r.k, r.v) for r in eng.sql("SELECT * FROM db.t").collect())
     assert got == [(1, "x.v = y.v"), (2, "keep"), (3, " on x when y ")], got
+
+
+def test_run_select_rewrites_skip_literals(spark, tmp_path):
+    """_run_select's time-travel pin and metadata-table rewrites, and
+    its relation-mention counting, must never bind inside string
+    literals — a literal naming a real table with 'version as of' or a
+    '.files' suffix used to be rewritten into a temp-view name."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.t VALUES (1, 'a')")
+    note = "db.t version as of 1 and db.t.files"
+    r = eng.sql(f"SELECT k, '{note}' AS note FROM db.t").collect()
+    assert r[0].note == note
