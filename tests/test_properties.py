@@ -1145,3 +1145,53 @@ def test_tstz_transform_column_zone_independent(spark, micros, zone,
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     assert got == want, (zone, transform, micros)
+
+
+# --- DML router literal survival (r13 s3) -----------------------------------
+
+_KEYWORD_SOUP = [
+    "where", "when matched then delete", "on", "from t", "union all",
+    "group by v", "order by k", "version as of 1", "db.t.files",
+    "select", "values", " as ", "join u", "--", "/*", "insert *",
+]
+
+
+@settings(max_examples=int(
+    __import__("os").environ.get("PROP_EXAMPLES_LIT", "6")), deadline=None)
+@given(
+    words=st.lists(st.sampled_from(_KEYWORD_SOUP), min_size=1, max_size=4),
+    pad=st.text(alphabet="ab ._,()", max_size=6),
+    stmt=st.sampled_from(["insert", "update", "merge_upd", "merge_ins"]),
+)
+def test_dml_router_literal_survival(spark, tmp_path_factory, words, pad,
+                                     stmt):
+    """Generative closure over the literal-masking seam: a literal
+    assembled from router keywords (clause openers, comment markers,
+    time-travel phrases, metadata suffixes) must survive byte-exact
+    through INSERT, UPDATE SET, and both MERGE actions."""
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    lit = (pad + " ".join(words) + pad).replace("'", "''")
+    want = lit.replace("''", "'")
+    wh = tmp_path_factory.mktemp("lit-prop")
+    eng = Engine(spark, FileCatalog(str(wh / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, v STRING)")
+    if stmt == "insert":
+        eng.sql(f"INSERT INTO db.t VALUES (1, '{lit}')")
+    elif stmt == "update":
+        eng.sql("INSERT INTO db.t VALUES (1, 'seed')")
+        eng.sql(f"UPDATE db.t SET v = '{lit}' WHERE k = 1")
+    elif stmt == "merge_upd":
+        eng.sql("INSERT INTO db.t VALUES (1, 'seed')")
+        eng.sql("MERGE INTO db.t t USING (SELECT 1 AS k) s ON t.k = s.k "
+                f"WHEN MATCHED THEN UPDATE SET v = '{lit}' "
+                "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'x')")
+    else:
+        eng.sql("MERGE INTO db.t t USING (SELECT 1 AS k) s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN NOT MATCHED THEN INSERT (k, v) "
+                f"VALUES (s.k, '{lit}')")
+    got = eng.sql("SELECT v FROM db.t WHERE k = 1").collect()
+    assert len(got) == 1 and got[0].v == want, (stmt, lit, got)
