@@ -92,6 +92,13 @@ def rewrite_data_files(spark: SparkSession, table: Table,
         "write.target-file-size-bytes", 512_000_000))
     threshold = int(target * small_ratio)
     ice_schema = md.current_schema(branch)
+    if filter:
+        from iceberg_rust_archive_spark.predicates import (
+            localize_naive_tstz,
+        )
+        filter = localize_naive_tstz(  # noqa: A001 — mirror scan entry
+            filter, ice_schema,
+            spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
     small = []
     mlist = read_manifest_list(snap.manifest_list)
     for mle, entries in zip(
@@ -197,6 +204,10 @@ def rewrite_partition(spark: SparkSession, table: Table,
         return _jsn.dumps(df_.partition, sort_keys=True, default=str)
 
     schema = md.current_schema(branch)
+    from iceberg_rust_archive_spark.predicates import localize_naive_tstz
+    filter = localize_naive_tstz(  # noqa: A001 — mirror scan entry
+        filter, schema,
+        spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
     data, eq_dels, dvs = [], [], []
     seen_deletes: set = set()   # every delete entry live at PLAN time
     mlist = read_manifest_list(snap.manifest_list)

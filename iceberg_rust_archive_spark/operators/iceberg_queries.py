@@ -597,9 +597,12 @@ def _events_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``convert_timezone(UTC → current_timezone)`` then a cast reads the
     wall time back as an instant; both steps cancel any session zone."""
     import pyarrow.parquet as pq
+
+    from iceberg_rust_archive_spark.session import ensure_read_confs
     path = os.path.join(sf_dir, "events.parquet")
     kind = str(pq.read_schema(path).field("ts").type)
     if kind.startswith("int"):  # INT64 nanos drop: already an instant count
+        ensure_read_confs(spark)  # nanosAsLong on a vanilla driver session
         df = spark.read.parquet(path)
         ts = F.timestamp_micros(F.expr("ts div 1000"))
     else:
