@@ -199,6 +199,34 @@ def _masked_groups(rx: "re.Pattern", s: str) -> list | None:
             for i in range(m.re.groups + 1)]
 
 
+class _OrigGroups:
+    """Match-like accessor whose group text comes from the ORIGINAL
+    string while the match ran over its literal-masked copy."""
+
+    def __init__(self, m: "re.Match", original: str):
+        self._m, self._s = m, original
+
+    def group(self, i: int = 0):
+        return None if self._m.start(i) == -1 \
+            else self._s[self._m.start(i):self._m.end(i)]
+
+
+def _masked_sub(rx: "re.Pattern", repl_fn, s: str) -> str:
+    """``re.sub``-with-callable where matching runs on the literal-
+    masked text and the callable sees original-text groups. Unlike
+    ``_sub_outside_quotes`` this still lets the PATTERN span a quoted
+    literal (e.g. time travel's ``VERSION AS OF 'v1'`` — the mask keeps
+    the quote delimiters) while a pattern can never bind on text hiding
+    INSIDE a literal."""
+    out, last = [], 0
+    for m in rx.finditer(_mask_quoted(s)):
+        out.append(s[last:m.start()])
+        out.append(repl_fn(_OrigGroups(m, s)))
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
 def _sub_outside_quotes(rx: "re.Pattern", repl: str, s: str) -> str:
     """``rx.sub(repl, …)`` applied only OUTSIDE quoted runs — a string
     literal containing e.g. ``db.t.`` must survive MERGE's
@@ -1274,32 +1302,106 @@ class Engine:
                 for f in target.fields])
         t.append(self.spark, df)
 
+    _AGG_ITEM_RE = re.compile(
+        r"(?:(count)\(\s*(?:\*|1)\s*\)|(min|max)\(\s*([\w.]+)\s*\))"
+        r"(?:\s+as\s+(\w+))?\s*$", re.IGNORECASE)
+
+    def _metadata_agg_fast_path(self, sql: str) -> DataFrame | None:
+        """``SELECT count(*)/min(c)/max(c)[, …] FROM <iceberg table>``
+        answered from manifest metadata alone — None when the statement
+        is any other shape or any item is unprovable (the caller then
+        runs the normal path, which computes everything in one job, so
+        a partial fast answer would save nothing)."""
+        import datetime as _dt
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from iceberg_rust_archive_spark.spec.types import (
+            iceberg_to_spark_type,
+        )
+        m = re.match(r"\s*select\s+(.*?)\s+from\s+([\w.]+)\s*;?\s*$",
+                     _mask_quoted(sql), re.IGNORECASE | re.DOTALL)
+        if m is None:
+            return None
+        items_txt = sql[m.start(1):m.end(1)]
+        try:
+            t = self.load_table(m.group(2))
+        except Exception:  # noqa: BLE001 — view/temp relation
+            return None
+        parsed = []
+        for raw in _split_top(items_txt, ","):
+            im = self._AGG_ITEM_RE.match(raw.strip())
+            if im is None:
+                return None
+            parsed.append(im)
+        if not parsed:
+            return None
+        if len(parsed) == 1 and parsed[0].group(1):
+            # bare count keeps its merge-on-read fallback: Table.count
+            # stays exact under live deletes via the residual scan
+            n = t.count(self.spark)
+            name = parsed[0].group(4) or "count(1)"
+            return self.spark.createDataFrame(
+                [(n,)], StructType([StructField(name, LongType())]))
+        values, fields = [], []
+        minmax_cache: dict[str, tuple] = {}
+        try:
+            for im in parsed:
+                if im.group(1):  # count(*) in a mixed list: must prove
+                    values.append(t.count(None))
+                    fields.append(StructField(
+                        im.group(4) or "count(1)", LongType()))
+                    continue
+                fn, col = im.group(2).lower(), im.group(3).split(".")[-1]
+                fld = t.metadata.current_schema().field_by_name(col)
+                if fld is None or not isinstance(fld.field_type, str) \
+                        or fld.field_type in ("boolean", "time",
+                                              "uuid", "binary") \
+                        or fld.field_type.startswith(("fixed", "binary")):
+                    return None
+                if col not in minmax_cache:
+                    minmax_cache[col] = t.metadata_min_max(col)
+                v = minmax_cache[col][0 if fn == "min" else 1]
+                ftype = fld.field_type
+                if v is not None:
+                    if ftype == "date":
+                        v = _dt.date.fromisoformat(v)
+                    elif ftype == "timestamp":  # bounds are epoch micros
+                        v = (_dt.datetime(1970, 1, 1)
+                             + _dt.timedelta(microseconds=int(v)))
+                    elif ftype == "timestamptz":
+                        # aware instant: exact under any process zone
+                        v = (_dt.datetime(1970, 1, 1,
+                                          tzinfo=_dt.timezone.utc)
+                             + _dt.timedelta(microseconds=int(v)))
+                    elif ftype == "float":
+                        v = float(v)
+                values.append(v)
+                fields.append(StructField(
+                    im.group(4) or f"{fn}({fld.name})",
+                    iceberg_to_spark_type(ftype)))
+        except ValueError:
+            return None  # unprovable — normal path computes it all
+        return self.spark.createDataFrame(
+            [tuple(values)], StructType(fields))
+
     def _run_select(self, sql: str) -> DataFrame:
         """Register every referenced catalog tabular, then spark.sql
         (the A33 context-provider role). Time travel rides standard
         suffixes: ``FROM t VERSION AS OF <snapshot-id>`` and
         ``FROM t TIMESTAMP AS OF '<ts>'`` (A35) — the pinned scan is
         registered under a derived view name before delegation."""
-        # Bare `SELECT count(*) FROM <iceberg table>` routes through the
-        # metadata fast path (Table.count): manifest record_counts answer
-        # it with zero Spark jobs on a delete-free table of ANY size; the
-        # merge-on-read fallback inside count() keeps semantics exact.
-        m = re.match(r"\s*select\s+count\(\s*(?:\*|1)\s*\)"
-                     r"(?:\s+as\s+(\w+))?\s+from\s+([\w.]+)\s*;?\s*$",
-                     sql, re.IGNORECASE)
-        if m:
-            try:
-                t = self.load_table(m.group(2))
-            except Exception:  # noqa: BLE001 — view/temp relation
-                t = None
-            if t is not None:
-                from pyspark.sql.types import (
-                    LongType, StructField, StructType,
-                )
-                n = t.count(self.spark)
-                name = m.group(1) or "count(1)"  # Spark's default name
-                return self.spark.createDataFrame(
-                    [(n,)], StructType([StructField(name, LongType())]))
+        # Bare `SELECT count(*)/min(c)/max(c)[, ...] FROM <iceberg
+        # table>` routes through the metadata fast path: manifest
+        # record_counts and column bounds answer it with ZERO Spark jobs
+        # on a table of ANY size (Table.count / Table.metadata_min_max
+        # — the A9 statistics surface). Any unprovable item (live
+        # deletes, truncated string bounds, possible NaN, pre-column
+        # files) falls through to the normal path, so semantics are
+        # always exact.
+        fast = self._metadata_agg_fast_path(sql)
+        if fast is not None:
+            return fast
         tt_mapping = {}
 
         def _pin(m):
@@ -1328,7 +1430,7 @@ class Engine:
             df.createOrReplaceTempView(vn)
             tt_mapping[ident] = vn
             return vn
-        sql = _sub_outside_quotes(re.compile(
+        sql = _masked_sub(re.compile(
             r"([\w.]+)\s+(version\s+as\s+of|timestamp\s+as\s+of)\s+"
             r"('[^']*'|\d+)", re.IGNORECASE), _pin, sql)
 
@@ -1343,7 +1445,7 @@ class Engine:
             vn = f"ice_meta_{safe}_{kind}"
             df.createOrReplaceTempView(vn)
             return vn
-        sql = _sub_outside_quotes(re.compile(
+        sql = _masked_sub(re.compile(
             r"([\w.]+)\.(snapshots|files|manifests|history|refs"
             r"|partitions|entries)\b", re.IGNORECASE), _meta, sql)
 

@@ -129,7 +129,13 @@ def localize_naive_tstz(preds: list[Pred], schema, tz_name: str) -> list[Pred]:
     evaluation: for ``<=`` in a session east of UTC the UTC-read
     literal falls short of Spark's instant and pruning can drop files
     holding rows the filter accepts (lost rows). NTZ ``timestamp``
-    columns keep naive literals — their fields ARE the value."""
+    columns keep naive literals — their fields ARE the value.
+
+    DST edges verified against Spark (r13 probe): for an AMBIGUOUS wall
+    time (fall-back) and a NONEXISTENT one (spring-forward) Spark's
+    parser picks the same instant as zoneinfo's default ``fold=0``
+    localization used here, so pruning agrees with the engine's filter
+    even inside the two transition hours."""
     if not preds:
         return preds
     try:

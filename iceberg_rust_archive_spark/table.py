@@ -197,6 +197,83 @@ class Table:
             return total + d.count()
         return self.scan(spark, filter=preds, branch=branch).count()
 
+    def metadata_min_max(self, column: str,
+                         branch: str | None = None) -> tuple:
+        """``(min, max)`` of a column from manifest bounds alone — ZERO
+        Spark jobs on a table of any size (the A9 statistics surface
+        extended from ``count``: file lower/upper bounds ARE the answer
+        when nothing can hide outside them). Raises ``ValueError`` when
+        not provable; callers fall back to a real scan. Provability:
+
+        - no live delete file (deletes only REMOVE rows, so surviving
+          rows' true min can sit strictly inside the file bounds);
+        - every live data file either has both bounds for the column,
+          or provably contributes nothing (all-null for that column —
+          min/max ignore NULLs, matching Spark);
+        - a file whose value_counts lack the field id entirely predates
+          the column (v3 initial-default semantics could fill a value
+          bounds never saw) → not provable;
+        - strings only when every bound is SHORTER than the truncation
+          length (a 16-char bound may be a prefix/increment, not a
+          value);
+        - float/double max only under a zero-NaN proof per file (parquet
+          bounds exclude NaN but Spark's max returns NaN when one
+          exists; min is safe — NaN orders largest — and an all-NaN
+          file has no bounds, failing the gate above).
+
+        Returns ``(None, None)`` on an empty table (Spark's min/max
+        over zero rows)."""
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest_list, read_manifests,
+        )
+        from iceberg_rust_archive_spark.sources.stats import (
+            TRUNCATE_BOUND_LEN,
+        )
+        from iceberg_rust_archive_spark.spec.manifest import (
+            CONTENT_DATA, STATUS_DELETED,
+        )
+        md = self.metadata
+        schema = md.current_schema(branch)
+        fld = schema.field_by_name(column)
+        if fld is None or not isinstance(fld.field_type, str):
+            raise ValueError(f"no primitive column {column!r}")
+        fid = fld.field_id
+        ftype = fld.field_type
+        snap = md.current_snapshot(branch)
+        if snap is None:
+            return (None, None)
+        lo = hi = None
+        mlist = read_manifest_list(snap.manifest_list)
+        for entries in read_manifests([m.manifest_path for m in mlist]):
+            for e in entries:
+                if e.status == STATUS_DELETED:
+                    continue
+                f = e.data_file
+                if f.content != CONTENT_DATA:
+                    raise ValueError("live delete files make bounds "
+                                     "inexact")
+                vals = f.value_counts.get(fid)
+                nulls = f.null_value_counts.get(fid)
+                if vals is None:
+                    raise ValueError("file predates the column "
+                                     "(default-fill values unbounded)")
+                if vals == 0 or (nulls is not None and nulls == vals):
+                    continue  # contributes only NULLs — min/max skip
+                flo = f.lower_bounds.get(fid)
+                fhi = f.upper_bounds.get(fid)
+                if flo is None or fhi is None:
+                    raise ValueError("file without bounds for column")
+                if isinstance(flo, str) and ftype == "string" and (
+                        len(flo) >= TRUNCATE_BOUND_LEN
+                        or len(fhi) >= TRUNCATE_BOUND_LEN):
+                    raise ValueError("string bound may be truncated")
+                if ftype in ("float", "double") \
+                        and f.nan_value_counts.get(fid) != 0:
+                    raise ValueError("possible NaN: max would be NaN")
+                lo = flo if lo is None or flo < lo else lo
+                hi = fhi if hi is None or fhi > hi else hi
+        return (lo, hi)
+
     def changes(self, spark: SparkSession,
                 from_snapshot_id: int | None = None,
                 to_snapshot_id: int | None = None) -> DataFrame:

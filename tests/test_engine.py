@@ -4315,3 +4315,67 @@ def test_run_select_rewrites_skip_literals(spark, tmp_path):
     note = "db.t version as of 1 and db.t.files"
     r = eng.sql(f"SELECT k, '{note}' AS note FROM db.t").collect()
     assert r[0].note == note
+
+
+def test_metadata_min_max_fast_path(spark, tmp_path):
+    """SELECT count(*)/min/max over an Iceberg table answers from
+    manifest bounds with zero Spark jobs when provable (A9 statistics
+    surface), and falls back exactly — never approximately — when live
+    deletes, truncation-length string bounds, or possible NaNs make
+    bounds inexact."""
+    import datetime as dtm
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, d DATE, s STRING, v DOUBLE)")
+    eng.sql("INSERT INTO db.t VALUES "
+            "(5, DATE '2021-02-03', 'bb', 2.5), "
+            "(9, DATE '2020-01-01', 'a', 7.25), "
+            "(NULL, NULL, NULL, NULL)")
+    eng.sql("INSERT INTO db.t VALUES (3, DATE '2022-12-31', 'cc', -1.0)")
+    t = eng.load_table("db.t")
+    # provable from metadata alone (no SparkSession needed at all)
+    assert t.metadata_min_max("k") == (3, 9)
+    assert t.metadata_min_max("d") == ("2020-01-01", "2022-12-31")
+    got = eng.sql("SELECT min(k) AS a, max(k) AS b, min(d) AS c, "
+                  "max(s) AS d, min(v) AS e, max(v) AS f, "
+                  "count(*) AS n FROM db.t").collect()[0]
+    assert (got.a, got.b, got.c, got.d, got.e, got.f, got.n) == \
+        (3, 9, dtm.date(2020, 1, 1), "cc", -1.0, 7.25, 4)
+    # matches Spark's own evaluation through the normal path
+    want = spark.createDataFrame(
+        [(5, dtm.date(2021, 2, 3), "bb", 2.5),
+         (9, dtm.date(2020, 1, 1), "a", 7.25),
+         (None, None, None, None),
+         (3, dtm.date(2022, 12, 31), "cc", -1.0)],
+        "k long, d date, s string, v double")
+    w = want.selectExpr("min(k)", "max(s)", "min(v)").collect()[0]
+    assert (got.a, got.d, got.e) == tuple(w)
+
+    # long strings → truncated bounds possible → unprovable
+    eng.sql(f"INSERT INTO db.t VALUES (1, NULL, '{'z' * 20}', 0.0)")
+    t = eng.load_table("db.t")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        t.metadata_min_max("s")
+    # ...but SQL still answers exactly via the normal path
+    assert eng.sql("SELECT max(s) AS m FROM db.t").collect()[0].m == "z" * 20
+
+    # a NaN-bearing file blocks float max proofs; SQL stays exact
+    # (Spark's max over a NaN row IS NaN — bounds could never say so)
+    eng.sql("INSERT INTO db.t VALUES "
+            "(2, NULL, 'b', cast('NaN' as double))")
+    t = eng.load_table("db.t")
+    with _pt.raises(ValueError):
+        t.metadata_min_max("v")
+    import math as _m
+    assert _m.isnan(eng.sql("SELECT max(v) AS m FROM db.t").collect()[0].m)
+
+    # live deletes remove rows → bounds inexact → fallback stays exact
+    eng.sql("DELETE FROM db.t WHERE k = 3")
+    t = eng.load_table("db.t")
+    with _pt.raises(ValueError):
+        t.metadata_min_max("k")
+    assert eng.sql("SELECT min(k) AS m FROM db.t").collect()[0].m == 1
