@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_rust_archive_spark.catalog import FileCatalog
+from iceberg_rust_archive_spark.session import materialize_local
 from iceberg_rust_archive_spark.predicates import Pred
 from iceberg_rust_archive_spark.spec import (
     NestedField, PartitionField, PartitionSpec, Schema, StructTypeSpec,
@@ -59,7 +60,7 @@ def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
                .orderBy("o_orderstatus"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = materialize_local(spark, out)
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -126,7 +127,7 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit("variant").alias("mode"), "o_orderstatus",
                         "n_orders", "total_price"))
         out = out.unionByName(vout)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -178,7 +179,7 @@ def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (flat.unionByName(part)
                .select("branch", "o_orderstatus", "n_orders")
                .orderBy("branch", "o_orderstatus"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -207,7 +208,7 @@ def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
                .orderBy("o_orderstatus"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -227,7 +228,7 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
                .orderBy("o_orderstatus"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = materialize_local(spark, out)
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -265,7 +266,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert strategy == CHANGELOG_AGG, strategy
         out = eng.sql("SELECT high_line_count, n_orders, o_orderstatus "
                       "FROM db.omv").orderBy("o_orderstatus")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -312,7 +313,7 @@ def mv_union_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_rows"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
                .orderBy("o_orderstatus"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -331,7 +332,7 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("o_orderstatus")
                .agg(F.count(F.lit(1)).alias("n_orders"))
                .orderBy("o_orderstatus"))
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = materialize_local(spark, out)
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -379,7 +380,7 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
                .orderBy("o_orderpriority"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -420,7 +421,7 @@ def iceberg_lineitem_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_lines"),
                     F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
                .orderBy("l_returnflag"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -475,7 +476,7 @@ def iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
                .orderBy("o_custkey"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -501,7 +502,7 @@ def iceberg_truncate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy((F.col("o_custkey") % 100).alias("ckey_mod"))
                .agg(F.count(F.lit(1)).alias("n_orders"))
                .orderBy("ckey_mod"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -577,7 +578,7 @@ def iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(sum(o_totalprice), 2) AS total "
             "FROM db.orders_dml GROUP BY o_orderstatus "
             "ORDER BY o_orderstatus")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -656,7 +657,7 @@ def iceberg_tz_day_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pruning evidence: the 30-day January table plans only the
         # predicate's tail days (metadata-only check, graded rows above)
         assert 0 < report["data_files_planned"] <= len(rows) + 1, report
-        return spark.createDataFrame(rows, out.schema)
+        return materialize_local(spark, out, rows)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
         shutil.rmtree(d, ignore_errors=True)
@@ -706,6 +707,6 @@ def iceberg_nan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_orders",
                        F.when(F.col("nn"), F.lit(None).cast("double"))
                        .otherwise(F.col("_t")).alias("total")))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize_local(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)

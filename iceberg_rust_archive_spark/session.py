@@ -161,3 +161,21 @@ def load_tables(spark: SparkSession, sf_dir: str,
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def materialize_local(spark: SparkSession, df, rows=None):
+    """Collect ``df`` and rebuild it as a DataFrame detached from its
+    source plan (engine entries tear their tmp catalog down right after
+    returning, so the result must not reference it). The pandas/Arrow
+    constructor builds a local relation in ~25ms where
+    ``createDataFrame(list-of-Rows)`` schedules a defaultParallelism-
+    task parallelize job per call (~400ms measured on local[32]) — pure
+    scheduling overhead paid once per engine entry. ``dtype=object``
+    keeps None/Decimal/date values unmangled by numpy coercion; the
+    explicit schema drives the Arrow conversion."""
+    import pandas as pd
+    if rows is None:
+        rows = df.collect()
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=df.columns,
+                       dtype=object)
+    return spark.createDataFrame(pdf, df.schema)

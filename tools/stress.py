@@ -1094,6 +1094,61 @@ def general_merge_scale(spark, sf_dir: str, amp: int):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def metadata_minmax_scale(spark, sf_dir: str, amp: int):
+    """r13 s3 probe: SELECT min/max/count over an Iceberg table answers
+    from manifest bounds with ZERO Spark jobs (Table.metadata_min_max).
+    Builds an amp× orders table across several commits, then times the
+    metadata path vs the full Spark aggregate — the gap is the whole
+    point at 100 TB (bounds are O(files) driver work; the scan is
+    O(data))."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.table import Table as _T
+    from iceberg_rust_archive_spark.operators.iceberg_queries import (
+        ORDERS_SCHEMA, _orders,
+    )
+    from iceberg_rust_archive_spark.spec import PartitionSpec
+
+    d = tempfile.mkdtemp(prefix="minmax-scale-")
+    try:
+        cat = FileCatalog(d + "/wh")
+        eng = Engine(spark, cat)
+        t = _T.create(cat, "db.mm", ORDERS_SCHEMA, PartitionSpec(0, ()))
+        src = _orders(spark, sf_dir)
+        for i in range(4):
+            t.append(spark, src.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") + F.lit(float(i))))
+            t = t.refresh()
+        n = src.count() * 4
+        t0 = _t.perf_counter()
+        row = eng.sql(
+            "SELECT min(o_orderkey) AS a, max(o_orderkey) AS b, "
+            "min(o_totalprice) AS c, max(o_totalprice) AS d, "
+            "count(*) AS n FROM db.mm").collect()[0]
+        meta_ms = (_t.perf_counter() - t0) * 1000
+        assert row.n == n, (row.n, n)
+        t1 = _t.perf_counter()
+        want = t.scan(spark).agg(
+            F.min("o_orderkey"), F.max("o_orderkey"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+            F.count(F.lit(1))).collect()[0]
+        scan_s = _t.perf_counter() - t1
+        assert tuple(row) == tuple(want), (row, want)
+        print(f"metadata_minmax @ {amp}x ({n} rows, 4 commits): "
+              f"metadata path {meta_ms:.0f}ms vs scan agg {scan_s:.2f}s "
+              f"(values identical)")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def variant_stats_scale(spark, sf_dir: str, amp: int):
     """r13 probe: variant-table files harvest real column stats through
     the thrift footer walker (pyarrow can't parse VARIANT footers), so
@@ -1190,3 +1245,4 @@ if __name__ == "__main__":
     substring_dedup_scale(spark, sf_dir, amp)
     general_merge_scale(spark, sf_dir, amp)
     variant_stats_scale(spark, sf_dir, amp)
+    metadata_minmax_scale(spark, sf_dir, amp)
