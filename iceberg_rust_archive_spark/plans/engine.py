@@ -1336,13 +1336,22 @@ class Engine:
             parsed.append(im)
         if not parsed:
             return None
+        def _local(vals, schema):
+            # pandas/Arrow local relation: ~25ms vs the ~400ms
+            # parallelize job of createDataFrame(list) — the fast
+            # path's answer must not cost a scheduled Spark job
+            import pandas as pd
+            pdf = pd.DataFrame([tuple(vals)],
+                               columns=[f.name for f in schema.fields],
+                               dtype=object)
+            return self.spark.createDataFrame(pdf, schema)
+
         if len(parsed) == 1 and parsed[0].group(1):
             # bare count keeps its merge-on-read fallback: Table.count
             # stays exact under live deletes via the residual scan
             n = t.count(self.spark)
             name = parsed[0].group(4) or "count(1)"
-            return self.spark.createDataFrame(
-                [(n,)], StructType([StructField(name, LongType())]))
+            return _local([n], StructType([StructField(name, LongType())]))
         values, fields = [], []
         minmax_cache: dict[str, tuple] = {}
         try:
@@ -1382,8 +1391,7 @@ class Engine:
                     iceberg_to_spark_type(ftype)))
         except ValueError:
             return None  # unprovable — normal path computes it all
-        return self.spark.createDataFrame(
-            [tuple(values)], StructType(fields))
+        return _local(values, StructType(fields))
 
     def _run_select(self, sql: str) -> DataFrame:
         """Register every referenced catalog tabular, then spark.sql
