@@ -1319,7 +1319,8 @@ class Engine:
         from iceberg_rust_archive_spark.spec.types import (
             iceberg_to_spark_type,
         )
-        m = re.match(r"\s*select\s+(.*?)\s+from\s+([\w.]+)\s*;?\s*$",
+        m = re.match(r"\s*select\s+(.*?)\s+from\s+([\w.]+)"
+                     r"(?:\s+where\s+(.*?))?\s*;?\s*$",
                      _mask_quoted(sql), re.IGNORECASE | re.DOTALL)
         if m is None:
             return None
@@ -1328,6 +1329,22 @@ class Engine:
             t = self.load_table(m.group(2))
         except Exception:  # noqa: BLE001 — view/temp relation
             return None
+        preds = None
+        if m.group(3) is not None:
+            # WHERE is provable only when it parses FULLY into the
+            # Pred conjunction fragment; files the predicate prunes
+            # contribute zero matching rows, kept files must fully
+            # match (Table.metadata_min_max / Table.count gates)
+            from iceberg_rust_archive_spark.predicates import (
+                localize_naive_tstz, try_parse_preds,
+            )
+            preds = try_parse_preds(sql[m.start(3):m.end(3)])
+            if preds is None:
+                return None
+            preds = localize_naive_tstz(
+                preds, t.metadata.current_schema(),
+                self.spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC") or "UTC")
         parsed = []
         for raw in _split_top(items_txt, ","):
             im = self._AGG_ITEM_RE.match(raw.strip())
@@ -1349,7 +1366,7 @@ class Engine:
         if len(parsed) == 1 and parsed[0].group(1):
             # bare count keeps its merge-on-read fallback: Table.count
             # stays exact under live deletes via the residual scan
-            n = t.count(self.spark)
+            n = t.count(self.spark, filter=preds)
             name = parsed[0].group(4) or "count(1)"
             return _local([n], StructType([StructField(name, LongType())]))
         values, fields = [], []
@@ -1357,7 +1374,7 @@ class Engine:
         try:
             for im in parsed:
                 if im.group(1):  # count(*) in a mixed list: must prove
-                    values.append(t.count(None))
+                    values.append(t.count(None, filter=preds))
                     fields.append(StructField(
                         im.group(4) or "count(1)", LongType()))
                     continue
@@ -1369,7 +1386,8 @@ class Engine:
                         or fld.field_type.startswith(("fixed", "binary")):
                     return None
                 if col not in minmax_cache:
-                    minmax_cache[col] = t.metadata_min_max(col)
+                    minmax_cache[col] = t.metadata_min_max(
+                        col, filter=preds)
                 v = minmax_cache[col][0 if fn == "min" else 1]
                 ftype = fld.field_type
                 if v is not None:

@@ -313,10 +313,23 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                             src.field_type)
                 except (TypeError, ValueError):
                     continue  # un-transformable literal → keep
-                if _nan_blind(p.op, tlit, src.field_type,
+                # Iceberg's INCLUSIVE projection (Projections.inclusive
+                # / pruning_statistics.rs:285-350): a many-to-one
+                # monotone transform maps an OPEN interval to a CLOSED
+                # one — ``d < D`` only implies ``month(d) <= month(D)``
+                # (rows strictly below D still live IN month(D) unless
+                # D sits exactly on the boundary), so strict ops must
+                # test inclusively in transformed space. Identity keeps
+                # strict: the transform is one-to-one. Testing the raw
+                # strict op pruned the partition holding the matching
+                # rows — lost rows on every non-boundary ``<``/``>``.
+                eop = p.op
+                if pf.transform != "identity" and eop in ("<", ">"):
+                    eop = "<=" if eop == "<" else ">="
+                if _nan_blind(eop, tlit, src.field_type,
                               0 if summary.contains_nan is False else None):
                     continue  # hidden NaN could satisfy the predicate
-                if not _range_overlaps(p.op, tlit, summary.lower_bound,
+                if not _range_overlaps(eop, tlit, summary.lower_bound,
                                        summary.upper_bound,
                                        summary.contains_null):
                     keep = False

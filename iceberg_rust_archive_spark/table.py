@@ -198,6 +198,7 @@ class Table:
         return self.scan(spark, filter=preds, branch=branch).count()
 
     def metadata_min_max(self, column: str,
+                         filter: list[Pred] | None = None,  # noqa: A002
                          branch: str | None = None) -> tuple:
         """``(min, max)`` of a column from manifest bounds alone — ZERO
         Spark jobs on a table of any size (the A9 statistics surface
@@ -207,6 +208,12 @@ class Table:
 
         - no live delete file (deletes only REMOVE rows, so surviving
           rows' true min can sit strictly inside the file bounds);
+        - with ``filter`` (pre-localized ``Pred`` conjunction): files
+          the predicate prunes away contribute zero matching rows and
+          are skipped; every KEPT file must prove ``file_fully_matches``
+          — all its rows match, so its bounds still bound exactly the
+          matching rows (a partially-matching file's true min can sit
+          inside its bounds → unprovable);
         - every live data file either has both bounds for the column,
           or provably contributes nothing (all-null for that column —
           min/max ignore NULLs, matching Spark);
@@ -223,6 +230,9 @@ class Table:
 
         Returns ``(None, None)`` on an empty table (Spark's min/max
         over zero rows)."""
+        from iceberg_rust_archive_spark.predicates import (
+            file_fully_matches, prune_datafiles, prune_manifests,
+        )
         from iceberg_rust_archive_spark.sources.manifests import (
             read_manifest_list, read_manifests,
         )
@@ -232,6 +242,7 @@ class Table:
         from iceberg_rust_archive_spark.spec.manifest import (
             CONTENT_DATA, STATUS_DELETED,
         )
+        preds = filter or []
         md = self.metadata
         schema = md.current_schema(branch)
         fld = schema.field_by_name(column)
@@ -242,9 +253,16 @@ class Table:
         snap = md.current_snapshot(branch)
         if snap is None:
             return (None, None)
+        spec = md.default_spec()
         lo = hi = None
         mlist = read_manifest_list(snap.manifest_list)
-        for entries in read_manifests([m.manifest_path for m in mlist]):
+        mlist = [m for m in mlist
+                 if m in prune_manifests(
+                     preds, md.partition_specs.get(
+                         m.partition_spec_id, spec), schema, [m])]
+        for mle, entries in zip(
+                mlist, read_manifests([m.manifest_path for m in mlist])):
+            sp = md.partition_specs.get(mle.partition_spec_id, spec)
             for e in entries:
                 if e.status == STATUS_DELETED:
                     continue
@@ -252,6 +270,13 @@ class Table:
                 if f.content != CONTENT_DATA:
                     raise ValueError("live delete files make bounds "
                                      "inexact")
+                if preds:
+                    if not prune_datafiles(preds, schema, [f], sp):
+                        continue  # provably zero matching rows
+                    if not file_fully_matches(preds, schema, f):
+                        raise ValueError(
+                            "file only PARTIALLY matches the filter — "
+                            "its bounds may lie outside matching rows")
                 vals = f.value_counts.get(fid)
                 nulls = f.null_value_counts.get(fid)
                 if vals is None:

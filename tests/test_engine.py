@@ -4379,3 +4379,75 @@ def test_metadata_min_max_fast_path(spark, tmp_path):
     with _pt.raises(ValueError):
         t.metadata_min_max("k")
     assert eng.sql("SELECT min(k) AS m FROM db.t").collect()[0].m == 1
+
+
+def test_metadata_min_max_with_where(spark, tmp_path):
+    """min/max/count WHERE <partition predicate> still answers from
+    metadata when every kept file fully matches — the 'min(ts) for
+    yesterday's partition' shape; a partially-matching file falls the
+    whole statement back to the exact normal path."""
+    import datetime as dtm
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, d DATE, v DOUBLE) "
+            "PARTITIONED BY (month(d))")
+    eng.sql("INSERT INTO db.t VALUES "
+            "(1, DATE '2021-01-05', 1.0), (2, DATE '2021-01-20', 2.0), "
+            "(3, DATE '2021-02-10', 3.0), (4, DATE '2021-02-25', 4.0)")
+    t = eng.load_table("db.t")
+    from iceberg_rust_archive_spark.predicates import Pred
+    # whole-month predicate: the Feb file prunes away, Jan fully matches
+    assert t.metadata_min_max(
+        "k", filter=[Pred("d", "<", dtm.date(2021, 2, 1))]) == (1, 2)
+    got = eng.sql("SELECT min(k) AS a, max(v) AS b, count(*) AS n "
+                  "FROM db.t WHERE d < DATE '2021-02-01'").collect()[0]
+    assert (got.a, got.b, got.n) == (1, 2.0, 2)
+    # mid-month cut: the Jan file only partially matches → unprovable,
+    # normal path still answers exactly
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        t.metadata_min_max(
+            "k", filter=[Pred("d", "<", dtm.date(2021, 1, 10))])
+    got2 = eng.sql("SELECT max(k) AS a FROM db.t "
+                   "WHERE d < DATE '2021-01-10'").collect()[0]
+    assert got2.a == 1
+
+
+def test_transform_pruning_strict_ops_off_boundary(spark, tmp_path):
+    """Iceberg's INCLUSIVE projection: a monotone many-to-one transform
+    maps an open interval to a closed one, so a strict predicate OFF
+    the transform boundary must test inclusively in transformed space.
+    Before the r13 fix, `d < 2021-01-10` pruned the month-613 manifest
+    that holds the matching row — silent lost rows on every
+    non-boundary strict range predicate over a time/truncate-
+    partitioned table."""
+    import datetime as dtm
+
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, d DATE) PARTITIONED BY (month(d))")
+    eng.sql("INSERT INTO db.t VALUES (1, DATE '2021-01-05'), "
+            "(2, DATE '2021-01-20'), (3, DATE '2021-02-10')")
+    t = eng.load_table("db.t")
+    cases = [("<", dtm.date(2021, 1, 10), [1]),
+             (">", dtm.date(2021, 2, 5), [3]),
+             ("<", dtm.date(2021, 2, 1), [1, 2]),  # boundary stays tight
+             (">=", dtm.date(2021, 1, 10), [2, 3]),
+             ("<=", dtm.date(2021, 1, 5), [1]),
+             (">", dtm.date(2021, 2, 15), [])]
+    for op, lit, want in cases:
+        got = sorted(r.k for r in
+                     t.scan(spark, filter=[Pred("d", op, lit)]).collect())
+        assert got == want, (op, lit, got, want)
+    # boundary predicates must still PRUNE (inclusive projection only
+    # widens by the literal's own partition): whole-month cut plans one
+    # of the two files
+    report = {}
+    t.scan(spark, filter=[Pred("d", "<", dtm.date(2021, 2, 1))],
+           report=report).collect()
+    assert report["data_files_planned"] == 1, report

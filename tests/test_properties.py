@@ -789,7 +789,11 @@ def _prune_pred():
                   st.sampled_from(_FLOAT_SPECIALS))),
         min_size=1, max_size=5), min_size=1, max_size=4),
     preds=st.lists(_prune_pred(), min_size=1, max_size=3),
-    transform=st.sampled_from(["identity", "bucket[8]", "truncate[2]"]),
+    # truncate[1] collides heavily (12-char alphabet) so strict <;>
+    # predicates OFF the truncation boundary — the r13 inclusive-
+    # projection bug class — are reachable in few examples
+    transform=st.sampled_from(["identity", "bucket[8]", "truncate[2]",
+                               "truncate[1]"]),
 )
 def test_pruning_soundness_vs_row_eval(files, preds, transform):
     """Pruning may never drop a file that CONTAINS a matching row —
