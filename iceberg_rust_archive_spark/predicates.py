@@ -289,8 +289,22 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
             if is_delete_manifest and summary.contains_null:
                 continue  # may hold global deletes — cannot prune on k
             for p in preds:
-                if p.column != src.name or p.op in ("is_null", "not_null",
-                                                    "!="):
+                if p.column != src.name:
+                    continue
+                if p.op == "is_null":
+                    # every transform except void is NULL-PRESERVING
+                    # (spec: null in → null out), so a summary proving
+                    # no null partition VALUES proves no null SOURCE
+                    # rows in the manifest's data files. Delete
+                    # manifests stay un-prunable here (their scoping
+                    # semantics are value-, not null-, driven).
+                    if not is_delete_manifest \
+                            and pf.transform != "void" \
+                            and summary.contains_null is False:
+                        keep = False
+                        break
+                    continue
+                if p.op in ("not_null", "!="):
                     continue
                 if pf.transform.startswith("bucket") and p.op not in ("=", "in"):
                     continue  # bucket is not order-preserving

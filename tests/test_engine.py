@@ -4451,3 +4451,22 @@ def test_transform_pruning_strict_ops_off_boundary(spark, tmp_path):
     t.scan(spark, filter=[Pred("d", "<", dtm.date(2021, 2, 1))],
            report=report).collect()
     assert report["data_files_planned"] == 1, report
+
+
+def test_is_null_manifest_pruning(spark, catalog):
+    """`col IS NULL` prunes a data manifest whose FieldSummary proves no
+    null partition values — every transform except void is null-
+    preserving, so no null partition value means no null source row.
+    A null-bearing table keeps its manifest and returns the rows."""
+    t = _mk_table(catalog, "orders_nn")  # day(date) partitioned
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    report = {}
+    got = t.scan(spark, filter=[Pred("date", "is_null", None)],
+                 report=report).collect()
+    assert got == [] and report["data_files_planned"] == 0, report
+    assert report["manifests_total"] == 1
+
+    rows = [(90, 9, 9, None, 5)] + BATCH2
+    t.append(spark, spark.createDataFrame(rows, COLS))
+    got2 = t.scan(spark, filter=[Pred("date", "is_null", None)]).collect()
+    assert [r.id for r in got2] == [90]

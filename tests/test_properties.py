@@ -771,10 +771,12 @@ def _float_lit():
 def _prune_pred():
     return st.one_of(
         st.tuples(st.sampled_from(["s", "i"]),
-                  st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+                  st.sampled_from(["=", "<", "<=", ">", ">=", "in",
+                                   "is_null"]),
                   st.lists(_prune_lit(), min_size=1, max_size=3)),
         st.tuples(st.just("x"),
-                  st.sampled_from(["=", "<", "<=", ">", ">=", "in"]),
+                  st.sampled_from(["=", "<", "<=", ">", ">=", "in",
+                                   "is_null"]),
                   st.lists(_float_lit(), min_size=1, max_size=3)),
     )
 
@@ -868,6 +870,8 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
     for col, op, lits in preds:
         if op == "in":
             pred_objs.append(Pred(col, "in", tuple(lits)))
+        elif op == "is_null":
+            pred_objs.append(Pred(col, "is_null", None))
         else:
             pred_objs.append(Pred(col, op, lits[0]))
 
@@ -882,6 +886,10 @@ def test_pruning_soundness_vs_row_eval(files, preds, transform):
         vals = {"s": row[0], "i": row[1], "x": row[2]}
         for p in pred_objs:
             v = vals[p.column]
+            if p.op == "is_null":
+                if v is not None:
+                    return False
+                continue
             if v is None:
                 return False
             use_f = p.column == "x" and isinstance(v, float)
