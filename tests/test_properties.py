@@ -1207,3 +1207,65 @@ def test_dml_router_literal_survival(spark, tmp_path_factory, words, pad,
                 f"VALUES (s.k, '{lit}')")
     got = eng.sql("SELECT v FROM db.t WHERE k = 1").collect()
     assert len(got) == 1 and got[0].v == want, (stmt, lit, got)
+
+
+# --- metadata min/max soundness (r13 s3) ------------------------------------
+
+@SLOW
+@given(batches=st.lists(
+    st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(-50, 50)),
+        st.one_of(st.none(), st.text(alphabet="abc0189 ",
+                                     min_size=0, max_size=20)),
+        st.one_of(st.none(), st.floats(-9, 9, allow_nan=False),
+                  st.sampled_from([float("nan"), float("inf"),
+                                   float("-inf")]))),
+        min_size=1, max_size=5),
+    min_size=1, max_size=3))
+def test_metadata_min_max_matches_spark_agg(spark, tmp_path_factory,
+                                            batches):
+    """Whenever metadata_min_max claims provability, its answer must
+    equal Spark's min/max over the scan — across nulls, NaN/±inf
+    injections, short and truncation-length strings, and multi-commit
+    bound merges. Unprovable cases must raise (never a wrong value)."""
+    import math as _m
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.spec import (
+        NestedField, PartitionSpec, Schema, StructTypeSpec,
+    )
+    from iceberg_rust_archive_spark.table import Table
+
+    wh = tmp_path_factory.mktemp("mm-prop")
+    cat = FileCatalog(str(wh / "wh"))
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "s", "string", True),
+        NestedField(3, "x", "double", True))))
+    t = Table.create(cat, "db.mm", schema, PartitionSpec(0, ()))
+    sschema = StructType([StructField("k", LongType()),
+                          StructField("s", StringType()),
+                          StructField("x", DoubleType())])
+    for rows in batches:
+        t.append(spark, spark.createDataFrame(rows, sschema))
+        t = t.refresh()
+    want = t.scan(spark).selectExpr(
+        "min(k)", "max(k)", "min(s)", "max(s)", "min(x)", "max(x)"
+    ).collect()[0]
+    for col, wlo, whi in (("k", want[0], want[1]),
+                          ("s", want[2], want[3]),
+                          ("x", want[4], want[5])):
+        try:
+            lo, hi = t.metadata_min_max(col)
+        except ValueError:
+            continue  # unprovable — fallback contract
+        def norm(v):
+            return None if v is None else (
+                (1, 0.0) if isinstance(v, float) and _m.isnan(v)
+                else (0, v) if isinstance(v, float) else v)
+        assert norm(lo) == norm(wlo) and norm(hi) == norm(whi), \
+            (col, lo, hi, wlo, whi, batches)
