@@ -16,11 +16,15 @@ vectorized write path):
   string = W-char prefix (values.rs:365-376).
 - ``year``/``month``/``day``/``hour`` = offsets from epoch
   (values.rs:836-924): year→years since 1970, day→days since epoch,
-  hour→hours since epoch, and month→``12*(year-1970) + month`` — note the
-  reference does NOT subtract 1 from month (datetime_to_months,
-  values.rs:857-861; arrow path transform.rs:122-124 agrees), so 2023-05 →
-  641. We match the reference, not the Iceberg-java spec (which yields 640);
-  internal write/prune consistency is what correctness depends on.
+  hour→hours since epoch, month→``12*(year-1970) + (month-1)`` — months
+  since 1970-01, so 2023-05 → 640 and 1969-12 → -1.
+  REFERENCE DIVERGENCE: the reference's ``datetime_to_months``
+  (values.rs:857-861; arrow path transform.rs:122-124 agrees) omits the
+  ``-1`` and yields 641 — off-by-one vs the Iceberg spec and Iceberg-java.
+  We deliberately follow the SPEC: an independent reader (pyiceberg, Trino,
+  Spark-Iceberg) of a month-partitioned table projects predicates into the
+  spec's month space, and a writer in the reference's space would make that
+  reader mis-prune and silently lose rows.
 
 Column versions use built-in functions (whole-stage codegen) everywhere
 except bucket, which needs the custom hash.
@@ -193,8 +197,9 @@ def transform_value(transform: str, value, iceberg_type: str):
     if transform == "year":
         return d.year - 1970
     if transform == "month":
-        # reference semantics: no -1 (values.rs:857-861)
-        return (d.year - 1970) * 12 + d.month
+        # spec semantics: months since 1970-01 (reference divergence —
+        # values.rs:857-861 omits the -1, off-by-one vs Iceberg-java)
+        return (d.year - 1970) * 12 + d.month - 1
     if transform == "day":
         return (d - _EPOCH).days
     if transform == "hour":
@@ -208,6 +213,17 @@ def transform_value(transform: str, value, iceberg_type: str):
 
 
 # --- Spark column versions -------------------------------------------------
+
+def _floor_div(c: Column, n: int) -> Column:
+    """Exact floor(c / n) for long columns, staying in integer space.
+    ``c / lit(n)`` promotes long/long to double, and a micros value one
+    below a bucket boundary can round UP past ~2^53 (hour ordinals beyond
+    roughly year 2900 land in the wrong partition).  ``pmod`` keeps the
+    remainder non-negative, so subtracting it yields the exact floor
+    multiple; the final divide runs in decimal space, which is exact."""
+    exact = (c - F.pmod(c, F.lit(n))).cast("decimal(38,0)")
+    return (exact / F.lit(n)).cast("int")
+
 
 def _bucket_udf(n: int, iceberg_type: str):
     @pandas_udf(T.IntegerType())
@@ -256,21 +272,24 @@ def transform_column(transform: str, col: Column | str,
         # the day ordinal recovers calendar fields for year/month.
         micros = F.unix_micros(c)
         if transform == "hour":
-            return F.floor(micros / F.lit(3_600_000_000)).cast("int")
-        days = F.floor(micros / F.lit(86_400_000_000)).cast("int")
+            return _floor_div(micros, 3_600_000_000)
+        days = _floor_div(micros, 86_400_000_000)
         if transform == "day":
             return days
         utc_date = F.date_add(F.lit(_EPOCH), days)
         if transform == "year":
             return (F.year(utc_date) - F.lit(1970)).cast("int")
-        # month: reference semantics, no -1 (transform.rs:122-124)
+        # month: spec semantics, months since 1970-01 (reference
+        # divergence — transform.rs:122-124 omits the -1)
         return ((F.year(utc_date) - F.lit(1970)) * 12
-                + F.month(utc_date)).cast("int")
+                + F.month(utc_date) - F.lit(1)).cast("int")
     if transform == "year":
         return (F.year(c) - F.lit(1970)).cast("int")
     if transform == "month":
-        # reference semantics: no -1 (transform.rs:122-124)
-        return ((F.year(c) - F.lit(1970)) * 12 + F.month(c)).cast("int")
+        # spec semantics, months since 1970-01 (reference divergence —
+        # transform.rs:122-124 omits the -1)
+        return ((F.year(c) - F.lit(1970)) * 12
+                + F.month(c) - F.lit(1)).cast("int")
     if transform == "day":
         return F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("int")
     if transform == "hour":

@@ -4112,8 +4112,9 @@ def test_timestamptz_partitioned_write_non_utc_session(spark, catalog):
              for m in read_manifest_list(
                  t.metadata.current_snapshot().manifest_list)
              for en in read_manifest(m.manifest_path)}
-    # reference month semantics (no -1): 2023-01 → 637, 2022-12 → 636
-    assert parts == {636, 637}
+    # spec month semantics (months since 1970-01): 2023-01 → 636,
+    # 2022-12 → 635
+    assert parts == {635, 636}
     # pruning engages on the UTC ordinal: only the 2023-01 file planned
     report = {}
     got = t.scan(spark, filter=[Pred(
@@ -4420,7 +4421,7 @@ def test_transform_pruning_strict_ops_off_boundary(spark, tmp_path):
     """Iceberg's INCLUSIVE projection: a monotone many-to-one transform
     maps an open interval to a closed one, so a strict predicate OFF
     the transform boundary must test inclusively in transformed space.
-    Before the r13 fix, `d < 2021-01-10` pruned the month-613 manifest
+    Before the r13 fix, `d < 2021-01-10` pruned the month-612 manifest
     that holds the matching row — silent lost rows on every
     non-boundary strict range predicate over a time/truncate-
     partitioned table."""

@@ -128,21 +128,34 @@ def test_view_and_mv_metadata_roundtrip():
     assert rt2.snapshot_for("u2") is None
 
 
-# --- transforms: reference test vectors (arrow/transform.rs:126-260) -------
+# --- transforms: test vectors (year/day/hour match the reference's
+# arrow/transform.rs:126-260; month is the SPEC ordinal — months since
+# 1970-01 — one LESS than the reference's values.rs:857-861, which is
+# off-by-one vs Iceberg-java and would make foreign readers mis-prune) ----
 
 def test_date_transforms_reference_vectors():
-    for days, y, m in [(19478, 53, 641), (19523, 53, 642), (19723, 54, 649)]:
+    for days, y, m in [(19478, 53, 640), (19523, 53, 641), (19723, 54, 648)]:
         d = dt.date(1970, 1, 1) + dt.timedelta(days=days)
         assert transform_value("year", d, "date") == y
         assert transform_value("month", d, "date") == m
         assert transform_value("day", d, "date") == days
+    # spec pin: 2023-05-15 → 640 (Iceberg-java MonthTransform semantics)
+    assert transform_value("month", dt.date(2023, 5, 15), "date") == 640
+
+
+def test_month_transform_negative_dates():
+    # months since 1970-01 goes negative before the epoch
+    assert transform_value("month", dt.date(1969, 12, 15), "date") == -1
+    assert transform_value("month", dt.date(1969, 5, 1), "date") == -8
+    assert transform_value("month", dt.date(1970, 1, 31), "date") == 0
+    assert transform_value("year", dt.date(1969, 12, 15), "date") == -1
 
 
 def test_timestamp_transforms_reference_vectors():
     for micros, hours, days, months in [
-            (1682937000000000, 467482, 19478, 641),
-            (1686840330000000, 468566, 19523, 642),
-            (1704067200000000, 473352, 19723, 649)]:
+            (1682937000000000, 467482, 19478, 640),
+            (1686840330000000, 468566, 19523, 641),
+            (1704067200000000, 473352, 19723, 648)]:
         ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
         assert transform_value("hour", ts, "timestamp") == hours
         assert transform_value("day", ts, "timestamp") == days
