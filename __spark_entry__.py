@@ -797,12 +797,39 @@ def _component_oracles() -> dict[str, str]:
             FROM g GROUP BY n_events
         """,
         "iceberg_roundtrip_agg": """
-            SELECT o_orderstatus, count(*) AS n_orders,
+            SELECT 'agg' AS mode, o_orderstatus AS key,
+                   count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY o_orderstatus
+            UNION ALL
+            -- meta branch: the engine answered these from manifest
+            -- bounds with a zero-Spark-job guard; DuckDB recomputes
+            -- them from the raw rows
+            SELECT 'meta', s.key,
+                   CASE s.key
+                     WHEN 'count' THEN m.n
+                     WHEN 'min_date' THEN m.dmn_day
+                     WHEN 'max_date' THEN m.dmx_day
+                     ELSE NULL END AS n_orders,
+                   CASE s.key
+                     WHEN 'min_price' THEN m.mn
+                     WHEN 'max_price' THEN m.mx
+                     ELSE NULL END AS total
+            FROM (
+              SELECT count(*) AS n,
+                     min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(min(o_orderdate) AS DATE)) AS dmn_day,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(max(o_orderdate) AS DATE)) AS dmx_day
+              FROM orders
+              WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+            ) m
+            CROSS JOIN (VALUES ('count'), ('min_price'), ('max_price'),
+                               ('min_date'), ('max_date')) AS s(key)
         """,
         "iceberg_equality_delete": """
             SELECT 'flat' AS branch, o_orderstatus, count(*) AS n_orders

@@ -46,8 +46,17 @@ def _tmp_catalog():
 
 
 def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write orders into a month-partitioned Iceberg table, scan back with
-    a pruned date-range filter, aggregate (A1+A2+A3+A10-A14)."""
+    """Two labeled branches over ONE month-partitioned Iceberg table:
+
+    ``agg``: write orders, scan back with a pruned date-range filter,
+    aggregate (A1+A2+A3+A10-A14).
+
+    ``meta`` (r14): ``SELECT count/min/max … WHERE <month-boundary
+    predicate>`` through ``engine.sql``, answered by the metadata
+    aggregate fast path (A9) from manifest bounds alone — the entry
+    wraps the call in a Spark job group and RAISES if any job was
+    scheduled, so the green oracle row itself certifies the zero-job
+    property (at 100 TB this is an instant answer vs a cluster scan)."""
     cat, d = _tmp_catalog()
     try:
         t = Table.create(cat, "db.orders", ORDERS_SCHEMA, MONTH_SPEC)
@@ -56,12 +65,45 @@ def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = t.scan(spark, filter=[
             Pred("o_orderdate", ">=", dt.datetime(1996, 1, 1)),
             Pred("o_orderdate", "<", dt.datetime(1997, 1, 1))])
-        out = (df.groupBy("o_orderstatus")
+        agg = (df.groupBy("o_orderstatus")
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))
-               .orderBy("o_orderstatus"))
-        out = materialize_local(spark, out)
-        return out
+               .orderBy("o_orderstatus")
+               .select(F.lit("agg").alias("mode"),
+                       F.col("o_orderstatus").alias("key"),
+                       "n_orders", "total"))
+
+        from iceberg_rust_archive_spark.plans.engine import Engine
+        eng = Engine(spark, cat)
+        sc = spark.sparkContext
+        sc.setJobGroup("meta_fast_path", "metadata aggregate fast path")
+        try:
+            meta = eng.sql(
+                "SELECT count(*) AS n, min(o_totalprice) AS mn, "
+                "max(o_totalprice) AS mx, min(o_orderdate) AS dmn, "
+                "max(o_orderdate) AS dmx FROM db.orders "
+                "WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'")
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        if sc.statusTracker().getJobIdsForGroup("meta_fast_path"):
+            raise RuntimeError(
+                "metadata aggregate fast path scheduled Spark jobs — "
+                "it must answer from manifest bounds alone")
+        day = "datediff(CAST({c} AS DATE), DATE '1970-01-01')"
+        mrows = None
+        for key, n_expr, t_expr in [
+                ("count", "n", "CAST(NULL AS DOUBLE)"),
+                ("min_price", "CAST(NULL AS BIGINT)", "mn"),
+                ("max_price", "CAST(NULL AS BIGINT)", "mx"),
+                ("min_date", day.format(c="dmn"), "CAST(NULL AS DOUBLE)"),
+                ("max_date", day.format(c="dmx"), "CAST(NULL AS DOUBLE)")]:
+            r = meta.selectExpr(
+                "'meta' AS mode", f"'{key}' AS key",
+                f"CAST({n_expr} AS BIGINT) AS n_orders",
+                f"CAST({t_expr} AS DOUBLE) AS total")
+            mrows = r if mrows is None else mrows.unionByName(r)
+        return materialize_local(spark, agg.unionByName(mrows))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

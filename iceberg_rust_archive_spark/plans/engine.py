@@ -1302,6 +1302,45 @@ class Engine:
                 for f in target.fields])
         t.append(self.spark, df)
 
+    # Catalyst defaultSize analogs per Iceberg type — the same per-row
+    # width Spark's own CBO assumes when it cannot measure (strings
+    # estimate 20 B like StringType.defaultSize)
+    _TYPE_WIDTHS = {
+        "boolean": 1, "int": 4, "date": 4, "float": 4,
+        "long": 8, "double": 8, "time": 8,
+        "timestamp": 8, "timestamptz": 8,
+        "uuid": 16, "string": 20,
+    }
+
+    def _stats_broadcastable(self, md) -> bool:
+        """True when the snapshot summary's ``total-records`` proves
+        the relation fits under ``spark.sql.autoBroadcastJoinThreshold``
+        at Catalyst's own per-type width estimates — ZERO metadata
+        reads beyond the already-loaded table metadata. A negative
+        threshold (user disabled auto-broadcast) disables the hint
+        too. The hint is semantically neutral: worst case Spark
+        broadcasts a side it would have shuffled."""
+        thresh = _parse_byte_conf(self.spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        if thresh is None or thresh <= 0:
+            return False
+        snap = md.current_snapshot()
+        summary = (snap.summary if snap else None) or {}
+        try:
+            rows = int(summary["total-records"])
+        except (KeyError, TypeError, ValueError):
+            return False
+        width = 0
+        for f in md.current_schema().fields:
+            t = f.field_type
+            if isinstance(t, str) and t.startswith(("decimal", "fixed")):
+                width += 16
+            elif isinstance(t, str):
+                width += self._TYPE_WIDTHS.get(t, 40)
+            else:
+                width += 40  # nested / variant
+        return rows * max(width, 8) <= thresh
+
     _AGG_ITEM_RE = re.compile(
         r"(?:(count)\(\s*(?:\*|1)\s*\)|(min|max)\(\s*([\w.]+)\s*\))"
         r"(?:\s+as\s+(\w+))?\s*$", re.IGNORECASE)
@@ -1378,7 +1417,19 @@ class Engine:
                     fields.append(StructField(
                         im.group(4) or "count(1)", LongType()))
                     continue
-                fn, col = im.group(2).lower(), im.group(3).split(".")[-1]
+                fn, raw_col = im.group(2).lower(), im.group(3)
+                if "." in raw_col:
+                    # only a TABLE qualifier may be stripped: min(t.c) /
+                    # min(db.t.c). Any other dotted path (a struct field
+                    # like min(person.age), a wrong qualifier) must fall
+                    # through to Spark, not be answered from a same-named
+                    # top-level column's manifest bounds.
+                    qual, col = raw_col.rsplit(".", 1)
+                    tbl = m.group(2).lower()
+                    if qual.lower() not in (tbl, tbl.split(".")[-1]):
+                        return None
+                else:
+                    col = raw_col
                 fld = t.metadata.current_schema().field_by_name(col)
                 if fld is None or not isinstance(fld.field_type, str) \
                         or fld.field_type in ("boolean", "time",
@@ -1386,8 +1437,11 @@ class Engine:
                         or fld.field_type.startswith(("fixed", "binary")):
                     return None
                 if col not in minmax_cache:
+                    # spark rides along ONLY for the distributed
+                    # manifest walk above the plan-mode gate; below it
+                    # the answer still costs zero Spark jobs
                     minmax_cache[col] = t.metadata_min_max(
-                        col, filter=preds)
+                        col, filter=preds, spark=self.spark)
                 v = minmax_cache[col][0 if fn == "min" else 1]
                 ftype = fld.field_type
                 if v is not None:
@@ -1521,11 +1575,39 @@ class Engine:
                     sql, md.current_schema()) if single_rel else None)
                 df = Table(self.catalog, name, md).scan(
                     self.spark, filter=preds)
+                from pyspark.sql import functions as F
+                if not single_rel and self._stats_broadcastable(md):
+                    # stats-based planning (SURVEY §4; the reference
+                    # feeds table statistics into DataFusion's CBO,
+                    # datafusion_iceberg/src/statistics.rs:20-146):
+                    # metadata proves this relation tiny, so hint it
+                    # broadcast-side — multi-table SQL then picks
+                    # BroadcastHashJoin over sort-merge for dimension
+                    # tables even when Spark's own size estimate
+                    # (file bytes of a MoR chain, subquery output)
+                    # cannot see it. Single-relation statements skip
+                    # the hint (nothing to join).
+                    df = F.broadcast(df)
             else:
                 continue
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
         return self.spark.sql(rewrite_relations(sql, mapping))
+
+def _parse_byte_conf(v) -> int | None:
+    """Spark byte-size conf string → bytes ('10485760', '10MB', '1g',
+    '512k', '-1') — None when unparseable (callers then skip the
+    optimization rather than guess)."""
+    if v is None:
+        return None
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([kmgt]?)b?", s)
+    if m is None:
+        return None
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20,
+            "g": 1 << 30, "t": 1 << 40}[m.group(2)]
+    return int(m.group(1)) * mult
+
 
 def _extract_top_where(sql: str) -> str | None:
     """The text of the statement's TOP-LEVEL WHERE clause (depth 0,

@@ -35,6 +35,12 @@ class Pred:
     column: str
     op: str
     value: object = None
+    # Conservative escape hatch: the literal could not be normalized to
+    # the bounds' value space (e.g. a naive timestamptz literal under a
+    # session timezone we cannot resolve), so metadata pruning must skip
+    # this conjunct entirely — the residual Spark filter, which evaluates
+    # the literal under Spark's own session-zone rules, stays exact.
+    no_prune: bool = False
 
     def __post_init__(self):
         if self.op not in OPS:
@@ -138,11 +144,7 @@ def localize_naive_tstz(preds: list[Pred], schema, tz_name: str) -> list[Pred]:
     even inside the two transition hours."""
     if not preds:
         return preds
-    try:
-        import zoneinfo
-        tz = zoneinfo.ZoneInfo(tz_name)
-    except Exception:
-        tz = _dt.timezone.utc
+    tz = _resolve_session_tz(tz_name)
 
     def loc(v):
         if isinstance(v, str):
@@ -154,12 +156,34 @@ def localize_naive_tstz(preds: list[Pred], schema, tz_name: str) -> list[Pred]:
             return v.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
         return v
 
+    def has_naive(p):
+        vals = p.value if p.op == "in" and isinstance(
+            p.value, (list, tuple)) else (p.value,)
+        for v in vals:
+            if isinstance(v, str):
+                try:
+                    v = _dt.datetime.fromisoformat(v)
+                except ValueError:
+                    continue
+            if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                return True
+        return False
+
     out = []
     for p in preds:
         f = schema.field_by_name(p.column) if schema is not None else None
         if getattr(f, "field_type", None) != "timestamptz" \
                 or p.op in ("is_null", "not_null"):
             out.append(p)
+        elif tz is None:
+            # Unresolvable session zone: interpreting the naive literal
+            # as UTC would disagree with Spark's session-offset reading
+            # and mis-prune (lost rows). Keep the literal naive and bar
+            # this conjunct from metadata pruning; the residual filter
+            # (Spark interprets naive literals in ITS session zone)
+            # keeps results exact.
+            out.append(Pred(p.column, p.op, p.value,
+                            no_prune=has_naive(p)) if has_naive(p) else p)
         elif p.op == "in" and isinstance(p.value, (list, tuple)):
             out.append(Pred(p.column, p.op, tuple(loc(v) for v in p.value)))
         else:
@@ -167,25 +191,76 @@ def localize_naive_tstz(preds: list[Pred], schema, tz_name: str) -> list[Pred]:
     return out
 
 
+def _resolve_session_tz(tz_name: str):
+    """Session-timezone string → tzinfo, or None when unresolvable.
+    Spark validates the conf through ``ZoneId.of``, which accepts region
+    IDs (zoneinfo's domain) AND fixed-offset forms zoneinfo rejects:
+    ``Z``, ``+08``, ``+08:00``, ``-0330``, ``GMT+8`` / ``UTC+05:30`` /
+    ``UT-2``. Treating those as UTC (the previous fallback) silently
+    shifted every naive timestamptz literal by the session offset —
+    wrong pruning AND a wrong pushed filter under such sessions."""
+    try:
+        import zoneinfo
+        return zoneinfo.ZoneInfo(tz_name)
+    except Exception:
+        pass
+    import re as _re
+    s = (tz_name or "").strip()
+    for prefix in ("UTC", "GMT", "UT"):   # check UTC before UT
+        if s.upper().startswith(prefix):
+            s = s[len(prefix):]
+            break
+    if s.upper() in ("", "Z"):
+        return _dt.timezone.utc
+    m = _re.fullmatch(r"([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", s)
+    if not m:
+        return None
+    sign = -1 if m.group(1) == "-" else 1
+    h, mi, se = int(m.group(2)), int(m.group(3) or 0), int(m.group(4) or 0)
+    if h > 18 or mi > 59 or se > 59:
+        return None
+    return _dt.timezone(
+        sign * _dt.timedelta(hours=h, minutes=mi, seconds=se))
+
+
 def to_spark_filter(preds: list[Pred]) -> Column | None:
     """Residual re-evaluation filter (A7 inexact semantics)."""
     col = None
     for p in preds:
         c = F.col(p.column)
+
+        def lit(v, _np=p.no_prune):
+            # A no_prune naive-datetime literal means "session-zone wall
+            # time" under a zone Python could not resolve; F.lit(datetime)
+            # would interpret it in the PYTHON PROCESS zone instead.  A
+            # string→timestamp cast happens JVM-side in Spark's session
+            # zone — exactly the TIMESTAMP '…' semantics we owe.
+            if _np and isinstance(v, _dt.datetime) and v.tzinfo is None:
+                return F.lit(v.isoformat(sep=" ")).cast("timestamp")
+            return F.lit(v)
+
         if p.op == "=":
-            e = c == F.lit(p.value)
+            e = c == lit(p.value)
         elif p.op == "!=":
-            e = c != F.lit(p.value)
+            e = c != lit(p.value)
         elif p.op == "<":
-            e = c < F.lit(p.value)
+            e = c < lit(p.value)
         elif p.op == "<=":
-            e = c <= F.lit(p.value)
+            e = c <= lit(p.value)
         elif p.op == ">":
-            e = c > F.lit(p.value)
+            e = c > lit(p.value)
         elif p.op == ">=":
-            e = c >= F.lit(p.value)
+            e = c >= lit(p.value)
         elif p.op == "in":
-            e = c.isin(list(p.value))
+            if p.no_prune:
+                e = None
+                for v in p.value:
+                    t = (c == lit(v))
+                    e = t if e is None else (e | t)
+                if e is None:
+                    e = F.lit(False)
+            else:
+                e = c.isin(list(p.value))
         elif p.op == "is_null":
             e = c.isNull()
         else:
@@ -289,7 +364,7 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
             if is_delete_manifest and summary.contains_null:
                 continue  # may hold global deletes — cannot prune on k
             for p in preds:
-                if p.column != src.name:
+                if p.column != src.name or p.no_prune:
                     continue
                 if p.op == "is_null":
                     # every transform except void is NULL-PRESERVING
@@ -382,7 +457,8 @@ def _partition_value_excludes(preds: list[Pred], spec: PartitionSpec,
                 or type(a) is type(b)
 
         for p in preds:
-            if p.column != src.name or p.op not in ("=", "in"):
+            if p.column != src.name or p.op not in ("=", "in") \
+                    or p.no_prune:
                 continue
             if not _pred_lit_ok(p, src.field_type):
                 continue  # type-skewed parsed literal → keep the file
@@ -425,6 +501,8 @@ def prune_datafiles(preds: list[Pred], schema: Schema,
                 preds, spec, schema, f):
             continue
         for p in preds:
+            if p.no_prune:
+                continue
             fld = schema.field_by_name(p.column)
             if fld is None or not isinstance(fld.field_type, str):
                 continue
@@ -466,6 +544,8 @@ def file_fully_matches(preds: list[Pred], schema: Schema,
     is still ≤ every value (so ``lo >= lit`` proves ``value >= lit``)
     and the truncate-increment upper is still ≥ every value."""
     for p in preds:
+        if p.no_prune:
+            return False  # literal not in bounds space — unprovable
         fld = schema.field_by_name(p.column)
         if fld is None or not isinstance(fld.field_type, str):
             return False

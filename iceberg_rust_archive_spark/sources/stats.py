@@ -51,15 +51,23 @@ def _trunc_upper(v):
     Incrementing U+D7FF must jump over the UTF-16 surrogate block to
     U+E000 (mirrors Iceberg's UnicodeUtil.truncateStringMax): lone
     surrogates are not encodable, so chr(0xD800) would blow up the
-    Avro manifest writer's UTF-8 encode and fail the commit."""
+    Avro manifest writer's UTF-8 encode and fail the commit.
+
+    The result is NUL-padded back to TRUNCATE_BOUND_LEN: incrementing a
+    mid-string code point drops the tail, and a SHORTER-than-16 bound
+    would pass ``metadata_min_max``'s length gate and be returned as an
+    exact max larger than the true max.  Appending characters only
+    INCREASES a string lexicographically, so the padded value still
+    upper-bounds everything the unpadded one did, and its full length
+    marks it as truncated for every exactness gate."""
     if isinstance(v, str) and len(v) > TRUNCATE_BOUND_LEN:
         t = v[:TRUNCATE_BOUND_LEN]
         for i in range(len(t) - 1, -1, -1):
             cp = ord(t[i])
             if cp == 0xD7FF:
-                return t[:i] + chr(0xE000)
+                return (t[:i] + chr(0xE000)).ljust(TRUNCATE_BOUND_LEN, "\0")
             if cp < 0x10FFFF and not 0xD800 <= cp < 0xDFFF:
-                return t[:i] + chr(cp + 1)
+                return (t[:i] + chr(cp + 1)).ljust(TRUNCATE_BOUND_LEN, "\0")
         return None
     return v
 

@@ -105,6 +105,57 @@ class Table:
                      snapshot_id, as_of_ms, from_snapshot_id,
                      report=report, with_row_id=with_row_id)
 
+    def _pruned_manifest_list(self, preds, schema, snap):
+        from iceberg_rust_archive_spark.predicates import prune_manifests
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifest_list,
+        )
+        md = self.metadata
+        spec = md.default_spec()
+        return [m for m in read_manifest_list(snap.manifest_list)
+                if m in prune_manifests(
+                    preds, md.partition_specs.get(
+                        m.partition_spec_id, spec), schema, [m])]
+
+    def _walk_manifest_partials(self, spark, mlist, per_manifest):
+        """Apply ``per_manifest(spec, entries) -> partial`` over every
+        surviving manifest and return the partial list.  Below the
+        plan-mode gate (``read.plan-mode`` / 128 manifests — the same
+        gate ``scan`` uses) this is the driver's thread-pooled fetch:
+        ZERO Spark jobs.  Above it, ONE Spark job maps the manifest
+        paths and ships back only the per-manifest partials — at 100×
+        manifest counts the metadata aggregates would otherwise
+        bottleneck on the driver's fetch pool while ``scan`` had
+        already gone distributed (operators/scan.py:172-240)."""
+        from iceberg_rust_archive_spark.operators.scan import (
+            plan_mode_used,
+        )
+        from iceberg_rust_archive_spark.sources.manifests import (
+            read_manifests,
+        )
+        md = self.metadata
+        specs = dict(md.partition_specs)
+        default_spec = md.default_spec()
+        if spark is not None and mlist \
+                and plan_mode_used(md, mlist) == "distributed":
+            tasks = [(m.manifest_path, m.partition_spec_id)
+                     for m in mlist]
+            sc = spark.sparkContext
+            n = max(1, min(len(tasks), sc.defaultParallelism * 2))
+
+            def run(it):
+                from iceberg_rust_archive_spark.sources.manifests import (
+                    read_manifest,
+                )
+                for path, sid in it:
+                    yield per_manifest(specs.get(sid, default_spec),
+                                       list(read_manifest(path)))
+            return sc.parallelize(tasks, n).mapPartitions(run).collect()
+        return [per_manifest(specs.get(mle.partition_spec_id,
+                                       default_spec), entries)
+                for mle, entries in zip(mlist, read_manifests(
+                    [m.manifest_path for m in mlist]))]
+
     def count(self, spark: SparkSession | None = None,
               filter: list[Pred] | None = None,  # noqa: A002
               branch: str | None = None) -> int:
@@ -113,17 +164,16 @@ class Table:
         of datafusion_iceberg/src/statistics.rs:20-146 taken to its
         conclusion: record_count sums ARE the answer when no delete
         files are live and every surviving file either fully matches
-        the predicate or was pruned away).
+        the predicate or was pruned away).  Above the plan-mode gate
+        the manifest walk itself runs as one distributed metadata job
+        (``_walk_manifest_partials``).
 
         Fallback: any live delete file, or a file only PARTIALLY
         covered by the predicate, makes the metadata count inexact —
         then the real scan runs (pass ``spark``; ``spark=None`` raises
         instead so callers can assert the fast path was taken)."""
         from iceberg_rust_archive_spark.predicates import (
-            file_fully_matches, prune_datafiles, prune_manifests,
-        )
-        from iceberg_rust_archive_spark.sources.manifests import (
-            read_manifest_list, read_manifests,
+            file_fully_matches, prune_datafiles,
         )
         from iceberg_rust_archive_spark.spec.manifest import (
             CONTENT_DATA, STATUS_DELETED,
@@ -134,7 +184,6 @@ class Table:
         snap = md.current_snapshot(branch)
         if snap is None:
             return 0
-        spec = md.default_spec()
         if preds:
             from iceberg_rust_archive_spark.predicates import (
                 localize_naive_tstz,
@@ -143,29 +192,29 @@ class Table:
                 preds, schema,
                 (spark.conf.get("spark.sql.session.timeZone", "UTC")
                  if spark is not None else "UTC") or "UTC")
-        mlist = [m for m in read_manifest_list(snap.manifest_list)
-                 if m in prune_manifests(
-                     preds, md.partition_specs.get(
-                         m.partition_spec_id, spec), schema, [m])]
-        exact = True
-        total = 0
-        residual_files = []
-        for mle, entries in zip(
-                mlist, read_manifests([m.manifest_path for m in mlist])):
-            sp = md.partition_specs.get(mle.partition_spec_id, spec)
+        mlist = self._pruned_manifest_list(preds, schema, snap)
+
+        def part(sp, entries):
+            inexact, total, residual = False, 0, []
             for e in entries:
                 if e.status == STATUS_DELETED:
                     continue
-                if e.data_file.content != CONTENT_DATA:
-                    exact = False  # merge-on-read pending
+                f = e.data_file
+                if f.content != CONTENT_DATA:
+                    inexact = True  # merge-on-read pending
                     continue
-                kept = prune_datafiles(preds, schema, [e.data_file], sp)
-                if not kept:
+                if not prune_datafiles(preds, schema, [f], sp):
                     continue
-                if file_fully_matches(preds, schema, e.data_file):
-                    total += e.data_file.record_count
+                if file_fully_matches(preds, schema, f):
+                    total += f.record_count
                 else:
-                    residual_files.append(e.data_file)
+                    residual.append((f.file_path, f.file_format))
+            return inexact, total, residual
+
+        partials = self._walk_manifest_partials(spark, mlist, part)
+        exact = not any(p[0] for p in partials)
+        total = sum(p[1] for p in partials)
+        residual_files = [f for p in partials for f in p[2]]
         if exact and not residual_files:
             return total
         if spark is None:
@@ -188,8 +237,7 @@ class Table:
             )
             ensure_read_confs(spark)
             d = read_data_files(
-                spark, spark_schema_for(schema.struct),
-                [(f.file_path, f.file_format) for f in residual_files],
+                spark, spark_schema_for(schema.struct), residual_files,
                 by_name="schema.name-mapping.default" in md.properties)
             cond = to_spark_filter(preds)
             if cond is not None:
@@ -199,7 +247,8 @@ class Table:
 
     def metadata_min_max(self, column: str,
                          filter: list[Pred] | None = None,  # noqa: A002
-                         branch: str | None = None) -> tuple:
+                         branch: str | None = None,
+                         spark: SparkSession | None = None) -> tuple:
         """``(min, max)`` of a column from manifest bounds alone — ZERO
         Spark jobs on a table of any size (the A9 statistics surface
         extended from ``count``: file lower/upper bounds ARE the answer
@@ -229,12 +278,12 @@ class Table:
           file has no bounds, failing the gate above).
 
         Returns ``(None, None)`` on an empty table (Spark's min/max
-        over zero rows)."""
+        over zero rows).  Pass ``spark`` to let the manifest walk go
+        distributed above the plan-mode gate (unprovability travels
+        back as a marker and still raises ``ValueError`` driver-side;
+        below the gate the walk stays zero-job)."""
         from iceberg_rust_archive_spark.predicates import (
-            file_fully_matches, prune_datafiles, prune_manifests,
-        )
-        from iceberg_rust_archive_spark.sources.manifests import (
-            read_manifest_list, read_manifests,
+            file_fully_matches, prune_datafiles,
         )
         from iceberg_rust_archive_spark.sources.stats import (
             TRUNCATE_BOUND_LEN,
@@ -253,50 +302,59 @@ class Table:
         snap = md.current_snapshot(branch)
         if snap is None:
             return (None, None)
-        spec = md.default_spec()
-        lo = hi = None
-        mlist = read_manifest_list(snap.manifest_list)
-        mlist = [m for m in mlist
-                 if m in prune_manifests(
-                     preds, md.partition_specs.get(
-                         m.partition_spec_id, spec), schema, [m])]
-        for mle, entries in zip(
-                mlist, read_manifests([m.manifest_path for m in mlist])):
-            sp = md.partition_specs.get(mle.partition_spec_id, spec)
+        mlist = self._pruned_manifest_list(preds, schema, snap)
+
+        def part(sp, entries):
+            # returns ("ok", lo, hi) or ("err", reason) — executor
+            # tasks must not raise for an UNPROVABLE (non-exceptional)
+            # outcome, so provability failures travel as markers
+            lo = hi = None
             for e in entries:
                 if e.status == STATUS_DELETED:
                     continue
                 f = e.data_file
                 if f.content != CONTENT_DATA:
-                    raise ValueError("live delete files make bounds "
-                                     "inexact")
+                    return ("err", "live delete files make bounds "
+                                   "inexact")
                 if preds:
                     if not prune_datafiles(preds, schema, [f], sp):
                         continue  # provably zero matching rows
                     if not file_fully_matches(preds, schema, f):
-                        raise ValueError(
-                            "file only PARTIALLY matches the filter — "
-                            "its bounds may lie outside matching rows")
+                        return ("err",
+                                "file only PARTIALLY matches the filter "
+                                "— its bounds may lie outside matching "
+                                "rows")
                 vals = f.value_counts.get(fid)
                 nulls = f.null_value_counts.get(fid)
                 if vals is None:
-                    raise ValueError("file predates the column "
-                                     "(default-fill values unbounded)")
+                    return ("err", "file predates the column "
+                                   "(default-fill values unbounded)")
                 if vals == 0 or (nulls is not None and nulls == vals):
                     continue  # contributes only NULLs — min/max skip
                 flo = f.lower_bounds.get(fid)
                 fhi = f.upper_bounds.get(fid)
                 if flo is None or fhi is None:
-                    raise ValueError("file without bounds for column")
+                    return ("err", "file without bounds for column")
                 if isinstance(flo, str) and ftype == "string" and (
                         len(flo) >= TRUNCATE_BOUND_LEN
                         or len(fhi) >= TRUNCATE_BOUND_LEN):
-                    raise ValueError("string bound may be truncated")
+                    return ("err", "string bound may be truncated")
                 if ftype in ("float", "double") \
                         and f.nan_value_counts.get(fid) != 0:
-                    raise ValueError("possible NaN: max would be NaN")
+                    return ("err", "possible NaN: max would be NaN")
                 lo = flo if lo is None or flo < lo else lo
                 hi = fhi if hi is None or fhi > hi else hi
+            return ("ok", lo, hi)
+
+        lo = hi = None
+        for p in self._walk_manifest_partials(spark, mlist, part):
+            if p[0] == "err":
+                raise ValueError(p[1])
+            _tag, plo, phi = p
+            if plo is not None and (lo is None or plo < lo):
+                lo = plo
+            if phi is not None and (hi is None or phi > hi):
+                hi = phi
         return (lo, hi)
 
     def changes(self, spark: SparkSession,

@@ -4185,6 +4185,70 @@ def test_timestamptz_naive_literal_session_semantics(spark, catalog):
     assert got == want == [1, 2]
 
 
+def test_timestamptz_naive_literal_offset_session(spark, catalog):
+    """Spark accepts fixed-offset session zones ('+05:30', 'GMT+8') that
+    zoneinfo rejects; falling back to UTC for them (the pre-r14 path)
+    shifted every naive timestamptz literal by the session offset —
+    wrong pruning AND a wrong pushed filter. Offset forms now parse into
+    datetime.timezone, so pruning agrees with Spark's own evaluation."""
+    spec = PartitionSpec(0, (PartitionField(2, 1000, "ts_day", "day"),))
+    t = Table.create(catalog, "db.tzoffset", TSTZ_SCHEMA, spec)
+    utc = dt.timezone.utc
+    rows = [(1, dt.datetime(2023, 3, 9, 23, 0, tzinfo=utc), 1),
+            (2, dt.datetime(2023, 3, 10, 17, 30, tzinfo=utc), 2),
+            (3, dt.datetime(2023, 3, 11, 12, 0, tzinfo=utc), 3)]
+    t.append(spark, spark.createDataFrame(rows, ["id", "ts", "amount"]))
+    import pyspark.sql.functions as F
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")
+        lit = "2023-03-10 23:30:00"  # +05:30 wall == 2023-03-10T18:00Z
+        got = sorted(r.id for r in t.scan(
+            spark, filter=[Pred("ts", "<=", lit)]).collect())
+        want = sorted(r.id for r in t.scan(spark).where(
+            F.expr(f"ts <= TIMESTAMP '{lit}'")).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert got == want == [1, 2]
+
+
+def test_session_tz_resolution_and_no_prune_fallback():
+    """_resolve_session_tz covers every ZoneId.of surface zoneinfo
+    lacks; a zone NEITHER library resolves must not silently become
+    UTC — the pred stays naive, flagged no_prune, and every metadata
+    path treats it as unprovable (conservative keep)."""
+    from iceberg_rust_archive_spark.predicates import (
+        _resolve_session_tz, file_fully_matches, localize_naive_tstz,
+        prune_datafiles,
+    )
+    assert _resolve_session_tz("UTC") is not None
+    assert _resolve_session_tz("Z").utcoffset(None) == dt.timedelta(0)
+    for name, mins in [("+05:30", 330), ("-0330", -210), ("GMT+8", 480),
+                       ("UTC+05:30", 330), ("UT-2", -120), ("+08", 480)]:
+        tz = _resolve_session_tz(name)
+        assert tz is not None and tz.utcoffset(None) == dt.timedelta(
+            minutes=mins), name
+    assert _resolve_session_tz("Not/AZone") is None
+    assert _resolve_session_tz("+19") is None
+
+    schema = TSTZ_SCHEMA
+    naive = dt.datetime(2023, 1, 1, 12, 0)
+    [p] = localize_naive_tstz([Pred("ts", "<=", naive)], schema, "Not/AZone")
+    assert p.no_prune and p.value == naive  # stayed naive, barred
+    # aware literals are instants — no localization needed, still pruned
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    [q] = localize_naive_tstz([Pred("ts", "<=", aware)], schema, "Not/AZone")
+    assert not q.no_prune
+    # a no_prune pred can neither prune a file nor prove a full match
+    from iceberg_rust_archive_spark.spec.manifest import DataFile
+    f = DataFile(content=0, file_path="f", file_format="parquet",
+                 partition={}, record_count=1, file_size_in_bytes=1,
+                 lower_bounds={2: 10**15}, upper_bounds={2: 2 * 10**15},
+                 null_value_counts={2: 0}, value_counts={2: 1})
+    assert prune_datafiles([p], schema, [f]) == [f]
+    assert file_fully_matches([p], schema, f) is False
+
+
 def test_nan_zero_counts_enable_float_pruning(spark, catalog):
     """Float/double bounds can't refute ``>``/``>=`` while a hidden NaN
     may lurk (Spark orders NaN largest). Spark's parquet-mr writer puts
@@ -4355,6 +4419,20 @@ def test_metadata_min_max_fast_path(spark, tmp_path):
     w = want.selectExpr("min(k)", "max(s)", "min(v)").collect()[0]
     assert (got.a, got.d, got.e) == tuple(w)
 
+    # TABLE qualifiers strip (min(t.k), min(db.t.k) answer fast); any
+    # OTHER dotted path (a struct field like min(person.age), a wrong
+    # qualifier) must return None and resolve through Spark — answering
+    # it from a same-named top-level column's bounds would be wrong
+    assert eng._metadata_agg_fast_path(
+        "SELECT min(t.k) AS m FROM db.t") is not None
+    assert eng._metadata_agg_fast_path(
+        "SELECT min(db.t.k) AS m FROM db.t") is not None
+    assert eng._metadata_agg_fast_path(
+        "SELECT min(person.k) AS m FROM db.t") is None
+    assert eng._metadata_agg_fast_path(
+        "SELECT min(other.t.k) AS m FROM db.t") is None
+    assert eng.sql("SELECT min(db.t.k) AS m FROM db.t").collect()[0].m == 3
+
     # long strings → truncated bounds possible → unprovable
     eng.sql(f"INSERT INTO db.t VALUES (1, NULL, '{'z' * 20}', 0.0)")
     t = eng.load_table("db.t")
@@ -4415,6 +4493,35 @@ def test_metadata_min_max_with_where(spark, tmp_path):
     got2 = eng.sql("SELECT max(k) AS a FROM db.t "
                    "WHERE d < DATE '2021-01-10'").collect()[0]
     assert got2.a == 1
+
+
+def test_metadata_aggregates_distributed_walk(spark, catalog):
+    """count/metadata_min_max route their manifest walk through the
+    same plan-mode gate as scan: forcing read.plan-mode=distributed
+    must produce identical answers (one Spark metadata job instead of
+    the driver's fetch pool — at 100× manifest counts the zero-job
+    path would bottleneck on the driver), including the unprovable →
+    ValueError contract whose marker now travels back from executors."""
+    t = Table.create(catalog, "db.distwalk", ORDERS_SCHEMA, DAY_SPEC,
+                     properties={"read.plan-mode": "distributed"})
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    t.append(spark, spark.createDataFrame(BATCH2, COLS))
+    assert t.count(spark) == 9
+    assert t.metadata_min_max("amount", spark=spark) == (1, 3)
+    assert t.metadata_min_max("date", spark=spark) == \
+        ("2020-01-01", "2020-02-02")
+    # whole-partition predicate stays provable through the job
+    p = [Pred("date", "<", dt.date(2020, 2, 1))]
+    assert t.count(spark, filter=p) == 6
+    assert t.metadata_min_max("id", filter=p, spark=spark) == (1, 9)
+    # partial match: executor-side unprovability marker → ValueError
+    with pytest.raises(ValueError):
+        t.metadata_min_max("id", spark=spark,
+                           filter=[Pred("id", "<", 5)])
+    # ...and count's residual fallback still answers exactly
+    assert t.count(spark, filter=[Pred("id", "<", 5)]) == 4
+    # local mode agrees (same partials, driver-side walk)
+    assert t.metadata_min_max("amount") == (1, 3)
 
 
 def test_transform_pruning_strict_ops_off_boundary(spark, tmp_path):

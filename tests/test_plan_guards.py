@@ -169,3 +169,43 @@ def test_substring_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") == 0
     assert "InMemoryTableScan" in plan
+
+
+def test_engine_sql_broadcasts_small_iceberg_dimension(spark, tmp_path):
+    """Stats-based planning (SURVEY §4; the reference feeds table
+    statistics into DataFusion's CBO, statistics.rs:20-146): an
+    Iceberg relation whose snapshot summary proves total-records tiny
+    must register with a broadcast hint, so a dim⋈fact through
+    engine.sql plans BroadcastHashJoin even when Spark's OWN estimate
+    cannot see it. Pinned by shrinking autoBroadcastJoinThreshold
+    below the dim's file size — auto-broadcast is then off the table
+    and only the metadata hint can produce the broadcast."""
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.dim (k BIGINT, name STRING)")
+    eng.sql("INSERT INTO db.dim VALUES " + ", ".join(
+        f"({i}, 'n{i}')" for i in range(20)))
+    eng.sql("CREATE TABLE db.fact (k BIGINT, v DOUBLE)")
+    eng.sql("INSERT INTO db.fact VALUES " + ", ".join(
+        f"({i % 20}, {i}.5)" for i in range(400)))
+    t0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # parquet files are KBs; 2 KiB ceiling disables size-based
+        # auto-broadcast while 20 rows × 28 B stays under it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+        df = eng.sql("SELECT d.name, sum(f.v) AS sv FROM db.fact f "
+                     "JOIN db.dim d ON f.k = d.k GROUP BY d.name")
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert df.count() == 20
+        # disabled auto-broadcast (-1) must also disable the hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = eng.sql("SELECT d.name, sum(f.v) AS sv FROM db.fact f "
+                      "JOIN db.dim d ON f.k = d.k GROUP BY d.name")
+        assert "BroadcastHashJoin" not in _plan(df2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t0)

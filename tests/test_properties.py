@@ -1269,3 +1269,68 @@ def test_metadata_min_max_matches_spark_agg(spark, tmp_path_factory,
                 else (0, v) if isinstance(v, float) else v)
         assert norm(lo) == norm(wlo) and norm(hi) == norm(whi), \
             (col, lo, hi, wlo, whi, batches)
+
+
+_MM_DATES = __import__("datetime").date
+
+
+@SLOW
+@given(
+    rows=st.lists(st.tuples(
+        st.integers(-50, 50),
+        st.dates(_MM_DATES(2021, 1, 1), _MM_DATES(2021, 4, 30)),
+        st.one_of(st.floats(-9, 9, allow_nan=False),
+                  st.just(float("nan")))),
+        min_size=1, max_size=10),
+    op=st.sampled_from(["<", "<=", ">", ">="]),
+    cutoff=st.one_of(
+        # month-aligned cutoffs → the fast path usually proves
+        st.sampled_from([_MM_DATES(2021, 2, 1), _MM_DATES(2021, 3, 1)]),
+        # arbitrary mid-month cutoffs → partial matches force fallback
+        st.dates(_MM_DATES(2021, 1, 5), _MM_DATES(2021, 4, 20))),
+)
+def test_metadata_agg_where_matches_spark(spark, tmp_path_factory,
+                                          rows, op, cutoff):
+    """``SELECT count/min/max … WHERE`` through ``engine.sql`` must
+    equal vanilla Spark over the identical rows, WHICHEVER path answers
+    — the manifest-bounds fast path (month-aligned cutoffs over a
+    month-partitioned table) or the exact fallback (mid-month cutoffs,
+    NaN-bearing files, partially-matched files). ``event()`` records
+    which path each draw took so a soak shows both populated."""
+    import math as _m
+
+    from hypothesis import event
+
+    from iceberg_rust_archive_spark.catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    wh = tmp_path_factory.mktemp("mmw-prop")
+    eng = Engine(spark, FileCatalog(str(wh / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.t (k BIGINT, d DATE, x DOUBLE) "
+            "PARTITIONED BY (month(d))")
+
+    def lit(v):
+        return "CAST('NaN' AS DOUBLE)" if _m.isnan(v) else repr(v)
+    half = max(1, len(rows) // 2)
+    for chunk in (rows[:half], rows[half:]):
+        if chunk:
+            eng.sql("INSERT INTO db.t VALUES " + ", ".join(
+                f"({k}, DATE '{d}', {lit(x)})" for k, d, x in chunk))
+
+    agg = ("SELECT count(*) AS n, min(k) AS mnk, max(k) AS mxk, "
+           "min(d) AS mnd, max(d) AS mxd, min(x) AS mnx, max(x) AS mxx "
+           f"FROM db.t WHERE d {op} DATE '{cutoff}'")
+    event("fast" if eng._metadata_agg_fast_path(agg) is not None
+          else "fallback")
+    got = eng.sql(agg).collect()[0]
+
+    spark.createDataFrame(rows, "k long, d date, x double") \
+        .createOrReplaceTempView("mmw_vt")
+    want = spark.sql(agg.replace("FROM db.t", "FROM mmw_vt")).collect()[0]
+
+    def norm(v):
+        return ((1, 0.0) if isinstance(v, float) and _m.isnan(v) else v)
+    for field in ("n", "mnk", "mxk", "mnd", "mxd", "mnx", "mxx"):
+        assert norm(got[field]) == norm(want[field]), \
+            (field, got, want, op, cutoff, rows)

@@ -384,6 +384,14 @@ def test_string_bound_truncation():
     assert _trunc_lower("abc") == "abc" and _trunc_upper("abc") == "abc"
     # all-U+10FFFF upper is un-incrementable → bound dropped
     assert _trunc_upper(chr(0x10FFFF) * 20) is None
+    # a MID-string increment drops the un-incrementable tail; the result
+    # is NUL-padded back to 16 so the exactness gate in metadata_min_max
+    # (len >= TRUNCATE_BOUND_LEN → "may be truncated") still fires —
+    # a shorter incremented bound would read as an exact max
+    mid = "ab" + chr(0x10FFFF) * 20
+    up2 = _trunc_upper(mid)
+    assert up2 == "ac" + "\0" * 14 and len(up2) == 16
+    assert mid <= up2
 
 
 def test_trunc_upper_skips_surrogate_range():
