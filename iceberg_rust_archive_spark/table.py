@@ -141,7 +141,11 @@ class Table:
             tasks = [(m.manifest_path, m.partition_spec_id)
                      for m in mlist]
             sc = spark.sparkContext
-            n = max(1, min(len(tasks), sc.defaultParallelism * 2))
+            # chunkier than scan's planner split: a partial is a few
+            # scalars, so per-task scheduling overhead dominates unless
+            # each task walks a healthy batch of manifests
+            n = max(1, min(sc.defaultParallelism * 2,
+                           (len(tasks) + 15) // 16))
 
             def run(it):
                 from iceberg_rust_archive_spark.sources.manifests import (
