@@ -4,13 +4,19 @@ Semantics mirror the reference (iceberg-rust-spec/src/spec/values.rs:357-428
 for value level; iceberg-rust/src/arrow/transform.rs:44-104 for the
 vectorized write path):
 
-- ``bucket[N]``  = murmur3_x86_32(single-value binary serialization, seed 0)
-  mod N, using the *unsigned* 32-bit hash (values.rs:360-364 does
-  ``(hash % n) as i32`` on a u32 — no sign mask, unlike Iceberg-java).
-  The byte encoding is values.rs:102-127: int/date → 4-byte LE,
-  long/time/timestamp → 8-byte LE, string → UTF-8, uuid → 16B BE.
+- ``bucket[N]``  = ``(murmur3_x86_32(bytes, seed 0) & Integer.MAX_VALUE)
+  % N`` per the Iceberg spec (Appendix B), with int/date WIDENED to
+  8-byte LE before hashing (the spec hashes int 34 identically to long
+  34); long/time/timestamp → 8-byte LE, string → UTF-8, decimal →
+  minimal big-endian two's complement, uuid → 16B BE.
+  REFERENCE DIVERGENCE (two, both silent-lost-rows for foreign
+  readers): values.rs:112,116 serializes Int/Date as 4-byte LE (no
+  widening) and values.rs:360-364 takes ``(hash % n)`` on the raw u32
+  (no sign mask) — both off-spec vs Iceberg-java/pyiceberg, whose
+  bucket probes on such a table would prune to the WRONG bucket. We
+  follow the spec; Appendix B's published hash vectors pin it.
   Spark's builtin ``hash()`` uses seed 42 and different byte layouts, so it
-  is NOT compatible; we implement murmur3 over the reference encoding in a
+  is NOT compatible; we implement murmur3 over the spec encoding in a
   pandas UDF.
 - ``truncate[W]`` int  = ``v - v.rem_euclid(W)`` → Spark ``v - pmod(v, W)``;
   string = W-char prefix (values.rs:365-376).
@@ -97,16 +103,16 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 
 def _single_value_bytes(value, iceberg_type: str) -> bytes:
-    """Iceberg single-value binary serialization for hashing
-    (values.rs:102-127, each type via its own ``to_le_bytes``):
-    int/date → 4-byte LE, long/time/timestamp → 8-byte LE,
-    string → UTF-8, decimal → minimal big-endian two's complement,
-    uuid → 16 bytes, binary/fixed → raw.  Note int and long therefore
-    hash (and bucket) DIFFERENTLY for the same numeric value — the
-    reference serializes ``Value::Int`` as i32, not widened to i64."""
+    """Iceberg hash-input serialization (spec Appendix B): int and
+    date WIDEN to 8-byte LE so ``hash(int 34) == hash(long 34)`` and a
+    foreign engine's bucket probe lands in the same bucket;
+    long/time/timestamp → 8-byte LE, string → UTF-8, decimal →
+    minimal big-endian two's complement, uuid → 16 bytes,
+    binary/fixed → raw.  (Reference divergence: values.rs:112,116
+    packs Int/Date as i32 — off-spec, see module docstring.)"""
     t = iceberg_type
     if t == "int":
-        return struct.pack("<i", int(value))
+        return struct.pack("<q", int(value))  # spec: widen to long
     if t == "long":
         return struct.pack("<q", int(value))
     if t == "date":
@@ -114,7 +120,7 @@ def _single_value_bytes(value, iceberg_type: str) -> bytes:
             value = value.date()
         if isinstance(value, _dt.date):
             value = (value - _EPOCH).days
-        return struct.pack("<i", int(value))
+        return struct.pack("<q", int(value))  # spec: widen to long
     if t in ("time", "timestamp", "timestamptz"):
         if isinstance(value, _dt.datetime):
             value = _utc_naive(value)
@@ -139,7 +145,10 @@ def bucket_value(value, n: int, iceberg_type: str):
     if value is None:
         return None
     h = murmur3_32(_single_value_bytes(value, iceberg_type))
-    return h % n  # unsigned hash mod n (values.rs:362-364)
+    # spec: (hash & Integer.MAX_VALUE) % N — the sign-bit mask, NOT
+    # unsigned mod (reference divergence: values.rs:362-364 mods the
+    # raw u32, which disagrees whenever the hash's top bit is set)
+    return (h & 0x7FFFFFFF) % n
 
 
 def truncate_value(value, width: int, iceberg_type: str):

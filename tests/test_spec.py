@@ -169,23 +169,53 @@ def test_murmur3_known_vectors():
     assert murmur3_32(b"hello, world") == 0x149BBB7F
 
 
-def test_bucket_matches_reference_semantics():
-    # unsigned-hash % n, int encoded as 4-byte LE (values.rs:112,362)
+def test_bucket_matches_spec_semantics():
+    # spec: (hash & Integer.MAX_VALUE) % N, int/date WIDENED to 8-byte
+    # LE (Appendix B — reference divergence: values.rs:112,362 packs
+    # i32 and mods the raw u32)
     import struct
     for v, n in [(34, 16), (1, 10), (123456, 7)]:
-        expected = murmur3_32(struct.pack("<i", v)) % n
+        expected = (murmur3_32(struct.pack("<q", v)) & 0x7FFFFFFF) % n
         assert bucket_value(v, n, "int") == expected
-    expected_long = murmur3_32(struct.pack("<q", 34)) % 16
-    assert bucket_value(34, 16, "long") == expected_long
+        # widening makes int and long bucket IDENTICALLY — the property
+        # a foreign engine's typed probe depends on
+        assert bucket_value(v, n, "long") == expected
     assert bucket_value("iceberg", 16, "string") == \
-        murmur3_32(b"iceberg") % 16
-    # int and long buckets DIVERGE for the same numeric value: the
-    # reference serializes Value::Int as i32 (values.rs:112), not widened
-    # to i64 — pin the byte layout so a future "fix" can't silently break
-    # bucket-partition compatibility with reference-written tables.
-    assert struct.pack("<i", 34) != struct.pack("<q", 34)
-    assert bucket_value(34, 1 << 20, "int") != bucket_value(34, 1 << 20, "long")
-    assert bucket_value(34, 1 << 20, "date") == bucket_value(34, 1 << 20, "int")
+        (murmur3_32(b"iceberg") & 0x7FFFFFFF) % 16
+    assert bucket_value(34, 1 << 20, "date") == bucket_value(
+        34, 1 << 20, "int")
+
+
+def test_bucket_hash_spec_appendix_vectors():
+    """The Iceberg spec's published Appendix B hash vectors — the
+    strongest cross-engine pin available without a second engine in
+    the sandbox: any byte-encoding or widening mistake lands off these
+    by construction. (The signed view of our unsigned murmur matches
+    the spec's listed int32 values.)"""
+    import datetime as dtm
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _single_value_bytes,
+    )
+
+    def h(value, t):
+        u = murmur3_32(_single_value_bytes(value, t))
+        return u - (1 << 32) if u >= (1 << 31) else u
+
+    assert h(34, "int") == 2017239379
+    assert h(34, "long") == 2017239379
+    assert h(dtm.date(2017, 11, 16), "date") == -653330422
+    assert h((22 * 3600 + 31 * 60 + 8) * 1_000_000, "time") == -662762989
+    assert h(dtm.datetime(2017, 11, 16, 22, 31, 8),
+             "timestamp") == -2047944441
+    assert h(dtm.datetime(2017, 11, 16, 14, 31, 8,
+                          tzinfo=dtm.timezone(dtm.timedelta(hours=-8))),
+             "timestamptz") == -2047944441
+    assert h("iceberg", "string") == 1210000089
+    assert h("f79c3e09-677c-4bbd-a479-3f349cb785e7",
+             "uuid") == 1488055340
+    assert h(b"\x00\x01\x02\x03", "binary") == -188683207
+    assert h("14.20", "decimal(9,2)") == -500754589
 
 
 def test_truncate():
