@@ -189,10 +189,15 @@ def transform_value(transform: str, value, iceberg_type: str):
         return None
     value = _utc_naive(value)
     if transform == "identity":
+        # spec-typed partition values: date → days from epoch,
+        # timestamp[tz] → UTC epoch micros (what the write path stores
+        # in partition tuples and what a foreign reader's typed probe
+        # computes — ISO strings there would break its comparisons)
         if isinstance(value, _dt.datetime):
-            return value.isoformat()
+            return int((value - _dt.datetime(1970, 1, 1))
+                       .total_seconds() * 1_000_000)
         if isinstance(value, _dt.date):
-            return value.isoformat()
+            return (value - _EPOCH).days
         return value
     if transform == "void":
         return None

@@ -447,10 +447,11 @@ def _partition_value_excludes(preds: list[Pred], spec: PartitionSpec,
         if pv is None:
             continue
         def same_kind(a, b):
-            # guard against representation skew (e.g. identity-timestamp
-            # literals transform to ISO strings while path-parsed
-            # partition values are epoch micros) — mismatched kinds must
-            # keep the file, never prune it
+            # guard against representation skew: both sides are
+            # spec-typed since r14 (identity date → days, timestamp →
+            # micros), but tuples parsed from FOREIGN or pre-r14
+            # manifests may still carry ISO strings — mismatched kinds
+            # must keep the file, never prune it
             num = (int, float)
             return (isinstance(a, num) and isinstance(b, num)
                     and not isinstance(a, bool) and not isinstance(b, bool)) \

@@ -67,6 +67,12 @@ def encode_bound(value, ice_type: str | None) -> bytes:
         return struct.pack("<i", int(value))
     if t == "string":
         return str(value).encode("utf-8")
+    if t == "uuid":
+        # spec single-value serialization: 16-byte big-endian (a
+        # foreign reader decodes exactly 16 bytes; UTF-8 of the hex
+        # string would misparse there)
+        import uuid as _u
+        return _u.UUID(str(value)).bytes
     if t.startswith("decimal-binary"):
         scale = _decimal_scale(t)
         unscaled = _dec.Decimal(str(value)).scaleb(scale)
@@ -104,6 +110,11 @@ def decode_bound(data: bytes, ice_type: str | None):
     if t == "date":
         return (_EPOCH + _dt.timedelta(
             days=struct.unpack("<i", data)[0])).isoformat()
+    if t == "uuid":
+        import uuid as _u
+        if len(data) == 16:
+            return str(_u.UUID(bytes=bytes(data)))
+        return data.decode("utf-8")  # pre-r14 manifests: hex string
     if t.startswith("decimal-binary"):
         return _dec.Decimal(
             int.from_bytes(data, "big", signed=True)

@@ -153,7 +153,15 @@ def _partition_value_from_str(s: str, transform: str, source_type: str):
         dt = _dt.datetime.fromisoformat(s.replace(" ", "T"))
         return int((dt.replace(tzinfo=None)
                     - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
-    return s  # string / date(ISO) / decimal-as-string
+    if source_type == "date":
+        # spec-typed tuple: days from epoch (the dir string is ISO)
+        import datetime as _dt
+        try:
+            return (_dt.date.fromisoformat(s[:10])
+                    - _dt.date(1970, 1, 1)).days
+        except ValueError:
+            return s
+    return s  # string / decimal-as-string
 
 
 def align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:

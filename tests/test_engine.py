@@ -1806,6 +1806,12 @@ def test_decimal_bounds_harvest_roundtrip_and_prune(spark, tmp_path):
     # pre-r13 manifests carried str(value) under the plain decimal tag
     assert decode_bound(b"10.50", "decimal(12,2)") \
         == decimal.Decimal("10.50")
+    # uuid bounds: spec 16-byte big-endian on write (r14), hex-string
+    # decode kept for pre-r14 manifests
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    enc = encode_bound(u, "uuid")
+    assert len(enc) == 16 and decode_bound(enc, "uuid") == u
+    assert decode_bound(u.encode(), "uuid") == u
 
     eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
     eng.sql("CREATE SCHEMA db")
