@@ -4159,6 +4159,28 @@ def test_timestamptz_identity_partition_tuple_is_micros(spark, catalog):
     assert len(got) == 1 and got[0].amount == 5
 
 
+def test_identity_date_partition_tuple_is_days(spark, catalog):
+    """identity(date) partition tuples carry the spec-typed value —
+    days from epoch — not ISO strings (r14): a foreign reader's typed
+    probe compares ints, and file-level exact partition pruning now
+    engages on identity date predicates."""
+    spec = PartitionSpec(0, (PartitionField(4, 1000, "date", "identity"),))
+    t = Table.create(catalog, "db.identdate", ORDERS_SCHEMA, spec)
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+    parts = {en.data_file.partition["date"]
+             for m in read_manifest_list(
+                 t.metadata.current_snapshot().manifest_list)
+             for en in read_manifest(m.manifest_path)}
+    want_days = {(r[3] - dt.date(1970, 1, 1)).days for r in BATCH1}
+    assert parts == want_days  # ints, spec-typed
+    report = {}
+    got = t.scan(spark, filter=[Pred("date", "=", dt.date(2020, 1, 1))],
+                 report=report).collect()
+    assert sorted(r.id for r in got) == [1, 2, 3]
+    assert report["data_files_planned"] == 1  # exact tuple pruning
+
+
 def test_timestamptz_naive_literal_session_semantics(spark, catalog):
     """A NAIVE timestamp literal on a timestamptz column means the
     SESSION-zone wall time (Spark parser semantics). Pruning must use
