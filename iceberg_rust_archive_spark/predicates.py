@@ -191,6 +191,26 @@ def localize_naive_tstz(preds: list[Pred], schema, tz_name: str) -> list[Pred]:
     return out
 
 
+# java.time.ZoneId.SHORT_IDS — the legacy three-letter zone aliases
+# Spark's parser accepts (it calls ZoneId.of(id, SHORT_IDS))
+_JAVA_SHORT_IDS = {
+    "ACT": "Australia/Darwin", "AET": "Australia/Sydney",
+    "AGT": "America/Argentina/Buenos_Aires", "ART": "Africa/Cairo",
+    "AST": "America/Anchorage", "BET": "America/Sao_Paulo",
+    "BST": "Asia/Dhaka", "CAT": "Africa/Harare",
+    "CNT": "America/St_Johns", "CST": "America/Chicago",
+    "CTT": "Asia/Shanghai", "EAT": "Africa/Addis_Ababa",
+    "ECT": "Europe/Paris", "IET": "America/Indiana/Indianapolis",
+    "IST": "Asia/Kolkata", "JST": "Asia/Tokyo",
+    "MIT": "Pacific/Apia", "NET": "Asia/Yerevan",
+    "NST": "Pacific/Auckland", "PLT": "Asia/Karachi",
+    "PNT": "America/Phoenix", "PRT": "America/Puerto_Rico",
+    "PST": "America/Los_Angeles", "SST": "Pacific/Guadalcanal",
+    "VST": "Asia/Ho_Chi_Minh", "EST": "America/Panama",
+    "MST": "America/Phoenix", "HST": "Pacific/Honolulu",
+}
+
+
 def _resolve_session_tz(tz_name: str):
     """Session-timezone string → tzinfo, or None when unresolvable.
     Spark validates the conf through ``ZoneId.of``, which accepts region
@@ -204,6 +224,14 @@ def _resolve_session_tz(tz_name: str):
         return zoneinfo.ZoneInfo(tz_name)
     except Exception:
         pass
+    # Java ZoneId.SHORT_IDS (Spark resolves these; zoneinfo does not)
+    region = _JAVA_SHORT_IDS.get((tz_name or "").strip())
+    if region is not None:
+        try:
+            import zoneinfo
+            return zoneinfo.ZoneInfo(region)
+        except Exception:
+            return None
     import re as _re
     s = (tz_name or "").strip()
     for prefix in ("UTC", "GMT", "UT"):   # check UTC before UT

@@ -4258,6 +4258,14 @@ def test_session_tz_resolution_and_no_prune_fallback():
             minutes=mins), name
     assert _resolve_session_tz("Not/AZone") is None
     assert _resolve_session_tz("+19") is None
+    # Java SHORT_IDS aliases Spark accepts (ZoneId.of(id, SHORT_IDS))
+    probe = dt.datetime(2023, 6, 1, 12, 0)
+    for short, region in [("JST", "Asia/Tokyo"), ("IST", "Asia/Kolkata"),
+                          ("PST", "America/Los_Angeles")]:
+        import zoneinfo
+        got = _resolve_session_tz(short)
+        assert got is not None and got.utcoffset(probe) == \
+            zoneinfo.ZoneInfo(region).utcoffset(probe), short
 
     schema = TSTZ_SCHEMA
     naive = dt.datetime(2023, 1, 1, 12, 0)
