@@ -1413,7 +1413,10 @@ class Engine:
         try:
             for im in parsed:
                 if im.group(1):  # count(*) in a mixed list: must prove
-                    values.append(t.count(None, filter=preds))
+                    # (allow_scan=False raises on inexact; spark rides
+                    # along only for the distributed manifest walk)
+                    values.append(t.count(self.spark, filter=preds,
+                                          allow_scan=False))
                     fields.append(StructField(
                         im.group(4) or "count(1)", LongType()))
                     continue

@@ -162,7 +162,8 @@ class Table:
 
     def count(self, spark: SparkSession | None = None,
               filter: list[Pred] | None = None,  # noqa: A002
-              branch: str | None = None) -> int:
+              branch: str | None = None,
+              allow_scan: bool = True) -> int:
         """``count(*)`` from manifest metadata alone when provable —
         ZERO Spark jobs on a 100 TB table (the planner-statistics idea
         of datafusion_iceberg/src/statistics.rs:20-146 taken to its
@@ -174,8 +175,10 @@ class Table:
 
         Fallback: any live delete file, or a file only PARTIALLY
         covered by the predicate, makes the metadata count inexact —
-        then the real scan runs (pass ``spark``; ``spark=None`` raises
-        instead so callers can assert the fast path was taken)."""
+        then the real scan runs (pass ``spark``; ``spark=None`` — or
+        ``allow_scan=False``, which still lets ``spark`` drive the
+        distributed walk — raises instead so callers can assert the
+        fast path was taken)."""
         from iceberg_rust_archive_spark.predicates import (
             file_fully_matches, prune_datafiles,
         )
@@ -221,7 +224,7 @@ class Table:
         residual_files = [f for p in partials for f in p[2]]
         if exact and not residual_files:
             return total
-        if spark is None:
+        if spark is None or not allow_scan:
             raise ValueError(
                 "metadata-only count is inexact here (live delete "
                 "files or partially-matched data files) — pass a "
