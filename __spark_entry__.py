@@ -90,7 +90,8 @@ def _iceberg_snapshot_reads(s: SparkSession, d: str) -> DataFrame:
 
 def _events_value_stats(s: SparkSession, d: str) -> DataFrame:
     """exact percentiles + fixed-width histogram + gap-sessionization
-    summary over events — three labeled branches, one entry."""
+    summary + (r14) approx-quantile sketch-vs-exact tolerance check
+    over events — four labeled branches, one entry."""
     p = relational.events_percentiles(s, d).select(
         F.concat(F.lit("type:"), F.col("event_type")).alias("grp"),
         F.col("n_events").alias("n"),
@@ -103,7 +104,8 @@ def _events_value_stats(s: SparkSession, d: str) -> DataFrame:
          .alias("grp"),
         F.col("n_sessions").alias("n"),
         F.col("min_dur").alias("lo"), F.col("max_dur").alias("hi"))
-    return p.unionByName(h).unionByName(sess)
+    aq = relational.events_approx_quantiles(s, d)
+    return p.unionByName(h).unionByName(sess).unionByName(aq)
 
 
 def _events_windowed_agg(s: SparkSession, d: str) -> DataFrame:
@@ -481,6 +483,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sess:' || CAST(n_events AS VARCHAR), n_sessions,
                    min_dur, max_dur
             FROM ({o.pop('events_sessionization')})
+            UNION ALL
+            -- aq: the engine's approx_percentile sketch landed within
+            -- 5% of the group's value range of the exact quantile
+            -- (':ok' in the label); DuckDB recomputes the exact side
+            SELECT 'aq:' || event_type || ':ok', count(*),
+                   round(quantile_cont(value, 0.5), 4),
+                   round(quantile_cont(value, 0.9), 4)
+            FROM events GROUP BY event_type
         """,
         "events_windowed_agg": f"""
             SELECT 'batch' AS mode, w.* FROM ({o['events_windowed_agg']}) w

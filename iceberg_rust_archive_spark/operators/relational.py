@@ -254,6 +254,36 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx_percentile sketch graded against the
+    exact interpolated percentile — the events_approx_distinct pattern
+    for quantiles: the sketch value is engine-specific, so the
+    oracle-comparable output is the exact p50/p90 plus an ``ok`` label
+    proving the sketch landed within 5% of the group's value range
+    (accuracy 10000 → rank error ≤ N/10000, far inside the band). At
+    100 TB the sketch is one pass of mergeable partials; the exact
+    percentile sorts every group."""
+    ev = _t(spark, sf_dir, "events")
+    rng = F.col("mx") - F.col("mn")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.expr("percentile(value, 0.5)"), 4).alias("lo"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("hi"),
+                 F.expr("approx_percentile(value, 0.5, 10000)")
+                  .alias("a50"),
+                 F.expr("approx_percentile(value, 0.9, 10000)")
+                  .alias("a90"),
+                 F.min("value").alias("mn"), F.max("value").alias("mx"))
+            .select(F.concat(
+                F.lit("aq:"), F.col("event_type"),
+                F.when((F.abs(F.col("a50") - F.col("lo")) <= 0.05 * rng)
+                       & (F.abs(F.col("a90") - F.col("hi"))
+                          <= 0.05 * rng), ":ok")
+                 .otherwise(":bad")).alias("grp"),
+                "n", "lo", "hi")
+            .orderBy("grp"))
+
+
 def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (bin = floor(value/50)) —
     the binning pattern behind quantile sketches and heatmaps; one
