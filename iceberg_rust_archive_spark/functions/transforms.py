@@ -261,6 +261,15 @@ def transform_column(transform: str, col: Column | str,
         return F.lit(None)
     m = _BUCKET_RE.match(transform)
     if m:
+        if iceberg_type == "timestamptz":
+            # Arrow ships TimestampType to pandas as SESSION-zone naive
+            # values, so hashing the datetime in the UDF bucketed the
+            # wall time, not the instant (probed: 2023-06-01T12:30Z
+            # bucketed 7≠31 under America/New_York). unix_micros is
+            # timezone-free JVM-side, and the spec's timestamp hash
+            # encoding (8-byte LE micros) is byte-identical to long —
+            # so hash the micros as a long.
+            return _bucket_udf(int(m.group(1)), "long")(F.unix_micros(c))
         return _bucket_udf(int(m.group(1)), iceberg_type)(c)
     m = _TRUNCATE_RE.match(transform)
     if m:

@@ -4087,16 +4087,21 @@ def test_timestamptz_transforms_tz_independent(spark):
         for tz in ("UTC", "America/New_York", "Asia/Kathmandu"):
             spark.conf.set("spark.sql.session.timeZone", tz)
             results[tz] = (df.select("i", *[
-                transform_column(tr, "ts", "timestamptz").alias(tr)
-                for tr in ("year", "month", "day", "hour")])
+                transform_column(tr, "ts", "timestamptz").alias(
+                    tr.replace("[", "_").replace("]", ""))
+                for tr in ("year", "month", "day", "hour", "bucket[64]")])
                 .orderBy("i").collect())
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     assert results["UTC"] == results["America/New_York"] \
         == results["Asia/Kathmandu"]
     for row, v in zip(results["UTC"], _TZ_INSTANTS):
-        for tr in ("year", "month", "day", "hour"):
-            assert row[tr] == transform_value(tr, v, "timestamptz"), (tr, v)
+        # bucket included: Arrow ships session-local naive timestamps
+        # to pandas UDFs, so pre-r14 the bucket hashed the WALL time —
+        # session-dependent tuples, lost rows on any foreign probe
+        for tr in ("year", "month", "day", "hour", "bucket[64]"):
+            assert row[tr.replace("[", "_").replace("]", "")] \
+                == transform_value(tr, v, "timestamptz"), (tr, v)
 
 
 def test_timestamptz_partitioned_write_non_utc_session(spark, catalog):
