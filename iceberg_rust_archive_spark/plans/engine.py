@@ -1507,6 +1507,18 @@ class Engine:
             else:
                 import datetime as _dt
                 ts = _dt.datetime.fromisoformat(lit.strip().strip("'"))
+                if ts.tzinfo is None:
+                    # Spark parses a naive TIMESTAMP AS OF literal in
+                    # the SESSION zone; .timestamp() on a naive value
+                    # would use the PROCESS zone instead
+                    from iceberg_rust_archive_spark.predicates import (
+                        _resolve_session_tz,
+                    )
+                    tz = _resolve_session_tz(
+                        self.spark.conf.get(
+                            "spark.sql.session.timeZone", "UTC") or "UTC")
+                    if tz is not None:
+                        ts = ts.replace(tzinfo=tz)
                 ms = int(ts.timestamp() * 1000)
                 df = t.scan(self.spark, as_of_ms=ms)
                 vn = f"ice_tt_{safe}_{ms}"
