@@ -222,6 +222,13 @@ def test_truncate():
     assert truncate_value(7, 5, "int") == 5
     assert truncate_value(-7, 5, "int") == -10  # rem_euclid semantics
     assert truncate_value("icebergs", 7, "string") == "iceberg"
+    # Iceberg spec Appendix B published examples
+    import decimal
+    assert truncate_value(1, 10, "int") == 0
+    assert truncate_value(-1, 10, "int") == -10
+    assert truncate_value("iceberg", 3, "string") == "ice"
+    assert truncate_value("10.65", 50, "decimal(9,2)") \
+        == decimal.Decimal("10.50")
 
 
 def test_v1_table_metadata_compat():
