@@ -55,6 +55,15 @@ from iceberg_rust_archive_spark.spec.partition import (
 _EPOCH = _dt.date(1970, 1, 1)
 
 
+def _exact_micros(naive_dt: _dt.datetime) -> int:
+    """Naive-UTC datetime → epoch micros in EXACT integer arithmetic.
+    ``total_seconds()*1e6`` / ``timestamp()*1e6`` round through float64,
+    which is off by up to ~32µs beyond 2^53 µs (≈ year 2255) — the
+    value-side twin of the ``_floor_div`` column fix."""
+    td = naive_dt - _dt.datetime(1970, 1, 1)
+    return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+
 def _utc_naive(value):
     """tz-aware datetime → naive UTC. The spec defines every time
     transform on the UTC datetime of the instant (values.rs:836-924 goes
@@ -123,8 +132,7 @@ def _single_value_bytes(value, iceberg_type: str) -> bytes:
         return struct.pack("<q", int(value))  # spec: widen to long
     if t in ("time", "timestamp", "timestamptz"):
         if isinstance(value, _dt.datetime):
-            value = _utc_naive(value)
-            value = int(value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+            value = _exact_micros(_utc_naive(value))
         return struct.pack("<q", int(value))
     if t == "string":
         return str(value).encode("utf-8")
@@ -194,8 +202,7 @@ def transform_value(transform: str, value, iceberg_type: str):
         # in partition tuples and what a foreign reader's typed probe
         # computes — ISO strings there would break its comparisons)
         if isinstance(value, _dt.datetime):
-            return int((value - _dt.datetime(1970, 1, 1))
-                       .total_seconds() * 1_000_000)
+            return _exact_micros(value)
         if isinstance(value, _dt.date):
             return (value - _EPOCH).days
         return value
@@ -217,12 +224,9 @@ def transform_value(transform: str, value, iceberg_type: str):
     if transform == "day":
         return (d - _EPOCH).days
     if transform == "hour":
-        if isinstance(value, _dt.datetime):
-            ts = value.replace(tzinfo=_dt.timezone.utc).timestamp()
-        else:
-            ts = _dt.datetime.combine(d, _dt.time()).replace(
-                tzinfo=_dt.timezone.utc).timestamp()
-        return int(ts // 3600)
+        if not isinstance(value, _dt.datetime):
+            value = _dt.datetime.combine(d, _dt.time())
+        return _exact_micros(value) // 3_600_000_000
     raise ValueError(f"unknown transform {transform!r}")
 
 

@@ -90,6 +90,16 @@ def iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 "metadata aggregate fast path scheduled Spark jobs — "
                 "it must answer from manifest bounds alone")
+        # jobs-while-answering is only half the guard: a silent
+        # fast-path regression returns a LAZY scan plan whose jobs
+        # land at collect, outside the group — so also require the
+        # RESULT to be a driver-local relation with no file scan
+        plan = meta._jdf.queryExecution().executedPlan().toString()
+        local = "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+        if not local or "parquet" in plan.lower() or "FileScan" in plan:
+            raise RuntimeError(
+                "metadata aggregate answer is not a local relation — "
+                "the fast path fell back to a scan:\n" + plan)
         day = "datediff(CAST({c} AS DATE), DATE '1970-01-01')"
         mrows = None
         for key, n_expr, t_expr in [

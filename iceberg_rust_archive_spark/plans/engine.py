@@ -1312,17 +1312,26 @@ class Engine:
         "uuid": 16, "string": 20,
     }
 
-    def _stats_broadcastable(self, md) -> bool:
+    def _stats_broadcastable(self, md, planned_bytes=None) -> bool:
         """True when the snapshot summary's ``total-records`` proves
         the relation fits under ``spark.sql.autoBroadcastJoinThreshold``
         at Catalyst's own per-type width estimates — ZERO metadata
         reads beyond the already-loaded table metadata. A negative
         threshold (user disabled auto-broadcast) disables the hint
-        too. The hint is semantically neutral: worst case Spark
-        broadcasts a side it would have shuffled."""
-        thresh = _parse_byte_conf(self.spark.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold", "10485760"))
-        if thresh is None or thresh <= 0:
+        too. The width estimate can be optimistic for long strings
+        (defaultSize assumes 20 B), so ``planned_bytes`` — the scan's
+        ACTUAL planned parquet bytes — backstops it: the hint never
+        fires past 16× the threshold in real bytes (generous
+        decompression allowance, far inside broadcast-OOM territory),
+        which is where forcing a broadcast stops being a plan choice
+        and becomes a resource failure."""
+        from iceberg_rust_archive_spark.operators.scan import (
+            _broadcast_threshold,
+        )
+        thresh = _broadcast_threshold(self.spark)
+        if thresh <= 0:
+            return False
+        if planned_bytes is not None and planned_bytes > 16 * thresh:
             return False
         snap = md.current_snapshot()
         summary = (snap.summary if snap else None) or {}
@@ -1375,13 +1384,34 @@ class Engine:
             # contribute zero matching rows, kept files must fully
             # match (Table.metadata_min_max / Table.count gates)
             from iceberg_rust_archive_spark.predicates import (
-                localize_naive_tstz, try_parse_preds,
+                Pred, localize_naive_tstz, try_parse_preds,
             )
             preds = try_parse_preds(sql[m.start(3):m.end(3)])
             if preds is None:
                 return None
+            # strip TABLE qualifiers and require every column to
+            # resolve in the schema BEFORE localization/pruning: an
+            # unknown name would read as "file never fully matches",
+            # sending count down the boundary-read path whose filter
+            # then fails analysis OUTSIDE the ValueError fallback —
+            # and a qualified tstz column would silently skip literal
+            # localization (field_by_name misses 't.ts')
+            schema = t.metadata.current_schema()
+            tbl = m.group(2).lower()
+            normd = []
+            for p in preds:
+                col = p.column
+                if "." in col:
+                    qual, base = col.rsplit(".", 1)
+                    if qual.lower() not in (tbl, tbl.split(".")[-1]):
+                        return None
+                    col = base
+                if schema.field_by_name(col) is None:
+                    return None
+                normd.append(p if col == p.column
+                             else Pred(col, p.op, p.value, p.no_prune))
             preds = localize_naive_tstz(
-                preds, t.metadata.current_schema(),
+                normd, schema,
                 self.spark.conf.get(
                     "spark.sql.session.timeZone", "UTC") or "UTC")
         parsed = []
@@ -1588,10 +1618,12 @@ class Engine:
                 # what bounds the scan.
                 preds = (_table_preds_from_where(
                     sql, md.current_schema()) if single_rel else None)
+                rep: dict = {}
                 df = Table(self.catalog, name, md).scan(
-                    self.spark, filter=preds)
+                    self.spark, filter=preds, report=rep)
                 from pyspark.sql import functions as F
-                if not single_rel and self._stats_broadcastable(md):
+                if not single_rel and self._stats_broadcastable(
+                        md, rep.get("data_bytes_planned")):
                     # stats-based planning (SURVEY §4; the reference
                     # feeds table statistics into DataFusion's CBO,
                     # datafusion_iceberg/src/statistics.rs:20-146):
@@ -1608,21 +1640,6 @@ class Engine:
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
         return self.spark.sql(rewrite_relations(sql, mapping))
-
-def _parse_byte_conf(v) -> int | None:
-    """Spark byte-size conf string → bytes ('10485760', '10MB', '1g',
-    '512k', '-1') — None when unparseable (callers then skip the
-    optimization rather than guess)."""
-    if v is None:
-        return None
-    s = str(v).strip().lower()
-    m = re.fullmatch(r"(-?\d+)\s*([kmgt]?)b?", s)
-    if m is None:
-        return None
-    mult = {"": 1, "k": 1 << 10, "m": 1 << 20,
-            "g": 1 << 30, "t": 1 << 40}[m.group(2)]
-    return int(m.group(1)) * mult
-
 
 def _extract_top_where(sql: str) -> str | None:
     """The text of the statement's TOP-LEVEL WHERE clause (depth 0,

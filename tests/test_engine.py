@@ -4474,6 +4474,20 @@ def test_metadata_min_max_fast_path(spark, tmp_path):
         "SELECT min(other.t.k) AS m FROM db.t") is None
     assert eng.sql("SELECT min(db.t.k) AS m FROM db.t").collect()[0].m == 3
 
+    # WHERE columns strip table qualifiers and must resolve in the
+    # schema — an unknown name previously sent the bare-count path
+    # down the boundary-read with an unresolvable filter
+    # (AnalysisException OUTSIDE the fallback) instead of returning
+    # None for the normal path to handle
+    assert eng._metadata_agg_fast_path(
+        "SELECT count(*) AS n FROM db.t WHERE t.k > 0") is not None
+    assert eng.sql("SELECT count(*) AS n FROM db.t "
+                   "WHERE t.k > 0").collect()[0].n == 3
+    assert eng._metadata_agg_fast_path(
+        "SELECT count(*) AS n FROM db.t WHERE nosuch > 0") is None
+    assert eng._metadata_agg_fast_path(
+        "SELECT count(*) AS n FROM db.t WHERE other.k > 0") is None
+
     # long strings → truncated bounds possible → unprovable
     eng.sql(f"INSERT INTO db.t VALUES (1, NULL, '{'z' * 20}', 0.0)")
     t = eng.load_table("db.t")

@@ -143,6 +143,25 @@ def test_date_transforms_reference_vectors():
     assert transform_value("month", dt.date(2023, 5, 15), "date") == 640
 
 
+def test_far_future_micros_are_exact():
+    """Value-side epoch micros compute in exact integer arithmetic:
+    float64 round-trips (total_seconds()*1e6) are off by up to ~32µs
+    beyond 2^53 µs (≈ year 2255), putting a boundary instant in the
+    wrong hour/identity partition vs the column path's exact
+    _floor_div."""
+    ts = dt.datetime(2999, 12, 31, 23, 59, 59, 999999)
+    micros = transform_value("identity", ts, "timestamptz")
+    td = ts - dt.datetime(1970, 1, 1)
+    want = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    assert micros == want and micros % 10 == 9  # float would round this
+    assert transform_value("hour", ts, "timestamptz") \
+        == want // 3_600_000_000
+    # pre-epoch floor semantics hold too
+    early = dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    assert transform_value("identity", early, "timestamptz") == -1
+    assert transform_value("hour", early, "timestamptz") == -1
+
+
 def test_month_transform_negative_dates():
     # months since 1970-01 goes negative before the epoch
     assert transform_value("month", dt.date(1969, 12, 15), "date") == -1
