@@ -42,6 +42,7 @@ import datetime as _dt
 import struct
 from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -243,9 +244,95 @@ def _floor_div(c: Column, n: int) -> Column:
     return (exact / F.lit(n)).cast("int")
 
 
+# Types whose spec hash input is the 8-byte-LE long widening (Appendix
+# B: int/date widen to long; time/timestamp[tz] are already micros) —
+# the vectorizable fast path. string/decimal/uuid/binary have
+# variable-length encodings and keep the scalar path.
+_LONG_HASH_TYPES = ("int", "long", "date", "time", "timestamp",
+                    "timestamptz")
+
+
+def _murmur3_32_long_le(vals: "np.ndarray") -> "np.ndarray":
+    """Vectorized murmur3_x86_32 (seed 0) over the 8-byte-LE encoding
+    of an int64 array — numpy uint32 lane ops, two 4-byte blocks, no
+    tail. Wraps mod 2^32 exactly like the scalar ``murmur3_32``
+    (pinned byte-for-byte by the Appendix B vectors and a hypothesis
+    model in tests/test_spec.py). This replaces the last row-at-a-time
+    Python loop on the bucketed-write hot path (r14 verdict #1);
+    reference semantics anchor: iceberg-rust/src/arrow/transform.rs:
+    44-104 vectorizes the same hash Arrow-side."""
+    v = vals.astype(np.uint64, copy=False)  # two's complement == LE bytes
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    for shift in (np.uint64(0), np.uint64(32)):
+        k = ((v >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # total byte length
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _series_to_long(s: pd.Series, iceberg_type: str):
+    """pandas Series → ``(int64 ndarray, bool null-mask)`` in the
+    spec's long hash carrier (epoch micros for timestamps, day
+    ordinals for dates, the value itself for int/long/time) — or None
+    when the dtype needs the scalar fallback. Arrow ships timestamps
+    at ns (exact ×1000 of the µs values), so the ``// 1000`` here is
+    lossless; NaT slots are zeroed under the mask before any
+    arithmetic so int64-min never overflows."""
+    dtype = s.dtype
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        idx = pd.DatetimeIndex(s)
+        mask = np.asarray(idx.isna())
+        raw = idx.asi8.copy()
+        raw[mask] = 0
+        unit = getattr(dtype, "unit", None) or np.datetime_data(dtype)[0]
+        micros = {"ns": raw // 1_000, "us": raw,
+                  "ms": raw * 1_000, "s": raw * 1_000_000}[unit]
+        if iceberg_type == "date":
+            return micros // 86_400_000_000, mask
+        return micros, mask
+    if dtype == object:
+        if iceberg_type != "date":
+            return None  # unexpected carrier — scalar path decides
+        try:
+            converted = pd.to_datetime(s, errors="coerce")
+        except (TypeError, ValueError):
+            return None
+        return _series_to_long(pd.Series(converted), "date")
+    mask = np.asarray(s.isna())
+    try:
+        # float carrier (Spark ships nullable longs as float64 in some
+        # Arrow paths): C cast truncates toward zero, same as the
+        # scalar path's int(value)
+        vals = s.fillna(0).to_numpy(dtype=np.int64)
+    except (TypeError, ValueError):
+        return None
+    return vals, mask
+
+
 def _bucket_udf(n: int, iceberg_type: str):
     @pandas_udf(T.IntegerType())
     def _bucket(s: pd.Series) -> pd.Series:
+        if iceberg_type in _LONG_HASH_TYPES:
+            conv = _series_to_long(s, iceberg_type)
+            if conv is not None:
+                vals, mask = conv
+                h = _murmur3_32_long_le(vals)
+                b = ((h & np.uint32(0x7FFFFFFF))
+                     % np.uint32(n)).astype("int32")
+                out = pd.array(b, dtype="Int32")
+                out[mask] = pd.NA
+                return pd.Series(out)
         def one(v):
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 return None

@@ -150,10 +150,22 @@ def _partition_value_from_str(s: str, transform: str, source_type: str):
         except ValueError:
             pass
         import datetime as _dt
-        dt = _dt.datetime.fromisoformat(s.replace(" ", "T"))
-        return int((dt.replace(tzinfo=None)
-                    - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+        from iceberg_rust_archive_spark.functions.transforms import (
+            _exact_micros, _utc_naive,
+        )
+        # exact integer micros — total_seconds()*1e6 rounds through
+        # float64 (±~32µs past year 2255), and a 1µs-skewed tuple makes
+        # _partition_value_excludes prune a file holding matching rows
+        # on an '=' probe (the r14 lost-rows class). An offset-carrying
+        # ISO string must normalize to UTC, not drop its offset.
+        return _exact_micros(_utc_naive(
+            _dt.datetime.fromisoformat(s.replace(" ", "T"))))
     if source_type == "date":
+        try:
+            return int(s)  # spec-typed day-ordinal carrier
+        except ValueError:
+            pass
         # spec-typed tuple: days from epoch (the dir string is ISO)
         import datetime as _dt
         try:

@@ -612,3 +612,84 @@ def test_decimal_bounds_float_literal_boundary_not_pruned():
         assert file_fully_matches([Pred("price", op, 0.57)], schema, f), op
     # exact-typed literals keep exact semantics
     assert prune_datafiles([Pred("price", "=", d)], schema, [f]) == [f]
+
+
+def test_vectorized_bucket_matches_scalar_hypothesis():
+    """The numpy lane-op murmur3 over the 8-byte-LE widening must be
+    byte-identical to the scalar spec path for every long-carried type
+    (r15: the vectorized bucket write path replaces the s.map loop)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _murmur3_32_long_le, murmur3_32,
+    )
+    import struct
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-(2 ** 63), 2 ** 63 - 1),
+                    min_size=1, max_size=64))
+    def check(vs):
+        got = _murmur3_32_long_le(np.array(vs, dtype=np.int64))
+        want = [murmur3_32(struct.pack("<q", v)) for v in vs]
+        assert got.tolist() == want
+
+    check()
+
+
+def test_series_to_long_carriers():
+    """Every dtype carrier Spark's Arrow bridge can hand the bucket UDF
+    converts to the spec's long hash input: int64, nullable float64
+    (truncate-toward-zero like int()), datetime64[ns] micros, and
+    object datetime.date → day ordinals; unknown carriers fall back."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _series_to_long, bucket_value,
+    )
+    vals, mask = _series_to_long(pd.Series([34, -1, 2 ** 62]), "long")
+    assert vals.tolist() == [34, -1, 2 ** 62] and not mask.any()
+    vals, mask = _series_to_long(pd.Series([34.0, None]), "long")
+    assert vals[0] == 34 and mask.tolist() == [False, True]
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    vals, mask = _series_to_long(
+        pd.Series([ts, None], dtype="datetime64[ns]"), "timestamp")
+    td = ts - dt.datetime(1970, 1, 1)
+    assert vals[0] == (td.days * 86_400 + td.seconds) * 1_000_000
+    assert mask.tolist() == [False, True]
+    vals, mask = _series_to_long(
+        pd.Series([dt.date(2017, 11, 16), None], dtype=object), "date")
+    assert vals[0] == (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert mask.tolist() == [False, True]
+    # pre-epoch date floors to the negative ordinal, matching scalar
+    vals, _ = _series_to_long(
+        pd.Series([dt.date(1969, 12, 31)], dtype=object), "date")
+    assert vals[0] == -1
+    assert bucket_value(dt.date(1969, 12, 31), 16, "date") == \
+        bucket_value(-1, 16, "int")
+    # strings are not a long carrier — scalar path decides
+    assert _series_to_long(pd.Series(["x"], dtype=object), "string") is None
+
+
+def test_partition_value_from_str_exact_and_typed():
+    """Dir-string → partition-tuple parsing keeps exact integer micros
+    (the float64 round-trip was ±32µs past year 2255 — ADVICE r15),
+    normalizes offset-carrying ISO strings to UTC, and accepts
+    spec-typed day-ordinal carriers for identity dates."""
+    from iceberg_rust_archive_spark.sources.write import (
+        _partition_value_from_str as p,
+    )
+    ts = dt.datetime(2999, 12, 31, 23, 59, 59, 999999)
+    td = ts - dt.datetime(1970, 1, 1)
+    want = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    assert want % 10 == 9  # float64 would round this digit away
+    assert p("2999-12-31T23:59:59.999999", "identity", "timestamp") == want
+    assert p("2999-12-31 23:59:59.999999", "identity", "timestamptz") == want
+    # an offset-carrying string is the SAME instant, not its wall time
+    assert p("2999-12-31T18:59:59.999999-05:00", "identity",
+             "timestamptz") == want
+    assert p("19478", "identity", "date") == 19478  # int carrier
+    assert p("2023-05-01", "identity", "date") == \
+        (dt.date(2023, 5, 1) - dt.date(1970, 1, 1)).days
