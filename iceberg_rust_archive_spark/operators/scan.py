@@ -833,16 +833,20 @@ def scan(spark: SparkSession, md: TableMetadata,
     # A9→planner: feed harvested manifest statistics into Spark's join
     # planning the way the reference's TableProvider::statistics feeds
     # DataFusion's CBO (datafusion_iceberg/src/statistics.rs:20-146).
-    # Spark can't see through our temp-view/parquet-list relations to
-    # size the table itself until AQE observes the first shuffle, so a
-    # provably-small post-pruning scan carries an explicit broadcast
-    # hint — joins against it skip the shuffle at plan time. Unused
-    # hints are dropped silently, so non-join consumers are unaffected.
+    # Spark can't see through a MoR anti-join chain to size the table
+    # until AQE observes the first shuffle, so a provably-small
+    # post-pruning scan REPORTS broadcastability; the consumer that
+    # can see a join (engine._run_select) attaches the hint there.
+    # Attaching it here looked free but was not: Catalyst strips an
+    # unapplied hint with a HintErrorLogger warning, so every
+    # single-table scan polluted the logs and buried real hint
+    # failures (r14 verdict #3).
     total_bytes = sum(e.data_file.file_size_in_bytes or 0
                       for e in data_entries)
     thr = _broadcast_threshold(spark)
-    if 0 < total_bytes <= thr or (thr > 0 and not data_entries):
-        df = df.hint("broadcast")
+    if report is not None and (0 < total_bytes <= thr
+                               or (thr > 0 and not data_entries)):
+        report["broadcastable"] = True
     return df
 
 

@@ -1312,6 +1312,13 @@ class Engine:
         "uuid": 16, "string": 20,
     }
 
+    # the planned-bytes backstop never exceeds this ABSOLUTE ceiling,
+    # no matter how high the user raises autoBroadcastJoinThreshold: 16×
+    # a 512 MB threshold would permit force-broadcasting 8 GB of
+    # parquet — past Spark's own 8 GB broadcast hard limit once
+    # decompressed, and a driver/executor OOM, not a plan choice.
+    _PLANNED_BYTES_CEILING = 512 << 20
+
     def _stats_broadcastable(self, md, planned_bytes=None) -> bool:
         """True when the snapshot summary's ``total-records`` proves
         the relation fits under ``spark.sql.autoBroadcastJoinThreshold``
@@ -1320,18 +1327,22 @@ class Engine:
         threshold (user disabled auto-broadcast) disables the hint
         too. The width estimate can be optimistic for long strings
         (defaultSize assumes 20 B), so ``planned_bytes`` — the scan's
-        ACTUAL planned parquet bytes — backstops it: the hint never
-        fires past 16× the threshold in real bytes (generous
-        decompression allowance, far inside broadcast-OOM territory),
-        which is where forcing a broadcast stops being a plan choice
-        and becomes a resource failure."""
+        ACTUAL planned parquet bytes — backstops it twice: the hint
+        never fires past min(16× threshold, 512 MiB) in real bytes
+        (generous decompression allowance, still inside broadcast
+        territory), and a summary whose claimed rows×width is wildly
+        below the planned bytes (>64× compressed expansion) is treated
+        as UNPROVABLE — either a foreign writer recorded total-records
+        wrong, or the 20 B string estimate is hiding multi-KB values;
+        both mean the metadata does not actually prove smallness."""
         from iceberg_rust_archive_spark.operators.scan import (
             _broadcast_threshold,
         )
         thresh = _broadcast_threshold(self.spark)
         if thresh <= 0:
             return False
-        if planned_bytes is not None and planned_bytes > 16 * thresh:
+        if planned_bytes is not None and planned_bytes > min(
+                16 * thresh, self._PLANNED_BYTES_CEILING):
             return False
         snap = md.current_snapshot()
         summary = (snap.summary if snap else None) or {}
@@ -1348,6 +1359,9 @@ class Engine:
                 width += self._TYPE_WIDTHS.get(t, 40)
             else:
                 width += 40  # nested / variant
+        est = max(rows, 1) * max(width, 8)
+        if planned_bytes is not None and planned_bytes > 64 * est:
+            return False  # summary disagrees wildly with real bytes
         return rows * max(width, 8) <= thresh
 
     _AGG_ITEM_RE = re.compile(
@@ -1589,6 +1603,16 @@ class Engine:
             r"\bfrom\s+[A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?\s*,",
             masked_sql, re.IGNORECASE)
         single_rel = len(raw_rels) == 1 and not comma_from
+        # the broadcast hint is worth attaching only when the statement
+        # actually JOINS (explicit JOIN keyword or a comma-list FROM):
+        # hinting a relation that only feeds a UNION / scalar subquery
+        # leaves an unapplied hint that Catalyst strips with a
+        # HintErrorLogger warning on every run — log noise that buries
+        # real hint failures (r14 verdict #3). IN/EXISTS semi-joins
+        # skip the hint too: a broadcast hint on the probe side of a
+        # left-semi is equally unapplicable.
+        has_join = bool(comma_from) or bool(
+            re.search(r"\bjoin\b", masked_sql, re.IGNORECASE))
         for name in rels:
             try:
                 md = self.catalog.load_tabular(name.lower())
@@ -1622,8 +1646,10 @@ class Engine:
                 df = Table(self.catalog, name, md).scan(
                     self.spark, filter=preds, report=rep)
                 from pyspark.sql import functions as F
-                if not single_rel and self._stats_broadcastable(
-                        md, rep.get("data_bytes_planned")):
+                if has_join and (
+                        rep.get("broadcastable")  # planned bytes ≤ thr
+                        or self._stats_broadcastable(
+                            md, rep.get("data_bytes_planned"))):
                     # stats-based planning (SURVEY §4; the reference
                     # feeds table statistics into DataFusion's CBO,
                     # datafusion_iceberg/src/statistics.rs:20-146):
@@ -1632,8 +1658,8 @@ class Engine:
                     # BroadcastHashJoin over sort-merge for dimension
                     # tables even when Spark's own size estimate
                     # (file bytes of a MoR chain, subquery output)
-                    # cannot see it. Single-relation statements skip
-                    # the hint (nothing to join).
+                    # cannot see it. Statements with no join skip the
+                    # hint (nothing to apply it to).
                     df = F.broadcast(df)
             else:
                 continue

@@ -439,21 +439,28 @@ def test_position_delete_idempotent(spark, catalog):
     assert sorted(r["id"] for r in t.scan(spark).collect()) == [1, 2, 3, 4]
 
 
-def test_small_scan_carries_broadcast_hint(spark, catalog):
+def test_small_scan_reports_broadcastable(spark, catalog):
     """Manifest statistics feed join planning (the reference's
-    TableProvider::statistics role, statistics.rs:20-146): joining a big
-    DataFrame against a small Iceberg scan must plan a broadcast join
-    up front — no shuffle of either side at plan time."""
+    TableProvider::statistics role, statistics.rs:20-146): a small
+    scan REPORTS broadcastability for join-aware consumers (the
+    engine attaches the hint only on join statements — r15), carries
+    no hint node itself (an unapplied hint is a HintErrorLogger
+    warning on every single-table scan), and a direct join against it
+    still plans broadcast via Spark's own parquet sizing."""
     from pyspark.sql import functions as F
     t = _mk_table(catalog, "orders_bcast")
     t.append(spark, spark.createDataFrame(BATCH1, COLS))
-    dim = t.scan(spark)
+    rep: dict = {}
+    dim = t.scan(spark, report=rep)
+    assert rep.get("broadcastable") is True
+    assert "hint" not in dim._jdf.queryExecution().logical() \
+        .toString().lower()
     big = spark.range(10_000).withColumn("id", F.col("id") % 9 + 1)
     plan = big.join(dim, "id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # and a huge threshold-busting table must NOT hint: fake it by
-    # dropping the threshold below the table's byte size
+    # and a huge threshold-busting table must NOT report broadcastable:
+    # fake it by dropping the threshold below the table's byte size
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
     try:
@@ -461,8 +468,11 @@ def test_small_scan_carries_broadcast_hint(spark, catalog):
             _broadcast_threshold,
         )
         assert _broadcast_threshold(spark) == 1
-        plan2 = t.scan(spark)._jdf.queryExecution().logical().toString()
+        rep2: dict = {}
+        plan2 = t.scan(spark, report=rep2)._jdf.queryExecution() \
+            .logical().toString()
         assert "broadcast" not in plan2.lower()
+        assert "broadcastable" not in rep2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

@@ -209,3 +209,65 @@ def test_engine_sql_broadcasts_small_iceberg_dimension(spark, tmp_path):
         assert "BroadcastHashJoin" not in _plan(df2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t0)
+
+
+def test_engine_sql_hint_only_on_join_statements(spark, tmp_path):
+    """The stats broadcast hint attaches only when the statement
+    actually joins: a UNION (or any no-join multi-relation shape) over
+    a provably-small table must register UNHINTED views — an unapplied
+    hint is stripped by Catalyst with a HintErrorLogger warning on
+    every run, burying real hint failures (r14 verdict #3). The
+    absence of any Hint node in the analyzed plan IS the absence of
+    the warning (the warning fires exactly when an UnresolvedHint
+    lands on no join)."""
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    for t in ("ua", "ub"):
+        eng.sql(f"CREATE TABLE db.{t} (k BIGINT)")
+        eng.sql(f"INSERT INTO db.{t} VALUES (1), (2)")
+    df = eng.sql("SELECT k FROM db.ua UNION ALL SELECT k FROM db.ub")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed
+    assert df.count() == 4
+    # single-table statements stay unhinted too
+    df1 = eng.sql("SELECT k FROM db.ua WHERE k > 0")
+    assert "Hint" not in df1._jdf.queryExecution().analyzed().toString()
+    # ... while a real join still carries the hint through to the plan
+    dfj = eng.sql("SELECT a.k FROM db.ua a JOIN db.ub b ON a.k = b.k")
+    assert "BroadcastHashJoin" in _plan(dfj)
+
+
+def test_stats_broadcastable_backstops(spark, tmp_path):
+    """_stats_broadcastable's planned-bytes backstop is capped at an
+    ABSOLUTE ceiling (a user-raised threshold must not permit
+    force-broadcasting gigabytes), and a snapshot summary whose
+    claimed rows×width disagrees wildly with the real planned bytes is
+    treated as unprovable — a foreign writer's bad total-records (or
+    multi-KB strings hiding behind the 20 B estimate) must not force a
+    broadcast (r15 ADVICE)."""
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.plans.engine import Engine
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.dim (k BIGINT, name STRING)")
+    eng.sql("INSERT INTO db.dim VALUES " + ", ".join(
+        f"({i}, 'n{i}')" for i in range(20)))
+    md = eng.catalog.load_tabular("db.dim")
+    est = 20 * 28  # rows × (8 long + 20 string default width)
+    assert eng._stats_broadcastable(md, planned_bytes=est)
+    # wild disagreement: >64× the estimate in real bytes = unprovable
+    assert not eng._stats_broadcastable(md, planned_bytes=64 * est + 1)
+    t0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # raising the threshold sky-high must NOT raise the backstop
+        # past the absolute ceiling (16×1GiB would allow 16 GiB)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(1 << 30))
+        assert not eng._stats_broadcastable(
+            md, planned_bytes=(512 << 20) + 1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t0)
