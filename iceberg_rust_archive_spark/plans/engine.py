@@ -263,6 +263,12 @@ class Engine:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
         self.catalog = catalog
+        # CREATE EXTERNAL TABLE … STORED AS CSV/PARQUET registrations:
+        # name → lazy DataFrame over the location with the DDL's
+        # explicit schema (planner.rs:146-220 — the reference's CSV-
+        # seeded MV scripts SELECT from these, they are not catalog
+        # tabulars)
+        self._externals: dict[str, DataFrame] = {}
 
     # --- programmatic API -------------------------------------------------
     def create_table(self, identifier: str, schema: Schema,
@@ -400,6 +406,42 @@ class Engine:
                       "nullable boolean, partition_transform string")
 
         m = re.match(
+            r"create\s+external\s+table\s+(?:if\s+not\s+exists\s+)?"
+            r"([\w.]+)\s*\(", s, re.IGNORECASE)
+        if m:
+            # the column list ends at its MATCHING paren (decimal(9,2)
+            # nests); the tail clauses appear in any order — DataFusion
+            # scripts put PARTITIONED BY after LOCATION
+            # (delta_queries/mod.rs:124-140), Spark DDL before STORED AS
+            depth, i = 1, m.end()
+            masked = _mask_quoted(s)
+            while i < len(s) and depth:
+                depth += {"(": 1, ")": -1}.get(masked[i], 0)
+                i += 1
+            cols_sql, tail = s[m.end():i - 1], s[i:]
+            fm = re.search(r"stored\s+as\s+(\w+)", tail, re.IGNORECASE)
+            lm = re.search(r"location\s+'([^']*)'", tail, re.IGNORECASE)
+            om = re.search(r"options\s*\((.*?)\)", tail,
+                           re.IGNORECASE | re.DOTALL)
+            pm = re.search(r"partitioned\s+by\s*"
+                           r"\(((?:[^()]|\([^()]*\))*)\)", tail,
+                           re.IGNORECASE | re.DOTALL)
+            if fm is None or fm.group(1).lower() not in (
+                    "csv", "parquet", "iceberg"):
+                raise ValueError(
+                    f"CREATE EXTERNAL TABLE needs STORED AS "
+                    f"CSV|PARQUET|ICEBERG: {s[:80]!r}")
+            # DataFusion quotes transform exprs: "month(L_SHIPDATE)"
+            part_sql = (",".join(
+                p.strip().strip('"') for p in
+                _split_top(pm.group(1), ",") if p.strip())
+                if pm else None)
+            return self._create_external_table_sql(
+                m.group(1), cols_sql, fm.group(1), part_sql,
+                lm.group(1) if lm else None,
+                om.group(1) if om else None)
+
+        m = re.match(
             r"create\s+(?:external\s+)?table\s+([\w.]+)\s*\((.*?)\)\s*"
             r"(?:using\s+iceberg|stored\s+as\s+iceberg)?\s*"
             r"(?:partitioned\s+by\s*\((.*?)\))?\s*"
@@ -443,6 +485,8 @@ class Engine:
 
         m = re.match(r"drop\s+(?:table|view)\s+([\w.]+)", low)
         if m:
+            if self._externals.pop(m.group(1), None) is not None:
+                return None  # external registration, not a tabular
             self.catalog.drop_tabular(m.group(1))
             return None
 
@@ -1228,8 +1272,51 @@ class Engine:
         raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
 
     # --- helpers ----------------------------------------------------------
-    def _create_table_sql(self, identifier, cols_sql, part_sql,
-                          props_sql=None):
+    def _create_external_table_sql(self, identifier, cols_sql, fmt,
+                                   part_sql, location, opts_sql):
+        """``CREATE EXTERNAL TABLE … STORED AS CSV|PARQUET|ICEBERG
+        LOCATION '…' [OPTIONS (…)]`` — the DataFusion DDL form the
+        reference's planner accepts (planner.rs:146-220) and its
+        CSV-seeded MV scripts use (delta_queries/mod.rs:66-88).
+        ICEBERG externals create a catalog table; CSV/PARQUET
+        externals register a lazy relation over the location with the
+        DDL's EXPLICIT schema — no inference scan (at 100 TB schema
+        inference is a full extra read of the source)."""
+        fmt = fmt.lower()
+        if fmt == "iceberg":
+            # the catalog owns metadata layout; LOCATION is advisory
+            return self._create_table_sql(identifier, cols_sql, part_sql)
+        if location is None:
+            raise ValueError(
+                f"external {fmt} table {identifier!r} needs LOCATION")
+        from pyspark.sql.types import StructField, StructType
+
+        from iceberg_rust_archive_spark.spec.types import spark_schema_for
+        fields = self._parse_column_fields(cols_sql)
+        # strip the iceberg field-id metadata spark_schema_for attaches:
+        # a foreign CSV/parquet file carries no field ids, and a
+        # field-id-expecting read schema fails outright on such files
+        spark_schema = StructType([
+            StructField(f.name, f.dataType, f.nullable)
+            for f in spark_schema_for(StructTypeSpec(tuple(fields)))
+            .fields])
+        # DataFusion-style OPTIONS ('k' 'v', …); '=' tolerated too
+        opts = {k.lower(): v for k, v in re.findall(
+            r"'([^']+)'\s*(?:=\s*)?'([^']*)'", opts_sql or "")}
+        reader = self.spark.read.schema(spark_schema)
+        if fmt == "csv":
+            df = (reader
+                  .option("header", opts.get(
+                      "has_header", opts.get("header", "false")))
+                  .option("sep", opts.get(
+                      "delimiter", opts.get("sep", ",")))
+                  .csv(location))
+        else:
+            df = reader.parquet(location)
+        self._externals[identifier.lower()] = df
+        return None
+
+    def _parse_column_fields(self, cols_sql):
         fields = []
         for i, col in enumerate([c for c in _split_top(cols_sql, ",")
                                  if c.strip()]):
@@ -1256,6 +1343,11 @@ class Engine:
                                       _sql_type_to_iceberg(sqltype), required,
                                       initial_default=default,
                                       write_default=default))
+        return fields
+
+    def _create_table_sql(self, identifier, cols_sql, part_sql,
+                          props_sql=None):
+        fields = self._parse_column_fields(cols_sql)
         schema = Schema(0, StructTypeSpec(tuple(fields)))
         part_by = [p.strip() for p in
                    _split_top(part_sql or "", ",") if p.strip()]
@@ -1617,6 +1709,14 @@ class Engine:
             try:
                 md = self.catalog.load_tabular(name.lower())
             except Exception:  # noqa: BLE001 — not a catalog table
+                ext = self._externals.get(name.lower())
+                if ext is not None:
+                    # CREATE EXTERNAL TABLE registration: explicit-
+                    # schema relation over its location, re-registered
+                    # per statement (the view name carries no dots)
+                    evn = "ice_ext_" + re.sub(r"\W", "_", name.lower())
+                    ext.createOrReplaceTempView(evn)
+                    mapping[name.lower()] = evn
                 continue
             vn = "ice_" + re.sub(r"\W", "_", name)
             if isinstance(md, MaterializedViewMetadata):

@@ -1331,3 +1331,107 @@ def test_mv_literal_keywords_survive_refresh(engine):
                "(97, 2, 1, DATE '2020-03-02', 9)")
     assert engine.refresh_materialized_view("db.litmv") == IA
     assert mv_rows() == want()
+
+
+def test_csv_external_seeded_q12_mv(engine, tmp_path):
+    """The reference's CSV-seeded MV scripts replayed end-to-end in SQL
+    (delta_queries/mod.rs:66-230, 1233-1249): CSV externals via
+    ``CREATE EXTERNAL TABLE … STORED AS CSV LOCATION … OPTIONS
+    ('has_header' 'false')``, iceberg targets via ``STORED AS ICEBERG
+    LOCATION … PARTITIONED BY ( "month(…)" )`` (partition clause AFTER
+    the location, transform double-quoted — DataFusion's serialization),
+    seeded with ``INSERT … SELECT * FROM <external>``, then the
+    q12-shaped MV refreshes over them incrementally."""
+    csv1 = tmp_path / "lineitem.csv"
+    csv1.write_text(
+        "1,MAIL,1994-01-10,1994-01-15,1994-01-20\n"
+        "2,SHIP,1994-02-10,1994-02-20,1994-02-15\n"
+        "3,MAIL,1994-03-05,1994-03-01,1994-03-10\n"
+        "4,RAIL,1994-04-01,1994-04-10,1994-04-05\n")
+    ocsv = tmp_path / "orders.csv"
+    ocsv.write_text("1,1-URGENT,1994-01-01\n2,5-LOW,1994-02-01\n"
+                    "3,2-HIGH,1994-03-01\n4,3-MEDIUM,1994-03-20\n")
+    lcols = ("l_orderkey BIGINT NOT NULL, l_shipmode VARCHAR NOT NULL, "
+             "l_shipdate DATE NOT NULL, l_commitdate DATE NOT NULL, "
+             "l_receiptdate DATE NOT NULL")
+    engine.sql(f"CREATE EXTERNAL TABLE lineitem ( {lcols} ) "
+               f"STORED AS CSV LOCATION '{csv1}' "
+               f"OPTIONS ('has_header' 'false');")
+    engine.sql(f"CREATE EXTERNAL TABLE db.lx ( {lcols} ) "
+               f"STORED AS ICEBERG LOCATION '{tmp_path}/wh/db/lx' "
+               f"PARTITIONED BY ( \"month(l_shipdate)\" );")
+    engine.sql("CREATE EXTERNAL TABLE orders ( o_orderkey BIGINT NOT "
+               "NULL, o_orderpriority VARCHAR NOT NULL, o_orderdate "
+               f"DATE NOT NULL ) STORED AS CSV LOCATION '{ocsv}' "
+               "OPTIONS ('has_header' 'false');")
+    engine.sql("CREATE EXTERNAL TABLE db.ox ( o_orderkey BIGINT NOT "
+               "NULL, o_orderpriority VARCHAR NOT NULL, o_orderdate "
+               f"DATE NOT NULL ) STORED AS ICEBERG LOCATION "
+               f"'{tmp_path}/wh/db/ox' "
+               f"PARTITIONED BY ( \"month(o_orderdate)\" );")
+    # the DDL schema is taken as-is: typed DATE column, no inference
+    row = engine.sql("SELECT min(l_shipdate) AS d FROM lineitem") \
+        .collect()[0]
+    import datetime as dt
+    assert row["d"] == dt.date(1994, 1, 10)
+    # the ICEBERG external carries the month spec
+    spec = engine.load_table("db.lx").metadata.default_spec()
+    assert [f.transform for f in spec.fields] == ["month"]
+    engine.sql("insert into db.lx select * from lineitem;")
+    engine.sql("insert into db.ox select * from orders;")
+
+    q12 = ("SELECT l.l_shipmode, "
+           "sum(CASE WHEN o.o_orderpriority = '1-URGENT' "
+           "OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) "
+           "AS high_line_count, "
+           "sum(CASE WHEN o.o_orderpriority <> '1-URGENT' "
+           "AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) "
+           "AS low_line_count "
+           "FROM db.lx l JOIN db.ox o ON l.l_orderkey = o.o_orderkey "
+           "GROUP BY l.l_shipmode")
+    engine.sql(f"CREATE MATERIALIZED VIEW db.q12x AS {q12}")
+    engine.refresh_materialized_view("db.q12x")
+
+    def mv_rows():
+        return {r["l_shipmode"]: (r["high_line_count"],
+                                  r["low_line_count"])
+                for r in engine.sql("SELECT * FROM db.q12x").collect()}
+
+    assert mv_rows() == {"MAIL": (2, 0), "SHIP": (0, 1), "RAIL": (0, 1)}
+
+    # the *_2 delta slices arrive as a SECOND CSV external
+    csv2 = tmp_path / "lineitem_2.csv"
+    csv2.write_text(
+        "5,AIR,1994-05-02,1994-05-10,1994-05-06\n"
+        "6,MAIL,1994-06-01,1994-06-05,1994-06-03\n")
+    engine.sql(f"CREATE EXTERNAL TABLE lineitem2 ( {lcols} ) "
+               f"STORED AS CSV LOCATION '{csv2}' "
+               f"OPTIONS ('has_header' 'false');")
+    engine.sql("insert into db.lx select * from lineitem2;")
+    engine.sql("INSERT INTO db.ox VALUES "
+               "(5,'2-HIGH',DATE '1994-04-25'),"
+               "(6,'4-NOT SPECIFIED',DATE '1994-05-20')")
+    assert engine.refresh_materialized_view("db.q12x") == INCR_AGG
+    assert mv_rows() == {"MAIL": (2, 1), "SHIP": (0, 1), "RAIL": (0, 1),
+                         "AIR": (1, 0)}
+    direct = {r["l_shipmode"]: (r["high_line_count"], r["low_line_count"])
+              for r in engine.sql(q12).collect()}
+    assert mv_rows() == direct
+    # DROP removes the registration, not a catalog tabular
+    engine.sql("DROP TABLE lineitem2")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        engine.sql("SELECT count(*) AS c FROM lineitem2").collect()
+
+
+def test_parquet_external_table(engine, tmp_path, spark):
+    """STORED AS PARQUET externals: explicit DDL schema over a parquet
+    location — no inference pass, SELECT-able, seedable."""
+    p = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .write.parquet(p)
+    engine.sql(f"CREATE EXTERNAL TABLE psrc (k BIGINT, v VARCHAR) "
+               f"STORED AS PARQUET LOCATION '{p}'")
+    got = {r["k"]: r["v"] for r in
+           engine.sql("SELECT k, v FROM psrc").collect()}
+    assert got == {1: "a", 2: "b"}
