@@ -1,166 +1,248 @@
-"""SQL catalog on sqlite (catalogs/iceberg-sql-catalog/src/lib.rs:43-640).
+"""SQL catalog over any DBAPI driver (catalogs/iceberg-sql-catalog/
+src/lib.rs:43-640).
 
 Same schema as the reference's ``iceberg_tables`` and the identical
 optimistic CAS: ``UPDATE ... SET metadata_location = ? WHERE ... AND
-metadata_location = <previous>`` with rowcount check (lib.rs:464-472)."""
+metadata_location = <previous>`` with rowcount check (lib.rs:464-472).
+
+The reference runs this on Postgres/MySQL/SQLite through sqlx's
+any-driver (lib.rs:43-102). The Python analog is a DBAPI seam: pass
+``connection_factory`` (a zero-arg callable returning a DBAPI
+connection — psycopg2/pymysql/anything with cursors and rowcount) and
+the driver's ``paramstyle``; the default remains embedded sqlite3 by
+path. Every statement runs through a cursor, placeholders rewrite per
+paramstyle, and transactions use BEGIN IMMEDIATE on sqlite (writer
+lock upgrade at BEGIN, not first write) vs the driver's own
+commit()/rollback() elsewhere — the CAS itself is dialect-free."""
 
 from __future__ import annotations
 
 import sqlite3
 import threading
+from contextlib import contextmanager
 
 from iceberg_rust_archive_spark.catalog.base import (
     Catalog, CommitFailedError, NoSuchTableError, parse_identifier,
 )
 
-_DDL = """
-CREATE TABLE IF NOT EXISTS iceberg_tables (
+_DDL = [
+    """CREATE TABLE IF NOT EXISTS iceberg_tables (
     catalog_name TEXT NOT NULL,
     table_namespace TEXT NOT NULL,
     table_name TEXT NOT NULL,
     metadata_location TEXT,
     previous_metadata_location TEXT,
     PRIMARY KEY (catalog_name, table_namespace, table_name)
-);
-CREATE TABLE IF NOT EXISTS iceberg_namespaces (
+)""",
+    """CREATE TABLE IF NOT EXISTS iceberg_namespaces (
     catalog_name TEXT NOT NULL,
     namespace TEXT NOT NULL,
     PRIMARY KEY (catalog_name, namespace)
-);
-"""
+)""",
+]
+
+
+def _is_integrity_error(exc: BaseException) -> bool:
+    """Duplicate-key detection across drivers without importing them:
+    every DBAPI driver derives its duplicate-PK error from a class
+    named IntegrityError (PEP 249 §Exceptions); psycopg2's
+    UniqueViolation subclasses it too."""
+    return any("IntegrityError" in c.__name__ or "UniqueViolation"
+               in c.__name__ for c in type(exc).__mro__)
 
 
 class SqlCatalog(Catalog):
-    def __init__(self, db_path: str, name: str = "sql"):
+    def __init__(self, db_path: str | None = None, name: str = "sql", *,
+                 connection_factory=None, paramstyle: str = "qmark",
+                 dialect: str | None = None):
+        if db_path is None and connection_factory is None:
+            raise ValueError("need db_path or connection_factory")
         self.db_path = db_path
         self.name = name
         self._lock = threading.Lock()
-        with self._conn() as con:
-            con.executescript(_DDL)
+        if connection_factory is None:
+            self._factory = self._sqlite_conn
+            self.dialect = "sqlite"
+            self.paramstyle = "qmark"
+        else:
+            self._factory = connection_factory
+            self.dialect = dialect or "generic"
+            self.paramstyle = paramstyle
+        with self._tx() as con:
+            for ddl in _DDL:
+                con.cursor().execute(ddl)
 
-    def _conn(self) -> sqlite3.Connection:
+    def _sqlite_conn(self) -> sqlite3.Connection:
         con = sqlite3.connect(self.db_path, timeout=30)
         con.isolation_level = None  # explicit transactions
         return con
 
+    def _q(self, sql: str) -> str:
+        """qmark → the driver's placeholder style. The statements keep
+        the reference's qmark spelling (lib.rs:429-480); format/
+        pyformat drivers (psycopg2, pymysql) get %s."""
+        if self.paramstyle in ("format", "pyformat"):
+            return sql.replace("?", "%s")
+        if self.paramstyle == "numeric":
+            out, n = [], 0
+            for ch in sql:
+                if ch == "?":
+                    n += 1
+                    out.append(f":{n}")
+                else:
+                    out.append(ch)
+            return "".join(out)
+        return sql
+
+    @contextmanager
+    def _tx(self, immediate: bool = False):
+        """One transaction on a fresh connection: sqlite upgrades to
+        the writer lock AT BEGIN when ``immediate`` (the CAS must not
+        deadlock mid-transaction); DBAPI drivers open transactions
+        implicitly and commit()/rollback() on the connection."""
+        con = self._factory()
+        try:
+            if self.dialect == "sqlite" and immediate:
+                con.cursor().execute("BEGIN IMMEDIATE")
+            yield con
+            if self.dialect == "sqlite":
+                con.execute("COMMIT") if con.in_transaction else None
+            else:
+                con.commit()
+        except BaseException:
+            try:
+                if self.dialect == "sqlite":
+                    if con.in_transaction:
+                        con.execute("ROLLBACK")
+                else:
+                    con.rollback()
+            except Exception:  # noqa: BLE001 — surface the original
+                pass
+            raise
+        finally:
+            con.close()
+
+    def _fetchall(self, sql: str, params=()) -> list:
+        with self._tx() as con:
+            cur = con.cursor()
+            cur.execute(self._q(sql), params)
+            return cur.fetchall()
+
     # --- namespaces ------------------------------------------------------
     def create_namespace(self, namespace: str) -> None:
-        with self._conn() as con:
-            con.execute(
-                "INSERT OR IGNORE INTO iceberg_namespaces VALUES (?, ?)",
-                (self.name, namespace))
+        with self._tx() as con:
+            try:
+                con.cursor().execute(self._q(
+                    "INSERT INTO iceberg_namespaces VALUES (?, ?)"),
+                    (self.name, namespace))
+            except Exception as e:  # noqa: BLE001 — driver-specific
+                if not _is_integrity_error(e):
+                    raise
+                # already exists — idempotent like INSERT OR IGNORE
 
     def drop_namespace(self, namespace: str) -> None:
-        with self._conn() as con:
-            n = con.execute(
+        with self._tx(immediate=True) as con:
+            cur = con.cursor()
+            cur.execute(self._q(
                 "SELECT count(*) FROM iceberg_tables WHERE catalog_name=? "
-                "AND table_namespace=?", (self.name, namespace)).fetchone()[0]
-            if n:
+                "AND table_namespace=?"), (self.name, namespace))
+            if cur.fetchone()[0]:
                 raise ValueError(f"namespace {namespace!r} not empty")
-            con.execute(
+            cur.execute(self._q(
                 "DELETE FROM iceberg_namespaces WHERE catalog_name=? AND "
-                "namespace=?", (self.name, namespace))
+                "namespace=?"), (self.name, namespace))
 
     def list_namespaces(self) -> list[str]:
-        with self._conn() as con:
-            rows = con.execute(
-                "SELECT namespace FROM iceberg_namespaces WHERE "
-                "catalog_name=? ORDER BY namespace", (self.name,)).fetchall()
+        rows = self._fetchall(
+            "SELECT namespace FROM iceberg_namespaces WHERE "
+            "catalog_name=? ORDER BY namespace", (self.name,))
         return [r[0] for r in rows]
 
     # --- tabulars --------------------------------------------------------
     def list_tabulars(self, namespace: str) -> list[str]:
-        with self._conn() as con:
-            rows = con.execute(
-                "SELECT table_name FROM iceberg_tables WHERE catalog_name=? "
-                "AND table_namespace=? ORDER BY table_name",
-                (self.name, namespace)).fetchall()
+        rows = self._fetchall(
+            "SELECT table_name FROM iceberg_tables WHERE catalog_name=? "
+            "AND table_namespace=? ORDER BY table_name",
+            (self.name, namespace))
         return [f"{namespace}.{r[0]}" for r in rows]
 
     def metadata_location(self, identifier: str) -> str | None:
         ns, name = parse_identifier(identifier)
-        with self._conn() as con:
-            row = con.execute(
-                "SELECT metadata_location FROM iceberg_tables WHERE "
-                "catalog_name=? AND table_namespace=? AND table_name=?",
-                (self.name, ns, name)).fetchone()
-        return row[0] if row else None
+        rows = self._fetchall(
+            "SELECT metadata_location FROM iceberg_tables WHERE "
+            "catalog_name=? AND table_namespace=? AND table_name=?",
+            (self.name, ns, name))
+        return rows[0][0] if rows else None
+
+    def _cas_update(self, cur, ident: str, new_loc: str,
+                    expected_old: str) -> None:
+        """The reference's CAS statement verbatim (lib.rs:464-472):
+        conditional UPDATE + rowcount check. On Postgres/MySQL a
+        concurrent commit makes the WHERE match zero rows — same
+        rowcount signal as sqlite."""
+        ns, name = parse_identifier(ident)
+        cur.execute(self._q(
+            "UPDATE iceberg_tables SET metadata_location=?, "
+            "previous_metadata_location=? WHERE catalog_name=? "
+            "AND table_namespace=? AND table_name=? AND "
+            "metadata_location=?"),
+            (new_loc, expected_old, self.name, ns, name, expected_old))
+        if cur.rowcount != 1:
+            raise CommitFailedError(
+                f"{ident}: expected pointer {expected_old} moved "
+                "(concurrent commit)")
 
     def _set_pointer(self, identifier: str, new_location: str,
                      expected_old: str | None) -> None:
         ns, name = parse_identifier(identifier)
-        with self._lock, self._conn() as con:
-            con.execute("BEGIN IMMEDIATE")
-            try:
-                if expected_old is None:
-                    try:
-                        con.execute(
-                            "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)",
-                            (self.name, ns, name, new_location))
-                    except sqlite3.IntegrityError:
+        with self._lock, self._tx(immediate=True) as con:
+            cur = con.cursor()
+            if expected_old is None:
+                try:
+                    cur.execute(self._q(
+                        "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)"),
+                        (self.name, ns, name, new_location))
+                except Exception as e:  # noqa: BLE001 — driver-specific
+                    if _is_integrity_error(e):
                         raise CommitFailedError(
                             f"{identifier} already exists") from None
-                else:
-                    cur = con.execute(
-                        "UPDATE iceberg_tables SET metadata_location=?, "
-                        "previous_metadata_location=? WHERE catalog_name=? "
-                        "AND table_namespace=? AND table_name=? AND "
-                        "metadata_location=?",
-                        (new_location, expected_old, self.name, ns, name,
-                         expected_old))
-                    if cur.rowcount != 1:
-                        raise CommitFailedError(
-                            f"{identifier}: expected pointer {expected_old} "
-                            "moved (concurrent commit)")
-                con.execute("COMMIT")
-            except BaseException:
-                con.execute("ROLLBACK")
-                raise
+                    raise
+            else:
+                self._cas_update(cur, identifier, new_location,
+                                 expected_old)
 
     def commit_transaction(self, changes: list) -> None:
         """Truly atomic multi-table commit: every pointer CAS runs in
-        ONE BEGIN IMMEDIATE transaction — all rows move or none do,
-        with no rollback window for readers to observe."""
+        ONE transaction — all rows move or none do, with no rollback
+        window for readers to observe."""
         staged = [(ident, self._write_metadata_file(md), exp)
                   for ident, md, exp in changes]
-        with self._lock, self._conn() as con:
-            con.execute("BEGIN IMMEDIATE")
-            try:
-                for ident, new_loc, exp in staged:
-                    ns, name = parse_identifier(ident)
-                    cur = con.execute(
-                        "UPDATE iceberg_tables SET metadata_location=?, "
-                        "previous_metadata_location=? WHERE "
-                        "catalog_name=? AND table_namespace=? AND "
-                        "table_name=? AND metadata_location=?",
-                        (new_loc, exp, self.name, ns, name, exp))
-                    if cur.rowcount != 1:
-                        raise CommitFailedError(
-                            f"{ident}: expected pointer {exp} moved "
-                            "(concurrent commit)")
-                con.execute("COMMIT")
-            except BaseException:
-                con.execute("ROLLBACK")
-                raise
+        with self._lock, self._tx(immediate=True) as con:
+            cur = con.cursor()
+            for ident, new_loc, exp in staged:
+                self._cas_update(cur, ident, new_loc, exp)
 
     def _remove_pointer(self, identifier: str, expected: str) -> None:
         """Rename support: CAS delete — the row goes only if it still
         points at the location read when the rename started."""
         ns, name = parse_identifier(identifier)
-        with self._lock, self._conn() as con:
-            cur = con.execute(
+        with self._lock, self._tx(immediate=True) as con:
+            cur = con.cursor()
+            cur.execute(self._q(
                 "DELETE FROM iceberg_tables WHERE catalog_name=? AND "
                 "table_namespace=? AND table_name=? AND "
-                "metadata_location=?", (self.name, ns, name, expected))
+                "metadata_location=?"), (self.name, ns, name, expected))
             if cur.rowcount != 1:
                 raise CommitFailedError(
                     f"{identifier}: pointer moved during rename")
 
     def drop_tabular(self, identifier: str) -> None:
         ns, name = parse_identifier(identifier)
-        with self._conn() as con:
-            cur = con.execute(
+        with self._tx(immediate=True) as con:
+            cur = con.cursor()
+            cur.execute(self._q(
                 "DELETE FROM iceberg_tables WHERE catalog_name=? AND "
-                "table_namespace=? AND table_name=?", (self.name, ns, name))
+                "table_namespace=? AND table_name=?"),
+                (self.name, ns, name))
             if cur.rowcount != 1:
                 raise NoSuchTableError(identifier)
