@@ -308,6 +308,64 @@ def _resolve_entries(md: TableMetadata, branch, snapshot_id, as_of_ms,
     return snap, mlist, start_seq, snap.schema_id
 
 
+# tables already warned about this process (one line per table, not
+# per scan) — keyed by table uuid
+_TRANSFORM_SPACE_WARNED: set = set()
+_TRANSFORM_SPACE_PROP = "engine.transform-space"
+
+
+def _guard_transform_space(md: TableMetadata, schema, preds):
+    """Legacy-ordinal guard for month/bucket partition pruning (r15
+    ADVICE). r14 aligned both transforms to the Iceberg spec's ordinal
+    space (month = months-since-1970-01; bucket = sign-masked murmur3
+    over the 8-byte-LE widening); a durable table written by a pre-r14
+    build — or by the reference, values.rs:112,362 and 857-861 — holds
+    ordinals from a DIFFERENT space that are indistinguishable ints,
+    and exact pruning against them silently loses rows.
+
+    Policy, keyed on the ``engine.transform-space`` table property
+    stamped at create time:
+    - ``spec``: prune normally (every table this engine creates).
+    - ``legacy-reference``: predicates over month/bucket source
+      columns turn ``no_prune`` — files are read and the residual
+      filter applies, trading pruning for correctness.
+    - unstamped + month/bucket fields in any spec: assume spec space
+      (pyiceberg/Java/Trino tables are unstamped and conformant) but
+      warn ONCE per table so an adopted pre-r14 table is a visible
+      decision, not a silent lost-rows hazard."""
+    if not preds:
+        return preds
+    risky = {pf.source_id for sp in md.partition_specs.values()
+             for pf in sp.fields
+             if pf.transform == "month"
+             or pf.transform.startswith("bucket")}
+    if not risky:
+        return preds
+    stamp = (md.properties or {}).get(_TRANSFORM_SPACE_PROP)
+    if stamp == "spec":
+        return preds
+    names = {f.name for i in risky
+             if (f := schema.field_by_id(i)) is not None}
+    if stamp == "legacy-reference":
+        return [Pred(p.column, p.op, p.value, True)
+                if p.column in names else p for p in preds]
+    key = getattr(md, "table_uuid", None) or id(md)
+    if key not in _TRANSFORM_SPACE_WARNED and any(
+            p.column in names for p in preds):
+        _TRANSFORM_SPACE_WARNED.add(key)
+        import warnings
+        warnings.warn(
+            f"table {md.location} has month/bucket partition fields but "
+            f"no '{_TRANSFORM_SPACE_PROP}' property; assuming "
+            "spec-space ordinals for pruning. If this table was written "
+            "by a pre-r14 build of this engine (or by "
+            "JanKaul/iceberg-rust), set the property to "
+            "'legacy-reference' to disable exact month/bucket pruning, "
+            "or to 'spec' to silence this warning.",
+            stacklevel=3)
+    return preds
+
+
 def scan(spark: SparkSession, md: TableMetadata,
          filter: list[Pred] | None = None,     # noqa: A002
          columns: list[str] | None = None,
@@ -355,6 +413,7 @@ def scan(spark: SparkSession, md: TableMetadata,
     preds = localize_naive_tstz(
         preds, schema,
         spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
+    preds = _guard_transform_space(md, schema, preds)
 
     if report is not None:
         report.clear()

@@ -62,6 +62,17 @@ class Table:
         if location is None:
             base = getattr(catalog, "root", None) or "/tmp/iceberg-warehouse"
             location = f"{base}/{identifier.replace('.', '/')}"
+        # stamp the transform ordinal space this engine writes (Iceberg
+        # spec Appendix B: month = months-since-1970-01, bucket = masked
+        # murmur3 over the long widening). Pre-r14 builds — and the
+        # reference itself — wrote a DIFFERENT space for month/bucket;
+        # the stamp lets the scan guard distinguish "spec-conformant"
+        # from "unknown legacy" (see operators/scan.py
+        # _guard_transform_space). Mark an adopted legacy table with
+        # 'legacy-reference' to trade month/bucket pruning for
+        # correctness.
+        properties = {"engine.transform-space": "spec",
+                      **(properties or {})}
         md = TableMetadata.new(location, schema, spec, sort_order, properties)
         catalog.create_tabular(identifier, md)
         # reload to observe server-assigned identity (uuid/location) —
@@ -199,6 +210,10 @@ class Table:
                 preds, schema,
                 (spark.conf.get("spark.sql.session.timeZone", "UTC")
                  if spark is not None else "UTC") or "UTC")
+            from iceberg_rust_archive_spark.operators.scan import (
+                _guard_transform_space,
+            )
+            preds = _guard_transform_space(md, schema, preds)
         mlist = self._pruned_manifest_list(preds, schema, snap)
 
         def part(sp, entries):
@@ -309,6 +324,11 @@ class Table:
         snap = md.current_snapshot(branch)
         if snap is None:
             return (None, None)
+        if preds:
+            from iceberg_rust_archive_spark.operators.scan import (
+                _guard_transform_space,
+            )
+            preds = _guard_transform_space(md, schema, preds)
         mlist = self._pruned_manifest_list(preds, schema, snap)
 
         def part(sp, entries):

@@ -4643,3 +4643,69 @@ def test_is_null_manifest_pruning(spark, catalog):
     t.append(spark, spark.createDataFrame(rows, COLS))
     got2 = t.scan(spark, filter=[Pred("date", "is_null", None)]).collect()
     assert [r.id for r in got2] == [90]
+
+
+def test_transform_space_stamp_and_legacy_guard(spark, catalog):
+    """r15 ADVICE: month/bucket ordinals changed space in r14, and a
+    durable pre-r14 (or reference-written) table is indistinguishable
+    by its ints alone. Tables this engine creates stamp
+    engine.transform-space=spec; a table marked legacy-reference
+    trades month/bucket pruning for correctness (no_prune → residual
+    filter); an UNSTAMPED month-partitioned table warns once per
+    table."""
+    import warnings as w
+
+    from iceberg_rust_archive_spark.operators.scan import (
+        _TRANSFORM_SPACE_WARNED,
+    )
+    from iceberg_rust_archive_spark.predicates import Pred
+    from iceberg_rust_archive_spark.spec.table_metadata import (
+        TableMetadata,
+    )
+
+    month_spec = PartitionSpec(
+        0, (PartitionField(4, 1000, "date_month", "month"),))
+    t = _mk_table(catalog, "orders_tspace", month_spec)
+    assert t.metadata.properties["engine.transform-space"] == "spec"
+    t.append(spark, spark.createDataFrame(BATCH1, COLS))
+    pred = [Pred("date", ">=", dt.date(2020, 2, 1))]
+    rep: dict = {}
+    with w.catch_warnings():
+        w.simplefilter("error")  # stamped table: no warning
+        rows = t.scan(spark, filter=pred, report=rep).count()
+    assert rows == 3
+    pruned_files = rep["data_files_planned"]  # Jan file pruned away
+
+    # legacy-reference: pruning off for the month-sourced column,
+    # results still exact via the residual filter
+    txn = t.new_transaction().set_properties(
+        {"engine.transform-space": "legacy-reference"})
+    txn.commit_with_retry(lambda x: x.set_properties(
+        {"engine.transform-space": "legacy-reference"}))
+    t = t.refresh()
+    rep2: dict = {}
+    assert t.scan(spark, filter=pred, report=rep2).count() == 3
+    assert rep2["data_files_planned"] > pruned_files  # nothing pruned
+    # metadata count paths stay correct too (falls to residual read)
+    assert t.count(spark, filter=pred) == 3
+
+    # unstamped month-partitioned table (foreign/pre-r14): warns ONCE
+    md = TableMetadata.new(str(catalog.root) + "/db/orders_unstamped",
+                           ORDERS_SCHEMA, month_spec)
+    assert "engine.transform-space" not in md.properties
+    catalog.create_namespace("db")
+    catalog.create_tabular("db.orders_unstamped", md)
+    tu = Table.load(catalog, "db.orders_unstamped")
+    tu.append(spark, spark.createDataFrame(BATCH1, COLS))
+    tu = tu.refresh()
+    _TRANSFORM_SPACE_WARNED.clear()
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert tu.scan(spark, filter=pred).count() == 3
+        assert tu.scan(spark, filter=pred).count() == 3  # second scan
+    hits = [r for r in rec if "transform-space" in str(r.message)]
+    assert len(hits) == 1  # once per table, not per scan
+    # unstamped pruning still assumes spec space (interop default)
+    rep3: dict = {}
+    tu.scan(spark, filter=pred, report=rep3)
+    assert rep3["data_files_planned"] == pruned_files
