@@ -37,6 +37,18 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # host-load provenance (r14 verdict #7: the 94s-vs-72s confusion was
+    # adjudicable only from PLANS.md prose). The AMBIENT 1-min load is
+    # readable only BEFORE our own local[N] JVM spins up — every later
+    # sample is dominated by the bench itself — so `load_start` is the
+    # contention signal and `load_end` is recorded for completeness.
+    # External tenants inflate every query ~uniformly 25-30%, so a
+    # `contended: true` recording should only be compared against
+    # another contended one.
+    contention_threshold = float(os.environ.get(
+        "SPARK_GRAFT_LOAD_THRESHOLD", "4.0"))
+    load_start = round(os.getloadavg()[0], 2)
+
     import __spark_entry__ as entrymod
     from iceberg_rust_archive_spark.session import get_spark
 
@@ -103,12 +115,15 @@ def main():
     # parses from the tail alone (r7 verdict #2 fixed the
     # truncated-single-line problem; r9 verdict #8 asks for the full min
     # map, not a top-5, on that last line — ~50 queries ≈ 1.6 KB fits).
+    load_end = round(os.getloadavg()[0], 2)
+    load = {"load_start": load_start, "load_end": load_end,
+            "contended": load_start > contention_threshold}
     print(json.dumps({"metric": "total_query_time_detail", "value": total,
                       "unit": "sec", "queries_mean": means, "reps": REPS,
-                      "sf": float(sf)}))
+                      "sf": float(sf), **load}))
     print(json.dumps({"metric": "total_query_time", "value": total,
                       "unit": "sec", "queries": mins, "reps": REPS,
-                      "sf": float(sf)}))
+                      "sf": float(sf), **load}))
 
 
 if __name__ == "__main__":
