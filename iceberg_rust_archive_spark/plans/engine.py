@@ -1452,7 +1452,10 @@ class Engine:
             else:
                 width += 40  # nested / variant
         est = max(rows, 1) * max(width, 8)
-        if planned_bytes is not None and planned_bytes > 64 * est:
+        # +16 KiB: parquet footer/dictionary overhead is fixed cost,
+        # not evidence the summary lies (a 1-row file is ~1-2 KB of
+        # pure footer and must not trip the disagreement gate)
+        if planned_bytes is not None and planned_bytes > 64 * est + 16384:
             return False  # summary disagrees wildly with real bytes
         return rows * max(width, 8) <= thresh
 

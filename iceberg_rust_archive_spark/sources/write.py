@@ -291,6 +291,18 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     if content == CONTENT_EQUALITY_DELETES and derivable and (
             skipped_any or not _all_data_under_spec(md, spec, branch)):
         derivable = []
+    # month/bucket scope tuples are ordinal-space-sensitive (r15): a
+    # delete scoped in spec space never value-matches a data tuple
+    # written by a pre-r14 build or the reference — and unlike read
+    # pruning there is NO residual to rescue a mis-scoped delete (the
+    # rows silently resurrect). Scope through those transforms only
+    # when the table is STAMPED spec-space; unstamped/legacy tables
+    # fall back to a global delete — correctness over pruning.
+    if content == CONTENT_EQUALITY_DELETES and derivable and any(
+            pf.transform == "month" or pf.transform.startswith("bucket")
+            for pf, _ in derivable) and md.properties.get(
+            "engine.transform-space") != "spec":
+        derivable = []
     pcols: list[str] = []
     spec_fields = []
     for pf, src in derivable:

@@ -4709,3 +4709,48 @@ def test_transform_space_stamp_and_legacy_guard(spark, catalog):
     rep3: dict = {}
     tu.scan(spark, filter=pred, report=rep3)
     assert rep3["data_files_planned"] == pruned_files
+
+
+def test_legacy_table_eq_delete_goes_global(spark, tmp_path):
+    """r15: a month/bucket scope tuple is ordinal-space-sensitive, and
+    unlike read pruning a mis-scoped delete has no residual rescue —
+    the rows silently resurrect. On a table NOT stamped
+    engine.transform-space=spec, a partition-derivable equality delete
+    through such a transform must fall back to a GLOBAL delete (the
+    unpartitioned delete spec); stamped tables keep scoping."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.sources.manifests import (
+        read_manifest_list,
+    )
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.lg (k BIGINT, v BIGINT) "
+            "PARTITIONED BY (bucket(4, k))")
+    eng.sql("INSERT INTO db.lg VALUES (1,10),(2,20),(3,30)")
+    # stamped (every table we create): delete keyed on the partition
+    # source column scopes to the bucket spec
+    eng.sql("DELETE FROM db.lg WHERE k = 2")
+    md = eng.load_table("db.lg").metadata
+    dels = [m for m in read_manifest_list(
+        md.current_snapshot().manifest_list) if m.content == 1]
+    assert dels and all(
+        m.partition_spec_id == md.default_spec_id for m in dels)
+    # mark legacy: the same delete shape must ride the unpartitioned
+    # global spec instead
+    t = eng.load_table("db.lg")
+    txn = t.new_transaction().set_properties(
+        {"engine.transform-space": "legacy-reference"})
+    txn.commit_with_retry(lambda x: x.set_properties(
+        {"engine.transform-space": "legacy-reference"}))
+    eng.sql("DELETE FROM db.lg WHERE k = 3")
+    md = eng.load_table("db.lg").metadata
+    unpart = [s for s in md.partition_specs.values() if not s.fields]
+    assert len(unpart) == 1
+    new_dels = [m for m in read_manifest_list(
+        md.current_snapshot().manifest_list) if m.content == 1]
+    assert any(m.partition_spec_id == unpart[0].spec_id
+               for m in new_dels)
+    got = {r["k"]: r["v"] for r in
+           eng.sql("SELECT k, v FROM db.lg").collect()}
+    assert got == {1: 10}

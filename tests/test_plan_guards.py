@@ -259,8 +259,11 @@ def test_stats_broadcastable_backstops(spark, tmp_path):
     md = eng.catalog.load_tabular("db.dim")
     est = 20 * 28  # rows × (8 long + 20 string default width)
     assert eng._stats_broadcastable(md, planned_bytes=est)
-    # wild disagreement: >64× the estimate in real bytes = unprovable
-    assert not eng._stats_broadcastable(md, planned_bytes=64 * est + 1)
+    # wild disagreement: >64× the estimate (past the fixed 16 KiB
+    # footer allowance) in real bytes = unprovable
+    assert not eng._stats_broadcastable(
+        md, planned_bytes=64 * est + 16385)
+    assert eng._stats_broadcastable(md, planned_bytes=64 * est + 16384)
     t0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # raising the threshold sky-high must NOT raise the backstop
