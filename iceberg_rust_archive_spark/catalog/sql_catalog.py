@@ -25,30 +25,43 @@ from iceberg_rust_archive_spark.catalog.base import (
     Catalog, CommitFailedError, NoSuchTableError, parse_identifier,
 )
 
+# VARCHAR key columns, not TEXT: MySQL/InnoDB rejects TEXT primary-key
+# members outright (error 1170 needs a key length), sqlite treats
+# VARCHAR(n) as TEXT affinity, and Postgres accepts both — the same
+# widths the Iceberg JDBC catalog standardizes on.
 _DDL = [
     """CREATE TABLE IF NOT EXISTS iceberg_tables (
-    catalog_name TEXT NOT NULL,
-    table_namespace TEXT NOT NULL,
-    table_name TEXT NOT NULL,
-    metadata_location TEXT,
-    previous_metadata_location TEXT,
+    catalog_name VARCHAR(255) NOT NULL,
+    table_namespace VARCHAR(255) NOT NULL,
+    table_name VARCHAR(255) NOT NULL,
+    metadata_location VARCHAR(1000),
+    previous_metadata_location VARCHAR(1000),
     PRIMARY KEY (catalog_name, table_namespace, table_name)
 )""",
     """CREATE TABLE IF NOT EXISTS iceberg_namespaces (
-    catalog_name TEXT NOT NULL,
-    namespace TEXT NOT NULL,
+    catalog_name VARCHAR(255) NOT NULL,
+    namespace VARCHAR(255) NOT NULL,
     PRIMARY KEY (catalog_name, namespace)
 )""",
 ]
 
 
-def _is_integrity_error(exc: BaseException) -> bool:
-    """Duplicate-key detection across drivers without importing them:
-    every DBAPI driver derives its duplicate-PK error from a class
-    named IntegrityError (PEP 249 §Exceptions); psycopg2's
-    UniqueViolation subclasses it too."""
-    return any("IntegrityError" in c.__name__ or "UniqueViolation"
-               in c.__name__ for c in type(exc).__mro__)
+def _is_duplicate_key(exc: BaseException) -> bool:
+    """DUPLICATE-KEY detection across drivers without importing them.
+    Being an IntegrityError is necessary but NOT sufficient — NOT
+    NULL/CHECK/FK violations subclass it too, and swallowing those as
+    'already exists' would turn a schema error into a silent no-op or
+    a futile commit-retry loop. Sufficient = a uniqueness-specific
+    class (psycopg2 UniqueViolation) or a uniqueness-specific message
+    (sqlite 'UNIQUE constraint failed', MySQL 1062 'Duplicate entry',
+    generic 'primary key')."""
+    if not any("IntegrityError" in c.__name__ for c in type(exc).__mro__):
+        return False
+    if any("UniqueViolation" in c.__name__ for c in type(exc).__mro__):
+        return True
+    import re as _re
+    return bool(_re.search(r"unique|duplicate|primary key",
+                           str(exc), _re.IGNORECASE))
 
 
 class SqlCatalog(Catalog):
@@ -136,7 +149,7 @@ class SqlCatalog(Catalog):
                     "INSERT INTO iceberg_namespaces VALUES (?, ?)"),
                     (self.name, namespace))
             except Exception as e:  # noqa: BLE001 — driver-specific
-                if not _is_integrity_error(e):
+                if not _is_duplicate_key(e):
                     raise
                 # already exists — idempotent like INSERT OR IGNORE
 
@@ -203,7 +216,7 @@ class SqlCatalog(Catalog):
                         "INSERT INTO iceberg_tables VALUES (?,?,?,?,NULL)"),
                         (self.name, ns, name, new_location))
                 except Exception as e:  # noqa: BLE001 — driver-specific
-                    if _is_integrity_error(e):
+                    if _is_duplicate_key(e):
                         raise CommitFailedError(
                             f"{identifier} already exists") from None
                     raise

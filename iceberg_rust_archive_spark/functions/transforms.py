@@ -308,7 +308,16 @@ def _series_to_long(s: pd.Series, iceberg_type: str):
             converted = pd.to_datetime(s, errors="coerce")
         except (TypeError, ValueError):
             return None
-        return _series_to_long(pd.Series(converted), "date")
+        got = _series_to_long(pd.Series(converted), "date")
+        if got is not None and (
+                got[1] != np.asarray(s.isna())).any():
+            # a date outside datetime64[ns]'s range (sentinels like
+            # 9999-12-31, or anything before 1677/after 2262) coerces
+            # to NaT: bucketing it NULL would write a null partition
+            # tuple for a real value — a spec reader pruning on
+            # bucket(d)=k then silently loses the file. Scalar path.
+            return None
+        return got
     mask = np.asarray(s.isna())
     try:
         # float carrier (Spark ships nullable longs as float64 in some

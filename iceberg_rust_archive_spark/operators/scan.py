@@ -903,9 +903,14 @@ def scan(spark: SparkSession, md: TableMetadata,
     total_bytes = sum(e.data_file.file_size_in_bytes or 0
                       for e in data_entries)
     thr = _broadcast_threshold(spark)
-    if report is not None and (0 < total_bytes <= thr
-                               or (thr > 0 and not data_entries)):
-        report["broadcastable"] = True
+    if 0 < total_bytes <= thr or (thr > 0 and not data_entries):
+        if report is not None:
+            report["broadcastable"] = True
+        # also tagged on the DataFrame object itself so join-aware
+        # consumers without a report in hand (plans/mv.py bind_and_run)
+        # can attach the hint — a plain Python attribute, invisible to
+        # Spark
+        df._ice_broadcastable = True
     return df
 
 

@@ -406,13 +406,17 @@ class Engine:
                       "nullable boolean, partition_transform string")
 
         m = re.match(
-            r"create\s+external\s+table\s+(?:if\s+not\s+exists\s+)?"
+            r"create\s+external\s+table\s+(if\s+not\s+exists\s+)?"
             r"([\w.]+)\s*\(", s, re.IGNORECASE)
-        if m:
+        if m and re.search(r"stored\s+as\s+(csv|parquet|iceberg)\b",
+                           _mask_quoted(s), re.IGNORECASE):
             # the column list ends at its MATCHING paren (decimal(9,2)
             # nests); the tail clauses appear in any order — DataFusion
             # scripts put PARTITIONED BY after LOCATION
-            # (delta_queries/mod.rs:124-140), Spark DDL before STORED AS
+            # (delta_queries/mod.rs:124-140), Spark DDL before STORED
+            # AS. Externals WITHOUT a STORED AS clause (`… USING
+            # ICEBERG`, or bare) fall through to the generic
+            # create-table branch below.
             depth, i = 1, m.end()
             masked = _mask_quoted(s)
             while i < len(s) and depth:
@@ -423,23 +427,31 @@ class Engine:
             lm = re.search(r"location\s+'([^']*)'", tail, re.IGNORECASE)
             om = re.search(r"options\s*\((.*?)\)", tail,
                            re.IGNORECASE | re.DOTALL)
+            tm = re.search(r"tblproperties\s*\((.*?)\)", tail,
+                           re.IGNORECASE | re.DOTALL)
             pm = re.search(r"partitioned\s+by\s*"
                            r"\(((?:[^()]|\([^()]*\))*)\)", tail,
                            re.IGNORECASE | re.DOTALL)
-            if fm is None or fm.group(1).lower() not in (
-                    "csv", "parquet", "iceberg"):
-                raise ValueError(
-                    f"CREATE EXTERNAL TABLE needs STORED AS "
-                    f"CSV|PARQUET|ICEBERG: {s[:80]!r}")
+            ident = m.group(2)
+            if m.group(1):  # IF NOT EXISTS: a no-op when present
+                if ident.lower() in self._externals:
+                    return None
+                try:
+                    if self.catalog.metadata_location(
+                            ident.lower()) is not None:
+                        return None
+                except Exception:  # noqa: BLE001 — odd identifier
+                    pass
             # DataFusion quotes transform exprs: "month(L_SHIPDATE)"
             part_sql = (",".join(
                 p.strip().strip('"') for p in
                 _split_top(pm.group(1), ",") if p.strip())
                 if pm else None)
             return self._create_external_table_sql(
-                m.group(1), cols_sql, fm.group(1), part_sql,
+                ident, cols_sql, fm.group(1), part_sql,
                 lm.group(1) if lm else None,
-                om.group(1) if om else None)
+                om.group(1) if om else None,
+                props_sql=tm.group(1) if tm else None)
 
         m = re.match(
             r"create\s+(?:external\s+)?table\s+([\w.]+)\s*\((.*?)\)\s*"
@@ -1273,7 +1285,8 @@ class Engine:
 
     # --- helpers ----------------------------------------------------------
     def _create_external_table_sql(self, identifier, cols_sql, fmt,
-                                   part_sql, location, opts_sql):
+                                   part_sql, location, opts_sql,
+                                   props_sql=None):
         """``CREATE EXTERNAL TABLE … STORED AS CSV|PARQUET|ICEBERG
         LOCATION '…' [OPTIONS (…)]`` — the DataFusion DDL form the
         reference's planner accepts (planner.rs:146-220) and its
@@ -1284,8 +1297,11 @@ class Engine:
         inference is a full extra read of the source)."""
         fmt = fmt.lower()
         if fmt == "iceberg":
-            # the catalog owns metadata layout; LOCATION is advisory
-            return self._create_table_sql(identifier, cols_sql, part_sql)
+            # the catalog owns metadata layout; LOCATION is advisory —
+            # TBLPROPERTIES (format-version pins, transform-space
+            # stamps) pass through
+            return self._create_table_sql(identifier, cols_sql, part_sql,
+                                          props_sql)
         if location is None:
             raise ValueError(
                 f"external {fmt} table {identifier!r} needs LOCATION")
@@ -1699,15 +1715,20 @@ class Engine:
             masked_sql, re.IGNORECASE)
         single_rel = len(raw_rels) == 1 and not comma_from
         # the broadcast hint is worth attaching only when the statement
-        # actually JOINS (explicit JOIN keyword or a comma-list FROM):
-        # hinting a relation that only feeds a UNION / scalar subquery
+        # can apply it: an explicit JOIN, a comma-list FROM, or an
+        # IN/EXISTS subquery (Spark rewrites those to left-semi/anti
+        # joins whose BUILD side — the subquery relation — accepts a
+        # broadcast hint; a provably-small dim there beats sort-merge).
+        # Hinting a relation that only feeds a UNION / scalar subquery
         # leaves an unapplied hint that Catalyst strips with a
         # HintErrorLogger warning on every run — log noise that buries
-        # real hint failures (r14 verdict #3). IN/EXISTS semi-joins
-        # skip the hint too: a broadcast hint on the probe side of a
-        # left-semi is equally unapplicable.
-        has_join = bool(comma_from) or bool(
-            re.search(r"\bjoin\b", masked_sql, re.IGNORECASE))
+        # real hint failures (r14 verdict #3). In the IN/EXISTS shape
+        # the outer probe relation is hinted too, but a probe big
+        # enough to matter is never provably small, so the unapplied-
+        # hint case is confined to tiny⋈tiny statements.
+        has_join = bool(comma_from) or bool(re.search(
+            r"\bjoin\b|\b(?:in|exists)\s*\(\s*select\b",
+            masked_sql, re.IGNORECASE))
         for name in rels:
             try:
                 md = self.catalog.load_tabular(name.lower())

@@ -490,12 +490,22 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
 
     def bind_and_run(bindings: dict[str, DataFrame],
                      sql_text: str | None = None) -> DataFrame:
+        import re as _re
+        text = sql_text or run_sql
+        # joins in the replayed SQL: a provably-small scan binding
+        # (tagged by operators/scan.py) carries a broadcast hint so the
+        # dim side of an MV refresh join plans BroadcastHashJoin up
+        # front; join-less replays stay unhinted (an unapplied hint is
+        # a HintErrorLogger warning per run — r15)
+        joins = bool(_re.search(r"\bjoin\b", text, _re.IGNORECASE))
         mapping = {}
         for name, df in bindings.items():
+            if joins and getattr(df, "_ice_broadcastable", False):
+                df = F.broadcast(df)
             vn = _view_name(name, "v")
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
-        return spark.sql(rewrite_relations(sql_text or run_sql, mapping))
+        return spark.sql(rewrite_relations(text, mapping))
 
     def current_bindings() -> dict[str, DataFrame]:
         return {s.name: s.table.scan(spark) for s in sources}
@@ -1023,8 +1033,12 @@ def _refresh_union_all_mv(spark: SparkSession, catalog: Catalog,
             for s in sources))
 
     def run_branch(b_sql: str, bindings: dict[str, DataFrame]) -> DataFrame:
+        import re as _re
+        joins = bool(_re.search(r"\bjoin\b", b_sql, _re.IGNORECASE))
         mapping = {}
         for name, df in bindings.items():
+            if joins and getattr(df, "_ice_broadcastable", False):
+                df = F.broadcast(df)  # small-scan tag (see bind_and_run)
             vn = _view_name(name, "v")
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn

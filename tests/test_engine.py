@@ -453,6 +453,9 @@ def test_small_scan_reports_broadcastable(spark, catalog):
     rep: dict = {}
     dim = t.scan(spark, report=rep)
     assert rep.get("broadcastable") is True
+    # the DataFrame itself carries the tag for join-aware consumers
+    # that hold no report (plans/mv.py bind_and_run)
+    assert getattr(dim, "_ice_broadcastable", False) is True
     assert "hint" not in dim._jdf.queryExecution().logical() \
         .toString().lower()
     big = spark.range(10_000).withColumn("id", F.col("id") % 9 + 1)

@@ -1435,3 +1435,29 @@ def test_parquet_external_table(engine, tmp_path, spark):
     got = {r["k"]: r["v"] for r in
            engine.sql("SELECT k, v FROM psrc").collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_external_table_ddl_edge_forms(engine, tmp_path, spark):
+    """r15 review fixes: USING ICEBERG externals fall through to the
+    generic branch, STORED AS ICEBERG keeps TBLPROPERTIES, and IF NOT
+    EXISTS is a real no-op for both external kinds."""
+    # USING ICEBERG (no STORED AS) — the pre-r15 form still works
+    engine.sql("CREATE EXTERNAL TABLE db.ue (k BIGINT) USING ICEBERG")
+    assert engine.load_table("db.ue") is not None
+    # STORED AS ICEBERG carries TBLPROPERTIES through
+    engine.sql(f"CREATE EXTERNAL TABLE db.up (k BIGINT) STORED AS "
+               f"ICEBERG LOCATION '{tmp_path}/wh/db/up' "
+               f"TBLPROPERTIES ('write.target-file-size-bytes'='123')")
+    assert engine.load_table("db.up").metadata.properties[
+        "write.target-file-size-bytes"] == "123"
+    # IF NOT EXISTS: second create is a no-op, not already-exists
+    engine.sql(f"CREATE EXTERNAL TABLE IF NOT EXISTS db.up (k BIGINT) "
+               f"STORED AS ICEBERG LOCATION '{tmp_path}/wh/db/up'")
+    p = str(tmp_path / "e.parquet")
+    spark.createDataFrame([(1,)], "k long").write.parquet(p)
+    engine.sql(f"CREATE EXTERNAL TABLE pq1 (k BIGINT) STORED AS "
+               f"PARQUET LOCATION '{p}'")
+    engine.sql(f"CREATE EXTERNAL TABLE IF NOT EXISTS pq1 (k BIGINT) "
+               f"STORED AS PARQUET LOCATION '{tmp_path}/nonexistent'")
+    # the original registration survived (reading it still works)
+    assert engine.sql("SELECT count(*) AS c FROM pq1").collect()[0][0] == 1

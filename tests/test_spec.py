@@ -693,3 +693,28 @@ def test_partition_value_from_str_exact_and_typed():
     assert p("19478", "identity", "date") == 19478  # int carrier
     assert p("2023-05-01", "identity", "date") == \
         (dt.date(2023, 5, 1) - dt.date(1970, 1, 1)).days
+
+
+def test_vectorized_date_bucket_out_of_ns_range_falls_back():
+    """r15 review fix: dates outside datetime64[ns]'s range (sentinels
+    like 9999-12-31, anything before 1677/after 2262) coerce to NaT in
+    the vectorized carrier — bucketing them NULL would write a null
+    partition tuple for a REAL value (foreign readers pruning on
+    bucket(d)=k then lose the file). The carrier must refuse and the
+    scalar path must answer."""
+    import pandas as pd
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _series_to_long,
+    )
+    s = pd.Series([dt.date(9999, 12, 31), dt.date(2020, 1, 1)],
+                  dtype=object)
+    assert _series_to_long(s, "date") is None  # scalar fallback
+    # in-range object dates still take the fast path
+    ok = _series_to_long(pd.Series([dt.date(2020, 1, 1), None],
+                                   dtype=object), "date")
+    assert ok is not None and ok[1].tolist() == [False, True]
+    # the scalar path itself handles the sentinel
+    assert bucket_value(dt.date(9999, 12, 31), 16, "date") == \
+        bucket_value((dt.date(9999, 12, 31) - dt.date(1970, 1, 1)).days,
+                     16, "long")
