@@ -415,3 +415,53 @@ def test_injected_driver_multi_table_commit_atomic(pg_catalog):
         ("db.a", t1.metadata, loc1), ("db.b", t2.metadata, loc2)])
     assert pg_catalog.metadata_location("db.a") != loc1
     assert pg_catalog.metadata_location("db.b") != loc2
+
+
+def test_sql_catalog_paramstyle_rewrites():
+    """The qmark→driver placeholder rewrite, all three styles — the
+    numeric branch (Oracle-style :1 :2) was previously untested."""
+    from iceberg_rust_archive_spark.catalog.sql_catalog import SqlCatalog
+    q = "UPDATE t SET a=?, b=? WHERE c=? AND d=?"
+    cat = SqlCatalog.__new__(SqlCatalog)
+    cat.paramstyle = "qmark"
+    assert cat._q(q) == q
+    cat.paramstyle = "format"
+    assert cat._q(q) == "UPDATE t SET a=%s, b=%s WHERE c=%s AND d=%s"
+    cat.paramstyle = "pyformat"
+    assert cat._q(q) == "UPDATE t SET a=%s, b=%s WHERE c=%s AND d=%s"
+    cat.paramstyle = "numeric"
+    assert cat._q(q) == "UPDATE t SET a=:1, b=:2 WHERE c=:3 AND d=:4"
+
+
+def test_is_duplicate_key_classification():
+    """NOT NULL / FK IntegrityErrors must NOT classify as duplicates
+    (they'd be swallowed as already-exists); unique/duplicate-key
+    shapes across sqlite/psycopg2/MySQL must."""
+    import sqlite3
+
+    from iceberg_rust_archive_spark.catalog.sql_catalog import (
+        _is_duplicate_key,
+    )
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT NOT NULL)")
+    con.execute("INSERT INTO t VALUES (1, 'a')")
+    try:
+        con.execute("INSERT INTO t VALUES (1, 'b')")
+    except sqlite3.IntegrityError as e:
+        assert _is_duplicate_key(e)
+    try:
+        con.execute("INSERT INTO t VALUES (2, NULL)")
+    except sqlite3.IntegrityError as e:
+        assert not _is_duplicate_key(e)  # NOT NULL is not a duplicate
+
+    class IntegrityError(Exception):
+        pass
+
+    class UniqueViolation(IntegrityError):
+        pass
+
+    assert _is_duplicate_key(UniqueViolation("whatever"))
+    assert _is_duplicate_key(IntegrityError("Duplicate entry '1'"))
+    assert not _is_duplicate_key(IntegrityError(
+        "null value in column violates not-null constraint"))
+    assert not _is_duplicate_key(ValueError("unique"))  # not integrity
