@@ -4757,3 +4757,42 @@ def test_legacy_table_eq_delete_goes_global(spark, tmp_path):
     got = {r["k"]: r["v"] for r in
            eng.sql("SELECT k, v FROM db.lg").collect()}
     assert got == {1: 10}
+
+
+def test_legacy_guard_scan_equivalence_grid(spark, catalog):
+    """The legacy-reference guard must only ever COST PRUNING, never
+    change results: two identical month+bucket-partitioned tables —
+    one spec-stamped, one marked legacy — must return identical rows
+    for a grid of predicate shapes over both transform sources, with
+    the legacy table planning at least as many files."""
+    from iceberg_rust_archive_spark.predicates import Pred
+    spec = PartitionSpec(0, (
+        PartitionField(4, 1000, "date_month", "month"),
+        PartitionField(1, 1001, "id_bucket", "bucket[4]")))
+    data = spark.createDataFrame(BATCH1 + BATCH2, COLS)
+    ts = _mk_table(catalog, "orders_eqv_spec", spec)
+    ts.append(spark, data)
+    tl = _mk_table(catalog, "orders_eqv_legacy", spec)
+    tl.append(spark, data)
+    txn = tl.new_transaction()
+    txn.commit_with_retry(lambda x: x.set_properties(
+        {"engine.transform-space": "legacy-reference"}))
+    tl = tl.refresh()
+    grid = [
+        [Pred("date", "=", dt.date(2020, 1, 1))],
+        [Pred("date", ">=", dt.date(2020, 2, 1))],
+        [Pred("date", "<", dt.date(2020, 1, 3))],
+        [Pred("date", "in", [dt.date(2020, 1, 1), dt.date(2020, 2, 2)])],
+        [Pred("id", "=", 5)],
+        [Pred("id", "in", [1, 7, 9])],
+        [Pred("id", "=", 3), Pred("date", ">=", dt.date(2020, 1, 1))],
+    ]
+    for preds in grid:
+        rs, rl = {}, {}
+        got_s = {tuple(r) for r in
+                 ts.scan(spark, filter=list(preds), report=rs).collect()}
+        got_l = {tuple(r) for r in
+                 tl.scan(spark, filter=list(preds), report=rl).collect()}
+        assert got_s == got_l, preds
+        assert rl["data_files_planned"] >= rs["data_files_planned"], preds
+

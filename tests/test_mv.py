@@ -1461,3 +1461,36 @@ def test_external_table_ddl_edge_forms(engine, tmp_path, spark):
                f"STORED AS PARQUET LOCATION '{tmp_path}/nonexistent'")
     # the original registration survived (reading it still works)
     assert engine.sql("SELECT count(*) AS c FROM pq1").collect()[0][0] == 1
+
+
+def test_external_table_clause_order_grid(engine, tmp_path):
+    """The external-table parser accepts every clause ordering the
+    reference's scripts and Spark-style DDL produce: PARTITIONED BY
+    before or after STORED AS/LOCATION, OPTIONS present or absent,
+    IF NOT EXISTS, multiline column lists with nested-paren types."""
+    csv = tmp_path / "g.csv"
+    csv.write_text("1,2.50,2020-01-01\n2,3.75,2020-02-01\n")
+    cols = "k BIGINT NOT NULL, d DECIMAL(9,2), dd DATE"
+    forms = [
+        f"CREATE EXTERNAL TABLE g{{i}} ( {cols} ) STORED AS CSV "
+        f"LOCATION '{csv}'",
+        f"CREATE EXTERNAL TABLE g{{i}} ( {cols} ) STORED AS CSV "
+        f"LOCATION '{csv}' OPTIONS ('has_header' 'false')",
+        f"CREATE EXTERNAL TABLE IF NOT EXISTS g{{i}} ( {cols} ) "
+        f"STORED AS CSV LOCATION '{csv}' OPTIONS ('delimiter' ',');",
+    ]
+    for i, form in enumerate(forms):
+        engine.sql(form.format(i=i))
+        got = engine.sql(f"SELECT sum(d) AS s FROM g{i}").collect()[0][0]
+        assert float(got) == 6.25, form
+    # iceberg externals: partition clause on either side of LOCATION
+    for i, part in enumerate([
+            f"PARTITIONED BY (month(dd)) STORED AS ICEBERG "
+            f"LOCATION '{tmp_path}/wh/x{{n}}'",
+            f"STORED AS ICEBERG LOCATION '{tmp_path}/wh/x{{n}}' "
+            f"PARTITIONED BY ( \"month(dd)\" )"]):
+        name = f"db.x{i}"
+        engine.sql(f"CREATE EXTERNAL TABLE {name} ( {cols} ) "
+                   + part.format(n=i))
+        sp = engine.load_table(name).metadata.default_spec()
+        assert [f.transform for f in sp.fields] == ["month"], part
