@@ -59,6 +59,19 @@ def _is_duplicate_key(exc: BaseException) -> bool:
         return False
     if any("UniqueViolation" in c.__name__ for c in type(exc).__mro__):
         return True
+    # Driver-specific codes BEFORE the message heuristic — exact, so a
+    # CHECK/FK violation whose human message happens to contain
+    # 'unique'/'duplicate' can't be misclassified as already-exists
+    # (r15 ADVICE). SQLSTATE 23505 = unique_violation (psycopg2 .pgcode
+    # / psycopg3 .sqlstate); MySQL errno 1062 = ER_DUP_ENTRY
+    # (pymysql/MySQLdb ship it as args[0]). A present-but-different
+    # code is a definitive NO.
+    code = getattr(exc, "pgcode", None) or getattr(exc, "sqlstate", None)
+    if code is not None:
+        return code == "23505"
+    args = getattr(exc, "args", ())
+    if args and isinstance(args[0], int):
+        return args[0] == 1062
     import re as _re
     return bool(_re.search(r"unique|duplicate|primary key",
                            str(exc), _re.IGNORECASE))
@@ -93,19 +106,33 @@ class SqlCatalog(Catalog):
     def _q(self, sql: str) -> str:
         """qmark → the driver's placeholder style. The statements keep
         the reference's qmark spelling (lib.rs:429-480); format/
-        pyformat drivers (psycopg2, pymysql) get %s."""
-        if self.paramstyle in ("format", "pyformat"):
-            return sql.replace("?", "%s")
-        if self.paramstyle == "numeric":
-            out, n = [], 0
-            for ch in sql:
-                if ch == "?":
+        pyformat drivers (psycopg2, pymysql) get %s. Quote-aware: a
+        '?' inside a string literal is NOT a placeholder and stays
+        verbatim, and a literal '%' anywhere must double to '%%' under
+        format drivers (psycopg2 applies %-interpolation to the whole
+        statement when params are present, quoted or not) — the blind
+        str.replace this replaces would silently corrupt either (r15
+        ADVICE)."""
+        if self.paramstyle == "qmark":
+            return sql
+        from iceberg_rust_archive_spark.predicates import _mask_quoted
+        masked = _mask_quoted(sql)
+        fmt = self.paramstyle in ("format", "pyformat")
+        out, n = [], 0
+        for i, ch in enumerate(sql):
+            if fmt and ch == "%":
+                out.append("%%")
+            elif ch == "?" and masked[i] == "?":
+                if fmt:
+                    out.append("%s")
+                elif self.paramstyle == "numeric":
                     n += 1
                     out.append(f":{n}")
                 else:
                     out.append(ch)
-            return "".join(out)
-        return sql
+            else:
+                out.append(ch)
+        return "".join(out)
 
     @contextmanager
     def _tx(self, immediate: bool = False):

@@ -349,7 +349,10 @@ def _guard_transform_space(md: TableMetadata, schema, preds):
     if stamp == "legacy-reference":
         return [Pred(p.column, p.op, p.value, True)
                 if p.column in names else p for p in preds]
-    key = getattr(md, "table_uuid", None) or id(md)
+    # warn-once key: table_uuid, else location — NOT id(md), which
+    # CPython recycles after GC (either suppressing the warning for a
+    # different table or re-warning the same one; r15 verdict #3)
+    key = getattr(md, "table_uuid", None) or md.location
     if key not in _TRANSFORM_SPACE_WARNED and any(
             p.column in names for p in preds):
         _TRANSFORM_SPACE_WARNED.add(key)
@@ -359,9 +362,10 @@ def _guard_transform_space(md: TableMetadata, schema, preds):
             f"no '{_TRANSFORM_SPACE_PROP}' property; assuming "
             "spec-space ordinals for pruning. If this table was written "
             "by a pre-r14 build of this engine (or by "
-            "JanKaul/iceberg-rust), set the property to "
-            "'legacy-reference' to disable exact month/bucket pruning, "
-            "or to 'spec' to silence this warning.",
+            "JanKaul/iceberg-rust), run ALTER TABLE <name> SET "
+            f"TBLPROPERTIES ('{_TRANSFORM_SPACE_PROP}'="
+            "'legacy-reference') to disable exact month/bucket pruning, "
+            "or set it to 'spec' to silence this warning.",
             stacklevel=3)
     return preds
 
@@ -911,6 +915,22 @@ def scan(spark: SparkSession, md: TableMetadata,
         # can attach the hint — a plain Python attribute, invisible to
         # Spark
         df._ice_broadcastable = True
+    return df
+
+
+def broadcast_if_small(df: DataFrame) -> DataFrame:
+    """Attach a broadcast hint iff ``scan`` proved this frame small —
+    the PUBLIC seam of the ``_ice_broadcastable`` tag (and of
+    ``report['broadcastable']``) for direct ``Table.scan()`` API
+    consumers who join a small merge-on-read scan themselves: Spark's
+    own size estimate cannot see through the MoR anti-join chain until
+    AQE observes the first shuffle, so without the tag a provably-tiny
+    dimension table plans a sort-merge join. Apply it only to a frame
+    that will actually feed a join — Catalyst strips an unapplied hint
+    with a HintErrorLogger warning on every run. No-op on frames the
+    planner could not prove small."""
+    if getattr(df, "_ice_broadcastable", False):
+        return F.broadcast(df)
     return df
 
 

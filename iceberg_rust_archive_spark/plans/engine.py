@@ -74,7 +74,7 @@ from iceberg_rust_archive_spark.predicates import (
     _split_top,
 )
 from iceberg_rust_archive_spark.plans.sqlparse import (
-    find_relations, rewrite_relations,
+    _COMMA_FROM_RE, find_relations, is_join_shaped, rewrite_relations,
 )
 from iceberg_rust_archive_spark.spec.partition import PartitionSpec
 from iceberg_rust_archive_spark.spec.schema import Schema
@@ -408,22 +408,28 @@ class Engine:
         m = re.match(
             r"create\s+external\s+table\s+(if\s+not\s+exists\s+)?"
             r"([\w.]+)\s*\(", s, re.IGNORECASE)
-        if m and re.search(r"stored\s+as\s+(csv|parquet|iceberg)\b",
-                           _mask_quoted(s), re.IGNORECASE):
+        if m:
             # the column list ends at its MATCHING paren (decimal(9,2)
             # nests); the tail clauses appear in any order — DataFusion
             # scripts put PARTITIONED BY after LOCATION
             # (delta_queries/mod.rs:124-140), Spark DDL before STORED
-            # AS. Externals WITHOUT a STORED AS clause (`… USING
-            # ICEBERG`, or bare) fall through to the generic
-            # create-table branch below.
+            # AS. The STORED AS gate runs on the masked TAIL, not the
+            # whole statement: gating on the full text while extracting
+            # from the tail let a statement whose only 'stored as csv'
+            # text sat inside the column list crash on fm=None instead
+            # of falling through to a clean parse path (r15 ADVICE).
             depth, i = 1, m.end()
             masked = _mask_quoted(s)
             while i < len(s) and depth:
                 depth += {"(": 1, ")": -1}.get(masked[i], 0)
                 i += 1
             cols_sql, tail = s[m.end():i - 1], s[i:]
-            fm = re.search(r"stored\s+as\s+(\w+)", tail, re.IGNORECASE)
+            fm = re.search(r"stored\s+as\s+(csv|parquet|iceberg)\b",
+                           masked[i:], re.IGNORECASE)
+        if m and fm:
+            # Externals WITHOUT a STORED AS clause in the tail (`…
+            # USING ICEBERG`, or bare) fall through to the generic
+            # create-table branch below.
             lm = re.search(r"location\s+'([^']*)'", tail, re.IGNORECASE)
             om = re.search(r"options\s*\((.*?)\)", tail,
                            re.IGNORECASE | re.DOTALL)
@@ -495,11 +501,16 @@ class Engine:
             self.create_view(m.group(1), m.group(2))
             return None
 
-        m = re.match(r"drop\s+(?:table|view)\s+([\w.]+)", low)
+        m = re.match(r"drop\s+(?:table|view)\s+(if\s+exists\s+)?"
+                     r"([\w.]+)", low)
         if m:
-            if self._externals.pop(m.group(1), None) is not None:
+            if self._externals.pop(m.group(2), None) is not None:
                 return None  # external registration, not a tabular
-            self.catalog.drop_tabular(m.group(1))
+            try:
+                self.catalog.drop_tabular(m.group(2))
+            except Exception:  # noqa: BLE001 — not-found shapes vary
+                if not m.group(1):
+                    raise  # plain DROP: missing table is an error
             return None
 
         m = re.match(r"insert\s+into\s+([\w.]+)\s+(.*)$", s,
@@ -1710,25 +1721,18 @@ class Engine:
         masked_sql = _mask_quoted(sql)
         raw_rels = re.findall(r"\b(?:from|join)\s+[A-Za-z_][\w.]*",
                               masked_sql, re.IGNORECASE)
-        comma_from = re.search(
-            r"\bfrom\s+[A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?\s*,",
-            masked_sql, re.IGNORECASE)
+        comma_from = _COMMA_FROM_RE.search(masked_sql)
         single_rel = len(raw_rels) == 1 and not comma_from
         # the broadcast hint is worth attaching only when the statement
-        # can apply it: an explicit JOIN, a comma-list FROM, or an
-        # IN/EXISTS subquery (Spark rewrites those to left-semi/anti
-        # joins whose BUILD side — the subquery relation — accepts a
-        # broadcast hint; a provably-small dim there beats sort-merge).
-        # Hinting a relation that only feeds a UNION / scalar subquery
-        # leaves an unapplied hint that Catalyst strips with a
-        # HintErrorLogger warning on every run — log noise that buries
-        # real hint failures (r14 verdict #3). In the IN/EXISTS shape
-        # the outer probe relation is hinted too, but a probe big
+        # can apply it (is_join_shaped — the shared definition with the
+        # MV rewriter). Hinting a relation that only feeds a UNION /
+        # scalar subquery leaves an unapplied hint that Catalyst strips
+        # with a HintErrorLogger warning on every run — log noise that
+        # buries real hint failures (r14 verdict #3). In the IN/EXISTS
+        # shape the outer probe relation is hinted too, but a probe big
         # enough to matter is never provably small, so the unapplied-
         # hint case is confined to tiny⋈tiny statements.
-        has_join = bool(comma_from) or bool(re.search(
-            r"\bjoin\b|\b(?:in|exists)\s*\(\s*select\b",
-            masked_sql, re.IGNORECASE))
+        has_join = is_join_shaped(sql, masked_sql)
         for name in rels:
             try:
                 md = self.catalog.load_tabular(name.lower())

@@ -59,9 +59,12 @@ from iceberg_rust_archive_spark.catalog.base import (
 from iceberg_rust_archive_spark.predicates import (
     _mask_quoted, _scan_quoted,
 )
+from iceberg_rust_archive_spark.operators.scan import (
+    broadcast_if_small,
+)
 from iceberg_rust_archive_spark.plans.sqlparse import (
-    ParsedSelect, parse_select, rewrite_relations, split_union,
-    strip_order_by,
+    ParsedSelect, is_join_shaped, parse_select, rewrite_relations,
+    split_union, strip_order_by,
 )
 from iceberg_rust_archive_spark.spec.partition import PartitionSpec
 from iceberg_rust_archive_spark.spec.schema import Schema
@@ -490,18 +493,19 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
 
     def bind_and_run(bindings: dict[str, DataFrame],
                      sql_text: str | None = None) -> DataFrame:
-        import re as _re
         text = sql_text or run_sql
-        # joins in the replayed SQL: a provably-small scan binding
-        # (tagged by operators/scan.py) carries a broadcast hint so the
-        # dim side of an MV refresh join plans BroadcastHashJoin up
-        # front; join-less replays stay unhinted (an unapplied hint is
-        # a HintErrorLogger warning per run — r15)
-        joins = bool(_re.search(r"\bjoin\b", text, _re.IGNORECASE))
+        # join-shaped replayed SQL (shared is_join_shaped — explicit
+        # JOIN, comma-FROM, IN/EXISTS subquery, same as the engine's
+        # SQL surface): a provably-small scan binding (tagged by
+        # operators/scan.py) carries a broadcast hint so the dim side
+        # of an MV refresh join plans BroadcastHashJoin up front;
+        # join-less replays stay unhinted (an unapplied hint is a
+        # HintErrorLogger warning per run — r15)
+        joins = is_join_shaped(text)
         mapping = {}
         for name, df in bindings.items():
-            if joins and getattr(df, "_ice_broadcastable", False):
-                df = F.broadcast(df)
+            if joins:
+                df = broadcast_if_small(df)
             vn = _view_name(name, "v")
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn
@@ -1033,12 +1037,11 @@ def _refresh_union_all_mv(spark: SparkSession, catalog: Catalog,
             for s in sources))
 
     def run_branch(b_sql: str, bindings: dict[str, DataFrame]) -> DataFrame:
-        import re as _re
-        joins = bool(_re.search(r"\bjoin\b", b_sql, _re.IGNORECASE))
+        joins = is_join_shaped(b_sql)
         mapping = {}
         for name, df in bindings.items():
-            if joins and getattr(df, "_ice_broadcastable", False):
-                df = F.broadcast(df)  # small-scan tag (see bind_and_run)
+            if joins:
+                df = broadcast_if_small(df)  # small-scan tag (bind_and_run)
             vn = _view_name(name, "v")
             df.createOrReplaceTempView(vn)
             mapping[name.lower()] = vn

@@ -38,6 +38,26 @@ def find_relations(sql: str) -> list[str]:
     return out
 
 
+_COMMA_FROM_RE = re.compile(
+    r"\bfrom\s+[A-Za-z_][\w.]*(?:\s+(?:as\s+)?\w+)?\s*,", re.IGNORECASE)
+_JOIN_SHAPE_RE = re.compile(
+    r"\bjoin\b|\b(?:in|exists)\s*\(\s*select\b", re.IGNORECASE)
+
+
+def is_join_shaped(sql: str, masked: str | None = None) -> bool:
+    """True when the statement can APPLY a broadcast hint: an explicit
+    JOIN, a comma-list FROM (implicit cross/inner join), or an
+    IN/EXISTS subquery (Spark rewrites those to left-semi/anti joins
+    whose build side accepts the hint). The single definition shared
+    by the engine's SQL surface and the MV refresh rewriter — r15
+    shipped two divergent copies and an MV defined with `FROM a, b
+    WHERE …` or an IN-subquery silently lost its broadcast hint in the
+    refresh replay (perf-only, results unaffected). Pass ``masked``
+    when the caller already holds ``_mask_quoted(sql)``."""
+    m = masked if masked is not None else _mask_quoted(sql)
+    return bool(_COMMA_FROM_RE.search(m)) or bool(_JOIN_SHAPE_RE.search(m))
+
+
 def split_top_level(s: str, sep: str = ",") -> list[str]:
     """Depth-0 split via the engine's quote-complete splitter (doubled
     quotes, backticks, raw strings, backslash escapes — the naive

@@ -104,6 +104,19 @@ class Table:
         rows in files whose commit assigned lineage, NULL for files
         written before the table reached format-version 3.
 
+        Broadcast contract: when the post-pruning planned bytes prove
+        the scan small, ``report['broadcastable']`` is set True and the
+        returned DataFrame carries an ``_ice_broadcastable`` tag (a
+        plain Python attribute). Spark's own size estimate cannot see
+        through the merge-on-read anti-join chain until AQE observes
+        the first shuffle, so an API caller who joins this scan against
+        a large table should pass it through
+        ``operators.scan.broadcast_if_small`` (or check the report) to
+        get a BroadcastHashJoin up front; the engine's SQL surface and
+        the MV refresher do this automatically. The hint is NOT
+        attached here because Catalyst logs a HintErrorLogger warning
+        for every hinted frame that never feeds a join.
+
         Lineage caveat: replace/rewrite commits (compaction,
         ``rewrite_partition``, full MV refresh) assign FRESH row-id
         ranges to their output files — full preservation would require

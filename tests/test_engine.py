@@ -4714,6 +4714,44 @@ def test_transform_space_stamp_and_legacy_guard(spark, catalog):
     assert rep3["data_files_planned"] == pruned_files
 
 
+def test_transform_space_warn_keyed_on_location():
+    """r15 verdict #3: the warn-once set falls back to md.location (not
+    id(md), which CPython recycles after GC) when table_uuid is absent
+    — two distinct uuid-less metadata objects for DIFFERENT locations
+    each warn once; re-guarding either warns no further. The warning
+    text carries a copy-pasteable ALTER TABLE remediation."""
+    import dataclasses as dc
+    import warnings as w
+
+    from iceberg_rust_archive_spark.operators.scan import (
+        _TRANSFORM_SPACE_WARNED, _guard_transform_space,
+    )
+    from iceberg_rust_archive_spark.spec.table_metadata import (
+        TableMetadata,
+    )
+
+    month_spec = PartitionSpec(
+        0, (PartitionField(4, 1000, "date_month", "month"),))
+    mds = [dc.replace(
+        TableMetadata.new(f"file:///wh/db/uuidless_{i}",
+                          ORDERS_SCHEMA, month_spec),
+        table_uuid=None) for i in (1, 2)]
+    pred = [Pred("date", ">=", dt.date(2020, 2, 1))]
+    _TRANSFORM_SPACE_WARNED.clear()
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        for md in mds:
+            _guard_transform_space(md, ORDERS_SCHEMA, pred)  # warns
+            _guard_transform_space(md, ORDERS_SCHEMA, pred)  # silent
+    hits = [r for r in rec if "transform-space" in str(r.message)]
+    assert len(hits) == 2  # one per location, not one per id(md)
+    assert {md.location.split("/")[-1] for md in mds} == {
+        h for h in ("uuidless_1", "uuidless_2")
+        for r in hits if h in str(r.message)}
+    assert all("ALTER TABLE" in str(r.message) for r in hits)
+    _TRANSFORM_SPACE_WARNED.clear()
+
+
 def test_legacy_table_eq_delete_goes_global(spark, tmp_path):
     """r15: a month/bucket scope tuple is ordinal-space-sensitive, and
     unlike read pruning a mis-scoped delete has no residual rescue —
@@ -4796,3 +4834,19 @@ def test_legacy_guard_scan_equivalence_grid(spark, catalog):
         assert got_s == got_l, preds
         assert rl["data_files_planned"] >= rs["data_files_planned"], preds
 
+
+
+def test_drop_table_if_exists(spark, tmp_path):
+    """DROP TABLE IF EXISTS: missing table is a no-op; plain DROP of a
+    missing table still raises (r16 — the external-DDL soak's cleanup
+    surfaced the unsupported IF EXISTS form parsing 'if' as the
+    identifier)."""
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("DROP TABLE IF EXISTS db.never_created")  # clean no-op
+    eng.sql("CREATE TABLE db.t (k BIGINT)")
+    eng.sql("DROP TABLE IF EXISTS db.t")
+    assert not eng.catalog.table_exists("db.t")
+    with pytest.raises(Exception):
+        eng.sql("DROP TABLE db.t")  # plain DROP: loud

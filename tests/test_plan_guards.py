@@ -274,3 +274,65 @@ def test_stats_broadcastable_backstops(spark, tmp_path):
             md, planned_bytes=(512 << 20) + 1)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t0)
+
+
+def test_join_shape_detection_shared():
+    """r15 ADVICE: the engine and the MV rewriter previously carried
+    divergent join detectors — an MV defined with `FROM a, b WHERE …`
+    or an IN-subquery silently lost its broadcast hint in the refresh
+    replay. Both modules must now bind the SAME is_join_shaped, and it
+    must recognize every hint-applicable shape."""
+    from iceberg_rust_archive_spark.plans import engine as eng_mod
+    from iceberg_rust_archive_spark.plans import mv as mv_mod
+    from iceberg_rust_archive_spark.plans.sqlparse import is_join_shaped
+
+    assert eng_mod.is_join_shaped is is_join_shaped
+    assert mv_mod.is_join_shaped is is_join_shaped
+    assert is_join_shaped("SELECT * FROM a, b WHERE a.k = b.k")
+    assert is_join_shaped("SELECT * FROM a AS x, b WHERE x.k = b.k")
+    assert is_join_shaped("SELECT * FROM a WHERE k IN (SELECT k FROM b)")
+    assert is_join_shaped("SELECT * FROM a WHERE EXISTS (SELECT 1 FROM b)")
+    assert is_join_shaped("SELECT a.k FROM a JOIN b ON a.k = b.k")
+    assert is_join_shaped("SELECT a.k FROM a LEFT OUTER JOIN b ON a.k=b.k")
+    assert not is_join_shaped("SELECT k FROM a")
+    assert not is_join_shaped("SELECT k FROM a UNION ALL SELECT k FROM b")
+    # quoted literals never count as structure
+    assert not is_join_shaped("SELECT * FROM a WHERE s = ' join '")
+    assert not is_join_shaped("SELECT * FROM a WHERE s = 'x in (select'")
+
+
+def test_broadcast_if_small_public_seam(spark, tmp_path):
+    """r15 ADVICE: direct Table.scan() API consumers (not going through
+    the engine's SQL surface) get the broadcast plan via the public
+    broadcast_if_small helper, which reads the _ice_broadcastable tag
+    the scan planner set from post-pruning planned bytes. Pinned with
+    auto-broadcast disabled so only the explicit hint can produce a
+    BroadcastHashJoin."""
+    from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+    from iceberg_rust_archive_spark.operators.scan import (
+        broadcast_if_small,
+    )
+    from iceberg_rust_archive_spark.plans.engine import Engine
+    from iceberg_rust_archive_spark.table import Table
+
+    eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
+    eng.sql("CREATE SCHEMA db")
+    eng.sql("CREATE TABLE db.dim (k BIGINT, name STRING)")
+    eng.sql("INSERT INTO db.dim VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    rep: dict = {}
+    small = Table.load(eng.catalog, "db.dim").scan(spark, report=rep)
+    assert rep["broadcastable"]
+    assert getattr(small, "_ice_broadcastable", False)
+    t0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        hinted = big.join(broadcast_if_small(small), "k")
+        assert "BroadcastHashJoin" in _plan(hinted)
+        bare = big.join(small, "k")  # control: no hint, no broadcast
+        assert "BroadcastHashJoin" not in _plan(bare)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t0)
+    # untagged frames pass through untouched (identity, no hint noise)
+    plain = spark.range(10)
+    assert broadcast_if_small(plain) is plain
