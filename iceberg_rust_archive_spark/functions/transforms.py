@@ -281,6 +281,126 @@ def _murmur3_32_long_le(vals: "np.ndarray") -> "np.ndarray":
     return h
 
 
+# Variable-length vectorization guards: a batch whose padded matrix
+# would blow past either bound keeps the scalar path (one pathological
+# multi-KB doc in a batch of short ids must not allocate rows×maxlen).
+_VARLEN_MAX_WIDTH = 1 << 12        # 4 KiB padded row width
+_VARLEN_MAX_MATRIX = 1 << 26       # 64 MiB padded matrix per batch
+
+
+def _murmur3_32_varlen(buf: "np.ndarray", offsets: "np.ndarray"):
+    """Vectorized murmur3_x86_32 (seed 0) over RAGGED byte rows —
+    ``buf[offsets[i]:offsets[i+1]]`` is row i. The rows scatter into a
+    zero-padded (n × ⌈maxlen/4⌉·4) uint8 matrix viewed as LE uint32
+    lanes; block j of every row mixes in one masked pass (rows shorter
+    than 4j carry their already-final h through ``np.where``), then a
+    masked tail pass handles the 1-3 trailing bytes. Byte-for-byte
+    equal to the scalar ``murmur3_32`` (pinned by the Appendix B
+    string/binary vectors and a hypothesis model) — this closes the
+    last per-row-Python bucket path (r15 verdict #2): a bucket[N]
+    write keyed on a string doc-id/URL now hashes each Arrow batch in
+    numpy lane ops. Returns None when the batch's padded matrix would
+    exceed the width/size guards (caller falls back to scalar).
+    Reference semantics anchor: iceberg-rust-spec/src/spec/values.rs:
+    360-364 (hash = murmur3 over the UTF-8/raw bytes)."""
+    n = len(offsets) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    lengths = np.diff(offsets).astype(np.int64)
+    max_len = int(lengths.max())
+    width = max(4, (max_len + 3) & ~3)
+    if width > _VARLEN_MAX_WIDTH or n * width > _VARLEN_MAX_MATRIX:
+        return None
+    flat = buf[offsets[0]:offsets[-1]]
+    mat = np.zeros(n * width, dtype=np.uint8)
+    if flat.size:
+        # monotonic flat destinations + np.put: byte g of row i lands
+        # at i*width + (g - rel[i]). np.put is ~40× faster than the
+        # equivalent fancy-index scatter (measured 0.17s vs 7.5s on a
+        # 1M×40MB batch — advanced indexing pays a per-element
+        # translation np.put skips).
+        rel = (offsets[:-1] - offsets[0]).astype(np.int64)
+        shift = np.arange(n, dtype=np.int64) * width - rel
+        dest = np.arange(flat.size, dtype=np.int64) + np.repeat(
+            shift, lengths)
+        np.put(mat, dest, flat)
+    mat = mat.reshape(n, width)
+    lanes = mat.view("<u4")
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(n, dtype=np.uint32)
+    nblocks = lengths // 4
+    for j in range(width // 4):
+        active = nblocks > j
+        if not active.any():
+            break
+        k = lanes[:, j].copy()
+        k *= c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k *= c2
+        hx = h ^ k
+        hx = (hx << np.uint32(13)) | (hx >> np.uint32(19))
+        hx = hx * np.uint32(5) + np.uint32(0xE6546B64)
+        h = np.where(active, hx, h)
+    tail = lengths % 4
+    has_tail = tail >= 1
+    if has_tail.any():
+        base = nblocks * 4
+        ridx = np.arange(n, dtype=np.int64)
+
+        def byte_at(off):
+            # clip keeps the gather in-bounds for rows whose tail is
+            # shorter; np.where discards the clipped reads
+            return mat[ridx, np.minimum(base + off,
+                                        width - 1)].astype(np.uint32)
+
+        k = np.zeros(n, dtype=np.uint32)
+        k = np.where(tail >= 3, k ^ (byte_at(2) << np.uint32(16)), k)
+        k = np.where(tail >= 2, k ^ (byte_at(1) << np.uint32(8)), k)
+        k = np.where(has_tail, k ^ byte_at(0), k).astype(np.uint32)
+        k *= c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k *= c2
+        h = np.where(has_tail, h ^ k, h)
+    h = h ^ lengths.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _series_to_ragged_bytes(s: pd.Series, iceberg_type: str):
+    """pandas Series → ``(uint8 buffer, int64 offsets, null mask)`` in
+    the spec's hash-input bytes for the variable-length carriers:
+    string → UTF-8 (Arrow's native string representation IS the UTF-8
+    bytes — zero per-row Python), binary/fixed → raw bytes. None for
+    anything else (decimal's minimal two's-complement and uuid's text
+    parse stay scalar — r15 verdict scoped them out) or when Arrow
+    can't ingest the batch."""
+    import os
+    if os.environ.get("ICEBERG_SPARK_DISABLE_VARLEN_BUCKET"):
+        return None  # kill switch: forces the scalar reference path
+    import pyarrow as pa
+    if iceberg_type == "string":
+        arrow_type = pa.large_string()
+    elif iceberg_type == "binary" or iceberg_type.startswith("fixed"):
+        arrow_type = pa.large_binary()
+    else:
+        return None
+    try:
+        arr = pa.Array.from_pandas(s, type=arrow_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
+        return None  # mixed/unexpected objects — scalar path decides
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
+    mask = np.asarray(s.isna())
+    return data, offsets, mask
+
+
 def _series_to_long(s: pd.Series, iceberg_type: str):
     """pandas Series → ``(int64 ndarray, bool null-mask)`` in the
     spec's long hash carrier (epoch micros for timestamps, day
@@ -332,16 +452,23 @@ def _series_to_long(s: pd.Series, iceberg_type: str):
 def _bucket_udf(n: int, iceberg_type: str):
     @pandas_udf(T.IntegerType())
     def _bucket(s: pd.Series) -> pd.Series:
+        h = mask = None
         if iceberg_type in _LONG_HASH_TYPES:
             conv = _series_to_long(s, iceberg_type)
             if conv is not None:
                 vals, mask = conv
                 h = _murmur3_32_long_le(vals)
-                b = ((h & np.uint32(0x7FFFFFFF))
-                     % np.uint32(n)).astype("int32")
-                out = pd.array(b, dtype="Int32")
-                out[mask] = pd.NA
-                return pd.Series(out)
+        else:
+            conv = _series_to_ragged_bytes(s, iceberg_type)
+            if conv is not None:
+                buf, offsets, mask = conv
+                h = _murmur3_32_varlen(buf, offsets)  # None if too wide
+        if h is not None:
+            b = ((h & np.uint32(0x7FFFFFFF))
+                 % np.uint32(n)).astype("int32")
+            out = pd.array(b, dtype="Int32")
+            out[mask] = pd.NA
+            return pd.Series(out)
         def one(v):
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 return None

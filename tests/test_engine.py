@@ -4850,3 +4850,41 @@ def test_drop_table_if_exists(spark, tmp_path):
     assert not eng.catalog.table_exists("db.t")
     with pytest.raises(Exception):
         eng.sql("DROP TABLE db.t")  # plain DROP: loud
+
+
+def test_string_bucket_write_partition_tuples(spark, catalog):
+    """r16 (r15 verdict #2): a bucket[8](string) partitioned write now
+    hashes each Arrow batch through the vectorized varlen murmur3 —
+    the committed DataFile partition tuples must equal the scalar spec
+    transform for every key (unicode included), NULL keys land in the
+    null partition, and the bucket predicate still prunes."""
+    from iceberg_rust_archive_spark.functions.transforms import (
+        bucket_value,
+    )
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+
+    doc_schema = Schema(0, StructTypeSpec((
+        NestedField(1, "doc_id", "string", False),
+        NestedField(2, "body", "string", True),
+    )))
+    spec = PartitionSpec(
+        0, (PartitionField(1, 1000, "doc_bucket", "bucket[8]"),))
+    t = Table.create(catalog, "db.docs_bucket", doc_schema, spec)
+    ids = ["iceberg", "", "a", "doc-00042", "héllo wörld",
+           "日本語テキスト", "https://example.com/path?q=1", "x" * 61]
+    rows = [(i, f"body of {i}") for i in ids] + [(None, "null-key row")]
+    t = t.append(spark, spark.createDataFrame(
+        rows, "doc_id string, body string"))
+    snap = t.metadata.current_snapshot()
+    entries = [e for m in read_manifest_list(snap.manifest_list)
+               for e in read_manifest(m.manifest_path)]
+    got = {e.data_file.partition["doc_bucket"] for e in entries}
+    want = {bucket_value(i, 8, "string") for i in ids} | {None}
+    assert got == want
+    # every row reads back, and a bucket-transform predicate prunes
+    assert t.scan(spark).count() == len(rows)
+    rep: dict = {}
+    hits = t.scan(spark, filter=[Pred("doc_id", "=", "iceberg")],
+                  report=rep).collect()
+    assert [r["doc_id"] for r in hits] == ["iceberg"]
+    assert rep["data_files_planned"] < len(got)  # pruned other buckets

@@ -718,3 +718,84 @@ def test_vectorized_date_bucket_out_of_ns_range_falls_back():
     assert bucket_value(dt.date(9999, 12, 31), 16, "date") == \
         bucket_value((dt.date(9999, 12, 31) - dt.date(1970, 1, 1)).days,
                      16, "long")
+
+
+def test_vectorized_varlen_bucket_matches_scalar_hypothesis():
+    """r15 verdict #2: the ragged-row numpy murmur3 over UTF-8/raw
+    bytes must be byte-identical to the scalar spec path for every
+    string and binary batch — arbitrary unicode (multi-byte UTF-8,
+    surrogone-free astral planes), empty strings, and 0-3 byte tails
+    all land on the same lanes."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _murmur3_32_varlen, _series_to_ragged_bytes, murmur3_32,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(max_size=24), min_size=1, max_size=48))
+    def check_str(vs):
+        buf, offs, _ = _series_to_ragged_bytes(
+            pd.Series(vs, dtype=object), "string")
+        got = _murmur3_32_varlen(buf, offs)
+        assert got.tolist() == [
+            murmur3_32(v.encode("utf-8")) for v in vs]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.binary(max_size=24), min_size=1, max_size=48))
+    def check_bin(vs):
+        buf, offs, _ = _series_to_ragged_bytes(
+            pd.Series(vs, dtype=object), "binary")
+        got = _murmur3_32_varlen(buf, offs)
+        assert got.tolist() == [murmur3_32(v) for v in vs]
+
+    check_str()
+    check_bin()
+
+
+def test_varlen_bucket_carriers_and_guards():
+    """_series_to_ragged_bytes carrier contract: UTF-8 string batches,
+    raw binary/bytearray batches, null masks; non-varlen types and
+    mixed-object batches decline (scalar path decides); the padded-
+    matrix width guard declines a batch with one multi-KB row instead
+    of allocating rows×maxlen."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _murmur3_32_varlen, _series_to_ragged_bytes, bucket_value,
+        murmur3_32,
+    )
+    buf, offs, mask = _series_to_ragged_bytes(
+        pd.Series(["iceberg", None, ""], dtype=object), "string")
+    h = _murmur3_32_varlen(buf, offs)
+    def signed(u):
+        return int(u) - (1 << 32) if u >= (1 << 31) else int(u)
+    assert signed(h[0]) == 1210000089  # Appendix B
+    assert mask.tolist() == [False, True, False]
+    assert ((int(h[0]) & 0x7FFFFFFF) % 16
+            ) == bucket_value("iceberg", 16, "string")
+    buf, offs, mask = _series_to_ragged_bytes(
+        pd.Series([b"\x00\x01\x02\x03", bytearray(b"ab"), None],
+                  dtype=object), "binary")
+    h = _murmur3_32_varlen(buf, offs)
+    assert signed(h[0]) == -188683207  # Appendix B
+    assert h[1] == murmur3_32(b"ab")
+    assert mask.tolist() == [False, False, True]
+    # pandas nullable StringDtype carrier works too (Arrow bridge)
+    buf, offs, mask = _series_to_ragged_bytes(
+        pd.Series(["a", pd.NA], dtype="string"), "string")
+    assert _murmur3_32_varlen(buf, offs)[0] == murmur3_32(b"a")
+    assert mask.tolist() == [False, True]
+    # non-varlen types and mixed batches decline
+    assert _series_to_ragged_bytes(
+        pd.Series(["14.20"], dtype=object), "decimal(9,2)") is None
+    assert _series_to_ragged_bytes(
+        pd.Series(["a", 3], dtype=object), "string") is None
+    # width guard: one 5 KB row in a short-id batch → scalar fallback
+    buf, offs, _ = _series_to_ragged_bytes(
+        pd.Series(["y" * 5000, "z"], dtype=object), "string")
+    assert _murmur3_32_varlen(buf, offs) is None
