@@ -514,6 +514,31 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
     def current_bindings() -> dict[str, DataFrame]:
         return {s.name: s.table.scan(spark) for s in sources}
 
+    # --- source schema evolution between refreshes (r15 verdict #7) -----
+    # A STAR projection re-expands against the sources' CURRENT schemas,
+    # so a column added to a source after the last refresh would ride
+    # the incremental delta while the stored rows lack it — the append
+    # aligns to the storage schema by name and the new column silently
+    # VANISHES from the MV, leaving it divergent from its own defining
+    # query. Named projections are evolution-proof (adds/renames/drops
+    # of unreferenced columns don't change the output; a referenced
+    # rename fails the replay loudly) and stay incremental; only a
+    # star whose bound output no longer matches the storage layout
+    # recomputes FULL, evolving the storage schema in the same commit.
+    # The probe is plan-only (analysis, zero Spark jobs). The reference
+    # assumes stable source schemas (materialized_view/mod.rs never
+    # tests evolution) — this is a safety superset.
+    if (not first_refresh and storage is not None and strategy != FULL
+            and union_ctx is None
+            and any(i.expr == "*" or i.expr.endswith(".*")
+                    for i in parsed.items)):
+        out_cols = [f.name for f in
+                    bind_and_run(current_bindings()).schema.fields]
+        st_cols = [f.name for f in
+                   storage.metadata.current_schema().fields]
+        if out_cols != st_cols:
+            strategy = FULL
+
     # --- scoped group recompute (min/max under deletes; any DISTINCT
     # aggregate under appends OR deletes) ---------------------------------
     if strategy in (CHANGELOG_SCOPED, DISTINCT_SCOPED):
@@ -577,6 +602,10 @@ def refresh_materialized_view(spark: SparkSession, catalog: Catalog,
             result = result.cache()
         try:
             storage = _ensure_storage(catalog, mv, result)
+            # star MV after a source ADD COLUMN: grow the storage
+            # schema so the recompute materializes the new column
+            # instead of align_to_schema silently dropping it
+            storage = _evolve_storage_to(storage, result)
             files = _write(spark, storage, result)
             txn = storage.new_transaction(branch).replace_files(files) \
                 .set_refresh_state(new_state.to_json_str())
@@ -1128,6 +1157,41 @@ def _ensure_storage(catalog: Catalog, mv: MaterializedViewMetadata,
         schema = schema_from_df(result)
         return Table.create(catalog, mv.storage_table, schema,
                             PartitionSpec(0, ()))
+
+
+def _evolve_storage_to(storage: Table, result: DataFrame) -> Table:
+    """Storage schema evolution for a FULL recompute whose output grew
+    (r15 verdict #7: a star MV after a source ADD COLUMN). New columns
+    get fresh field ids past last_column_id and append at the end;
+    existing columns keep their ids (old data files stay readable —
+    readers fill the added column NULL by field-id resolution). An
+    output that LOST storage columns refuses loudly: silently dropping
+    a materialized column would strand unreachable data in the storage
+    table — the honest operation there is DROP + recreate the MV."""
+    cur = storage.metadata.current_schema()
+    names = [f.name for f in cur.fields]
+    want = schema_from_df(result)
+    want_names = [f.name for f in want.fields]
+    if want_names == names:
+        return storage
+    lost = [n for n in names if n not in want_names]
+    if lost:
+        raise ValueError(
+            f"materialized view output no longer produces storage "
+            f"column(s) {lost} (source schema changed under a star "
+            f"projection?) — drop and recreate the view")
+    from iceberg_rust_archive_spark.spec.types import NestedField
+    next_id = storage.metadata.last_column_id
+    fields = list(cur.fields)
+    for f in want.fields:
+        if f.name not in names:
+            next_id += 1
+            fields.append(NestedField(next_id, f.name, f.field_type,
+                                      False))
+    new_schema = Schema(cur.schema_id + 1, StructTypeSpec(tuple(fields)))
+    txn = storage.new_transaction().update_schema(new_schema)
+    txn.commit_with_retry(lambda x: x.update_schema(new_schema))
+    return storage.refresh()
 
 
 def _write(spark, storage: Table, df: DataFrame):

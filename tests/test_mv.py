@@ -1494,3 +1494,96 @@ def test_external_table_clause_order_grid(engine, tmp_path):
                    + part.format(n=i))
         sp = engine.load_table(name).metadata.default_spec()
         assert [f.transform for f in sp.fields] == ["month"], part
+
+
+def test_mv_refresh_under_source_schema_evolution(engine):
+    """r15 verdict #7: source schema evolution between refreshes — the
+    reference assumes stable schemas (materialized_view/mod.rs never
+    tests this). Named projections are evolution-proof: add-column,
+    rename-of-unreferenced, and drop-of-unreferenced all stay
+    INCREMENTAL with exact results (the stored SQL names its columns,
+    so the delta replay is unaffected)."""
+    engine.sql("CREATE MATERIALIZED VIEW db.sev_agg AS "
+               "SELECT sum(quantity) AS total, product_id FROM db.orders "
+               "GROUP BY product_id")
+    engine.refresh_materialized_view("db.sev_agg")
+
+    def totals():
+        return {r["product_id"]: r["total"] for r in
+                engine.sql("SELECT * FROM db.sev_agg").collect()}
+    assert totals() == {1: 7, 2: 1, 3: 3}
+
+    # add-column: new rows carry it, the MV's projection ignores it
+    engine.sql("ALTER TABLE db.orders ADD COLUMN note STRING")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,4,DATE '2020-01-04',5,'n')")
+    assert engine.refresh_materialized_view("db.sev_agg") == INCR_AGG
+    assert totals() == {1: 7, 2: 1, 3: 3, 4: 5}
+
+    # rename an UNREFERENCED column (field-id rename): still incremental
+    engine.sql("ALTER TABLE db.orders RENAME COLUMN customer_id "
+               "TO cust_id")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(8,2,4,DATE '2020-01-05',2,'m')")
+    assert engine.refresh_materialized_view("db.sev_agg") == INCR_AGG
+    assert totals() == {1: 7, 2: 1, 3: 3, 4: 7}
+
+    # drop an UNREFERENCED column: still incremental
+    engine.sql("ALTER TABLE db.orders DROP COLUMN note")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(9,3,4,DATE '2020-01-06',1)")
+    assert engine.refresh_materialized_view("db.sev_agg") == INCR_AGG
+    assert totals() == {1: 7, 2: 1, 3: 3, 4: 8}
+
+
+def test_mv_refresh_referenced_rename_fails_loudly(engine):
+    """Renaming a column the stored SQL REFERENCES must fail the
+    refresh loudly (AnalysisException naming the lost column), never
+    return stale or wrong results — the stored SQL is the MV contract
+    and the remediation (recreate the view) is the user's call."""
+    engine.sql("CREATE MATERIALIZED VIEW db.sev_ref AS "
+               "SELECT sum(quantity) AS total, product_id FROM db.orders "
+               "GROUP BY product_id")
+    engine.refresh_materialized_view("db.sev_ref")
+    engine.sql("ALTER TABLE db.orders RENAME COLUMN quantity TO qty")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,4,DATE '2020-01-04',5)")
+    with pytest.raises(Exception, match="quantity"):
+        engine.refresh_materialized_view("db.sev_ref")
+    # the MV still serves its last-refreshed state
+    got = {r["product_id"]: r["total"] for r in
+           engine.sql("SELECT * FROM db.sev_ref").collect()}
+    assert got == {1: 7, 2: 1, 3: 3}
+
+
+def test_mv_star_projection_add_column_goes_full_and_evolves(engine):
+    """The one shape where evolution DOES change the output: a star
+    projection re-expands against the source's CURRENT schema, so an
+    added column must reclassify the refresh FULL and EVOLVE the
+    storage schema (old rows read NULL for the new column) — r15's
+    behavior silently dropped the new column from the delta, leaving
+    the MV divergent from its own defining query. Once the schemas
+    agree again the next refresh returns to incremental."""
+    engine.sql("CREATE MATERIALIZED VIEW db.sev_star AS "
+               "SELECT * FROM db.orders WHERE quantity > 0")
+    engine.refresh_materialized_view("db.sev_star")
+    engine.sql("ALTER TABLE db.orders ADD COLUMN note STRING")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,4,DATE '2020-01-04',5,'n')")
+    assert engine.refresh_materialized_view("db.sev_star") == FULL
+    rows = engine.sql("SELECT * FROM db.sev_star").collect()
+    assert "note" in rows[0].asDict()
+    by_id = {r["id"]: r["note"] for r in rows}
+    assert by_id[7] == "n" and by_id[1] is None  # evolved, backfilled NULL
+    # storage field ids: original ids stable, new column got a fresh id
+    storage = engine.load_table("db.sev_star_storage")
+    fields = storage.metadata.current_schema().fields
+    assert [f.name for f in fields][-1] == "note"
+    assert fields[-1].field_id == max(f.field_id for f in fields)
+    # schemas agree again → back to incremental
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(8,2,4,DATE '2020-01-05',2,'m')")
+    assert engine.refresh_materialized_view("db.sev_star") == INCR_APPEND
+    got = {r["id"]: r["note"] for r in
+           engine.sql("SELECT * FROM db.sev_star").collect()}
+    assert got[8] == "m" and len(got) == 8
