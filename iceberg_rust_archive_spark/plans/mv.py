@@ -1080,6 +1080,20 @@ def _refresh_union_all_mv(spark: SparkSession, catalog: Catalog,
     # align by POSITION — rename each delta to the storage layout
     storage_cols = [f.name for f in
                     storage.metadata.current_schema().fields]
+    # star branches under source schema evolution (r15 verdict #7): a
+    # branch's star re-expands against the CURRENT source schema, so a
+    # width drift vs the storage layout would crash the positional
+    # rename below. Fall back to the generic path instead — its FULL
+    # recompute evolves the storage schema (or rejects loudly when the
+    # branches themselves no longer union). Plan-only probe, no jobs.
+    for b_sql, pb in zip(branches, parsed_branches):
+        if any(i.expr == "*" or i.expr.endswith(".*")
+               for i in pb.items):
+            cur = {n: state_by_name[n.lower()].table.scan(spark)
+                   for n in pb.relations}
+            if len(run_branch(b_sql, cur).schema.fields) \
+                    != len(storage_cols):
+                return None
     delta: DataFrame | None = None
     for b_sql, pb in zip(branches, parsed_branches):
         bsources = [state_by_name[n.lower()] for n in pb.relations]

@@ -1587,3 +1587,31 @@ def test_mv_star_projection_add_column_goes_full_and_evolves(engine):
     got = {r["id"]: r["note"] for r in
            engine.sql("SELECT * FROM db.sev_star").collect()}
     assert got[8] == "m" and len(got) == 8
+
+
+def test_union_star_mv_add_column_goes_full_and_evolves(engine):
+    """Union-path star drift (r15 verdict #7): a UNION ALL of star
+    branches whose common source gained a column must leave the
+    per-branch incremental path (the positional rename to the storage
+    layout would crash on width) and recompute FULL with storage
+    evolution — then return to per-branch incremental appends."""
+    engine.sql("CREATE MATERIALIZED VIEW db.sev_union AS "
+               "SELECT * FROM db.orders WHERE quantity > 2 "
+               "UNION ALL SELECT * FROM db.orders WHERE quantity < 1")
+    engine.refresh_materialized_view("db.sev_union")
+    n0 = engine.sql("SELECT count(*) AS c FROM db.sev_union"
+                    ).collect()[0]["c"]
+    engine.sql("ALTER TABLE db.orders ADD COLUMN note STRING")
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(7,1,4,DATE '2020-01-04',5,'n')")
+    assert engine.refresh_materialized_view("db.sev_union") == FULL
+    rows = engine.sql("SELECT * FROM db.sev_union").collect()
+    got = {r["id"]: r["note"] for r in rows}
+    assert got[7] == "n" and len(rows) == n0 + 1
+    # schemas agree again → the union path resumes incrementally
+    engine.sql("INSERT INTO db.orders VALUES "
+               "(8,2,4,DATE '2020-01-05',9,'m')")
+    assert engine.refresh_materialized_view("db.sev_union") == INCR_APPEND
+    got = {r["id"]: r["note"] for r in
+           engine.sql("SELECT * FROM db.sev_union").collect()}
+    assert got[8] == "m" and len(got) == n0 + 2
