@@ -82,7 +82,11 @@ def main():
     # runs only the named entries — the PLANS.md solo-protocol rows
     # (judge cross-measured headline subset) are recorded this way
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
-    if solo_fallback and not only:
+    if solo_fallback and only:
+        # an explicit user filter overrides the fallback — the flag
+        # records only an AUTO-substituted subset (r16 self-review)
+        solo_fallback = False
+    elif solo_fallback:
         only = [k for k in SOLO_SUBSET if k in entrymod.queries()]
     if only:
         missing = [a for a in only if a not in qs]

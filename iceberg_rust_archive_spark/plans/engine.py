@@ -506,11 +506,19 @@ class Engine:
         if m:
             if self._externals.pop(m.group(2), None) is not None:
                 return None  # external registration, not a tabular
-            try:
-                self.catalog.drop_tabular(m.group(2))
-            except Exception:  # noqa: BLE001 — not-found shapes vary
-                if not m.group(1):
-                    raise  # plain DROP: missing table is an error
+            if m.group(1):
+                # IF EXISTS: probe existence first rather than
+                # swallowing drop_tabular errors wholesale — a
+                # connection/IO failure during the drop must still
+                # surface (r16 self-review)
+                try:
+                    missing = self.catalog.metadata_location(
+                        m.group(2)) is None
+                except Exception:  # noqa: BLE001 — not-found shapes vary
+                    missing = True
+                if missing:
+                    return None
+            self.catalog.drop_tabular(m.group(2))
             return None
 
         m = re.match(r"insert\s+into\s+([\w.]+)\s+(.*)$", s,
