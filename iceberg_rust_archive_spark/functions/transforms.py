@@ -370,19 +370,113 @@ def _murmur3_32_varlen(buf: "np.ndarray", offsets: "np.ndarray"):
     return h
 
 
+def _decimal_ragged_bytes(s: pd.Series, scale: int):
+    """Decimal batch → ragged minimal big-endian two's-complement bytes
+    of the UNSCALED values at the declared type scale (the spec's hash
+    input — values.rs:360-364 hashes the twos-complement bytes).
+    Ingests through Arrow decimal128 (C++-side conversion + exact
+    rescale to the type scale), reverses the 16-byte LE storage to BE,
+    and strips leading sign-redundant bytes with a vectorized
+    cumprod — no per-row Python. None when Arrow can't ingest (mixed
+    objects, >38 digits) — scalar path decides."""
+    import pyarrow as pa
+    try:
+        arr = pa.Array.from_pandas(s, type=pa.decimal128(38, scale))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError,
+            OverflowError):
+        return None
+    n = len(arr)
+    mask = np.asarray(s.isna())
+    if n == 0:
+        return (np.zeros(0, dtype=np.uint8),
+                np.zeros(1, dtype=np.int64), mask)
+    data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    data = data[arr.offset * 16:(arr.offset + n) * 16]
+    # 16-byte little-endian two's complement → big-endian per row
+    be = data.reshape(n, 16)[:, ::-1].copy()
+    be[mask] = 0  # null slots may carry garbage; normalize under mask
+    # minimal signed length: drop leading 0x00 whose successor has a
+    # clear sign bit / 0xFF whose successor has a set sign bit
+    first, second = be[:, :-1], be[:, 1:]
+    redundant = (((first == 0x00) & (second < 0x80))
+                 | ((first == 0xFF) & (second >= 0x80)))
+    lead = np.cumprod(redundant, axis=1, dtype=np.uint8).sum(
+        axis=1).astype(np.int64)
+    lengths = 16 - lead
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    within = (np.arange(offsets[-1], dtype=np.int64)
+              - np.repeat(offsets[:-1], lengths))
+    buf = be[row, np.repeat(lead, lengths) + within]
+    return buf, offsets, mask
+
+
+# ASCII hex digit → nibble; 0xFF marks a non-hex byte (whole-batch
+# scalar fallback — the scalar path accepts every uuid.UUID spelling)
+_HEX_LUT = np.full(256, 0xFF, dtype=np.uint8)
+for _c in range(10):
+    _HEX_LUT[ord("0") + _c] = _c
+for _c in range(6):
+    _HEX_LUT[ord("a") + _c] = 10 + _c
+    _HEX_LUT[ord("A") + _c] = 10 + _c
+_UUID_HYPHENS = np.array([8, 13, 18, 23], dtype=np.int64)
+_UUID_HEX_COLS = np.setdiff1d(np.arange(36, dtype=np.int64),
+                              _UUID_HYPHENS)
+
+
+def _uuid_ragged_bytes(data: "np.ndarray", offsets: "np.ndarray",
+                       mask: "np.ndarray"):
+    """Canonical-form UUID strings (already ingested as UTF-8 ragged
+    rows) → 16 raw bytes per row, the spec's uuid hash input. All
+    non-null rows must be the 36-char hyphenated spelling with valid
+    hex; anything else returns None and the scalar path (which accepts
+    every ``uuid.UUID`` spelling — braces, urn:, no-hyphen) decides."""
+    n = len(offsets) - 1
+    if n == 0:
+        return (np.zeros(0, dtype=np.uint8),
+                np.zeros(1, dtype=np.int64), mask)
+    lengths = np.diff(offsets)
+    if not (lengths[~mask] == 36).all():
+        return None
+    starts = np.where(mask, np.int64(0), offsets[:-1] - offsets[0])
+    flat = data[offsets[0]:offsets[-1]]
+    if flat.size < 36:  # all-null / degenerate batch
+        return None if (~mask).any() else (
+            np.zeros(n * 16, dtype=np.uint8),
+            np.arange(n + 1, dtype=np.int64) * 16, mask)
+    starts = np.minimum(starts, flat.size - 36)
+    mat = flat[starts[:, None] + np.arange(36, dtype=np.int64)]
+    ok = ~mask
+    if (mat[np.ix_(ok, _UUID_HYPHENS)] != ord("-")).any():
+        return None
+    nib = _HEX_LUT[mat[:, _UUID_HEX_COLS]]
+    if (nib[ok] == 0xFF).any():
+        return None
+    by = ((nib[:, ::2] << np.uint8(4)) | nib[:, 1::2]).astype(np.uint8)
+    by[mask] = 0
+    return (by.reshape(-1),
+            np.arange(n + 1, dtype=np.int64) * 16, mask)
+
+
 def _series_to_ragged_bytes(s: pd.Series, iceberg_type: str):
     """pandas Series → ``(uint8 buffer, int64 offsets, null mask)`` in
     the spec's hash-input bytes for the variable-length carriers:
     string → UTF-8 (Arrow's native string representation IS the UTF-8
-    bytes — zero per-row Python), binary/fixed → raw bytes. None for
-    anything else (decimal's minimal two's-complement and uuid's text
-    parse stay scalar — r15 verdict scoped them out) or when Arrow
-    can't ingest the batch."""
+    bytes — zero per-row Python), binary/fixed → raw bytes, decimal →
+    minimal big-endian two's complement of the unscaled value (Arrow
+    decimal128 ingest + vectorized sign-byte strip), uuid → the 16 raw
+    bytes (vectorized hex parse of the canonical spelling). None when
+    Arrow can't ingest the batch or a row needs the permissive scalar
+    parse — the caller falls back per batch, never per row."""
     import os
     if os.environ.get("ICEBERG_SPARK_DISABLE_VARLEN_BUCKET"):
         return None  # kill switch: forces the scalar reference path
     import pyarrow as pa
-    if iceberg_type == "string":
+    if iceberg_type.startswith("decimal"):
+        scale = int(iceberg_type.split(",")[1].rstrip(")").strip())
+        return _decimal_ragged_bytes(s, scale)
+    if iceberg_type in ("string", "uuid"):
         arrow_type = pa.large_string()
     elif iceberg_type == "binary" or iceberg_type.startswith("fixed"):
         arrow_type = pa.large_binary()
@@ -398,6 +492,8 @@ def _series_to_ragged_bytes(s: pd.Series, iceberg_type: str):
     data = (np.frombuffer(bufs[2], dtype=np.uint8)
             if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
     mask = np.asarray(s.isna())
+    if iceberg_type == "uuid":
+        return _uuid_ragged_bytes(data, offsets, mask)
     return data, offsets, mask
 
 

@@ -1022,7 +1022,10 @@ def add_files(spark: SparkSession, table: Table, paths: list[str],
             partitions[p] = tup
     field_ids = {f.name: f.field_id for f in schema.fields}
     files = harvest_files(spark, [(p, partitions[p]) for p in paths],
-                          field_ids)
+                          field_ids,
+                          no_trunc_fids=frozenset(
+                              f.field_id for f in schema.fields
+                              if f.field_type == "uuid"))
     # registered files carry no embedded field ids → record the spec's
     # name-mapping property so every scan resolves columns BY NAME
     # (Iceberg's schema.name-mapping.default contract). Caveat vs the

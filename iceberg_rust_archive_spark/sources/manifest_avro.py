@@ -70,9 +70,15 @@ def encode_bound(value, ice_type: str | None) -> bytes:
     if t == "uuid":
         # spec single-value serialization: 16-byte big-endian (a
         # foreign reader decodes exactly 16 bytes; UTF-8 of the hex
-        # string would misparse there)
+        # string would misparse there). A value that is NOT a parseable
+        # uuid (e.g. a string-truncated bound replayed from a pre-r16
+        # DataFile) drops the bound rather than failing the commit —
+        # bounds are optional, a crashed commit is not (r16).
         import uuid as _u
-        return _u.UUID(str(value)).bytes
+        try:
+            return _u.UUID(str(value)).bytes
+        except (ValueError, AttributeError, TypeError):
+            return None
     if t.startswith("decimal-binary"):
         scale = _decimal_scale(t)
         unscaled = _dec.Decimal(str(value)).scaleb(scale)
@@ -304,9 +310,10 @@ def entry_to_avro(e, field_types: dict[int, str]) -> dict:
 def _bounds_out(bounds: dict, field_types: dict[int, str]):
     if not bounds:
         return None
-    return [{"key": int(k),
-             "value": encode_bound(v, field_types.get(int(k)))}
-            for k, v in sorted(bounds.items())]
+    out = [{"key": int(k),
+            "value": encode_bound(v, field_types.get(int(k)))}
+           for k, v in sorted(bounds.items())]
+    return [e for e in out if e["value"] is not None] or None
 
 
 def _bounds_in(lst, field_types: dict[int, str]) -> dict:

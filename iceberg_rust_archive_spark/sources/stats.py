@@ -93,7 +93,8 @@ def _norm_bound(v):
 def _harvest_one_orc(path: str, field_ids: dict[str, int],
                      partition: dict | None,
                      content: int,
-                     equality_ids: tuple[int, ...] | None) -> DataFile:
+                     equality_ids: tuple[int, ...] | None,
+                     no_trunc_fids: frozenset = frozenset()) -> DataFile:
     """ORC DataFile stats: pyarrow's ORC reader exposes no per-stripe
     column statistics API, so bounds come from reading the file back and
     reducing with pyarrow.compute (C-side, GIL-released). Costlier than
@@ -140,9 +141,11 @@ def _harvest_one_orc(path: str, field_ids: dict[str, int],
         if hi is not None:
             uppers[fid] = hi
 
-    lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()}
+    lowers = {fid: v if fid in no_trunc_fids else _trunc_lower(v)
+              for fid, v in lowers.items()}
     uppers = {fid: u for fid, v in uppers.items()
-              if (u := _trunc_upper(v)) is not None}
+              if (u := (v if fid in no_trunc_fids
+                        else _trunc_upper(v))) is not None}
     return DataFile(
         content=content, file_path=path, file_format="orc",
         partition=partition or {}, record_count=f.nrows,
@@ -564,7 +567,8 @@ def harvest_one(path: str, field_ids: dict[str, int],
                 partition: dict | None = None,
                 content: int = CONTENT_DATA,
                 equality_ids: tuple[int, ...] | None = None,
-                nan_zero_ok: bool = False) -> DataFile:
+                nan_zero_ok: bool = False,
+                no_trunc_fids: frozenset = frozenset()) -> DataFile:
     """Read one footer and aggregate row-group stats per column.
     ``field_ids`` maps column name → iceberg field id. ORC files (by
     extension) route to the Arrow-reduction harvester.
@@ -582,14 +586,15 @@ def harvest_one(path: str, field_ids: dict[str, int],
     where ``open()`` can't reach the bytes)."""
     if path.endswith(".orc"):
         return _harvest_one_orc(path, field_ids, partition, content,
-                                equality_ids)
+                                equality_ids, no_trunc_fids)
     if "://" not in path or path.startswith("file:"):
         try:
             nrows, rg_chunks, group_fids = _walk_parquet_stats(
                 path, field_ids)
             return _reduce_chunks(
                 rg_chunks, nrows, group_fids, path, field_ids,
-                partition, content, equality_ids, nan_zero_ok)
+                partition, content, equality_ids, nan_zero_ok,
+                no_trunc_fids)
         except Exception:  # noqa: BLE001 — malformed/exotic footer
             pass
     import pyarrow.parquet as pq
@@ -667,14 +672,15 @@ def harvest_one(path: str, field_ids: dict[str, int],
 
     return _reduce_chunks(rg_chunks, meta.num_rows, group_fids, path,
                           field_ids, partition, content, equality_ids,
-                          nan_zero_ok)
+                          nan_zero_ok, no_trunc_fids)
 
 
 def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
                    path: str, field_ids: dict[str, int],
                    partition: dict | None, content: int,
                    equality_ids: tuple[int, ...] | None,
-                   nan_zero_ok: bool = False) -> DataFile:
+                   nan_zero_ok: bool = False,
+                   no_trunc_fids: frozenset = frozenset()) -> DataFile:
     """Shared row-group→file stats reduction. ``rg_chunks`` is one list
     per row group of ``(leaf_path, num_values, compressed_size,
     null_count|None, minmax)`` where ``minmax`` is ``None`` (no min/max
@@ -756,10 +762,16 @@ def _reduce_chunks(rg_chunks, num_rows: int, group_fids: set,
             elif fid not in uppers or hi > uppers[fid]:
                 uppers[fid] = hi
 
-    lowers = {fid: _trunc_lower(v) for fid, v in lowers.items()
-              if fid not in no_lower}
+    # uuid-typed fields (the caller's ``no_trunc_fids``) keep their full
+    # 36-char string bound: the spec's uuid bound is the exact 16-byte
+    # value, and a 16-CHAR prefix would both fail the manifest writer's
+    # UUID parse and be meaningless to a foreign reader (r16).
+    lowers = {fid: v if fid in no_trunc_fids else _trunc_lower(v)
+              for fid, v in lowers.items() if fid not in no_lower}
     uppers = {fid: u for fid, v in uppers.items()
-              if fid not in no_upper and (u := _trunc_upper(v)) is not None}
+              if fid not in no_upper
+              and (u := (v if fid in no_trunc_fids
+                         else _trunc_upper(v))) is not None}
     null_counts = {fid: v for fid, v in null_counts.items()
                    if fid not in no_nulls}
     for fid in group_fids:
@@ -781,7 +793,8 @@ def harvest_files(spark, paths_with_partitions: list[tuple[str, dict]],
                   field_ids: dict[str, int], content: int = CONTENT_DATA,
                   equality_ids: tuple[int, ...] | None = None,
                   distributed_threshold: int = 512,
-                  nan_zero_ok: bool = False) -> list[DataFile]:
+                  nan_zero_ok: bool = False,
+                  no_trunc_fids: frozenset = frozenset()) -> list[DataFile]:
     """Harvest many footers; distributes to executors above the threshold.
     Below it, a driver-side thread pool is faster than a Spark job —
     footer reads are I/O + C parsing and release the GIL; the job
@@ -792,13 +805,14 @@ def harvest_files(spark, paths_with_partitions: list[tuple[str, dict]],
         with ThreadPoolExecutor(max_workers=min(16, max(len(items), 1))) as ex:
             return list(ex.map(
                 lambda it: harvest_one(it[0], field_ids, it[1], content,
-                                       equality_ids, nan_zero_ok), items))
+                                       equality_ids, nan_zero_ok,
+                                       no_trunc_fids), items))
     sc = spark.sparkContext
     n_slices = min(len(items), 256)
 
     def _do(batch):
         return [harvest_one(p, field_ids, part, content, equality_ids,
-                            nan_zero_ok).to_json()
+                            nan_zero_ok, no_trunc_fids).to_json()
                 for p, part in batch]
 
     jsons = sc.parallelize(items, n_slices).mapPartitions(

@@ -453,8 +453,13 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
     nan_ok = fmt == "parquet" and any(
         f.field_type in ("float", "double") for f in schema.fields
         if isinstance(f.field_type, str)) and writer_nan_in_max(spark)
+    # uuid bounds stay full-length (spec: the bound is the exact
+    # 16-byte value; a string-truncated prefix is not a uuid)
+    uuid_fids = frozenset(
+        f.field_id for f in schema.fields if f.field_type == "uuid")
     harvested = harvest_files(spark, items, field_ids, content,
-                              equality_ids, nan_zero_ok=nan_ok)
+                              equality_ids, nan_zero_ok=nan_ok,
+                              no_trunc_fids=uuid_fids)
     # Spark's writer can emit a zero-row file for an empty leading task
     # (seen with unrepartitioned skinny delete sets); committing it
     # would add a dead path to every merge-on-read relation forever.

@@ -1825,6 +1825,16 @@ def test_decimal_bounds_harvest_roundtrip_and_prune(spark, tmp_path):
     enc = encode_bound(u, "uuid")
     assert len(enc) == 16 and decode_bound(enc, "uuid") == u
     assert decode_bound(u.encode(), "uuid") == u
+    # r16: an unparseable uuid bound (e.g. a string-truncated prefix
+    # replayed from a pre-r16 DataFile) DROPS the bound instead of
+    # failing the whole commit — bounds are optional, commits are not
+    assert encode_bound(u[:16], "uuid") is None
+    from iceberg_rust_archive_spark.sources.manifest_avro import (
+        _bounds_out,
+    )
+    out = _bounds_out({7: u[:16], 8: "keep"}, {7: "uuid", 8: "string"})
+    assert [e["key"] for e in out] == [8]
+    assert _bounds_out({7: u[:16]}, {7: "uuid"}) is None
 
     eng = Engine(spark, FileCatalog(str(tmp_path / "wh")))
     eng.sql("CREATE SCHEMA db")
@@ -4888,3 +4898,75 @@ def test_string_bucket_write_partition_tuples(spark, catalog):
                   report=rep).collect()
     assert [r["doc_id"] for r in hits] == ["iceberg"]
     assert rep["data_files_planned"] < len(got)  # pruned other buckets
+
+
+def test_decimal_uuid_bucket_write_partition_tuples(spark, catalog):
+    """r16: bucket[N] writes keyed on decimal and uuid columns ride the
+    vectorized varlen kernel (Arrow decimal128 ingest / hex parse) —
+    the committed partition tuples must equal the scalar spec
+    transform, NULLs land in the null partition, and bucket predicates
+    still prune. Reference anchor: iceberg-rust-spec/src/spec/
+    values.rs:360-364 (murmur3 over two's-complement / 16 raw bytes)."""
+    import uuid as uuid_mod
+    from decimal import Decimal
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        bucket_value,
+    )
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+
+    # decimal(9,2)-keyed buckets
+    dec_schema = Schema(0, StructTypeSpec((
+        NestedField(1, "amount", "decimal(9,2)", True),
+        NestedField(2, "note", "string", True),
+    )))
+    spec = PartitionSpec(
+        0, (PartitionField(1, 1000, "amt_bucket", "bucket[8]"),))
+    t = Table.create(catalog, "db.amt_bucket", dec_schema, spec)
+    amounts = [Decimal("14.20"), Decimal("0.00"), Decimal("-0.01"),
+               Decimal("1234567.89"), Decimal("-1234567.89")]
+    rows = [(a, f"amt {a}") for a in amounts] + [(None, "null-key")]
+    t = t.append(spark, spark.createDataFrame(
+        rows, "amount decimal(9,2), note string"))
+    snap = t.metadata.current_snapshot()
+    entries = [e for m in read_manifest_list(snap.manifest_list)
+               for e in read_manifest(m.manifest_path)]
+    got = {e.data_file.partition["amt_bucket"] for e in entries}
+    assert got == {bucket_value(a, 8, "decimal(9,2)")
+                   for a in amounts} | {None}
+    rep: dict = {}
+    hits = t.scan(spark, filter=[Pred("amount", "=", Decimal("14.20"))],
+                  report=rep).collect()
+    assert [r["amount"] for r in hits] == [Decimal("14.20")]
+    assert rep["data_files_planned"] < len(got)
+
+    # uuid-keyed buckets (Spark carrier: string)
+    uid_schema = Schema(0, StructTypeSpec((
+        NestedField(1, "uid", "uuid", True),
+        NestedField(2, "note", "string", True),
+    )))
+    spec = PartitionSpec(
+        0, (PartitionField(1, 1001, "uid_bucket", "bucket[8]"),))
+    t2 = Table.create(catalog, "db.uid_bucket", uid_schema, spec)
+    uids = [str(uuid_mod.UUID(int=i * 7919)) for i in range(6)]
+    t2 = t2.append(spark, spark.createDataFrame(
+        [(u, "r") for u in uids] + [(None, "null-key")],
+        "uid string, note string"))
+    snap = t2.metadata.current_snapshot()
+    entries = [e for m in read_manifest_list(snap.manifest_list)
+               for e in read_manifest(m.manifest_path)]
+    got = {e.data_file.partition["uid_bucket"] for e in entries}
+    assert got == {bucket_value(u, 8, "uuid") for u in uids} | {None}
+    assert t2.scan(spark).count() == len(uids) + 1
+    # uuid column bounds harvest FULL-length (no string truncation —
+    # the spec's uuid bound is the exact 16-byte value; pre-r16 the
+    # 16-char truncated prefix crashed the manifest writer's UUID
+    # parse, so uuid-typed columns could not be written at all) and
+    # round-trip the Avro manifest as 16-byte values
+    fid = t2.metadata.current_schema().field_by_name("uid").field_id
+    bounds = [b for e in entries if e.data_file.lower_bounds
+              and (b := e.data_file.lower_bounds.get(fid)) is not None]
+    assert bounds and all(
+        b in uids for b in bounds), bounds  # parsed back, not prefixes
+    hits = t2.scan(spark, filter=[Pred("uid", "=", uids[0])]).collect()
+    assert [r["uid"] for r in hits] == [uids[0]]

@@ -799,3 +799,132 @@ def test_varlen_bucket_carriers_and_guards():
     buf, offs, _ = _series_to_ragged_bytes(
         pd.Series(["y" * 5000, "z"], dtype=object), "string")
     assert _murmur3_32_varlen(buf, offs) is None
+
+
+def test_vectorized_decimal_uuid_bucket_vectors_and_guards():
+    """r16: decimal and uuid ride the varlen murmur3 kernel — decimal
+    through Arrow decimal128 ingest + a vectorized minimal-BE
+    two's-complement strip, uuid through a vectorized hex parse of the
+    canonical 36-char spelling. Appendix B vectors pin both; every
+    non-canonical spelling falls back to the permissive scalar path
+    (batch-level None, never a silent per-row misparse)."""
+    import uuid as uuid_mod
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _murmur3_32_varlen, _series_to_ragged_bytes, _single_value_bytes,
+        bucket_value, murmur3_32,
+    )
+
+    def signed(u):
+        return int(u) - (1 << 32) if u >= (1 << 31) else int(u)
+
+    # Appendix B: decimal(9,2) 14.20 → hash -500754589
+    decs = [Decimal("14.20"), None, Decimal("0"), Decimal("-0.01"),
+            Decimal("1.28"), Decimal("-123456789.99")]
+    buf, offs, mask = _series_to_ragged_bytes(
+        pd.Series(decs, dtype=object), "decimal(9,2)")
+    h = _murmur3_32_varlen(buf, offs)
+    assert signed(h[0]) == -500754589
+    assert mask.tolist() == [v is None for v in decs]
+    for i, v in enumerate(decs):
+        if v is not None:
+            assert bytes(buf[offs[i]:offs[i + 1]]) == \
+                _single_value_bytes(v, "decimal(9,2)")
+    # >18-digit unscaled values (beyond int64) stay exact via the
+    # 16-byte decimal128 carrier
+    wide = Decimal("12345678901234567890123.456")
+    buf, offs, _ = _series_to_ragged_bytes(
+        pd.Series([wide, -wide], dtype=object), "decimal(30,3)")
+    assert bytes(buf[offs[0]:offs[1]]) == \
+        _single_value_bytes(wide, "decimal(30,3)")
+    assert bytes(buf[offs[1]:offs[2]]) == \
+        _single_value_bytes(-wide, "decimal(30,3)")
+    # values at a different exponent rescale to the TYPE scale (the
+    # spec hashes the unscaled value at the declared scale)
+    buf, offs, _ = _series_to_ragged_bytes(
+        pd.Series([Decimal("5")], dtype=object), "decimal(9,2)")
+    assert bytes(buf[offs[0]:offs[1]]) == \
+        _single_value_bytes(Decimal("5.00"), "decimal(9,2)")
+    # >38-digit batch declines to the scalar path
+    assert _series_to_ragged_bytes(
+        pd.Series([Decimal(10) ** 40], dtype=object),
+        "decimal(38,0)") is None
+
+    # Appendix B: uuid f79c3e09-… → hash 1488055340; case-insensitive
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    us = [u, None, u.upper(), "00000000-0000-0000-0000-000000000000"]
+    buf, offs, mask = _series_to_ragged_bytes(
+        pd.Series(us, dtype=object), "uuid")
+    h = _murmur3_32_varlen(buf, offs)
+    assert signed(h[0]) == 1488055340
+    assert h[0] == h[2]
+    assert mask.tolist() == [v is None for v in us]
+    for i, v in enumerate(us):
+        if v is not None:
+            assert bytes(buf[offs[i]:offs[i + 1]]) == \
+                uuid_mod.UUID(v).bytes
+    assert ((int(h[0]) & 0x7FFFFFFF) % 16) == bucket_value(u, 16, "uuid")
+    # non-canonical spellings the scalar uuid.UUID parse accepts must
+    # decline as a BATCH (urn:, braces, no-hyphen, bad hex, bad length)
+    for bad in (f"urn:uuid:{u}", "{" + u + "}", u.replace("-", ""),
+                u[:-1] + "g", u[:-1]):
+        assert _series_to_ragged_bytes(
+            pd.Series([u, bad], dtype=object), "uuid") is None
+    # …and the scalar fallback parses the permissive spellings to the
+    # same bucket (uuid.UUID normalizes urn:/braces/no-hyphen forms)
+    for ok in (f"urn:uuid:{u}", "{" + u + "}", u.replace("-", "")):
+        assert bucket_value(ok, 16, "uuid") == bucket_value(u, 16, "uuid")
+    # all-null batches stay on the vector path (masked zeros)
+    for t in ("uuid", "decimal(9,2)"):
+        buf, offs, mask = _series_to_ragged_bytes(
+            pd.Series([None, None], dtype=object), t)
+        assert mask.tolist() == [True, True]
+        assert _murmur3_32_varlen(buf, offs) is not None
+
+
+def test_vectorized_decimal_uuid_matches_scalar_hypothesis():
+    """Generative pin: the vectorized decimal/uuid hash equals the
+    scalar spec path for arbitrary unscaled values (±10^30, mixed
+    exponents) and arbitrary UUIDs (random 128-bit, random hex case)."""
+    import uuid as uuid_mod
+    from decimal import Decimal
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_rust_archive_spark.functions.transforms import (
+        _murmur3_32_varlen, _series_to_ragged_bytes, _single_value_bytes,
+        murmur3_32,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(-(10 ** 30), 10 ** 30),
+                    min_size=1, max_size=32))
+    def check_dec(unscaled):
+        vs = [Decimal(x).scaleb(-3) for x in unscaled]
+        buf, offs, _ = _series_to_ragged_bytes(
+            pd.Series(vs, dtype=object), "decimal(33,3)")
+        got = _murmur3_32_varlen(buf, offs)
+        assert got.tolist() == [
+            murmur3_32(_single_value_bytes(v, "decimal(33,3)"))
+            for v in vs]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, (1 << 128) - 1),
+                              st.booleans()),
+                    min_size=1, max_size=32))
+    def check_uuid(pairs):
+        vs = [str(uuid_mod.UUID(int=i)).upper() if up
+              else str(uuid_mod.UUID(int=i)) for i, up in pairs]
+        buf, offs, _ = _series_to_ragged_bytes(
+            pd.Series(vs, dtype=object), "uuid")
+        got = _murmur3_32_varlen(buf, offs)
+        assert got.tolist() == [
+            murmur3_32(uuid_mod.UUID(v).bytes) for v in vs]
+
+    check_dec()
+    check_uuid()
