@@ -430,6 +430,14 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                             src.field_type)
                 except (TypeError, ValueError):
                     continue  # un-transformable literal → keep
+                if summary.contains_null and (
+                        "" in tlit if p.op == "in" else tlit == ""):
+                    # legacy-writer rescue (r16): pre-r16 tables
+                    # conflated an empty-string partition value with
+                    # null (Spark's __HIVE_DEFAULT_PARTITION__ covers
+                    # both), so a null-admitting manifest may hide ''
+                    # rows its bounds don't — keep it for a '' probe
+                    continue
                 # Iceberg's INCLUSIVE projection (Projections.inclusive
                 # / pruning_statistics.rs:285-350): a many-to-one
                 # monotone transform maps an OPEN interval to a CLOSED

@@ -53,7 +53,10 @@ def encode_bound(value, ice_type: str | None) -> bytes:
     t = ice_type or ""
     if t == "int":
         return struct.pack("<i", int(value))
-    if t == "long" or t.startswith("timestamp"):
+    if t in ("long", "time") or t.startswith("timestamp"):
+        # time = µs since midnight, an 8-byte long per Appendix D (r16:
+        # previously fell to the int fallback — same bytes — but the
+        # DECODE side had no branch and crashed reading them back)
         return struct.pack("<q", int(value))
     if t == "float":
         return struct.pack("<f", float(value))
@@ -105,7 +108,7 @@ def decode_bound(data: bytes, ice_type: str | None):
     t = ice_type or "string"
     if t == "int":
         return struct.unpack("<i", data)[0]
-    if t == "long" or t.startswith("timestamp"):
+    if t in ("long", "time") or t.startswith("timestamp"):
         return struct.unpack("<q", data)[0]
     if t == "float":
         return struct.unpack("<f", data)[0]

@@ -128,6 +128,27 @@ def _records_per_file(df: DataFrame, target_bytes: int, codec: str,
     return max(128, target_bytes // width)
 
 
+# Directory marker for an EMPTY-STRING partition value: Spark's
+# Hive-style layout renders both null and '' as
+# __HIVE_DEFAULT_PARTITION__, so without an escape the committed tuple
+# for '' reads back as null — and a reader pruning on k='' silently
+# loses the file (manifest FieldSummary bounds never contain '';
+# contains_null doesn't rescue a non-null probe). The writer maps
+# '' → '%00' and prefixes real values that start with '%00' with one
+# more '%00' (injective); Spark escapes the literal '%' to '%25' in
+# the dir name, and the parser's unquote restores it, so the marker
+# round-trips the directory encoding exactly (r16).
+_EMPTY_MARKER = "%00"
+
+
+def _unmark_empty(s: str) -> str:
+    if s == _EMPTY_MARKER:
+        return ""
+    if s.startswith(_EMPTY_MARKER):
+        return s[len(_EMPTY_MARKER):]
+    return s
+
+
 def _partition_value_from_str(s: str, transform: str, source_type: str):
     if s == "__HIVE_DEFAULT_PARTITION__":
         return None
@@ -136,7 +157,8 @@ def _partition_value_from_str(s: str, transform: str, source_type: str):
             transform.startswith("bucket"):
         return int(s)
     if transform.startswith("truncate"):
-        return int(s) if source_type in ("int", "long") else s
+        return int(s) if source_type in ("int", "long") \
+            else _unmark_empty(s) if source_type == "string" else s
     # identity: coerce by source type
     if source_type in ("int", "long"):
         return int(s)
@@ -173,7 +195,9 @@ def _partition_value_from_str(s: str, transform: str, source_type: str):
                     - _dt.date(1970, 1, 1)).days
         except ValueError:
             return s
-    return s  # string / decimal-as-string
+    if source_type == "string":
+        return _unmark_empty(s)  # identity: invert the '' dir marker
+    return s  # decimal-as-string / other
 
 
 def align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
@@ -318,6 +342,15 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
             pcol = F.unix_micros(F.col(src.name))
         else:
             pcol = transform_column(pf.transform, src.name, ftype)
+        if ftype == "string" and (pf.transform == "identity"
+                                  or pf.transform.startswith("truncate")):
+            # '' must stay distinguishable from null in the dir name
+            # (see _EMPTY_MARKER); nulls fall through every WHEN to
+            # the otherwise and still render __HIVE_DEFAULT_PARTITION__
+            pcol = (F.when(pcol == "", F.lit(_EMPTY_MARKER))
+                     .when(pcol.startswith(_EMPTY_MARKER),
+                           F.concat(F.lit(_EMPTY_MARKER), pcol))
+                     .otherwise(pcol))
         df = df.withColumn(cname, pcol)
         pcols.append(cname)
         spec_fields.append((pf, src))

@@ -4970,3 +4970,73 @@ def test_decimal_uuid_bucket_write_partition_tuples(spark, catalog):
         b in uids for b in bounds), bounds  # parsed back, not prefixes
     hits = t2.scan(spark, filter=[Pred("uid", "=", uids[0])]).collect()
     assert [r["uid"] for r in hits] == [uids[0]]
+
+
+def test_empty_string_partition_value_distinct_from_null(spark, catalog):
+    """r16 (found by a write→scan soak probe): Spark's Hive-style
+    layout renders BOTH null and '' partition dir values as
+    __HIVE_DEFAULT_PARTITION__, so an empty-string identity/truncate
+    partition value committed a NULL tuple — and a ``k = ''`` scan
+    pruned the manifest (FieldSummary bounds never contain '';
+    contains_null doesn't rescue a non-null probe): a silent lost row.
+    The writer now escapes '' (and real values colliding with the
+    marker) in the dir name; the parser inverts it, so tuples carry
+    the true ''. A legacy-table rescue keeps null-admitting manifests
+    for '' probes (pre-r16 tuples stay conflated)."""
+    from iceberg_rust_archive_spark.sources.manifests import read_manifest
+
+    sch = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "string", True),
+        NestedField(2, "v", "long", True))))
+    rows = [("plain", 0), ("", 1), (None, 2), ("%00x", 3), ("%00", 4)]
+    for tname, tr in [("ident", "identity"), ("trunc", "truncate[3]")]:
+        spec = PartitionSpec(0, (PartitionField(1, 1000, "pk", tr),))
+        t = Table.create(catalog, f"db.empty_{tname}", sch, spec)
+        t = t.append(spark, spark.createDataFrame(
+            rows, "k string, v long"))
+        snap = t.metadata.current_snapshot()
+        tuples = {e.data_file.partition["pk"]
+                  for m in read_manifest_list(snap.manifest_list)
+                  for e in read_manifest(m.manifest_path)}
+        # the true '' tuple is committed; marker collisions round-trip
+        assert "" in tuples and None in tuples, tuples
+        assert "%00" in tuples, tuples
+        for probe, want in [("", [1]), ("plain", [0]),
+                            ("%00x", [3]), ("%00", [4])]:
+            if tr.startswith("truncate") and probe == "%00x":
+                want = [3]  # truncates into the '%00' partition
+            got = sorted(r["v"] for r in t.scan(
+                spark, filter=[Pred("k", "=", probe)]).collect())
+            assert got == want, (tr, probe, got)
+        got = sorted(r["v"] for r in t.scan(
+            spark, filter=[Pred("k", "is_null", None)]).collect())
+        assert got == [2], (tr, got)
+
+
+def test_legacy_conflated_empty_string_manifest_not_pruned():
+    """Pre-r16 tables committed '' partition rows under a NULL tuple;
+    their manifests' summaries admit nulls but bound only the non-''
+    values. A '' equality probe must KEEP such a manifest (the rescue
+    in prune_manifests) — and must still prune when the summary
+    proves no nulls."""
+    from types import SimpleNamespace
+
+    from iceberg_rust_archive_spark.predicates import prune_manifests
+
+    sch = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "string", True),)))
+    spec = PartitionSpec(0, (PartitionField(1, 1000, "pk", "identity"),))
+
+    def mle(contains_null):
+        return SimpleNamespace(content=0, partitions=[SimpleNamespace(
+            contains_null=contains_null, contains_nan=False,
+            lower_bound="plain", upper_bound="plain")])
+
+    legacy, clean = mle(True), mle(False)
+    kept = prune_manifests([Pred("k", "=", "")], spec, sch,
+                           [legacy, clean])
+    assert legacy in kept and clean not in kept
+    # a non-'' probe outside the bounds still prunes both
+    kept = prune_manifests([Pred("k", "=", "zzz")], spec, sch,
+                           [legacy, clean])
+    assert kept == []

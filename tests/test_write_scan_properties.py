@@ -1,0 +1,195 @@
+"""Generative differential soak of the full write→manifest→scan loop
+across the TYPE × NULLABILITY × PARTITION-TRANSFORM cross-product.
+
+Motivation (r16): the decimal/uuid bucket work surfaced that a table
+with a uuid-typed column could never be WRITTEN — a type-blind string
+truncation in stats harvesting fed the manifest writer a 16-char
+prefix its UUID parse crashed on. Hand-written e2e tests cover the
+common carriers; this model walks the rare-type corners mechanically
+(the same reasoning the r15 verdict applied to the DDL parser): every
+generated (schema, partition transform, rows-with-nulls) combination
+must append, commit a manifest, and scan back the EXACT multiset — and
+an equality predicate on the partition source column must return the
+exact matching subset through pruning.
+
+Reference semantics anchor: the reference's write path accepts every
+primitive type × transform pair its spec module defines
+(iceberg-rust-spec/src/spec/values.rs transforms; datafusion_iceberg
+writes via ArrowSchema) — parity here means no (type, transform)
+combination is a write-crash or a lost-row.
+"""
+
+import datetime as dt
+import itertools
+from collections import Counter
+import uuid as uuid_mod
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_rust_archive_spark.catalog.file_catalog import FileCatalog
+from iceberg_rust_archive_spark.predicates import Pred
+from iceberg_rust_archive_spark.spec.partition import (
+    PartitionField, PartitionSpec,
+)
+from iceberg_rust_archive_spark.spec.schema import (
+    NestedField, Schema, StructTypeSpec,
+)
+from iceberg_rust_archive_spark.spec.types import iceberg_to_spark_type
+from iceberg_rust_archive_spark.table import Table
+
+SLOW = settings(
+    max_examples=int(__import__("os").environ.get("PROP_EXAMPLES", "6")),
+    deadline=None, suppress_health_check=list(HealthCheck))
+
+_UNIQ = itertools.count()
+
+# value strategy per iceberg type. Dates span past datetime64[ns]'s
+# 1677-2262 window on purpose — the vectorized date-bucket carrier
+# must hand sentinel dates (9999-12-31) to the scalar path, not NULL
+# them (the r15 lost-rows fix).
+_VALUES = {
+    "int": st.integers(-(2 ** 31), 2 ** 31 - 1),
+    "long": st.integers(-(2 ** 63), 2 ** 63 - 1),
+    "float": st.floats(allow_nan=False, allow_infinity=False, width=32),
+    "double": st.floats(allow_nan=False, allow_infinity=False),
+    "boolean": st.booleans(),
+    "string": st.text(max_size=12),
+    "binary": st.binary(max_size=12),
+    "date": st.dates(dt.date(1500, 1, 1), dt.date(9999, 12, 31)),
+    "time": st.integers(0, 86_399_999_999),  # µs since midnight (long)
+    "timestamp": st.datetimes(dt.datetime(1900, 1, 1),
+                              dt.datetime(2200, 1, 1)),
+    "timestamptz": st.datetimes(
+        dt.datetime(1900, 1, 1), dt.datetime(2200, 1, 1)).map(
+            lambda d: d.replace(tzinfo=dt.timezone.utc)),
+    "decimal(9,2)": st.integers(-(10 ** 9) + 1, 10 ** 9 - 1).map(
+        lambda u: Decimal(u).scaleb(-2)),
+    "decimal(30,3)": st.integers(-(10 ** 30) + 1, 10 ** 30 - 1).map(
+        lambda u: Decimal(u).scaleb(-3)),
+    "uuid": st.integers(0, (1 << 128) - 1).map(
+        lambda i: str(uuid_mod.UUID(int=i))),
+}
+
+# partitionable transforms per type (spec Appendix B applicability);
+# float/double/boolean stay unpartitioned (the spec forbids float
+# partition sources; boolean buckets are pointless)
+_TRANSFORMS = {
+    "int": ["identity", "bucket[4]", "truncate[10]"],
+    "long": ["identity", "bucket[4]", "truncate[10]"],
+    "string": ["identity", "bucket[4]", "truncate[3]"],
+    "date": ["identity", "year", "month", "day", "bucket[4]"],
+    "time": ["bucket[4]"],
+    "timestamp": ["year", "month", "day", "hour", "bucket[4]"],
+    "timestamptz": ["year", "month", "day", "hour", "bucket[4]"],
+    "decimal(9,2)": ["identity", "bucket[4]", "truncate[10]"],
+    "decimal(30,3)": ["bucket[4]"],
+    "uuid": ["identity", "bucket[4]"],
+    "binary": ["bucket[4]"],
+}
+
+# predicate-equality scan is checked for types whose literals compare
+# exactly through the pruning rewrite AND Catalyst's residual filter
+_PRED_TYPES = ("int", "long", "string", "decimal(9,2)", "uuid", "date")
+
+
+@st.composite
+def table_case(draw):
+    types = draw(st.lists(st.sampled_from(sorted(_VALUES)), min_size=1,
+                          max_size=4))
+    fields = []
+    for i, t in enumerate(types):
+        fields.append(NestedField(i + 1, f"c{i}", t, True))
+    part = None
+    partitionable = [i for i, f in enumerate(fields)
+                     if f.field_type in _TRANSFORMS]
+    if partitionable and draw(st.booleans()):
+        idx = draw(st.sampled_from(partitionable))
+        tr = draw(st.sampled_from(_TRANSFORMS[fields[idx].field_type]))
+        part = (idx, tr)
+    nrows = draw(st.integers(1, 10))
+    rows = []
+    for _ in range(nrows):
+        row = tuple(
+            draw(st.one_of(st.none(), _VALUES[f.field_type]))
+            for f in fields)
+        rows.append(row)
+    return fields, part, rows
+
+
+_EPOCH_UTC = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+_MICRO = dt.timedelta(microseconds=1)
+
+
+def _norm(v, ice_t):
+    """Value → comparable form, per iceberg type. timestamptz collects
+    from Spark as a NAIVE datetime in the process-local timezone, so
+    both sides normalize to epoch µs; timestamp (NTZ) stays wall-time."""
+    if v is None:
+        return None
+    if ice_t == "timestamptz":
+        if isinstance(v, dt.datetime) and v.tzinfo is None:
+            v = v.astimezone(dt.timezone.utc)  # naive = local tz
+        return ("tz", (v - _EPOCH_UTC) // _MICRO)
+    if isinstance(v, dt.datetime):
+        return ("ntz", v.isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("b", bytes(v))
+    return v
+
+
+def _norm_row(row, fields):
+    return tuple(_norm(v, f.field_type) for v, f in zip(row, fields))
+
+
+@SLOW
+@given(case=table_case())
+def test_write_scan_roundtrip_all_types(spark, tmp_path_factory, case):
+    fields, part, rows = case
+    base = tmp_path_factory.mktemp("wsprop")
+    cat = FileCatalog(str(base / "wh"))
+    cat.create_namespace("db")
+    schema = Schema(0, StructTypeSpec(tuple(fields)))
+    spec = None
+    if part is not None:
+        idx, tr = part
+        src = fields[idx]
+        spec = PartitionSpec(
+            0, (PartitionField(src.field_id, 1000 + src.field_id,
+                               f"p_{src.name}", tr),))
+    name = f"db.t{next(_UNIQ)}"
+    t = Table.create(cat, name, schema, spec)
+
+    import pyspark.sql.types as T
+    spark_schema = T.StructType([
+        T.StructField(f.name, iceberg_to_spark_type(f.field_type), True)
+        for f in fields])
+    df = spark.createDataFrame(rows, spark_schema)
+    t = t.append(spark, df)
+
+    got = Counter(_norm_row(tuple(r), fields)
+                  for r in t.scan(spark).collect())
+    want = Counter(_norm_row(r, fields) for r in rows)
+    assert got == want, (fields, part)
+
+    # equality predicate on the partition source column: exact subset
+    # through manifest pruning + residual filter
+    if part is not None and fields[part[0]].field_type in _PRED_TYPES:
+        idx, _tr = part
+        src = fields[idx]
+        vals = [r[idx] for r in rows if r[idx] is not None]
+        if vals:
+            probe = vals[0]
+            hits = Counter(_norm_row(tuple(r), fields) for r in t.scan(
+                spark, filter=[Pred(src.name, "=", probe)]).collect())
+            expect = Counter(_norm_row(r, fields) for r in rows
+                             if r[idx] == probe)
+            assert hits == expect, (fields, part, probe)
