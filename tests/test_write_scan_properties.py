@@ -81,11 +81,13 @@ _TRANSFORMS = {
     "long": ["identity", "bucket[4]", "truncate[10]"],
     "string": ["identity", "bucket[4]", "truncate[3]"],
     "date": ["identity", "year", "month", "day", "bucket[4]"],
-    "time": ["bucket[4]"],
-    "timestamp": ["year", "month", "day", "hour", "bucket[4]"],
-    "timestamptz": ["year", "month", "day", "hour", "bucket[4]"],
+    "time": ["identity", "bucket[4]"],
+    "timestamp": ["identity", "year", "month", "day", "hour",
+                  "bucket[4]"],
+    "timestamptz": ["identity", "year", "month", "day", "hour",
+                    "bucket[4]"],
     "decimal(9,2)": ["identity", "bucket[4]", "truncate[10]"],
-    "decimal(30,3)": ["bucket[4]"],
+    "decimal(30,3)": ["identity", "bucket[4]"],
     "uuid": ["identity", "bucket[4]"],
     "binary": ["bucket[4]"],
 }
@@ -193,3 +195,55 @@ def test_write_scan_roundtrip_all_types(spark, tmp_path_factory, case):
             expect = Counter(_norm_row(r, fields) for r in rows
                              if r[idx] == probe)
             assert hits == expect, (fields, part, probe)
+
+
+# key types for the eq-delete model (each a distinct spec hash/compare
+# carrier); values drawn from a SMALL pool so duplicates and
+# delete-key overlap actually occur
+_DELETE_KEY_TYPES = ["int", "long", "string", "date", "time",
+                     "decimal(9,2)", "uuid", "timestamp", "boolean"]
+
+
+@st.composite
+def delete_case(draw):
+    t = draw(st.sampled_from(_DELETE_KEY_TYPES))
+    pool = draw(st.lists(_VALUES[t], min_size=2, max_size=4,
+                         unique=True))
+    rows = [(draw(st.one_of(st.none(), st.sampled_from(pool))), i)
+            for i in range(draw(st.integers(2, 10)))]
+    dels = draw(st.lists(
+        st.one_of(st.none(), st.sampled_from(pool)),
+        min_size=1, max_size=3, unique=True))
+    return t, rows, dels
+
+
+@SLOW
+@given(case=delete_case())
+def test_eq_delete_matches_null_safe_model(spark, tmp_path_factory,
+                                           case):
+    """Equality deletes over every key-type carrier vs the spec's
+    null-safe-equality model: a delete row with a NULL key deletes the
+    NULL-keyed data rows (null <=> null), and survivors are exactly
+    the rows whose key matches no delete key."""
+    ice_t, rows, dels = case
+    base = tmp_path_factory.mktemp("eqdprop")
+    cat = FileCatalog(str(base / "wh"))
+    cat.create_namespace("db")
+    fields = (NestedField(1, "k", ice_t, True),
+              NestedField(2, "v", "long", True))
+    schema = Schema(0, StructTypeSpec(fields))
+    t = Table.create(cat, f"db.d{next(_UNIQ)}", schema)
+
+    import pyspark.sql.types as T
+    ktype = iceberg_to_spark_type(ice_t)
+    t = t.append(spark, spark.createDataFrame(rows, T.StructType([
+        T.StructField("k", ktype, True),
+        T.StructField("v", T.LongType(), True)])))
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame(
+            [(d,) for d in dels],
+            T.StructType([T.StructField("k", ktype, True)])), ["k"])
+
+    got = Counter(r["v"] for r in t.scan(spark).collect())
+    want = Counter(v for k, v in rows if k not in dels)
+    assert got == want, (ice_t, rows, dels)
