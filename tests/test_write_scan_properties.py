@@ -214,7 +214,13 @@ def delete_case(draw):
     dels = draw(st.lists(
         st.one_of(st.none(), st.sampled_from(pool)),
         min_size=1, max_size=3, unique=True))
-    return t, rows, dels
+    # optionally partition ON THE DELETE KEY — exercises the
+    # partition-scoping decision (scoped tuples vs global deletes, the
+    # spec-stamp gate for bucket scopes) against the same model
+    tr = None
+    if t in _TRANSFORMS and draw(st.booleans()):
+        tr = draw(st.sampled_from(_TRANSFORMS[t]))
+    return t, rows, dels, tr
 
 
 @SLOW
@@ -224,15 +230,21 @@ def test_eq_delete_matches_null_safe_model(spark, tmp_path_factory,
     """Equality deletes over every key-type carrier vs the spec's
     null-safe-equality model: a delete row with a NULL key deletes the
     NULL-keyed data rows (null <=> null), and survivors are exactly
-    the rows whose key matches no delete key."""
-    ice_t, rows, dels = case
+    the rows whose key matches no delete key. When the case draws a
+    partition ON the key, the writer's scoping decision (per-partition
+    scope tuples vs a global delete; the spec-stamp gate for
+    bucket/month scopes) must not change the result."""
+    ice_t, rows, dels, tr = case
     base = tmp_path_factory.mktemp("eqdprop")
     cat = FileCatalog(str(base / "wh"))
     cat.create_namespace("db")
     fields = (NestedField(1, "k", ice_t, True),
               NestedField(2, "v", "long", True))
     schema = Schema(0, StructTypeSpec(fields))
-    t = Table.create(cat, f"db.d{next(_UNIQ)}", schema)
+    spec = None
+    if tr is not None:
+        spec = PartitionSpec(0, (PartitionField(1, 1001, "p_k", tr),))
+    t = Table.create(cat, f"db.d{next(_UNIQ)}", schema, spec)
 
     import pyspark.sql.types as T
     ktype = iceberg_to_spark_type(ice_t)
