@@ -671,8 +671,34 @@ def scan(spark: SparkSession, md: TableMetadata,
     def pkey(e):
         return json.dumps(e.data_file.partition, sort_keys=True, default=str)
 
+    # partition-field names whose tuple value is the raw string (identity/
+    # truncate on a string source) — the carriers of the pre-r16
+    # __HIVE_DEFAULT_PARTITION__ conflation (see sources/write.py
+    # _EMPTY_MARKER): data files written before the fix hold their
+    # empty-string rows under a NULL tuple
+    _str_part_names = {
+        pf.name
+        for sp in md.partition_specs.values()
+        for pf in sp.fields
+        if (pf.transform == "identity"
+            or pf.transform.startswith("truncate"))
+        and getattr(schema.field_by_id(pf.source_id),
+                    "field_type", None) == "string"
+    }
+
     def _is_global(e):
-        return all(v is None for v in e.data_file.partition.values())
+        part = e.data_file.partition
+        if all(v is None for v in part.values()):
+            return True
+        # r16: a delete scoped to an EMPTY-STRING tuple applies
+        # globally — a pre-r16 data file keeps its '' rows under a
+        # NULL tuple, so the scope residual would skip that file and
+        # the delete would silently un-apply (no rescue: deletes are
+        # semantics, not pruning). Scope itself IS only pruning — the
+        # null-safe key anti-join does the row matching — so widening
+        # to global is always sound, merely less pruned.
+        return any(v == "" and k in _str_part_names
+                   for k, v in part.items())
 
     parts: list[DataFrame] = []
     if not delete_entries:

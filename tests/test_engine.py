@@ -5013,6 +5013,40 @@ def test_empty_string_partition_value_distinct_from_null(spark, catalog):
         assert got == [2], (tr, got)
 
 
+def test_empty_string_scoped_delete_applies_to_legacy_files(
+        spark, catalog, monkeypatch):
+    """r16 mixed-state hazard: a pre-r16 data file keeps its ''-keyed
+    rows under a NULL partition tuple (the __HIVE_DEFAULT_PARTITION__
+    conflation), so a post-fix delete of key '' — scoped to the ''
+    tuple — would skip that file via the scope residual and the rows
+    silently resurrect (no rescue: deletes are semantics). The scan
+    planner therefore demotes ''-scoped deletes through string
+    identity/truncate fields to GLOBAL; the null-safe key anti-join
+    still does the exact row matching."""
+    from iceberg_rust_archive_spark.sources import write as write_mod
+
+    sch = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "string", True),
+        NestedField(2, "v", "long", True))))
+    spec = PartitionSpec(0, (PartitionField(1, 1000, "pk", "identity"),))
+    t = Table.create(catalog, "db.legacy_eqdel", sch, spec)
+    # legacy layout: with the marker neutralized, '' renders
+    # __HIVE_DEFAULT_PARTITION__ and commits a NULL tuple
+    monkeypatch.setattr(write_mod, "_EMPTY_MARKER", "")
+    t = t.append(spark, spark.createDataFrame(
+        [("plain", 0), ("", 1), (None, 2)], "k string, v long"))
+    monkeypatch.undo()
+    # the delete itself is written POST-fix: its file scopes to ''
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([("",)], "k string"), ["k"])
+    got = sorted(r["v"] for r in t.scan(spark).collect())
+    assert got == [0, 2], got  # v=1 deleted despite the legacy tuple
+    # a non-'' key stays scoped and still applies exactly
+    t = t.delete_where_equal(
+        spark, spark.createDataFrame([("plain",)], "k string"), ["k"])
+    assert sorted(r["v"] for r in t.scan(spark).collect()) == [2]
+
+
 def test_legacy_conflated_empty_string_manifest_not_pruned():
     """Pre-r16 tables committed '' partition rows under a NULL tuple;
     their manifests' summaries admit nulls but bound only the non-''
