@@ -690,14 +690,16 @@ def scan(spark: SparkSession, md: TableMetadata,
         part = e.data_file.partition
         if all(v is None for v in part.values()):
             return True
-        # r16: a delete scoped to an EMPTY-STRING tuple applies
-        # globally — a pre-r16 data file keeps its '' rows under a
-        # NULL tuple, so the scope residual would skip that file and
-        # the delete would silently un-apply (no rescue: deletes are
-        # semantics, not pruning). Scope itself IS only pruning — the
-        # null-safe key anti-join does the row matching — so widening
-        # to global is always sound, merely less pruned.
-        return any(v == "" and k in _str_part_names
+        # r16: a delete scoped to an EMPTY-STRING tuple (or to the
+        # literal default-partition string, conflated the same way)
+        # applies globally — a pre-r16 data file keeps those rows
+        # under a NULL tuple, so the scope residual would skip the
+        # file and the delete would silently un-apply (no rescue:
+        # deletes are semantics, not pruning). Scope itself IS only
+        # pruning — the null-safe key anti-join does the row
+        # matching — so widening to global is always sound.
+        return any(v in ("", "__HIVE_DEFAULT_PARTITION__")
+                   and k in _str_part_names
                    for k, v in part.items())
 
     parts: list[DataFrame] = []

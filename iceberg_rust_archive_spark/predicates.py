@@ -430,13 +430,16 @@ def prune_manifests(preds: list[Pred], spec: PartitionSpec, schema: Schema,
                             src.field_type)
                 except (TypeError, ValueError):
                     continue  # un-transformable literal → keep
+                _conflated = ("", "__HIVE_DEFAULT_PARTITION__")
                 if summary.contains_null and (
-                        "" in tlit if p.op == "in" else tlit == ""):
+                        any(v in _conflated for v in tlit)
+                        if p.op == "in" else tlit in _conflated):
                     # legacy-writer rescue (r16): pre-r16 tables
-                    # conflated an empty-string partition value with
-                    # null (Spark's __HIVE_DEFAULT_PARTITION__ covers
-                    # both), so a null-admitting manifest may hide ''
-                    # rows its bounds don't — keep it for a '' probe
+                    # conflated an empty-string partition value (and
+                    # the literal default-partition string) with null
+                    # (Spark's __HIVE_DEFAULT_PARTITION__ dir covers
+                    # all three), so a null-admitting manifest may
+                    # hide matching rows its bounds don't — keep it
                     continue
                 # Iceberg's INCLUSIVE projection (Projections.inclusive
                 # / pruning_statistics.rs:285-350): a many-to-one

@@ -348,7 +348,8 @@ def write_datafiles(spark: SparkSession, md: TableMetadata, df: DataFrame,
             # (see _EMPTY_MARKER); nulls fall through every WHEN to
             # the otherwise and still render __HIVE_DEFAULT_PARTITION__
             pcol = (F.when(pcol == "", F.lit(_EMPTY_MARKER))
-                     .when(pcol.startswith(_EMPTY_MARKER),
+                     .when(pcol.startswith(_EMPTY_MARKER)
+                           | (pcol == "__HIVE_DEFAULT_PARTITION__"),
                            F.concat(F.lit(_EMPTY_MARKER), pcol))
                      .otherwise(pcol))
         df = df.withColumn(cname, pcol)
