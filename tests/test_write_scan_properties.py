@@ -259,3 +259,67 @@ def test_eq_delete_matches_null_safe_model(spark, tmp_path_factory,
     got = Counter(r["v"] for r in t.scan(spark).collect())
     want = Counter(v for k, v in rows if k not in dels)
     assert got == want, (ice_t, rows, dels)
+
+
+@st.composite
+def timeline_case(draw):
+    """A random append/delete op sequence over a small int-key space."""
+    ops = []
+    vid = 0
+    for _ in range(draw(st.integers(2, 6))):
+        if draw(st.booleans()):
+            n = draw(st.integers(1, 4))
+            batch = [(draw(st.integers(0, 5)), vid + i)
+                     for i in range(n)]
+            vid += n
+            ops.append(("append", batch))
+        else:
+            ops.append(("delete",
+                        draw(st.lists(st.integers(0, 5), min_size=1,
+                                      max_size=2, unique=True))))
+    return ops
+
+
+@SLOW
+@given(ops=timeline_case())
+def test_snapshot_timeline_matches_model(spark, tmp_path_factory, ops):
+    """Time travel and incremental reads vs a prefix model under a
+    random append/eq-delete interleaving: scanning AS OF snapshot i
+    returns exactly the model state after the first i ops (deletes
+    apply only to STRICTLY EARLIER sequence numbers), and an
+    append-only incremental read between consecutive snapshots is that
+    append's batch."""
+    base = tmp_path_factory.mktemp("tlprop")
+    cat = FileCatalog(str(base / "wh"))
+    cat.create_namespace("db")
+    schema = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "long", True),
+        NestedField(2, "v", "long", True))))
+    t = Table.create(cat, f"db.tl{next(_UNIQ)}", schema)
+
+    states, snaps, kinds, batches = [], [], [], []
+    live: list = []
+    for kind, payload in ops:
+        if kind == "append":
+            t = t.append(spark, spark.createDataFrame(
+                payload, "k long, v long"))
+            live = live + list(payload)
+        else:
+            t = t.delete_where_equal(
+                spark, spark.createDataFrame(
+                    [(k,) for k in payload], "k long"), ["k"])
+            live = [(k, v) for k, v in live if k not in payload]
+        states.append(list(live))
+        snaps.append(t.metadata.current_snapshot().snapshot_id)
+        kinds.append(kind)
+        batches.append(payload)
+
+    for i, sid in enumerate(snaps):
+        got = Counter((r["k"], r["v"])
+                      for r in t.scan(spark, snapshot_id=sid).collect())
+        assert got == Counter(states[i]), (i, ops)
+        if kinds[i] == "append" and i > 0:
+            inc = Counter((r["k"], r["v"]) for r in t.scan(
+                spark, from_snapshot_id=snaps[i - 1],
+                snapshot_id=sid).collect())
+            assert inc == Counter(batches[i]), (i, ops)
