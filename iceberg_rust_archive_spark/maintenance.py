@@ -984,8 +984,11 @@ def add_files(spark: SparkSession, table: Table, paths: list[str],
         reader = spark.read.schema(sschema)
         d = reader.parquet(*paths) if fmt == "parquet" \
             else reader.orc(paths)
-        d = d.withColumn("__fp", F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:/+", "/"))
+        from iceberg_rust_archive_spark.sources.readers import (
+            raw_path_col,
+        )
+        d = d.withColumn("__fp",
+                         raw_path_col(F.col("_metadata.file_path")))
         aggs = []
         for pf in spec.fields:
             src = schema.field_by_id(pf.source_id)

@@ -112,6 +112,25 @@ def _build_relation(spark: SparkSession, spark_schema,
         else reader.orc(paths)
 
 
+def raw_path_col(col):
+    """``_metadata.file_path`` is a percent-ENCODED URI (space → %20,
+    '%' → %25, ':' → %3A …) while manifests store RAW os paths, so a
+    path-keyed join (equality-delete tags, pos-delete/DV pairs,
+    changelog victims) built on the raw form silently mismatches for
+    any file under a partition directory with encodable characters —
+    and the INNER tag join then DROPS the file's rows (r16: found by
+    the write-scan soak on an identity-timestamp partition, whose dir
+    strings carry spaces and escaped colons). Decode back to the raw
+    path: literal '+' is pre-escaped because url_decode is
+    form-decoding and would turn it into a space; the scheme prefix
+    drops to match ``DataFile.file_path``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.regexp_replace(
+        F.url_decode(F.regexp_replace(col, r"\+", "%2B")),
+        "^file:/+", "/")
+
+
 def read_data_files(spark: SparkSession, spark_schema,
                     path_fmt_pairs, with_pos: bool = False,
                     by_name: bool = False) -> DataFrame:
@@ -142,8 +161,8 @@ def read_data_files(spark: SparkSession, spark_schema,
                 "equality deletes on ORC tables")
         d = _bulk_relation(spark, spark_schema, paths, fmt)
         if with_pos:
-            d = (d.withColumn("__fp", F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"))
+            d = (d.withColumn("__fp",
+                              raw_path_col(F.col("_metadata.file_path")))
                  .withColumn("__pos", F.col("_metadata.row_index")))
         out = d if out is None else out.unionByName(d)
     return out

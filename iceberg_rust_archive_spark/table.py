@@ -15,7 +15,10 @@ from iceberg_rust_archive_spark.spec.partition import PartitionSpec
 from iceberg_rust_archive_spark.spec.schema import Schema
 from iceberg_rust_archive_spark.spec.sort import SortOrder
 from iceberg_rust_archive_spark.spec.table_metadata import TableMetadata
-from iceberg_rust_archive_spark.sources.readers import read_data_files
+from iceberg_rust_archive_spark.sources.readers import (
+    raw_path_col as _raw_path_col,
+    read_data_files,
+)
 from iceberg_rust_archive_spark.sources.write import write_datafiles
 from iceberg_rust_archive_spark.spec.types import (
     StructTypeSpec, iceberg_to_spark_type,
@@ -739,9 +742,8 @@ class Table:
                 if targets:
                     victims = (spark.read.schema(spark_schema)
                                .parquet(*targets)
-                               .withColumn("__fp", F.regexp_replace(
-                                   F.col("_metadata.file_path"),
-                                   "^file:/+", "/"))
+                               .withColumn("__fp", _raw_path_col(
+                                   F.col("_metadata.file_path")))
                                .withColumn("__pos",
                                            F.col("_metadata.row_index"))
                                .join(pairs, ["__fp", "__pos"],

@@ -5050,6 +5050,49 @@ def test_empty_string_scoped_delete_applies_to_legacy_files(
     assert sorted(r["v"] for r in t.scan(spark).collect()) == [2]
 
 
+def test_mor_path_join_survives_encoded_partition_dirs(spark, catalog):
+    """r16 (found by the write-scan soak, latent since the MoR reader
+    existed): ``_metadata.file_path`` is a percent-encoded URI while
+    manifests store raw paths, so every path-keyed MoR join — the
+    equality-delete tag INNER join, pos-delete pairs — silently
+    mismatched for files under partition dirs with encodable
+    characters (spaces/colons from identity-timestamp dirs, '%' from
+    the empty-string marker): data rows VANISHED or deletes
+    un-applied. ``raw_path_col`` decodes back to the raw path."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    # identity-timestamp partition → dir '…=2000-01-01 00%3A00%3A00…'
+    sch = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "timestamp", True),
+        NestedField(2, "v", "long", True))))
+    spec = PartitionSpec(0, (PartitionField(1, 1001, "p_k", "identity"),))
+    t = Table.create(catalog, "db.enc_eqdel", sch, spec)
+    t = t.append(spark, spark.createDataFrame(
+        [(None, 0), (dtm.datetime(2000, 1, 1), 1),
+         (dtm.datetime(2000, 1, 1, 0, 0, 0, 1), 2)],
+        "k timestamp_ntz, v long"))
+    # delete a key 1µs apart from a surviving one: pre-fix the tag
+    # join dropped BOTH partitioned files' rows
+    t = t.delete_where_equal(spark, spark.createDataFrame(
+        [(dtm.datetime(2000, 1, 1, 0, 0, 0, 1),)], "k timestamp_ntz"),
+        ["k"])
+    assert sorted(r["v"] for r in t.scan(spark).collect()) == [0, 1]
+
+    # pos-delete against a file under a spaced/percent dir
+    sch2 = Schema(0, StructTypeSpec((
+        NestedField(1, "k", "string", True),
+        NestedField(2, "v", "long", True))))
+    spec2 = PartitionSpec(0, (PartitionField(1, 1002, "pk", "identity"),))
+    t2 = Table.create(catalog, "db.enc_posdel", sch2, spec2)
+    t2 = t2.append(spark, spark.createDataFrame(
+        [("sp ace%3A", 0), ("sp ace%3A", 1), ("plain", 2)],
+        "k string, v long"))
+    t2 = t2.delete_where_pos(spark, F.col("v") == 1)
+    assert sorted(r["v"] for r in t2.scan(spark).collect()) == [0, 2]
+
+
 def test_legacy_conflated_empty_string_manifest_not_pruned():
     """Pre-r16 tables committed '' partition rows under a NULL tuple;
     their manifests' summaries admit nulls but bound only the non-''
