@@ -269,11 +269,17 @@ def _set_membership_ops(s: SparkSession, d: str) -> DataFrame:
 
 
 def _dedup_shingle_pairs(s: SparkSession, d: str) -> DataFrame:
-    """n-gram Jaccard pairs + MinHash-LSH pairs, tagged by method."""
-    j = dedup.dedup_ngram_jaccard(s, d).select(
+    """n-gram Jaccard pairs + MinHash-LSH pairs, tagged by method.
+
+    The shingle set (split → 3-gram → array_distinct, the expensive
+    text pass) is computed ONCE and cached; both branches consume it
+    (r16: previously each branch — and the Jaccard denominators — ran
+    its own full pass, three evaluations per entry)."""
+    shs = dedup.shingled(dedup._docs(s, d)).cache()
+    j = dedup.dedup_ngram_jaccard(s, d, shs=shs).select(
         F.lit("jaccard3").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("sim"))
-    m = dedup.dedup_minhash_lsh(s, d).select(
+    m = dedup.dedup_minhash_lsh(s, d, shs=shs).select(
         F.lit("minhash").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("sim"))
     return j.unionByName(m)

@@ -266,18 +266,27 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str,
             .orderBy("source"))
 
 
-def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
+def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000,
+                   shs: DataFrame | None = None) -> DataFrame:
     """Candidate pairs from the inverted shingle index with df cap.
     Shared-shingle counts come from the self equi-join on the shingle;
     Jaccard denominators join in afterwards from a narrow per-doc sizes
-    table (AQE broadcasts it when small)."""
+    table (AQE broadcasts it when small).
+
+    ``shs``: optional pre-computed ``shingled()`` frame — a caller that
+    also feeds the MinHash branch caches it once and both branches skip
+    their own text-split + shingle pass (r16 optimization, guide §2.4:
+    one corpus pass shared instead of three)."""
     # join key = xxhash64(shingle): a fixed-width long shuffles and
     # compares far cheaper than the shingle string; collision odds at
     # 64 bits are ~(distinct_shingles)²/2^64 — immaterial
     # cache = the reference's ForkNode (A25, fork_node.rs:34-160): the
-    # inverted index feeds three consumers (df_counts + both join sides);
-    # persisting it executes the shingle pipeline once
-    sh = (exploded_shingles(d, n)
+    # inverted index feeds FOUR consumers (df_counts, both join sides,
+    # and the per-doc sizes rollup); persisting it executes the shingle
+    # pipeline once
+    if shs is None:
+        shs = shingled(d, n)
+    sh = (shs.select("doc_id", F.explode("shs").alias("sh"))
           .select("doc_id", F.xxhash64("sh").alias("sh"))).cache()
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # broadcast the STOP list (df > cap), not the keep list: stop
@@ -285,15 +294,21 @@ def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
     # keep list is ~every distinct shingle — broadcasting it would be
     # impossible at 100 TB. Anti-join semantics are identical.
     stop = df_counts.filter(F.col("df") > max_df).select("sh")
-    sh = sh.join(F.broadcast(stop), "sh", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    idx = sh.join(F.broadcast(stop), "sh", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
     pairs = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count(F.lit(1)).alias("shared")))
-    sizes = shingled(d, n).select("doc_id", F.size("shs").alias("n_sh"))
+    # Jaccard denominators from the CACHED index, not a second corpus
+    # pass: shingles_from_words array_distincts per doc, so the index
+    # holds exactly size(shs) rows per doc — count them. Docs with zero
+    # shingles drop out of `sizes`, which is vacuous here (the inner
+    # candidate join never emits a zero-shingle doc). This removes a
+    # full scan + split + shingle re-evaluation (r16, measured below).
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return (pairs
             .join(sizes.select(F.col("doc_id").alias("doc_a"),
                                F.col("n_sh").alias("na")), "doc_a")
@@ -302,10 +317,11 @@ def _shingle_pairs(d: DataFrame, n: int = 3, max_df: int = 1000) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.6, n: int = 3) -> DataFrame:
+                        threshold: float = 0.6, n: int = 3,
+                        shs: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by Jaccard over distinct 3-gram shingles."""
-    d = _docs(spark, sf_dir)
-    jac = _shingle_pairs(d, n).withColumn("jaccard", F.round(
+    d = _docs(spark, sf_dir) if shs is None else None
+    jac = _shingle_pairs(d, n, shs=shs).withColumn("jaccard", F.round(
         F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
     return (jac.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
@@ -323,8 +339,12 @@ def minhash_signature(hcol: str = "h"):
     return F.array(*mins)
 
 
-def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signed(spark: SparkSession, sf_dir: str,
+            shs: DataFrame | None = None) -> DataFrame:
     """doc_id, shs, sig — one md5 per shingle, then integer perms.
+
+    ``shs``: optional pre-computed ``shingled()`` frame shared with the
+    Jaccard branch (see ``_shingle_pairs``).
 
     The repartition between the hash projection and the 12-way min
     projection is an optimizer barrier: CollapseProject cannot cross an
@@ -337,7 +357,7 @@ def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle expression into a pre-exchange filter (see session.py on
     InferFiltersFromGenerate). Empty-shingle docs produce null minhashes
     whose candidate pairs die at Jaccard verification (0/0 → null)."""
-    d = shingled(_docs(spark, sf_dir))
+    d = shingled(_docs(spark, sf_dir)) if shs is None else shs
     d = d.withColumn("h", F.transform(
         "shs", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
         .cast("long")))
@@ -348,10 +368,11 @@ def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      shs: DataFrame | None = None) -> DataFrame:
     """MinHash signatures → banded LSH buckets → candidate pairs → verify
     with true Jaccard ≥ threshold."""
-    sig = _signed(spark, sf_dir)
+    sig = _signed(spark, sf_dir, shs=shs)
     bands = sig.select(
         "doc_id",
         F.explode(F.transform(
