@@ -133,23 +133,58 @@ def _events_windowed_agg(s: SparkSession, d: str) -> DataFrame:
 def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
     """quality scoring (per source) + token counting (per lang) + PII
     exposure (per source) + n-gram repetition (per source) — the four
-    text-gate families as one labeled-union entry."""
-    q = text.text_quality_score(s, d).select(
+    text-gate families as one labeled-union entry.
+
+    r16: the four gate branches roll up from ONE cached per-doc
+    narrow-stats pass (text.text_gate_stats) instead of four separate
+    corpus scans, each with its own split pass. The rollup expressions
+    below are byte-identical to the standalone operators' (same scaled-
+    integer rounding), so the oracle rows are unchanged; the perplexity
+    branch keeps its own pass (it needs the full words array for the
+    bigram explode, and caching word arrays measured slower than
+    recomputing — see OPTIMIZATION_r16.md)."""
+    st = text.text_gate_stats(s, d).cache()
+    q = (st.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              (F.floor(F.avg("st.score_s") + F.lit(0.5)) / 10000.0)
+              .alias("avg_score"),
+              F.sum(F.when(F.col("st.score_s") < 5000, 1).otherwise(0))
+              .alias("n_low_quality"))
+         .orderBy("source")).select(
         F.concat(F.lit("src:"), F.col("source")).alias("grp"),
         F.col("n_docs").alias("c1"), F.col("n_low_quality").alias("c2"),
         F.col("avg_score").alias("avg_stat"))
-    t = text.text_token_count(s, d).select(
+    t = (st.groupBy("lang")
+         .agg(F.sum("st.ws_tokens").alias("sum_ws_tokens"),
+              F.sum("st.bpe_tokens").alias("sum_bpe_tokens"),
+              (F.floor(F.avg("st.bpe_tokens") * 10000 + F.lit(0.5))
+               / 10000.0).alias("avg_bpe_tokens"))
+         .orderBy("lang")).select(
         F.concat(F.lit("lang:"), F.col("lang")).alias("grp"),
         F.col("sum_ws_tokens").alias("c1"),
         F.col("sum_bpe_tokens").alias("c2"),
         F.col("avg_bpe_tokens").alias("avg_stat"))
-    p = text.text_pii_stats(s, d).select(
+    any_hit = (F.col("st.n_emails") + F.col("st.n_phones")
+               + F.col("st.n_ipv4s") + F.col("st.n_ssn_like")) > 0
+    p = (st.withColumn("has_pii", any_hit.cast("int"))
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              *[F.sum(f"st.n_{n}").alias(f"sum_{n}")
+                for n in text.PII_PATTERNS],
+              (F.floor(F.avg("has_pii") * 10000 + F.lit(0.5))
+               / 10000.0).alias("pii_doc_frac"))
+         .orderBy("source")).select(
         F.concat(F.lit("pii:"), F.col("source")).alias("grp"),
         F.col("n_docs").alias("c1"),
         (F.col("sum_emails") + F.col("sum_phones") + F.col("sum_ipv4s")
          + F.col("sum_ssn_like")).cast("long").alias("c2"),
         F.col("pii_doc_frac").alias("avg_stat"))
-    r = text.text_repetition_stats(s, d).select(
+    r = (st.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              (F.floor(F.avg("st.dup_s") + F.lit(0.5)) / 10000.0)
+              .alias("avg_dup_frac"),
+              (F.max("st.dup_s") / 10000.0).alias("max_dup_frac"))
+         .orderBy("source")).select(
         F.concat(F.lit("rep:"), F.col("source")).alias("grp"),
         F.col("n_docs").alias("c1"),
         F.round(F.col("max_dup_frac") * 10000).cast("long").alias("c2"),
@@ -166,12 +201,23 @@ def _text_quality_tokens(s: SparkSession, d: str) -> DataFrame:
 def _text_analysis_suite(s: SparkSession, d: str) -> DataFrame:
     """language-ID confusion matrix + Karp-Rabin fingerprint dedup +
     TF-IDF top terms — three text-analysis families, one labeled-union
-    entry (frees two slots under the 50-entry cap for the round-6 ops)."""
-    lang = text.text_language_id(s, d).select(
+    entry (frees two slots under the 50-entry cap for the round-6 ops).
+
+    r16: the language-ID and fingerprint branches roll up from ONE
+    cached per-doc pass (text.text_id_fp_stats) instead of two corpus
+    scans; rollup expressions are byte-identical to the standalone
+    operators (oracle rows unchanged)."""
+    idfp = text.text_id_fp_stats(s, d).cache()
+    lang = (idfp.groupBy("lang", F.col("st.predicted").alias("predicted"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "predicted")).select(
         F.lit("lang").alias("branch"), F.col("lang").alias("k1"),
         F.col("predicted").alias("k2"), F.col("n_docs").alias("c1"),
         F.lit(None).cast("double").alias("stat"))
-    fp = text.text_fingerprint(s, d).select(
+    fp = (idfp.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.countDistinct("st.fp").alias("n_unique_fp"))
+          .orderBy("source")).select(
         F.lit("fp").alias("branch"), F.col("source").alias("k1"),
         F.lit("").alias("k2"), F.col("n_docs").alias("c1"),
         F.col("n_unique_fp").cast("double").alias("stat"))

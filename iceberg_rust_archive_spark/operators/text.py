@@ -403,6 +403,84 @@ ORACLE_SQL["text_repetition_stats"] = f"""
 """
 
 
+def text_id_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document (lang, source, predicted, fp) in ONE corpus pass —
+    the shared precursor of the language-ID confusion matrix and the
+    Karp-Rabin fingerprint rollup (r16: the two branches previously
+    each ran their own scan + split). Same let-binding discipline as
+    ``text_gate_stats``; formulas identical to the standalone
+    operators."""
+    d = _docs(spark, sf_dir)
+    langs = sorted(MARKERS)
+    scores = ", ".join(
+        "size(filter(ws, w -> w IN ({})))".format(
+            ", ".join(f"'{w}'" for w in MARKERS[lg]))
+        for lg in langs)
+    lang_arr = ", ".join(f"'{lg}'" for lg in langs)
+    pred = (
+        f"element_at(transform(array(array({scores})), a -> "
+        f"CASE WHEN array_max(a) <= 0 THEN 'und' "
+        f"ELSE element_at(array({lang_arr}), "
+        f"int(array_position(a, array_max(a)))) END), 1)")
+    wh = ("ascii(substring(w, 1, 1)) * 65536 + "
+          "ascii(substring(w, -1, 1)) * 256 + length(w)")
+    fp = (f"aggregate(transform(ws, w -> bigint({wh})), 0L, "
+          f"(acc, x) -> (acc * 31 + x) % {FP_MOD})")
+    st = (f"element_at(transform(array({_WORDS}), ws -> struct("
+          f"{pred} AS predicted, {fp} AS fp)), 1)")
+    return d.select("lang", "source", F.expr(st).alias("st"))
+
+
+def text_gate_stats(spark: SparkSession, sf_dir: str,
+                    n: int = 3) -> DataFrame:
+    """Per-document NARROW stats for the quality / token-count / PII /
+    repetition gates, computed in ONE corpus pass (r16 optimization,
+    guide §1.2 step 1: the four gate rollups previously each re-scanned
+    the corpus and re-ran the split — four full passes for one entry).
+
+    Every word-derived feature is evaluated inside a single
+    let-binding ``transform(array(words), ws -> struct(...))``
+    expression, so the split/lower/filter pass runs exactly once per
+    row and CollapseProject cannot duplicate it (the same nested-lambda
+    trick text_language_id uses); the n-gram array gets its own inner
+    binding for the same reason. Output is ~10 numeric columns per doc
+    — callers cache it (tiny vs the text) and each gate rollup becomes
+    a trivial groupBy. Formulas are byte-identical to the standalone
+    operators (verified against them and the DuckDB oracle).
+    """
+    d = _docs(spark, sf_dir)
+    stop_words = ", ".join(f"'{w}'" for w in EN_STOP)
+    punct = ("(length(text) - length(regexp_replace(text, "
+             "'[.,!?;:]', '')))")
+    score = (f"(0.4 * least(size(ws) / 100.0, 1.0) "
+             f"+ 0.3 * (1.0 - {punct} / greatest(length(text), 1)) "
+             f"+ 0.3 * (size(filter(ws, w -> w IN ({stop_words}))) "
+             f"/ greatest(size(ws), 1)))")
+    gs = (f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)), "
+          f"i -> concat_ws(' ', slice(ws, i, {n})))")
+    dup_s = (f"element_at(transform(array({gs}), gs -> "
+             f"bigint(floor((CASE WHEN size(gs) > 0 THEN "
+             f"(size(gs) - size(array_distinct(gs))) / size(gs) "
+             f"ELSE 0.0D END) * 10000 + 0.5))), 1)")
+    def _sqlq(rx: str) -> str:
+        # Spark's default (non-ANSI) string literals eat lone
+        # backslashes like Java — double them so the parsed literal is
+        # the exact regex F.lit() would have passed
+        return rx.replace("\\", "\\\\")
+
+    pii = ", ".join(
+        f"regexp_count(text, '{_sqlq(rx)}') AS n_{name}"
+        for name, rx in PII_PATTERNS.items())
+    st = (f"element_at(transform(array({_WORDS}), ws -> struct("
+          f"bigint(floor({score} * 10000 + 0.5)) AS score_s, "
+          f"size(ws) AS ws_tokens, "
+          f"size(regexp_extract_all(text, '{_sqlq(BPE_RE)}', 0)) "
+          f"AS bpe_tokens, "
+          f"{pii}, "
+          f"{dup_s} AS dup_s)), 1)")
+    return d.select("source", "lang", F.expr(st).alias("st"))
+
+
 # --- perplexity-proxy quality scoring (corpus bigram LM) ----------------
 
 # Add-k smoothing constant for the bigram model.
