@@ -208,38 +208,53 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
             f"{_hyperplane_bucket_expr(t, bits)} AS b{t}"
             for t in range(LSH_TABLES))
         params_join = ""
-    cand = "\n          UNION\n".join(
-        f"          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
-        f" FROM n a JOIN n b"
-        f" ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
-        for t in range(LSH_TABLES))
-    return spark.sql(f"""
+    # Materialize the signature relation ONCE (r16, guide §2.4): as a
+    # plain CTE, `n` was re-expanded at every reference — 2 sides × T
+    # candidate joins + 2 verification joins = 8 full evaluations of
+    # the scan + norm + bucket folds (measured: 32 parquet scan nodes,
+    # 12 bucket-expression evaluations in the physical plan). The cache
+    # is the ForkNode pattern (A25): one evaluation, 8 consumers. The
+    # cached relation is O(N·d) — the same order as the input — and
+    # spills to disk at scale like every other fork in this repo.
+    ndf = spark.sql(f"""
         WITH params AS (
           SELECT least({LSH_MAX_BITS}, greatest({LSH_MIN_BITS},
                    cast(ceil(log2(count(*) / {LSH_TARGET_BUCKET}.0))
                         AS INT))) AS bits
           FROM embeddings_sim_src
-        ),
-        n AS (
-          SELECT vec_id, v,
-                 sqrt(aggregate(transform(v, x -> x * x),
-                                0D, (acc, x) -> acc + x)) AS nrm,
-                 {buckets}
-          FROM (SELECT vec_id,
-                       transform(embedding, x -> cast(x AS DOUBLE)) AS v
-                FROM embeddings_sim_src){params_join}
-        ),
-        cand AS (
-{cand}
         )
+        SELECT vec_id, v,
+               sqrt(aggregate(transform(v, x -> x * x),
+                              0D, (acc, x) -> acc + x)) AS nrm,
+               {buckets}
+        FROM (SELECT vec_id,
+                     transform(embedding, x -> cast(x AS DOUBLE)) AS v
+              FROM embeddings_sim_src){params_join}
+    """).cache()
+    ndf.createOrReplaceTempView("ann_lsh_n")
+    # candidate tables as SEPARATE single-join statements unioned via
+    # the DataFrame API: a 3-way SQL UNION of self-joins defeats
+    # CacheManager's plan matching (measured — the whole signature
+    # subtree re-expanded per branch), while per-branch statements and
+    # DataFrame.union keep every reference on the InMemoryRelation.
+    # UNION (SQL, distinct) == union + distinct (DataFrame).
+    from functools import reduce
+    cand_parts = [spark.sql(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        f" FROM ann_lsh_n a JOIN ann_lsh_n b"
+        f" ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id")
+        for t in range(LSH_TABLES)]
+    cand = reduce(DataFrame.union, cand_parts).distinct()
+    cand.createOrReplaceTempView("ann_lsh_cand")
+    return spark.sql(f"""
         SELECT vec_a, vec_b, cosine FROM (
           SELECT c.vec_a, c.vec_b,
                  round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
                                  0D, (acc, x) -> acc + x)
                        / (a.nrm * b.nrm), 4) AS cosine
-          FROM cand c
-          JOIN n a ON a.vec_id = c.vec_a
-          JOIN n b ON b.vec_id = c.vec_b
+          FROM ann_lsh_cand c
+          JOIN ann_lsh_n a ON a.vec_id = c.vec_a
+          JOIN ann_lsh_n b ON b.vec_id = c.vec_b
         ) WHERE cosine >= {threshold}
         ORDER BY vec_a, vec_b
     """)
