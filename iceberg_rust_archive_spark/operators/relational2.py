@@ -409,6 +409,109 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass q2 (r16, guide §2.4): the SQL text's correlated MIN
+    subquery makes Catalyst evaluate the ``supply`` CTE — a full
+    lineitem aggregate — TWICE (outer join chain + decorrelated
+    per-part MIN; plan showed two SortMergeJoins over two independent
+    aggregations of lineitem). The min over EUROPE suppliers per part
+    is a window function over the SAME rows the outer query joins, so
+    one evaluation suffices: build the EUROPE-joined supply relation
+    once, take ``min(ps_supplycost) OVER (PARTITION BY ps_partkey)``,
+    and keep rows equal to their window min — identical rows by
+    construction (both engines compare the exact same doubles; ties
+    keep every minimal supplier in both formulations). Oracle = the
+    SQL text, unchanged."""
+    from iceberg_rust_archive_spark.session import load_tables
+    load_tables(spark, sf_dir,
+                ("lineitem", "part", "supplier", "nation", "region"))
+    return spark.sql("""
+        WITH supply AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 min(l_extendedprice / l_quantity) AS ps_supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+          SELECT ps_partkey, ps_supplycost, s_name, n_name
+          FROM supply
+          JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               CAST(round(CAST(ps_supplycost AS DECIMAL(28,10)), 2)
+                    AS DOUBLE) AS supplycost
+        FROM part
+        JOIN (SELECT *, min(ps_supplycost) OVER (PARTITION BY ps_partkey)
+                        AS __mn
+              FROM eu) ON p_partkey = ps_partkey
+        WHERE p_size <= 15 AND p_type = 'ECONOMY'
+          AND ps_supplycost = __mn
+        ORDER BY s_name, p_partkey
+    """)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-evaluation q11 (r16): the SQL text references the
+    ``supply_value`` aggregate twice (rows + the 1.5·avg threshold
+    scalar), and Catalyst inlines CTEs — two full lineitem⋈supplier⋈
+    nation aggregations per run. Materialize the aggregate once
+    (cached view, ForkNode A25); the threshold subquery and the main
+    filter both read the in-memory relation. DECIMAL arithmetic is
+    unchanged, so the comparison is bit-identical. Oracle = the SQL
+    text, unchanged."""
+    from iceberg_rust_archive_spark.session import load_tables
+    load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    sv = spark.sql("""
+        SELECT l_partkey AS ps_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey
+    """).cache()
+    sv.createOrReplaceTempView("q11_supply_value")
+    return spark.sql("""
+        SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+        FROM q11_supply_value
+        WHERE value > (SELECT 1.5 * avg(value) FROM q11_supply_value)
+        ORDER BY ps_partkey
+    """)
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass q18 (r16): the SQL text aggregates lineitem twice —
+    once in the IN (GROUP BY … HAVING) membership subquery and again
+    for the outer sum_qty, over the very same per-order groups (the
+    customer/orders joins are 1:1 per orderkey, so the outer group sum
+    IS the per-order sum). One per-order aggregate, filtered > 150,
+    joined to orders + customer, computes identical rows: l_quantity
+    is integral in TPC-H data, so the sum is exact in double under any
+    summation order. Oracle = the SQL text, unchanged."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.session import load_tables
+    load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    osum = (spark.table("lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("__sq"))
+            .filter(F.col("__sq") > 150))
+    return (spark.table("customer")
+            .join(spark.table("orders"),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .join(osum, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("__sq", 2).alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(100))
+
+
 QUERIES = {name: make_query(text) for name, text in SQL.items()}
 QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+QUERIES["q11_important_stock"] = q11_important_stock
+QUERIES["q18_large_orders"] = q18_large_orders
 ORACLE_SQL = dict(SQL)
