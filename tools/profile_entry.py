@@ -75,6 +75,7 @@ def main():
         reps = []
         jobs_before = len(_ui_jobs(spark))
         last_df = None
+        explain_txt = None
         for i in range(args.reps):
             if i == args.reps - 1:
                 jobs_before = len(_ui_jobs(spark))
@@ -84,6 +85,13 @@ def main():
             n = df.count()
             reps.append(time.perf_counter() - t0)
             last_df = df
+            if args.explain_dir and i == args.reps - 1:
+                # capture BEFORE clearCache: cached forks must show as
+                # InMemoryTableScan, the way the timed run planned them
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                explain_txt = buf.getvalue()
             spark.catalog.clearCache()
         print(f"{name}: min={min(reps):.3f}s reps="
               f"{[round(r, 2) for r in reps]} rows={n}")
@@ -108,14 +116,11 @@ def main():
                   f"(entry wall {reps[-1]:.2f}s; gap = driver-side Python)")
             for dur, ntasks, desc in sorted(rows, reverse=True)[:14]:
                 print(f"    {dur:7.3f}s  tasks={ntasks:<4d} {desc}")
-        if args.explain_dir and last_df is not None:
+        if args.explain_dir and explain_txt is not None:
             os.makedirs(args.explain_dir, exist_ok=True)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                last_df.explain("formatted")
             with open(os.path.join(args.explain_dir, f"{name}.txt"),
                       "w") as f:
-                f.write(buf.getvalue())
+                f.write(explain_txt)
         if args.cprofile:
             import cProfile
             import pstats
