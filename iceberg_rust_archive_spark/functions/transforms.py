@@ -545,6 +545,32 @@ def _series_to_long(s: pd.Series, iceberg_type: str):
     return vals, mask
 
 
+def _bucket_long_pair_udf(n: int):
+    """bucket[n] over a LONG carrier shipped as TWO float64-exact
+    halves. Arrow→pandas converts a nullable int64 column to float64,
+    which silently corrupts |v| > 2^53 BEFORE any kernel (vectorized or
+    scalar) sees it — found by the write→scan property soak as a lost
+    scoped equality delete: the null-carrying data batch hashed the
+    corrupted value (bucket 2) while the null-free delete batch hashed
+    the exact one (bucket 1), so the delete's partition scope never
+    matched the data file. The JVM side ships ``shiftright(v, 32)``
+    (|hi| < 2^31) and ``v & 0xFFFFFFFF`` (< 2^32), both exactly
+    representable in float64 under any null-induced coercion; the
+    kernel reassembles the two's-complement int64 exactly."""
+    @pandas_udf(T.IntegerType())
+    def _bucket(hi: pd.Series, lo: pd.Series) -> pd.Series:
+        mask = np.asarray(hi.isna())
+        hv = hi.fillna(0).to_numpy(dtype=np.int64)
+        lv = lo.fillna(0).to_numpy(dtype=np.int64)
+        vals = (hv << np.int64(32)) | lv
+        h = _murmur3_32_long_le(vals)
+        b = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+        out = pd.array(b, dtype="Int32")
+        out[mask] = pd.NA
+        return pd.Series(out)
+    return _bucket
+
+
 def _bucket_udf(n: int, iceberg_type: str):
     @pandas_udf(T.IntegerType())
     def _bucket(s: pd.Series) -> pd.Series:
@@ -584,6 +610,7 @@ def transform_column(transform: str, col: Column | str,
         return F.lit(None)
     m = _BUCKET_RE.match(transform)
     if m:
+        n = int(m.group(1))
         if iceberg_type == "timestamptz":
             # Arrow ships TimestampType to pandas as SESSION-zone naive
             # values, so hashing the datetime in the UDF bucketed the
@@ -591,9 +618,19 @@ def transform_column(transform: str, col: Column | str,
             # bucketed 7≠31 under America/New_York). unix_micros is
             # timezone-free JVM-side, and the spec's timestamp hash
             # encoding (8-byte LE micros) is byte-identical to long —
-            # so hash the micros as a long.
-            return _bucket_udf(int(m.group(1)), "long")(F.unix_micros(c))
-        return _bucket_udf(int(m.group(1)), iceberg_type)(c)
+            # so hash the micros as a long (split — see below).
+            c = F.unix_micros(c)
+            iceberg_type = "long"
+        if iceberg_type == "long":
+            # LONG carriers must not cross the Arrow→pandas boundary as
+            # one column: a null in the batch coerces int64 → float64
+            # and corrupts |v| > 2^53 (see _bucket_long_pair_udf).
+            # int/time/date carriers are float64-exact (< 2^53) and
+            # keep the single-column path.
+            return _bucket_long_pair_udf(n)(
+                F.shiftright(c, 32),
+                c.bitwiseAND(F.lit(0xFFFFFFFF)))
+        return _bucket_udf(n, iceberg_type)(c)
     m = _TRUNCATE_RE.match(transform)
     if m:
         w = int(m.group(1))
