@@ -33,6 +33,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
+def read_steal_ticks():
+    """Cumulative CPU steal ticks for the whole VM (/proc/stat cpu line,
+    8th value). External tenants on this multi-tenant host steal CPU in
+    bursts that loadavg inside the VM cannot see (r16 verdict #5: three
+    entries recorded 2-8x inflated in a `contended: false` window). The
+    before/after delta per entry makes a contaminated window identifiable
+    from the committed JSON alone. Returns -1 where /proc/stat is absent
+    so the provenance fields are additions-only and never fail the run."""
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("cpu "):
+                    return int(line.split()[8])
+    except (OSError, ValueError, IndexError):
+        pass
+    return -1
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -65,13 +83,24 @@ def main():
         time.sleep(wait_s)
         waits += 1
         load_start = round(os.getloadavg()[0], 2)
-    solo_fallback = load_start > contention_threshold
-    # the judge-tracked solo protocol subset (PLANS.md protocol rows)
-    SOLO_SUBSET = ["iceberg_dml", "text_analysis_suite",
-                   "iceberg_equality_delete", "dedup_exact",
-                   "iceberg_schema_evolution",
-                   "iceberg_lineitem_partitioned",
-                   "mv_incremental_refresh"]
+    # r16 verdict "What's wrong" #3: the auto-substitution to a 7-entry
+    # solo subset could silently shrink coverage to 7/50 entries on a
+    # never-quiet host (a driver parser that ignores the flag would read
+    # it as 43 dropped queries). Dropped: a never-quiet window is now
+    # recorded contended-but-COMPLETE (loud banner + `contended: true` +
+    # per-entry steal_ticks), never a silently-substituted subset.
+    # `solo_fallback` stays in the JSON, hardwired false, for parser
+    # compatibility with r15/r16 recordings.
+    solo_fallback = False
+    if load_start > contention_threshold:
+        print("#" * 72, file=sys.stderr)
+        print(f"# WARNING: host never quieted (load_start {load_start} > "
+              f"{contention_threshold} after {waits} waits).\n"
+              f"# Recording the FULL entry set anyway, tagged "
+              f"contended: true.\n"
+              f"# Compare per-entry steal_ticks before trusting any "
+              f"number in this run.", file=sys.stderr)
+        print("#" * 72, file=sys.stderr)
 
     import __spark_entry__ as entrymod
     from iceberg_rust_archive_spark.session import get_spark
@@ -82,12 +111,6 @@ def main():
     # runs only the named entries — the PLANS.md solo-protocol rows
     # (judge cross-measured headline subset) are recorded this way
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
-    if solo_fallback and only:
-        # an explicit user filter overrides the fallback — the flag
-        # records only an AUTO-substituted subset (r16 self-review)
-        solo_fallback = False
-    elif solo_fallback:
-        only = [k for k in SOLO_SUBSET if k in entrymod.queries()]
     if only:
         missing = [a for a in only if a not in qs]
         if missing:
@@ -118,9 +141,11 @@ def main():
             pass
         spark.sparkContext._jvm.System.gc()
 
-    mins, means = {}, {}
+    steal_start = read_steal_ticks()
+    mins, means, steals = {}, {}, {}
     for name, fn in qs.items():
         reps = []
+        entry_steal0 = read_steal_ticks()
         for _ in range(max(1, REPS)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -131,11 +156,15 @@ def main():
             # runs measure recompute thrash instead of plan cost
             spark.catalog.clearCache()
         entry_boundary()
+        entry_steal1 = read_steal_ticks()
+        steals[name] = (entry_steal1 - entry_steal0
+                        if entry_steal0 >= 0 and entry_steal1 >= 0 else -1)
         mins[name] = round(min(reps), 3)
         warm_reps = reps[1:] or reps
         means[name] = round(sum(warm_reps) / len(warm_reps), 3)
         print(f"# {name}: min={mins[name]}s mean={means[name]}s "
-              f"reps={[round(r, 2) for r in reps]} rows={n}",
+              f"reps={[round(r, 2) for r in reps]} rows={n} "
+              f"steal={steals[name]}",
               file=sys.stderr)
 
     total = round(sum(mins.values()), 3)
@@ -146,11 +175,16 @@ def main():
     # truncated-single-line problem; r9 verdict #8 asks for the full min
     # map, not a top-5, on that last line — ~50 queries ≈ 1.6 KB fits).
     load_end = round(os.getloadavg()[0], 2)
+    steal_end = read_steal_ticks()
     load = {"load_start": load_start, "load_end": load_end,
             "contended": load_start > contention_threshold,
-            "load_waits": waits, "solo_fallback": solo_fallback}
+            "load_waits": waits, "solo_fallback": solo_fallback,
+            "steal_start": steal_start, "steal_end": steal_end}
+    # per-entry steal deltas ride the DETAIL line (like queries_mean) so
+    # the headline line stays parseable from a bounded tail capture
     print(json.dumps({"metric": "total_query_time_detail", "value": total,
-                      "unit": "sec", "queries_mean": means, "reps": REPS,
+                      "unit": "sec", "queries_mean": means,
+                      "queries_steal_ticks": steals, "reps": REPS,
                       "sf": float(sf), **load}))
     print(json.dumps({"metric": "total_query_time", "value": total,
                       "unit": "sec", "queries": mins, "reps": REPS,
