@@ -72,6 +72,35 @@ def _events_ts_is_nanos_long(path: str) -> bool:
 _SINK_SEQ = count()
 
 
+def _source_parquet_bytes(spark: SparkSession, path: str,
+                          stop_at: int | None = None) -> int:
+    """Total bytes of ``.parquet`` files under ``path`` via the Hadoop
+    FileSystem API — scheme-agnostic (local, HDFS, s3a…), where the
+    r16 ``os.walk`` version silently returned 0 on object storage and
+    the state-partition optimization disappeared (r16 verdict #4).
+
+    ``stop_at``: early exit once the running total reaches it — the
+    caller only needs to know which side of the cap the source is on,
+    so a million-file directory never pays a py4j round-trip per file.
+    Returns 0 on any FS error (callers fall back to session defaults)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(jpath, True)  # recursive
+        total = 0
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+                if stop_at is not None and total >= stop_at:
+                    break
+        return total
+    except Exception:  # noqa: BLE001 — FS/py4j failure: fall back
+        return 0
+
+
 def run_stream_windowed_once(spark: SparkSession, events_path: str,
                              window: str = "1 hour",
                              timeout_sec: int = 600) -> DataFrame:
@@ -127,17 +156,19 @@ def run_stream_windowed_once(spark: SparkSession, events_path: str,
     # events_stream_windowed) sizes for steady-state load instead —
     # the partition count is pinned at the query's FIRST start by the
     # offset log, so this knob only shapes fresh bounded replays.
-    src_bytes = 0
-    try:
-        for root, _dirs, files in os.walk(events_path):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    src_bytes += os.path.getsize(os.path.join(root, fn))
-    except OSError:
-        src_bytes = 0
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Hadoop FS listing (not os.walk) so the sizing also works when the
+    # replay source lives on object storage; the early-exit cap bounds
+    # the driver-side listing at sess_parts worth of 64 MB partitions.
+    src_bytes = _source_parquet_bytes(
+        spark, events_path, stop_at=sess_parts * (64 << 20))
     parts = max(1, min(sess_parts, -(-src_bytes // (64 << 20)))) \
         if src_bytes else sess_parts
+    # NOTE the session-global override below assumes the session runs
+    # ONE query at a time between set and restore (true for the bench
+    # and driver, which execute entries sequentially); a concurrent
+    # caller planning a query inside this window would pick up the
+    # scaled-down partition count (ADVICE r16).
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         q = (agg.writeStream.format("memory").queryName(name)

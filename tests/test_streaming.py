@@ -182,6 +182,37 @@ def test_stream_windowed_once_matches_batch(spark):
     assert batch == stream
 
 
+def test_source_bytes_via_hadoop_fs(spark, tmp_path):
+    """r17 (r16 verdict #4): state-partition sizing must come from the
+    Hadoop FS API, not os.walk, so it also works on object storage.
+    Pins: (a) local behavior unchanged — the FS listing equals the
+    os.walk sum; (b) the early-exit cap stops the listing; (c) any FS
+    failure degrades to 0 (callers fall back to session partitions)."""
+    from iceberg_rust_archive_spark.streaming.ops import (
+        _source_parquet_bytes,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "sub").mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 1000)
+    (d / "sub" / "b.parquet").write_bytes(b"y" * 2000)
+    (d / "ignored.txt").write_bytes(b"z" * 5000)
+
+    walk_total = sum(
+        os.path.getsize(os.path.join(root, fn))
+        for root, _dirs, files in os.walk(d)
+        for fn in files if fn.endswith(".parquet"))
+    assert walk_total == 3000
+    assert _source_parquet_bytes(spark, str(d)) == walk_total
+
+    # early exit: stops once the running total crosses the cap
+    assert 0 < _source_parquet_bytes(spark, str(d), stop_at=1) <= 3000
+
+    # FS error (nonexistent path) degrades to 0, never raises
+    assert _source_parquet_bytes(spark, str(tmp_path / "nope")) == 0
+
+
 def test_dedup_stream_idempotent_ingestion(spark, tmp_path):
     """Streaming ingestion dedup over the persistent index: novel docs
     flow through; a checkpoint-loss replay re-classifies everything as

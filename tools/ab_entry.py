@@ -9,6 +9,7 @@ worktree, new = /root/repo), each subprocess timing `reps` executions
 visible, and the final min-of-mins per side.
 """
 import json
+import os
 import subprocess
 import sys
 import time
@@ -58,7 +59,8 @@ def run(repo):
 
 mins = {"old": [], "new": []}
 for r in range(ROUNDS):
-    for side, repo in (("old", "/tmp/base_r16"), ("new", "/root/repo")):
+    BASE = os.environ.get("AB_BASE", "/tmp/base_r17")
+    for side, repo in (("old", BASE), ("new", "/root/repo")):
         m, reps, st = run(repo)
         mins[side].append(m)
         print(f"round{r} {side}: min={m:.2f} reps="
