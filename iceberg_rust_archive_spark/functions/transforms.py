@@ -627,6 +627,12 @@ def transform_column(transform: str, col: Column | str,
             # and corrupts |v| > 2^53 (see _bucket_long_pair_udf).
             # int/time/date carriers are float64-exact (< 2^53) and
             # keep the single-column path.
+            # Defensive cast (ADVICE r16): shiftright on an IntegerType
+            # carrier masks the shift count mod 32 (Java semantics), so
+            # hi would equal the raw value and the reassembled int64
+            # garbage — current call sites cast to the table schema
+            # first, but the signature accepts any Column.
+            c = c.cast("long")
             return _bucket_long_pair_udf(n)(
                 F.shiftright(c, 32),
                 c.bitwiseAND(F.lit(0xFFFFFFFF)))

@@ -988,7 +988,8 @@ def add_files(spark: SparkSession, table: Table, paths: list[str],
             raw_path_col,
         )
         d = d.withColumn("__fp",
-                         raw_path_col(F.col("_metadata.file_path")))
+                         raw_path_col(F.col("_metadata.file_path"),
+                                      paths=paths))
         aggs = []
         for pf in spec.fields:
             src = schema.field_by_id(pf.source_id)

@@ -35,7 +35,12 @@ reference hands these plans to DataFusion.
 
 from __future__ import annotations
 
+import os
+from itertools import count as _seq_count
+
 from pyspark.sql import DataFrame, SparkSession
+
+_VIEW_SEQ = _seq_count()
 
 # one SQL text per query — executed verbatim by Spark AND DuckDB
 SQL: dict[str, str] = {
@@ -472,11 +477,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_name = 'NATION_1'
         GROUP BY l_partkey
     """).cache()
-    sv.createOrReplaceTempView("q11_supply_value")
-    return spark.sql("""
+    # per-invocation view name (ADVICE r16): a fixed session-global
+    # name could be clobbered by a concurrent/re-entrant invocation
+    view = f"q11_supply_value_{os.getpid()}_{next(_VIEW_SEQ)}"
+    sv.createOrReplaceTempView(view)
+    return spark.sql(f"""
         SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
-        FROM q11_supply_value
-        WHERE value > (SELECT 1.5 * avg(value) FROM q11_supply_value)
+        FROM {view}
+        WHERE value > (SELECT 1.5 * avg(value) FROM {view})
         ORDER BY ps_partkey
     """)
 

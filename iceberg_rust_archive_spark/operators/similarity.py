@@ -34,10 +34,13 @@ from __future__ import annotations
 
 import math
 import os
+from itertools import count as _seq_count
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_VIEW_SEQ = _seq_count()
 
 TOPK = 10
 QUERY_MOD = 100          # query ids are multiples of QUERY_MOD ...
@@ -194,7 +197,12 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     # expansion analyzes each side independently, sidestepping it.
     from iceberg_rust_archive_spark.session import read_parallel
     src = read_parallel(spark, os.path.join(sf_dir, "embeddings.parquet"))
-    src.createOrReplaceTempView("embeddings_sim_src")
+    # per-invocation view names (ADVICE r16): fixed session-global
+    # names could be clobbered by a concurrent/re-entrant invocation
+    tag = f"{os.getpid()}_{next(_VIEW_SEQ)}"
+    v_src, v_n, v_cand = (f"embeddings_sim_src_{tag}",
+                          f"ann_lsh_n_{tag}", f"ann_lsh_cand_{tag}")
+    src.createOrReplaceTempView(v_src)
     # branch decision is one metadata-cheap count; the axis path keeps
     # the bits computation IN-QUERY (params CTE) for oracle parity
     bits_needed = lsh_bits_needed(src.count())
@@ -221,7 +229,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
           SELECT least({LSH_MAX_BITS}, greatest({LSH_MIN_BITS},
                    cast(ceil(log2(count(*) / {LSH_TARGET_BUCKET}.0))
                         AS INT))) AS bits
-          FROM embeddings_sim_src
+          FROM {v_src}
         )
         SELECT vec_id, v,
                sqrt(aggregate(transform(v, x -> x * x),
@@ -229,9 +237,9 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
                {buckets}
         FROM (SELECT vec_id,
                      transform(embedding, x -> cast(x AS DOUBLE)) AS v
-              FROM embeddings_sim_src){params_join}
+              FROM {v_src}){params_join}
     """).cache()
-    ndf.createOrReplaceTempView("ann_lsh_n")
+    ndf.createOrReplaceTempView(v_n)
     # candidate tables as SEPARATE single-join statements unioned via
     # the DataFrame API: a 3-way SQL UNION of self-joins defeats
     # CacheManager's plan matching (measured — the whole signature
@@ -241,20 +249,20 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str,
     from functools import reduce
     cand_parts = [spark.sql(
         f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
-        f" FROM ann_lsh_n a JOIN ann_lsh_n b"
+        f" FROM {v_n} a JOIN {v_n} b"
         f" ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id")
         for t in range(LSH_TABLES)]
     cand = reduce(DataFrame.union, cand_parts).distinct()
-    cand.createOrReplaceTempView("ann_lsh_cand")
+    cand.createOrReplaceTempView(v_cand)
     return spark.sql(f"""
         SELECT vec_a, vec_b, cosine FROM (
           SELECT c.vec_a, c.vec_b,
                  round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
                                  0D, (acc, x) -> acc + x)
                        / (a.nrm * b.nrm), 4) AS cosine
-          FROM ann_lsh_cand c
-          JOIN ann_lsh_n a ON a.vec_id = c.vec_a
-          JOIN ann_lsh_n b ON b.vec_id = c.vec_b
+          FROM {v_cand} c
+          JOIN {v_n} a ON a.vec_id = c.vec_a
+          JOIN {v_n} b ON b.vec_id = c.vec_b
         ) WHERE cosine >= {threshold}
         ORDER BY vec_a, vec_b
     """)

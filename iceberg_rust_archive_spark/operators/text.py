@@ -452,9 +452,15 @@ def text_gate_stats(spark: SparkSession, sf_dir: str,
     stop_words = ", ".join(f"'{w}'" for w in EN_STOP)
     punct = ("(length(text) - length(regexp_replace(text, "
              "'[.,!?;:]', '')))")
-    score = (f"(0.4 * least(size(ws) / 100.0, 1.0) "
-             f"+ 0.3 * (1.0 - {punct} / greatest(length(text), 1)) "
-             f"+ 0.3 * (size(filter(ws, w -> w IN ({stop_words}))) "
+    # D-suffixed literals (ADVICE r16): bare 0.4/100.0/1.0 parse as
+    # DECIMAL in Spark SQL while the standalone text_quality_score
+    # builds DOUBLE literals via the Column API — a decimal
+    # intermediate could differ from the double path by ~1 ulp on a
+    # boundary doc and flip floor(score*10000+0.5). Double literals
+    # make the fused expression tree match the standalone exactly.
+    score = (f"(0.4D * least(size(ws) / 100.0D, 1.0D) "
+             f"+ 0.3D * (1.0D - {punct} / greatest(length(text), 1)) "
+             f"+ 0.3D * (size(filter(ws, w -> w IN ({stop_words}))) "
              f"/ greatest(size(ws), 1)))")
     gs = (f"transform(sequence(1, greatest(size(ws) - {n - 1}, 0)), "
           f"i -> concat_ws(' ', slice(ws, i, {n})))")
@@ -472,7 +478,7 @@ def text_gate_stats(spark: SparkSession, sf_dir: str,
         f"regexp_count(text, '{_sqlq(rx)}') AS n_{name}"
         for name, rx in PII_PATTERNS.items())
     st = (f"element_at(transform(array({_WORDS}), ws -> struct("
-          f"bigint(floor({score} * 10000 + 0.5)) AS score_s, "
+          f"bigint(floor({score} * 10000 + 0.5D)) AS score_s, "
           f"size(ws) AS ws_tokens, "
           f"size(regexp_extract_all(text, '{_sqlq(BPE_RE)}', 0)) "
           f"AS bpe_tokens, "

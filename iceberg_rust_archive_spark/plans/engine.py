@@ -988,36 +988,47 @@ class Engine:
             affected = self.spark.sql(
                 f"SELECT {act} AS __act, {oldk}, {proj} "
                 f"FROM __merge_tgt {talias} JOIN __merge_src {salias} "
-                f"ON {on}").filter(F.col("__act") >= 0).cache()
-            # ONE aggregation serves both the ambiguity guard
-            # (Iceberg/Delta semantics: a target row matched by >1
-            # source row has no well-defined result — fail loudly
-            # instead of silently writing duplicates) and the delete
-            # side's distinct key set; the grouped frame is one row
-            # per touched key, so caching it is O(matched keys).
+                f"ON {on}").filter(F.col("__act") >= 0)
+            # ONE aggregation is the ONLY pass over the matched join
+            # output (r16 verdict #3; guide §2.4): it serves the
+            # ambiguity guard (Iceberg/Delta semantics: a target row
+            # matched by >1 source row has no well-defined result —
+            # fail loudly instead of silently writing duplicates), the
+            # delete side's distinct key set, AND the update rows — the
+            # post-UPDATE projection rides along as a struct payload
+            # picked by first(), which is exact because the guard
+            # asserts exactly one row per key (an over-matched key
+            # fails the write before anything commits). Previously the
+            # full matched set was cached and scanned twice (keyed
+            # aggregate + update-row filter); now the map-side partial
+            # aggregation folds into the join's output stage and the
+            # cached frame is the post-aggregation one row per key.
             keyed = (affected
                      .groupBy(*[F.col(f"__old_{k}").alias(k)
                                 for k in keys])
-                     .agg(F.count(F.lit(1)).alias("__n")))
-            # the guard evaluates INSIDE the delete-file write instead
-            # of as a separate pre-write action: assert_true fails the
-            # write job on the first over-matched key, the staged files
-            # fall to the orphan sweep, and _merge_ambiguity_detail
-            # recovers the marker so the except below rethrows it as
-            # the documented ValueError. One pass over the matched set
-            # instead of two — at 100 TB the matched-key aggregation is
-            # the expensive part of the statement.
-            del_rows = keyed.filter(
+                     .agg(F.count(F.lit(1)).alias("__n"),
+                          F.first(F.struct(
+                              F.col("__act"),
+                              *[F.col(c) for c in cols])).alias("__row"))
+                     ).cache()
+            # the guard evaluates INSIDE the write jobs instead of as a
+            # separate pre-write action: assert_true fails the write on
+            # the first over-matched key, the staged files fall to the
+            # orphan sweep, and _merge_ambiguity_detail recovers the
+            # marker so the except below rethrows it as the documented
+            # ValueError.
+            guarded = keyed.filter(
                 F.assert_true(
                     F.col("__n") == 1,
                     F.concat(
                         F.lit(_MERGE_AMBIG_MARK + " key="),
-                        F.to_json(F.struct(*keys)))).isNull()
-            ).select(*keys)
+                        F.to_json(F.struct(*keys)))).isNull())
+            del_rows = guarded.select(*keys)
             if update_idx:
                 data_parts.append(
-                    affected.filter(F.col("__act").isin(update_idx))
-                    .select(*cols))
+                    guarded.filter(F.col("__row.__act").isin(update_idx))
+                    .select(*[F.col(f"__row.{c}").alias(c)
+                              for c in cols]))
         if not_matched:
             branches, col_cases = [], {c: [] for c in cols}
             for i, (cond, action) in enumerate(not_matched):
@@ -1087,7 +1098,7 @@ class Engine:
                 lambda x: x.append_delete_files(del_files)
                 .append_files(data_files))
         if matched:
-            affected.unpersist()
+            keyed.unpersist()
         if cache_tgt:
             tgt.unpersist()
 

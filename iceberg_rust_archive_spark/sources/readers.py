@@ -18,6 +18,8 @@ wrong-ordinal join.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,7 +114,26 @@ def _build_relation(spark: SparkSession, spark_schema,
         else reader.orc(paths)
 
 
-def raw_path_col(col):
+# Characters Spark 4.1 leaves UN-encoded in ``_metadata.file_path``
+# (probed empirically: space/#/%/]/^/} and non-ASCII come back
+# percent-escaped; these come back raw). A path made only of these is
+# "encoding-transparent": its metadata form differs from the manifest's
+# raw form by the scheme prefix alone, so the per-row url_decode can be
+# skipped. Anything outside the set (conservatively including chars we
+# never probed) takes the full decode path. Pinned by
+# tests/test_projection.py::test_path_encoding_transparency against a
+# live metadata read so a Spark upgrade that changes the encoder fails
+# loudly instead of silently skipping the decode.
+_ENC_TRANSPARENT = re.compile(r"^[A-Za-z0-9/._=,!$&'()+;@~-]*$")
+
+
+def paths_encoding_transparent(paths) -> bool:
+    """True iff every path's ``_metadata.file_path`` form is just the
+    raw path behind a ``file:`` scheme prefix (no percent-escapes)."""
+    return all(_ENC_TRANSPARENT.match(p) for p in paths)
+
+
+def raw_path_col(col, paths=None):
     """``_metadata.file_path`` is a percent-ENCODED URI (space → %20,
     '%' → %25, ':' → %3A …) while manifests store RAW os paths, so a
     path-keyed join (equality-delete tags, pos-delete/DV pairs,
@@ -123,9 +144,21 @@ def raw_path_col(col):
     strings carry spaces and escaped colons). Decode back to the raw
     path: literal '+' is pre-escaped because url_decode is
     form-decoding and would turn it into a space; the scheme prefix
-    drops to match ``DataFile.file_path``."""
+    drops to match ``DataFile.file_path``.
+
+    ``paths``: the concrete planned file list, when the caller knows it
+    (r16 verdict #1: the decode runs per ROW of every path-keyed MoR
+    read, and the url_decode plus the un-anchored '+' pre-escape scan
+    the whole string for every row). When every planned path is
+    encoding-transparent — the overwhelmingly common case: warehouse
+    paths are alnum/uuid segments plus `name=value` partition dirs —
+    the expression collapses to the single anchored scheme strip.
+    Callers that cannot enumerate the paths omit the argument and keep
+    the always-correct full decode."""
     if isinstance(col, str):
         col = F.col(col)
+    if paths is not None and paths_encoding_transparent(paths):
+        return F.regexp_replace(col, "^file:/+", "/")
     return F.regexp_replace(
         F.url_decode(F.regexp_replace(col, r"\+", "%2B")),
         "^file:/+", "/")
@@ -162,7 +195,8 @@ def read_data_files(spark: SparkSession, spark_schema,
         d = _bulk_relation(spark, spark_schema, paths, fmt)
         if with_pos:
             d = (d.withColumn("__fp",
-                              raw_path_col(F.col("_metadata.file_path")))
+                              raw_path_col(F.col("_metadata.file_path"),
+                                           paths=paths))
                  .withColumn("__pos", F.col("_metadata.row_index")))
         out = d if out is None else out.unionByName(d)
     return out

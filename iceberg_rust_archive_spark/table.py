@@ -743,7 +743,8 @@ class Table:
                     victims = (spark.read.schema(spark_schema)
                                .parquet(*targets)
                                .withColumn("__fp", _raw_path_col(
-                                   F.col("_metadata.file_path")))
+                                   F.col("_metadata.file_path"),
+                                   paths=targets))
                                .withColumn("__pos",
                                            F.col("_metadata.row_index"))
                                .join(pairs, ["__fp", "__pos"],

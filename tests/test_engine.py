@@ -5093,6 +5093,61 @@ def test_mor_path_join_survives_encoded_partition_dirs(spark, catalog):
     assert sorted(r["v"] for r in t2.scan(spark).collect()) == [0, 2]
 
 
+def test_path_encoding_transparency_predicate(spark, tmp_path):
+    """r17 optimization: ``raw_path_col(col, paths=...)`` skips the
+    per-row url_decode when every planned path is encoding-transparent
+    (r16 verdict #1 — the decode ran for every row of every path-keyed
+    MoR read). This pins the predicate against a LIVE metadata read:
+    for every character the predicate calls transparent,
+    ``_metadata.file_path`` must equal the raw path behind the scheme
+    prefix — so a Spark upgrade that starts encoding one of them fails
+    here instead of silently mis-joining. Also asserts the predicate
+    REJECTS the chars Spark does encode, and that the fast expression
+    matches the slow one on transparent paths."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from iceberg_rust_archive_spark.sources.readers import (
+        paths_encoding_transparent,
+        raw_path_col,
+    )
+
+    # every non-alnum char the predicate accepts, one dir each
+    # (':' is transparent-by-charset but Hadoop Path cannot even
+    # construct relative segments containing it, so it is excluded
+    # from the predicate's set and from this probe)
+    transparent_chars = "._=,!$&'()+;@~-"
+    for i, ch in enumerate(transparent_chars):
+        d = tmp_path / f"t{i}a{ch}b"
+        d.mkdir()
+        spark.range(1).write.mode("overwrite").parquet(str(d))
+        assert paths_encoding_transparent([str(d)]), ch
+        got = (spark.read.parquet(str(d))
+               .select(F.col("_metadata.file_path").alias("fp"),
+                       raw_path_col("_metadata.file_path",
+                                    paths=[str(d)]).alias("fast"),
+                       raw_path_col("_metadata.file_path")
+                       .alias("slow"))
+               .first())
+        raw = _re.sub(r"^file:/+", "/", got["fp"])
+        assert raw.startswith(str(d) + "/"), (ch, got["fp"])
+        assert got["fast"] == got["slow"] == raw, (ch, got)
+
+    # chars Spark DOES percent-encode must be rejected by the predicate
+    for ch in [" ", "#", "%", "]", "^", "}", ":", "é"]:
+        assert not paths_encoding_transparent([f"/w/a{ch}b/f.parquet"]), ch
+    # one live encoded case: predicate rejects AND slow path decodes
+    d = tmp_path / "enc a%b"
+    d.mkdir()
+    spark.range(1).write.mode("overwrite").parquet(str(d))
+    assert not paths_encoding_transparent([str(d)])
+    got = (spark.read.parquet(str(d))
+           .select(raw_path_col("_metadata.file_path").alias("slow"))
+           .first())
+    assert got["slow"].startswith(str(d) + "/"), got["slow"]
+
+
 def test_legacy_conflated_empty_string_manifest_not_pruned():
     """Pre-r16 tables committed '' partition rows under a NULL tuple;
     their manifests' summaries admit nulls but bound only the non-''

@@ -41,6 +41,25 @@ def test_text_gate_stats_matches_standalone_operators(spark):
     ref_r = text.text_repetition_stats(spark, SF).select(
         "source", "n_docs", "avg_dup_frac", "max_dup_frac")
     assert _rows(r) == _rows(ref_r)
+    # token-count rollup (ADVICE r16: was unpinned)
+    tc = (st.groupBy("lang")
+          .agg(F.sum("st.ws_tokens").alias("sum_ws_tokens"),
+               F.sum("st.bpe_tokens").alias("sum_bpe_tokens"),
+               (F.floor(F.avg("st.bpe_tokens") * 10000 + F.lit(0.5))
+                / 10000.0).alias("avg_bpe_tokens")))
+    ref_tc = text.text_token_count(spark, SF)
+    assert _rows(tc.select(*ref_tc.columns)) == _rows(ref_tc)
+    # PII rollup, iterating PII_PATTERNS rather than hard-coding names
+    any_hit = sum(F.col(f"st.n_{n}") for n in text.PII_PATTERNS) > 0
+    pii = (st.withColumn("has_pii", any_hit.cast("int"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                *[F.sum(f"st.n_{n}").alias(f"sum_{n}")
+                  for n in text.PII_PATTERNS],
+                (F.floor(F.avg("has_pii") * 10000 + F.lit(0.5))
+                 / 10000.0).alias("pii_doc_frac")))
+    ref_pii = text.text_pii_stats(spark, SF)
+    assert _rows(pii.select(*ref_pii.columns)) == _rows(ref_pii)
     st.unpersist()
 
 
